@@ -1,0 +1,169 @@
+"""Text-analysis scalar functions: language-ID, quality scores, token counts,
+document fingerprints, and a KenLM-style character n-gram perplexity model.
+
+These are the large-scale training-data-pipeline additions layered on top of
+the reference's operator set (SURVEY.md §2 graft additions; north_star:
+"fastText language-ID, KenLM-style n-gram perplexity scoring"). fastText /
+KenLM are not available in this environment, so:
+
+  * language-ID is a deterministic stopword/charset profile heuristic,
+    deliberately designed to be expressible in ANSI SQL (DuckDB
+    ``regexp_extract_all`` counts) so the driver can oracle-check parity;
+  * perplexity is a self-contained character-trigram LM with add-k
+    smoothing trained once per worker on an embedded seed corpus
+    (KenLM-style in spirit: n-gram counts + backoff-free smoothing) —
+    not SQL-expressible, covered by rows-only checks + unit tests.
+
+All functions are deterministic and shared by the oracle labeler and the
+Ray stages.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+# ---------------------------------------------------------------------------
+# Language ID (SQL-parity design: per-language stopword occurrence counts,
+# argmax with fixed tie-break order; "zh" scored by CJK char count).
+# ---------------------------------------------------------------------------
+
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "pour", "que", "pas"],
+    "es": ["el", "la", "los", "las", "es", "una", "para", "con", "por", "como"],
+}
+LANG_ORDER = ["en", "de", "fr", "es", "zh"]  # deterministic tie-break order
+CJK_RE = re.compile(r"[一-鿿]")
+
+_LANG_RES = {
+    lang: re.compile(r"\b(?:" + "|".join(words) + r")\b")
+    for lang, words in LANG_STOPWORDS.items()
+}
+
+
+def lang_scores(text: str) -> dict[str, int]:
+    low = text.lower()
+    scores = {lang: len(rx.findall(low)) for lang, rx in _LANG_RES.items()}
+    scores["zh"] = len(CJK_RE.findall(text))
+    return scores
+
+
+def predict_lang(text: str) -> tuple[str, float]:
+    """Return (lang, confidence). Unknown/empty -> ("und", 0.0).
+
+    confidence = best_count / total_counts, rounded to 6 dp (matches the
+    SQL oracle's ROUND(...,6)).
+    """
+    scores = lang_scores(text)
+    total = sum(scores.values())
+    if total == 0:
+        return "und", 0.0
+    best = max(LANG_ORDER, key=lambda l: (scores[l], -LANG_ORDER.index(l)))
+    return best, round(scores[best] / total, 6)
+
+
+# ---------------------------------------------------------------------------
+# Quality scores (SQL-parity design; every ratio ROUND(...,6)).
+# ---------------------------------------------------------------------------
+
+_WS_TOKEN_RE = re.compile(r"\S+")
+_BPE_TOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+_PUNCT_RE = re.compile(r"[^\w\s]")
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+_EN_STOP_RE = _LANG_RES["en"]
+
+
+def token_count_ws(text: str) -> int:
+    """Whitespace token count."""
+    return len(_WS_TOKEN_RE.findall(text))
+
+
+def token_count_bpe(text: str) -> int:
+    """BPE-ish token count: alpha runs + digit runs + single punctuation."""
+    return len(_BPE_TOKEN_RE.findall(text))
+
+
+def quality_stats(text: str) -> dict[str, float]:
+    """Length / punctuation / stopword / alpha ratios (quality-filter signals)."""
+    n_chars = len(text)
+    toks = _WS_TOKEN_RE.findall(text)
+    n_tokens = len(toks)
+    n_punct = len(_PUNCT_RE.findall(text))
+    n_alpha = len(_ALPHA_RE.findall(text))
+    n_stop = len(_EN_STOP_RE.findall(text.lower()))
+    mean_tok = (sum(len(t) for t in toks) / n_tokens) if n_tokens else 0.0
+    return {
+        "n_chars": float(n_chars),
+        "n_tokens": float(n_tokens),
+        "punct_ratio": round(n_punct / n_chars, 6) if n_chars else 0.0,
+        "alpha_ratio": round(n_alpha / n_chars, 6) if n_chars else 0.0,
+        "stopword_ratio": round(n_stop / n_tokens, 6) if n_tokens else 0.0,
+        "mean_token_len": round(mean_tok, 6),
+    }
+
+
+def fingerprint_md5(text: str) -> str:
+    """Document fingerprint: md5 hex of the text (DuckDB ``md5()`` parity)."""
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# KenLM-style char-trigram perplexity
+# ---------------------------------------------------------------------------
+
+_SEED_CORPUS = (
+    "the quick brown fox jumps over the lazy dog. "
+    "a photo of a cat sitting on a wooden table near the window. "
+    "sunset over the mountains with orange clouds in the sky. "
+    "two people walking along the beach at low tide in the morning. "
+    "a close up view of a red flower with green leaves after rain. "
+    "children playing football in the park on a sunny afternoon. "
+    "an old street with brick houses and parked cars on both sides. "
+    "fresh bread and coffee on a kitchen counter next to a bowl of fruit. "
+    "the city skyline at night reflected in the calm river water. "
+    "a dog running through tall grass chasing a yellow ball. "
+    "query scan filter join group order sort merge hash table column row "
+    "batch stream window key value data part customer line spark big small "
+    "fast slow agg vector the a "
+)
+
+
+class TrigramLM:
+    """Char-trigram language model with add-k smoothing.
+
+    Build once per worker (actor ``__init__``); ``perplexity`` is O(len).
+    Lower perplexity ⇒ more natural text (quality signal; north_star's
+    "KenLM-style n-gram perplexity scoring").
+    """
+
+    __slots__ = ("tri", "bi", "vocab", "k")
+
+    def __init__(self, corpus: str = _SEED_CORPUS, k: float = 0.1) -> None:
+        self.k = k
+        self.tri: dict[str, int] = {}
+        self.bi: dict[str, int] = {}
+        text = "  " + corpus.lower()
+        for i in range(len(text) - 2):
+            self.bi[text[i : i + 2]] = self.bi.get(text[i : i + 2], 0) + 1
+            self.tri[text[i : i + 3]] = self.tri.get(text[i : i + 3], 0) + 1
+        self.vocab = len(set(text)) + 1
+
+    def logprob(self, text: str) -> float:
+        text = "  " + text.lower()
+        lp = 0.0
+        n = 0
+        for i in range(len(text) - 2):
+            tri = self.tri.get(text[i : i + 3], 0)
+            bi = self.bi.get(text[i : i + 2], 0)
+            lp += math.log((tri + self.k) / (bi + self.k * self.vocab))
+            n += 1
+        return lp if n else 0.0
+
+    def perplexity(self, text: str) -> float:
+        if not text:
+            return float(self.vocab)
+        n = max(1, len(text))
+        return round(math.exp(-self.logprob(text) / n), 4)

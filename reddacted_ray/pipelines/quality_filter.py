@@ -1,0 +1,87 @@
+"""Flagship pipeline: quality-filter + PII-scrub over the image+caption table.
+
+Ray Data restatement of the reference's E1 analysis flow (SURVEY.md §3):
+
+    read (pruned) -> map_batches(normalize F1-F4, stateless, fused) ->
+    map_batches(Scorer actor pool: F5/F6/F8/F9/gate/F11/F13/F7 + langid/ppl)
+    [-> filter(pii_only F12)] [-> write partitioned parquet]
+
+The pipeline is lazy end-to-end: nothing materializes on the driver; consume
+via ``write_output`` (partitioned, resumable) or the report aggregates
+(``reddacted_ray.pipelines.report``). The wide ``bytes`` column streams
+through zero-copy and is never decoded.
+
+Scale notes (100 TB design intent):
+  * normalize is a stateless task stage — elastic, fuses with the read;
+  * the scorer is an autoscaling actor pool sized to the cluster
+    (``concurrency=(1, cpus)``); regex/model state loads once per actor;
+  * ``batch_size`` is row-based and modest because rows carry image bytes
+    — blocks stay within ``target_max_block_size`` and the object store
+    spills instead of OOMing;
+  * no shuffle anywhere in this pipeline (dedup is a separate stage);
+    output is one parquet file batch per block for resumability.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import ray
+import ray.data as rd
+import pyarrow.compute as pc
+
+from ..oracle import LabelerConfig
+from ..sources.tables import read_table
+from ..stages.normalize import make_normalize_fn
+from ..stages.score import Scorer
+
+DEFAULT_BATCH_SIZE = 2048
+
+
+def _default_concurrency() -> tuple[int, int]:
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return (1, max(1, cpus))
+
+
+def build(
+    input_path: str,
+    cfg: Optional[LabelerConfig] = None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency: Optional[tuple[int, int] | int] = None,
+) -> rd.Dataset:
+    """Construct the lazy quality-filter Dataset over an images table."""
+    cfg = cfg or LabelerConfig()
+    ds = read_table(input_path)
+    ds = ds.map_batches(
+        make_normalize_fn(skip_text=cfg.skip_text, text_match=cfg.text_match),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    ds = ds.map_batches(
+        Scorer,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=concurrency or _default_concurrency(),
+        num_cpus=1,
+    )
+    if cfg.pii_only:
+        # F12 (reference utils/report.py:50-63): keep rows with any risk signal
+        ds = ds.map_batches(
+            lambda t: t.filter(
+                pc.or_(pc.greater(t["pii_risk_score"], 0.0), t["gate_flag"])
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    if cfg.limit:
+        ds = ds.limit(cfg.limit)
+    return ds
+
+
+def write_output(ds: rd.Dataset, out_dir: str) -> None:
+    """Partitioned parquet sink (many part files -> resumable/idempotent;
+    see ``reddacted_ray.state.manifest`` for the partition manifest)."""
+    ds.write_parquet(out_dir)

@@ -1,0 +1,45 @@
+"""Source helpers: pruned Parquet reads (Lance-gated) for all tables.
+
+The graft names Lance as the primary format (BASELINE.json input_hint);
+the ``lance`` package is not installed in this container, so reads go
+through Parquet with an import-gate that switches to ``read_lance`` when
+available. Always pass ``columns=`` so only needed columns leave storage
+(scan pruning; see SURVEY.md §2.1 S1-S5).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import ray.data as rd
+
+try:  # pragma: no cover - lance not present in this container
+    import lance  # noqa: F401
+
+    HAVE_LANCE = True
+except ImportError:
+    HAVE_LANCE = False
+
+
+def read_table(
+    path: str,
+    columns: Optional[Sequence[str]] = None,
+    filter_expr=None,
+    **kwargs,
+) -> rd.Dataset:
+    """Read a Lance or Parquet table as a Dataset with column pruning and
+    optional row filter pushdown (a ``pyarrow.dataset`` expression)."""
+    if HAVE_LANCE and (path.endswith(".lance") or os.path.isdir(os.path.join(path, "_versions"))):
+        return rd.read_lance(path, columns=list(columns) if columns else None, **kwargs)
+    kw = dict(kwargs)
+    if columns is not None:
+        kw["columns"] = list(columns)
+    if filter_expr is not None:
+        kw["filter"] = filter_expr
+    return rd.read_parquet(path, **kw)
+
+
+def sf_table(sf_dir: str, name: str, columns: Optional[Sequence[str]] = None) -> rd.Dataset:
+    """Read one of the driver's testdata tables (TESTDATA.md)."""
+    return read_table(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)

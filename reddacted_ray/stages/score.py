@@ -1,0 +1,105 @@
+"""Fused scoring stage — the stateful actor-pool heart of the pipeline.
+
+One ``map_batches`` callable class computes, per zero-copy Arrow batch:
+sentiment (F8/F9), PII risk + matches (F5/F6), gate (LLM replacement),
+risk merge (F11), language-ID + perplexity (ST4), keep/drop (F13) and the
+scrub (F7). Fusing all scorers into ONE actor stage avoids re-materializing
+rows per scorer (SURVEY.md §7.2 step 3) and amortizes all state builds
+(regex banks, lexicon, trigram LM) across the actor's lifetime: state is
+built once in ``__init__`` (reference rebuilt its analyzer per call,
+``sentiment.py:183`` — an inefficiency we fix).
+
+The per-string PII/sentiment cores are intentionally Python loops over
+``column.to_pylist()`` inside the batch (``finditer`` multi-match semantics
+are not exactly vectorizable, SURVEY.md §2.8); everything around them is
+Arrow-vectorized. Batches arrive zero-copy; the wide ``bytes`` column is
+passed through untouched (never decoded here).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import sentiment as sentmod
+from ..functions.gate import GateBank
+from ..functions.pii import CompiledBank
+from ..functions.textstats import TrigramLM, predict_lang
+from ..oracle import LabelerConfig, scrub_payload
+from ..schema import PII_MATCH_TYPE
+
+
+class Scorer:
+    """Callable for ``ds.map_batches(Scorer, concurrency=N, ...)``.
+
+    Expects a ``caption_clean`` column (produced by the normalize stage);
+    appends the analysis columns of ``schema.ANALYSIS_FIELDS``.
+    """
+
+    def __init__(self, cfg: Optional[LabelerConfig] = None) -> None:
+        self.cfg = cfg or LabelerConfig()
+        self.bank = CompiledBank()
+        self.gate = GateBank()
+        self.lm = TrigramLM()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        caps: list[str] = batch["caption_clean"].to_pylist()
+        ids: list[str] = batch["image_id"].to_pylist()
+        n = len(caps)
+        sent = np.empty(n, dtype=np.float64)
+        pii_risk = np.empty(n, dtype=np.float64)
+        gate_flag = np.empty(n, dtype=bool)
+        gate_risk = np.empty(n, dtype=np.float64)
+        risk = np.empty(n, dtype=np.float64)
+        keep = np.empty(n, dtype=bool)
+        ppl = np.empty(n, dtype=np.float64)
+        matches_col: list[list[dict[str, Any]]] = []
+        langs: list[str] = []
+        lang_confs = np.empty(n, dtype=np.float64)
+        scrubbed: list[str] = []
+        for i, (cid, text) in enumerate(zip(ids, caps)):
+            sent[i] = sentmod.compound_score(text)
+            pr, ms = self.bank.risk_score(text)
+            pii_risk[i] = pr
+            matches_col.append(
+                [{"type": m.type, "value": m.value, "confidence": m.confidence} for m in ms]
+            )
+            gf, gr = self.gate.score(text)
+            gate_flag[i] = gf
+            gate_risk[i] = gr
+            r = max(pr, gr) if gf else pr
+            risk[i] = r
+            k = not (r > cfg.risk_threshold or gf)
+            keep[i] = k
+            if k:
+                scrubbed.append(text)
+            else:
+                payload = scrub_payload(cfg, cid)
+                scrubbed.append(
+                    self.bank.scrub_spans(text) if payload is None else payload
+                )
+            lg, lc = predict_lang(text)
+            langs.append(lg)
+            lang_confs[i] = lc
+            ppl[i] = self.lm.perplexity(text)
+        sent_label = np.where(sent == 0, "neu", np.where(sent > 0, "pos", "neg"))
+        cols = {
+            "sentiment_score": pa.array(sent),
+            "sentiment_label": pa.array(sent_label.tolist(), pa.string()),
+            "pii_risk_score": pa.array(pii_risk),
+            "pii_matches": pa.array(matches_col, pa.list_(PII_MATCH_TYPE)),
+            "gate_flag": pa.array(gate_flag),
+            "gate_risk": pa.array(gate_risk),
+            "risk_score": pa.array(risk),
+            "lang": pa.array(langs, pa.string()),
+            "lang_conf": pa.array(lang_confs),
+            "ppl": pa.array(ppl),
+            "keep": pa.array(keep),
+            "caption_scrubbed": pa.array(scrubbed, pa.string()),
+        }
+        for name, arr in cols.items():
+            batch = batch.append_column(name, arr)
+        return batch

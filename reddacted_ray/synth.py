@@ -1,0 +1,202 @@
+"""Deterministic synthetic image+caption table generator.
+
+Produces the BASELINE.json input_hint table shape
+(``image_id, bytes, w, h, fmt, caption, phash``) with the FIXTURES.md
+caption corpus embedded, a heavy-tailed caption-length distribution (skew
+exercise for repartitioning), and phash duplicate clusters including one hot
+cluster (skewed-groupby exercise). Seeded — identical output across
+processes and runs. Writes sharded Parquet so reads parallelize.
+
+No external data: everything is generated from the fixed seed.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .imaging import encode, phash64
+from .schema import IMAGES_SCHEMA
+
+# FIXTURES.md §3 labeled captions (PII-positive, boost, veto, validator,
+# gate, sentiment, normalizer cases). These seed every generated table so
+# conformance rows always exist at any scale.
+LABELED_CAPTIONS: list[str] = [
+    # 3a PII-positive patterns
+    "Contact me at john.doe@example.com for details",
+    "My phone number is (415) 555-0123",
+    "SSN on file: 123-45-6789",
+    "Card used: 4111 1111 1111 1111",
+    "I live at 123 Maple Street near the park",
+    "Dr. Jane Smith was my professor",
+    # 3b context boost
+    "call me at 415-555-0123 anytime",
+    "my name is attached: reach me at a@b.io",
+    # 3c false-positive vetoes
+    "running 8 gpu nodes for training",
+    "watched it 100 times already",
+    "finished in 3rd place",
+    "downloaded 16gb yesterday from a@b.com",
+    # 3d validator edges
+    "short num 555-012",
+    "lot 1234 5678 road",
+    # 3e gate cases
+    "My phone number is 555-0123",
+    "I live at 123 Main St, Springfield",
+    "Just a regular comment about cats",
+    "RaunchyRaccoon that looks a lot like Miami Springs!",
+    # 3f sentiment
+    "Looks sick!",
+    "10/10 very art such picasso wow",
+    "this is terrible and I hate it",
+    "#DOGE HOLD IT",
+    # 3g normalizer
+    "hello   world  &amp;#x200B; ",
+    "some <b>bold</b> claim",
+    "already reddacted: This comment has been reddacted to preserve online "
+    "privacy - see r/reddacted for more info",
+]
+
+_FILLER_WORDS = (
+    "a photo of sunset mountain river forest city street portrait close up "
+    "view wide angle macro shot of an old wooden bridge over calm water with "
+    "soft light and gentle clouds drifting past green hills while birds fly "
+    "slowly above quiet fields of golden wheat swaying near small stone "
+    "houses beside winding gravel paths under clear blue skies"
+).split()
+
+_PII_TEMPLATES = [
+    "photographer contact {u}@{d}.com for licensing",
+    "send prints to {u}@{d}.org please",
+    "my name is {U} and you can reach me at {u}@{d}.net",
+    "credit Dr. {U} {U2} for this capture",
+    "email {u}.{u2}@{d}.io about reuse rights",
+]
+
+_TOXIC_TEMPLATES = [
+    "what an idiot took this worthless garbage shot",
+    "this is disgusting trash from a pathetic loser",
+]
+
+_NAMES = ["alex", "sam", "kim", "lee", "pat", "jo", "max", "ray", "ida", "ben"]
+_UNAMES = ["Alex", "Sam", "Kim", "Lee", "Pat", "Jo", "Max", "Ray", "Ida", "Ben"]
+_DOMAINS = ["example", "mail", "photo", "pix", "shot"]
+
+
+def _filler_caption(rng: np.random.RandomState) -> str:
+    # heavy-tailed length: mostly 4-12 words, rare multi-hundred-word tails
+    r = rng.rand()
+    if r < 0.85:
+        n = rng.randint(4, 13)
+    elif r < 0.98:
+        n = rng.randint(13, 60)
+    else:
+        n = rng.randint(200, 600)
+    idx = rng.randint(0, len(_FILLER_WORDS), size=n)
+    return " ".join(_FILLER_WORDS[i] for i in idx)
+
+
+def _pii_caption(rng: np.random.RandomState) -> str:
+    t = _PII_TEMPLATES[rng.randint(len(_PII_TEMPLATES))]
+    return t.format(
+        u=_NAMES[rng.randint(10)],
+        u2=_NAMES[rng.randint(10)],
+        U=_UNAMES[rng.randint(10)],
+        U2=_UNAMES[rng.randint(10)],
+        d=_DOMAINS[rng.randint(5)],
+    )
+
+
+def _make_pixels(rng: np.random.RandomState, w: int, h: int) -> np.ndarray:
+    # smooth-ish gradient + noise so phash varies but compresses well
+    x = np.linspace(0, 255, w, dtype=np.float64)[None, :, None]
+    y = np.linspace(0, 255, h, dtype=np.float64)[:, None, None]
+    base = (x + y) / 2 + rng.randint(0, 32, size=(h, w, 3))
+    return np.clip(base, 0, 255).astype(np.uint8)
+
+
+def generate_table(num_rows: int, seed: int = 42, start_id: int = 0) -> pa.Table:
+    """Generate one shard of the images table. Deterministic in (seed, start_id)."""
+    rng = np.random.RandomState(seed + start_id)
+    sizes = [(8, 8), (16, 16), (16, 8), (32, 32), (64, 64)]
+    # phash duplicate clusters: ~3% of rows reuse one of a few shared images;
+    # one hot cluster takes half the duplicate mass (skew exercise).
+    shared_pixels = [_make_pixels(rng, 16, 16) for _ in range(8)]
+    ids, blobs, ws, hs, fmts, caps, phs = [], [], [], [], [], [], []
+    for i in range(num_rows):
+        gid = start_id + i
+        # caption choice
+        if gid < len(LABELED_CAPTIONS):
+            cap = LABELED_CAPTIONS[gid]  # conformance rows live at the front
+        else:
+            r = rng.rand()
+            if r < 0.04:
+                cap = _pii_caption(rng)
+            elif r < 0.05:
+                cap = _TOXIC_TEMPLATES[rng.randint(len(_TOXIC_TEMPLATES))]
+            elif r < 0.06:
+                cap = "I live at home with " + _filler_caption(rng)  # gate disclosure
+            else:
+                cap = _filler_caption(rng)
+        # image choice
+        r = rng.rand()
+        if r < 0.015:
+            px = shared_pixels[0]  # hot duplicate cluster
+        elif r < 0.03:
+            px = shared_pixels[1 + rng.randint(7)]
+        else:
+            w0, h0 = sizes[rng.randint(len(sizes))]
+            px = _make_pixels(rng, w0, h0)
+        fmt = "jpeg" if rng.rand() < 0.3 else "png"
+        blob = encode(px, fmt)
+        ph = phash64(px)
+        if ph >= 1 << 63:
+            ph -= 1 << 64  # two's-complement into int64
+        ids.append(f"img{gid:08d}")
+        blobs.append(blob)
+        hs.append(px.shape[0])
+        ws.append(px.shape[1])
+        fmts.append(fmt)
+        caps.append(cap)
+        phs.append(ph)
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(fmts, pa.string()),
+            "caption": pa.array(caps, pa.string()),
+            "phash": pa.array(phs, pa.int64()),
+        },
+        schema=IMAGES_SCHEMA,
+    )
+
+
+def write_dataset(
+    out_dir: str, num_rows: int, seed: int = 42, rows_per_shard: int = 25_000
+) -> str:
+    """Write a sharded Parquet images dataset; idempotent (skips if a
+    matching _SYNTH_MANIFEST exists). Returns ``out_dir``."""
+    manifest = os.path.join(out_dir, "_SYNTH_MANIFEST")
+    tag = f"v1 rows={num_rows} seed={seed} shard={rows_per_shard}"
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            if f.read().strip() == tag:
+                return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    for old in os.listdir(out_dir):
+        if old.endswith(".parquet"):
+            os.remove(os.path.join(out_dir, old))
+    shard = 0
+    for start in range(0, num_rows, rows_per_shard):
+        n = min(rows_per_shard, num_rows - start)
+        t = generate_table(n, seed=seed, start_id=start)
+        pq.write_table(t, os.path.join(out_dir, f"part-{shard:05d}.parquet"))
+        shard += 1
+    with open(manifest, "w") as f:
+        f.write(tag)
+    return out_dir

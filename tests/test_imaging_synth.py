@@ -1,0 +1,72 @@
+"""Imaging codec invariants + synthetic generator determinism."""
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from reddacted_ray.imaging import (
+    decode,
+    decode_png,
+    encode,
+    encode_png,
+    phash64,
+    psnr,
+)
+from reddacted_ray.synth import LABELED_CAPTIONS, generate_table
+
+
+def _pixels(seed=0, w=16, h=16):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_png_roundtrip_exact():
+    px = _pixels()
+    out = decode_png(encode_png(px))
+    assert np.array_equal(px, out)
+    assert psnr(px, out) == float("inf")
+
+
+def test_fake_jpeg_psnr_above_40db():
+    px = _pixels(1, 64, 64)
+    out = decode(encode(px, "jpeg"), "jpeg")
+    assert psnr(px, out) >= 40.0
+
+
+def test_phash_locality():
+    px = _pixels(2, 32, 32)
+    near = px.copy()
+    near[0, 0] = 255 - near[0, 0]  # tiny perturbation
+    far = _pixels(3, 32, 32)
+    a, b, c = phash64(px), phash64(near), phash64(far)
+    assert bin(a ^ b).count("1") <= bin(a ^ c).count("1")
+    assert a == phash64(px)  # deterministic
+
+
+def test_generate_table_deterministic_and_decodable():
+    t1 = generate_table(80, seed=42, start_id=0)
+    t2 = generate_table(80, seed=42, start_id=0)
+    assert t1.equals(t2)
+    assert t1.column("caption").to_pylist()[: len(LABELED_CAPTIONS)] == LABELED_CAPTIONS
+    for blob, fmt, w, h in zip(
+        t1["bytes"].to_pylist()[:20],
+        t1["fmt"].to_pylist()[:20],
+        t1["w"].to_pylist()[:20],
+        t1["h"].to_pylist()[:20],
+    ):
+        px = decode(blob, fmt)
+        assert px.shape == (h, w, 3)
+
+
+def test_write_dataset_idempotent(synth_dir):
+    import os
+
+    files = sorted(f for f in os.listdir(synth_dir) if f.endswith(".parquet"))
+    assert len(files) == 4  # 1200 rows / 300 per shard
+    n = sum(pq.read_metadata(os.path.join(synth_dir, f)).num_rows for f in files)
+    assert n == 1200
+    # second call is a no-op (manifest match)
+    from reddacted_ray.synth import write_dataset
+
+    mtimes = {f: os.path.getmtime(os.path.join(synth_dir, f)) for f in files}
+    write_dataset(synth_dir, num_rows=1200, seed=42, rows_per_shard=300)
+    assert mtimes == {f: os.path.getmtime(os.path.join(synth_dir, f)) for f in files}
