@@ -1,0 +1,56 @@
+"""Report aggregates over the scored dataset (A1-A4, SURVEY.md §2.5).
+
+Small-result aggregates computed distributed, materialized only as scalars
+on the driver (reference ``utils/report.py:109-193``, ``sentiment.py:309-323``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Sum
+
+
+def aggregates(scored: rd.Dataset) -> dict[str, Any]:
+    """A1 mean sentiment (round 4dp), A3 pii/gate counts, A4 max-risk + argmax,
+    kept/dropped counts. One distributed aggregate pass + one tiny top-1 sort."""
+    scored = scored.map_batches(_flag_columns, batch_format="pyarrow", zero_copy_batch=True)
+    agg = scored.aggregate(
+        Mean("sentiment_score", alias_name="mean_sentiment"),
+        Count(alias_name="num_rows"),
+        Sum("pii_flag", alias_name="pii_rows"),
+        Sum("gate_int", alias_name="gate_rows"),
+        Sum("keep_int", alias_name="kept_rows"),
+        Max("risk_score", alias_name="max_risk"),
+    )
+    n = int(agg["num_rows"])
+    # A4 argmax row: top-1 by (risk, image_id) — tiny k sort
+    top = (
+        scored.sort(["risk_score", "image_id"], descending=[True, True])
+        .limit(1)
+        .select_columns(["image_id"])
+        .take(1)
+    )
+    return {
+        "num_rows": n,
+        "mean_sentiment": round(float(agg["mean_sentiment"]), 4) if n else 0.0,
+        "pii_rows": int(agg["pii_rows"] or 0),
+        "gate_rows": int(agg["gate_rows"] or 0),
+        "kept_rows": int(agg["kept_rows"] or 0),
+        "dropped_rows": n - int(agg["kept_rows"] or 0),
+        "max_risk": float(agg["max_risk"]) if n else 0.0,
+        "max_risk_image_id": top[0]["image_id"] if top else None,
+    }
+
+
+def _flag_columns(t):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = t.append_column(
+        "pii_flag", pc.cast(pc.greater(t["pii_risk_score"], 0.0), pa.int64())
+    )
+    t = t.append_column("gate_int", pc.cast(t["gate_flag"], pa.int64()))
+    t = t.append_column("keep_int", pc.cast(t["keep"], pa.int64()))
+    return t

@@ -1,0 +1,114 @@
+"""End-to-end conformance: Ray quality-filter pipeline vs the oracle labeler.
+
+This is the BASELINE.json correctness gate: keep/drop F1 >= 0.99 (here:
+exact agreement, since pipeline and oracle share the same cores), scrubbed
+caption equality per row, and the decoded-pixel invariant (exact for png,
+PSNR >= 40 dB for the lossy format)."""
+
+import numpy as np
+import pyarrow.dataset as pads
+import pytest
+
+from reddacted_ray.imaging import decode, psnr
+from reddacted_ray.oracle import LabelerConfig, label_rows, report_aggregates
+from reddacted_ray.pipelines.quality_filter import build, write_output
+from reddacted_ray.pipelines.report import aggregates
+
+CFG = LabelerConfig(skip_text="This comment has been reddacted")
+
+
+@pytest.fixture(scope="module")
+def scored_and_oracle(ray_session, synth_dir):
+    ds = build(synth_dir, cfg=CFG, batch_size=256, concurrency=(1, 4))
+    out = ds.to_pandas()
+    src = pads.dataset(synth_dir, format="parquet").to_table()
+    oracle = {
+        r["image_id"]: r
+        for r in label_rows(
+            zip(src["image_id"].to_pylist(), src["caption"].to_pylist()), CFG
+        )
+    }
+    return out, oracle, src
+
+
+def test_row_counts_match(scored_and_oracle):
+    out, oracle, _ = scored_and_oracle
+    assert len(out) == len(oracle) > 0
+
+
+def test_keep_drop_f1(scored_and_oracle):
+    out, oracle, _ = scored_and_oracle
+    tp = fp = fn = 0
+    agree = 0
+    for row in out.itertuples():
+        o = oracle[row.image_id]
+        if row.keep == o["keep"]:
+            agree += 1
+        # F1 on the "drop" (positive = risky) class
+        if not row.keep and not o["keep"]:
+            tp += 1
+        elif not row.keep and o["keep"]:
+            fp += 1
+        elif row.keep and not o["keep"]:
+            fn += 1
+    f1 = 2 * tp / (2 * tp + fp + fn) if tp else 0.0
+    assert agree == len(out)
+    assert f1 >= 0.99
+    assert tp > 0  # the synthetic table must actually exercise drops
+
+
+def test_scores_and_scrub_exact(scored_and_oracle):
+    out, oracle, _ = scored_and_oracle
+    for row in out.itertuples():
+        o = oracle[row.image_id]
+        assert row.caption_scrubbed == o["caption_scrubbed"], row.image_id
+        assert row.sentiment_score == o["sentiment_score"]
+        assert row.pii_risk_score == o["pii_risk_score"]
+        assert row.risk_score == o["risk_score"]
+        assert row.gate_flag == o["gate_flag"]
+        assert row.lang == o["lang"]
+        assert row.ppl == o["ppl"]
+        assert [m["type"] for m in row.pii_matches] == [
+            m["type"] for m in o["pii_matches"]
+        ]
+
+
+def test_pixels_pass_through_unchanged(scored_and_oracle, synth_dir):
+    out, _, src = scored_and_oracle
+    src_bytes = dict(zip(src["image_id"].to_pylist(), src["bytes"].to_pylist()))
+    src_fmt = dict(zip(src["image_id"].to_pylist(), src["fmt"].to_pylist()))
+    sample = out.iloc[:: max(1, len(out) // 50)]
+    for row in sample.itertuples():
+        blob = bytes(row.bytes)
+        assert blob == src_bytes[row.image_id]  # bytes untouched end-to-end
+        orig = decode(src_bytes[row.image_id], src_fmt[row.image_id])
+        got = decode(blob, row.fmt)
+        if row.fmt == "png":
+            assert np.array_equal(orig, got)
+        else:
+            assert psnr(orig, got) == float("inf")  # same encoded payload
+
+
+def test_report_aggregates_match_oracle(ray_session, synth_dir, scored_and_oracle):
+    _, oracle, _ = scored_and_oracle
+    ds = build(synth_dir, cfg=CFG, batch_size=256, concurrency=(1, 4))
+    got = aggregates(ds)
+    exp = report_aggregates(list(oracle.values()))
+    assert got == exp
+
+
+def test_pii_only_filter(ray_session, synth_dir, scored_and_oracle):
+    _, oracle, _ = scored_and_oracle
+    cfg = LabelerConfig(skip_text=CFG.skip_text, pii_only=True)
+    n = build(synth_dir, cfg=cfg, batch_size=256, concurrency=(1, 4)).count()
+    exp = sum(1 for r in oracle.values() if r["pii_risk_score"] > 0 or r["gate_flag"])
+    assert n == exp
+
+
+def test_write_output_partitioned(ray_session, synth_dir, tmp_path):
+    ds = build(synth_dir, cfg=CFG, batch_size=256, concurrency=(1, 4))
+    out_dir = str(tmp_path / "out")
+    write_output(ds, out_dir)
+    back = pads.dataset(out_dir, format="parquet").to_table()
+    assert back.num_rows == ds.count()
+    assert "caption_scrubbed" in back.schema.names
