@@ -1,0 +1,318 @@
+"""Deduplication operators — exact, phash, MinHash-LSH, SimHash, n-gram
+Jaccard, and embedding-cosine near-dup.
+
+Graft additions A6 + the training-data-pipeline dedup family (task brief).
+Every variant follows the same scale discipline:
+
+  * hash/signature computation is a stateless or actor ``map_batches`` pass
+    (vectorized or amortized state), never a driver loop;
+  * the only wide step is a ``groupby`` on a hash key (uniformly
+    distributed by construction — blake2b-derived — so the shuffle is
+    skew-free even when the underlying content is skewed; the hot phash
+    cluster lands in ONE group but keep-first needs only the group min,
+    an aggregate, not a ``map_groups`` materialization, SURVEY.md §7.5);
+  * candidate verification (Jaccard / hamming / cosine) happens per-group
+    inside ``map_groups`` on groups that are tiny by construction.
+
+Winner selection is deterministic everywhere: the minimum ``id`` in a
+group survives.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Min
+
+from ..functions.hashing import (
+    MinHasher,
+    content_hash,
+    hamming64,
+    jaccard,
+    shingles,
+    simhash64,
+)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-partition + per-group min)
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    ds: rd.Dataset, text_col: str, id_col: str, keep_cols: Optional[list[str]] = None
+) -> rd.Dataset:
+    """Keep the min-id row per exact text value.
+
+    Shuffle key is a 63-bit content hash (uniform), not the raw string —
+    groupby moves 8-byte keys + ids instead of document bodies. Returns
+    (id, text) pairs of survivors (join survivors back by id semi-join if
+    full rows are needed; ids are the compact representation at scale).
+    """
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        hs = [content_hash(x) for x in t[text_col].to_pylist()]
+        return t.select([id_col]).append_column("h", pa.array(hs, pa.int64()))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    return hashed.groupby("h").aggregate(Min(id_col, alias_name=id_col))
+
+
+def dedup_group_first(ds: rd.Dataset, key_col: str, id_col: str) -> rd.Dataset:
+    """A6: keep-first per key group (e.g. ``phash``) as an aggregate-min —
+    never materializes the (possibly huge / hot) group (SURVEY.md §7.5)."""
+    return ds.groupby(key_col).aggregate(Min(id_col, alias_name=id_col))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (shingle -> minhash -> band -> bucket groupby -> verify)
+# ---------------------------------------------------------------------------
+
+class _MinHashStage:
+    """Actor: emit (band_key, id, signature-bytes) rows per document."""
+
+    def __init__(self, text_col: str, id_col: str, num_perm: int, bands: int,
+                 shingle_n: int) -> None:
+        self.mh = MinHasher(num_perm=num_perm, bands=bands, shingle_n=shingle_n)
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, keys, sigs = [], [], []
+        for i, text in zip(t[self.id_col].to_pylist(), t[self.text_col].to_pylist()):
+            sig = self.mh.signature(text)
+            sb = sig.tobytes()
+            for k in self.mh.band_keys(sig):
+                ids.append(i)
+                keys.append(k)
+                sigs.append(sb)
+        return pa.table(
+            {
+                "band_key": pa.array(keys, pa.int64()),
+                self.id_col: pa.array(ids),
+                "sig": pa.array(sigs, pa.binary()),
+            }
+        )
+
+
+def minhash_lsh_duplicates(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    concurrency=None,
+) -> rd.Dataset:
+    """Return (id, dup_of) pairs for near-duplicate docs (estimated MinHash
+    similarity >= threshold against the min-id doc of a shared LSH bucket).
+
+    Pipeline: actor map_batches (signatures, state = permutation params) ->
+    explode to band rows -> groupby(band_key) -> per-bucket verify against
+    the bucket's min-id representative -> global min dup_of per id (a doc
+    can appear in many buckets; Min-aggregate dedups the pairs).
+    """
+    rows = ds.map_batches(
+        _MinHashStage,
+        fn_constructor_kwargs=dict(
+            text_col=text_col, id_col=id_col, num_perm=num_perm,
+            bands=bands, shingle_n=shingle_n,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency or (1, 8),
+    )
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({id_col: [], "dup_of": []})
+        g = g.sort_values(id_col, kind="mergesort")
+        rep_sig = np.frombuffer(g["sig"].iloc[0], dtype=np.uint64)
+        rep_id = g[id_col].iloc[0]
+        out_ids, out_dup = [], []
+        for rid, sb in zip(g[id_col].iloc[1:], g["sig"].iloc[1:]):
+            sig = np.frombuffer(sb, dtype=np.uint64)
+            if float(np.mean(sig == rep_sig)) >= threshold:
+                out_ids.append(rid)
+                out_dup.append(rep_id)
+        return pd.DataFrame({id_col: out_ids, "dup_of": out_dup})
+
+    pairs = rows.groupby("band_key").map_groups(verify_bucket, batch_format="pandas")
+    return pairs.groupby(id_col).aggregate(Min("dup_of", alias_name="dup_of"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup (bucket by hash prefix bands, verify hamming distance)
+# ---------------------------------------------------------------------------
+
+def simhash_duplicates(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> rd.Dataset:
+    """(id, dup_of) pairs with hamming(simhash) <= max_hamming.
+
+    Standard SimHash blocking: split the 64-bit hash into ``n_bands``
+    16-bit bands; by pigeonhole, any pair within hamming distance
+    ``n_bands - 1`` shares at least one exact band -> groupby per band.
+    """
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+
+    def add_simhash(t: pa.Table) -> pa.Table:
+        ids, keys, hs = [], [], []
+        for i, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            h = simhash64(text)
+            for b in range(n_bands):
+                band_val = (h >> (b * width)) & mask
+                ids.append(i)
+                keys.append((b << width) | band_val)
+                hs.append(h - (1 << 64) if h >= 1 << 63 else h)
+        return pa.table(
+            {
+                "band_key": pa.array(keys, pa.int64()),
+                id_col: pa.array(ids),
+                "simhash": pa.array(hs, pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(add_simhash, batch_format="pyarrow", zero_copy_batch=True)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({id_col: [], "dup_of": []})
+        g = g.sort_values(id_col, kind="mergesort")
+        rep_h = int(g["simhash"].iloc[0]) & ((1 << 64) - 1)
+        rep_id = g[id_col].iloc[0]
+        oi, od = [], []
+        for rid, h in zip(g[id_col].iloc[1:], g["simhash"].iloc[1:]):
+            if hamming64(int(h) & ((1 << 64) - 1), rep_h) <= max_hamming:
+                oi.append(rid)
+                od.append(rep_id)
+        return pd.DataFrame({id_col: oi, "dup_of": od})
+
+    pairs = rows.groupby("band_key").map_groups(verify, batch_format="pandas")
+    return pairs.groupby(id_col).aggregate(Min("dup_of", alias_name="dup_of"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verify within candidate buckets (exact Jaccard, not MinHash
+# estimate): bucket by cheap prefix key, verify inside the group.
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_duplicates(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> rd.Dataset:
+    """(id, dup_of) with EXACT shingle-Jaccard >= threshold, using MinHash
+    LSH purely as the candidate generator (no O(n^2) pass). Texts ride into
+    the bucket groupby only for candidate buckets' verification."""
+    mh = MinHasher(num_perm=num_perm, bands=bands, shingle_n=shingle_n)
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids, keys, texts = [], [], []
+        for i, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            for k in mh.band_keys(mh.signature(text)):
+                ids.append(i)
+                keys.append(k)
+                texts.append(text)
+        return pa.table(
+            {
+                "band_key": pa.array(keys, pa.int64()),
+                id_col: pa.array(ids),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    rows = ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({id_col: [], "dup_of": []})
+        g = g.sort_values(id_col, kind="mergesort")
+        rep = shingles(g["text"].iloc[0], shingle_n)
+        rep_id = g[id_col].iloc[0]
+        oi, od = [], []
+        for rid, text in zip(g[id_col].iloc[1:], g["text"].iloc[1:]):
+            if jaccard(rep, shingles(text, shingle_n)) >= threshold:
+                oi.append(rid)
+                od.append(rep_id)
+        return pd.DataFrame({id_col: oi, "dup_of": od})
+
+    pairs = rows.groupby("band_key").map_groups(verify, batch_format="pandas")
+    return pairs.groupby(id_col).aggregate(Min("dup_of", alias_name="dup_of"))
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (LSH via random hyperplane signs)
+# ---------------------------------------------------------------------------
+
+def embedding_cosine_duplicates(
+    ds: rd.Dataset,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float = 0.98,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> rd.Dataset:
+    """(id, dup_of) for pairs with cosine >= threshold.
+
+    Random-hyperplane LSH: ``n_tables`` independent sign-sketches of
+    ``n_planes`` bits bucket the vectors; near-identical vectors collide in
+    at least one table with high probability. Exact cosine verified
+    per bucket against the min-id representative (vectorized numpy)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_tables, n_planes, dim)).astype(np.float32)
+    powers = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def emit(t: pa.Table) -> pa.Table:
+        vecs = np.asarray(t[vec_col].to_pylist(), dtype=np.float32)
+        ids = t[id_col].to_pylist()
+        norm = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        unit = vecs / norm
+        out_ids, out_keys, out_vecs = [], [], []
+        for ti in range(n_tables):
+            signs = (unit @ planes[ti].T) > 0  # (n, n_planes)
+            keys = signs @ powers + (ti << n_planes)
+            out_keys.extend(keys.tolist())
+            out_ids.extend(ids)
+            out_vecs.extend(unit.tolist())
+        return pa.table(
+            {
+                "band_key": pa.array(out_keys, pa.int64()),
+                id_col: pa.array(out_ids),
+                "unit": pa.array(out_vecs, pa.list_(pa.float32())),
+            }
+        )
+
+    rows = ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({id_col: [], "dup_of": []})
+        g = g.sort_values(id_col, kind="mergesort")
+        mat = np.asarray(g["unit"].tolist(), dtype=np.float32)
+        sims = mat[1:] @ mat[0]
+        keep = sims >= threshold
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].iloc[1:].to_numpy()[keep],
+                "dup_of": g[id_col].iloc[0],
+            }
+        )
+
+    pairs = rows.groupby("band_key").map_groups(verify, batch_format="pandas")
+    return pairs.groupby(id_col).aggregate(Min("dup_of", alias_name="dup_of"))

@@ -1,0 +1,146 @@
+"""Multimodal (image/audio/video) actor-pool stages.
+
+Images are opaque ``binary`` columns with typed metadata (``w,h,fmt``);
+every operator here is a ``map_batches`` actor stage over zero-copy Arrow
+batches. The container ships no image/audio libraries, so (per the task
+brief) the png path and the deterministic lossy stand-in are REAL
+(``reddacted_ray.imaging``), while formats we can't decode raise
+``NotImplementedError`` — the Ray-side plumbing (schema, batch sizing,
+actor signature, output layout) is real and tested either way.
+
+Batch-size guidance: rows carry encoded image payloads, so callers should
+use small ``batch_size`` (128-512) to keep ``batch x concurrency`` within
+worker heap; Ray's streaming executor + object-store spill handles the rest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..imaging import decode, encode, phash64
+
+
+class DecodeStats:
+    """Decode each image and emit pixel statistics + a recomputed phash.
+
+    Output columns: ``mean_lum: float64``, ``phash_check: int64``,
+    ``decode_ok: bool``. Unknown formats yield decode_ok=false rather than
+    failing the batch (reference row-error policy: skip row, keep going —
+    reference ``sentiment.py:280-284``)."""
+
+    def __init__(self) -> None:
+        pass  # codec tables are module-level; nothing to load
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        lum = np.zeros(t.num_rows, dtype=np.float64)
+        ph = np.zeros(t.num_rows, dtype=np.int64)
+        ok = np.zeros(t.num_rows, dtype=bool)
+        for i, (blob, fmt) in enumerate(
+            zip(t["bytes"].to_pylist(), t["fmt"].to_pylist())
+        ):
+            try:
+                px = decode(blob, fmt)
+            except (NotImplementedError, ValueError):
+                continue
+            lum[i] = float(px.astype(np.float64).mean())
+            p = phash64(px)
+            ph[i] = p - (1 << 64) if p >= 1 << 63 else p
+            ok[i] = True
+        t = t.append_column("mean_lum", pa.array(lum))
+        t = t.append_column("phash_check", pa.array(ph))
+        return t.append_column("decode_ok", pa.array(ok))
+
+
+class Resize:
+    """Nearest-neighbor resize to (out_w, out_h); re-encodes in the row's
+    own format and rewrites ``bytes/w/h``. Real for png/fake-jpeg."""
+
+    def __init__(self, out_w: int, out_h: int) -> None:
+        self.out_w, self.out_h = out_w, out_h
+
+    def _resize(self, px: np.ndarray) -> np.ndarray:
+        h, w, _ = px.shape
+        ys = (np.arange(self.out_h) * h // self.out_h).clip(0, h - 1)
+        xs = (np.arange(self.out_w) * w // self.out_w).clip(0, w - 1)
+        return px[ys][:, xs]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        blobs, ws, hs = [], [], []
+        for blob, fmt in zip(t["bytes"].to_pylist(), t["fmt"].to_pylist()):
+            px = self._resize(decode(blob, fmt))
+            blobs.append(encode(px, fmt))
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+        t = t.drop_columns(["bytes", "w", "h"])
+        t = t.append_column("bytes", pa.array(blobs, pa.binary()))
+        t = t.append_column("w", pa.array(ws, pa.int32()))
+        return t.append_column("h", pa.array(hs, pa.int32()))
+
+
+class AudioFeatures:
+    """STUB — no audio codec in this container.
+
+    The actor signature, schema contract (binary in -> ``list<float>``
+    feature column out) and batch plumbing are real; calling it raises so
+    misuse is loud. Swap ``_decode_audio`` for a real codec in production."""
+
+    def __init__(self, n_mels: int = 16) -> None:
+        self.n_mels = n_mels
+
+    def _decode_audio(self, blob: bytes) -> np.ndarray:
+        raise NotImplementedError("no audio codec available in this container")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        feats = [self._decode_audio(b) for b in t["bytes"].to_pylist()]
+        return t.append_column(
+            "audio_features", pa.array([f.tolist() for f in feats],
+                                       pa.list_(pa.float32()))
+        )
+
+
+class FrameSample:
+    """Video frame-sampling STUB with a deterministic fake decoder.
+
+    Emits every ``stride``-th "frame" as synthetic gray frames derived from
+    a stable hash of the payload — deterministic, so the plumbing (flat-map
+    expansion of one row into N frame rows) is fully testable without a
+    video codec. Swap ``_frames`` for a real demuxer in production."""
+
+    def __init__(self, stride: int = 10, frames_per_clip: int = 30) -> None:
+        self.stride = stride
+        self.frames_per_clip = frames_per_clip
+
+    def _frames(self, blob: bytes) -> list[int]:
+        import hashlib
+
+        seed = int.from_bytes(hashlib.blake2b(blob, digest_size=4).digest(), "little")
+        return [(seed + f) % 256 for f in range(0, self.frames_per_clip, self.stride)]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, frame_idx, gray = [], [], []
+        for i, blob in zip(t["image_id"].to_pylist(), t["bytes"].to_pylist()):
+            for fi, g in enumerate(self._frames(blob)):
+                ids.append(i)
+                frame_idx.append(fi * self.stride)
+                gray.append(g)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "frame_idx": pa.array(frame_idx, pa.int32()),
+                "gray_level": pa.array(gray, pa.int32()),
+            }
+        )
+
+
+def decode_stats(ds: rd.Dataset, batch_size: int = 256, concurrency=(1, 8)) -> rd.Dataset:
+    return ds.map_batches(DecodeStats, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def resize(ds: rd.Dataset, out_w: int, out_h: int, batch_size: int = 256,
+           concurrency=(1, 8)) -> rd.Dataset:
+    return ds.map_batches(Resize, fn_constructor_kwargs=dict(out_w=out_w, out_h=out_h),
+                          batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size, concurrency=concurrency)

@@ -1,0 +1,193 @@
+"""Tests: dedup family + similarity search + multimodal + text stages."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from reddacted_ray.functions.hashing import content_hash
+from reddacted_ray.stages.dedup import (
+    dedup_group_first,
+    embedding_cosine_duplicates,
+    exact_dedup,
+    minhash_lsh_duplicates,
+    ngram_jaccard_duplicates,
+    simhash_duplicates,
+)
+from reddacted_ray.stages.multimodal import FrameSample, decode_stats, resize
+from reddacted_ray.stages.similarity import (
+    IVFIndex,
+    brute_force_topk,
+    ivf_assign,
+    ivf_topk,
+)
+from reddacted_ray.stages.text import text_stats
+
+BASE = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+NEAR = BASE.replace("today", "tonight")
+OTHER = "spark query plans shuffle partitions and skewed keys cause slow joins"
+THIRD = "completely unrelated musings about bread baking and sourdough starters"
+
+
+def _docs_ds():
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "text": pa.array([BASE, NEAR, OTHER, BASE, THIRD, OTHER]),
+            }
+        )
+    )
+
+
+def test_exact_dedup(ray_session):
+    out = exact_dedup(_docs_ds(), "text", "doc_id").to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 3, 5]  # 4 dups 1, 6 dups 3
+    assert set(out["h"]) == {content_hash(t) for t in [BASE, NEAR, OTHER, THIRD]}
+
+
+def test_dedup_group_first_phash(ray_session, synth_dir):
+    ds = rd.read_parquet(synth_dir, columns=["image_id", "phash"])
+    out = dedup_group_first(ds, "phash", "image_id").to_pandas()
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(synth_dir, format="parquet").to_table()
+    phs = t["phash"].to_pylist()
+    ids = t["image_id"].to_pylist()
+    expected = {}
+    for i, p in zip(ids, phs):
+        expected[p] = min(expected.get(p, i), i)
+    assert len(out) == len(expected) < len(phs)  # dup clusters exist
+    got = dict(zip(out["phash"], out["image_id"]))
+    assert got == expected
+
+
+def test_minhash_lsh_duplicates(ray_session):
+    out = minhash_lsh_duplicates(
+        _docs_ds(), "text", "doc_id", threshold=0.7
+    ).to_pandas()
+    pairs = set(zip(out["doc_id"], out["dup_of"]))
+    assert (4, 1) in pairs and (6, 3) in pairs  # exact dups always found
+    assert (2, 1) in pairs  # near-dup found
+    assert not any(d == 5 for d, _ in pairs)  # unrelated text untouched
+
+
+def test_simhash_duplicates(ray_session):
+    out = simhash_duplicates(_docs_ds(), "text", "doc_id", max_hamming=3).to_pandas()
+    pairs = set(zip(out["doc_id"], out["dup_of"]))
+    assert (4, 1) in pairs and (6, 3) in pairs
+    assert not any(d == 5 for d, _ in pairs)
+
+
+def test_ngram_jaccard_duplicates(ray_session):
+    out = ngram_jaccard_duplicates(
+        _docs_ds(), "text", "doc_id", threshold=0.6
+    ).to_pandas()
+    pairs = set(zip(out["doc_id"], out["dup_of"]))
+    assert (4, 1) in pairs and (2, 1) in pairs
+    assert not any(d == 5 for d, _ in pairs)
+
+
+def test_embedding_cosine_duplicates(ray_session):
+    rng = np.random.RandomState(0)
+    base = rng.normal(size=(8, 32)).astype(np.float32)
+    vecs = np.vstack([base, base[0] + rng.normal(scale=1e-3, size=32)])
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(9), pa.int64()),
+                "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+            }
+        )
+    )
+    out = embedding_cosine_duplicates(ds, "embedding", "vec_id", dim=32).to_pandas()
+    pairs = set(zip(out["vec_id"], out["dup_of"]))
+    assert (8, 0) in pairs
+    assert all(d == 8 for d, _ in pairs)  # random vectors are not near-dups
+
+
+def _emb_ds(n=300, dim=16, seed=1):
+    rng = np.random.RandomState(seed)
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    return (
+        rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+                }
+            )
+        ),
+        vecs,
+    )
+
+
+def test_brute_force_topk_exact(ray_session):
+    ds, vecs = _emb_ds()
+    q = vecs[:3] + 0.01
+    got = brute_force_topk(ds, q, k=5)
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qu = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = unit @ qu.T
+    for qi in range(3):
+        exp_ids = list(np.argsort(-sims[:, qi])[:5])
+        assert [i for i, _ in got[qi]] == exp_ids
+        assert got[qi][0][1] == pytest.approx(float(sims[exp_ids[0], qi]), abs=1e-5)
+
+
+def test_ivf_topk_recall(ray_session):
+    ds, vecs = _emb_ds(n=400)
+    idx = IVFIndex.train(vecs, n_lists=8)
+    assigned = ivf_assign(ds, __import__("ray").put(idx)).materialize()
+    q = vecs[:5]
+    exact = brute_force_topk(ds, q, k=5)
+    approx = ivf_topk(assigned, idx, q, k=5, n_probe=4)
+    # self-vector must be found; recall@5 reasonably high with half the lists probed
+    hits = 0
+    for qi in range(5):
+        ids = {i for i, _ in approx[qi]}
+        assert qi in ids
+        hits += len(ids & {i for i, _ in exact[qi]})
+    assert hits / 25 >= 0.6
+
+
+def test_decode_stats_and_resize(ray_session, synth_dir):
+    ds = rd.read_parquet(synth_dir).limit(64)
+    out = decode_stats(ds, concurrency=(1, 2)).to_pandas()
+    assert out["decode_ok"].all()
+    # stored phash was computed on pre-encode pixels: exact match is only
+    # guaranteed for the lossless format; lossy rows may flip near-mean bits
+    png = out[out["fmt"] == "png"]
+    assert len(png) > 0
+    assert (png["phash_check"] == png["phash"]).all()
+    r = resize(rd.read_parquet(synth_dir).limit(16), 8, 8, concurrency=(1, 2)).to_pandas()
+    assert (r["w"] == 8).all() and (r["h"] == 8).all()
+    from reddacted_ray.imaging import decode
+
+    px = decode(bytes(r["bytes"].iloc[0]), r["fmt"].iloc[0])
+    assert px.shape == (8, 8, 3)
+
+
+def test_frame_sample_stub(ray_session, synth_dir):
+    ds = rd.read_parquet(synth_dir, columns=["image_id", "bytes"]).limit(10)
+    out = ds.map_batches(FrameSample, batch_format="pyarrow",
+                         concurrency=(1, 2)).to_pandas()
+    assert len(out) == 10 * 3  # 30 frames / stride 10
+    assert set(out["frame_idx"]) == {0, 10, 20}
+
+
+def test_text_stats_parity(ray_session):
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    out = text_stats(ds, concurrency=(1, 2)).to_pandas()
+    from reddacted_ray.functions.textstats import (
+        fingerprint_md5,
+        predict_lang,
+        token_count_ws,
+    )
+
+    row = out.iloc[7]
+    assert row["pred_lang"] == predict_lang(row["text"])[0]
+    assert row["n_tokens_ws"] == token_count_ws(row["text"])
+    assert row["fingerprint"] == fingerprint_md5(row["text"])
+    assert (out["ppl"] > 0).all()
