@@ -81,6 +81,36 @@ def build(
     return ds
 
 
+def build_docs(
+    sf_dir: str,
+    cfg: Optional[LabelerConfig] = None,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency: Optional[tuple[int, int] | int] = None,
+) -> rd.Dataset:
+    """The same flagship flow over a documents table (text plays caption)."""
+    import os
+
+    cfg = cfg or LabelerConfig()
+    ds = read_table(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        make_normalize_fn(text_col="text", skip_text=cfg.skip_text,
+                          text_match=cfg.text_match),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    return ds.map_batches(
+        Scorer,
+        fn_constructor_kwargs={"cfg": cfg, "id_col": "doc_id"},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=concurrency or _default_concurrency(),
+        num_cpus=1,
+    )
+
+
 def write_output(ds: rd.Dataset, out_dir: str) -> None:
     """Partitioned parquet sink (many part files -> resumable/idempotent;
     see ``reddacted_ray.state.manifest`` for the partition manifest)."""

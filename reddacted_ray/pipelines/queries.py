@@ -1,0 +1,811 @@
+"""Driver-contract query suite: one entry per implemented operator
+(SURVEY.md §2) with a DuckDB-equivalent SQL oracle wherever the semantics
+are SQL-expressible.
+
+Float-parity design notes (the driver hash-compares values):
+  * every SQL string that involves the PII rules is GENERATED from the same
+    pattern constants the Python bank compiles (``functions.pii``) — the
+    two sides cannot drift;
+  * floating outputs are computed with the identical IEEE expression tree
+    on both sides (same literals, same operation order) so the doubles are
+    bit-identical — no rounding games;
+  * money/value sums are emitted as integer cents/e4 units so distributed
+    summation order cannot perturb low bits;
+  * documents.text is lowercase ASCII words only (no digits/punctuation),
+    so PII queries run over a deterministically derived column ``t2`` that
+    injects emails / titled names / bare-number veto triggers keyed on
+    ``doc_id`` — both sides derive it with the same expression.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions import pii as piimod
+from ..functions.gate import DISCLOSURE_PATTERNS, GateBank
+from ..functions.pii import CompiledBank
+from ..functions.textstats import LANG_ORDER, LANG_STOPWORDS, lang_scores
+from ..oracle import LabelerConfig
+from ..sources.tables import sf_table
+from ..stages.normalize import make_normalize_fn
+from ..stages.score import Scorer
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (generated from the Python constants)
+# ---------------------------------------------------------------------------
+
+
+def _sq(pat: str) -> str:
+    """Escape a regex for embedding in a single-quoted SQL literal."""
+    return pat.replace("'", "''")
+
+
+DERIVED_T2_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' seen ' || doc_id || ' times' ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' by dr. alice smith' ELSE '' END"
+)
+
+
+def derive_t2(doc_id: int, text: str) -> str:
+    """Python twin of DERIVED_T2_SQL."""
+    if doc_id % 7 == 0:
+        text += f" seen {doc_id} times"
+    if doc_id % 3 == 0:
+        text += f" contact user{doc_id}@example.com"
+    if doc_id % 5 == 0:
+        text += " by dr. alice smith"
+    return text
+
+
+_VETO_SQL = " OR ".join(
+    f"regexp_matches(t2, '{_sq(p)}', 'i')" for p in piimod.COMMON_FALSE_POSITIVES
+)
+_CTX_SQL = " OR ".join(
+    f"regexp_matches(t2, '\\b{_sq(kw)}\\b', 'i')" for kw in piimod.CONTEXT_KEYWORDS
+)
+_EMAIL_PAT = piimod.PATTERNS["email"][0]
+_NAME_PAT = piimod.PATTERNS["name_pattern"][0]
+# toxicity terms cannot occur in the documents vocabulary (verified: text is
+# drawn from a closed DB-words vocabulary), so the SQL gate is the
+# disclosure-pattern part of GateBank only.
+_GATE_SQL = "GREATEST(0.0, " + ", ".join(
+    f"CASE WHEN regexp_matches(t2, '{_sq(p)}', 'i') THEN {c} ELSE 0.0 END"
+    for p, c in DISCLOSURE_PATTERNS
+) + ")"
+
+
+def _scrub_sql(col: str) -> str:
+    expr = col
+    for pat, _conf in piimod.PATTERNS.values():
+        expr = f"regexp_replace({expr}, '{_sq(pat)}', '[REDACTED]', 'gi')"
+    return expr
+
+
+PII_CTE = f"""
+WITH d AS (
+  SELECT doc_id, {DERIVED_T2_SQL} AS t2 FROM documents
+), p AS (
+  SELECT doc_id, t2,
+    ({_VETO_SQL}) AS veto,
+    ({_CTX_SQL}) AS ctx,
+    len(regexp_extract_all(t2, '{_sq(_EMAIL_PAT)}', 0, 'i')) AS n_email_raw,
+    len(regexp_extall_placeholder) AS n_name_raw
+  FROM d
+), s AS (
+  SELECT doc_id, t2, veto, ctx,
+    CASE WHEN veto THEN 0 ELSE n_email_raw END AS n_email,
+    CASE WHEN veto THEN 0 ELSE n_name_raw END AS n_name
+  FROM p
+), r AS (
+  SELECT doc_id, t2, veto, ctx, n_email, n_name,
+    CASE WHEN n_email + n_name = 0 THEN 0.0 ELSE LEAST(1.0,
+      (n_email * LEAST(1.0, 0.95 + CASE WHEN ctx THEN 0.15 ELSE 0.0 END) * 1.0
+       + n_name * LEAST(1.0, 0.7 + CASE WHEN ctx THEN 0.15 ELSE 0.0 END) * 0.6)
+      / (n_email * 1.0 + n_name * 0.6)) END AS pii_risk,
+    {_GATE_SQL} AS gate_risk
+  FROM s
+), f AS (
+  SELECT doc_id, t2, veto, ctx, n_email, n_name, pii_risk,
+    (gate_risk >= 0.5) AS gate_flag,
+    CASE WHEN gate_risk >= 0.5 THEN GREATEST(pii_risk, gate_risk)
+         ELSE pii_risk END AS risk_score
+  FROM r
+), k AS (
+  SELECT *, NOT (risk_score > 0.5 OR gate_flag) AS keep FROM f
+)
+""".replace(
+    "regexp_extall_placeholder",
+    f"regexp_extract_all(t2, '{_sq(_NAME_PAT)}', 0, 'i')",
+)
+
+_PII_OUT_COLS = (
+    "doc_id, veto, ctx, n_email, n_name, pii_risk, gate_flag, risk_score, keep"
+)
+
+
+# ---------------------------------------------------------------------------
+# Ray-side builders
+# ---------------------------------------------------------------------------
+
+
+def _docs(sf_dir: str, columns=None) -> rd.Dataset:
+    return sf_table(sf_dir, "documents", columns=columns)
+
+
+class _PiiQueryStage:
+    """Actor computing the pii_scrub query columns over derived t2.
+
+    Shares the compiled banks with the flagship Scorer; arithmetic follows
+    the reference loop, which for <=1 match per type is the same IEEE
+    expression tree as the SQL closed form (see module docstring)."""
+
+    def __init__(self) -> None:
+        self.bank = CompiledBank()
+        self.gate = GateBank()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        n = len(ids)
+        veto = np.empty(n, dtype=bool)
+        ctx = np.empty(n, dtype=bool)
+        n_email = np.zeros(n, dtype=np.int64)
+        n_name = np.zeros(n, dtype=np.int64)
+        pii_risk = np.empty(n, dtype=np.float64)
+        gate_flag = np.empty(n, dtype=bool)
+        risk = np.empty(n, dtype=np.float64)
+        keep = np.empty(n, dtype=bool)
+        scrubbed: list[str] = []
+        for i, (did, raw) in enumerate(zip(ids, texts)):
+            t2 = derive_t2(did, raw)
+            veto[i] = any(fp.search(t2) for fp in self.bank.false_positives)
+            ctx[i] = any(rx.search(t2) for rx in self.bank.context)
+            pr, ms = self.bank.risk_score(t2)
+            for m in ms:
+                if m.type == "email":
+                    n_email[i] += 1
+                elif m.type == "name_pattern":
+                    n_name[i] += 1
+            pii_risk[i] = pr
+            gf, gr = self.gate.score(t2)
+            gate_flag[i] = gf
+            r = max(pr, gr) if gf else pr
+            risk[i] = r
+            k = not (r > 0.5 or gf)
+            keep[i] = k
+            scrubbed.append(t2 if k else self.bank.scrub_spans(t2))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "veto": pa.array(veto),
+                "ctx": pa.array(ctx),
+                "n_email": pa.array(n_email),
+                "n_name": pa.array(n_name),
+                "pii_risk": pa.array(pii_risk),
+                "gate_flag": pa.array(gate_flag),
+                "risk_score": pa.array(risk),
+                "keep": pa.array(keep),
+                "text_scrubbed": pa.array(scrubbed, pa.string()),
+            }
+        )
+
+
+def _pii_ds(sf_dir: str) -> rd.Dataset:
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _PiiQueryStage, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+
+def q_pii_scrub(sf_dir: str) -> rd.Dataset:
+    """F5/F6/F11/F13/F7 flagship semantics over documents (SQL-checkable)."""
+    return _pii_ds(sf_dir)
+
+
+def q_risk_tiers(sf_dir: str) -> rd.Dataset:
+    """F14 tier bucketing (>0.5 red / >0.2 yellow / green) + counts."""
+
+    def tiers(t: pa.Table) -> pa.Table:
+        tier = pc.case_when(
+            pc.make_struct(
+                pc.greater(t["risk_score"], 0.5), pc.greater(t["risk_score"], 0.2)
+            ),
+            pa.scalar("red"),
+            pa.scalar("yellow"),
+            pa.scalar("green"),
+        )
+        return pa.table({"tier": tier})
+
+    return (
+        _pii_ds(sf_dir)
+        .map_batches(tiers, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tier")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def q_report_pii(sf_dir: str) -> pa.Table:
+    """A3/A4 report scalars over the pii query (single row)."""
+    ds = _pii_ds(sf_dir)
+
+    def flags(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "risk_score": t["risk_score"],
+                "pii_flag": pc.cast(pc.greater(t["pii_risk"], 0.0), pa.int64()),
+                "gate_int": pc.cast(t["gate_flag"], pa.int64()),
+                "keep_int": pc.cast(t["keep"], pa.int64()),
+            }
+        )
+
+    fl = ds.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True)
+    agg = fl.aggregate(
+        Count(alias_name="num_rows"),
+        Sum("pii_flag", alias_name="pii_rows"),
+        Sum("gate_int", alias_name="gate_rows"),
+        Sum("keep_int", alias_name="kept_rows"),
+        Max("risk_score", alias_name="max_risk"),
+    )
+    top = (
+        fl.sort(["risk_score", "doc_id"], descending=[True, False])
+        .limit(1)
+        .take(1)
+    )
+    return pa.table(
+        {
+            "num_rows": pa.array([int(agg["num_rows"])], pa.int64()),
+            "pii_rows": pa.array([int(agg["pii_rows"])], pa.int64()),
+            "gate_rows": pa.array([int(agg["gate_rows"])], pa.int64()),
+            "kept_rows": pa.array([int(agg["kept_rows"])], pa.int64()),
+            "max_risk": pa.array([float(agg["max_risk"])], pa.float64()),
+            "max_risk_doc_id": pa.array([top[0]["doc_id"]], pa.int64()),
+        }
+    )
+
+
+def q_normalize(sf_dir: str) -> rd.Dataset:
+    """F1+F2 vectorized normalize over documents."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        make_normalize_fn(text_col="text", out_col="text_norm"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).select_columns(["doc_id", "text_norm"])
+
+
+def q_filter_match(sf_dir: str) -> rd.Dataset:
+    """F4 case-insensitive substring keep-filter."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.match_substring(t["text"], "window", ignore_case=True)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_skip_filter(sf_dir: str) -> rd.Dataset:
+    """F3 skip-text drop-filter (marker: 'spark')."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.invert(pc.match_substring(t["text"], "spark"))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_dedup_prefix(sf_dir: str) -> rd.Dataset:
+    """Exact dedup keyed on a 40-char prefix (hash-partition + per-group min)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def key(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.utf8_slice_codeunits(t["text"], 0, 40),
+                "doc_id": t["doc_id"],
+            }
+        )
+
+    return (
+        ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+    )
+
+
+def q_dedup_group_first(sf_dir: str) -> rd.Dataset:
+    """A6 keep-first per (lang, n_chars) group via aggregate-min."""
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    return ds.groupby(["lang", "n_chars"]).aggregate(Min("doc_id", alias_name="doc_id"))
+
+
+def q_distinct_langs(sf_dir: str) -> pa.Table:
+    """Set op: distinct values of one column (shuffle)."""
+    vals = sorted(_docs(sf_dir, ["lang"]).unique("lang"))
+    return pa.table({"lang": pa.array(vals, pa.string())})
+
+
+def q_remediate(sf_dir: str) -> rd.Dataset:
+    """K2/K3/K4 write-path semantics: delete ids (anti semi-join) + update ids
+    (whole-text redaction payload), id sets broadcast into the batch fn."""
+    msg = piimod.REDACTION_MESSAGE
+
+    def fix(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        # delete: doc_id % 89 == 0 ; update: doc_id % 97 == 0
+        t = t.filter(pa.array(ids % 89 != 0))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        newtext = pc.if_else(pa.array(ids % 97 == 0), pa.scalar(msg), t["text"])
+        return pa.table({"doc_id": t["doc_id"], "text": newtext})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fix, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_text_quality(sf_dir: str) -> rd.Dataset:
+    """Quality-score counts + md5 fingerprint (integer outputs for
+    hash-stable comparison; ratios live in the rows-only text_stats stage)."""
+    import re
+
+    ws = re.compile(r"\S+")
+    bpe = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    punct = re.compile(r"[^\w\s]")
+    alpha = re.compile(r"[A-Za-z]")
+    stop = re.compile(r"\b(?:" + "|".join(LANG_STOPWORDS["en"]) + r")\b")
+
+    def stats(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        texts = t["text"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars_m": pa.array([len(s) for s in texts], pa.int64()),
+                "n_tokens_ws": pa.array([len(ws.findall(s)) for s in texts], pa.int64()),
+                "n_tokens_bpe": pa.array([len(bpe.findall(s)) for s in texts], pa.int64()),
+                "n_punct": pa.array([len(punct.findall(s)) for s in texts], pa.int64()),
+                "n_alpha": pa.array([len(alpha.findall(s)) for s in texts], pa.int64()),
+                "n_stop": pa.array(
+                    [len(stop.findall(s.lower())) for s in texts], pa.int64()
+                ),
+                "fingerprint": pa.array(
+                    [hashlib.md5(s.encode()).hexdigest() for s in texts], pa.string()
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_langid(sf_dir: str) -> rd.Dataset:
+    """Language-ID heuristic (stopword/charset profile counts + argmax)."""
+
+    def lid(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        counts = {l: np.zeros(len(texts), dtype=np.int64) for l in LANG_ORDER}
+        preds, confs = [], np.empty(len(texts))
+        for i, s in enumerate(texts):
+            sc = lang_scores(s)
+            for l in LANG_ORDER:
+                counts[l][i] = sc[l]
+            total = sum(sc.values())
+            if total == 0:
+                preds.append("und")
+                confs[i] = 0.0
+            else:
+                best = max(LANG_ORDER, key=lambda l: (sc[l], -LANG_ORDER.index(l)))
+                preds.append(best)
+                confs[i] = sc[best] / total
+        cols = {"doc_id": t["doc_id"]}
+        for l in LANG_ORDER:
+            cols[f"n_{l}"] = pa.array(counts[l])
+        cols["pred_lang"] = pa.array(preds, pa.string())
+        cols["pred_conf"] = pa.array(confs)
+        return pa.table(cols)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lid, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_ann_topk(sf_dir: str) -> pa.Table:
+    """Brute-force cosine top-10 around the min-vec_id query vector.
+    Output is rank+id only (float sims are engine-summation-order dependent;
+    ids are stable — gaps between neighboring sims >> float noise)."""
+    from ..stages.similarity import brute_force_topk
+
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qrow = emb.sort("vec_id").limit(1).take(1)[0]
+    res = brute_force_topk(emb, np.asarray([qrow["embedding"]]), k=10)
+    ids = [i for i, _ in res[0]]
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(ids) + 1), pa.int64()),
+            "vec_id": pa.array(ids, pa.int64()),
+        }
+    )
+
+
+def q_window_events(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1-hour windowed aggregate per event_type (graft custom op)."""
+    ev = sf_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(t["ts"], unit="hour")
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table(
+            {"window_start": win, "event_type": t["event_type"], "value_cents": cents}
+        )
+
+    return (
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="value_cents_sum"))
+    )
+
+
+def q_q1_pricing(sf_dir: str) -> rd.Dataset:
+    """TPC-H-Q1-style grouped aggregate (wide-op coverage; integer units)."""
+    li = sf_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.less_equal(t["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us")))
+        )
+        disc = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+                "price_cents": pc.cast(
+                    pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64()
+                ),
+                "disc_price_e4": pc.cast(
+                    pc.round(pc.multiply(disc, 10000.0)), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Sum("disc_price_e4", alias_name="sum_disc_price_e4"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+def q_top_orders(sf_dir: str) -> pa.Table:
+    """Sort + limit (top-k)."""
+    ds = sf_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    t = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "o_orderkey": t["o_orderkey"],
+            "totalprice_cents": pc.cast(
+                pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+            ),
+        }
+    )
+
+
+def q_revenue_by_nation(sf_dir: str) -> rd.Dataset:
+    """Broadcast hash join: small customer side shipped once via ray.put,
+    looked up per batch (no shuffle join)."""
+    cust = sf_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+
+    class Joiner:
+        def __init__(self) -> None:
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            nat = [self.lookup[k] for k in t["o_custkey"].to_pylist()]
+            return pa.table(
+                {
+                    "nationkey": pa.array(nat, pa.int32()),
+                    "price_cents": pc.cast(
+                        pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+                    ),
+                }
+            )
+
+    orders = sf_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    return (
+        orders.map_batches(Joiner, batch_format="pyarrow", zero_copy_batch=True,
+                           concurrency=(1, 4))
+        .groupby("nationkey")
+        .aggregate(Sum("price_cents", alias_name="revenue_cents"),
+                   Count(alias_name="n_orders"))
+    )
+
+
+def q_semijoin_bigspenders(sf_dir: str) -> rd.Dataset:
+    """Broadcast semi-join (J2): lineitems of orders with totalprice > 400k."""
+    orders = sf_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    big = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 400000.0)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    id_ref = ray.put(set(big["o_orderkey"]))
+
+    class Semi:
+        def __init__(self) -> None:
+            self.ids = pa.array(sorted(ray.get(id_ref)), pa.int64())
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t["l_orderkey"], value_set=self.ids))
+            return pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "qty": pc.cast(t["l_quantity"], pa.int64()),
+                }
+            )
+
+    li = sf_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    return (
+        li.map_batches(Semi, batch_format="pyarrow", zero_copy_batch=True,
+                       concurrency=(1, 4))
+        .groupby("l_orderkey")
+        .aggregate(Count(alias_name="n_items"), Sum("qty", alias_name="sum_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible semantics)
+# ---------------------------------------------------------------------------
+
+
+def q_sentiment_docs(sf_dir: str) -> rd.Dataset:
+    """F8/F9 sentiment over documents (lexicon model — no SQL analog)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    ds = ds.map_batches(
+        make_normalize_fn(text_col="text", out_col="caption_clean"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ds = ds.map_batches(
+        Scorer,
+        fn_constructor_kwargs={"id_col": "doc_id"},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    return ds.select_columns(["doc_id", "sentiment_score", "sentiment_label"])
+
+
+def q_ppl_docs(sf_dir: str) -> rd.Dataset:
+    """Trigram-LM perplexity (stateful model — no SQL analog)."""
+    from ..stages.text import text_stats
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return text_stats(ds, concurrency=(1, 8)).select_columns(["doc_id", "ppl"])
+
+
+def q_dedup_minhash(sf_dir: str) -> rd.Dataset:
+    from ..stages.dedup import minhash_lsh_duplicates
+
+    return minhash_lsh_duplicates(
+        _docs(sf_dir, ["doc_id", "text"]), "text", "doc_id", threshold=0.5
+    )
+
+
+def q_dedup_simhash(sf_dir: str) -> rd.Dataset:
+    from ..stages.dedup import simhash_duplicates
+
+    return simhash_duplicates(
+        _docs(sf_dir, ["doc_id", "text"]), "text", "doc_id", max_hamming=3
+    )
+
+
+def q_dedup_embedding(sf_dir: str) -> pa.Table:
+    from ..stages.dedup import embedding_cosine_duplicates
+
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = embedding_cosine_duplicates(emb, "embedding", "vec_id", dim=64).to_pandas()
+    # stable schema even when no near-dups exist at this sf
+    return pa.table(
+        {
+            "vec_id": pa.array(out.get("vec_id", []), pa.int64()),
+            "dup_of": pa.array(out.get("dup_of", []), pa.int64()),
+        }
+    )
+
+
+def q_quality_filter_images(sf_dir: str) -> rd.Dataset:
+    """Full flagship over the synthetic image+caption table (input_hint
+    shape), sized to the sf directory; bytes column dropped from the result
+    to keep the driver-side comparison light."""
+    import os
+
+    from ..pipelines.quality_filter import build
+    from ..synth import write_dataset
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or "0.01"
+    rows = max(2000, int(float(sf) * 2_000_000))
+    img_dir = write_dataset(f"/tmp/graft_images/sf{sf}", min(rows, 200_000), seed=42)
+    cfg = LabelerConfig(skip_text="This comment has been reddacted")
+    ds = build(img_dir, cfg=cfg)
+    return ds.select_columns(
+        ["image_id", "sentiment_score", "sentiment_label", "pii_risk_score",
+         "gate_flag", "risk_score", "lang", "ppl", "keep", "caption_scrubbed"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry + SQL oracles
+# ---------------------------------------------------------------------------
+
+
+def registry() -> dict[str, Callable[[str], Any]]:
+    return {
+        "normalize_docs": q_normalize,
+        "filter_match": q_filter_match,
+        "skip_filter": q_skip_filter,
+        "pii_scrub": q_pii_scrub,
+        "risk_tiers": q_risk_tiers,
+        "report_pii": q_report_pii,
+        "dedup_prefix": q_dedup_prefix,
+        "dedup_group_first": q_dedup_group_first,
+        "distinct_langs": q_distinct_langs,
+        "remediate": q_remediate,
+        "text_quality": q_text_quality,
+        "langid_docs": q_langid,
+        "ann_topk": q_ann_topk,
+        "window_events": q_window_events,
+        "q1_pricing": q_q1_pricing,
+        "top_orders": q_top_orders,
+        "revenue_by_nation": q_revenue_by_nation,
+        "semijoin_bigspenders": q_semijoin_bigspenders,
+        # rows-only (non-SQL-expressible)
+        "sentiment_docs": q_sentiment_docs,
+        "ppl_docs": q_ppl_docs,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "quality_filter_images": q_quality_filter_images,
+    }
+
+
+def oracle_sqls() -> dict[str, str]:
+    en_stop = "|".join(LANG_STOPWORDS["en"])
+    lang_count_sql = {
+        l: (
+            f"len(regexp_extract_all(lower(text), '\\b(?:{'|'.join(ws)})\\b'))"
+        )
+        for l, ws in LANG_STOPWORDS.items()
+    }
+    lang_count_sql["zh"] = "len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]'))"
+    pred_sql = (
+        "CASE WHEN n_en + n_de + n_fr + n_es + n_zh = 0 THEN 'und' "
+        "WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es AND n_en >= n_zh THEN 'en' "
+        "WHEN n_de >= n_fr AND n_de >= n_es AND n_de >= n_zh THEN 'de' "
+        "WHEN n_fr >= n_es AND n_fr >= n_zh THEN 'fr' "
+        "WHEN n_es >= n_zh THEN 'es' ELSE 'zh' END"
+    )
+    return {
+        "normalize_docs": (
+            "SELECT doc_id, regexp_replace(replace(trim(regexp_replace(text, '\\s+', ' ', 'g')),"
+            " '&amp;#x200B;', ''), '<.*?>', '', 'g') AS text_norm FROM documents"
+        ),
+        "filter_match": "SELECT doc_id, text FROM documents WHERE text ILIKE '%window%'",
+        "skip_filter": "SELECT doc_id, text FROM documents WHERE text NOT LIKE '%spark%'",
+        "pii_scrub": (
+            PII_CTE
+            + f"SELECT {_PII_OUT_COLS}, CASE WHEN keep THEN t2 ELSE {_scrub_sql('t2')} END"
+            " AS text_scrubbed FROM k"
+        ),
+        "risk_tiers": (
+            PII_CTE
+            + "SELECT CASE WHEN risk_score > 0.5 THEN 'red' WHEN risk_score > 0.2"
+            " THEN 'yellow' ELSE 'green' END AS tier, count(*) AS n FROM k GROUP BY 1"
+        ),
+        "report_pii": (
+            PII_CTE
+            + "SELECT count(*) AS num_rows,"
+            " CAST(sum(CASE WHEN pii_risk > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pii_rows,"
+            " CAST(sum(CASE WHEN gate_flag THEN 1 ELSE 0 END) AS BIGINT) AS gate_rows,"
+            " CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_rows,"
+            " max(risk_score) AS max_risk,"
+            " (SELECT doc_id FROM k ORDER BY risk_score DESC, doc_id LIMIT 1)"
+            " AS max_risk_doc_id FROM k"
+        ),
+        "dedup_prefix": (
+            "SELECT substr(text, 1, 40) AS k, min(doc_id) AS doc_id"
+            " FROM documents GROUP BY 1"
+        ),
+        "dedup_group_first": (
+            "SELECT lang, n_chars, min(doc_id) AS doc_id FROM documents GROUP BY 1, 2"
+        ),
+        "distinct_langs": "SELECT DISTINCT lang FROM documents ORDER BY lang",
+        "remediate": (
+            "SELECT doc_id, CASE WHEN doc_id % 97 = 0 THEN"
+            f" '{piimod.REDACTION_MESSAGE}' ELSE text END AS text"
+            " FROM documents WHERE doc_id % 89 <> 0"
+        ),
+        "text_quality": (
+            "SELECT doc_id, length(text) AS n_chars_m,"
+            " len(regexp_extract_all(text, '\\S+')) AS n_tokens_ws,"
+            " len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,"
+            " len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,"
+            " len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,"
+            f" len(regexp_extract_all(lower(text), '\\b(?:{en_stop})\\b')) AS n_stop,"
+            " md5(text) AS fingerprint FROM documents"
+        ),
+        "langid_docs": (
+            "WITH c AS (SELECT doc_id,"
+            + ", ".join(f"{lang_count_sql[l]} AS n_{l}" for l in LANG_ORDER)
+            + " FROM documents) SELECT doc_id, n_en, n_de, n_fr, n_es, n_zh, "
+            + pred_sql
+            + " AS pred_lang, CASE WHEN n_en + n_de + n_fr + n_es + n_zh = 0 THEN 0.0"
+            " ELSE CAST(CASE WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es AND n_en >= n_zh THEN n_en"
+            " WHEN n_de >= n_fr AND n_de >= n_es AND n_de >= n_zh THEN n_de"
+            " WHEN n_fr >= n_es AND n_fr >= n_zh THEN n_fr"
+            " WHEN n_es >= n_zh THEN n_es ELSE n_zh END AS DOUBLE)"
+            " / CAST(n_en + n_de + n_fr + n_es + n_zh AS DOUBLE) END AS pred_conf FROM c"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 1),"
+            " s AS (SELECT e.vec_id,"
+            " list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) AS sim"
+            " FROM embeddings e, q)"
+            " SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank, vec_id"
+            " FROM s ORDER BY sim DESC, vec_id LIMIT 10"
+        ),
+        "window_events": (
+            "SELECT date_trunc('hour', ts) AS window_start, event_type,"
+            " count(*) AS n_events,"
+            " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents_sum"
+            " FROM events GROUP BY 1, 2"
+        ),
+        "q1_pricing": (
+            "SELECT l_returnflag, l_linestatus,"
+            " CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,"
+            " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,"
+            " CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,"
+            " count(*) AS count_order"
+            " FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"
+            " GROUP BY 1, 2"
+        ),
+        "top_orders": (
+            "SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents"
+            " FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "revenue_by_nation": (
+            "SELECT c.c_nationkey AS nationkey,"
+            " CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,"
+            " count(*) AS n_orders"
+            " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1"
+        ),
+        "semijoin_bigspenders": (
+            "SELECT l_orderkey, count(*) AS n_items, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty"
+            " FROM lineitem WHERE l_orderkey IN"
+            " (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)"
+            " GROUP BY 1"
+        ),
+    }

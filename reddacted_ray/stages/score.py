@@ -38,16 +38,23 @@ class Scorer:
     appends the analysis columns of ``schema.ANALYSIS_FIELDS``.
     """
 
-    def __init__(self, cfg: Optional[LabelerConfig] = None) -> None:
+    def __init__(
+        self,
+        cfg: Optional[LabelerConfig] = None,
+        id_col: str = "image_id",
+        text_col: str = "caption_clean",
+    ) -> None:
         self.cfg = cfg or LabelerConfig()
+        self.id_col = id_col
+        self.text_col = text_col
         self.bank = CompiledBank()
         self.gate = GateBank()
         self.lm = TrigramLM()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        caps: list[str] = batch["caption_clean"].to_pylist()
-        ids: list[str] = batch["image_id"].to_pylist()
+        caps: list[str] = batch[self.text_col].to_pylist()
+        ids: list[str] = [str(x) for x in batch[self.id_col].to_pylist()]
         n = len(caps)
         sent = np.empty(n, dtype=np.float64)
         pii_risk = np.empty(n, dtype=np.float64)
