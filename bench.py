@@ -1,0 +1,154 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "images_per_sec": ...}
+
+Headline = the flagship quality-filter + scrub pipeline over the synthetic
+image+caption table (BASELINE.json metric: images/sec keep-drop+scrub),
+consumed by a partitioned parquet write. Query timings cover the wide-op
+and dedup paths over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+``--scaling`` runs the headline twice in FRESH processes at N and 4N CPUs
+(the sandbox substitute for two cluster sizes) and reports throughputs +
+scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+IMG_ROWS = int(os.environ.get("GRAFT_IMG_ROWS", "0")) or None
+
+
+def _sf_tag() -> str:
+    return os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "") or "0.1"
+
+
+def ensure_images() -> tuple[str, int]:
+    """Deterministic synthetic image table sized to the sf (cached in /tmp)."""
+    from reddacted_ray.synth import write_dataset
+
+    sf = _sf_tag()
+    rows = IMG_ROWS or min(200_000, max(2000, int(float(sf) * 2_000_000)))
+    d = write_dataset(f"/tmp/graft_images/sf{sf}", rows, seed=42)
+    return d, rows
+
+
+def warm_cache(path: str) -> None:
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            with open(os.path.join(path, f), "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.preserve_order = False
+
+    from reddacted_ray.oracle import LabelerConfig
+    from reddacted_ray.pipelines.quality_filter import build
+    from reddacted_ray.pipelines import queries as Q
+
+    img_dir, img_rows = ensure_images()
+    warm_cache(img_dir)
+    warm_cache(SF_DIR)
+
+    # headline: quality filter + scrub over the image table -> parquet sink
+    out_dir = f"/tmp/bench_out/qf_sf{_sf_tag()}_{NUM_CPUS}"
+    cfg = LabelerConfig(skip_text="This comment has been reddacted")
+    t0 = time.perf_counter()
+    ds = build(img_dir, cfg=cfg, concurrency=(1, NUM_CPUS))
+    ds.write_parquet(out_dir)
+    headline = time.perf_counter() - t0
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t = time.perf_counter()
+        res = fn(SF_DIR)
+        # consume: Datasets are lazy — count() executes the full pipeline
+        import ray.data as rd
+
+        if isinstance(res, rd.Dataset):
+            res.count()
+        timings[name] = round(time.perf_counter() - t, 3)
+
+    for name in [
+        "pii_scrub",
+        "dedup_prefix",
+        "dedup_minhash",
+        "sentiment_docs",
+        "text_quality",
+        "ann_topk",
+        "window_events",
+        "q1_pricing",
+        "revenue_by_nation",
+        "semijoin_bigspenders",
+    ]:
+        timed(name, Q.registry()[name])
+
+    result = {
+        "metric": "images/sec keep-drop+scrub throughput (synthetic image+caption table)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(_sf_tag()),
+        "num_cpus": NUM_CPUS,
+        "img_rows": img_rows,
+        "images_per_sec": round(img_rows / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same input, two parallelism levels in fresh processes (north_rule
+    N-vs-4N substitute): report throughput at both + scaling efficiency."""
+    lo, hi = 8, 32
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling efficiency N->4N (images/sec, fresh ray sessions)",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "images_per_sec_lo": r_lo["images_per_sec"],
+        "images_per_sec_hi": r_hi["images_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"],
+        "img_rows": r_hi["img_rows"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -56,7 +56,7 @@ GATE_THRESHOLD = 0.5
 class GateBank:
     """Compiled gate state; build once per worker."""
 
-    __slots__ = ("disclosure", "toxic")
+    __slots__ = ("disclosure", "toxic", "_disclosure_any", "_toxic_any")
 
     def __init__(self) -> None:
         self.disclosure = [
@@ -66,18 +66,29 @@ class GateBank:
             (re.compile(rf"\b{re.escape(w)}\b", re.IGNORECASE), s)
             for w, s in TOXIC_WORDS.items()
         ]
+        # one-pass prefilters: an alternation that matches iff some member
+        # pattern matches — skips the per-pattern loops on clean text
+        self._disclosure_any = re.compile(
+            "|".join(f"(?:{p})" for p, _ in DISCLOSURE_PATTERNS), re.IGNORECASE
+        )
+        self._toxic_any = re.compile(
+            r"\b(?:" + "|".join(re.escape(w) for w in TOXIC_WORDS) + r")\b",
+            re.IGNORECASE,
+        )
 
     def score(self, text: str) -> Tuple[bool, float]:
         """Return (gate_flag, gate_risk) for one text."""
         risk = 0.0
-        for rx, conf in self.disclosure:
-            if rx.search(text):
-                risk = max(risk, conf)
-        tox = 0.0
-        for rx, s in self.toxic:
-            if rx.search(text):
-                tox += s
-        risk = max(risk, min(1.0, tox))
+        if self._disclosure_any.search(text) is not None:
+            for rx, conf in self.disclosure:
+                if rx.search(text):
+                    risk = max(risk, conf)
+        if self._toxic_any.search(text) is not None:
+            tox = 0.0
+            for rx, s in self.toxic:
+                if rx.search(text):
+                    tox += s
+            risk = max(risk, min(1.0, tox))
         return risk >= GATE_THRESHOLD, risk
 
 

@@ -104,7 +104,10 @@ class PIIMatch:
 class CompiledBank:
     """Compiled regex bank. Build once per worker (actor ``__init__``)."""
 
-    __slots__ = ("patterns", "false_positives", "context", "scrub_patterns")
+    __slots__ = (
+        "patterns", "false_positives", "context", "scrub_patterns",
+        "_digit", "_title", "_context_any",
+    )
 
     def __init__(self) -> None:
         self.patterns = {
@@ -121,15 +124,40 @@ class CompiledBank:
             for kw in CONTEXT_KEYWORDS
         ]
         self.scrub_patterns = [rx for rx, _ in self.patterns.values()]
+        # Hot-path prefilters (pure optimizations — provably no behavior
+        # change): every FP-veto pattern and every numeric PII pattern
+        # requires a digit; email requires '@'; name_pattern requires a
+        # title token; the context boost only fires via whole-word keyword
+        # hits, so one alternation regex is equivalent to the 12 singles
+        # (all keywords start/end on word characters).
+        self._digit = re.compile(r"\d")
+        self._title = re.compile(r"\b(?:Mr|Mrs|Ms|Dr)\.", re.IGNORECASE)
+        self._context_any = re.compile(
+            r"\b(?:" + "|".join(re.escape(kw) for kw in CONTEXT_KEYWORDS) + r")\b",
+            re.IGNORECASE,
+        )
 
     # -- detection ---------------------------------------------------------
 
     def analyze_text(self, text: str) -> List[PIIMatch]:
         """Reference ``PIIDetector.analyze_text`` (``pii_detector.py:67-107``)."""
-        if any(fp.search(text) for fp in self.false_positives):
+        has_digit = self._digit.search(text) is not None
+        if has_digit and any(fp.search(text) for fp in self.false_positives):
+            return []
+        has_at = "@" in text
+        has_title = self._title.search(text) is not None
+        if not (has_digit or has_at or has_title):
             return []
         matches: List[PIIMatch] = []
         for pii_type, (rx, confidence) in self.patterns.items():
+            if pii_type == "email":
+                if not has_at:
+                    continue
+            elif pii_type == "name_pattern":
+                if not has_title:
+                    continue
+            elif not has_digit:  # phone / ssn / credit_card / address
+                continue
             for m in rx.finditer(text):
                 full = m.group(0)
                 if pii_type == "phone" and len(full.replace("-", "").replace(" ", "")) < 10:
@@ -139,7 +167,11 @@ class CompiledBank:
                 ):
                     continue
                 matches.append(PIIMatch(pii_type, full, confidence))
-        if matches and any(rx.search(text) for rx in self.context):
+        if (
+            matches
+            and self._context_any.search(text) is not None
+            and any(rx.search(text) for rx in self.context)
+        ):
             for m in matches:
                 m.confidence = min(1.0, m.confidence + CONTEXT_BOOST)
         return matches
@@ -165,7 +197,21 @@ class CompiledBank:
         the scrub: scrubbing is applied only to rows already decided
         ``keep=false``, and over-scrubbing a dropped row is safe.
         """
-        for rx in self.scrub_patterns:
+        # prefilters mirror analyze_text; the replacement token introduces
+        # no '@'/digit/title characters, so flags from the original text
+        # remain sufficient conditions across the sequential rewrites
+        has_digit = self._digit.search(text) is not None
+        has_at = "@" in text
+        has_title = self._title.search(text) is not None
+        for pii_type, (rx, _conf) in self.patterns.items():
+            if pii_type == "email":
+                if not has_at:
+                    continue
+            elif pii_type == "name_pattern":
+                if not has_title:
+                    continue
+            elif not has_digit:
+                continue
             text = rx.sub(replacement, text)
         return text
 
