@@ -29,7 +29,15 @@ def read_table(
     **kwargs,
 ) -> rd.Dataset:
     """Read a Lance or Parquet table as a Dataset with column pruning and
-    optional row filter pushdown (a ``pyarrow.dataset`` expression)."""
+    optional row filter pushdown (a ``pyarrow.dataset`` expression).
+    ``path`` may be a single path or a list of files (one partition)."""
+    if isinstance(path, (list, tuple)):
+        kw = dict(kwargs)
+        if columns is not None:
+            kw["columns"] = list(columns)
+        if filter_expr is not None:
+            kw["filter"] = filter_expr
+        return rd.read_parquet(list(path), **kw)
     if HAVE_LANCE and (path.endswith(".lance") or os.path.isdir(os.path.join(path, "_versions"))):
         return rd.read_lance(path, columns=list(columns) if columns else None, **kwargs)
     kw = dict(kwargs)

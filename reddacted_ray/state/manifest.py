@@ -1,0 +1,160 @@
+"""Checkpoint manifest + per-partition lineage for resumable runs.
+
+North_rule requirement: "resumable from checkpoint with per-partition
+lineage + metrics". Batch-engine meaning (see ray_guide "Sources & sinks"):
+
+  * output is laid out one directory per input partition
+    (``out_dir/partition_id=K/``), written ATOMICALLY (temp dir + rename);
+  * a ``manifest.jsonl`` records, per completed partition, its input
+    files and metrics (rows in/out, kept/dropped, wall seconds) — the
+    lineage table (reference A5 analog, ``api/reddit.py:213-255`` stats);
+  * a rerun reads the manifest and skips committed partitions — the
+    anti-join is a driver-side set lookup against the (tiny) manifest,
+    never a data shuffle (SURVEY.md §7.4).
+
+Partition naming is deterministic in the input file list, so reruns
+overwrite idempotently (SURVEY.md §7.5 resume-correctness note).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Iterable
+
+
+class Manifest:
+    def __init__(self, out_dir: str) -> None:
+        self.out_dir = out_dir
+        self.path = os.path.join(out_dir, "manifest.jsonl")
+        os.makedirs(out_dir, exist_ok=True)
+
+    def completed(self) -> dict[str, dict]:
+        done: dict[str, dict] = {}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        rec = json.loads(line)
+                        done[rec["partition_id"]] = rec
+        return done
+
+    def commit(self, record: dict) -> None:
+        with open(self.path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    def partition_dir(self, partition_id: str) -> str:
+        return os.path.join(self.out_dir, f"partition_id={partition_id}")
+
+    def atomic_write_dir(self, partition_id: str):
+        """Context for writing a partition atomically: yields a temp dir that
+        is renamed into place on success, discarded on failure."""
+        return _AtomicDir(self.partition_dir(partition_id))
+
+
+class _AtomicDir:
+    def __init__(self, final_dir: str) -> None:
+        self.final = final_dir
+        self.tmp = final_dir + ".tmp"
+
+    def __enter__(self) -> str:
+        if os.path.exists(self.tmp):
+            shutil.rmtree(self.tmp)
+        os.makedirs(self.tmp)
+        return self.tmp
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            if os.path.exists(self.final):
+                shutil.rmtree(self.final)
+            os.replace(self.tmp, self.final)
+        else:
+            shutil.rmtree(self.tmp, ignore_errors=True)
+
+
+def plan_partitions(
+    input_files: Iterable[str], files_per_partition: int = 4
+) -> list[tuple[str, list[str]]]:
+    """Deterministic partition plan: sorted files chunked into groups."""
+    files = sorted(input_files)
+    out = []
+    for i in range(0, len(files), files_per_partition):
+        chunk = files[i : i + files_per_partition]
+        out.append((f"{i // files_per_partition:05d}", chunk))
+    return out
+
+
+def run_resumable(
+    input_dir: str,
+    out_dir: str,
+    build_fn,
+    files_per_partition: int = 4,
+    max_partitions: int | None = None,
+) -> dict:
+    """Run ``build_fn(list_of_files) -> Dataset`` per pending partition,
+    writing each atomically + committing lineage. Returns a summary dict.
+
+    ``max_partitions`` caps work this invocation (also simulates an
+    interrupted run in tests); a rerun picks up where it stopped.
+    """
+    mf = Manifest(out_dir)
+    done = mf.completed()
+    files = [
+        os.path.join(input_dir, f)
+        for f in os.listdir(input_dir)
+        if f.endswith(".parquet")
+    ]
+    plan = plan_partitions(files, files_per_partition)
+    ran, skipped = 0, 0
+    for pid, chunk in plan:
+        if pid in done:
+            skipped += 1
+            continue
+        if max_partitions is not None and ran >= max_partitions:
+            break
+        t0 = time.perf_counter()
+        ds = build_fn(chunk)
+        with mf.atomic_write_dir(pid) as tmp:
+            ds.write_parquet(tmp)
+            stats = _partition_stats(tmp)
+        mf.commit(
+            {
+                "partition_id": pid,
+                "input_files": [os.path.basename(c) for c in chunk],
+                "wall_s": round(time.perf_counter() - t0, 3),
+                **stats,
+            }
+        )
+        ran += 1
+    return {
+        "partitions_total": len(plan),
+        "partitions_ran": ran,
+        "partitions_skipped": skipped,
+        "manifest": mf.path,
+    }
+
+
+def _partition_stats(part_dir: str) -> dict:
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(part_dir, format="parquet")
+    names = dset.schema.names
+    rows = kept = 0
+    for frag in dset.get_fragments():
+        if "keep" in names:
+            t = frag.to_table(columns=["keep"])
+            rows += t.num_rows
+            kept += int(t["keep"].to_pandas().sum())
+        else:
+            rows += frag.count_rows()
+            kept = -1
+    out = {"rows_out": rows}
+    if kept >= 0:
+        out["kept"] = kept
+        out["dropped"] = rows - kept
+    return out

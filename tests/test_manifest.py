@@ -1,0 +1,67 @@
+"""Resumable-run tests: atomic partition writes, lineage, skip-on-rerun."""
+
+import json
+import os
+
+import pyarrow.dataset as pads
+import pytest
+
+from reddacted_ray.oracle import LabelerConfig
+from reddacted_ray.pipelines.quality_filter import build
+from reddacted_ray.state.manifest import Manifest, plan_partitions, run_resumable
+
+CFG = LabelerConfig(skip_text="This comment has been reddacted")
+
+
+def _build_fn(files):
+    return build(files, cfg=CFG, batch_size=256, concurrency=(1, 2))
+
+
+def test_plan_is_deterministic():
+    p1 = plan_partitions(["b.parquet", "a.parquet", "c.parquet"], 2)
+    p2 = plan_partitions(["c.parquet", "a.parquet", "b.parquet"], 2)
+    assert p1 == p2
+    assert p1[0] == ("00000", ["a.parquet", "b.parquet"])
+
+
+def test_resume_skips_completed(ray_session, synth_dir, tmp_path):
+    out = str(tmp_path / "out")
+    # interrupted run: only 2 of 4 partitions
+    r1 = run_resumable(synth_dir, out, _build_fn, files_per_partition=1,
+                       max_partitions=2)
+    assert r1["partitions_ran"] == 2 and r1["partitions_total"] == 4
+    # rerun completes the rest, skipping the committed ones
+    r2 = run_resumable(synth_dir, out, _build_fn, files_per_partition=1)
+    assert r2["partitions_ran"] == 2 and r2["partitions_skipped"] == 2
+    # third run is a full no-op
+    r3 = run_resumable(synth_dir, out, _build_fn, files_per_partition=1)
+    assert r3["partitions_ran"] == 0 and r3["partitions_skipped"] == 4
+
+    # lineage records: one per partition with metrics
+    with open(os.path.join(out, "manifest.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    assert len(recs) == 4
+    for rec in recs:
+        assert rec["rows_out"] == rec["kept"] + rec["dropped"]
+        assert rec["wall_s"] > 0 and rec["input_files"]
+
+    # output completeness: all rows present exactly once
+    total = sum(r["rows_out"] for r in recs)
+    part_dirs = [
+        os.path.join(out, d) for d in sorted(os.listdir(out))
+        if d.startswith("partition_id=")
+    ]
+    dset = pads.dataset(part_dirs, format="parquet")
+    assert dset.count_rows() == total
+    full = build(synth_dir, cfg=CFG, batch_size=256, concurrency=(1, 2))
+    assert total == full.count()
+
+
+def test_atomic_dir_discards_on_failure(tmp_path):
+    mf = Manifest(str(tmp_path / "o"))
+    with pytest.raises(RuntimeError):
+        with mf.atomic_write_dir("00001") as tmp:
+            open(os.path.join(tmp, "x"), "w").write("partial")
+            raise RuntimeError("boom")
+    assert not os.path.exists(mf.partition_dir("00001"))
+    assert "00001" not in mf.completed()
