@@ -47,11 +47,10 @@ def test_resume_skips_completed(ray_session, synth_dir, tmp_path):
 
     # output completeness: all rows present exactly once
     total = sum(r["rows_out"] for r in recs)
-    part_dirs = [
-        os.path.join(out, d) for d in sorted(os.listdir(out))
-        if d.startswith("partition_id=")
-    ]
-    dset = pads.dataset(part_dirs, format="parquet")
+    import glob
+
+    part_files = sorted(glob.glob(os.path.join(out, "partition_id=*", "*.parquet")))
+    dset = pads.dataset(part_files, format="parquet")
     assert dset.count_rows() == total
     full = build(synth_dir, cfg=CFG, batch_size=256, concurrency=(1, 2))
     assert total == full.count()
