@@ -37,7 +37,8 @@ def ensure_images() -> tuple[str, int]:
 
     sf = _sf_tag()
     rows = IMG_ROWS or min(200_000, max(2000, int(float(sf) * 2_000_000)))
-    d = write_dataset(f"/tmp/graft_images/sf{sf}", rows, seed=42)
+    d = write_dataset(f"/tmp/graft_images/sf{sf}", rows, seed=42,
+                      rows_per_shard=max(2500, rows // 64))
     return d, rows
 
 
@@ -73,7 +74,7 @@ def run_bench() -> dict:
     out_dir = f"/tmp/bench_out/qf_sf{_sf_tag()}_{NUM_CPUS}"
     cfg = LabelerConfig(skip_text="This comment has been reddacted")
     t0 = time.perf_counter()
-    ds = build(img_dir, cfg=cfg, concurrency=(1, NUM_CPUS))
+    ds = build(img_dir, cfg=cfg)
     ds.write_parquet(out_dir)
     headline = time.perf_counter() - t0
 

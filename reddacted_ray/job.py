@@ -1,0 +1,139 @@
+"""Job entrypoint — the ``ray job submit`` surface of the engine.
+
+Mirrors the reference's config surface (SURVEY.md §1.5: env vars -> config
+file -> CLI flags, ``cli_config.py:82-113`` merge order) for the batch
+quality-filter pipeline. Run on a cluster as:
+
+    ray job submit -- python -m reddacted_ray.job \
+        --input /data/images --output /out/run1 --resumable
+
+or locally (the script owns its Ray session; the driver-facing
+``__ray_entry__`` module never calls ray.init — only entry points like
+this one do).
+
+Env vars (lowest precedence): REDD_INPUT, REDD_OUTPUT, REDD_SKIP_TEXT,
+REDD_PII_ONLY, REDD_LIMIT, REDD_TEXT_MATCH, REDD_SCRUB_MODE,
+REDD_BATCH_SIZE. Then --config JSON file, then explicit flags.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+ENV_VARS_MAP = {
+    "REDD_INPUT": "input",
+    "REDD_OUTPUT": "output",
+    "REDD_SKIP_TEXT": "skip_text",
+    "REDD_PII_ONLY": "pii_only",
+    "REDD_LIMIT": "limit",
+    "REDD_TEXT_MATCH": "text_match",
+    "REDD_SCRUB_MODE": "scrub_mode",
+    "REDD_BATCH_SIZE": "batch_size",
+}
+
+_BOOLS = {"pii_only", "resumable"}
+_INTS = {"limit", "batch_size", "num_cpus", "files_per_partition"}
+
+
+def merge_configs(env: dict, file_cfg: dict, flags: dict) -> dict:
+    """env -> config file -> flags (later wins; reference cli_config.py:82-113)."""
+    out: dict = {}
+    for layer in (env, file_cfg, flags):
+        for k, v in layer.items():
+            if v is None:
+                continue
+            if k in _BOOLS and isinstance(v, str):
+                v = v.lower() in ("1", "true", "yes")
+            if k in _INTS and isinstance(v, str):
+                v = int(v)
+            out[k] = v
+    return out
+
+
+def load_config(argv=None) -> dict:
+    ap = argparse.ArgumentParser(prog="reddacted-ray")
+    ap.add_argument("--input")
+    ap.add_argument("--output")
+    ap.add_argument("--config", help="JSON config file")
+    ap.add_argument("--skip-text", dest="skip_text")
+    ap.add_argument("--text-match", dest="text_match")
+    ap.add_argument("--pii-only", dest="pii_only", action="store_const", const=True)
+    ap.add_argument("--limit", type=int)
+    ap.add_argument("--scrub-mode", dest="scrub_mode",
+                    choices=["token", "reference", "uuid"])
+    ap.add_argument("--batch-size", dest="batch_size", type=int)
+    ap.add_argument("--resumable", action="store_const", const=True)
+    ap.add_argument("--files-per-partition", dest="files_per_partition", type=int)
+    ap.add_argument("--num-cpus", dest="num_cpus", type=int)
+    ap.add_argument("--report", help="write a markdown summary report here")
+    args = vars(ap.parse_args(argv))
+    env = {
+        name: os.environ[var] for var, name in ENV_VARS_MAP.items() if var in os.environ
+    }
+    file_cfg = {}
+    if args.get("config"):
+        with open(args["config"]) as f:
+            file_cfg = json.load(f)
+    return merge_configs(env, file_cfg, args)
+
+
+def main(argv=None) -> int:
+    cfg = load_config(argv)
+    if not cfg.get("input") or not cfg.get("output"):
+        print("error: --input and --output are required", file=sys.stderr)
+        return 2
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            num_cpus=cfg.get("num_cpus"),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from .oracle import LabelerConfig
+    from .pipelines.quality_filter import build
+    from .pipelines.report import aggregates, write_markdown_report
+    from .state.manifest import run_resumable
+
+    lcfg = LabelerConfig(
+        skip_text=cfg.get("skip_text"),
+        pii_only=bool(cfg.get("pii_only", False)),
+        text_match=cfg.get("text_match"),
+        limit=int(cfg.get("limit", 0)),
+        scrub_mode=cfg.get("scrub_mode", "token"),
+    )
+    batch_size = int(cfg.get("batch_size", 2048))
+    t0 = time.perf_counter()
+    if cfg.get("resumable"):
+        summary = run_resumable(
+            cfg["input"],
+            cfg["output"],
+            lambda files: build(files, cfg=lcfg, batch_size=batch_size),
+            files_per_partition=int(cfg.get("files_per_partition", 4)),
+        )
+    else:
+        ds = build(cfg["input"], cfg=lcfg, batch_size=batch_size)
+        ds.write_parquet(cfg["output"])
+        summary = {"output": cfg["output"]}
+    summary["wall_s"] = round(time.perf_counter() - t0, 3)
+    if cfg.get("report"):
+        agg = aggregates(build(cfg["input"], cfg=lcfg, batch_size=batch_size))
+        write_markdown_report(agg, cfg["report"], source_label=cfg["input"],
+                              pii_only=lcfg.pii_only)
+        summary["report"] = cfg["report"]
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 from ..oracle import LabelerConfig
 from ..sources.tables import read_table
 from ..stages.normalize import make_normalize_fn
-from ..stages.score import Scorer
+from ..stages.score import Scorer, make_scorer_fn
 
 DEFAULT_BATCH_SIZE = 2048
 
@@ -58,15 +58,24 @@ def build(
         batch_size=batch_size,
         zero_copy_batch=True,
     )
-    ds = ds.map_batches(
-        Scorer,
-        fn_constructor_kwargs={"cfg": cfg},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        zero_copy_batch=True,
-        concurrency=concurrency or _default_concurrency(),
-        num_cpus=1,
-    )
+    if concurrency is not None:
+        ds = ds.map_batches(
+            Scorer,
+            fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    else:
+        # stateless tasks + per-process cached state: no pool spin-up cliff
+        ds = ds.map_batches(
+            make_scorer_fn(cfg),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+        )
     if cfg.pii_only:
         # F12 (reference utils/report.py:50-63): keep rows with any risk signal
         ds = ds.map_batches(
@@ -100,14 +109,21 @@ def build_docs(
         batch_size=batch_size,
         zero_copy_batch=True,
     )
+    if concurrency is not None:
+        return ds.map_batches(
+            Scorer,
+            fn_constructor_kwargs={"cfg": cfg, "id_col": "doc_id"},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
     return ds.map_batches(
-        Scorer,
-        fn_constructor_kwargs={"cfg": cfg, "id_col": "doc_id"},
+        make_scorer_fn(cfg, id_col="doc_id"),
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
-        concurrency=concurrency or _default_concurrency(),
-        num_cpus=1,
     )
 
 

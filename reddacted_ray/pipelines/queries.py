@@ -200,9 +200,11 @@ class _PiiQueryStage:
 
 
 def _pii_ds(sf_dir: str) -> rd.Dataset:
+    from ..stages import process_cached
+
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        _PiiQueryStage, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 8),
+        process_cached(_PiiQueryStage), batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
 
@@ -576,6 +578,77 @@ def q_semijoin_bigspenders(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_json_extract(sf_dir: str) -> rd.Dataset:
+    """F10 semi-structured parse: ``json.loads`` per row with the reference's
+    error-fallback shape (``llm_detector.py:102-144``), extracting props.k."""
+    import json
+
+    ev = sf_table(sf_dir, "events", columns=["event_id", "event_type", "props"])
+
+    def parse(t: pa.Table) -> pa.Table:
+        ks = []
+        for s in t["props"].to_pylist():
+            try:
+                ks.append(int(json.loads(s).get("k")))
+            except (ValueError, TypeError):
+                ks.append(-1)  # error-dict fallback analog
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "k": pa.array(ks, pa.int64()),
+            }
+        )
+
+    return ev.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_sessionize(sf_dir: str) -> rd.Dataset:
+    """Gap-based session windows (30 min) per user — groupby(user).map_groups
+    over ts-sorted groups (streaming-shaped custom op; ray_guide pattern).
+    Session identity is order-insensitive for tied timestamps (gap 0)."""
+    import pandas as pd
+
+    ev = sf_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        brk = (g["ts"].diff() > pd.Timedelta(minutes=30)) | g["ts"].diff().isna()
+        sid = brk.cumsum().astype("int64")
+        out = g.assign(session_id=sid).groupby("session_id", as_index=False).agg(
+            n_events=("ts", "size"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def q_top_orders_per_customer(sf_dir: str) -> rd.Dataset:
+    """Per-group top-k: 2 highest-value orders per customer
+    (groupby().map_groups with deterministic tie-break)."""
+    import pandas as pd
+
+    orders = sf_table(sf_dir, "orders",
+                      columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True], kind="mergesort").head(2)
+        return pd.DataFrame(
+            {
+                "o_custkey": g["o_custkey"],
+                "o_orderkey": g["o_orderkey"],
+                "totalprice_cents": (g["o_totalprice"] * 100).round().astype("int64"),
+            }
+        )
+
+    return orders.groupby("o_custkey").map_groups(top2, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible semantics)
 # ---------------------------------------------------------------------------
@@ -589,12 +662,12 @@ def q_sentiment_docs(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    from ..stages.score import make_scorer_fn
+
     ds = ds.map_batches(
-        Scorer,
-        fn_constructor_kwargs={"id_col": "doc_id"},
+        make_scorer_fn(id_col="doc_id"),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     )
     return ds.select_columns(["doc_id", "sentiment_score", "sentiment_label"])
 
@@ -682,6 +755,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "top_orders": q_top_orders,
         "revenue_by_nation": q_revenue_by_nation,
         "semijoin_bigspenders": q_semijoin_bigspenders,
+        "json_extract_events": q_json_extract,
+        "sessionize": q_sessionize,
+        "top_orders_per_customer": q_top_orders_per_customer,
         # rows-only (non-SQL-expressible)
         "sentiment_docs": q_sentiment_docs,
         "ppl_docs": q_ppl_docs,
@@ -801,6 +877,30 @@ def oracle_sqls() -> dict[str, str]:
             " CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,"
             " count(*) AS n_orders"
             " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1"
+        ),
+        "json_extract_events": (
+            "SELECT event_id, event_type,"
+            " CAST(regexp_extract(props, '\"k\": (-?\\d+)', 1) AS BIGINT) AS k"
+            " FROM events"
+        ),
+        "sessionize": (
+            "WITH x AS (SELECT user_id, ts,"
+            " CASE WHEN lag(ts) OVER w IS NULL"
+            " OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk"
+            " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),"
+            " y AS (SELECT user_id, ts, CAST(sum(brk) OVER"
+            " (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT)"
+            " AS session_id FROM x)"
+            " SELECT user_id, session_id, count(*) AS n_events,"
+            " min(ts) AS session_start, max(ts) AS session_end"
+            " FROM y GROUP BY 1, 2"
+        ),
+        "top_orders_per_customer": (
+            "SELECT o_custkey, o_orderkey,"
+            " CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents FROM ("
+            " SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER"
+            " (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn"
+            " FROM orders) WHERE rn <= 2"
         ),
         "semijoin_bigspenders": (
             "SELECT l_orderkey, count(*) AS n_items, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty"

@@ -44,6 +44,33 @@ def aggregates(scored: rd.Dataset) -> dict[str, Any]:
     }
 
 
+def write_markdown_report(
+    agg: dict[str, Any], path: str, source_label: str = "", pii_only: bool = False
+) -> None:
+    """K1 sink analog: the reference's markdown summary report
+    (``utils/report.py:137-202``) — header, aggregate section, riskiest row."""
+    lines = [
+        "# PII Analysis Report",
+        "",
+        f"- Source: {source_label}",
+        f"- Rows analyzed: {agg['num_rows']}",
+        f"- PII-only filter: {pii_only}",
+        "",
+        "## Summary",
+        "",
+        f"- Overall sentiment score: {agg['mean_sentiment']}",
+        f"- Rows with PII risk: {agg['pii_rows']}"
+        f" ({100.0 * agg['pii_rows'] / max(1, agg['num_rows']):.1f}%)",
+        f"- Rows flagged by gate: {agg['gate_rows']}",
+        f"- Kept: {agg['kept_rows']}  Dropped: {agg['dropped_rows']}",
+        f"- Max risk score: {agg['max_risk']}"
+        f" (row {agg['max_risk_image_id']})",
+        "",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
 def _flag_columns(t):
     import pyarrow as pa
     import pyarrow.compute as pc

@@ -1,0 +1,69 @@
+"""Comment-table source analogs of the reference's readers (S1-S5).
+
+The reference pulls 5-field comment records from Reddit (HTTP/PRAW) with
+server-side sort, limit, and text-search (``api/scraper.py:23-119``,
+``api/reddit.py:155-191, 299-345, 348-415``). In the batch engine the same
+record shape lives in a table ``(id, text, upvotes, downvotes, permalink)``
+and the source semantics become scan + filter + sort + limit pushed onto a
+Dataset:
+
+  * ``sort="new"``   — input order (reference: listing order)
+  * ``sort="top"``   — upvotes descending
+  * ``sort="controversial"`` — downvotes descending
+  * ``sort="hot"``   — (upvotes - downvotes) descending ("score")
+  * ``limit``: 0 = unlimited (reference ``sentiment.py:56-58``)
+  * ``text_match``: case-insensitive substring keep (F4)
+
+The normalize step (F1, whitespace collapse + zero-width-entity strip +
+drop empty bodies) matches the readers' record cleanup
+(``api/scraper.py:56-66``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..functions.textnorm import normalize_array
+from .tables import read_table
+
+COMMENT_COLUMNS = ["id", "text", "upvotes", "downvotes", "permalink"]
+
+
+def read_comments(
+    path,
+    limit: int = 100,
+    sort: str = "new",
+    text_match: Optional[str] = None,
+) -> rd.Dataset:
+    """S1-S5 analog: read + normalize + (filter) + (sort) + limit."""
+    ds = read_table(path, columns=COMMENT_COLUMNS)
+
+    def clean(t: pa.Table) -> pa.Table:
+        norm = normalize_array(t["text"])
+        t = t.set_column(t.schema.get_field_index("text"), "text", norm)
+        t = t.filter(pc.not_equal(t["text"], pa.scalar("")))
+        if text_match:
+            t = t.filter(pc.match_substring(t["text"], text_match, ignore_case=True))
+        return t
+
+    ds = ds.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+    if sort == "top":
+        ds = ds.sort(["upvotes", "id"], descending=[True, False])
+    elif sort == "controversial":
+        ds = ds.sort(["downvotes", "id"], descending=[True, False])
+    elif sort == "hot":
+        ds = ds.map_batches(
+            lambda t: t.append_column(
+                "score", pc.subtract(t["upvotes"], t["downvotes"])
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).sort(["score", "id"], descending=[True, False]).drop_columns(["score"])
+    # "new": preserve input order (no sort)
+    if limit:
+        ds = ds.limit(limit)
+    return ds

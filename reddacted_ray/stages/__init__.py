@@ -1,0 +1,22 @@
+"""Ray Data stages. ``process_cached`` wraps a callable-class stage as a
+stateless task fn whose instance is cached per worker process — actor-style
+state amortization without actor-pool spin-up latency (Ray reuses worker
+processes across tasks). Prefer it for cheap-state stages; keep real actor
+pools (``map_batches(Cls, concurrency=...)``) for heavyweight per-worker
+state whose construction count must be bounded."""
+
+from __future__ import annotations
+
+_PROCESS_CACHE: dict = {}
+
+
+def process_cached(cls, **kwargs):
+    key = (cls.__module__, cls.__qualname__, repr(sorted(kwargs.items())))
+
+    def fn(batch):
+        inst = _PROCESS_CACHE.get(key)
+        if inst is None:
+            inst = _PROCESS_CACHE[key] = cls(**kwargs)
+        return inst(batch)
+
+    return fn

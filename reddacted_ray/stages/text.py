@@ -74,11 +74,11 @@ def text_stats(
     batch_size: int = 4096,
     concurrency=(1, 8),
 ) -> rd.Dataset:
+    from . import process_cached
+
     return ds.map_batches(
-        TextStats,
-        fn_constructor_kwargs=dict(text_col=text_col, with_ppl=with_ppl),
+        process_cached(TextStats, text_col=text_col, with_ppl=with_ppl),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency,
     )

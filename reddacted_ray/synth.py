@@ -177,7 +177,7 @@ def generate_table(num_rows: int, seed: int = 42, start_id: int = 0) -> pa.Table
 
 
 def write_dataset(
-    out_dir: str, num_rows: int, seed: int = 42, rows_per_shard: int = 25_000
+    out_dir: str, num_rows: int, seed: int = 42, rows_per_shard: int = 5_000
 ) -> str:
     """Write a sharded Parquet images dataset; idempotent (skips if a
     matching _SYNTH_MANIFEST exists). Returns ``out_dir``."""

@@ -1,0 +1,106 @@
+"""Tests: comment-source analogs (S1-S5), job CLI config merge, report sink."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from reddacted_ray.job import merge_configs
+from reddacted_ray.sources.comments import read_comments
+
+
+@pytest.fixture(scope="module")
+def comments_path(tmp_path_factory):
+    # golden reader fixture pattern (reference tests/test_scraper.py:29-119):
+    # small frozen input, exact expected rows
+    t = pa.table(
+        {
+            "id": pa.array([f"c{i}" for i in range(8)]),
+            "text": pa.array(
+                [
+                    "First   comment &amp;#x200B; here",
+                    "",  # dropped: empty body
+                    "  spaced   out  ",
+                    "the quick brown fox",
+                    "Nothing Special",
+                    "LOUD TEXT about Foxes",
+                    "tail row one",
+                    "tail row two",
+                ]
+            ),
+            "upvotes": pa.array([5, 0, 50, 3, 9, 2, 1, 7], pa.int64()),
+            "downvotes": pa.array([1, 0, 4, 9, 0, 2, 0, 1], pa.int64()),
+            "permalink": pa.array([f"/r/x/{i}" for i in range(8)]),
+        }
+    )
+    p = tmp_path_factory.mktemp("comments") / "comments.parquet"
+    pq.write_table(t, str(p))
+    return str(p)
+
+
+def test_read_comments_normalizes_and_drops_empty(ray_session, comments_path):
+    rows = read_comments(comments_path, limit=0).to_pandas().set_index("id")
+    assert len(rows) == 7  # empty body dropped (api/scraper.py:62)
+    # entity removed AFTER whitespace collapse -> double space survives
+    # (reference statement order, api/scraper.py:56-58)
+    assert rows.loc["c0", "text"] == "First comment  here"
+    assert rows.loc["c2", "text"] == "spaced out"
+
+
+def test_read_comments_sort_top_and_limit(ray_session, comments_path):
+    rows = read_comments(comments_path, limit=3, sort="top").to_pandas()
+    assert list(rows["id"]) == ["c2", "c4", "c7"]  # by upvotes desc
+
+
+def test_read_comments_hot_uses_score(ray_session, comments_path):
+    rows = read_comments(comments_path, limit=2, sort="hot").to_pandas()
+    assert list(rows["id"]) == ["c2", "c4"]  # ups-downs: 46, 9
+    assert "score" not in rows.columns
+
+
+def test_read_comments_text_match(ray_session, comments_path):
+    rows = read_comments(comments_path, limit=0, text_match="fox").to_pandas()
+    assert set(rows["id"]) == {"c3", "c5"}  # case-insensitive
+
+
+def test_merge_configs_precedence():
+    out = merge_configs(
+        {"limit": "5", "pii_only": "true", "input": "/env"},
+        {"limit": 7},
+        {"input": "/flag", "batch_size": None},
+    )
+    assert out == {"limit": 7, "pii_only": True, "input": "/flag"}
+
+
+def test_job_cli_end_to_end(synth_dir, tmp_path):
+    out = str(tmp_path / "jobout")
+    rep = str(tmp_path / "report.md")
+    env = dict(os.environ, REDD_SKIP_TEXT="This comment has been reddacted")
+    proc = subprocess.run(
+        [sys.executable, "-m", "reddacted_ray.job", "--input", synth_dir,
+         "--output", out, "--report", rep, "--num-cpus", "4"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["output"] == out and summary["wall_s"] > 0
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(out, format="parquet").count_rows()
+    assert n == 1199  # 1200 rows - 1 skip-text row
+    md = open(rep).read()
+    assert "# PII Analysis Report" in md and "Rows analyzed: 1199" in md
+
+
+def test_job_cli_requires_io():
+    proc = subprocess.run(
+        [sys.executable, "-m", "reddacted_ray.job"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 2
