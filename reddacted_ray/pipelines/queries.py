@@ -451,10 +451,17 @@ def q_window_events(sf_dir: str) -> rd.Dataset:
             {"window_start": win, "event_type": t["event_type"], "value_cents": cents}
         )
 
-    return (
-        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["window_start", "event_type"])
-        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="value_cents_sum"))
+    from ..stages.agg import grouped_sums
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_sums(prepped, ["window_start", "event_type"],
+                       ["value_cents"], count_alias="n_events")
+    # match oracle column names (value_cents partial-sum column -> final name)
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            [{"value_cents": "value_cents_sum"}.get(n, n) for n in t.schema.names]
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
 
 
@@ -488,15 +495,17 @@ def q_q1_pricing(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    return (
-        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty", alias_name="sum_qty"),
-            Sum("price_cents", alias_name="sum_price_cents"),
-            Sum("disc_price_e4", alias_name="sum_disc_price_e4"),
-            Count(alias_name="count_order"),
-        )
+    from ..stages.agg import grouped_sums
+
+    prepped = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_sums(prepped, ["l_returnflag", "l_linestatus"],
+                       ["qty", "price_cents", "disc_price_e4"],
+                       count_alias="count_order")
+    ren = {"qty": "sum_qty", "price_cents": "sum_price_cents",
+           "disc_price_e4": "sum_disc_price_e4"}
+    return out.map_batches(
+        lambda t: t.rename_columns([ren.get(n, n) for n in t.schema.names]),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
 
 
@@ -536,13 +545,19 @@ def q_revenue_by_nation(sf_dir: str) -> rd.Dataset:
                 }
             )
 
+    from ..stages import process_cached
+    from ..stages.agg import grouped_sums
+
     orders = sf_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    return (
-        orders.map_batches(Joiner, batch_format="pyarrow", zero_copy_batch=True,
-                           concurrency=(1, 4))
-        .groupby("nationkey")
-        .aggregate(Sum("price_cents", alias_name="revenue_cents"),
-                   Count(alias_name="n_orders"))
+    joined = orders.map_batches(process_cached(Joiner), batch_format="pyarrow",
+                                zero_copy_batch=True)
+    out = grouped_sums(joined, ["nationkey"], ["price_cents"],
+                       count_alias="n_orders")
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            [{"price_cents": "revenue_cents"}.get(n, n) for n in t.schema.names]
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
 
 
@@ -569,12 +584,18 @@ def q_semijoin_bigspenders(sf_dir: str) -> rd.Dataset:
                 }
             )
 
+    from ..stages import process_cached
+    from ..stages.agg import grouped_sums
+
     li = sf_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
-    return (
-        li.map_batches(Semi, batch_format="pyarrow", zero_copy_batch=True,
-                       concurrency=(1, 4))
-        .groupby("l_orderkey")
-        .aggregate(Count(alias_name="n_items"), Sum("qty", alias_name="sum_qty"))
+    filtered = li.map_batches(process_cached(Semi), batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out = grouped_sums(filtered, ["l_orderkey"], ["qty"], count_alias="n_items")
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            [{"qty": "sum_qty"}.get(n, n) for n in t.schema.names]
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
 
 

@@ -11,7 +11,14 @@ _PROCESS_CACHE: dict = {}
 
 
 def process_cached(cls, **kwargs):
-    key = (cls.__module__, cls.__qualname__, repr(sorted(kwargs.items())))
+    # unique tag per wrap: closure classes sharing a qualname (or the same
+    # class built over different broadcast refs) must not collide; the tag
+    # rides inside the serialized closure, so all tasks of one stage share
+    # one cache entry while distinct stages stay distinct
+    import uuid
+
+    key = (cls.__module__, cls.__qualname__, repr(sorted(kwargs.items())),
+           uuid.uuid4().hex)
 
     def fn(batch):
         inst = _PROCESS_CACHE.get(key)

@@ -1,0 +1,49 @@
+"""Partial (combiner-style) grouped aggregation.
+
+A bare ``groupby(key).aggregate(...)`` shuffles every row. When the group
+count is far smaller than the row count, pre-aggregating inside
+``map_batches`` (one partial row per key per block, computed with Arrow's
+native hash aggregation) shrinks the exchange to partials — the classic
+map-side combine. Sums here are integer-unit columns, so re-aggregation is
+exact and order-free.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+
+def grouped_sums(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    count_alias: str | None = None,
+) -> rd.Dataset:
+    """groupby(keys) computing Sum for each of ``sum_cols`` (same output
+    names) and optionally a row count, with map-side partial aggregation."""
+    keys = list(keys)
+    sum_cols = list(sum_cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        aggs = [(c, "sum") for c in sum_cols]
+        if count_alias:
+            t = t.append_column(
+                "__ones", pa.array(np.ones(t.num_rows, dtype=np.int64))
+            )
+            aggs.append(("__ones", "sum"))
+        g = t.group_by(keys).aggregate(aggs)
+        renames = {f"{c}_sum": c for c in sum_cols}
+        if count_alias:
+            renames["__ones_sum"] = count_alias
+        return g.rename_columns([renames.get(n, n) for n in g.schema.names])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    final_aggs = [Sum(c, alias_name=c) for c in sum_cols]
+    if count_alias:
+        final_aggs.append(Sum(count_alias, alias_name=count_alias))
+    return partials.groupby(keys).aggregate(*final_aggs)
