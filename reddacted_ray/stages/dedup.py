@@ -26,7 +26,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Min
+from ray.data.aggregate import Count, Min
+
 
 from ..functions.hashing import (
     MinHasher,
@@ -36,6 +37,32 @@ from ..functions.hashing import (
     shingles,
     simhash64,
 )
+
+
+def _only_colliding(rows: rd.Dataset, key_col: str = "band_key") -> rd.Dataset:
+    """Filter candidate rows down to keys that occur more than once.
+
+    ``groupby().map_groups`` pays a Python call per group; with mostly
+    unique bucket keys that dominates wall time. A cheap Count aggregate
+    finds the colliding keys (tiny set, proportional to duplicate mass),
+    which is broadcast once and applied as a vectorized ``is_in`` filter —
+    so the expensive per-group verify only ever sees real collisions. At
+    cluster scale, swap the driver-side collect for a hash-partitioned
+    semi-join if the colliding-key set itself is huge."""
+    counts = rows.groupby(key_col).aggregate(Count(alias_name="n"))
+    dup = counts.map_batches(
+        lambda t: t.filter(pa.compute.greater(t["n"], 1)).select([key_col]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    import ray as _ray
+
+    keys_ref = _ray.put(pa.array(sorted(dup[key_col]), pa.int64()))
+
+    def filt(t: pa.Table) -> pa.Table:
+        return t.filter(pa.compute.is_in(t[key_col], value_set=_ray.get(keys_ref)))
+
+    return rows.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -115,15 +142,15 @@ def minhash_lsh_duplicates(
     the bucket's min-id representative -> global min dup_of per id (a doc
     can appear in many buckets; Min-aggregate dedups the pairs).
     """
+    from . import process_cached
+
     rows = ds.map_batches(
-        _MinHashStage,
-        fn_constructor_kwargs=dict(
-            text_col=text_col, id_col=id_col, num_perm=num_perm,
+        process_cached(
+            _MinHashStage, text_col=text_col, id_col=id_col, num_perm=num_perm,
             bands=bands, shingle_n=shingle_n,
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency or (1, 8),
     )
 
     def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -140,7 +167,9 @@ def minhash_lsh_duplicates(
                 out_dup.append(rep_id)
         return pd.DataFrame({id_col: out_ids, "dup_of": out_dup})
 
-    pairs = rows.groupby("band_key").map_groups(verify_bucket, batch_format="pandas")
+    pairs = _only_colliding(rows).groupby("band_key").map_groups(
+        verify_bucket, batch_format="pandas"
+    )
     return pairs.groupby(id_col).aggregate(Min("dup_of", alias_name="dup_of"))
 
 
@@ -196,7 +225,9 @@ def simhash_duplicates(
                 od.append(rep_id)
         return pd.DataFrame({id_col: oi, "dup_of": od})
 
-    pairs = rows.groupby("band_key").map_groups(verify, batch_format="pandas")
+    pairs = _only_colliding(rows).groupby("band_key").map_groups(
+        verify, batch_format="pandas"
+    )
     return pairs.groupby(id_col).aggregate(Min("dup_of", alias_name="dup_of"))
 
 
@@ -249,7 +280,9 @@ def ngram_jaccard_duplicates(
                 od.append(rep_id)
         return pd.DataFrame({id_col: oi, "dup_of": od})
 
-    pairs = rows.groupby("band_key").map_groups(verify, batch_format="pandas")
+    pairs = _only_colliding(rows).groupby("band_key").map_groups(
+        verify, batch_format="pandas"
+    )
     return pairs.groupby(id_col).aggregate(Min("dup_of", alias_name="dup_of"))
 
 
@@ -314,5 +347,7 @@ def embedding_cosine_duplicates(
             }
         )
 
-    pairs = rows.groupby("band_key").map_groups(verify, batch_format="pandas")
+    pairs = _only_colliding(rows).groupby("band_key").map_groups(
+        verify, batch_format="pandas"
+    )
     return pairs.groupby(id_col).aggregate(Min("dup_of", alias_name="dup_of"))

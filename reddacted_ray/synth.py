@@ -191,12 +191,31 @@ def write_dataset(
     for old in os.listdir(out_dir):
         if old.endswith(".parquet"):
             os.remove(os.path.join(out_dir, old))
-    shard = 0
-    for start in range(0, num_rows, rows_per_shard):
-        n = min(rows_per_shard, num_rows - start)
-        t = generate_table(n, seed=seed, start_id=start)
-        pq.write_table(t, os.path.join(out_dir, f"part-{shard:05d}.parquet"))
-        shard += 1
+    shards = [
+        (i, start, min(rows_per_shard, num_rows - start))
+        for i, start in enumerate(range(0, num_rows, rows_per_shard))
+    ]
+    try:
+        import ray
+
+        use_ray = ray.is_initialized()
+    except ImportError:  # pragma: no cover
+        use_ray = False
+    if use_ray and len(shards) > 1:
+        # shards are seeded independently -> parallel generation is
+        # bit-identical to sequential
+        import ray
+
+        @ray.remote
+        def _gen(shard: int, start: int, n: int) -> None:
+            t = generate_table(n, seed=seed, start_id=start)
+            pq.write_table(t, os.path.join(out_dir, f"part-{shard:05d}.parquet"))
+
+        ray.get([_gen.remote(s, st, n) for s, st, n in shards])
+    else:
+        for s, st, n in shards:
+            t = generate_table(n, seed=seed, start_id=st)
+            pq.write_table(t, os.path.join(out_dir, f"part-{s:05d}.parquet"))
     with open(manifest, "w") as f:
         f.write(tag)
     return out_dir
