@@ -97,7 +97,8 @@ def run_bench() -> dict:
             res.count()
         timings[name] = round(time.perf_counter() - t, 3)
 
-    for name in [
+    skip_queries = os.environ.get("GRAFT_SKIP_QUERIES") == "1"
+    for name in [] if skip_queries else [
         "pii_scrub",
         "dedup_prefix",
         "dedup_minhash",
@@ -131,7 +132,7 @@ def run_scaling() -> dict:
     lo, hi = 8, 32
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

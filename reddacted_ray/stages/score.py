@@ -26,7 +26,7 @@ import pyarrow as pa
 from ..functions import sentiment as sentmod
 from ..functions.gate import GateBank
 from ..functions.pii import CompiledBank
-from ..functions.textstats import TrigramLM, predict_lang
+from ..functions.textstats import TrigramLM
 from ..oracle import LabelerConfig, scrub_payload
 from ..schema import PII_MATCH_TYPE
 
@@ -78,10 +78,27 @@ class Scorer:
         self.lm = TrigramLM()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..functions.textstats import LANG_ORDER, LANG_STOPWORDS
+
         cfg = self.cfg
         caps: list[str] = batch[self.text_col].to_pylist()
         ids: list[str] = [str(x) for x in batch[self.id_col].to_pylist()]
         n = len(caps)
+        # language-ID counts vectorized in Arrow C++ (identical non-overlap
+        # count semantics to the oracle's re.findall); argmax over
+        # LANG_ORDER == the oracle's first-max tie-break
+        low = pc.utf8_lower(batch[self.text_col])
+        lang_counts = np.empty((len(LANG_ORDER), n), dtype=np.int64)
+        for li, lang in enumerate(LANG_ORDER[:-1]):
+            pat = r"\b(?:" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+            lang_counts[li] = pc.count_substring_regex(low, pat).to_numpy()
+        lang_counts[-1] = pc.count_substring_regex(
+            batch[self.text_col], "[一-鿿]"
+        ).to_numpy()
+        lang_totals = lang_counts.sum(axis=0)
+        lang_best_idx = lang_counts.argmax(axis=0)
         sent = np.empty(n, dtype=np.float64)
         pii_risk = np.empty(n, dtype=np.float64)
         gate_flag = np.empty(n, dtype=bool)
@@ -114,9 +131,17 @@ class Scorer:
                 scrubbed.append(
                     self.bank.scrub_spans(text) if payload is None else payload
                 )
-            lg, lc = predict_lang(text)
-            langs.append(lg)
-            lang_confs[i] = lc
+            if lang_totals[i] == 0:
+                langs.append("und")
+                lang_confs[i] = 0.0
+            else:
+                bi = int(lang_best_idx[i])
+                langs.append(LANG_ORDER[bi])
+                # same ints, same IEEE division, same Python round as the
+                # oracle's predict_lang — bit-identical confidence
+                lang_confs[i] = round(
+                    int(lang_counts[bi, i]) / int(lang_totals[i]), 6
+                )
             ppl[i] = self.lm.perplexity(text)
         sent_label = np.where(sent == 0, "neu", np.where(sent > 0, "pos", "neg"))
         cols = {
