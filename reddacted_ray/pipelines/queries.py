@@ -670,9 +670,81 @@ def q_top_orders_per_customer(sf_dir: str) -> rd.Dataset:
     return orders.groupby("o_custkey").map_groups(top2, batch_format="pandas")
 
 
+def q_text_preview(sf_dir: str) -> rd.Dataset:
+    """F15 preview truncation (``utils/tables.py:27``: text[:67]+'...' if
+    len>70) — vectorized slice + mask."""
+
+    def prev(t: pa.Table) -> pa.Table:
+        long = pc.greater(pc.utf8_length(t["text"]), 70)
+        cut = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(t["text"], 0, 67), pa.scalar("..."), pa.scalar("")
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "preview": pc.if_else(long, cut, t["text"])}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        prev, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_source_top(sf_dir: str) -> pa.Table:
+    """S2/S4 reader semantics demo: normalize + sort (top mode) + limit 20,
+    with n_chars playing the 'upvotes' sort key."""
+    ds = _docs(sf_dir, ["doc_id", "text", "n_chars"])
+    ds = ds.map_batches(
+        make_normalize_fn(text_col="text", out_col="text"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    top = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
+    return pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible semantics)
 # ---------------------------------------------------------------------------
+
+
+def q_ann_ivf(sf_dir: str) -> pa.Table:
+    """IVF-probed approximate ANN (scale path of ann_topk; rows-only —
+    recall vs the exact baseline is asserted in tests)."""
+    import ray as _ray
+
+    from ..stages.similarity import IVFIndex, brute_force_topk, ivf_assign, ivf_topk
+
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    sample = np.asarray(
+        emb.limit(1000).to_pandas()["embedding"].tolist(), dtype=np.float32
+    )
+    idx = IVFIndex.train(sample, n_lists=8)
+    assigned = ivf_assign(emb, _ray.put(idx)).materialize()
+    qrow = emb.sort("vec_id").limit(1).take(1)[0]
+    res = ivf_topk(assigned, idx, np.asarray([qrow["embedding"]]), k=10, n_probe=4)
+    ids = [i for i, _ in res[0]]
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(ids) + 1), pa.int64()),
+            "vec_id": pa.array(ids, pa.int64()),
+        }
+    )
+
+
+def q_image_decode_stats(sf_dir: str) -> rd.Dataset:
+    """Multimodal decode stage over the synthetic image table (binary
+    column -> pixel stats + recomputed phash), rows-only."""
+    import os
+
+    from ..stages.multimodal import decode_stats
+    from ..sources.tables import read_table
+    from ..synth import write_dataset
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or "0.01"
+    img_dir = write_dataset(f"/tmp/graft_images/small_sf{sf}", 2000, seed=42)
+    ds = read_table(img_dir)
+    return decode_stats(ds).select_columns(
+        ["image_id", "fmt", "mean_lum", "phash_check", "decode_ok"]
+    )
 
 
 def q_sentiment_docs(sf_dir: str) -> rd.Dataset:
@@ -777,6 +849,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": q_revenue_by_nation,
         "semijoin_bigspenders": q_semijoin_bigspenders,
         "json_extract_events": q_json_extract,
+        "text_preview": q_text_preview,
+        "source_top_comments": q_source_top,
         "sessionize": q_sessionize,
         "top_orders_per_customer": q_top_orders_per_customer,
         # rows-only (non-SQL-expressible)
@@ -785,6 +859,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "ann_ivf": q_ann_ivf,
+        "image_decode_stats": q_image_decode_stats,
         "quality_filter_images": q_quality_filter_images,
     }
 
@@ -898,6 +974,15 @@ def oracle_sqls() -> dict[str, str]:
             " CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,"
             " count(*) AS n_orders"
             " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1"
+        ),
+        "text_preview": (
+            "SELECT doc_id, CASE WHEN length(text) > 70 THEN"
+            " substr(text, 1, 67) || '...' ELSE text END AS preview FROM documents"
+        ),
+        "source_top_comments": (
+            "SELECT doc_id, regexp_replace(replace(trim(regexp_replace(text,"
+            " '\s+', ' ', 'g')), '&amp;#x200B;', ''), '<.*?>', '', 'g') AS text,"
+            " n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20"
         ),
         "json_extract_events": (
             "SELECT event_id, event_type,"

@@ -26,7 +26,12 @@ def make_normalize_fn(
 
     def normalize_batch(batch: pa.Table) -> pa.Table:
         clean = strip_html_array(normalize_array(batch[text_col]))
-        batch = batch.append_column(out_col, clean)
+        if out_col == text_col:
+            batch = batch.set_column(
+                batch.schema.get_field_index(out_col), out_col, clean
+            )
+        else:
+            batch = batch.append_column(out_col, clean)
         mask = None
         if skip_text:
             mask = pc.invert(contains_mask(batch[out_col], skip_text))
