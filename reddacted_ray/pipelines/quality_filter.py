@@ -43,15 +43,30 @@ def _default_concurrency() -> tuple[int, int]:
     return (1, max(1, cpus))
 
 
+DECIDE_READ_COLUMNS = ["image_id", "caption", "phash"]
+
+
 def build(
     input_path: str,
     cfg: Optional[LabelerConfig] = None,
     batch_size: int = DEFAULT_BATCH_SIZE,
     concurrency: Optional[tuple[int, int] | int] = None,
+    mode: str = "materialize",
 ) -> rd.Dataset:
-    """Construct the lazy quality-filter Dataset over an images table."""
+    """Construct the lazy quality-filter Dataset over an images table.
+
+    ``mode="materialize"`` passes the full rows (incl. image ``bytes``)
+    through to the sink — the copy-the-corpus run. ``mode="decide"`` prunes
+    the binary column AT THE SCAN (only caption/id column chunks leave
+    storage) and emits the decision + scrubbed-caption table; at 100 TB this
+    is the standard shape — a later cheap step applies the id-keyed
+    decisions (see ``q_remediate`` / reference K2-K4) instead of rewriting
+    every pixel. Compute is identical in both modes.
+    """
     cfg = cfg or LabelerConfig()
-    ds = read_table(input_path)
+    ds = read_table(
+        input_path, columns=DECIDE_READ_COLUMNS if mode == "decide" else None
+    )
     ds = ds.map_batches(
         make_normalize_fn(skip_text=cfg.skip_text, text_match=cfg.text_match),
         batch_format="pyarrow",
@@ -76,6 +91,13 @@ def build(
             batch_size=batch_size,
             zero_copy_batch=True,
         )
+    # caption_clean is an inter-stage intermediate, not part of the output
+    # schema (SURVEY.md §1.7) — dropping it saves ~20% of sink bytes. In
+    # decide mode the original caption also stays behind (it lives in the
+    # source; the decision table is id-keyed).
+    ds = ds.drop_columns(
+        ["caption_clean", "caption"] if mode == "decide" else ["caption_clean"]
+    )
     if cfg.pii_only:
         # F12 (reference utils/report.py:50-63): keep rows with any risk signal
         ds = ds.map_batches(
