@@ -99,11 +99,15 @@ def run_bench() -> dict:
         build(img_dir, cfg=cfg, mode="decide").write_parquet(out_dir)
         headline = min(headline, time.perf_counter() - t0)
     # materialize mode: full-row copy incl. bytes (disk-bandwidth-bound on
-    # this single box; reported alongside, not the scaling metric)
-    os.sync()
-    t0m = time.perf_counter()
-    build(img_dir, cfg=cfg, mode="materialize").write_parquet(out_dir + ".mat")
-    materialize_sec = round(time.perf_counter() - t0m, 3)
+    # this single box; reported alongside, not the scaling metric; skipped
+    # in scaling legs so its writeback cannot pollute the other leg)
+    if os.environ.get("GRAFT_SKIP_MATERIALIZE") == "1":
+        materialize_sec = None
+    else:
+        os.sync()
+        t0m = time.perf_counter()
+        build(img_dir, cfg=cfg, mode="materialize").write_parquet(out_dir + ".mat")
+        materialize_sec = round(time.perf_counter() - t0m, 3)
 
     timings: dict[str, float] = {}
 
@@ -142,7 +146,9 @@ def run_bench() -> dict:
         "img_rows": img_rows,
         "images_per_sec": round(img_rows / headline, 1),
         "materialize_sec": materialize_sec,
-        "materialize_images_per_sec": round(img_rows / materialize_sec, 1),
+        "materialize_images_per_sec": (
+            round(img_rows / materialize_sec, 1) if materialize_sec else None
+        ),
     }
     ray.shutdown()
     return result
@@ -151,10 +157,16 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     """Same input, two parallelism levels in fresh processes (north_rule
     N-vs-4N substitute): report throughput at both + scaling efficiency."""
-    lo, hi = 8, 32
+    # N vs 4N with headroom: at num_cpus=32 on a 32-core box the Ray
+    # driver, raylet, GCS and object-store manager oversubscribe the
+    # machine and penalize the high leg with scheduler contention that a
+    # real 4N-node cluster does not have; 6 vs 24 keeps infra threads off
+    # the workers' cores at both levels
+    lo, hi = 6, 24
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1",
+                   GRAFT_SKIP_MATERIALIZE="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
