@@ -670,6 +670,33 @@ def q_top_orders_per_customer(sf_dir: str) -> rd.Dataset:
     return orders.groupby("o_custkey").map_groups(top2, batch_format="pandas")
 
 
+def q_salted_counts(sf_dir: str) -> rd.Dataset:
+    """Hot-key-safe grouped count: two-phase salted aggregation.
+
+    Phase 1 groups by (key, salt) so a hot key's rows spread over 8
+    sub-groups across the cluster; phase 2 re-aggregates the (tiny)
+    salted partials by key. Identical result to a direct groupby — the
+    salt only bounds per-group fan-in (SURVEY.md §7.5 skewed-groupby)."""
+
+    def addsalt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "salt": pa.array(np.arange(n, dtype=np.int64) % 8),
+                "one": pa.array(np.ones(n, dtype=np.int64)),
+            }
+        )
+
+    orders = sf_table(sf_dir, "orders", columns=["o_custkey"])
+    salted = (
+        orders.map_batches(addsalt, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["o_custkey", "salt"])
+        .aggregate(Sum("one", alias_name="n_part"))
+    )
+    return salted.groupby("o_custkey").aggregate(Sum("n_part", alias_name="n_orders"))
+
+
 def q_text_preview(sf_dir: str) -> rd.Dataset:
     """F15 preview truncation (``utils/tables.py:27``: text[:67]+'...' if
     len>70) — vectorized slice + mask."""
@@ -850,6 +877,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "semijoin_bigspenders": q_semijoin_bigspenders,
         "json_extract_events": q_json_extract,
         "text_preview": q_text_preview,
+        "salted_counts": q_salted_counts,
         "source_top_comments": q_source_top,
         "sessionize": q_sessionize,
         "top_orders_per_customer": q_top_orders_per_customer,
@@ -974,6 +1002,10 @@ def oracle_sqls() -> dict[str, str]:
             " CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,"
             " count(*) AS n_orders"
             " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1"
+        ),
+        "salted_counts": (
+            "SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders"
+            " FROM orders GROUP BY 1"
         ),
         "text_preview": (
             "SELECT doc_id, CASE WHEN length(text) > 70 THEN"

@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis): the optimized hot paths must be
+semantically identical to straightforward reference implementations.
+
+These guard the prefilter optimizations in ``functions/pii.py`` /
+``functions/gate.py`` and the vectorized normalizer: any input where an
+optimization changes behavior is a bug.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from reddacted_ray.functions import pii as piimod
+from reddacted_ray.functions.gate import DISCLOSURE_PATTERNS, TOXIC_WORDS, default_gate
+from reddacted_ray.functions.pii import CompiledBank
+from reddacted_ray.functions.textnorm import (
+    normalize_array,
+    normalize_text,
+    strip_html_array,
+    strip_html_text,
+)
+
+BANK = CompiledBank()
+GATE = default_gate()
+
+# text alphabet that exercises every prefilter branch: digits, '@', titles,
+# keywords, html, whitespace runs
+_CHUNKS = st.sampled_from(
+    [
+        "hello", "world", "123", "4111 1111 1111 1111", "a@b.com", "Dr.",
+        "Mr. John Smith", "call me", "contact", "ssn", "8 gpu", "3rd",
+        "100 times", "<b>", "</b>", " ", "  ", "\t", "\n", "&amp;#x200B;",
+        "my phone number is", "I live at", "idiot", "garbage", "16gb",
+        "555-0123", "(415) 555-0123", "123-45-6789", "Maple Street",
+        "x", ".", ",", "!", "so good", "not bad",
+    ]
+)
+TEXTS = st.lists(_CHUNKS, min_size=0, max_size=12).map(" ".join)
+
+
+def naive_analyze(text: str):
+    """Un-optimized transliteration of the reference detector
+    (pii_detector.py:67-107) — no prefilters."""
+    cp = {
+        n: (re.compile(p, re.IGNORECASE), c) for n, (p, c) in piimod.PATTERNS.items()
+    }
+    fps = [re.compile(p, re.IGNORECASE) for p in piimod.COMMON_FALSE_POSITIVES]
+    if any(fp.search(text) for fp in fps):
+        return []
+    out = []
+    for t, (rx, conf) in cp.items():
+        for m in rx.finditer(text):
+            full = m.group(0)
+            if t == "phone" and len(full.replace("-", "").replace(" ", "")) < 10:
+                continue
+            if t == "address" and not any(c.isalpha() for c in full.split()[-2]):
+                continue
+            out.append((t, full, conf))
+    boost = (
+        0.15
+        if any(
+            re.search(rf"\b{re.escape(kw)}\b", text, re.IGNORECASE)
+            for kw in piimod.CONTEXT_KEYWORDS
+        )
+        else 0.0
+    )
+    return [(t, v, min(1.0, c + boost)) for t, v, c in out]
+
+
+def naive_scrub(text: str) -> str:
+    for p, _c in piimod.PATTERNS.values():
+        text = re.sub(p, piimod.REDACTION_TOKEN, text, flags=re.IGNORECASE)
+    return text
+
+
+def naive_gate(text: str):
+    risk = 0.0
+    for p, c in DISCLOSURE_PATTERNS:
+        if re.search(p, text, re.IGNORECASE):
+            risk = max(risk, c)
+    tox = 0.0
+    for w, sc in TOXIC_WORDS.items():
+        if re.search(rf"\b{re.escape(w)}\b", text, re.IGNORECASE):
+            tox += sc
+    risk = max(risk, min(1.0, tox))
+    return risk >= 0.5, risk
+
+
+@settings(max_examples=300, deadline=None)
+@given(TEXTS)
+def test_prefiltered_detector_equals_naive(text):
+    got = [(m.type, m.value, m.confidence) for m in BANK.analyze_text(text)]
+    assert got == naive_analyze(text)
+
+
+@settings(max_examples=300, deadline=None)
+@given(TEXTS)
+def test_prefiltered_scrub_equals_naive(text):
+    assert BANK.scrub_spans(text) == naive_scrub(text)
+
+
+@settings(max_examples=300, deadline=None)
+@given(TEXTS)
+def test_prefiltered_gate_equals_naive(text):
+    assert GATE.score(text) == naive_gate(text)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(TEXTS, min_size=1, max_size=8))
+def test_vectorized_normalize_equals_reference(texts):
+    arr = pa.array(texts, pa.string())
+    vec = strip_html_array(normalize_array(arr)).to_pylist()
+    assert vec == [strip_html_text(normalize_text(t)) for t in texts]
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXTS)
+def test_risk_score_bounds_and_determinism(text):
+    score, matches = BANK.risk_score(text)
+    assert 0.0 <= score <= 1.0
+    assert (score == 0.0) == (not matches)
+    assert BANK.risk_score(text) == (score, matches)
