@@ -49,6 +49,11 @@ def _only_colliding(rows: rd.Dataset, key_col: str = "band_key") -> rd.Dataset:
     so the expensive per-group verify only ever sees real collisions. At
     cluster scale, swap the driver-side collect for a hash-partitioned
     semi-join if the colliding-key set itself is huge."""
+    # the candidate rows are consumed twice (count pass + verify pass);
+    # without materializing, the lazy signature stage would recompute for
+    # each consumer. Candidates are compact (key + id + signature), so
+    # pinning them in the object store (spillable) beats recompute.
+    rows = rows.materialize()
     counts = rows.groupby(key_col).aggregate(Count(alias_name="n"))
     dup = counts.map_batches(
         lambda t: t.filter(pa.compute.greater(t["n"], 1)).select([key_col]),
