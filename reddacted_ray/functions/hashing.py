@@ -11,7 +11,7 @@ from __future__ import annotations
 import hashlib
 import re
 import struct
-from typing import Iterable
+
 
 import numpy as np
 

@@ -15,7 +15,7 @@ is by construction and the tests verify it end-to-end.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Iterable, Optional
 
 from .functions import pii as piimod

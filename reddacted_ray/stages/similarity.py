@@ -18,7 +18,7 @@ Two paths (task brief "Similarity search"):
 from __future__ import annotations
 
 import heapq
-from typing import Optional
+# typing imports pruned
 
 import numpy as np
 import pyarrow as pa
