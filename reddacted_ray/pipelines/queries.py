@@ -830,6 +830,19 @@ def q_dedup_embedding(sf_dir: str) -> pa.Table:
     )
 
 
+def q_quality_gate_docs(sf_dir: str) -> rd.Dataset:
+    """Composed quality gate over documents: F13 keep AND lang/ppl
+    thresholds (rows-only: perplexity has no SQL analog)."""
+    from ..pipelines.quality_filter import build_docs
+    from ..stages.quality_gate import QualityGateConfig, apply_quality_gate
+
+    scored = build_docs(sf_dir)
+    gated = apply_quality_gate(
+        scored, QualityGateConfig(allowed_langs=["en", "und"], max_ppl=30.0)
+    )
+    return gated.select_columns(["doc_id", "lang", "ppl", "keep", "keep_quality"])
+
+
 def q_quality_filter_images(sf_dir: str) -> rd.Dataset:
     """Full flagship over the synthetic image+caption table (input_hint
     shape), sized to the sf directory; bytes column dropped from the result
@@ -889,6 +902,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": q_dedup_embedding,
         "ann_ivf": q_ann_ivf,
         "image_decode_stats": q_image_decode_stats,
+        "quality_gate_docs": q_quality_gate_docs,
         "quality_filter_images": q_quality_filter_images,
     }
 

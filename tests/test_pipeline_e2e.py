@@ -112,3 +112,21 @@ def test_write_output_partitioned(ray_session, synth_dir, tmp_path):
     back = pads.dataset(out_dir, format="parquet").to_table()
     assert back.num_rows == ds.count()
     assert "caption_scrubbed" in back.schema.names
+
+
+def test_quality_gate_composition(ray_session, synth_dir, scored_and_oracle):
+    from reddacted_ray.stages.quality_gate import QualityGateConfig, apply_quality_gate
+
+    _, oracle, _ = scored_and_oracle
+    ds = build(synth_dir, cfg=CFG, batch_size=256, concurrency=(1, 4))
+    qcfg = QualityGateConfig(allowed_langs=["en", "und"], max_ppl=30.0)
+    out = apply_quality_gate(ds, qcfg).to_pandas()
+    for row in out.itertuples():
+        o = oracle[row.image_id]
+        exp = o["keep"] and o["lang"] in ("en", "und") and o["ppl"] <= 30.0
+        assert row.keep_quality == exp, row.image_id
+    assert out["keep_quality"].sum() < out["keep"].sum()  # gate actually bites
+    n_drop = apply_quality_gate(
+        build(synth_dir, cfg=CFG, batch_size=256, concurrency=(1, 4)), qcfg, drop=True
+    ).count()
+    assert n_drop == int(out["keep_quality"].sum())
