@@ -136,6 +136,20 @@ def run_bench() -> dict:
     ]:
         timed(name, Q.registry()[name])
 
+    if not skip_queries:
+        # phash keep-first dedup over the full image table (A6): pruned
+        # read (id+phash only) -> hash-shuffle groupby -> Min aggregate
+        import ray.data as rd
+
+        from reddacted_ray.stages.dedup import dedup_group_first
+
+        t = time.perf_counter()
+        n_unique = dedup_group_first(
+            rd.read_parquet(img_dir, columns=["image_id", "phash"]),
+            "phash", "image_id",
+        ).count()
+        timings["dedup_phash_images"] = round(time.perf_counter() - t, 3)
+
     result = {
         "metric": "images/sec keep-drop+scrub throughput (synthetic image+caption table)",
         "value": round(headline, 3),
