@@ -56,7 +56,7 @@ GATE_THRESHOLD = 0.5
 class GateBank:
     """Compiled gate state; build once per worker."""
 
-    __slots__ = ("disclosure", "toxic", "_disclosure_any", "_toxic_any")
+    __slots__ = ("disclosure", "toxic", "_disclosure_any", "_toxic_any", "_any")
 
     def __init__(self) -> None:
         self.disclosure = [
@@ -75,9 +75,16 @@ class GateBank:
             r"\b(?:" + "|".join(re.escape(w) for w in TOXIC_WORDS) + r")\b",
             re.IGNORECASE,
         )
+        # single-scan early exit over both signal families
+        self._any = re.compile(
+            self._disclosure_any.pattern + "|" + self._toxic_any.pattern,
+            re.IGNORECASE,
+        )
 
     def score(self, text: str) -> Tuple[bool, float]:
         """Return (gate_flag, gate_risk) for one text."""
+        if self._any.search(text) is None:
+            return False, 0.0
         risk = 0.0
         if self._disclosure_any.search(text) is not None:
             for rx, conf in self.disclosure:

@@ -106,7 +106,7 @@ class CompiledBank:
 
     __slots__ = (
         "patterns", "false_positives", "context", "scrub_patterns",
-        "_digit", "_title", "_context_any",
+        "_digit", "_title", "_context_any", "_any_signal",
     )
 
     def __init__(self) -> None:
@@ -136,11 +136,17 @@ class CompiledBank:
             r"\b(?:" + "|".join(re.escape(kw) for kw in CONTEXT_KEYWORDS) + r")\b",
             re.IGNORECASE,
         )
+        # one-search early exit: every pattern (and every veto) requires a
+        # digit, an '@', or a title token — most clean rows leave after
+        # this single scan
+        self._any_signal = re.compile(r"[\d@]|\b(?:Mr|Mrs|Ms|Dr)\.", re.IGNORECASE)
 
     # -- detection ---------------------------------------------------------
 
     def analyze_text(self, text: str) -> List[PIIMatch]:
         """Reference ``PIIDetector.analyze_text`` (``pii_detector.py:67-107``)."""
+        if self._any_signal.search(text) is None:
+            return []
         has_digit = self._digit.search(text) is not None
         if has_digit and any(fp.search(text) for fp in self.false_positives):
             return []

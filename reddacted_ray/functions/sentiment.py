@@ -100,11 +100,17 @@ def compound_score(text: str) -> float:
     raw_tokens = _TOKEN_RE.findall(text)
     words = [t for t in raw_tokens if t != "!"]
     n_excl = min(4, sum(1 for t in raw_tokens if t == "!"))
-    lowered = [w.lower() for w in words]
-    # caps emphasis only applies when the text is mixed-case
-    has_caps_mix = any(w.isupper() and len(w) > 1 for w in words) and not all(
-        w.isupper() for w in words if len(w) > 1
-    )
+    if text.islower():
+        # fast path (identical semantics): no cased-upper tokens exist, so
+        # tokens are already lowercase and caps emphasis cannot apply
+        lowered = words
+        has_caps_mix = False
+    else:
+        lowered = [w.lower() for w in words]
+        # caps emphasis only applies when the text is mixed-case
+        has_caps_mix = any(w.isupper() and len(w) > 1 for w in words) and not all(
+            w.isupper() for w in words if len(w) > 1
+        )
     total = 0.0
     hit_any = False
     for i, w in enumerate(lowered):
