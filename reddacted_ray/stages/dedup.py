@@ -62,7 +62,9 @@ def _only_colliding(rows: rd.Dataset, key_col: str = "band_key") -> rd.Dataset:
     ).to_pandas()
     import ray as _ray
 
-    keys_ref = _ray.put(pa.array(sorted(dup[key_col]), pa.int64()))
+    # an all-unique input yields an empty (column-less) collect — filter
+    # everything out with an empty key set
+    keys_ref = _ray.put(pa.array(sorted(dup.get(key_col, [])), pa.int64()))
 
     def filt(t: pa.Table) -> pa.Table:
         return t.filter(pa.compute.is_in(t[key_col], value_set=_ray.get(keys_ref)))

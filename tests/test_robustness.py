@@ -1,0 +1,70 @@
+"""Robustness: empty inputs, unicode, degenerate tables through the engine."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from reddacted_ray.oracle import LabelerConfig, label_rows
+from reddacted_ray.pipelines.quality_filter import build
+from reddacted_ray.pipelines.report import aggregates
+from reddacted_ray.schema import IMAGES_SCHEMA
+from reddacted_ray.stages.dedup import exact_dedup, minhash_lsh_duplicates
+
+
+def _write(tmp_path, table, name="t.parquet"):
+    p = tmp_path / name
+    pq.write_table(table, str(p))
+    return str(p)
+
+
+def test_empty_images_table(ray_session, tmp_path):
+    empty = pa.table(
+        {f.name: pa.array([], f.type) for f in IMAGES_SCHEMA}, schema=IMAGES_SCHEMA
+    )
+    path = _write(tmp_path, empty)
+    ds = build(path, cfg=LabelerConfig())
+    assert ds.count() == 0
+    agg = aggregates(build(path, cfg=LabelerConfig()))
+    assert agg["num_rows"] == 0 and agg["mean_sentiment"] == 0.0
+    assert agg["max_risk_image_id"] is None
+
+
+def test_unicode_and_edge_captions_e2e(ray_session, tmp_path):
+    caps = [
+        "café naïve 你好 🙂 email x@y.com",
+        "",
+        "   ",
+        "a" * 5000,
+        "<" * 100,
+        "mixed ümlauts & emojis 🎉 with Dr. Ünal Smith",
+    ]
+    t = pa.table(
+        {
+            "image_id": pa.array([f"u{i}" for i in range(len(caps))]),
+            "bytes": pa.array([b"\x00"] * len(caps), pa.binary()),
+            "w": pa.array([1] * len(caps), pa.int32()),
+            "h": pa.array([1] * len(caps), pa.int32()),
+            "fmt": pa.array(["raw"] * len(caps)),
+            "caption": pa.array(caps),
+            "phash": pa.array([0] * len(caps), pa.int64()),
+        },
+        schema=IMAGES_SCHEMA,
+    )
+    path = _write(tmp_path, t)
+    out = build(path, cfg=LabelerConfig(), batch_size=2).to_pandas()
+    oracle = {r["image_id"]: r for r in label_rows(
+        [(f"u{i}", c) for i, c in enumerate(caps)]
+    )}
+    assert len(out) == len(caps)
+    for row in out.itertuples():
+        o = oracle[row.image_id]
+        assert row.keep == o["keep"]
+        assert row.caption_scrubbed == o["caption_scrubbed"]
+
+
+def test_dedup_on_empty_and_singleton(ray_session):
+    single = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array(["x"])})
+    )
+    assert exact_dedup(single, "text", "doc_id").count() == 1
+    assert minhash_lsh_duplicates(single, "text", "doc_id").count() == 0
