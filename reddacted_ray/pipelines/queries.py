@@ -830,6 +830,25 @@ def q_dedup_embedding(sf_dir: str) -> pa.Table:
     )
 
 
+def q_dedup_clusters(sf_dir: str) -> pa.Table:
+    """Transitive near-dup clusters: MinHash pairs -> connected components
+    (rows-only; see stages/cluster.py for the scale variants)."""
+    from ..stages.cluster import cluster_pairs
+    from ..stages.dedup import minhash_lsh_duplicates
+
+    pairs = minhash_lsh_duplicates(
+        _docs(sf_dir, ["doc_id", "text"]), "text", "doc_id", threshold=0.5
+    )
+    assign = cluster_pairs(pairs, "doc_id")
+    items = sorted(assign.items())
+    return pa.table(
+        {
+            "doc_id": pa.array([k for k, _ in items], pa.int64()),
+            "cluster_id": pa.array([v for _, v in items], pa.int64()),
+        }
+    )
+
+
 def q_quality_gate_docs(sf_dir: str) -> rd.Dataset:
     """Composed quality gate over documents: F13 keep AND lang/ppl
     thresholds (rows-only: perplexity has no SQL analog)."""
@@ -903,6 +922,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": q_ann_ivf,
         "image_decode_stats": q_image_decode_stats,
         "quality_gate_docs": q_quality_gate_docs,
+        "dedup_clusters": q_dedup_clusters,
         "quality_filter_images": q_quality_filter_images,
     }
 

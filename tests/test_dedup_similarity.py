@@ -191,3 +191,25 @@ def test_text_stats_parity(ray_session):
     assert row["n_tokens_ws"] == token_count_ws(row["text"])
     assert row["fingerprint"] == fingerprint_md5(row["text"])
     assert (out["ppl"] > 0).all()
+
+
+def test_connected_components_agree(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reddacted_ray.stages.cluster import cluster_pairs, cluster_pairs_distributed
+
+    # two chains + an isolated pair: {1-2-3-4}, {10-11}, {20-21-22}
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([2, 3, 4, 11, 21, 22], pa.int64()),
+                "dup_of": pa.array([1, 2, 3, 10, 20, 21], pa.int64()),
+            }
+        )
+    )
+    uf = cluster_pairs(pairs, "doc_id")
+    assert uf[4] == 1 and uf[3] == 1 and uf[11] == 10 and uf[22] == 20
+    dist = cluster_pairs_distributed(pairs, "doc_id").to_pandas()
+    got = dict(zip(dist["doc_id"], dist["cluster_id"]))
+    assert got == uf
