@@ -830,6 +830,37 @@ def q_dedup_embedding(sf_dir: str) -> pa.Table:
     )
 
 
+def q_union_ids(sf_dir: str) -> rd.Dataset:
+    """Set op: union of two id columns (``ds.union``)."""
+    d = _docs(sf_dir, ["doc_id"]).map_batches(
+        lambda t: pa.table({"id": t["doc_id"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    e = sf_table(sf_dir, "embeddings", columns=["vec_id"]).map_batches(
+        lambda t: pa.table({"id": t["vec_id"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return d.union(e)
+
+
+def q_filtered_scan(sf_dir: str) -> rd.Dataset:
+    """Predicate pushdown at the scan: row filter evaluated by the parquet
+    reader (only qualifying row groups/rows leave storage), then a grouped
+    count — no post-hoc filter stage."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    from ..sources.tables import read_table
+
+    li = read_table(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag"],
+        filter_expr=(pads.field("l_discount") > 0.08),
+    )
+    return li.groupby("l_returnflag").aggregate(Count(alias_name="n"))
+
+
 def q_dedup_clusters(sf_dir: str) -> pa.Table:
     """Transitive near-dup clusters: MinHash pairs -> connected components
     (rows-only; see stages/cluster.py for the scale variants)."""
@@ -910,6 +941,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "json_extract_events": q_json_extract,
         "text_preview": q_text_preview,
         "salted_counts": q_salted_counts,
+        "union_ids": q_union_ids,
+        "filtered_scan": q_filtered_scan,
         "source_top_comments": q_source_top,
         "sessionize": q_sessionize,
         "top_orders_per_customer": q_top_orders_per_customer,
@@ -1036,6 +1069,14 @@ def oracle_sqls() -> dict[str, str]:
             " CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,"
             " count(*) AS n_orders"
             " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1"
+        ),
+        "union_ids": (
+            "SELECT doc_id AS id FROM documents"
+            " UNION ALL SELECT vec_id AS id FROM embeddings"
+        ),
+        "filtered_scan": (
+            "SELECT l_returnflag, count(*) AS n FROM lineitem"
+            " WHERE l_discount > 0.08 GROUP BY 1"
         ),
         "salted_counts": (
             "SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders"
