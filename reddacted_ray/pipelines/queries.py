@@ -35,7 +35,6 @@ from ..functions.textstats import LANG_ORDER, LANG_STOPWORDS, lang_scores
 from ..oracle import LabelerConfig
 from ..sources.tables import sf_table
 from ..stages.normalize import make_normalize_fn
-from ..stages.score import Scorer
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (generated from the Python constants)

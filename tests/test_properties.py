@@ -124,3 +124,43 @@ def test_risk_score_bounds_and_determinism(text):
     assert 0.0 <= score <= 1.0
     assert (score == 0.0) == (not matches)
     assert BANK.risk_score(text) == (score, matches)
+
+
+# -- imaging & hashing properties -------------------------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 10_000), st.integers(1, 48), st.integers(1, 48))
+def test_png_roundtrip_random_images(seed, w, h):
+    import numpy as np
+
+    from reddacted_ray.imaging import decode_png, encode_png
+
+    px = np.random.RandomState(seed).randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 10_000), st.integers(8, 48), st.integers(8, 48))
+def test_fake_jpeg_psnr_bound(seed, w, h):
+    import numpy as np
+
+    from reddacted_ray.imaging import decode_fake_jpeg, encode_fake_jpeg, psnr
+
+    px = np.random.RandomState(seed).randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = decode_fake_jpeg(encode_fake_jpeg(px))
+    assert psnr(px, out) >= 40.0
+
+
+@settings(max_examples=40, deadline=None)
+@given(TEXTS, TEXTS)
+def test_minhash_estimates_jaccard(t1, t2):
+    import numpy as np
+
+    from reddacted_ray.functions.hashing import MinHasher, ngram_jaccard, shingles
+
+    if not shingles(t1) or not shingles(t2):
+        return
+    mh = MinHasher(num_perm=128, bands=16)
+    est = float(np.mean(mh.signature(t1) == mh.signature(t2)))
+    true = ngram_jaccard(t1, t2)
+    assert abs(est - true) <= 0.3  # 128 perms: generous statistical bound
