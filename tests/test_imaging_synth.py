@@ -70,3 +70,35 @@ def test_write_dataset_idempotent(synth_dir):
     mtimes = {f: os.path.getmtime(os.path.join(synth_dir, f)) for f in files}
     write_dataset(synth_dir, num_rows=1200, seed=42, rows_per_shard=300)
     assert mtimes == {f: os.path.getmtime(os.path.join(synth_dir, f)) for f in files}
+
+
+def test_parallel_generation_bit_identical(ray_session, tmp_path):
+    # parallel (ray tasks) and sequential generation must write identical
+    # shard bytes — resumability and caching depend on it
+    import os
+
+    from reddacted_ray.synth import write_dataset
+
+    seq = str(tmp_path / "seq")
+    par = str(tmp_path / "par")
+    import ray
+
+    assert ray.is_initialized()
+    write_dataset(par, 600, seed=7, rows_per_shard=200)  # parallel path
+    # force the sequential path by hiding ray initialization state
+    import reddacted_ray.synth as synth_mod
+
+    real_ray = synth_mod.__dict__.get("ray")
+    try:
+        import unittest.mock as mock
+
+        with mock.patch("ray.is_initialized", return_value=False):
+            write_dataset(seq, 600, seed=7, rows_per_shard=200)
+    finally:
+        if real_ray is not None:
+            synth_mod.__dict__["ray"] = real_ray
+    for f in sorted(os.listdir(par)):
+        if f.endswith(".parquet"):
+            assert open(os.path.join(par, f), "rb").read() == open(
+                os.path.join(seq, f), "rb"
+            ).read(), f
