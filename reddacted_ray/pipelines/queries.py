@@ -829,6 +829,37 @@ def q_dedup_embedding(sf_dir: str) -> pa.Table:
     )
 
 
+def q_join_priority(sf_dir: str) -> rd.Dataset:
+    """Large-side x large-side join: Ray Data's native hash-partitioned
+    ``Dataset.join`` (both sides shuffled on the key), then a combined
+    grouped sum. Revenue per order priority."""
+    from ..stages.agg import grouped_sums
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "revenue_e4": pc.cast(pc.round(pc.multiply(disc, 10000.0)), pa.int64()),
+            }
+        )
+
+    li = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    orders = sf_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = li.join(
+        orders, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    out = grouped_sums(joined, ["o_orderpriority"], ["revenue_e4"],
+                       count_alias="n_items")
+    return out
+
+
 def q_union_ids(sf_dir: str) -> rd.Dataset:
     """Set op: union of two id columns (``ds.union``)."""
     d = _docs(sf_dir, ["doc_id"]).map_batches(
@@ -941,6 +972,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "text_preview": q_text_preview,
         "salted_counts": q_salted_counts,
         "union_ids": q_union_ids,
+        "join_priority": q_join_priority,
         "filtered_scan": q_filtered_scan,
         "source_top_comments": q_source_top,
         "sessionize": q_sessionize,
@@ -1068,6 +1100,13 @@ def oracle_sqls() -> dict[str, str]:
             " CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,"
             " count(*) AS n_orders"
             " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1"
+        ),
+        "join_priority": (
+            "SELECT o_orderpriority,"
+            " CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)"
+            " AS BIGINT)) AS BIGINT) AS revenue_e4,"
+            " count(*) AS n_items"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"
         ),
         "union_ids": (
             "SELECT doc_id AS id FROM documents"
