@@ -133,6 +133,7 @@ def run_bench() -> dict:
         "q1_pricing",
         "revenue_by_nation",
         "semijoin_bigspenders",
+        "join_priority",
     ]:
         timed(name, Q.registry()[name])
 
