@@ -934,7 +934,11 @@ def q_quality_filter_images(sf_dir: str) -> rd.Dataset:
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or "0.01"
     rows = max(2000, int(float(sf) * 2_000_000))
-    img_dir = write_dataset(f"/tmp/graft_images/sf{sf}", min(rows, 200_000), seed=42)
+    # distinct dir from bench.py's (different row count -> different cache
+    # tag; sharing the dir would make each run clobber the other's cache)
+    img_dir = write_dataset(
+        f"/tmp/graft_images/qfq_sf{sf}", min(rows, 200_000), seed=42
+    )
     cfg = LabelerConfig(skip_text="This comment has been reddacted")
     ds = build(img_dir, cfg=cfg)
     return ds.select_columns(
