@@ -126,9 +126,19 @@ def main(argv=None) -> int:
         summary = {"output": cfg["output"]}
     summary["wall_s"] = round(time.perf_counter() - t0, 3)
     if cfg.get("report"):
-        agg = aggregates(build(cfg["input"], cfg=lcfg, batch_size=batch_size))
+        scored = build(cfg["input"], cfg=lcfg, batch_size=batch_size)
+        agg = aggregates(scored)
+        # per-row detail for the top-5 riskiest rows (reference K1 detail
+        # sections; tiny sort+limit materialization)
+        top = (
+            build(cfg["input"], cfg=lcfg, batch_size=batch_size)
+            .sort(["risk_score", "image_id"], descending=[True, False])
+            .limit(5)
+            .to_pandas()
+            .to_dict("records")
+        )
         write_markdown_report(agg, cfg["report"], source_label=cfg["input"],
-                              pii_only=lcfg.pii_only)
+                              pii_only=lcfg.pii_only, detail_rows=top)
         summary["report"] = cfg["report"]
     print(json.dumps(summary))
     ray.shutdown()

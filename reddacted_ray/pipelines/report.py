@@ -44,11 +44,48 @@ def aggregates(scored: rd.Dataset) -> dict[str, Any]:
     }
 
 
+def _detail_section(rows: list[dict[str, Any]]) -> list[str]:
+    """Per-row detail blocks (reference ``write_comment_details``,
+    ``utils/report.py:75-106``): text, scores, per-match list, gate risk."""
+    out: list[str] = []
+    for i, r in enumerate(rows, 1):
+        preview = r.get("caption_scrubbed") or r.get("caption_clean", "")
+        if len(preview) > 100:
+            preview = preview[:100] + "..."  # F15 riskiest-preview truncate
+        out += [
+            f"## Row {i}",
+            "",
+            f"**Text**: {preview}",
+            "",
+            f"- Sentiment Score: `{r['sentiment_score']:.2f}` ({r['sentiment_label']})",
+            f"- PII Risk Score: `{r['pii_risk_score']:.2f}`",
+            f"- Row ID: `{r['image_id']}`",
+        ]
+        if r.get("pii_matches"):
+            out += ["", "### Pattern-based PII Detected"]
+            out += [
+                f"- **{m['type']}** (confidence: {m['confidence']:.2f})"
+                for m in r["pii_matches"]
+            ]
+        if r.get("gate_flag"):
+            out += ["", "### Gate Analysis",
+                    f"- **Risk Score**: `{r['gate_risk']:.2f}`",
+                    "- **Flagged**: Yes"]
+        out.append("")
+    out.append("---")
+    return out
+
+
 def write_markdown_report(
-    agg: dict[str, Any], path: str, source_label: str = "", pii_only: bool = False
+    agg: dict[str, Any],
+    path: str,
+    source_label: str = "",
+    pii_only: bool = False,
+    detail_rows: list[dict[str, Any]] | None = None,
 ) -> None:
-    """K1 sink analog: the reference's markdown summary report
-    (``utils/report.py:137-202``) — header, aggregate section, riskiest row."""
+    """K1 sink analog: the reference's markdown report
+    (``utils/report.py:137-202``) — header, optional per-row detail
+    sections (pass e.g. the top-k riskiest rows), summary aggregates."""
     lines = [
         "# PII Analysis Report",
         "",
@@ -56,6 +93,10 @@ def write_markdown_report(
         f"- Rows analyzed: {agg['num_rows']}",
         f"- PII-only filter: {pii_only}",
         "",
+    ]
+    if detail_rows:
+        lines += _detail_section(detail_rows)
+    lines += [
         "## Summary",
         "",
         f"- Overall sentiment score: {agg['mean_sentiment']}",
