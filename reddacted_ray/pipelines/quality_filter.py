@@ -26,7 +26,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import ray
 import ray.data as rd
 import pyarrow.compute as pc
 
@@ -36,11 +35,6 @@ from ..stages.normalize import make_normalize_fn
 from ..stages.score import Scorer, make_scorer_fn
 
 DEFAULT_BATCH_SIZE = 2048
-
-
-def _default_concurrency() -> tuple[int, int]:
-    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    return (1, max(1, cpus))
 
 
 DECIDE_READ_COLUMNS = ["image_id", "caption", "phash"]
