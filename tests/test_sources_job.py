@@ -104,3 +104,19 @@ def test_job_cli_requires_io():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert proc.returncode == 2
+
+
+def test_job_cli_resumable(synth_dir, tmp_path):
+    out = str(tmp_path / "rout")
+    env = dict(os.environ, REDD_SKIP_TEXT="This comment has been reddacted")
+    args = [sys.executable, "-m", "reddacted_ray.job", "--input", synth_dir,
+            "--output", out, "--resumable", "--files-per-partition", "2",
+            "--num-cpus", "4"]
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p1 = subprocess.run(args, capture_output=True, text=True, env=env, cwd=cwd)
+    assert p1.returncode == 0, p1.stderr[-2000:]
+    s1 = json.loads(p1.stdout.strip().splitlines()[-1])
+    assert s1["partitions_ran"] == 2 and s1["partitions_total"] == 2
+    p2 = subprocess.run(args, capture_output=True, text=True, env=env, cwd=cwd)
+    s2 = json.loads(p2.stdout.strip().splitlines()[-1])
+    assert s2["partitions_ran"] == 0 and s2["partitions_skipped"] == 2
