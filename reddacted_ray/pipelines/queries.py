@@ -598,6 +598,61 @@ def q_semijoin_bigspenders(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_sliding_events(sf_dir: str) -> rd.Dataset:
+    """Sliding windowed aggregate: 1-hour windows sliding by 30 minutes.
+    Each event belongs to exactly 2 windows -> a vectorized flat emit of
+    (window_start, value) pairs, then the combiner-style grouped sum (no
+    per-row Python; the window fan-out is two arrow column ops)."""
+    from ..stages.agg import grouped_sums
+
+    ev = sf_table(sf_dir, "events", columns=["ts", "value"])
+
+    def emit(t: pa.Table) -> pa.Table:
+        # epoch seconds -> the two 30-min-aligned window starts covering ts
+        epoch = pc.cast(pc.cast(t["ts"], pa.int64()), pa.float64())  # us
+        slot = pc.cast(pc.floor(pc.divide(epoch, 1_800_000_000.0)), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        starts = []
+        for k in (0, 1):  # window starting at slot and slot-1
+            s = pc.multiply(pc.subtract(slot, k), pa.scalar(1_800_000_000))
+            starts.append(
+                pa.table(
+                    {
+                        "window_start": pc.cast(s, pa.timestamp("us")),
+                        "value_cents": cents,
+                    }
+                )
+            )
+        return pa.concat_tables(starts)
+
+    emitted = ev.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_sums(emitted, ["window_start"], ["value_cents"],
+                       count_alias="n_events")
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            [{"value_cents": "value_cents_sum"}.get(n, n) for n in t.schema.names]
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def q_distinct_users(sf_dir: str) -> pa.Table:
+    """Exact distinct count per event_type (SQL-checked); the approximate
+    KMV-sketch path lives in stages/sketch.py with a tolerance unit test."""
+    ev = sf_table(sf_dir, "events", columns=["event_type", "user_id"])
+    pairs = (
+        ev.groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="c"))
+        .drop_columns(["c"])
+    )
+    return (
+        pairs.groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+        .pipe(pa.Table.from_pandas, preserve_index=False)
+    )
+
+
 def q_json_extract(sf_dir: str) -> rd.Dataset:
     """F10 semi-structured parse: ``json.loads`` per row with the reference's
     error-fallback shape (``llm_detector.py:102-144``), extracting props.k."""
@@ -973,6 +1028,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": q_revenue_by_nation,
         "semijoin_bigspenders": q_semijoin_bigspenders,
         "json_extract_events": q_json_extract,
+        "sliding_events": q_sliding_events,
+        "distinct_users": q_distinct_users,
         "text_preview": q_text_preview,
         "salted_counts": q_salted_counts,
         "union_ids": q_union_ids,
@@ -1132,6 +1189,19 @@ def oracle_sqls() -> dict[str, str]:
             "SELECT doc_id, regexp_replace(replace(trim(regexp_replace(text,"
             " '\s+', ' ', 'g')), '&amp;#x200B;', ''), '<.*?>', '', 'g') AS text,"
             " n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20"
+        ),
+        "sliding_events": (
+            "WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,"
+            " CAST(floor(epoch(ts) / 1800) AS BIGINT) AS slot FROM events),"
+            " x AS (SELECT make_timestamp(slot * 1800 * 1000000) AS window_start,"
+            " cents FROM e UNION ALL"
+            " SELECT make_timestamp((slot - 1) * 1800 * 1000000), cents FROM e)"
+            " SELECT window_start, CAST(sum(cents) AS BIGINT) AS value_cents_sum,"
+            " count(*) AS n_events FROM x GROUP BY 1"
+        ),
+        "distinct_users": (
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users"
+            " FROM events GROUP BY 1"
         ),
         "json_extract_events": (
             "SELECT event_id, event_type,"

@@ -213,3 +213,21 @@ def test_connected_components_agree(ray_session):
     dist = cluster_pairs_distributed(pairs, "doc_id").to_pandas()
     got = dict(zip(dist["doc_id"], dist["cluster_id"]))
     assert got == uf
+
+
+def test_kmv_sketch_accuracy(ray_session):
+    from reddacted_ray.stages.sketch import KMVSketch, approx_distinct
+
+    ev = rd.read_parquet("/root/testdata/sf0.01/events.parquet",
+                         columns=["user_id"])
+    exact = len(set(ev.to_pandas()["user_id"]))
+    est = approx_distinct(ev, "user_id", k=1024)
+    assert abs(est - exact) / exact < 0.1  # ~3/sqrt(1024) ≈ 0.09
+    # mergeability: split-merge equals one-shot
+    import numpy as np
+
+    hs = np.arange(1, 50_001, dtype=np.uint64) * np.uint64(2654435761)
+    one = KMVSketch(256).add_hashes(hs)
+    a = KMVSketch(256).add_hashes(hs[:25_000])
+    b = KMVSketch(256).add_hashes(hs[25_000:])
+    assert np.array_equal(a.merge(b).values, one.values)
