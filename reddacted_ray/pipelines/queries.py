@@ -965,6 +965,40 @@ def q_dedup_clusters(sf_dir: str) -> pa.Table:
     )
 
 
+def q_dedup_image_features(sf_dir: str) -> pa.Table:
+    """Multimodal chain: decode -> histogram feature-extract ->
+    embedding-cosine near-dup over IMAGE feature vectors (rows-only).
+    Exact-duplicate images (the synthetic phash clusters) collide at
+    cosine ~1.0 regardless of caption."""
+    import os
+
+    from ..sources.tables import read_table
+    from ..stages import process_cached
+    from ..stages.dedup import embedding_cosine_duplicates
+    from ..stages.multimodal import ImageFeatures
+    from ..synth import write_dataset
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or "0.01"
+    img_dir = write_dataset(f"/tmp/graft_images/small_sf{sf}", 2000, seed=42)
+    ds = read_table(img_dir, columns=["image_id", "bytes", "fmt"])
+    feats = ds.map_batches(
+        process_cached(ImageFeatures), batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["image_id", "img_features"])
+    # histogram features of smooth synthetic gradients are weakly
+    # discriminative: different images reach cosine ~0.9999988 while
+    # identical images stay >= 0.99999994 (measured) — the tight threshold
+    # separates exactly
+    out = embedding_cosine_duplicates(
+        feats, "img_features", "image_id", dim=30, threshold=0.999999
+    ).to_pandas()
+    return pa.table(
+        {
+            "image_id": pa.array(out.get("image_id", []), pa.string()),
+            "dup_of": pa.array(out.get("dup_of", []), pa.string()),
+        }
+    )
+
+
 def q_quality_gate_docs(sf_dir: str) -> rd.Dataset:
     """Composed quality gate over documents: F13 keep AND lang/ppl
     thresholds (rows-only: perplexity has no SQL analog)."""
@@ -1047,6 +1081,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": q_ann_ivf,
         "image_decode_stats": q_image_decode_stats,
         "quality_gate_docs": q_quality_gate_docs,
+        "dedup_image_features": q_dedup_image_features,
         "dedup_clusters": q_dedup_clusters,
         "quality_filter_images": q_quality_filter_images,
     }

@@ -309,13 +309,22 @@ def embedding_cosine_duplicates(
 ) -> rd.Dataset:
     """(id, dup_of) for pairs with cosine >= threshold.
 
-    Random-hyperplane LSH: ``n_tables`` independent sign-sketches of
-    ``n_planes`` bits bucket the vectors; near-identical vectors collide in
-    at least one table with high probability. Exact cosine verified
-    per bucket against the min-id representative (vectorized numpy)."""
+    Random-hyperplane LSH over MEAN-CENTERED unit vectors: real embedding
+    distributions often occupy a narrow cone (e.g. image histograms), where
+    hyperplanes through the origin put everything in one bucket; centering
+    on a sampled global mean restores splitting power while identical
+    vectors still share identical keys. ``n_tables`` independent sign
+    sketches; exact cosine verified pairwise per bucket (vectorized)."""
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(n_tables, n_planes, dim)).astype(np.float32)
     powers = (1 << np.arange(n_planes, dtype=np.int64))
+    # sampled center, broadcast via closure (one small driver-side read)
+    sample = np.asarray(
+        ds.limit(2000).to_pandas()[vec_col].tolist(), dtype=np.float32
+    )
+    snorm = np.linalg.norm(sample, axis=1, keepdims=True)
+    snorm[snorm == 0] = 1.0
+    center = (sample / snorm).mean(axis=0).astype(np.float32)
 
     def emit(t: pa.Table) -> pa.Table:
         vecs = np.asarray(t[vec_col].to_pylist(), dtype=np.float32)
@@ -323,9 +332,10 @@ def embedding_cosine_duplicates(
         norm = np.linalg.norm(vecs, axis=1, keepdims=True)
         norm[norm == 0] = 1.0
         unit = vecs / norm
+        centered = unit - center
         out_ids, out_keys, out_vecs = [], [], []
         for ti in range(n_tables):
-            signs = (unit @ planes[ti].T) > 0  # (n, n_planes)
+            signs = (centered @ planes[ti].T) > 0  # (n, n_planes)
             keys = signs @ powers + (ti << n_planes)
             out_keys.extend(keys.tolist())
             out_ids.extend(ids)
@@ -345,14 +355,24 @@ def embedding_cosine_duplicates(
             return pd.DataFrame({id_col: [], "dup_of": []})
         g = g.sort_values(id_col, kind="mergesort")
         mat = np.asarray(g["unit"].tolist(), dtype=np.float32)
+        ids = g[id_col].to_numpy()
+        if len(g) <= 1024:
+            # full pairwise within the bucket: each row pairs with its
+            # EARLIEST matching partner. Rep-only verification misses true
+            # dups whenever a coarse bucket mixes clusters (the bucket min
+            # may belong to a different cluster).
+            sims = mat @ mat.T
+            out_i, out_d = [], []
+            for i in range(1, len(g)):
+                js = np.nonzero(sims[i, :i] >= threshold)[0]
+                if len(js):
+                    out_i.append(ids[i])
+                    out_d.append(ids[js[0]])
+            return pd.DataFrame({id_col: out_i, "dup_of": out_d})
+        # oversized bucket (pathologically coarse LSH): rep-only fallback
         sims = mat[1:] @ mat[0]
         keep = sims >= threshold
-        return pd.DataFrame(
-            {
-                id_col: g[id_col].iloc[1:].to_numpy()[keep],
-                "dup_of": g[id_col].iloc[0],
-            }
-        )
+        return pd.DataFrame({id_col: ids[1:][keep], "dup_of": ids[0]})
 
     pairs = _only_colliding(rows).groupby("band_key").map_groups(
         verify, batch_format="pandas"

@@ -79,6 +79,43 @@ class Resize:
         return t.append_column("h", pa.array(hs, pa.int32()))
 
 
+class ImageFeatures:
+    """Feature extraction: decode -> normalized color histogram + moments.
+
+    Emits ``img_features: list<float>`` (3 channels x ``bins`` histogram
+    + per-channel mean/std), a real embedding-style vector usable by the
+    similarity / embedding-dedup stages. Real for png/fake-jpeg."""
+
+    def __init__(self, bins: int = 8) -> None:
+        self.bins = bins
+
+    def _features(self, px: np.ndarray) -> np.ndarray:
+        feats = []
+        flat = px.reshape(-1, 3).astype(np.float64)
+        npx = flat.shape[0]
+        for c in range(3):
+            hist = np.bincount(
+                (flat[:, c] * self.bins / 256.0).astype(np.int64).clip(0, self.bins - 1),
+                minlength=self.bins,
+            )
+            feats.append(hist / npx)
+        feats.append(flat.mean(axis=0) / 255.0)
+        feats.append(flat.std(axis=0) / 255.0)
+        return np.concatenate(feats).astype(np.float32)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        dim = 3 * self.bins + 6
+        out = []
+        for blob, fmt in zip(t["bytes"].to_pylist(), t["fmt"].to_pylist()):
+            try:
+                out.append(self._features(decode(blob, fmt)).tolist())
+            except (NotImplementedError, ValueError):
+                out.append([0.0] * dim)
+        return t.append_column(
+            "img_features", pa.array(out, pa.list_(pa.float32()))
+        )
+
+
 class AudioFeatures:
     """STUB — no audio codec in this container.
 

@@ -231,3 +231,25 @@ def test_kmv_sketch_accuracy(ray_session):
     a = KMVSketch(256).add_hashes(hs[:25_000])
     b = KMVSketch(256).add_hashes(hs[25_000:])
     assert np.array_equal(a.merge(b).values, one.values)
+
+
+def test_image_feature_dedup_finds_exact_dups(ray_session):
+    import collections
+
+    from reddacted_ray.pipelines.queries import q_dedup_image_features
+    from reddacted_ray.synth import generate_table
+
+    out = q_dedup_image_features("/root/testdata/sf0.001").to_pandas()
+    t = generate_table(2000, seed=42)
+    groups = collections.defaultdict(list)
+    for i, b in enumerate(t["bytes"].to_pylist()):
+        groups[b].append(t["image_id"][i].as_py())
+    expected = {}
+    for ids in groups.values():
+        if len(ids) > 1:
+            rep = min(ids)
+            for x in ids:
+                if x != rep:
+                    expected[x] = rep
+    got = dict(zip(out["image_id"], out["dup_of"]))
+    assert got == expected  # every duplicate image found, nothing spurious
