@@ -164,15 +164,22 @@ def minhash_lsh_duplicates(
         if len(g) < 2:
             return pd.DataFrame({id_col: [], "dup_of": []})
         g = g.sort_values(id_col, kind="mergesort")
-        rep_sig = np.frombuffer(g["sig"].iloc[0], dtype=np.uint64)
-        rep_id = g[id_col].iloc[0]
-        out_ids, out_dup = [], []
-        for rid, sb in zip(g[id_col].iloc[1:], g["sig"].iloc[1:]):
-            sig = np.frombuffer(sb, dtype=np.uint64)
-            if float(np.mean(sig == rep_sig)) >= threshold:
-                out_ids.append(rid)
-                out_dup.append(rep_id)
-        return pd.DataFrame({id_col: out_ids, "dup_of": out_dup})
+        ids = g[id_col].to_numpy()
+        sigs = np.stack([np.frombuffer(b, dtype=np.uint64) for b in g["sig"]])
+        if len(g) <= 512:
+            # pairwise earliest-partner (rep-only misses dups when a bucket
+            # mixes clusters): sim = fraction of equal signature slots
+            eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+            out_i, out_d = [], []
+            for i in range(1, len(g)):
+                js = np.nonzero(eq[i, :i] >= threshold)[0]
+                if len(js):
+                    out_i.append(ids[i])
+                    out_d.append(ids[js[0]])
+            return pd.DataFrame({id_col: out_i, "dup_of": out_d})
+        sims = (sigs[1:] == sigs[0]).mean(axis=1)  # oversized: rep-only
+        keep = sims >= threshold
+        return pd.DataFrame({id_col: ids[1:][keep], "dup_of": ids[0]})
 
     pairs = _only_colliding(rows).groupby("band_key").map_groups(
         verify_bucket, batch_format="pandas"
@@ -278,13 +285,16 @@ def ngram_jaccard_duplicates(
         if len(g) < 2:
             return pd.DataFrame({id_col: [], "dup_of": []})
         g = g.sort_values(id_col, kind="mergesort")
-        rep = shingles(g["text"].iloc[0], shingle_n)
-        rep_id = g[id_col].iloc[0]
+        ids = g[id_col].to_numpy()
+        shs = [shingles(t, shingle_n) for t in g["text"]]
         oi, od = [], []
-        for rid, text in zip(g[id_col].iloc[1:], g["text"].iloc[1:]):
-            if jaccard(rep, shingles(text, shingle_n)) >= threshold:
-                oi.append(rid)
-                od.append(rep_id)
+        cap = min(len(g), 64)  # exact Jaccard is O(set) per pair — cap fan-in
+        for i in range(1, len(g)):
+            for j in range(min(i, cap)):
+                if jaccard(shs[i], shs[j]) >= threshold:
+                    oi.append(ids[i])
+                    od.append(ids[j])
+                    break
         return pd.DataFrame({id_col: oi, "dup_of": od})
 
     pairs = _only_colliding(rows).groupby("band_key").map_groups(
