@@ -95,6 +95,8 @@ def test_job_cli_end_to_end(synth_dir, tmp_path):
     assert n == 1199  # 1200 rows - 1 skip-text row
     md = open(rep).read()
     assert "# PII Analysis Report" in md and "Rows analyzed: 1199" in md
+    # per-row detail sections for the riskiest rows (K1 analog)
+    assert "## Row 1" in md and "Pattern-based PII Detected" in md
 
 
 def test_job_cli_requires_io():
