@@ -115,7 +115,12 @@ def label_rows(
     for image_id, caption in rows:
         if cfg.limit and n >= cfg.limit:
             break
-        r = label_row(caption, image_id, bank, gate, lm, cfg)
+        try:
+            r = label_row(caption, image_id, bank, gate, lm, cfg)
+        except Exception:
+            # reference row-error policy: skip the failing row and continue
+            # (sentiment.py:280-284)
+            continue
         if r is None:
             continue
         if cfg.pii_only and not (r["pii_risk_score"] > 0 or r["gate_flag"]):

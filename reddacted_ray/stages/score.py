@@ -93,10 +93,12 @@ class Scorer:
         lang_counts = np.empty((len(LANG_ORDER), n), dtype=np.int64)
         for li, lang in enumerate(LANG_ORDER[:-1]):
             pat = r"\b(?:" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
-            lang_counts[li] = pc.count_substring_regex(low, pat).to_numpy()
-        lang_counts[-1] = pc.count_substring_regex(
-            batch[self.text_col], "[一-鿿]"
-        ).to_numpy()
+            lang_counts[li] = pc.fill_null(
+                pc.count_substring_regex(low, pat), 0
+            ).to_numpy(zero_copy_only=False)
+        lang_counts[-1] = pc.fill_null(
+            pc.count_substring_regex(batch[self.text_col], "[一-鿿]"), 0
+        ).to_numpy(zero_copy_only=False)
         lang_totals = lang_counts.sum(axis=0)
         lang_best_idx = lang_counts.argmax(axis=0)
         sent = np.empty(n, dtype=np.float64)
@@ -110,39 +112,51 @@ class Scorer:
         langs: list[str] = []
         lang_confs = np.empty(n, dtype=np.float64)
         scrubbed: list[str] = []
+        error_rows: list[int] = []
         for i, (cid, text) in enumerate(zip(ids, caps)):
-            sent[i] = sentmod.compound_score(text)
-            pr, ms = self.bank.risk_score(text)
-            pii_risk[i] = pr
-            matches_col.append(
-                [{"type": m.type, "value": m.value, "confidence": m.confidence} for m in ms]
-            )
-            gf, gr = self.gate.score(text)
-            gate_flag[i] = gf
-            gate_risk[i] = gr
-            r = max(pr, gr) if gf else pr
-            risk[i] = r
-            k = not (r > cfg.risk_threshold or gf)
-            keep[i] = k
-            if k:
-                scrubbed.append(text)
-            else:
-                payload = scrub_payload(cfg, cid)
-                scrubbed.append(
-                    self.bank.scrub_spans(text) if payload is None else payload
-                )
-            if lang_totals[i] == 0:
-                langs.append("und")
-                lang_confs[i] = 0.0
-            else:
-                bi = int(lang_best_idx[i])
-                langs.append(LANG_ORDER[bi])
-                # same ints, same IEEE division, same Python round as the
-                # oracle's predict_lang — bit-identical confidence
-                lang_confs[i] = round(
-                    int(lang_counts[bi, i]) / int(lang_totals[i]), 6
-                )
-            ppl[i] = self.lm.perplexity(text)
+            try:
+                sent[i] = sentmod.compound_score(text)
+                pr, ms = self.bank.risk_score(text)
+                pii_risk[i] = pr
+                row_matches = [
+                    {"type": m.type, "value": m.value, "confidence": m.confidence}
+                    for m in ms
+                ]
+                gf, gr = self.gate.score(text)
+                gate_flag[i] = gf
+                gate_risk[i] = gr
+                r = max(pr, gr) if gf else pr
+                risk[i] = r
+                k = not (r > cfg.risk_threshold or gf)
+                keep[i] = k
+                if k:
+                    row_scrubbed = text
+                else:
+                    payload = scrub_payload(cfg, cid)
+                    row_scrubbed = (
+                        self.bank.scrub_spans(text) if payload is None else payload
+                    )
+                if lang_totals[i] == 0:
+                    row_lang = "und"
+                    lang_confs[i] = 0.0
+                else:
+                    bi = int(lang_best_idx[i])
+                    row_lang = LANG_ORDER[bi]
+                    # same ints, same IEEE division, same Python round as the
+                    # oracle's predict_lang — bit-identical confidence
+                    lang_confs[i] = round(
+                        int(lang_counts[bi, i]) / int(lang_totals[i]), 6
+                    )
+                ppl[i] = self.lm.perplexity(text)
+            except Exception:
+                # reference row-error policy: the failing row is skipped and
+                # processing continues (sentiment.py:280-284); the row is
+                # dropped from the output batch below
+                error_rows.append(i)
+                row_matches, row_lang, row_scrubbed = [], "und", ""
+            matches_col.append(row_matches)
+            langs.append(row_lang)
+            scrubbed.append(row_scrubbed)
         sent_label = np.where(sent == 0, "neu", np.where(sent > 0, "pos", "neg"))
         cols = {
             "sentiment_score": pa.array(sent),
@@ -160,4 +174,8 @@ class Scorer:
         }
         for name, arr in cols.items():
             batch = batch.append_column(name, arr)
+        if error_rows:
+            mask = np.ones(n, dtype=bool)
+            mask[error_rows] = False
+            batch = batch.filter(pa.array(mask))
         return batch

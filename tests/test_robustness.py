@@ -68,3 +68,25 @@ def test_dedup_on_empty_and_singleton(ray_session):
     )
     assert exact_dedup(single, "text", "doc_id").count() == 1
     assert minhash_lsh_duplicates(single, "text", "doc_id").count() == 0
+
+
+def test_null_caption_rows_are_skipped(ray_session, tmp_path):
+    # reference row-error policy (sentiment.py:280-284): bad row skipped,
+    # processing continues — both in the oracle and the Ray stage
+    t = pa.table(
+        {
+            "image_id": pa.array(["a", "b", "c"]),
+            "bytes": pa.array([b""] * 3, pa.binary()),
+            "w": pa.array([1] * 3, pa.int32()),
+            "h": pa.array([1] * 3, pa.int32()),
+            "fmt": pa.array(["raw"] * 3),
+            "caption": pa.array(["fine one", None, "another fine"]),
+            "phash": pa.array([0] * 3, pa.int64()),
+        },
+        schema=IMAGES_SCHEMA,
+    )
+    path = _write(tmp_path, t, "nulls.parquet")
+    out = build(path, cfg=LabelerConfig(), batch_size=2).to_pandas()
+    assert sorted(out["image_id"]) == ["a", "c"]
+    res = label_rows([("a", "fine one"), ("b", None), ("c", "another fine")])
+    assert sorted(r["image_id"] for r in res) == ["a", "c"]
