@@ -70,7 +70,12 @@ class MinHasher:
         if not sh:
             return np.full(self.num_perm, np.uint64(_MERSENNE), dtype=np.uint64)
         hv = np.array([stable_hash64(s) % _MERSENNE for s in sh], dtype=np.uint64)
-        # (a*h + b) mod p, vectorized over permutations x shingles
+        # (a*h + b) mod p over permutations x shingles. NOTE: a and h are
+        # ~2^61, so the uint64 product intentionally wraps mod 2^64 before
+        # the Mersenne mod — this is a deterministic mixed-modulus hash, not
+        # textbook Carter-Wegman mod p. Uniformity is empirically fine for
+        # LSH banding (see test_minhash_estimates_jaccard) and the wrap is
+        # identical on every worker, which is what dedup correctness needs.
         prod = (self.a[:, None] * hv[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
         return prod.min(axis=1)
 

@@ -86,6 +86,20 @@ def main(argv=None) -> int:
     if not cfg.get("input") or not cfg.get("output"):
         print("error: --input and --output are required", file=sys.stderr)
         return 2
+    # Ray's write_parquet APPENDS into an existing dir; a rerun with the
+    # same --output would silently duplicate rows. Refuse up front
+    # (resumable mode is the rerun-safe path).
+    if (
+        not cfg.get("resumable")
+        and os.path.isdir(cfg["output"])
+        and os.listdir(cfg["output"])
+    ):
+        print(
+            f"error: output dir {cfg['output']!r} exists and is non-empty;"
+            " remove it or use --resumable",
+            file=sys.stderr,
+        )
+        return 2
     import ray
 
     if not ray.is_initialized():

@@ -99,6 +99,17 @@ class Scorer:
         lang_counts[-1] = pc.fill_null(
             pc.count_substring_regex(batch[self.text_col], "[一-鿿]"), 0
         ).to_numpy(zero_copy_only=False)
+        # Arrow/RE2 \b is ASCII-only while the oracle's Python re \b is
+        # Unicode (e.g. 'für' adjacent to non-ASCII word chars counts
+        # differently). Exact parity: recompute the rare non-ASCII rows with
+        # the oracle's own per-row path.
+        from ..functions.textstats import lang_scores as _lang_scores
+
+        for i, text in enumerate(caps):
+            if not text.isascii():
+                sc = _lang_scores(text)
+                for li, lang in enumerate(LANG_ORDER):
+                    lang_counts[li, i] = sc[lang]
         lang_totals = lang_counts.sum(axis=0)
         lang_best_idx = lang_counts.argmax(axis=0)
         sent = np.empty(n, dtype=np.float64)

@@ -112,7 +112,14 @@ def run_resumable(
     plan = plan_partitions(files, files_per_partition)
     ran, skipped = 0, 0
     for pid, chunk in plan:
-        if pid in done:
+        # skip only when the committed record covers the SAME input files:
+        # if the input dir gained/lost files between runs, partition ids
+        # remap and the stale partition output must be recomputed (the
+        # atomic_write_dir rename overwrites it; completed() keeps the
+        # latest manifest record per pid)
+        if pid in done and done[pid].get("input_files") == [
+            os.path.basename(c) for c in chunk
+        ]:
             skipped += 1
             continue
         if max_partitions is not None and ran >= max_partitions:

@@ -166,3 +166,30 @@ def test_simhash_hamming():
 def test_ngram_jaccard():
     assert ngram_jaccard("a b c d e", "a b c d e") == 1.0
     assert ngram_jaccard("a b c d e", "v w x y z") == 0.0
+
+
+def test_scorer_langid_matches_oracle_on_non_ascii():
+    """ADVICE r1: Arrow/RE2 \\b is ASCII-only vs Python's Unicode \\b — the
+    Scorer must fall back to the oracle path for non-ASCII rows ('fürs' must
+    NOT count as a 'für' stopword hit)."""
+    from reddacted_ray.stages.score import Scorer
+
+    texts = [
+        "das haus ist fürs leben und der garten",  # RE2 would over-count 'fürs'
+        "für die katze und der hund ist nicht da",
+        "le chat est dans la maison pour que",
+        "the quick brown fox is in the house",
+        "日本語 一 二 三 the and",
+        "",
+    ]
+    t = pa.table(
+        {
+            "image_id": pa.array([str(i) for i in range(len(texts))]),
+            "caption_clean": pa.array(texts),
+        }
+    )
+    out = Scorer()(t)
+    for i, s in enumerate(texts):
+        lang, conf = predict_lang(s)
+        assert out["lang"][i].as_py() == lang, s
+        assert out["lang_conf"][i].as_py() == conf, s

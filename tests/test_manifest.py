@@ -56,6 +56,34 @@ def test_resume_skips_completed(ray_session, synth_dir, tmp_path):
     assert total == full.count()
 
 
+def test_resume_reruns_remapped_partitions(ray_session, tmp_path):
+    """If the input dir gains a file, partition ids remap; the resume check
+    must re-run (and overwrite) every partition whose input_files changed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    for name, lo in [("a.parquet", 0), ("c.parquet", 100)]:
+        pq.write_table(pa.table({"x": pa.array(range(lo, lo + 5))}),
+                       str(ind / name))
+    out = str(tmp_path / "out")
+    fn = lambda files: rd.read_parquet(files)
+    r1 = run_resumable(str(ind), out, fn, files_per_partition=1)
+    assert r1["partitions_ran"] == 2
+    # new file sorts between a and c -> partition 00001 now holds b, not c
+    pq.write_table(pa.table({"x": pa.array(range(200, 205))}),
+                   str(ind / "b.parquet"))
+    r2 = run_resumable(str(ind), out, fn, files_per_partition=1)
+    # 00000 (a) unchanged -> skipped; 00001 (b) + 00002 (c) re-run
+    assert r2["partitions_skipped"] == 1 and r2["partitions_ran"] == 2
+    dset = pads.dataset(out, format="parquet",
+                        exclude_invalid_files=True)
+    got = sorted(dset.to_table()["x"].to_pylist())
+    assert got == list(range(0, 5)) + list(range(100, 105)) + list(range(200, 205))
+
+
 def test_atomic_dir_discards_on_failure(tmp_path):
     mf = Manifest(str(tmp_path / "o"))
     with pytest.raises(RuntimeError):

@@ -99,6 +99,22 @@ def test_job_cli_end_to_end(synth_dir, tmp_path):
     assert "## Row 1" in md and "Pattern-based PII Detected" in md
 
 
+def test_job_cli_refuses_nonempty_output(tmp_path):
+    """Non-resumable rerun into an existing output dir would silently append
+    duplicate rows (write_parquet appends) — the CLI must refuse up front."""
+    out = tmp_path / "dirty"
+    out.mkdir()
+    (out / "old.parquet").write_bytes(b"stale")
+    proc = subprocess.run(
+        [sys.executable, "-m", "reddacted_ray.job", "--input", "/nonexistent",
+         "--output", str(out)],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 2
+    assert "non-empty" in proc.stderr
+
+
 def test_job_cli_requires_io():
     proc = subprocess.run(
         [sys.executable, "-m", "reddacted_ray.job"],
