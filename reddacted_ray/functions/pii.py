@@ -72,6 +72,13 @@ COMMON_FALSE_POSITIVES: list[str] = [
 
 CONTEXT_BOOST = 0.15
 
+# RE2-safe vectorized prefilter (Arrow ``match_substring_regex``, ASCII rows
+# only — callers route non-ASCII rows to the exact Python path because
+# Python's \d also matches Unicode digits): same sufficient condition as
+# ``CompiledBank._any_signal`` — every pattern needs a digit, an '@', or a
+# title token, so a non-matching row is provably (0.0, []).
+PREFILTER_RE2 = r"[0-9@]|\b(?:Mr|Mrs|Ms|Dr)\."
+
 TYPE_WEIGHTS: dict[str, float] = {
     "ssn": 1.2,
     "credit_card": 1.2,

@@ -87,6 +87,17 @@ NORM_ALPHA = 15.0
 
 _TOKEN_RE = re.compile(r"[A-Za-z']+|!")
 
+# RE2-safe vectorized prefilter (Arrow ``match_substring_regex``): matches
+# iff the text contains a lexicon word delimited by non-token chars — i.e.
+# exactly when ``compound_score`` can be nonzero (no lexicon token -> 0.0
+# regardless of boosters/negation/exclamation). Char-class delimiters
+# instead of \b because RE2's \b is ASCII-word-based and would miss a token
+# after a digit ("123good"); existence is decided by the leftmost delimited
+# occurrence, so match consumption of the right delimiter cannot hide hits.
+PREFILTER_RE2 = (
+    "(?:^|[^A-Za-z'])(?:" + "|".join(sorted(LEXICON)) + ")(?:[^A-Za-z']|$)"
+)
+
 
 def _normalize(total: float) -> float:
     score = total / math.sqrt(total * total + NORM_ALPHA)

@@ -144,7 +144,7 @@ class TrigramLM:
     "unknown" bucket (count 0 ⇒ the smoothed floor probability).
     """
 
-    __slots__ = ("vocab", "k", "A", "lut", "tableD")
+    __slots__ = ("vocab", "k", "A", "lut", "tableD", "lut32")
 
     def __init__(self, corpus: str = _SEED_CORPUS, k: float = 0.1) -> None:
         import numpy as np
@@ -166,6 +166,8 @@ class TrigramLM:
         self.vocab = len(present) + 1
         # tableD[k3] == log((tri+k)/(bi+k*V)) for that trigram
         self.tableD = np.log(tri + k) - np.log(bi.repeat(A) + k * self.vocab)
+        # int32 code path halves memory traffic in the batch kernel
+        self.lut32 = lut.astype(np.int32)
 
     def logprob(self, text: str) -> float:
         import numpy as np
@@ -177,8 +179,54 @@ class TrigramLM:
         k3 = (arr[:-2] * self.A + arr[1:-1]) * self.A + arr[2:]
         return float(self.tableD[k3].sum())
 
+    def perplexity_batch(self, texts) -> "np.ndarray":
+        """Score a whole column in one numpy gather (the Ray-batch kernel).
+
+        All texts are concatenated into one byte buffer; per-row log-prob
+        sums are segmented ``np.add.reduceat`` calls whose result depends
+        only on the row's own trigrams — so batching composition cannot
+        perturb a row's float result, and ``perplexity`` (the oracle's
+        per-row entry point) delegates here for bit-identical parity
+        between the distributed stage and the sequential labeler.
+        Non-string rows score as empty (the pipeline's row-error policy
+        drops them via the detector path before ppl is ever read).
+        """
+        import numpy as np
+
+        n = len(texts)
+        out = np.full(n, float(self.vocab), dtype=np.float64)
+        datas = []
+        lens = np.empty(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            b = ("  " + t.lower()).encode("utf-8") if isinstance(t, str) and t else b""
+            datas.append(b)
+            lens[i] = len(b)
+        if not lens.any():
+            return out
+        # 2 sentinel bytes keep every segment end index < len(k3)
+        buf = b"".join(datas) + b"  "
+        arr = self.lut32[np.frombuffer(buf, dtype=np.uint8)]
+        A = np.int32(self.A)
+        k3 = arr[:-2] * (A * A)
+        k3 += arr[1:-1] * A
+        k3 += arr[2:]
+        vals = self.tableD[k3]
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        live = np.nonzero(lens)[0]
+        counts = lens[live] - 2  # trigrams per live row, always >= 1
+        # interleaved [start, end) pairs; cross-row trigram positions fall in
+        # the 2-slot gaps between segments and are never summed
+        inter = np.empty(2 * len(live), dtype=np.int64)
+        inter[0::2] = offs[live]
+        inter[1::2] = offs[live] + counts
+        sums = np.add.reduceat(vals, inter)[0::2]
+        # IEEE division is correctly rounded (batch == scalar bitwise);
+        # math.exp keeps the historical per-row semantics exactly
+        out[live] = [round(math.exp(x), 4) for x in (-sums / counts).tolist()]
+        return out
+
     def perplexity(self, text: str) -> float:
-        data_len = len(("  " + text.lower()).encode("utf-8")) - 2
-        if not text or data_len < 1:
+        if not text:
             return float(self.vocab)
-        return round(math.exp(-self.logprob(text) / data_len), 4)
+        return float(self.perplexity_batch([text])[0])

@@ -9,11 +9,15 @@ rows per scorer (SURVEY.md §7.2 step 3) and amortizes all state builds
 built once in ``__init__`` (reference rebuilt its analyzer per call,
 ``sentiment.py:183`` — an inefficiency we fix).
 
-The per-string PII/sentiment cores are intentionally Python loops over
-``column.to_pylist()`` inside the batch (``finditer`` multi-match semantics
-are not exactly vectorizable, SURVEY.md §2.8); everything around them is
-Arrow-vectorized. Batches arrive zero-copy; the wide ``bytes`` column is
-passed through untouched (never decoded here).
+The per-string PII/sentiment cores retain their Python ``finditer``
+multi-match semantics (not exactly vectorizable, SURVEY.md §2.8), but the
+hot path is vectorized around them: one Arrow RE2 prefilter scan per signal
+family masks out the rows that provably score zero (the overwhelming
+majority), perplexity is one whole-column gather (``TrigramLM
+.perplexity_batch``, shared with the oracle for bit parity), and language-ID
+runs as Arrow count kernels. Only rows with actual signal pay the per-row
+Python cost. Batches arrive zero-copy; the wide ``bytes`` column is passed
+through untouched (never decoded here).
 """
 
 from __future__ import annotations
@@ -99,26 +103,56 @@ class Scorer:
         lang_counts[-1] = pc.fill_null(
             pc.count_substring_regex(batch[self.text_col], "[一-鿿]"), 0
         ).to_numpy(zero_copy_only=False)
+        # rows needing the exact Python path: non-ASCII (Unicode \b / digit /
+        # casefold semantics) or non-string (row-error policy applies)
+        exact_path = np.fromiter(
+            (not (isinstance(s, str) and s.isascii()) for s in caps), bool, n
+        )
         # Arrow/RE2 \b is ASCII-only while the oracle's Python re \b is
         # Unicode (e.g. 'für' adjacent to non-ASCII word chars counts
         # differently). Exact parity: recompute the rare non-ASCII rows with
         # the oracle's own per-row path.
         from ..functions.textstats import lang_scores as _lang_scores
 
-        for i, text in enumerate(caps):
-            if not text.isascii():
-                sc = _lang_scores(text)
+        for i in np.nonzero(exact_path)[0]:
+            if isinstance(caps[i], str):
+                sc = _lang_scores(caps[i])
                 for li, lang in enumerate(LANG_ORDER):
                     lang_counts[li, i] = sc[lang]
         lang_totals = lang_counts.sum(axis=0)
         lang_best_idx = lang_counts.argmax(axis=0)
-        sent = np.empty(n, dtype=np.float64)
+        # --- vectorized prefilter masks (Arrow RE2, one C++ DFA scan per
+        # signal family instead of a Python regex scan per row). Each mask is
+        # a proven over-approximation of "this row can have a nonzero
+        # signal": sentiment needs a delimited lexicon token, PII needs a
+        # digit/@/title, the gate needs a disclosure/toxicity hit (RE2 \b
+        # over-triggers vs Python's Unicode \b, never under-triggers, for
+        # the banks' all-ASCII literals). Non-ASCII / non-string rows take
+        # the exact per-row path (mask forced True) so Unicode digit /
+        # casefold edge semantics stay oracle-identical.
+        col = batch[self.text_col]
+
+        def _mask(pattern: str) -> np.ndarray:
+            m = pc.fill_null(
+                pc.match_substring_regex(col, pattern, ignore_case=True), False
+            ).to_numpy(zero_copy_only=False)
+            return m | exact_path
+
+        from ..functions.pii import PREFILTER_RE2 as PII_PREFILTER_RE2
+
+        sent_hit = _mask(sentmod.PREFILTER_RE2)
+        pii_hit = _mask(PII_PREFILTER_RE2)
+        gate_hit = _mask(self.gate._any.pattern)
+        # whole-column perplexity: one gather + segmented reduceat (the
+        # oracle's per-row ``perplexity`` delegates to this same kernel, so
+        # results are bit-identical regardless of batching)
+        ppl = self.lm.perplexity_batch(caps)
+        sent = np.zeros(n, dtype=np.float64)
         pii_risk = np.empty(n, dtype=np.float64)
         gate_flag = np.empty(n, dtype=bool)
         gate_risk = np.empty(n, dtype=np.float64)
         risk = np.empty(n, dtype=np.float64)
         keep = np.empty(n, dtype=bool)
-        ppl = np.empty(n, dtype=np.float64)
         matches_col: list[list[dict[str, Any]]] = []
         langs: list[str] = []
         lang_confs = np.empty(n, dtype=np.float64)
@@ -126,14 +160,21 @@ class Scorer:
         error_rows: list[int] = []
         for i, (cid, text) in enumerate(zip(ids, caps)):
             try:
-                sent[i] = sentmod.compound_score(text)
-                pr, ms = self.bank.risk_score(text)
+                if sent_hit[i]:
+                    sent[i] = sentmod.compound_score(text)
+                if pii_hit[i]:
+                    pr, ms = self.bank.risk_score(text)
+                else:
+                    pr, ms = 0.0, ()
                 pii_risk[i] = pr
                 row_matches = [
                     {"type": m.type, "value": m.value, "confidence": m.confidence}
                     for m in ms
                 ]
-                gf, gr = self.gate.score(text)
+                if gate_hit[i]:
+                    gf, gr = self.gate.score(text)
+                else:
+                    gf, gr = False, 0.0
                 gate_flag[i] = gf
                 gate_risk[i] = gr
                 r = max(pr, gr) if gf else pr
@@ -158,7 +199,6 @@ class Scorer:
                     lang_confs[i] = round(
                         int(lang_counts[bi, i]) / int(lang_totals[i]), 6
                     )
-                ppl[i] = self.lm.perplexity(text)
             except Exception:
                 # reference row-error policy: the failing row is skipped and
                 # processing continues (sentiment.py:280-284); the row is

@@ -164,3 +164,57 @@ def test_minhash_estimates_jaccard(t1, t2):
     est = float(np.mean(mh.signature(t1) == mh.signature(t2)))
     true = ngram_jaccard(t1, t2)
     assert abs(est - true) <= 0.3  # 128 perms: generous statistical bound
+
+
+# -- scorer hot-path vectorizations (round 2) --------------------------------
+
+import numpy as np
+import pyarrow.compute as pc
+
+from reddacted_ray.functions import sentiment as sentmod
+from reddacted_ray.functions.pii import PREFILTER_RE2 as PII_PRE
+from reddacted_ray.functions.textstats import TrigramLM
+
+LM = TrigramLM()
+
+
+@settings(max_examples=300, deadline=None)
+@given(TEXTS)
+def test_sentiment_prefilter_is_sound(text):
+    """Arrow RE2 prefilter miss must imply compound_score == 0 (ASCII inputs;
+    non-ASCII rows bypass the mask in the Scorer)."""
+    hit = pc.match_substring_regex(
+        pa.array([text]), sentmod.PREFILTER_RE2, ignore_case=True
+    )[0].as_py()
+    if not hit:
+        assert sentmod.compound_score(text) == 0.0
+
+
+@settings(max_examples=300, deadline=None)
+@given(TEXTS)
+def test_pii_prefilter_is_sound(text):
+    hit = pc.match_substring_regex(
+        pa.array([text]), PII_PRE, ignore_case=True
+    )[0].as_py()
+    if not hit:
+        assert BANK.risk_score(text) == (0.0, [])
+
+
+@settings(max_examples=300, deadline=None)
+@given(TEXTS)
+def test_gate_prefilter_is_sound(text):
+    hit = pc.match_substring_regex(
+        pa.array([text]), GATE._any.pattern, ignore_case=True
+    )[0].as_py()
+    if not hit:
+        assert GATE.score(text) == (False, 0.0)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(TEXTS, min_size=0, max_size=12))
+def test_perplexity_batch_equals_single(texts):
+    """Batch composition must not perturb any row's ppl (bitwise): the
+    oracle scores per row, the Ray stage per column, through this kernel."""
+    batch = LM.perplexity_batch(texts)
+    single = np.array([LM.perplexity(t) for t in texts], dtype=np.float64)
+    assert np.array_equal(batch, single)
