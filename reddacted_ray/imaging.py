@@ -9,13 +9,16 @@ for lossy formats. No image library (PIL etc.) exists in this container, so:
     IDAT) implemented on ``zlib`` + ``struct``. Encoding is deterministic
     and decode(encode(x)) == x exactly.
   * ``jpeg``: the container has no JPEG codec, so per the task instructions
-    the lossy path is a DETERMINISTIC FAKE, clearly marked: a "FJPG" byte
-    format that quantizes each channel to 5 bits (center-of-bucket
-    reconstruction, worst-case RMSE ≈ 2.35 ⇒ PSNR ≈ 40.7 dB, satisfying
-    the >= 40 dB lossy invariant) and zlib-compresses. The Ray-side
-    plumbing (binary column handling, schema, batch sizing) is real; only
-    the codec mathematics is a stand-in. Swap ``encode_fake_jpeg`` /
-    ``decode_fake_jpeg`` for a real libjpeg binding in production.
+    the lossy path is a DETERMINISTIC FAKE, clearly marked: a "FJP2" byte
+    format that quantizes each channel to 6 bits (center-of-bucket
+    reconstruction, per-channel error in {-2..1} ⇒ worst-case MSE 4 ⇒
+    PSNR >= 42.1 dB GUARANTEED for every image, satisfying the >= 40 dB
+    lossy invariant deterministically — the earlier 5-bit "FJPG" bound was
+    only statistical and a worst-case 8x8 image could dip to ~36 dB) and
+    zlib-compresses. The Ray-side plumbing (binary column handling,
+    schema, batch sizing) is real; only the codec mathematics is a
+    stand-in. Swap ``encode_fake_jpeg`` / ``decode_fake_jpeg`` for a real
+    libjpeg binding in production.
 
 Pixels are ``numpy`` arrays of shape (h, w, 3), dtype uint8.
 """
@@ -28,7 +31,8 @@ import zlib
 import numpy as np
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
-FJPG_MAGIC = b"FJPG"
+FJPG_MAGIC = b"FJP2"  # v2: 6-bit quantization; decode REJECTS v1 "FJPG"
+# payloads rather than silently mis-reconstructing them (regenerate caches)
 
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
@@ -83,17 +87,19 @@ def encode_fake_jpeg(pixels: np.ndarray) -> bytes:
     """DETERMINISTIC lossy stand-in for JPEG (see module docstring)."""
     h, w, c = pixels.shape
     assert c == 3 and pixels.dtype == np.uint8
-    q = pixels & 0xF8  # keep top 5 bits
+    q = pixels & 0xFC  # keep top 6 bits
     payload = zlib.compress(q.tobytes(), 6)
     return FJPG_MAGIC + struct.pack(">II", w, h) + payload
 
 
 def decode_fake_jpeg(data: bytes) -> np.ndarray:
     if data[:4] != FJPG_MAGIC:
-        raise ValueError("not a FJPG payload")
+        raise ValueError("not a FJP2 payload (stale v1 cache? regenerate)")
     w, h = struct.unpack(">II", data[4:12])
     q = np.frombuffer(zlib.decompress(data[12:]), dtype=np.uint8).reshape(h, w, 3)
-    return (q | 0x03).copy()  # center-of-bucket reconstruction (+3)
+    # center-of-bucket reconstruction (+2): error in {-2,-1,0,+1} per
+    # channel, worst-case MSE 4 => PSNR >= 42.1 dB for EVERY image
+    return (q | 0x02).copy()
 
 
 def encode(pixels: np.ndarray, fmt: str) -> bytes:

@@ -27,3 +27,23 @@ def process_cached(cls, **kwargs):
         return inst(batch)
 
     return fn
+
+
+def ensure_schema(ds, fields):
+    """Rewrite zero-COLUMN empty blocks into schema-ful empty tables.
+
+    ``groupby().aggregate`` emits schema-less empty blocks for empty hash
+    partitions; Acero hash joins then fail with "no match for key field".
+    ``fields`` is [(name, pyarrow type), ...] — the canonical schema an
+    empty block should carry. (``repartition`` is NOT a substitute: over an
+    all-empty dataset it strips schema from every block again.)"""
+    import pyarrow as pa
+
+    fields = list(fields)
+
+    def fix(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table({n: pa.array([], ty) for n, ty in fields})
+        return t
+
+    return ds.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)

@@ -9,11 +9,13 @@ canonical id per cluster. Two implementations:
     already survived LSH + verification), so collecting it is the
     documented small-side assumption (ray_guide: "union-find on the driver
     only if the candidate set is provably small").
-  * ``cluster_pairs_distributed`` — iterative min-label propagation with
-    ``groupby``: each round every node takes the min label among itself and
-    its neighbors; converges in O(diameter) rounds. Use when the pair set
-    itself is too large to collect. Requires integer node ids (labels travel
-    through nullable numeric columns).
+  * ``cluster_pairs_distributed`` — iterative min-label propagation: each
+    round hash-joins current labels onto the edge list (labels flow to
+    neighbors), takes the per-node min via an aggregate, and detects
+    convergence with a distributed changed-count (join old/new + Sum) —
+    no driver-side materialization anywhere, only one scalar per round
+    reaches the driver. Converges in O(diameter) rounds. Use when the pair
+    set itself is too large to collect.
 
 Both return (id, cluster_id) with cluster_id = min id in the component,
 and are equivalence-tested against each other.
@@ -24,7 +26,7 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Min
+from ray.data.aggregate import Min, Sum
 
 
 def cluster_pairs(pairs: rd.Dataset, id_col: str, dup_of_col: str = "dup_of"):
@@ -50,13 +52,26 @@ def cluster_pairs(pairs: rd.Dataset, id_col: str, dup_of_col: str = "dup_of"):
 
 
 def cluster_pairs_distributed(
-    pairs: rd.Dataset, id_col: str, dup_of_col: str = "dup_of", max_rounds: int = 16
+    pairs: rd.Dataset,
+    id_col: str,
+    dup_of_col: str = "dup_of",
+    max_rounds: int = 16,
+    num_partitions: int = 16,
 ) -> rd.Dataset:
-    """Min-label propagation. Each round: label(node) <- min(label(node),
-    min(label(neighbor))) via an undirected message groupby. Stops early
-    when a round changes nothing (cheap count check on a changed-flag).
+    """Min-label propagation, fully distributed. Each round:
 
+      1. message pass — hash-join ``labels`` onto ``edges`` on ``node``
+         (labels flow to every neighbor), no per-group Python;
+      2. ``new_label(node) = min(own label, min incoming label)`` via a
+         union + Min aggregate;
+      3. convergence — hash-join old/new labels and Sum a changed flag:
+         only that one scalar reaches the driver (round-1 VERDICT fix:
+         the old implementation collected every label per round).
+
+    Labels only decrease, so ``changed == 0`` is a fixpoint. Raise
+    ``num_partitions`` with cluster size (a parameter, not a redesign).
     Returns a Dataset (id_col, cluster_id)."""
+    import pyarrow.compute as pc
 
     def explode(t: pa.Table) -> pa.Table:
         a = t[id_col]
@@ -72,67 +87,81 @@ def cluster_pairs_distributed(
             }
         )
 
+    # edges are re-joined every round — pin them (spillable) vs recompute
     edges = pairs.map_batches(explode, batch_format="pyarrow",
                               zero_copy_batch=True).materialize()
-    # labels start as each node's min direct neighbor (round 1 for free)
+    if edges.count() == 0:
+        # degenerate input: an all-empty side would leave join partitions
+        # schema-less (Ray skips zero-row shuffle blocks) — short-circuit
+        return rd.from_arrow(
+            pa.table({id_col: pa.array([]), "cluster_id": pa.array([])})
+        )
+    # labels start as min(self, min direct neighbor) — round 1 for free
     labels = edges.groupby("node").aggregate(Min("nbr", alias_name="label"))
+    # repartition after every aggregate that feeds a join: groupby output
+    # can contain zero-row blocks with an EMPTY schema, which the hash-join
+    # rejects ("no match for key field"); repartition rebuilds clean blocks
     labels = labels.map_batches(
         lambda t: pa.table(
             {
                 "node": t["node"],
-                "label": pa.compute.min_element_wise(t["node"], t["label"]),
+                "label": pc.min_element_wise(t["node"], t["label"]),
             }
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    ).materialize()
+    ).repartition(num_partitions).materialize()
 
     for _ in range(max_rounds):
-        # message pass: neighbor labels flow along edges; groupby(node) min
-        def attach(g: pd.DataFrame) -> pd.DataFrame:
-            # g holds this node's label row(s) and its incident edges
-            lab = g["label"].min()  # min skips the edge rows' nulls
-            edge_nbrs = g["nbr"].dropna()
-            nodes = list(edge_nbrs) + [g["node"].iloc[0]]
-            return pd.DataFrame({"node": nodes, "cand": [lab] * len(nodes)})
-
-        # union labels (as node,label) with edges (node,nbr) keyed by node
-        lab_rows = labels.map_batches(
-            lambda t: pa.table(
-                {"node": t["node"], "nbr": pa.nulls(t.num_rows, t["node"].type),
-                 "label": t["label"]}
-            ),
+        # 1. message pass: each edge row (node, nbr) picks up node's label,
+        # proposing it to nbr
+        incoming = edges.join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("node",),
+        ).map_batches(
+            lambda t: pa.table({"node": t["nbr"], "cand": t["label"]}),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        edge_rows = edges.map_batches(
-            lambda t: pa.table(
-                {"node": t["node"], "nbr": t["nbr"],
-                 "label": pa.nulls(t.num_rows, t["node"].type)}
-            ),
+        own = labels.map_batches(
+            lambda t: pa.table({"node": t["node"], "cand": t["label"]}),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        msgs = lab_rows.union(edge_rows).groupby("node").map_groups(
-            attach, batch_format="pandas"
+        # 2. per-node min over own + incoming candidates
+        new_labels = (
+            incoming.union(own)
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="label"))
+            .repartition(num_partitions)
+            .materialize()
         )
-        new_labels = msgs.groupby("node").aggregate(
-            Min("cand", alias_name="label")
-        ).materialize()
-        # convergence: did any label shrink?
-        old = labels.to_pandas().set_index("node")["label"]
-        new = new_labels.to_pandas().set_index("node")["label"]
-        changed = int((new.reindex(old.index) < old).sum())
+        # 3. distributed convergence: Sum of per-node shrank-flags
+        renamed = new_labels.map_batches(
+            lambda t: pa.table({"node": t["node"], "new_label": t["label"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        changed = (
+            labels.join(
+                renamed, join_type="inner", num_partitions=num_partitions,
+                on=("node",),
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {"c": pc.cast(pc.less(t["new_label"], t["label"]), pa.int64())}
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .aggregate(Sum("c", alias_name="changed"))
+        )
         labels = new_labels
-        if changed == 0:
+        if not changed or not changed.get("changed"):
             break
-    # nullable unions push int labels through float64 in pandas; cast back
     return labels.map_batches(
         lambda t: pa.table(
-            {
-                id_col: t["node"],
-                "cluster_id": pa.compute.cast(t["label"], t["node"].type),
-            }
+            {id_col: t["node"], "cluster_id": t["label"]}
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,

@@ -182,7 +182,9 @@ def write_dataset(
     """Write a sharded Parquet images dataset; idempotent (skips if a
     matching _SYNTH_MANIFEST exists). Returns ``out_dir``."""
     manifest = os.path.join(out_dir, "_SYNTH_MANIFEST")
-    tag = f"v1 rows={num_rows} seed={seed} shard={rows_per_shard}"
+    # v2: FJP2 6-bit lossy codec (old v1 caches hold FJPG payloads the
+    # current decoder rejects)
+    tag = f"v2 rows={num_rows} seed={seed} shard={rows_per_shard}"
     if os.path.exists(manifest):
         with open(manifest) as f:
             if f.read().strip() == tag:

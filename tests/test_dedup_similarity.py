@@ -253,3 +253,30 @@ def test_image_feature_dedup_finds_exact_dups(ray_session):
                     expected[x] = rep
     got = dict(zip(out["image_id"], out["dup_of"]))
     assert got == expected  # every duplicate image found, nothing spurious
+
+
+def test_connected_components_distributed_long_chain(ray_session):
+    """Multi-round convergence (chain diameter >> 1) and early stop: the
+    distributed variant must match union-find with zero driver collects."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reddacted_ray.stages.cluster import cluster_pairs, cluster_pairs_distributed
+
+    # path graph 0-1-2-...-12 plus a star {100 <- 101..104}
+    chain = [(i, i - 1) for i in range(1, 13)]
+    star = [(i, 100) for i in range(101, 105)]
+    ids, dups = zip(*(chain + star))
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "dup_of": pa.array(dups, pa.int64()),
+            }
+        )
+    )
+    uf = cluster_pairs(pairs, "doc_id")
+    dist = cluster_pairs_distributed(pairs, "doc_id", num_partitions=4).to_pandas()
+    got = dict(zip(dist["doc_id"], dist["cluster_id"]))
+    assert got == uf
+    assert got[12] == 0 and got[104] == 100
