@@ -33,9 +33,12 @@ ENV_VARS_MAP = {
     "REDD_TEXT_MATCH": "text_match",
     "REDD_SCRUB_MODE": "scrub_mode",
     "REDD_BATCH_SIZE": "batch_size",
+    # reference config key "time" (cli_config.py:19-25): trailing-window
+    # keep-filter for timestamped sources (see sources/comments.py)
+    "REDD_TIME_FILTER": "time_filter",
 }
 
-_BOOLS = {"pii_only", "resumable"}
+_BOOLS = {"pii_only", "resumable", "emit_errors"}
 _INTS = {"limit", "batch_size", "num_cpus", "files_per_partition"}
 
 
@@ -65,8 +68,19 @@ def load_config(argv=None) -> dict:
     ap.add_argument("--limit", type=int)
     ap.add_argument("--scrub-mode", dest="scrub_mode",
                     choices=["token", "reference", "uuid"])
+    ap.add_argument("--time-filter", dest="time_filter",
+                    choices=["all", "hour", "day", "week", "month", "year"])
+    ap.add_argument("--time-anchor", dest="time_anchor",
+                    help="ISO timestamp anchoring --time-filter windows"
+                    " (default: current UTC time; pass explicitly for"
+                    " reproducible runs)")
     ap.add_argument("--batch-size", dest="batch_size", type=int)
     ap.add_argument("--resumable", action="store_const", const=True)
+    ap.add_argument("--emit-errors", dest="emit_errors",
+                    action="store_const", const=True,
+                    help="keep failing rows as error-lineage rows"
+                    " (keep=false, error column set) instead of the"
+                    " reference's silent row skip")
     ap.add_argument("--files-per-partition", dest="files_per_partition", type=int)
     ap.add_argument("--num-cpus", dest="num_cpus", type=int)
     ap.add_argument("--report", help="write a markdown summary report here")
@@ -124,28 +138,44 @@ def main(argv=None) -> int:
         text_match=cfg.get("text_match"),
         limit=int(cfg.get("limit", 0)),
         scrub_mode=cfg.get("scrub_mode", "token"),
+        emit_errors=bool(cfg.get("emit_errors", False)),
     )
     batch_size = int(cfg.get("batch_size", 2048))
+    time_filter = cfg.get("time_filter", "all")
+    now = None
+    if time_filter != "all":
+        import datetime as _dt
+
+        now = (
+            _dt.datetime.fromisoformat(cfg["time_anchor"])
+            if cfg.get("time_anchor")
+            else _dt.datetime.utcnow()
+        )
+
+    def _build(path):
+        return build(path, cfg=lcfg, batch_size=batch_size,
+                     time_filter=time_filter, now=now)
+
     t0 = time.perf_counter()
     if cfg.get("resumable"):
         summary = run_resumable(
             cfg["input"],
             cfg["output"],
-            lambda files: build(files, cfg=lcfg, batch_size=batch_size),
+            _build,
             files_per_partition=int(cfg.get("files_per_partition", 4)),
         )
     else:
-        ds = build(cfg["input"], cfg=lcfg, batch_size=batch_size)
+        ds = _build(cfg["input"])
         ds.write_parquet(cfg["output"])
         summary = {"output": cfg["output"]}
     summary["wall_s"] = round(time.perf_counter() - t0, 3)
     if cfg.get("report"):
-        scored = build(cfg["input"], cfg=lcfg, batch_size=batch_size)
+        scored = _build(cfg["input"])
         agg = aggregates(scored)
         # per-row detail for the top-5 riskiest rows (reference K1 detail
         # sections; tiny sort+limit materialization)
         top = (
-            build(cfg["input"], cfg=lcfg, batch_size=batch_size)
+            _build(cfg["input"])
             .sort(["risk_score", "image_id"], descending=[True, False])
             .limit(5)
             .to_pandas()

@@ -38,6 +38,11 @@ class LabelerConfig:
     limit: int = 0  # 0 = unlimited (reference ``sentiment.py:56-58``)
     scrub_mode: str = "token"  # token | reference | uuid (reference K3)
     risk_threshold: float = RISK_THRESHOLD
+    # SURVEY §4 error lineage: False = reference row-error policy (failing
+    # rows silently skipped, sentiment.py:280-284); True = failing rows
+    # stay in the output with an ``error`` column set (keep=False, neutral
+    # scores) so lineage/manifest can count and list them
+    emit_errors: bool = False
 
 
 def scrub_payload(cfg: LabelerConfig, image_id: str) -> str | None:
@@ -93,6 +98,8 @@ def label_row(
             {"type": m.type, "value": m.value, "confidence": m.confidence}
             for m in matches
         ],
+        # per-row lineage (SURVEY §1.7): which rule families fired
+        "rule_hits": [m.type for m in matches] + (["gate"] if gate_flag else []),
         "gate_flag": gate_flag,
         "gate_risk": gate_risk,
         "risk_score": risk,

@@ -48,6 +48,9 @@ def build(
     batch_size: int = DEFAULT_BATCH_SIZE,
     concurrency: Optional[tuple[int, int] | int] = None,
     mode: str = "materialize",
+    time_filter: str = "all",
+    now=None,
+    ts_col: str = "created_utc",
 ) -> rd.Dataset:
     """Construct the lazy quality-filter Dataset over an images table.
 
@@ -60,9 +63,25 @@ def build(
     every pixel. Compute is identical in both modes.
     """
     cfg = cfg or LabelerConfig()
-    ds = read_table(
-        input_path, columns=DECIDE_READ_COLUMNS if mode == "decide" else None
-    )
+    columns = DECIDE_READ_COLUMNS if mode == "decide" else None
+    filter_expr = None
+    if time_filter != "all":
+        # reference config key "time" (cli_config.py:19-25): trailing-window
+        # keep-filter, pushed to the parquet scan like the comment reader's
+        from ..sources.comments import TIME_WINDOWS
+
+        if time_filter not in TIME_WINDOWS:
+            raise ValueError(f"unknown time_filter {time_filter!r}")
+        if now is None:
+            raise ValueError("time_filter requires an explicit 'now' anchor")
+        import pyarrow.dataset as pads
+
+        filter_expr = pads.field(ts_col) >= now - TIME_WINDOWS[time_filter]
+        if columns is not None:
+            columns = columns + [ts_col]
+    ds = read_table(input_path, columns=columns, filter_expr=filter_expr)
+    if time_filter != "all":
+        ds = ds.drop_columns([ts_col])
     ds = ds.map_batches(
         make_normalize_fn(skip_text=cfg.skip_text, text_match=cfg.text_match),
         batch_format="pyarrow",
@@ -143,6 +162,45 @@ def build_docs(
         batch_size=batch_size,
         zero_copy_batch=True,
     )
+
+
+def apply_decisions(
+    input_path: str,
+    decisions: rd.Dataset,
+    num_partitions: int = 16,
+    keep_only: bool = True,
+) -> rd.Dataset:
+    """Decide-mode phase 2 (reference K2 write path, ``api/reddit.py:
+    193-255``): hash-join the id-keyed decision table (keep +
+    caption_scrubbed) back onto the FULL-byte table and emit the surviving
+    rows with their pixels untouched and captions replaced by the scrubbed
+    text. Phase 1 (``build(mode="decide")``) never reads the bytes; this
+    pass reads them exactly once — together they make the 100 TB shape
+    BASELINE.md describes: analyze cheap, rewrite once.
+
+    Both sides are large → native hash-partitioned join on image_id (no
+    broadcast); raise ``num_partitions`` with cluster size."""
+    import pyarrow as pa
+
+    full = read_table(input_path)
+    slim = decisions.map_batches(
+        lambda t: t.select(["image_id", "keep", "caption_scrubbed"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = full.join(
+        slim, join_type="inner", num_partitions=num_partitions,
+        on=("image_id",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if keep_only:
+            t = t.filter(t["keep"])
+        idx = t.schema.get_field_index("caption")
+        t = t.set_column(idx, "caption", t["caption_scrubbed"])
+        return t.drop_columns(["caption_scrubbed", "keep"])
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def write_output(ds: rd.Dataset, out_dir: str) -> None:

@@ -353,6 +353,42 @@ def q_remediate(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_apply_decisions(sf_dir: str) -> rd.Dataset:
+    """The decide-mode second phase (reference K2 write path,
+    ``api/reddit.py:193-255``): the id-keyed decision table (keep +
+    scrubbed payload) hash-joins BACK onto the full-row table, kept rows
+    pass their payload through and dropped rows carry the scrub. At 100 TB
+    this is the step that makes decide mode complete: pixels/bytes are
+    read once here instead of being rewritten by the analysis pass.
+
+    Both sides are large → Ray Data's native hash-partitioned join on the
+    id (no broadcast); ``num_partitions`` scales with the cluster."""
+    decisions = _pii_ds(sf_dir).map_batches(
+        lambda t: t.select(["doc_id", "keep", "text_scrubbed"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    # the "full-byte" side: payload columns the decision table doesn't have
+    docs = _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+    joined = docs.join(
+        decisions, join_type="inner", num_partitions=16, on=("doc_id",)
+    )
+
+    def apply(t: pa.Table) -> pa.Table:
+        final = pc.if_else(t["keep"], t["text"], t["text_scrubbed"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "n_chars": t["n_chars"],
+                "keep": t["keep"],
+                "text_final": final,
+            }
+        )
+
+    return joined.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_text_quality(sf_dir: str) -> rd.Dataset:
     """Quality-score counts + md5 fingerprint (integer outputs for
     hash-stable comparison; ratios live in the rows-only text_stats stage)."""
@@ -999,6 +1035,71 @@ def q_dedup_image_features(sf_dir: str) -> pa.Table:
     )
 
 
+class _FindingsStage:
+    """Per-row LLM-findings struct (reference ``llm_detector.py:20-26``):
+    ``{has_pii, confidence, details: list<struct<type, example>>, reasoning,
+    risk_factors}``. The deterministic gate plays the LLM: has_pii/confidence
+    come from the disclosure+toxicity score, details from the pattern-bank
+    matches, risk_factors from which signal families fired. Demonstrates the
+    nested ``struct<..., list<struct>>`` column shape end-to-end."""
+
+    def __init__(self) -> None:
+        self.bank = CompiledBank()
+        self.gate = GateBank()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..schema import FINDINGS_TYPE
+
+        ids = t["doc_id"].to_pylist()
+        rows = []
+        for did, raw in zip(ids, t["text"].to_pylist()):
+            t2 = derive_t2(did, raw)
+            matches = self.bank.analyze_text(t2)
+            gf, gr = self.gate.score(t2)
+            factors = sorted({m.type for m in matches})
+            if gf:
+                factors.append("disclosure_or_toxicity")
+            if matches and gf:
+                reasoning = "pattern matches and disclosure language found"
+            elif matches:
+                reasoning = "pattern matches found"
+            elif gf:
+                reasoning = "disclosure language found"
+            else:
+                reasoning = "no signals"
+            rows.append(
+                {
+                    "has_pii": bool(gf or matches),
+                    "confidence": float(
+                        max(gr, max((m.confidence for m in matches), default=0.0))
+                    ),
+                    "details": [
+                        {"type": m.type, "example": m.value} for m in matches
+                    ],
+                    "reasoning": reasoning,
+                    "risk_factors": factors,
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "findings": pa.array(rows, FINDINGS_TYPE),
+            }
+        )
+
+
+def q_llm_findings(sf_dir: str) -> rd.Dataset:
+    """Nested LLM-findings column over documents (rows-only: the struct
+    shape is the point; scalar projections of it are SQL-checked via
+    pii_scrub/report_pii)."""
+    from ..stages import process_cached
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        process_cached(_FindingsStage), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def q_quality_gate_docs(sf_dir: str) -> rd.Dataset:
     """Composed quality gate over documents: F13 keep AND lang/ppl
     thresholds (rows-only: perplexity has no SQL analog)."""
@@ -1053,6 +1154,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "dedup_group_first": q_dedup_group_first,
         "distinct_langs": q_distinct_langs,
         "remediate": q_remediate,
+        "apply_decisions": q_apply_decisions,
         "text_quality": q_text_quality,
         "langid_docs": q_langid,
         "ann_topk": q_ann_topk,
@@ -1081,6 +1183,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": q_ann_ivf,
         "image_decode_stats": q_image_decode_stats,
         "quality_gate_docs": q_quality_gate_docs,
+        "llm_findings": q_llm_findings,
         "dedup_image_features": q_dedup_image_features,
         "dedup_clusters": q_dedup_clusters,
         "quality_filter_images": q_quality_filter_images,
@@ -1142,6 +1245,13 @@ def oracle_sqls() -> dict[str, str]:
             "SELECT doc_id, CASE WHEN doc_id % 97 = 0 THEN"
             f" '{piimod.REDACTION_MESSAGE}' ELSE text END AS text"
             " FROM documents WHERE doc_id % 89 <> 0"
+        ),
+        "apply_decisions": (
+            PII_CTE
+            + "SELECT d.doc_id, d.lang, d.n_chars, k.keep,"
+            f" CASE WHEN k.keep THEN d.text ELSE {_scrub_sql('k.t2')} END"
+            " AS text_final"
+            " FROM documents d JOIN k ON d.doc_id = k.doc_id"
         ),
         "text_quality": (
             "SELECT doc_id, length(text) AS n_chars_m,"

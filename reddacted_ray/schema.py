@@ -21,6 +21,24 @@ PII_MATCH_TYPE = pa.struct(
     [("type", pa.string()), ("value", pa.string()), ("confidence", pa.float64())]
 )
 
+# The reference's per-row LLM response shape (``llm_detector.py:20-26``):
+# a nested semi-structured column the engine carries end-to-end
+# (struct<..., list<struct>> through map_batches, shuffles and parquet).
+FINDINGS_TYPE = pa.struct(
+    [
+        ("has_pii", pa.bool_()),
+        ("confidence", pa.float64()),
+        (
+            "details",
+            pa.list_(
+                pa.struct([("type", pa.string()), ("example", pa.string())])
+            ),
+        ),
+        ("reasoning", pa.string()),
+        ("risk_factors", pa.list_(pa.string())),
+    ]
+)
+
 # Columns appended by the quality-filter pipeline (reference semantics 1:1,
 # see SURVEY.md §1.7 output schema).
 ANALYSIS_FIELDS = [
@@ -28,6 +46,7 @@ ANALYSIS_FIELDS = [
     ("sentiment_label", pa.string()),
     ("pii_risk_score", pa.float64()),
     ("pii_matches", pa.list_(PII_MATCH_TYPE)),
+    ("rule_hits", pa.list_(pa.string())),  # per-row lineage (SURVEY §1.7)
     ("gate_flag", pa.bool_()),
     ("gate_risk", pa.float64()),
     ("risk_score", pa.float64()),

@@ -154,11 +154,14 @@ class Scorer:
         risk = np.empty(n, dtype=np.float64)
         keep = np.empty(n, dtype=bool)
         matches_col: list[list[dict[str, Any]]] = []
+        rule_hits_col: list[list[str]] = []
         langs: list[str] = []
         lang_confs = np.empty(n, dtype=np.float64)
         scrubbed: list[str] = []
         error_rows: list[int] = []
+        errors: list[Optional[str]] = []
         for i, (cid, text) in enumerate(zip(ids, caps)):
+            row_error = None
             try:
                 if sent_hit[i]:
                     sent[i] = sentmod.compound_score(text)
@@ -199,21 +202,37 @@ class Scorer:
                     lang_confs[i] = round(
                         int(lang_counts[bi, i]) / int(lang_totals[i]), 6
                     )
-            except Exception:
+                row_hits = [m["type"] for m in row_matches] + (
+                    ["gate"] if gf else []
+                )
+            except Exception as exc:
                 # reference row-error policy: the failing row is skipped and
-                # processing continues (sentiment.py:280-284); the row is
-                # dropped from the output batch below
+                # processing continues (sentiment.py:280-284). With
+                # cfg.emit_errors the row instead STAYS as an error-lineage
+                # row (SURVEY §4): keep=False, neutral scores, error set.
                 error_rows.append(i)
-                row_matches, row_lang, row_scrubbed = [], "und", ""
+                row_error = f"{type(exc).__name__}: {exc}"
+                row_matches, row_lang, row_scrubbed, row_hits = [], "und", "", []
+                sent[i] = 0.0
+                pii_risk[i] = 0.0
+                gate_flag[i] = False
+                gate_risk[i] = 0.0
+                risk[i] = 0.0
+                keep[i] = False
+                lang_confs[i] = 0.0
+                ppl[i] = 0.0
             matches_col.append(row_matches)
+            rule_hits_col.append(row_hits)
             langs.append(row_lang)
             scrubbed.append(row_scrubbed)
+            errors.append(row_error)
         sent_label = np.where(sent == 0, "neu", np.where(sent > 0, "pos", "neg"))
         cols = {
             "sentiment_score": pa.array(sent),
             "sentiment_label": pa.array(sent_label.tolist(), pa.string()),
             "pii_risk_score": pa.array(pii_risk),
             "pii_matches": pa.array(matches_col, pa.list_(PII_MATCH_TYPE)),
+            "rule_hits": pa.array(rule_hits_col, pa.list_(pa.string())),
             "gate_flag": pa.array(gate_flag),
             "gate_risk": pa.array(gate_risk),
             "risk_score": pa.array(risk),
@@ -223,9 +242,11 @@ class Scorer:
             "keep": pa.array(keep),
             "caption_scrubbed": pa.array(scrubbed, pa.string()),
         }
+        if cfg.emit_errors:
+            cols["error"] = pa.array(errors, pa.string())
         for name, arr in cols.items():
             batch = batch.append_column(name, arr)
-        if error_rows:
+        if error_rows and not cfg.emit_errors:
             mask = np.ones(n, dtype=bool)
             mask[error_rows] = False
             batch = batch.filter(pa.array(mask))

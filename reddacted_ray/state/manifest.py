@@ -126,6 +126,18 @@ def run_resumable(
             break
         t0 = time.perf_counter()
         ds = build_fn(chunk)
+        # per-row lineage (SURVEY §1.7): every output row names the
+        # partition that produced it — constant per partition, RLE-encoded
+        # in parquet, so the cost is bytes-free at scale
+        import pyarrow as pa
+
+        ds = ds.map_batches(
+            lambda t, _pid=pid: t.append_column(
+                "partition_id", pa.array([_pid] * t.num_rows, pa.string())
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
         with mf.atomic_write_dir(pid) as tmp:
             ds.write_parquet(tmp)
             stats = _partition_stats(tmp)
@@ -146,17 +158,37 @@ def run_resumable(
     }
 
 
+MAX_FAILED_IDS = 100  # cap the per-partition failure list (lineage record)
+
+
 def _partition_stats(part_dir: str) -> dict:
+    """Per-partition lineage metrics (reference A5, ``api/reddit.py:
+    242-245`` success/failure accumulation): rows, kept/dropped, and — when
+    the pipeline ran with ``emit_errors`` — the failed row count plus the
+    failing ids themselves (capped at MAX_FAILED_IDS)."""
     import pyarrow.dataset as pads
 
     dset = pads.dataset(part_dir, format="parquet")
     names = dset.schema.names
-    rows = kept = 0
+    id_col = next((c for c in ("image_id", "doc_id", "id") if c in names), None)
+    rows = kept = failed = 0
+    failed_ids: list = []
     for frag in dset.get_fragments():
-        if "keep" in names:
-            t = frag.to_table(columns=["keep"])
+        cols = [c for c in ("keep", "error", id_col) if c]
+        if "keep" in names or "error" in names:
+            t = frag.to_table(columns=[c for c in cols if c in names])
             rows += t.num_rows
-            kept += int(t["keep"].to_pandas().sum())
+            if "error" in names:
+                import pyarrow.compute as pc
+
+                err_mask = pc.is_valid(t["error"])
+                failed += int(pc.sum(pc.cast(err_mask, "int64")).as_py() or 0)
+                if id_col and len(failed_ids) < MAX_FAILED_IDS:
+                    failed_ids.extend(
+                        t.filter(err_mask)[id_col].to_pylist()
+                    )
+            if "keep" in names:
+                kept += int(t["keep"].to_pandas().sum())
         else:
             rows += frag.count_rows()
             kept = -1
@@ -164,4 +196,7 @@ def _partition_stats(part_dir: str) -> dict:
     if kept >= 0:
         out["kept"] = kept
         out["dropped"] = rows - kept
+    if "error" in names:
+        out["failed"] = failed
+        out["failed_ids"] = sorted(failed_ids)[:MAX_FAILED_IDS]
     return out

@@ -280,3 +280,28 @@ def test_connected_components_distributed_long_chain(ray_session):
     got = dict(zip(dist["doc_id"], dist["cluster_id"]))
     assert got == uf
     assert got[12] == 0 and got[104] == 100
+
+
+def test_llm_findings_nested_struct_roundtrip(ray_session, tmp_path):
+    """The reference's LLM response shape (llm_detector.py:20-26) must ride
+    the pipeline as a real Arrow nested column — struct<..., list<struct>> —
+    and round-trip through a parquet sink unchanged."""
+    import pyarrow.dataset as pads
+
+    from reddacted_ray.pipelines.queries import q_llm_findings
+    from reddacted_ray.schema import FINDINGS_TYPE
+
+    ds = q_llm_findings("/root/testdata/sf0.001")
+    out_dir = str(tmp_path / "findings")
+    ds.write_parquet(out_dir)
+    back = pads.dataset(out_dir, format="parquet").to_table()
+    assert back.schema.field("findings").type == FINDINGS_TYPE
+    rows = back.sort_by("doc_id").to_pylist()
+    assert len(rows) == 500
+    flagged = [r for r in rows if r["findings"]["has_pii"]]
+    assert flagged, "derived t2 must plant PII rows"
+    r = flagged[0]["findings"]
+    assert r["details"] and {"type", "example"} <= set(r["details"][0])
+    assert r["confidence"] > 0 and r["risk_factors"]
+    clean = next(r for r in rows if not r["findings"]["has_pii"])
+    assert clean["findings"]["reasoning"] == "no signals"

@@ -92,3 +92,49 @@ def test_atomic_dir_discards_on_failure(tmp_path):
             raise RuntimeError("boom")
     assert not os.path.exists(mf.partition_dir("00001"))
     assert "00001" not in mf.completed()
+
+
+def test_error_lineage_rows_and_failed_ids(ray_session, tmp_path):
+    """SURVEY §4 + reference A5 (api/reddit.py:242-245): with emit_errors a
+    poison row stays as an error-lineage row (keep=false, error set), the
+    manifest counts it and records its id, and every output row carries its
+    partition_id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from reddacted_ray.schema import IMAGES_SCHEMA
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    t = pa.table(
+        {
+            "image_id": pa.array(["a", "b", "c"]),
+            "bytes": pa.array([b""] * 3, pa.binary()),
+            "w": pa.array([1] * 3, pa.int32()),
+            "h": pa.array([1] * 3, pa.int32()),
+            "fmt": pa.array(["raw"] * 3),
+            "caption": pa.array(["fine one", None, "another fine"]),
+            "phash": pa.array([0] * 3, pa.int64()),
+        },
+        schema=IMAGES_SCHEMA,
+    )
+    pq.write_table(t, str(ind / "p.parquet"))
+    out = str(tmp_path / "out")
+    cfg = LabelerConfig(emit_errors=True)
+    summary = run_resumable(
+        str(ind), out,
+        lambda files: build(files, cfg=cfg, batch_size=2, concurrency=(1, 2)),
+        files_per_partition=1,
+    )
+    assert summary["partitions_ran"] == 1
+    recs = [json.loads(l) for l in open(os.path.join(out, "manifest.jsonl"))]
+    assert recs[0]["rows_out"] == 3
+    assert recs[0]["failed"] == 1 and recs[0]["failed_ids"] == ["b"]
+    assert recs[0]["kept"] + recs[0]["dropped"] == 3
+    back = pads.dataset(
+        os.path.join(out, "partition_id=00000"), format="parquet"
+    ).to_table().sort_by("image_id")
+    assert back.column("partition_id").to_pylist() == ["00000"] * 3
+    rows = {r["image_id"]: r for r in back.to_pylist()}
+    assert rows["b"]["error"] and not rows["b"]["keep"]
+    assert rows["a"]["error"] is None and rows["c"]["error"] is None

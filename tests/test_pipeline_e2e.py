@@ -71,6 +71,7 @@ def test_scores_and_scrub_exact(scored_and_oracle):
         assert [m["type"] for m in row.pii_matches] == [
             m["type"] for m in o["pii_matches"]
         ]
+        assert list(row.rule_hits) == o["rule_hits"]
 
 
 def test_pixels_pass_through_unchanged(scored_and_oracle, synth_dir):
@@ -130,3 +131,23 @@ def test_quality_gate_composition(ray_session, synth_dir, scored_and_oracle):
         build(synth_dir, cfg=CFG, batch_size=256, concurrency=(1, 4)), qcfg, drop=True
     ).count()
     assert n_drop == int(out["keep_quality"].sum())
+
+
+def test_apply_decisions_closes_decide_loop(ray_session, synth_dir):
+    """Decide-mode phase 2: joining the decision table back onto the
+    full-byte table must reproduce exactly the kept rows of a
+    materialize-mode run — same ids, same untouched bytes, and the caption
+    column now carries the scrubbed text."""
+    from reddacted_ray.pipelines.quality_filter import apply_decisions
+
+    decisions = build(synth_dir, cfg=CFG, mode="decide", batch_size=256)
+    out = apply_decisions(synth_dir, decisions, num_partitions=4).to_pandas()
+    mat = build(synth_dir, cfg=CFG, mode="materialize", batch_size=256).to_pandas()
+    kept = mat[mat["keep"]]
+    assert sorted(out["image_id"]) == sorted(kept["image_id"])
+    m = kept.set_index("image_id")
+    o = out.set_index("image_id")
+    sample = o.index[:: max(1, len(o) // 100)]
+    for iid in sample:
+        assert bytes(o.loc[iid, "bytes"]) == bytes(m.loc[iid, "bytes"])
+        assert o.loc[iid, "caption"] == m.loc[iid, "caption_scrubbed"]

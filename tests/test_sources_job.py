@@ -69,11 +69,63 @@ def test_read_comments_text_match(ray_session, comments_path):
 
 def test_merge_configs_precedence():
     out = merge_configs(
-        {"limit": "5", "pii_only": "true", "input": "/env"},
+        {"limit": "5", "pii_only": "true", "input": "/env",
+         "time_filter": "week"},
         {"limit": 7},
-        {"input": "/flag", "batch_size": None},
+        {"input": "/flag", "batch_size": None, "time_filter": "day"},
     )
-    assert out == {"limit": 7, "pii_only": True, "input": "/flag"}
+    assert out == {"limit": 7, "pii_only": True, "input": "/flag",
+                   "time_filter": "day"}
+
+
+@pytest.fixture(scope="module")
+def timed_comments_path(tmp_path_factory):
+    import datetime as dt
+
+    base = dt.datetime(2026, 8, 17, 12, 0, 0)
+    ages = [dt.timedelta(minutes=30), dt.timedelta(hours=5),
+            dt.timedelta(days=3), dt.timedelta(days=40),
+            dt.timedelta(days=400)]
+    t = pa.table(
+        {
+            "id": pa.array([f"t{i}" for i in range(5)]),
+            "text": pa.array([f"comment number {i}" for i in range(5)]),
+            "upvotes": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "downvotes": pa.array([0] * 5, pa.int64()),
+            "permalink": pa.array([f"/r/x/t{i}" for i in range(5)]),
+            "created_utc": pa.array([base - a for a in ages],
+                                    pa.timestamp("us")),
+        }
+    )
+    p = tmp_path_factory.mktemp("timed") / "comments.parquet"
+    pq.write_table(t, str(p))
+    return str(p), base
+
+
+def test_read_comments_time_filter(ray_session, timed_comments_path):
+    """Reference api/reddit.py:348-382 time_filter semantics: trailing
+    window anchored at an explicit 'now'; scan-level predicate."""
+    import datetime as dt
+
+    path, base = timed_comments_path
+    from reddacted_ray.sources.comments import read_comments
+
+    def ids(tf):
+        rows = read_comments(path, limit=0, time_filter=tf, now=base)
+        df = rows.to_pandas()
+        assert "created_utc" not in df.columns  # reference 5-field shape
+        return sorted(df["id"])
+
+    assert ids("hour") == ["t0"]
+    assert ids("day") == ["t0", "t1"]
+    assert ids("week") == ["t0", "t1", "t2"]
+    assert ids("year") == ["t0", "t1", "t2", "t3"]
+    assert ids("all") == ["t0", "t1", "t2", "t3", "t4"]
+
+    with pytest.raises(ValueError):
+        read_comments(path, time_filter="fortnight", now=base)
+    with pytest.raises(ValueError):
+        read_comments(path, time_filter="day")  # no anchor
 
 
 def test_job_cli_end_to_end(synth_dir, tmp_path):
