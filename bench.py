@@ -58,8 +58,10 @@ def run_bench() -> dict:
     import ray
 
     if not ray.is_initialized():
+        # log_to_driver=False keeps harmless worker-side Ray warnings
+        # ("Failed to hash the schemas") out of the bench JSON tail
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-                 logging_level="ERROR")
+                 logging_level="ERROR", log_to_driver=False)
     from ray.data import DataContext
 
     ctx = DataContext.get_current()

@@ -548,7 +548,7 @@ def q_top_orders(sf_dir: str) -> pa.Table:
     """Sort + limit (top-k)."""
     ds = sf_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
     top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
-    t = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+    t = top.take_batch(10, batch_format="pyarrow")
     return pa.table(
         {
             "o_orderkey": t["o_orderkey"],
@@ -815,7 +815,7 @@ def q_source_top(sf_dir: str) -> pa.Table:
         zero_copy_batch=True,
     )
     top = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
-    return pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+    return top.take_batch(20, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -825,19 +825,30 @@ def q_source_top(sf_dir: str) -> pa.Table:
 
 def q_ann_ivf(sf_dir: str) -> pa.Table:
     """IVF-probed approximate ANN (scale path of ann_topk; rows-only —
-    recall vs the exact baseline is asserted in tests)."""
+    recall vs the exact baseline is asserted in tests). The assigned corpus
+    persists as list_id-partitioned parquet built once per sf (the 100 TB
+    shape: queries prune to their probed list directories at the scan
+    instead of pinning the whole corpus in the object store)."""
+    import os
+
     import ray as _ray
 
-    from ..stages.similarity import IVFIndex, brute_force_topk, ivf_assign, ivf_topk
+    from ..stages.similarity import (
+        IVFIndex, ivf_assign, ivf_persist, ivf_topk_persisted,
+    )
 
     emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     sample = np.asarray(
         emb.limit(1000).to_pandas()["embedding"].tolist(), dtype=np.float32
     )
     idx = IVFIndex.train(sample, n_lists=8)
-    assigned = ivf_assign(emb, _ray.put(idx)).materialize()
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    index_dir = f"/tmp/graft_ivf/{tag}"
+    ivf_persist(ivf_assign(emb, _ray.put(idx)), index_dir)
     qrow = emb.sort("vec_id").limit(1).take(1)[0]
-    res = ivf_topk(assigned, idx, np.asarray([qrow["embedding"]]), k=10, n_probe=4)
+    res = ivf_topk_persisted(
+        index_dir, idx, np.asarray([qrow["embedding"]]), k=10, n_probe=4
+    )
     ids = [i for i, _ in res[0]]
     return pa.table(
         {

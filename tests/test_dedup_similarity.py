@@ -136,7 +136,7 @@ def test_brute_force_topk_exact(ray_session):
         assert got[qi][0][1] == pytest.approx(float(sims[exp_ids[0], qi]), abs=1e-5)
 
 
-def test_ivf_topk_recall(ray_session):
+def test_ivf_topk_recall(ray_session, tmp_path):
     ds, vecs = _emb_ds(n=400)
     idx = IVFIndex.train(vecs, n_lists=8)
     assigned = ivf_assign(ds, __import__("ray").put(idx)).materialize()
@@ -150,6 +150,13 @@ def test_ivf_topk_recall(ray_session):
         assert qi in ids
         hits += len(ids & {i for i, _ in exact[qi]})
     assert hits / 25 >= 0.6
+    # the persisted layout (hive-partitioned by list_id, scan pruning) must
+    # return identical results to the in-memory probe path
+    from reddacted_ray.stages.similarity import ivf_persist, ivf_topk_persisted
+
+    index_dir = ivf_persist(assigned, str(tmp_path / "ivf"))
+    persisted = ivf_topk_persisted(index_dir, idx, q, k=5, n_probe=4)
+    assert persisted == approx
 
 
 def test_decode_stats_and_resize(ray_session, synth_dir):
@@ -305,3 +312,20 @@ def test_llm_findings_nested_struct_roundtrip(ray_session, tmp_path):
     assert r["confidence"] > 0 and r["risk_factors"]
     clean = next(r for r in rows if not r["findings"]["has_pii"])
     assert clean["findings"]["reasoning"] == "no signals"
+
+
+def test_only_colliding_join_path_equals_broadcast(ray_session, monkeypatch):
+    """The skew-flood fallback (hash-partitioned semi-join) must produce the
+    same near-dup pairs as the bounded-broadcast fast path."""
+    import pyarrow as pa
+
+    from reddacted_ray.stages import dedup as D
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    fast = D.minhash_lsh_duplicates(docs, "text", "doc_id", threshold=0.5)
+    fast_rows = sorted(map(tuple, fast.to_pandas().itertuples(index=False)))
+    monkeypatch.setattr(D, "BROADCAST_KEY_CAP", -1)  # force the join path
+    slow = D.minhash_lsh_duplicates(docs, "text", "doc_id", threshold=0.5)
+    slow_rows = sorted(map(tuple, slow.to_pandas().itertuples(index=False)))
+    assert fast_rows == slow_rows and len(fast_rows) > 0
