@@ -353,6 +353,188 @@ def q_remediate(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_split_train_test(sf_dir: str) -> rd.Dataset:
+    """Deterministic train/val/test split by md5(id) hash thresholds — the
+    reproducible-split staple of training-data prep (no RNG; rerun-stable
+    across engines, which is why the SQL oracle can hash-match it)."""
+    from ..stages.sampling import hash_split
+
+    return hash_split(
+        _docs(sf_dir, ["doc_id"]), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+
+
+def q_stratified_sample(sf_dir: str) -> rd.Dataset:
+    """Deterministic 3-per-language sample (smallest (md5(id), id) per
+    group) — stratified eval-set construction."""
+    from ..stages.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(sf_dir, ["doc_id", "lang"]), "lang", "doc_id", 3
+    )
+
+
+def q_running_total(sf_dir: str) -> rd.Dataset:
+    """Per-user running total over time (cumulative window) — ts-ordered
+    cumsum inside each user group, integer cents for hash-stable sums."""
+    import pandas as pd
+
+    ev = sf_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        cents = (g["value"] * 100).round().astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"],
+                "event_id": g["event_id"],
+                "running_cents": cents.cumsum(),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(run, batch_format="pandas")
+
+
+def q_rollup_revenue(sf_dir: str) -> rd.Dataset:
+    """ROLLUP-style multi-level aggregate: revenue by (nation, priority),
+    by nation, and grand total in one result ('ALL' = rolled-up level).
+    Engine shape: ONE broadcast-joined prep pass feeding three grouped
+    sums (map-side combined) unioned together."""
+    cust = sf_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+
+    class Joiner:
+        def __init__(self) -> None:
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            nat = [str(self.lookup[k]) for k in t["o_custkey"].to_pylist()]
+            return pa.table(
+                {
+                    "nation": pa.array(nat, pa.string()),
+                    "priority": t["o_orderpriority"],
+                    "price_cents": pc.cast(
+                        pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+                    ),
+                }
+            )
+
+    from ..stages import process_cached
+    from ..stages.agg import grouped_sums
+
+    orders = sf_table(sf_dir, "orders",
+                      columns=["o_custkey", "o_orderpriority", "o_totalprice"])
+    prepped = orders.map_batches(process_cached(Joiner), batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+
+    def relabel(level_cols: dict[str, str]):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols: dict[str, Any] = {}
+            for name in ("nation", "priority"):
+                if name in level_cols:
+                    cols[name] = t[level_cols[name]]
+                else:
+                    cols[name] = pa.array(["ALL"] * n, pa.string())
+            cols["revenue_cents"] = t["price_cents"]
+            cols["n_orders"] = t["n_orders"]
+            return pa.table(cols)
+
+        return fn
+
+    levels = []
+    for keys in (["nation", "priority"], ["nation"], []):
+        if keys:
+            agg = grouped_sums(prepped, keys, ["price_cents"],
+                               count_alias="n_orders")
+        else:
+            # grand total: constant key then drop it
+            allk = prepped.map_batches(
+                lambda t: t.append_column(
+                    "one", pa.array(np.zeros(t.num_rows, dtype=np.int64))
+                ),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+            agg = grouped_sums(allk, ["one"], ["price_cents"],
+                               count_alias="n_orders").drop_columns(["one"])
+        levels.append(
+            agg.map_batches(relabel({k: k for k in keys}),
+                            batch_format="pyarrow", zero_copy_batch=True)
+        )
+    out = levels[0].union(levels[1]).union(levels[2])
+    return out
+
+
+def q_quantiles(sf_dir: str) -> pa.Table:
+    """Exact distributed percentiles of a low-cardinality column via
+    value-counts (groupby) + a driver-side cumulative scan over the ~50
+    distinct values — the two-phase exact-quantile shape (the mergeable
+    sketch path for continuous columns lives in stages/sketch.py).
+    Definition: smallest v with cum_count(v) >= ceil(q * N)."""
+    import math
+
+    li = sf_table(sf_dir, "lineitem", columns=["l_quantity"])
+    counts = (
+        li.map_batches(
+            lambda t: pa.table(
+                {"v": pc.cast(t["l_quantity"], pa.int64())}
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby("v")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    total = int(counts["n"].sum())
+    cum = counts["n"].cumsum()
+    labels, values = [], []
+    for label, q in [("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p95", 0.95)]:
+        rank = math.ceil(q * total)
+        v = int(counts.loc[cum >= rank, "v"].iloc[0])
+        labels.append(label)
+        values.append(v)
+    return pa.table(
+        {"q": pa.array(labels, pa.string()), "value": pa.array(values, pa.int64())}
+    )
+
+
+def q_anti_join(sf_dir: str) -> rd.Dataset:
+    """Left anti-join: customers with NO order above 200k (native
+    hash-partitioned anti-join; the right side is filtered before the
+    shuffle so only qualifying keys move)."""
+    from ..stages import ensure_schema
+
+    cust = sf_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    big = sf_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 200000.0)).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = cust.join(
+        big, join_type="left_anti", num_partitions=16,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+    return ensure_schema(
+        out.map_batches(
+            lambda t: pa.table(
+                {
+                    "c_custkey": t["c_custkey"],
+                    "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+                }
+            )
+            if t.num_columns
+            else t,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        [("c_custkey", pa.int64()), ("c_nationkey", pa.int64())],
+    )
+
+
 def q_apply_decisions(sf_dir: str) -> rd.Dataset:
     """The decide-mode second phase (reference K2 write path,
     ``api/reddit.py:193-255``): the id-keyed decision table (keep +
@@ -1111,6 +1293,25 @@ def q_llm_findings(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_dedup_phash_near(sf_dir: str) -> rd.Dataset:
+    """Image NEAR-duplicate detection by perceptual-hash hamming distance
+    (banded pigeonhole blocking over the stored ``phash`` column — the
+    A6 exact-group dedup's tolerant sibling; rows-only)."""
+    import os
+
+    from ..sources.tables import read_table
+    from ..stages.dedup import hash_hamming_duplicates
+    from ..synth import write_dataset
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or "0.01"
+    img_dir = write_dataset(f"/tmp/graft_images/small_sf{sf}", 2000, seed=42)
+    ds = read_table(img_dir, columns=["image_id", "phash"])
+    # max_hamming=1: the synthetic gradients' aHash space is low-entropy
+    # (256 distinct hashes / 2000 images), so a loose radius would collapse
+    # the table; one flipped bit of 64 is the honest near-dup radius here
+    return hash_hamming_duplicates(ds, "phash", "image_id", max_hamming=1)
+
+
 def q_quality_gate_docs(sf_dir: str) -> rd.Dataset:
     """Composed quality gate over documents: F13 keep AND lang/ppl
     thresholds (rows-only: perplexity has no SQL analog)."""
@@ -1166,6 +1367,12 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "distinct_langs": q_distinct_langs,
         "remediate": q_remediate,
         "apply_decisions": q_apply_decisions,
+        "split_train_test": q_split_train_test,
+        "stratified_sample": q_stratified_sample,
+        "running_total": q_running_total,
+        "rollup_revenue": q_rollup_revenue,
+        "quantiles": q_quantiles,
+        "anti_join": q_anti_join,
         "text_quality": q_text_quality,
         "langid_docs": q_langid,
         "ann_topk": q_ann_topk,
@@ -1196,12 +1403,20 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "quality_gate_docs": q_quality_gate_docs,
         "llm_findings": q_llm_findings,
         "dedup_image_features": q_dedup_image_features,
+        "dedup_phash_near": q_dedup_phash_near,
         "dedup_clusters": q_dedup_clusters,
         "quality_filter_images": q_quality_filter_images,
     }
 
 
 def oracle_sqls() -> dict[str, str]:
+    from ..stages.sampling import split_thresholds
+
+    bounds = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    md5h = "substr(md5(CAST(doc_id AS VARCHAR)),1,8)"
+    split_case = " ".join(
+        f"WHEN {md5h} < '{b}' THEN '{n}'" for n, b in bounds[:-1]
+    )
     en_stop = "|".join(LANG_STOPWORDS["en"])
     lang_count_sql = {
         l: (
@@ -1256,6 +1471,51 @@ def oracle_sqls() -> dict[str, str]:
             "SELECT doc_id, CASE WHEN doc_id % 97 = 0 THEN"
             f" '{piimod.REDACTION_MESSAGE}' ELSE text END AS text"
             " FROM documents WHERE doc_id % 89 <> 0"
+        ),
+        "split_train_test": (
+            f"SELECT doc_id, CASE {split_case} ELSE '{bounds[-1][0]}' END"
+            " AS split FROM documents"
+        ),
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number()"
+            f" OVER (PARTITION BY lang ORDER BY {md5h}, doc_id) AS rn"
+            " FROM documents) WHERE rn <= 3"
+        ),
+        "running_total": (
+            "SELECT user_id, event_id,"
+            " CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER"
+            " (PARTITION BY user_id ORDER BY ts, event_id"
+            " ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents"
+            " FROM events"
+        ),
+        "rollup_revenue": (
+            "WITH p AS (SELECT CAST(c.c_nationkey AS VARCHAR) AS nation,"
+            " o.o_orderpriority AS priority,"
+            " CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents"
+            " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)"
+            " SELECT nation, priority, CAST(sum(cents) AS BIGINT) AS"
+            " revenue_cents, count(*) AS n_orders FROM p GROUP BY 1, 2"
+            " UNION ALL SELECT nation, 'ALL', CAST(sum(cents) AS BIGINT),"
+            " count(*) FROM p GROUP BY 1"
+            " UNION ALL SELECT 'ALL', 'ALL', CAST(sum(cents) AS BIGINT),"
+            " count(*) FROM p"
+        ),
+        "quantiles": (
+            "WITH c AS (SELECT CAST(l_quantity AS BIGINT) AS v, count(*) AS n"
+            " FROM lineitem GROUP BY 1),"
+            " t AS (SELECT v, CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cum"
+            " FROM c), tot AS (SELECT count(*) AS total FROM lineitem)"
+            + " UNION ALL ".join(
+                f" SELECT '{lbl}' AS q, (SELECT min(v) FROM t, tot"
+                f" WHERE cum >= ceil({q} * total)) AS value"
+                for lbl, q in [("p25", 0.25), ("p50", 0.5),
+                               ("p75", 0.75), ("p95", 0.95)]
+            )
+        ),
+        "anti_join": (
+            "SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey"
+            " FROM customer WHERE c_custkey NOT IN"
+            " (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)"
         ),
         "apply_decisions": (
             PII_CTE

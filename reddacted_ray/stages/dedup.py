@@ -239,53 +239,75 @@ def minhash_lsh_duplicates(
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup (bucket by hash prefix bands, verify hamming distance)
+# Banded-hamming near-dup over ANY 64-bit hash column (SimHash, image phash,
+# audio fingerprint, ...): pigeonhole band blocking + per-bucket verify.
 # ---------------------------------------------------------------------------
 
-def simhash_duplicates(
+def hash_hamming_duplicates(
     ds: rd.Dataset,
-    text_col: str,
+    hash_col: str,
     id_col: str,
     max_hamming: int = 3,
     n_bands: int = 4,
 ) -> rd.Dataset:
-    """(id, dup_of) pairs with hamming(simhash) <= max_hamming.
+    """(id, dup_of) pairs with hamming(hash) <= max_hamming over an
+    existing int64 hash column (e.g. the image table's ``phash``).
 
-    Standard SimHash blocking: split the 64-bit hash into ``n_bands``
-    16-bit bands; by pigeonhole, any pair within hamming distance
-    ``n_bands - 1`` shares at least one exact band -> groupby per band.
-    """
+    Standard blocking: split the 64-bit hash into ``n_bands`` equal bands;
+    by pigeonhole, any pair within hamming distance ``n_bands - 1`` shares
+    at least one exact band -> groupby per band. Band emission is
+    numpy-vectorized (shifts over the whole column)."""
     width = 64 // n_bands
-    mask = (1 << width) - 1
+    mask = np.uint64((1 << width) - 1)
 
-    def add_simhash(t: pa.Table) -> pa.Table:
-        ids, keys, hs = [], [], []
-        for i, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            h = simhash64(text)
-            for b in range(n_bands):
-                band_val = (h >> (b * width)) & mask
-                ids.append(i)
-                keys.append((b << width) | band_val)
-                hs.append(h - (1 << 64) if h >= 1 << 63 else h)
-        return pa.table(
-            {
-                "band_key": pa.array(keys, pa.int64()),
-                id_col: pa.array(ids),
-                "simhash": pa.array(hs, pa.int64()),
-            }
-        )
+    def emit(t: pa.Table) -> pa.Table:
+        h = t[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(h)
+        ids = t[id_col]
+        parts = []
+        for b in range(n_bands):
+            band_val = (h >> np.uint64(b * width)) & mask
+            key = (band_val | np.uint64(b << width)).astype(np.int64)
+            parts.append(
+                pa.table(
+                    {
+                        "band_key": pa.array(key),
+                        id_col: ids,
+                        "hash_i64": t[hash_col],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
 
-    rows = ds.map_batches(add_simhash, batch_format="pyarrow", zero_copy_batch=True)
+    rows = ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({id_col: [], "dup_of": []})
         g = g.sort_values(id_col, kind="mergesort")
-        rep_h = int(g["simhash"].iloc[0]) & ((1 << 64) - 1)
-        rep_id = g[id_col].iloc[0]
+        ids = g[id_col].to_numpy()
+        h = np.ascontiguousarray(
+            g["hash_i64"].to_numpy().astype(np.uint64)
+        )
+        if len(g) <= 512:
+            # pairwise earliest-partner (rep-only misses dups when a band
+            # bucket mixes clusters — the bucket min may belong to another
+            # cluster): vectorized popcount via bit expansion
+            bits = np.unpackbits(h.view(np.uint8).reshape(len(g), 8), axis=1)
+            oi, od = [], []
+            for i in range(1, len(g)):
+                dist = (bits[:i] != bits[i]).sum(axis=1)
+                js = np.nonzero(dist <= max_hamming)[0]
+                if len(js):
+                    oi.append(ids[i])
+                    od.append(ids[js[0]])
+            return pd.DataFrame({id_col: oi, "dup_of": od})
+        # oversized bucket (pathologically coarse banding): rep-only fallback
+        rep_h = int(h[0])
+        rep_id = ids[0]
         oi, od = [], []
-        for rid, h in zip(g[id_col].iloc[1:], g["simhash"].iloc[1:]):
-            if hamming64(int(h) & ((1 << 64) - 1), rep_h) <= max_hamming:
+        for rid, hv in zip(ids[1:], h[1:]):
+            if hamming64(int(hv), rep_h) <= max_hamming:
                 oi.append(rid)
                 od.append(rep_id)
         return pd.DataFrame({id_col: oi, "dup_of": od})
@@ -294,6 +316,33 @@ def simhash_duplicates(
         verify, batch_format="pandas"
     )
     return pairs.groupby(id_col).aggregate(Min("dup_of", alias_name="dup_of"))
+
+
+def simhash_duplicates(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> rd.Dataset:
+    """(id, dup_of) pairs with hamming(simhash(text)) <= max_hamming:
+    compute the SimHash column (stateless map), then the shared banded
+    blocking + verify of ``hash_hamming_duplicates``."""
+
+    def add_simhash(t: pa.Table) -> pa.Table:
+        hs = []
+        for text in t[text_col].to_pylist():
+            h = simhash64(text)
+            hs.append(h - (1 << 64) if h >= 1 << 63 else h)
+        return pa.table(
+            {id_col: t[id_col], "simhash": pa.array(hs, pa.int64())}
+        )
+
+    hashed = ds.map_batches(add_simhash, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return hash_hamming_duplicates(
+        hashed, "simhash", id_col, max_hamming=max_hamming, n_bands=n_bands
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -329,3 +329,41 @@ def test_only_colliding_join_path_equals_broadcast(ray_session, monkeypatch):
     slow = D.minhash_lsh_duplicates(docs, "text", "doc_id", threshold=0.5)
     slow_rows = sorted(map(tuple, slow.to_pandas().itertuples(index=False)))
     assert fast_rows == slow_rows and len(fast_rows) > 0
+
+
+def test_hash_hamming_duplicates_planted(ray_session):
+    """Banded-hamming near-dup over an arbitrary int64 hash column: planted
+    1-3 bit flips must be found, far hashes must not."""
+    from reddacted_ray.stages.dedup import hash_hamming_duplicates
+
+    base = 0x0123456789ABCDEF
+    hashes = [
+        base,                      # 0: anchor
+        base ^ 0b1,                # 1: hamming 1
+        base ^ 0b111,              # 2: hamming 3
+        base ^ 0xFFFF0000FFFF,     # 3: far
+        0x7EDCBA9876543210,        # 4: unrelated
+        base,                      # 5: exact dup
+    ]
+    signed = [h - (1 << 64) if h >= 1 << 63 else h for h in hashes]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array(range(6), pa.int64()),
+                "h": pa.array(signed, pa.int64()),
+            }
+        )
+    )
+    out = hash_hamming_duplicates(ds, "h", "vid", max_hamming=3).to_pandas()
+    pairs = set(zip(out["vid"], out["dup_of"]))
+    assert (1, 0) in pairs and (2, 0) in pairs and (5, 0) in pairs
+    assert not any(d in (3, 4) for d, _ in pairs)
+
+
+def test_simhash_via_shared_banding_unchanged(ray_session):
+    """simhash_duplicates now routes through hash_hamming_duplicates; the
+    pair outputs on the standard corpus must be the same as ever."""
+    out = simhash_duplicates(_docs_ds(), "text", "doc_id", max_hamming=3).to_pandas()
+    pairs = set(zip(out["doc_id"], out["dup_of"]))
+    assert (4, 1) in pairs and (6, 3) in pairs
+    assert not any(d == 5 for d, _ in pairs)
