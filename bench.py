@@ -112,16 +112,22 @@ def run_bench() -> dict:
         materialize_sec = round(time.perf_counter() - t0m, 3)
 
     timings: dict[str, float] = {}
+    # best-of-N per query: the sandbox VM shows 2-3x run-to-run noise from
+    # hypervisor contention; min is the standard noise-robust estimator
+    query_reps = int(os.environ.get("GRAFT_QUERY_REPS", "2"))
 
     def timed(name: str, fn) -> None:
-        t = time.perf_counter()
-        res = fn(SF_DIR)
-        # consume: Datasets are lazy — count() executes the full pipeline
-        import ray.data as rd
+        best = float("inf")
+        for _ in range(query_reps):
+            t = time.perf_counter()
+            res = fn(SF_DIR)
+            # consume: Datasets are lazy — count() executes the pipeline
+            import ray.data as rd
 
-        if isinstance(res, rd.Dataset):
-            res.count()
-        timings[name] = round(time.perf_counter() - t, 3)
+            if isinstance(res, rd.Dataset):
+                res.count()
+            best = min(best, time.perf_counter() - t)
+        timings[name] = round(best, 3)
 
     skip_queries = os.environ.get("GRAFT_SKIP_QUERIES") == "1"
     for name in [] if skip_queries else [

@@ -51,3 +51,17 @@ def read_table(
 def sf_table(sf_dir: str, name: str, columns: Optional[Sequence[str]] = None) -> rd.Dataset:
     """Read one of the driver's testdata tables (TESTDATA.md)."""
     return read_table(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def read_jsonl(
+    path: str, columns: Optional[Sequence[str]] = None
+) -> rd.Dataset:
+    """JSON-lines source — the batch analog of the reference scraper's JSON
+    record stream (``api/scraper.py:23-119`` parses Reddit's JSON listing
+    into 5-field records). JSON has no column projection at the read; the
+    select happens immediately after parse so downstream stages see only
+    the requested fields."""
+    ds = rd.read_json(path)
+    if columns is not None:
+        ds = ds.select_columns(list(columns))
+    return ds

@@ -73,3 +73,50 @@ def approx_distinct(
         for blob in b["sketch"].to_pylist():
             acc = acc.merge(KMVSketch.deserialize(blob, k))
     return acc.estimate()
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile summary (per-block order-statistic compaction)
+# ---------------------------------------------------------------------------
+
+def approx_quantiles(
+    ds: rd.Dataset, col: str, qs: list[float], k: int = 256
+) -> list[float]:
+    """Approximate quantiles of a CONTINUOUS column at scale.
+
+    Each block compacts its sorted values into <= ``k`` evenly spaced order
+    statistics, each weighted by the rows it represents; the per-block
+    summaries (k floats each — tiny) merge on the driver as a weighted
+    quantile. Deterministic (no sampling RNG); per-block rank error is
+    <= n_block / k, so overall error ~ 1/k of the data per block boundary.
+    The exact path for low-cardinality columns is ``q_quantiles``
+    (value-counts two-phase); this is its continuous-column sibling."""
+
+    def per_block(t: pa.Table) -> pa.Table:
+        v = np.sort(
+            t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        n = len(v)
+        if n == 0:
+            return pa.table(
+                {"v": pa.array([], pa.float64()), "w": pa.array([], pa.float64())}
+            )
+        m = min(k, n)
+        idx = np.round(np.linspace(0, n - 1, m)).astype(np.int64)
+        w = np.full(m, n / m, dtype=np.float64)
+        return pa.table({"v": pa.array(v[idx]), "w": pa.array(w)})
+
+    parts = ds.map_batches(per_block, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    parts = parts.sort_values("v", kind="mergesort")
+    cum = parts["w"].cumsum().to_numpy()
+    total = float(cum[-1]) if len(cum) else 0.0
+    vals = parts["v"].to_numpy()
+    out = []
+    for q in qs:
+        if total == 0.0:
+            out.append(float("nan"))
+            continue
+        j = int(np.searchsorted(cum, q * total, side="left"))
+        out.append(float(vals[min(j, len(vals) - 1)]))
+    return out

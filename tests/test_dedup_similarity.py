@@ -367,3 +367,21 @@ def test_simhash_via_shared_banding_unchanged(ray_session):
     pairs = set(zip(out["doc_id"], out["dup_of"]))
     assert (4, 1) in pairs and (6, 3) in pairs
     assert not any(d == 5 for d, _ in pairs)
+
+
+def test_approx_quantiles_tolerance(ray_session):
+    """Mergeable per-block quantile summaries vs exact quantiles on a
+    continuous column: rank error bounded by the compaction factor."""
+    from reddacted_ray.stages.sketch import approx_quantiles
+
+    ds = rd.read_parquet("/root/testdata/sf0.01/lineitem.parquet",
+                         columns=["l_extendedprice"])
+    exact = ds.to_pandas()["l_extendedprice"].to_numpy()
+    qs = [0.1, 0.5, 0.9, 0.99]
+    approx = approx_quantiles(ds, "l_extendedprice", qs, k=256)
+    import numpy as np
+
+    for q, a in zip(qs, approx):
+        e = float(np.quantile(exact, q, method="inverted_cdf"))
+        # value tolerance: within 2% of the exact quantile's value
+        assert abs(a - e) / max(abs(e), 1e-9) < 0.02, (q, a, e)

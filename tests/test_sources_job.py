@@ -190,3 +190,48 @@ def test_job_cli_resumable(synth_dir, tmp_path):
     p2 = subprocess.run(args, capture_output=True, text=True, env=env, cwd=cwd)
     s2 = json.loads(p2.stdout.strip().splitlines()[-1])
     assert s2["partitions_ran"] == 0 and s2["partitions_skipped"] == 2
+
+
+def test_read_jsonl_source(ray_session, tmp_path):
+    """JSONL source (scraper JSON-stream analog): parse + project + feed
+    the normal comment pipeline."""
+    import json as _json
+
+    from reddacted_ray.sources.tables import read_jsonl
+
+    p = tmp_path / "comments.jsonl"
+    rows = [
+        {"id": f"j{i}", "text": f"comment   number {i}", "upvotes": i,
+         "downvotes": 0, "permalink": f"/r/x/j{i}", "extra": "ignored"}
+        for i in range(6)
+    ]
+    p.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+    ds = read_jsonl(str(p), columns=["id", "text", "upvotes"])
+    df = ds.to_pandas().sort_values("id")
+    assert list(df.columns) == ["id", "text", "upvotes"]
+    assert len(df) == 6 and df["upvotes"].sum() == 15
+
+
+def test_hash_split_deterministic_and_balanced(ray_session):
+    """Split assignments must be identical across runs (no RNG) and track
+    the requested fractions on a few thousand ids."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reddacted_ray.stages.sampling import hash_split
+
+    ids = pa.table({"doc_id": pa.array(range(4000), pa.int64())})
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = hash_split(rd.from_arrow(ids), "doc_id", splits).to_pandas()
+    b = hash_split(rd.from_arrow(ids), "doc_id", splits).to_pandas()
+    assert a.sort_values("doc_id").equals(b.sort_values("doc_id"))
+    frac = a["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.03
+    assert abs(frac["val"] - 0.1) < 0.02
+    assert abs(frac["test"] - 0.1) < 0.02
+    # rows keep their assignment under any subset (hash is per-id, not
+    # positional) — sample 100 ids and re-split them alone
+    sub = pa.table({"doc_id": pa.array(range(0, 4000, 40), pa.int64())})
+    c = hash_split(rd.from_arrow(sub), "doc_id", splits).to_pandas()
+    merged = c.merge(a, on="doc_id", suffixes=("_sub", "_full"))
+    assert (merged["split_sub"] == merged["split_full"]).all()
