@@ -187,9 +187,14 @@ def run_scaling() -> dict:
     # the workers' cores at both levels
     lo, hi = 6, 24
 
+    # 2x the default row count so each timed leg runs long enough to ride
+    # out multi-second hypervisor-contention windows (the high leg at the
+    # default size finishes in ~4 s — one noisy burst wrecks the ratio)
+    rows = IMG_ROWS or 3_200_000
+
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1",
-                   GRAFT_SKIP_MATERIALIZE="1")
+                   GRAFT_SKIP_MATERIALIZE="1", GRAFT_IMG_ROWS=str(rows))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
