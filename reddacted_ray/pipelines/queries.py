@@ -375,6 +375,23 @@ def q_stratified_sample(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_collect_events(sf_dir: str) -> rd.Dataset:
+    """Grouped collect/string-agg: the distinct event types each user
+    produced, as one sorted comma-joined string per user (list-valued
+    aggregation surface; deterministic ordering makes it SQL-checkable)."""
+    import pandas as pd
+
+    ev = sf_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        types = ",".join(sorted(set(g["event_type"])))
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "event_types": [types]}
+        )
+
+    return ev.groupby("user_id").map_groups(collect, batch_format="pandas")
+
+
 def q_running_total(sf_dir: str) -> rd.Dataset:
     """Per-user running total over time (cumulative window) — ts-ordered
     cumsum inside each user group, integer cents for hash-stable sums."""
@@ -1370,6 +1387,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "split_train_test": q_split_train_test,
         "stratified_sample": q_stratified_sample,
         "running_total": q_running_total,
+        "collect_events": q_collect_events,
         "rollup_revenue": q_rollup_revenue,
         "quantiles": q_quantiles,
         "anti_join": q_anti_join,
@@ -1480,6 +1498,10 @@ def oracle_sqls() -> dict[str, str]:
             "SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number()"
             f" OVER (PARTITION BY lang ORDER BY {md5h}, doc_id) AS rn"
             " FROM documents) WHERE rn <= 3"
+        ),
+        "collect_events": (
+            "SELECT user_id, string_agg(DISTINCT event_type, ','"
+            " ORDER BY event_type) AS event_types FROM events GROUP BY 1"
         ),
         "running_total": (
             "SELECT user_id, event_id,"

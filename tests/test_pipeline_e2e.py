@@ -151,3 +151,36 @@ def test_apply_decisions_closes_decide_loop(ray_session, synth_dir):
     for iid in sample:
         assert bytes(o.loc[iid, "bytes"]) == bytes(m.loc[iid, "bytes"])
         assert o.loc[iid, "caption"] == m.loc[iid, "caption_scrubbed"]
+
+
+def test_build_time_filter_on_images(ray_session, tmp_path):
+    """The job-level time_filter path: build() pushes the trailing-window
+    predicate to the scan when the images table carries created_utc."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from reddacted_ray.schema import IMAGES_SCHEMA
+
+    base = dt.datetime(2026, 8, 17, 12, 0, 0)
+    ages = [dt.timedelta(hours=2), dt.timedelta(days=2), dt.timedelta(days=100)]
+    t = pa.table(
+        {
+            "image_id": pa.array(["x0", "x1", "x2"]),
+            "bytes": pa.array([b""] * 3, pa.binary()),
+            "w": pa.array([1] * 3, pa.int32()),
+            "h": pa.array([1] * 3, pa.int32()),
+            "fmt": pa.array(["raw"] * 3),
+            "caption": pa.array(["one fine", "two fine", "three fine"]),
+            "phash": pa.array([0] * 3, pa.int64()),
+        },
+        schema=IMAGES_SCHEMA,
+    ).append_column("created_utc", pa.array([base - a for a in ages],
+                                            pa.timestamp("us")))
+    p = tmp_path / "timed.parquet"
+    pq.write_table(t, str(p))
+    out = build(str(p), cfg=LabelerConfig(), time_filter="week",
+                now=base, batch_size=2).to_pandas()
+    assert sorted(out["image_id"]) == ["x0", "x1"]
+    assert "created_utc" not in out.columns
