@@ -41,7 +41,9 @@ def ensure_images() -> tuple[str, int]:
 
     sf = _sf_tag()
     rows = IMG_ROWS or min(1_600_000, max(2000, int(float(sf) * 16_000_000)))
-    d = write_dataset(f"/tmp/graft_images/sf{sf}", rows, seed=42,
+    # row count in the dir name: the scaling legs use a 2x table, and
+    # sharing one dir would force a full regeneration on every size switch
+    d = write_dataset(f"/tmp/graft_images/sf{sf}_r{rows}", rows, seed=42,
                       rows_per_shard=max(2500, rows // 128))
     return d, rows
 
@@ -142,6 +144,10 @@ def run_bench() -> dict:
         "revenue_by_nation",
         "semijoin_bigspenders",
         "join_priority",
+        "apply_decisions",
+        "rollup_revenue",
+        "running_total",
+        "anti_join",
     ]:
         timed(name, Q.registry()[name])
 
