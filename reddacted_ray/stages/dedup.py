@@ -165,19 +165,21 @@ class _MinHashStage:
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids, keys, sigs = [], [], []
-        for i, text in zip(t[self.id_col].to_pylist(), t[self.text_col].to_pylist()):
-            sig = self.mh.signature(text)
-            sb = sig.tobytes()
-            for k in self.mh.band_keys(sig):
-                ids.append(i)
-                keys.append(k)
-                sigs.append(sb)
+        texts = t[self.text_col].to_pylist()
+        ids = t[self.id_col].to_pylist()
+        sigs = self.mh.signature_batch(texts)  # (n, P) — one batched pass
+        keys = self.mh.band_keys_batch(sigs)  # (n, bands)
+        bands = keys.shape[1]
+        sig_bytes = [s.tobytes() for s in sigs]
+        out_ids, out_sigs = [], []
+        for i, sb in zip(ids, sig_bytes):
+            out_ids.extend([i] * bands)
+            out_sigs.extend([sb] * bands)
         return pa.table(
             {
-                "band_key": pa.array(keys, pa.int64()),
-                self.id_col: pa.array(ids),
-                "sig": pa.array(sigs, pa.binary()),
+                "band_key": pa.array(keys.reshape(-1)),
+                self.id_col: pa.array(out_ids),
+                "sig": pa.array(out_sigs, pa.binary()),
             }
         )
 
@@ -365,17 +367,19 @@ def ngram_jaccard_duplicates(
     mh = MinHasher(num_perm=num_perm, bands=bands, shingle_n=shingle_n)
 
     def emit(t: pa.Table) -> pa.Table:
-        ids, keys, texts = [], [], []
-        for i, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            for k in mh.band_keys(mh.signature(text)):
-                ids.append(i)
-                keys.append(k)
-                texts.append(text)
+        texts = t[text_col].to_pylist()
+        ids = t[id_col].to_pylist()
+        keys = mh.band_keys_batch(mh.signature_batch(texts))  # (n, bands)
+        bands = keys.shape[1]
+        out_ids, out_texts = [], []
+        for i, text in zip(ids, texts):
+            out_ids.extend([i] * bands)
+            out_texts.extend([text] * bands)
         return pa.table(
             {
-                "band_key": pa.array(keys, pa.int64()),
-                id_col: pa.array(ids),
-                "text": pa.array(texts, pa.string()),
+                "band_key": pa.array(keys.reshape(-1)),
+                id_col: pa.array(out_ids),
+                "text": pa.array(out_texts, pa.string()),
             }
         )
 
