@@ -175,21 +175,19 @@ class MinHasher:
 # -- SimHash ----------------------------------------------------------------
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens (Charikar 2002)."""
+    """64-bit SimHash over word tokens (Charikar 2002), vectorized: token
+    hashes come from the shared per-process cache, the ±1 bit-vote matrix
+    is one ``unpackbits`` + column sum (no per-token Python loop)."""
     toks = tokens(text)
     if not toks:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    bit_idx = np.arange(64, dtype=np.uint64)
-    for t in toks:
-        h = np.uint64(stable_hash64(t))
-        bits = ((h >> bit_idx) & np.uint64(1)).astype(np.int64)
-        acc += 2 * bits - 1
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    th = _token_hashes(toks)
+    bits = np.unpackbits(
+        np.ascontiguousarray(th).view(np.uint8).reshape(len(th), 8), axis=1
+    )  # (T, 64); bit order is a fixed permutation — irrelevant for hamming
+    votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(th)
+    packed = np.packbits(votes > 0)
+    return int.from_bytes(packed.tobytes(), "big")
 
 
 def hamming64(a: int, b: int) -> int:

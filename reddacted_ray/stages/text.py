@@ -37,7 +37,13 @@ class TextStats:
         mtl = np.empty(n)
         tws = np.empty(n, dtype=np.int64)
         tbpe = np.empty(n, dtype=np.int64)
-        fps, ppls = [], np.empty(n)
+        fps = []
+        # whole-column perplexity: one gather + segmented reduceat
+        ppls = (
+            self.lm.perplexity_batch(texts)
+            if self.lm
+            else np.zeros(n, dtype=np.float64)
+        )
         for i, s in enumerate(texts):
             lg, c = predict_lang(s)
             langs.append(lg)
@@ -50,7 +56,6 @@ class TextStats:
             tws[i] = token_count_ws(s)
             tbpe[i] = token_count_bpe(s)
             fps.append(fingerprint_md5(s))
-            ppls[i] = self.lm.perplexity(s) if self.lm else 0.0
         for name, arr in [
             ("pred_lang", pa.array(langs, pa.string())),
             ("pred_lang_conf", pa.array(confs)),
