@@ -75,6 +75,14 @@ def load_config(argv=None) -> dict:
                     " (default: current UTC time; pass explicitly for"
                     " reproducible runs)")
     ap.add_argument("--batch-size", dest="batch_size", type=int)
+    ap.add_argument("--mode", choices=["materialize", "decide", "apply"],
+                    help="materialize: full-row copy incl. bytes (default);"
+                    " decide: write the id-keyed decision+scrub table with"
+                    " bytes pruned at the scan (the 100 TB analysis shape);"
+                    " apply: hash-join a decision table (--decisions) back"
+                    " onto the full-byte input and write the kept rows with"
+                    " scrubbed captions (decide-mode phase 2)")
+    ap.add_argument("--decisions", help="decision-table dir for --mode apply")
     ap.add_argument("--resumable", action="store_const", const=True)
     ap.add_argument("--emit-errors", dest="emit_errors",
                     action="store_const", const=True,
@@ -128,7 +136,7 @@ def main(argv=None) -> int:
     DataContext.get_current().enable_progress_bars = False
 
     from .oracle import LabelerConfig
-    from .pipelines.quality_filter import build
+    from .pipelines.quality_filter import apply_decisions, build
     from .pipelines.report import aggregates, write_markdown_report
     from .state.manifest import run_resumable
 
@@ -152,9 +160,29 @@ def main(argv=None) -> int:
             else _dt.datetime.utcnow()
         )
 
+    mode = cfg.get("mode", "materialize")
+
     def _build(path):
-        return build(path, cfg=lcfg, batch_size=batch_size,
+        return build(path, cfg=lcfg, batch_size=batch_size, mode=mode,
                      time_filter=time_filter, now=now)
+
+    if mode == "apply":
+        # decide-mode phase 2: join the decision table back onto the
+        # full-byte input (reference K2 write path)
+        if not cfg.get("decisions"):
+            print("error: --mode apply requires --decisions", file=sys.stderr)
+            ray.shutdown()
+            return 2
+        import ray.data as rd
+
+        t0 = time.perf_counter()
+        out = apply_decisions(cfg["input"], rd.read_parquet(cfg["decisions"]))
+        out.write_parquet(cfg["output"])
+        summary = {"output": cfg["output"], "mode": "apply",
+                   "wall_s": round(time.perf_counter() - t0, 3)}
+        print(json.dumps(summary))
+        ray.shutdown()
+        return 0
 
     t0 = time.perf_counter()
     if cfg.get("resumable"):
@@ -168,6 +196,7 @@ def main(argv=None) -> int:
         ds = _build(cfg["input"])
         ds.write_parquet(cfg["output"])
         summary = {"output": cfg["output"]}
+    summary["mode"] = mode
     summary["wall_s"] = round(time.perf_counter() - t0, 3)
     if cfg.get("report"):
         scored = _build(cfg["input"])

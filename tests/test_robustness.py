@@ -90,3 +90,20 @@ def test_null_caption_rows_are_skipped(ray_session, tmp_path):
     assert sorted(out["image_id"]) == ["a", "c"]
     res = label_rows([("a", "fine one"), ("b", None), ("c", "another fine")])
     assert sorted(r["image_id"] for r in res) == ["a", "c"]
+
+
+def test_flagship_streams_with_tiny_blocks(ray_session, synth_dir):
+    """Backpressure sanity: with a tiny target block size the flagship must
+    still stream to completion (many small blocks, no full materialization
+    anywhere in the pipeline)."""
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 64 * 1024
+    try:
+        cfg = LabelerConfig(skip_text="This comment has been reddacted")
+        n = build(synth_dir, cfg=cfg, batch_size=64, mode="decide").count()
+        assert n == 1199
+    finally:
+        ctx.target_max_block_size = old

@@ -235,3 +235,51 @@ def test_hash_split_deterministic_and_balanced(ray_session):
     c = hash_split(rd.from_arrow(sub), "doc_id", splits).to_pandas()
     merged = c.merge(a, on="doc_id", suffixes=("_sub", "_full"))
     assert (merged["split_sub"] == merged["split_full"]).all()
+
+
+def test_load_config_mode_and_flags():
+    from reddacted_ray.job import load_config
+
+    cfg = load_config(["--input", "a", "--output", "b", "--mode", "decide",
+                       "--emit-errors", "--time-filter", "day"])
+    assert cfg["mode"] == "decide" and cfg["emit_errors"] is True
+    assert cfg["time_filter"] == "day"
+
+
+def test_job_cli_decide_then_apply(synth_dir, tmp_path):
+    """The full decide->apply chain through the CLI: phase 1 writes the
+    id-keyed decision table (no bytes), phase 2 joins it back onto the
+    full-byte input and writes kept rows with scrubbed captions."""
+    import pyarrow.dataset as pads
+
+    dec = str(tmp_path / "dec")
+    fin = str(tmp_path / "fin")
+    env = dict(os.environ, REDD_SKIP_TEXT="This comment has been reddacted")
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p1 = subprocess.run(
+        [sys.executable, "-m", "reddacted_ray.job", "--input", synth_dir,
+         "--output", dec, "--mode", "decide", "--num-cpus", "4"],
+        capture_output=True, text=True, env=env, cwd=cwd,
+    )
+    assert p1.returncode == 0, p1.stderr[-2000:]
+    dtab = pads.dataset(dec, format="parquet").to_table()
+    assert "bytes" not in dtab.schema.names  # decision table is byte-free
+    p2 = subprocess.run(
+        [sys.executable, "-m", "reddacted_ray.job", "--input", synth_dir,
+         "--output", fin, "--mode", "apply", "--decisions", dec,
+         "--num-cpus", "4"],
+        capture_output=True, text=True, env=env, cwd=cwd,
+    )
+    assert p2.returncode == 0, p2.stderr[-2000:]
+    ftab = pads.dataset(fin, format="parquet").to_table()
+    import pyarrow.compute as pc
+
+    n_kept = pc.sum(pc.cast(dtab["keep"], "int64")).as_py()
+    assert ftab.num_rows == n_kept
+    assert "bytes" in ftab.schema.names and "caption" in ftab.schema.names
+    # applied captions are the scrubbed ones
+    dec_map = dict(zip(dtab["image_id"].to_pylist(),
+                       dtab["caption_scrubbed"].to_pylist()))
+    for iid, cap in zip(ftab["image_id"].to_pylist()[:100],
+                        ftab["caption"].to_pylist()[:100]):
+        assert cap == dec_map[iid]
