@@ -56,7 +56,9 @@ def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarr
 # per-process token->hash cache: the token vocabulary is Zipfian, so after
 # warm-up nearly every token is a dict hit and the blake2b cost amortizes
 # away. Deterministic across workers (stable_hash64 is seeded, the cache
-# only memoizes it). Bounded: reset beyond 1M entries.
+# only memoizes it). Bounded: reset beyond 1M entries. Stores the FULL
+# 64-bit hash — simhash needs all 64 vote columns live (a mod-2^61 value
+# would zero 3 bit positions and silently weaken hamming banding).
 _TOKEN_HASH_CACHE: dict[str, int] = {}
 _SHINGLE_MIX = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio multiplier
 
@@ -69,7 +71,7 @@ def _token_hashes(toks: list[str]) -> np.ndarray:
         if h is None:
             if len(cache) > 1_000_000:
                 cache.clear()
-            h = cache[t] = stable_hash64(t) % _MERSENNE
+            h = cache[t] = stable_hash64(t)
         out[i] = h
     return out
 

@@ -110,9 +110,10 @@ def main(argv=None) -> int:
         return 2
     # Ray's write_parquet APPENDS into an existing dir; a rerun with the
     # same --output would silently duplicate rows. Refuse up front
-    # (resumable mode is the rerun-safe path).
+    # (resumable mode is the rerun-safe path; --mode apply always writes
+    # directly, so --resumable does not exempt it from the guard).
     if (
-        not cfg.get("resumable")
+        (cfg.get("mode") == "apply" or not cfg.get("resumable"))
         and os.path.isdir(cfg["output"])
         and os.listdir(cfg["output"])
     ):

@@ -41,6 +41,17 @@ from ..stages.normalize import make_normalize_fn
 # ---------------------------------------------------------------------------
 
 
+
+def _money_int(arr, scale: float) -> pa.Array:
+    """DuckDB-round-parity integer scaling: round(value * scale) with ties
+    AWAY from zero (DuckDB ``round()``; pyarrow's default half_to_even
+    would diverge on exact .5 products) -> int64."""
+    return pc.cast(
+        pc.round(pc.multiply(arr, scale), round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+
+
 def _sq(pat: str) -> str:
     """Escape a regex for embedding in a single-quoted SQL literal."""
     return pat.replace("'", "''")
@@ -401,7 +412,12 @@ def q_running_total(sf_dir: str) -> rd.Dataset:
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        cents = (g["value"] * 100).round().astype("int64")
+        x = (g["value"] * 100.0).to_numpy()
+        # ties away from zero, matching DuckDB round()
+        cents = pd.Series(
+            (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype("int64"),
+            index=g.index,
+        )
         return pd.DataFrame(
             {
                 "user_id": g["user_id"],
@@ -431,9 +447,7 @@ def q_rollup_revenue(sf_dir: str) -> rd.Dataset:
                 {
                     "nation": pa.array(nat, pa.string()),
                     "priority": t["o_orderpriority"],
-                    "price_cents": pc.cast(
-                        pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
-                    ),
+                    "price_cents": _money_int(t["o_totalprice"], 100.0),
                 }
             )
 
@@ -680,7 +694,7 @@ def q_window_events(sf_dir: str) -> rd.Dataset:
 
     def prep(t: pa.Table) -> pa.Table:
         win = pc.floor_temporal(t["ts"], unit="hour")
-        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        cents = _money_int(t["value"], 100.0)
         return pa.table(
             {"window_start": win, "event_type": t["event_type"], "value_cents": cents}
         )
@@ -720,12 +734,8 @@ def q_q1_pricing(sf_dir: str) -> rd.Dataset:
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
                 "qty": pc.cast(t["l_quantity"], pa.int64()),
-                "price_cents": pc.cast(
-                    pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64()
-                ),
-                "disc_price_e4": pc.cast(
-                    pc.round(pc.multiply(disc, 10000.0)), pa.int64()
-                ),
+                "price_cents": _money_int(t["l_extendedprice"], 100.0),
+                "disc_price_e4": _money_int(disc, 10000.0),
             }
         )
 
@@ -751,9 +761,7 @@ def q_top_orders(sf_dir: str) -> pa.Table:
     return pa.table(
         {
             "o_orderkey": t["o_orderkey"],
-            "totalprice_cents": pc.cast(
-                pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
-            ),
+            "totalprice_cents": _money_int(t["o_totalprice"], 100.0),
         }
     )
 
@@ -773,9 +781,7 @@ def q_revenue_by_nation(sf_dir: str) -> rd.Dataset:
             return pa.table(
                 {
                     "nationkey": pa.array(nat, pa.int32()),
-                    "price_cents": pc.cast(
-                        pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
-                    ),
+                    "price_cents": _money_int(t["o_totalprice"], 100.0),
                 }
             )
 
@@ -846,7 +852,7 @@ def q_sliding_events(sf_dir: str) -> rd.Dataset:
         # epoch seconds -> the two 30-min-aligned window starts covering ts
         epoch = pc.cast(pc.cast(t["ts"], pa.int64()), pa.float64())  # us
         slot = pc.cast(pc.floor(pc.divide(epoch, 1_800_000_000.0)), pa.int64())
-        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        cents = _money_int(t["value"], 100.0)
         starts = []
         for k in (0, 1):  # window starting at slot and slot-1
             s = pc.multiply(pc.subtract(slot, k), pa.scalar(1_800_000_000))
@@ -952,7 +958,9 @@ def q_top_orders_per_customer(sf_dir: str) -> rd.Dataset:
             {
                 "o_custkey": g["o_custkey"],
                 "o_orderkey": g["o_orderkey"],
-                "totalprice_cents": (g["o_totalprice"] * 100).round().astype("int64"),
+                "totalprice_cents": _money_int(
+                    pa.array(g["o_totalprice"].to_numpy()), 100.0
+                ).to_numpy(),
             }
         )
 
@@ -1146,7 +1154,7 @@ def q_join_priority(sf_dir: str) -> rd.Dataset:
         return pa.table(
             {
                 "l_orderkey": t["l_orderkey"],
-                "revenue_e4": pc.cast(pc.round(pc.multiply(disc, 10000.0)), pa.int64()),
+                "revenue_e4": _money_int(disc, 10000.0),
             }
         )
 

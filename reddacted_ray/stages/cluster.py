@@ -93,8 +93,20 @@ def cluster_pairs_distributed(
     if edges.count() == 0:
         # degenerate input: an all-empty side would leave join partitions
         # schema-less (Ray skips zero-row shuffle blocks) — short-circuit
+        # with the id column's real type so downstream unions/joins bind
+        ntype = pa.int64()
+        try:
+            sch = pairs.schema()
+            ntype = dict(zip(sch.names, sch.types))[id_col]
+        except Exception:
+            pass
         return rd.from_arrow(
-            pa.table({id_col: pa.array([]), "cluster_id": pa.array([])})
+            pa.table(
+                {
+                    id_col: pa.array([], ntype),
+                    "cluster_id": pa.array([], ntype),
+                }
+            )
         )
     # labels start as min(self, min direct neighbor) — round 1 for free
     labels = edges.groupby("node").aggregate(Min("nbr", alias_name="label"))

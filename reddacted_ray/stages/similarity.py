@@ -188,6 +188,10 @@ def ivf_topk_persisted(
                 for f in sorted(os.listdir(d))
                 if f.endswith(".parquet")
             )
+    if not paths:
+        # every probed list is empty / layout missing: no candidates
+        # (read_parquet([]) would raise an unrelated-looking ValueError)
+        return [[] for _ in range(len(queries))]
     sub = rd.read_parquet(paths, columns=[id_col, vec_col])
     return brute_force_topk(sub, queries, vec_col=vec_col, id_col=id_col, k=k)
 

@@ -110,6 +110,23 @@ def run_resumable(
         if f.endswith(".parquet")
     ]
     plan = plan_partitions(files, files_per_partition)
+    # If the input SHRANK since the last run, trailing partition ids fall
+    # out of the plan: their output dirs would otherwise keep serving stale
+    # (duplicated) rows forever. Remove orphan dirs and drop their manifest
+    # records (atomic rewrite) so a later re-grown input recomputes them.
+    plan_pids = {pid for pid, _ in plan}
+    orphans = set(done) - plan_pids
+    if orphans:
+        for pid in orphans:
+            shutil.rmtree(mf.partition_dir(pid), ignore_errors=True)
+            done.pop(pid, None)
+        tmp_path = mf.path + ".tmp"
+        with open(tmp_path, "w") as f:
+            for rec in done.values():
+                f.write(json.dumps(rec) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp_path, mf.path)
     ran, skipped = 0, 0
     for pid, chunk in plan:
         # skip only when the committed record covers the SAME input files:

@@ -193,3 +193,17 @@ def test_scorer_langid_matches_oracle_on_non_ascii():
         lang, conf = predict_lang(s)
         assert out["lang"][i].as_py() == lang, s
         assert out["lang_conf"][i].as_py() == conf, s
+
+
+def test_simhash_uses_all_64_bits():
+    """Regression: token hashes must keep their full 64 bits — a mod-2^61
+    cache value would zero three vote columns and weaken hamming banding."""
+    import random
+
+    rng = random.Random(7)
+    words = ["w%d" % rng.randrange(10_000) for _ in range(4000)]
+    texts = [" ".join(words[i:i + 20]) for i in range(0, 4000, 20)]
+    seen = 0
+    for t in texts:
+        seen |= simhash64(t)
+    assert seen == (1 << 64) - 1  # every bit position fires somewhere

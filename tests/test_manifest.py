@@ -138,3 +138,32 @@ def test_error_lineage_rows_and_failed_ids(ray_session, tmp_path):
     rows = {r["image_id"]: r for r in back.to_pylist()}
     assert rows["b"]["error"] and not rows["b"]["keep"]
     assert rows["a"]["error"] is None and rows["c"]["error"] is None
+
+
+def test_resume_removes_orphan_partitions(ray_session, tmp_path):
+    """If the input SHRANK, trailing partition ids fall out of the plan;
+    their stale output dirs and manifest records must be removed or the
+    output would serve duplicated/ghost rows forever."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    for name, lo in [("a.parquet", 0), ("b.parquet", 100), ("c.parquet", 200)]:
+        pq.write_table(pa.table({"x": pa.array(range(lo, lo + 5))}),
+                       str(ind / name))
+    out = str(tmp_path / "out")
+    fn = lambda files: rd.read_parquet(files)
+    r1 = run_resumable(str(ind), out, fn, files_per_partition=1)
+    assert r1["partitions_ran"] == 3
+    os.remove(str(ind / "b.parquet"))  # input shrinks: b gone, c remaps
+    r2 = run_resumable(str(ind), out, fn, files_per_partition=1)
+    # 00000 (a) unchanged; 00001 now holds c -> re-run; 00002 orphaned
+    assert r2["partitions_total"] == 2
+    assert not os.path.exists(os.path.join(out, "partition_id=00002"))
+    dset = pads.dataset(out, format="parquet", exclude_invalid_files=True)
+    got = sorted(dset.to_table()["x"].to_pylist())
+    assert got == list(range(0, 5)) + list(range(200, 205))  # no ghosts/dups
+    recs = [json.loads(l) for l in open(os.path.join(out, "manifest.jsonl"))]
+    assert all(r["partition_id"] in ("00000", "00001") for r in recs)
