@@ -63,6 +63,41 @@ def hash_split(
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def write_bucketed(
+    ds: rd.Dataset, key_col: str, n_buckets: int, out_dir: str
+) -> str:
+    """Hash-bucketed parquet sink: rows land in ``bucket=K/`` directories by
+    a stable hash of the key column. The 100 TB payoff: two tables bucketed
+    the same way co-locate their keys, so a later join/dedup reads matching
+    bucket pairs independently — no all-to-all shuffle — and a failed run
+    resumes per bucket. Buckets come from blake2b (process-stable), not
+    Python ``hash()``."""
+    from ..functions.hashing import stable_hash64
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = [stable_hash64(str(v)) % n_buckets for v in t[key_col].to_pylist()]
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        out_dir, partition_cols=["bucket"]
+    )
+    return out_dir
+
+
+def read_bucket(out_dir: str, bucket: int, columns=None) -> rd.Dataset:
+    """Read one bucket of a ``write_bucketed`` layout (path-pruned)."""
+    import os
+
+    d = os.path.join(out_dir, f"bucket={bucket}")
+    paths = [
+        os.path.join(d, f) for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ] if os.path.isdir(d) else []
+    if not paths:
+        raise FileNotFoundError(f"no parquet files under {d}")
+    return rd.read_parquet(paths, columns=columns)
+
+
 def stratified_sample(
     ds: rd.Dataset, group_col: str, id_col: str, n_per_group: int
 ) -> rd.Dataset:

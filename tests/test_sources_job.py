@@ -283,3 +283,27 @@ def test_job_cli_decide_then_apply(synth_dir, tmp_path):
     for iid, cap in zip(ftab["image_id"].to_pylist()[:100],
                         ftab["caption"].to_pylist()[:100]):
         assert cap == dec_map[iid]
+
+
+def test_write_bucketed_roundtrip(ray_session, tmp_path):
+    """Hash-bucketed sink: every row lands in exactly one stable bucket;
+    reading one bucket back returns exactly its members (the co-location
+    primitive for shuffle-free bucket-pair joins)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reddacted_ray.functions.hashing import stable_hash64
+    from reddacted_ray.stages.sampling import read_bucket, write_bucketed
+
+    ids = list(range(500))
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 "v": pa.array([i * 2 for i in ids])}))
+    out = write_bucketed(ds, "doc_id", 8, str(tmp_path / "buckets"))
+    total = 0
+    for b in range(8):
+        got = read_bucket(out, b, columns=["doc_id", "v"]).to_pandas()
+        total += len(got)
+        for i in got["doc_id"]:
+            assert stable_hash64(str(i)) % 8 == b
+        assert (got["v"] == got["doc_id"] * 2).all()
+    assert total == 500
