@@ -386,6 +386,57 @@ def q_stratified_sample(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_pivot_lang_tier(sf_dir: str) -> rd.Dataset:
+    """Pivot via conditional aggregation: one row per document language,
+    one count column per risk tier (wide reshaping without a shuffle per
+    column — flags are computed map-side, then one grouped sum)."""
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+    pii = _pii_ds(sf_dir).map_batches(
+        lambda t: t.select(["doc_id", "risk_score"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    joined = docs.join(pii, join_type="inner", num_partitions=16,
+                       on=("doc_id",))
+
+    def flags(t: pa.Table) -> pa.Table:
+        red = pc.greater(t["risk_score"], 0.5)
+        yellow = pc.and_(
+            pc.greater(t["risk_score"], 0.2), pc.invert(red)
+        )
+        green = pc.invert(pc.or_(red, yellow))
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_red": pc.cast(red, pa.int64()),
+                "n_yellow": pc.cast(yellow, pa.int64()),
+                "n_green": pc.cast(green, pa.int64()),
+            }
+        )
+
+    out = grouped_sums(
+        joined.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang"], ["n_red", "n_yellow", "n_green"], count_alias="n_docs",
+    )
+    return out
+
+
+def q_hourly_histogram(sf_dir: str) -> rd.Dataset:
+    """Date-part histogram: event counts by hour of day (vectorized Arrow
+    temporal kernel + grouped count)."""
+    ev = sf_table(sf_dir, "events", columns=["ts"])
+
+    def hours(t: pa.Table) -> pa.Table:
+        return pa.table({"hour": pc.cast(pc.hour(t["ts"]), pa.int64())})
+
+    return (
+        ev.map_batches(hours, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hour")
+        .aggregate(Count(alias_name="n_events"))
+    )
+
+
 def q_collect_events(sf_dir: str) -> rd.Dataset:
     """Grouped collect/string-agg: the distinct event types each user
     produced, as one sorted comma-joined string per user (list-valued
@@ -1396,6 +1447,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "running_total": q_running_total,
         "collect_events": q_collect_events,
+        "pivot_lang_tier": q_pivot_lang_tier,
+        "hourly_histogram": q_hourly_histogram,
         "rollup_revenue": q_rollup_revenue,
         "quantiles": q_quantiles,
         "anti_join": q_anti_join,
@@ -1510,6 +1563,22 @@ def oracle_sqls() -> dict[str, str]:
         "collect_events": (
             "SELECT user_id, string_agg(DISTINCT event_type, ','"
             " ORDER BY event_type) AS event_types FROM events GROUP BY 1"
+        ),
+        "pivot_lang_tier": (
+            PII_CTE
+            + "SELECT d2.lang,"
+            " CAST(sum(CASE WHEN k.risk_score > 0.5 THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_red,"
+            " CAST(sum(CASE WHEN k.risk_score > 0.2 AND k.risk_score <= 0.5"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS n_yellow,"
+            " CAST(sum(CASE WHEN k.risk_score <= 0.2 THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_green,"
+            " count(*) AS n_docs"
+            " FROM documents d2 JOIN k ON d2.doc_id = k.doc_id GROUP BY 1"
+        ),
+        "hourly_histogram": (
+            "SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,"
+            " count(*) AS n_events FROM events GROUP BY 1"
         ),
         "running_total": (
             "SELECT user_id, event_id,"
