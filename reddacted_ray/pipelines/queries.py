@@ -386,6 +386,49 @@ def q_stratified_sample(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_value_stats(sf_dir: str) -> rd.Dataset:
+    """Distributed moments per group: mean and population variance of the
+    event value from ONE pass of mergeable integer partials (sum, sum of
+    squares, count) — the classic shuffle-free-combine statistic. Floats
+    derive from the exact integer sums with the same IEEE expression tree
+    as the SQL oracle, so values hash bit-identically."""
+    from ..stages.agg import grouped_sums
+
+    ev = sf_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = _money_int(t["value"], 100.0)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "cents": cents,
+                "cents_sq": pc.multiply(cents, cents),
+            }
+        )
+
+    sums = grouped_sums(
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"], ["cents", "cents_sq"], count_alias="n",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n"], pa.float64())
+        s = pc.cast(t["cents"], pa.float64())
+        sq = pc.cast(t["cents_sq"], pa.float64())
+        mean = pc.divide(s, n)
+        var = pc.divide(pc.subtract(sq, pc.divide(pc.multiply(s, s), n)), n)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": t["n"],
+                "mean_cents": mean,
+                "var_cents": var,
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_pivot_lang_tier(sf_dir: str) -> rd.Dataset:
     """Pivot via conditional aggregation: one row per document language,
     one count column per risk tier (wide reshaping without a shuffle per
@@ -1448,6 +1491,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "running_total": q_running_total,
         "collect_events": q_collect_events,
         "pivot_lang_tier": q_pivot_lang_tier,
+        "value_stats": q_value_stats,
         "hourly_histogram": q_hourly_histogram,
         "rollup_revenue": q_rollup_revenue,
         "quantiles": q_quantiles,
@@ -1579,6 +1623,20 @@ def oracle_sqls() -> dict[str, str]:
         "hourly_histogram": (
             "SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,"
             " count(*) AS n_events FROM events GROUP BY 1"
+        ),
+        "value_stats": (
+            # identical IEEE expression tree to the Ray side: float
+            # mean/var derive from the EXACT integer partials
+            "WITH s AS (SELECT event_type,"
+            " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,"
+            " CAST(sum(CAST(round(value * 100) AS BIGINT)"
+            " * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_sq,"
+            " count(*) AS n FROM events GROUP BY 1)"
+            " SELECT event_type, n,"
+            " CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,"
+            " (CAST(cents_sq AS DOUBLE) - (CAST(cents AS DOUBLE)"
+            " * CAST(cents AS DOUBLE)) / CAST(n AS DOUBLE))"
+            " / CAST(n AS DOUBLE) AS var_cents FROM s"
         ),
         "running_total": (
             "SELECT user_id, event_id,"

@@ -385,3 +385,24 @@ def test_approx_quantiles_tolerance(ray_session):
         e = float(np.quantile(exact, q, method="inverted_cdf"))
         # value tolerance: within 2% of the exact quantile's value
         assert abs(a - e) / max(abs(e), 1e-9) < 0.02, (q, a, e)
+
+
+def test_broadcast_join_helpers(ray_session):
+    """API-level broadcast joins: semi/anti filtering and dimension lookup
+    against a once-shipped small side."""
+    import pyarrow as pa
+
+    from reddacted_ray.stages.joins import broadcast_lookup_join, broadcast_semi_join
+
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                  "v": pa.array(list("abcde"))})
+    )
+    kept = broadcast_semi_join(ds, [2, 4, 9], "k").to_pandas()
+    assert sorted(kept["k"]) == [2, 4]
+    anti = broadcast_semi_join(ds, [2, 4, 9], "k", anti=True).to_pandas()
+    assert sorted(anti["k"]) == [1, 3, 5]
+    looked = broadcast_lookup_join(
+        ds, {1: "x", 3: "y"}, "k", "dim", default="?"
+    ).to_pandas().sort_values("k")
+    assert list(looked["dim"]) == ["x", "?", "y", "?", "?"]
