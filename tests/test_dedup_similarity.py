@@ -406,3 +406,34 @@ def test_broadcast_join_helpers(ray_session):
         ds, {1: "x", 3: "y"}, "k", "dim", default="?"
     ).to_pandas().sort_values("k")
     assert list(looked["dim"]) == ["x", "?", "y", "?", "?"]
+
+
+def test_bucketed_join_equals_direct(ray_session, tmp_path):
+    """Two same-bucketed layouts join bucket-by-bucket (no shuffle) with
+    exactly the rows of a direct join."""
+    import pyarrow as pa
+
+    from reddacted_ray.stages.joins import bucketed_join
+    from reddacted_ray.stages.sampling import write_bucketed
+
+    ids = list(range(300))
+    a = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "va": pa.array([i * 3 for i in ids])})
+    # b covers a strict subset of keys
+    b = pa.table({"doc_id": pa.array(ids[::2], pa.int64()),
+                  "vb": pa.array([i * 7 for i in ids[::2]])})
+    da = write_bucketed(rd.from_arrow(a), "doc_id", 8, str(tmp_path / "a"))
+    db = write_bucketed(rd.from_arrow(b), "doc_id", 8, str(tmp_path / "b"))
+    got = (
+        bucketed_join(da, db, "doc_id", 8,
+                      columns_a=["doc_id", "va"], columns_b=["doc_id", "vb"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = a.join(b, keys=["doc_id"], join_type="inner").to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert len(got) == 150
+    assert (got["doc_id"] == exp["doc_id"]).all()
+    assert (got["va"] == got["doc_id"] * 3).all()
+    assert (got["vb"] == got["doc_id"] * 7).all()
