@@ -120,3 +120,62 @@ def approx_quantiles(
         j = int(np.searchsorted(cum, q * total, side="left"))
         out.append(float(vals[min(j, len(vals) - 1)]))
     return out
+
+
+def grouped_approx_quantiles(
+    ds: rd.Dataset, group_col: str, col: str, qs: list[float], k: int = 128
+) -> "object":
+    """Per-GROUP approximate quantiles at scale.
+
+    Same per-block order-statistic compaction as ``approx_quantiles``, but
+    emitted per (block, group); the only wide step shuffles the compacted
+    summaries (<= k rows per group per block), never the raw values, and
+    each group's summaries merge independently in ``map_groups``. Returns
+    a Dataset (group_col, q, value)."""
+    import pandas as pd
+
+    def per_block(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": t[group_col].to_pandas(),
+                "v": t[col].to_pandas().astype("float64"),
+            }
+        )
+        gs, vs, ws = [], [], []
+        for g, sub in df.groupby("g", sort=False):
+            v = np.sort(sub["v"].to_numpy())
+            m = min(k, len(v))
+            idx = np.round(np.linspace(0, len(v) - 1, m)).astype(np.int64)
+            gs.extend([g] * m)
+            vs.extend(v[idx].tolist())
+            ws.extend([len(v) / m] * m)
+        return pa.table(
+            {
+                group_col: pa.array(gs),
+                "v": pa.array(vs, pa.float64()),
+                "w": pa.array(ws, pa.float64()),
+            }
+        )
+
+    summaries = ds.map_batches(per_block, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values("v", kind="mergesort")
+        cum = g["w"].cumsum().to_numpy()
+        total = float(cum[-1])
+        vals = g["v"].to_numpy()
+        out_q, out_v = [], []
+        for q in qs:
+            j = int(np.searchsorted(cum, q * total, side="left"))
+            out_q.append(q)
+            out_v.append(float(vals[min(j, len(vals) - 1)]))
+        return pd.DataFrame(
+            {
+                group_col: [g[group_col].iloc[0]] * len(qs),
+                "q": out_q,
+                "value": out_v,
+            }
+        )
+
+    return summaries.groupby(group_col).map_groups(merge, batch_format="pandas")

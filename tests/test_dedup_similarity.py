@@ -437,3 +437,24 @@ def test_bucketed_join_equals_direct(ray_session, tmp_path):
     assert (got["doc_id"] == exp["doc_id"]).all()
     assert (got["va"] == got["doc_id"] * 3).all()
     assert (got["vb"] == got["doc_id"] * 7).all()
+
+
+def test_grouped_approx_quantiles_tolerance(ray_session):
+    """Per-group quantile summaries: each group's estimates stay within 3%
+    of its exact quantile values."""
+    import numpy as np
+
+    from reddacted_ray.stages.sketch import grouped_approx_quantiles
+
+    ds = rd.read_parquet("/root/testdata/sf0.01/events.parquet",
+                         columns=["event_type", "value"])
+    exact = ds.to_pandas()
+    got = grouped_approx_quantiles(
+        ds, "event_type", "value", [0.25, 0.5, 0.9], k=128
+    ).to_pandas()
+    assert set(got["event_type"]) == set(exact["event_type"])
+    for (etype, q), sub in got.groupby(["event_type", "q"]):
+        vals = exact.loc[exact["event_type"] == etype, "value"].to_numpy()
+        e = float(np.quantile(vals, q, method="inverted_cdf"))
+        a = float(sub["value"].iloc[0])
+        assert abs(a - e) / max(abs(e), 1e-9) < 0.03, (etype, q, a, e)
