@@ -218,3 +218,24 @@ def test_perplexity_batch_equals_single(texts):
     batch = LM.perplexity_batch(texts)
     single = np.array([LM.perplexity(t) for t in texts], dtype=np.float64)
     assert np.array_equal(batch, single)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.floats(-1e6, 1e6, allow_nan=False))
+def test_money_int_rounds_ties_away_from_zero(x):
+    """_money_int must match DuckDB round(): ties away from zero — pyarrow's
+    default half_to_even would diverge on exact .5 products."""
+    from reddacted_ray.pipelines.queries import _money_int
+
+    got = _money_int(pa.array([x]), 100.0)[0].as_py()
+    y = x * 100.0
+    exp = int(np.sign(y) * np.floor(np.abs(y) + 0.5))
+    assert got == exp
+
+
+def test_money_int_exact_ties():
+    from reddacted_ray.pipelines.queries import _money_int
+
+    vals = [0.125, -0.125, 0.005, -0.005, 0.015, -0.015]
+    got = _money_int(pa.array(vals), 100.0).to_pylist()
+    assert got == [13, -13, 1, -1, 2, -2]  # ties away from zero, DuckDB-style
