@@ -14,6 +14,8 @@ import struct
 
 
 import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 
 _MERSENNE = (1 << 61) - 1
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
@@ -21,6 +23,66 @@ _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 def tokens(text: str) -> list[str]:
     return _TOKEN_RE.findall(text.lower())
+
+
+# -- batched buffer-level digests -------------------------------------------
+#
+# hashlib has no batch API, so a digest per row is unavoidable — but the
+# to_pylist() -> str -> .encode() round trip per row is not. These kernels
+# hash the Arrow string column's utf-8 DATA BUFFER directly (memoryview
+# slices, zero copies, no per-row Python string objects) and are
+# bit-identical to their scalar counterparts (Arrow strings are utf-8, so
+# ``buffer[o_i:o_{i+1}] == s.encode("utf-8")``). Locked by equivalence
+# tests in tests/test_functions.py.
+
+
+def _utf8_view(arr) -> tuple[np.ndarray, memoryview]:
+    """(offsets, data) view of a string/large_string array's utf-8 bytes."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_large_string(arr.type):
+        odt = np.int64
+    else:
+        if not pa.types.is_string(arr.type):
+            arr = pc.cast(arr, pa.string())
+        odt = np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=odt)[arr.offset : arr.offset + len(arr) + 1]
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    return offs, data
+
+
+def stable_hash64_batch(arr, seed: int = 0) -> np.ndarray:
+    """Column version of ``stable_hash64`` (uint64). Non-string columns are
+    cast with Arrow's string cast, which matches Python ``str()`` for
+    integer and string keys (the supported key types)."""
+    offs, data = _utf8_view(arr)
+    key = seed.to_bytes(8, "little")
+    b2 = hashlib.blake2b
+    out = np.empty(len(offs) - 1, dtype=np.uint64)
+    for i in range(len(out)):
+        out[i] = int.from_bytes(
+            b2(data[offs[i] : offs[i + 1]], digest_size=8, key=key).digest(),
+            "little",
+        )
+    return out
+
+
+def content_hash_batch(arr) -> np.ndarray:
+    """Column version of ``content_hash`` (int64, 63-bit)."""
+    return (stable_hash64_batch(arr) >> np.uint64(1)).astype(np.int64)
+
+
+def md5_top32_batch(arr) -> np.ndarray:
+    """Top 32 bits of ``md5(str(v))`` per row (uint64 < 2**32). Comparing
+    these integers == comparing the first 8 hex chars of the md5 hexdigest
+    lexicographically (the SQL-oracle split/sample key)."""
+    offs, data = _utf8_view(arr)
+    md5 = hashlib.md5
+    out = np.empty(len(offs) - 1, dtype=np.uint64)
+    for i in range(len(out)):
+        out[i] = int.from_bytes(md5(data[offs[i] : offs[i + 1]]).digest()[:4], "big")
+    return out
 
 
 def shingles(text: str, n: int = 3) -> set[str]:
@@ -76,6 +138,55 @@ def _token_hashes(toks: list[str]) -> np.ndarray:
     return out
 
 
+def tokens_hashed_batch(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Token-hash stream for a whole column: ``(hashes, counts)`` where
+    ``hashes`` is the uint64 concatenation of every doc's token hashes (doc
+    order preserved) and ``counts[i]`` is doc i's token count.
+
+    Bit-identical to ``_token_hashes(tokens(t))`` per doc, but the regex
+    runs ONCE as an Arrow RE2 split over the column, and the token->hash
+    map applies to the ``dictionary_encode`` uniques only (the vocabulary
+    is Zipfian: uniques << tokens), then gathers by index — replacing the
+    per-doc ``re.findall`` + per-token dict loop that dominated dedup cost
+    (round-2 VERDICT #1). Lowercasing stays in Python: ``utf8_lower`` uses
+    simple case mapping which diverges from ``str.lower`` on e.g. U+0130."""
+    low = pa.array([t.lower() for t in texts], pa.string())
+    sp = pc.split_pattern_regex(low, "[^a-z0-9]+")
+    flat = pc.list_flatten(sp)
+    offs = np.asarray(sp.offsets)
+    # split emits empty strings at separator edges; drop them but keep
+    # per-doc counts (findall-equivalence: split on the complement class)
+    nonempty = pc.greater(pc.binary_length(flat), 0)
+    mask = nonempty.to_numpy(zero_copy_only=False)
+    doc_of_token = np.repeat(np.arange(len(texts)), np.diff(offs))
+    counts = np.bincount(doc_of_token[mask], minlength=len(texts))
+    enc = pc.dictionary_encode(flat.filter(nonempty))
+    uniq = enc.dictionary.to_pylist()
+    cache = _TOKEN_HASH_CACHE
+    uh = np.empty(len(uniq), dtype=np.uint64)
+    for i, t in enumerate(uniq):
+        h = cache.get(t)
+        if h is None:
+            if len(cache) > 1_000_000:
+                cache.clear()
+            h = cache[t] = stable_hash64(t)
+        uh[i] = h
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    hashes = uh[idx] if len(idx) else np.empty(0, dtype=np.uint64)
+    return hashes, counts
+
+
+def _segment_arange(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenated ``[starts[i], starts[i]+lens[i])`` ranges, vectorized."""
+    tot = int(lens.sum())
+    if tot == 0:
+        return np.empty(0, dtype=np.int64)
+    out = np.repeat(starts.astype(np.int64), lens)
+    base = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    within = np.arange(tot, dtype=np.int64) - np.repeat(base, lens)
+    return out + within
+
+
 class MinHasher:
     """MinHash signatures with banding for LSH. Build once per worker.
 
@@ -96,6 +207,8 @@ class MinHasher:
         self.a, self.b = _minhash_params(num_perm, seed)
 
     def _shingle_hashes(self, text: str) -> np.ndarray:
+        """Per-doc reference path (the batch path is equivalence-tested
+        against it; np.unique only prunes work — min ignores duplicates)."""
         toks = tokens(text)
         if not toks:
             return np.empty(0, dtype=np.uint64)
@@ -110,23 +223,65 @@ class MinHasher:
         hv %= np.uint64(_MERSENNE)
         return np.unique(hv)
 
+    def _shingle_concat(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """All docs' shingle hashes as ONE array (doc order) + per-doc
+        counts. The sliding-window polynomial combine runs globally over
+        the concatenated token-hash stream; positions whose window crosses
+        a doc boundary are simply not gathered. Docs shorter than the
+        shingle width get their degenerate whole-doc shingle via a tiny
+        per-distinct-length vectorized pass."""
+        th, tcounts = tokens_hashed_batch(texts)
+        n = self.shingle_n
+        T = len(th)
+        tstarts = np.concatenate([[0], np.cumsum(tcounts)])
+        scounts = np.zeros(len(texts), dtype=np.int64)
+        long_mask = tcounts >= n
+        scounts[long_mask] = tcounts[long_mask] - n + 1
+        short_mask = (tcounts > 0) & (tcounts < n)
+        scounts[short_mask] = 1
+        out = np.empty(int(scounts.sum()), dtype=np.uint64)
+        ostarts = np.concatenate([[0], np.cumsum(scounts)])
+        if T >= n:
+            hv_all = th[: T - n + 1].copy()
+            for k in range(1, n):
+                hv_all *= _SHINGLE_MIX
+                hv_all += th[k : T - n + 1 + k]
+            li = np.nonzero(long_mask)[0]
+            if len(li):
+                src = _segment_arange(tstarts[li], scounts[li])
+                dst = _segment_arange(ostarts[li], scounts[li])
+                out[dst] = hv_all[src]
+        si = np.nonzero(short_mask)[0]
+        if len(si):
+            for length in np.unique(tcounts[si]):
+                dd = si[tcounts[si] == length]
+                hv = th[tstarts[dd]].copy()
+                for k in range(1, int(length)):
+                    hv *= _SHINGLE_MIX
+                    hv += th[tstarts[dd] + k]
+                out[ostarts[dd]] = hv
+        out %= np.uint64(_MERSENNE)
+        return out, scounts
+
     def signature(self, text: str) -> np.ndarray:
         return self.signature_batch([text])[0]
 
     def signature_batch(self, texts: list[str]) -> np.ndarray:
         """Signatures for a whole column at once — (n, num_perm) uint64.
 
-        All docs' shingle hashes concatenate into one array; the
-        permutation products compute as one (num_perm, total_shingles)
-        matrix and per-doc minima fall out of ``np.minimum.reduceat``
-        (min is order-independent, so batch == per-doc exactly). Chunked
-        so the temporary stays ~100 MB regardless of batch size."""
+        Shingle hashes for the whole batch come from one vectorized pass
+        (``_shingle_concat``); the permutation products compute as one
+        (num_perm, total_shingles) matrix and per-doc minima fall out of
+        ``np.minimum.reduceat`` (min is order-independent, so batch ==
+        per-doc exactly). Chunked so the temporary stays ~100 MB
+        regardless of batch size."""
         n = len(texts)
         out = np.full((n, self.num_perm), np.uint64(_MERSENNE), dtype=np.uint64)
-        hvs = [self._shingle_hashes(t) for t in texts]
-        live = [i for i, v in enumerate(hvs) if len(v)]
-        if not live:
+        cat, counts = self._shingle_concat(texts)
+        live = np.nonzero(counts > 0)[0]
+        if not len(live):
             return out
+        starts = np.concatenate([[0], np.cumsum(counts)])
         p = np.uint64(_MERSENNE)
         # chunk over docs so (num_perm x shingles) stays bounded
         max_shingles = max(1, 200_000 // self.num_perm * 64)
@@ -134,19 +289,21 @@ class MinHasher:
         while start < len(live):
             end = start
             tot = 0
-            while end < len(live) and (tot == 0 or tot + len(hvs[live[end]]) <= max_shingles):
-                tot += len(hvs[live[end]])
+            while end < len(live) and (tot == 0 or tot + counts[live[end]] <= max_shingles):
+                tot += counts[live[end]]
                 end += 1
             idx = live[start:end]
-            cat = np.concatenate([hvs[i] for i in idx])
-            offs = np.zeros(len(idx), dtype=np.int64)
-            np.cumsum([len(hvs[i]) for i in idx[:-1]], out=offs[1:])
+            # live docs are contiguous in `cat` (empty docs contribute zero
+            # length), so the chunk is a plain slice
+            lo = starts[idx[0]]
+            chunk = cat[lo : starts[idx[-1] + 1]]
+            offs = (starts[idx] - lo).astype(np.int64)
             # (a*h + b) mod p (wraps mod 2^64 first — same intentional
             # mixed-modulus arithmetic as the shingle combine).
             # broadcast_to instead of the outer-product spelling: numpy's
             # uint64 (P,1)x(1,S) broadcast multiply takes a ~25x slower
             # generic path than (P,S)x(P,1)
-            prod = np.broadcast_to(cat, (self.num_perm, len(cat))) * self.a[:, None]
+            prod = np.broadcast_to(chunk, (self.num_perm, len(chunk))) * self.a[:, None]
             prod += self.b[:, None]
             prod %= p
             mins = np.minimum.reduceat(prod, offs, axis=1)  # (P, len(idx))
@@ -190,6 +347,32 @@ def simhash64(text: str) -> int:
     votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(th)
     packed = np.packbits(votes > 0)
     return int.from_bytes(packed.tobytes(), "big")
+
+
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """Column version of ``simhash64`` (uint64 per doc, bit-identical).
+    One tokenize+hash pass for the batch, per-doc bit-vote sums via
+    ``np.add.reduceat`` over the shared unpacked-bit matrix."""
+    th, counts = tokens_hashed_batch(texts)
+    out = np.zeros(len(counts), dtype=np.uint64)
+    live = np.nonzero(counts > 0)[0]
+    if not len(live):
+        return out
+    starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    bits = np.unpackbits(
+        np.ascontiguousarray(th).view(np.uint8).reshape(len(th), 8), axis=1
+    )
+    # (64, T) contiguous: reduceat along axis=1 runs ~5x faster than the
+    # strided axis=0 spelling (measured)
+    bt = np.ascontiguousarray(bits.T).astype(np.int32)
+    sums = np.add.reduceat(bt, starts[live], axis=1).T  # (L, 64)
+    votes = 2 * sums - counts[live][:, None]
+    packed = np.packbits(votes > 0, axis=1).astype(np.uint64)  # (L, 8)
+    acc = np.zeros(len(live), dtype=np.uint64)
+    for j in range(8):  # big-endian byte composition, cf. int.from_bytes
+        acc = (acc << np.uint64(8)) | packed[:, j]
+    out[live] = acc
+    return out
 
 
 def hamming64(a: int, b: int) -> int:

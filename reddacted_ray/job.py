@@ -36,6 +36,8 @@ ENV_VARS_MAP = {
     # reference config key "time" (cli_config.py:19-25): trailing-window
     # keep-filter for timestamped sources (see sources/comments.py)
     "REDD_TIME_FILTER": "time_filter",
+    # reference config key "sort" (cli.py:243-244): source listing order
+    "REDD_SORT": "sort",
 }
 
 _BOOLS = {"pii_only", "resumable", "emit_errors"}
@@ -68,6 +70,10 @@ def load_config(argv=None) -> dict:
     ap.add_argument("--limit", type=int)
     ap.add_argument("--scrub-mode", dest="scrub_mode",
                     choices=["token", "reference", "uuid"])
+    ap.add_argument("--sort", choices=["new", "top", "controversial", "hot"],
+                    help="listing order before --limit (reference 'sort'"
+                    " config); non-new modes need upvotes/downvotes columns"
+                    " in the input table")
     ap.add_argument("--time-filter", dest="time_filter",
                     choices=["all", "hour", "day", "week", "month", "year"])
     ap.add_argument("--time-anchor", dest="time_anchor",
@@ -155,17 +161,20 @@ def main(argv=None) -> int:
     if time_filter != "all":
         import datetime as _dt
 
+        # tz-aware UTC default (utcnow() is naive AND deprecated; build()
+        # coerces the anchor to the stored column's tz-ness either way)
         now = (
             _dt.datetime.fromisoformat(cfg["time_anchor"])
             if cfg.get("time_anchor")
-            else _dt.datetime.utcnow()
+            else _dt.datetime.now(_dt.timezone.utc)
         )
 
     mode = cfg.get("mode", "materialize")
 
     def _build(path):
         return build(path, cfg=lcfg, batch_size=batch_size, mode=mode,
-                     time_filter=time_filter, now=now)
+                     time_filter=time_filter, now=now,
+                     sort=cfg.get("sort", "new"))
 
     if mode == "apply":
         # decide-mode phase 2: join the decision table back onto the

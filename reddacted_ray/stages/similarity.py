@@ -17,9 +17,6 @@ Two paths (task brief "Similarity search"):
 
 from __future__ import annotations
 
-import heapq
-# typing imports pruned
-
 import numpy as np
 import pyarrow as pa
 import ray
@@ -75,7 +72,14 @@ def brute_force_topk(
     concurrency=None,
 ) -> list[list[tuple]]:
     """Exact cosine top-k per query. Returns, per query, a list of
-    (id, sim) sorted by (-sim, id). Partial top-k per batch -> tiny merge."""
+    (id, sim) sorted by (-sim, id).
+
+    Merge shape (round-2 VERDICT #8): per-batch partial top-k rows reduce
+    DISTRIBUTED via ``groupby(query_idx)`` + per-query top-k, so the
+    driver receives exactly k x n_queries rows — not k x n_queries x
+    n_blocks — and many-block corpora don't funnel through one process."""
+    import pandas as pd
+
     qref = ray.put(np.asarray(queries, dtype=np.float32))
     partials = ds.map_batches(
         _BruteScorer,
@@ -84,17 +88,21 @@ def brute_force_topk(
         zero_copy_batch=True,
         concurrency=concurrency or (1, 8),
     )
-    heaps: dict[int, list] = {}
-    for b in partials.iter_batches(batch_format="pyarrow"):
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", id_col], ascending=[False, True],
+                          kind="mergesort")
+        return g.head(k)
+
+    top = partials.groupby("query_idx").map_groups(merge, batch_format="pandas")
+    out: list[list[tuple]] = [[] for _ in range(len(queries))]
+    for b in top.iter_batches(batch_format="pyarrow"):
         for qi, i, s in zip(
             b["query_idx"].to_pylist(), b[id_col].to_pylist(), b["sim"].to_pylist()
         ):
-            heaps.setdefault(qi, []).append((-s, i))
-    out = []
+            out[qi].append((i, s))
     for qi in range(len(queries)):
-        cand = heaps.get(qi, [])
-        best = heapq.nsmallest(k, cand)
-        out.append([(i, -negs) for negs, i in best])
+        out[qi].sort(key=lambda t: (-t[1], t[0]))
     return out
 
 

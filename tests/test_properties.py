@@ -239,3 +239,97 @@ def test_money_int_exact_ties():
     vals = [0.125, -0.125, 0.005, -0.005, 0.015, -0.015]
     got = _money_int(pa.array(vals), 100.0).to_pylist()
     assert got == [13, -13, 1, -1, 2, -2]  # ties away from zero, DuckDB-style
+
+
+# -- batched hashing kernels == scalar reference ----------------------------
+
+# include unicode edge cases the Arrow-side tokenizer must match (str.lower
+# vs utf8_lower divergences like U+0130 are why lowering stays in Python)
+_HASH_TEXTS = st.lists(
+    st.one_of(TEXTS, st.text(max_size=40)), min_size=0, max_size=10
+)
+
+
+@given(_HASH_TEXTS)
+@settings(max_examples=60, deadline=None)
+def test_tokens_hashed_batch_equals_per_doc(texts):
+    import numpy as np
+
+    from reddacted_ray.functions.hashing import (
+        _token_hashes, tokens, tokens_hashed_batch,
+    )
+
+    hashes, counts = tokens_hashed_batch(texts)
+    ref = [_token_hashes(tokens(t)) for t in texts]
+    assert counts.tolist() == [len(r) for r in ref]
+    cat = (
+        np.concatenate(ref) if any(len(r) for r in ref)
+        else np.empty(0, np.uint64)
+    )
+    assert hashes.tolist() == cat.tolist()
+
+
+@given(_HASH_TEXTS)
+@settings(max_examples=60, deadline=None)
+def test_minhash_signature_batch_equals_per_doc(texts):
+    import numpy as np
+
+    from reddacted_ray.functions.hashing import _MERSENNE, MinHasher
+
+    mh = MinHasher(num_perm=16, bands=4, shingle_n=3)
+    sigs = mh.signature_batch(texts)
+    p = np.uint64(_MERSENNE)
+    for i, t in enumerate(texts):
+        hv = mh._shingle_hashes(t)
+        if not len(hv):
+            assert (sigs[i] == p).all()
+            continue
+        prod = np.broadcast_to(hv, (mh.num_perm, len(hv))) * mh.a[:, None]
+        prod = (prod + mh.b[:, None]) % p
+        assert sigs[i].tolist() == prod.min(axis=1).tolist()
+
+
+@given(_HASH_TEXTS)
+@settings(max_examples=60, deadline=None)
+def test_simhash_batch_equals_scalar(texts):
+    from reddacted_ray.functions.hashing import simhash64, simhash64_batch
+
+    got = simhash64_batch(texts)
+    assert [int(g) for g in got] == [simhash64(t) for t in texts]
+
+
+@given(st.lists(st.text(max_size=30), min_size=1, max_size=10))
+@settings(max_examples=60, deadline=None)
+def test_buffer_hash_batches_equal_scalar(texts):
+    import hashlib
+
+    import pyarrow as _pa
+
+    from reddacted_ray.functions.hashing import (
+        content_hash, content_hash_batch, md5_top32_batch, stable_hash64,
+        stable_hash64_batch,
+    )
+
+    arr = _pa.array(texts, _pa.string())
+    assert content_hash_batch(arr).tolist() == [content_hash(t) for t in texts]
+    assert stable_hash64_batch(arr, seed=3).tolist() == [
+        stable_hash64(t, 3) for t in texts
+    ]
+    assert md5_top32_batch(arr).tolist() == [
+        int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in texts
+    ]
+
+
+@given(st.lists(st.integers(0, 2**40), min_size=1, max_size=10))
+@settings(max_examples=30, deadline=None)
+def test_buffer_hash_int_cast_matches_str(ids):
+    import hashlib
+
+    import pyarrow as _pa
+
+    from reddacted_ray.functions.hashing import md5_top32_batch, stable_hash64
+
+    arr = _pa.array(ids, _pa.int64())
+    assert md5_top32_batch(arr).tolist() == [
+        int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) for v in ids
+    ]

@@ -307,3 +307,103 @@ def test_write_bucketed_roundtrip(ray_session, tmp_path):
             assert stable_hash64(str(i)) % 8 == b
         assert (got["v"] == got["doc_id"] * 2).all()
     assert total == 500
+
+
+def test_read_comments_tz_aware_anchor(ray_session, timed_comments_path):
+    """A tz-aware anchor against a naive timestamp column must coerce (not
+    raise / mis-filter): naive storage is interpreted as UTC (r2 ADVICE)."""
+    import datetime as dt
+
+    path, base = timed_comments_path
+    from reddacted_ray.sources.comments import read_comments
+
+    aware = base.replace(tzinfo=dt.timezone.utc)
+    got = sorted(
+        read_comments(path, limit=0, time_filter="day", now=aware).to_pandas()["id"]
+    )
+    ref = sorted(
+        read_comments(path, limit=0, time_filter="day", now=base).to_pandas()["id"]
+    )
+    assert got == ref == ["t0", "t1"]
+
+
+@pytest.fixture(scope="module")
+def voted_images_path(tmp_path_factory):
+    from reddacted_ray.imaging import encode
+    import numpy as np
+
+    n = 8
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    blob = encode(px, "png")
+    t = pa.table(
+        {
+            "image_id": pa.array([f"img{i:02d}" for i in range(n)]),
+            "bytes": pa.array([blob] * n, pa.binary()),
+            "w": pa.array([4] * n, pa.int32()),
+            "h": pa.array([4] * n, pa.int32()),
+            "fmt": pa.array(["png"] * n),
+            "caption": pa.array([f"a plain caption {i}" for i in range(n)]),
+            "phash": pa.array(list(range(n)), pa.int64()),
+            "upvotes": pa.array([3, 9, 1, 7, 5, 8, 2, 6], pa.int64()),
+            "downvotes": pa.array([0, 8, 0, 1, 5, 0, 1, 2], pa.int64()),
+        }
+    )
+    p = tmp_path_factory.mktemp("voted") / "images.parquet"
+    pq.write_table(t, str(p))
+    return str(p)
+
+
+def test_build_sort_top_limits_before_scoring(ray_session, voted_images_path):
+    """Reference 'sort' config (cli.py:243-244): analyze the top-N of the
+    sorted listing. decide mode drops the vote column from the output."""
+    from reddacted_ray.oracle import LabelerConfig
+    from reddacted_ray.pipelines.quality_filter import build
+
+    cfg = LabelerConfig(limit=3)
+    df = build(voted_images_path, cfg=cfg, mode="decide", sort="top").to_pandas()
+    assert sorted(df["image_id"]) == ["img01", "img03", "img05"]  # ups 9,8,7
+    assert "upvotes" not in df.columns
+    hot = build(voted_images_path, cfg=cfg, mode="decide", sort="hot").to_pandas()
+    # ups-downs: img05=8, img03=6, img02... img07=4 -> top3: img05, img03, img07
+    assert sorted(hot["image_id"]) == ["img03", "img05", "img07"]
+    with pytest.raises(ValueError):
+        build(voted_images_path, sort="rising")
+
+
+def test_split_thresholds_zero_tail_catches_all():
+    """A trailing zero-fraction split must not steal rows: any cumulative
+    bound reaching 2^32 becomes the catch-all (r2 ADVICE low)."""
+    from reddacted_ray.stages.sampling import split_thresholds
+
+    bounds = dict(split_thresholds({"a": 1.0, "b": 0.0}))
+    assert bounds["a"] == "g" * 8  # not the 9-char '100000000'
+    for _, b in split_thresholds({"x": 0.5, "y": 0.5}).__iter__():
+        assert len(b) == 8
+
+
+def test_split_zero_tail_assignment(ray_session):
+    import ray.data as rd
+
+    from reddacted_ray.stages.sampling import hash_split
+
+    ids = pa.table({"doc_id": pa.array(list(range(200)), pa.int64())})
+    out = hash_split(rd.from_arrow(ids), "doc_id", {"a": 1.0, "b": 0.0}).to_pandas()
+    assert (out["split"] == "a").all()
+
+
+def test_write_bucketed_rerun_overwrites(ray_session, tmp_path):
+    """write_parquet appends into existing dirs; a write_bucketed rerun must
+    clear the layout first or every bucket doubles (r2 ADVICE medium)."""
+    import ray.data as rd
+
+    from reddacted_ray.stages.sampling import read_bucket, write_bucketed
+
+    t = pa.table({"doc_id": pa.array(list(range(64)), pa.int64()),
+                  "v": pa.array(list(range(64)), pa.int64())})
+    out = str(tmp_path / "bkt")
+    write_bucketed(rd.from_arrow(t), "doc_id", 4, out)
+    write_bucketed(rd.from_arrow(t), "doc_id", 4, out)  # rerun
+    total = sum(
+        read_bucket(out, b, columns=["doc_id"]).count() for b in range(4)
+    )
+    assert total == 64
