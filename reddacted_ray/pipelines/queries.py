@@ -1349,6 +1349,68 @@ def q_dedup_image_features(sf_dir: str) -> pa.Table:
     )
 
 
+def _audio_dir(sf_dir: str, rows: int = 2000) -> str:
+    import os
+
+    from ..synth import write_audio_dataset
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or "0.01"
+    return write_audio_dataset(f"/tmp/graft_audio/small_sf{sf}", rows, seed=42)
+
+
+def q_audio_decode_stats(sf_dir: str) -> rd.Dataset:
+    """Multimodal audio decode stage over the synthetic FPCM clip table
+    (binary column -> duration/RMS/peak + recomputed fingerprint; the
+    audio analog of image_decode_stats, rows-only)."""
+    from ..sources.tables import read_table
+    from ..stages import process_cached
+    from ..stages.multimodal import AudioDecodeStats
+
+    ds = read_table(_audio_dir(sf_dir))
+    return ds.map_batches(
+        process_cached(AudioDecodeStats), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=256,
+    ).select_columns(
+        ["audio_id", "fmt", "duration_s", "rms", "afp_check", "decode_ok"]
+    )
+
+
+def q_dedup_audio_features(sf_dir: str) -> pa.Table:
+    """Multimodal chain: decode -> spectral feature-extract ->
+    embedding-cosine near-dup over AUDIO feature vectors (rows-only;
+    planted byte-identical clip clusters collide at cosine 1.0)."""
+    from ..sources.tables import read_table
+    from ..stages import process_cached
+    from ..stages.dedup import embedding_cosine_duplicates
+    from ..stages.multimodal import AudioFeatures
+
+    ds = read_table(_audio_dir(sf_dir), columns=["audio_id", "bytes", "fmt"])
+    feats = ds.map_batches(
+        process_cached(AudioFeatures), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=256,
+    ).select_columns(["audio_id", "audio_features"])
+    out = embedding_cosine_duplicates(
+        feats, "audio_features", "audio_id", dim=15, threshold=0.999999
+    ).to_pandas()
+    return pa.table(
+        {
+            "audio_id": pa.array(out.get("audio_id", []), pa.string()),
+            "dup_of": pa.array(out.get("dup_of", []), pa.string()),
+        }
+    )
+
+
+def q_dedup_audio_near(sf_dir: str) -> rd.Dataset:
+    """Audio NEAR-duplicate detection by fingerprint hamming distance over
+    the stored ``afp`` column — the generalized banded-hamming path
+    (``hash_hamming_duplicates``) on a THIRD modality (rows-only)."""
+    from ..sources.tables import read_table
+    from ..stages.dedup import hash_hamming_duplicates
+
+    ds = read_table(_audio_dir(sf_dir), columns=["audio_id", "afp"])
+    return hash_hamming_duplicates(ds, "afp", "audio_id", max_hamming=2)
+
+
 class _FindingsStage:
     """Per-row LLM-findings struct (reference ``llm_detector.py:20-26``):
     ``{has_pii, confidence, details: list<struct<type, example>>, reasoning,
@@ -1536,6 +1598,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "quality_gate_docs": q_quality_gate_docs,
         "llm_findings": q_llm_findings,
         "dedup_image_features": q_dedup_image_features,
+        "audio_decode_stats": q_audio_decode_stats,
+        "dedup_audio_features": q_dedup_audio_features,
+        "dedup_audio_near": q_dedup_audio_near,
     }
 
 

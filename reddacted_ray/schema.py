@@ -17,6 +17,18 @@ IMAGES_SCHEMA = pa.schema(
     ]
 )
 
+AUDIO_SCHEMA = pa.schema(
+    [
+        ("audio_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("sr", pa.int32()),
+        ("n_samples", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("afp", pa.int64()),
+    ]
+)
+
 PII_MATCH_TYPE = pa.struct(
     [("type", pa.string()), ("value", pa.string()), ("confidence", pa.float64())]
 )

@@ -116,24 +116,70 @@ class ImageFeatures:
         )
 
 
-class AudioFeatures:
-    """STUB — no audio codec in this container.
-
-    The actor signature, schema contract (binary in -> ``list<float>``
-    feature column out) and batch plumbing are real; calling it raises so
-    misuse is loud. Swap ``_decode_audio`` for a real codec in production."""
-
-    def __init__(self, n_mels: int = 16) -> None:
-        self.n_mels = n_mels
-
-    def _decode_audio(self, blob: bytes) -> np.ndarray:
-        raise NotImplementedError("no audio codec available in this container")
+class AudioDecodeStats:
+    """Decode each audio clip (FPCM) and emit stream statistics + a
+    recomputed fingerprint. Output columns: ``duration_s: float64``,
+    ``rms: float64``, ``peak: float64``, ``afp_check: int64``,
+    ``decode_ok: bool``. Unknown formats yield decode_ok=false (reference
+    row-error policy: skip row, keep going)."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        feats = [self._decode_audio(b) for b in t["bytes"].to_pylist()]
+        from ..audio import afp64, decode as adecode
+
+        n = t.num_rows
+        dur = np.zeros(n, dtype=np.float64)
+        rms = np.zeros(n, dtype=np.float64)
+        peak = np.zeros(n, dtype=np.float64)
+        fp = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i, (blob, fmt) in enumerate(
+            zip(t["bytes"].to_pylist(), t["fmt"].to_pylist())
+        ):
+            try:
+                samples, sr = adecode(blob, fmt)
+            except (NotImplementedError, ValueError):
+                continue
+            x = samples.astype(np.float64) / 32768.0
+            dur[i] = len(samples) / sr if sr else 0.0
+            rms[i] = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+            peak[i] = float(np.abs(x).max()) if len(x) else 0.0
+            f = afp64(samples)
+            fp[i] = f - (1 << 64) if f >= 1 << 63 else f
+            ok[i] = True
+        t = t.append_column("duration_s", pa.array(dur))
+        t = t.append_column("rms", pa.array(rms))
+        t = t.append_column("peak", pa.array(peak))
+        t = t.append_column("afp_check", pa.array(fp))
+        return t.append_column("decode_ok", pa.array(ok))
+
+
+class AudioFeatures:
+    """Feature extraction: decode (FPCM) -> spectral band energies +
+    centroid / zero-crossing rate / RMS (``reddacted_ray.audio``).
+
+    Emits ``audio_features: list<float>`` — a real embedding-style vector
+    usable by the similarity / embedding-dedup stages (the audio analog of
+    ``ImageFeatures``). Undecodable rows get a zero vector. The codec is
+    the deterministic FPCM stand-in (no audio library in this container);
+    swap ``reddacted_ray.audio.decode`` for a real codec in production —
+    the stage contract (binary in -> list<float> out) is unchanged."""
+
+    def __init__(self, n_bands: int = 12) -> None:
+        self.n_bands = n_bands
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..audio import audio_features, decode as adecode
+
+        dim = self.n_bands + 3
+        out = []
+        for blob, fmt in zip(t["bytes"].to_pylist(), t["fmt"].to_pylist()):
+            try:
+                samples, sr = adecode(blob, fmt)
+                out.append(audio_features(samples, sr, self.n_bands).tolist())
+            except (NotImplementedError, ValueError):
+                out.append([0.0] * dim)
         return t.append_column(
-            "audio_features", pa.array([f.tolist() for f in feats],
-                                       pa.list_(pa.float32()))
+            "audio_features", pa.array(out, pa.list_(pa.float32()))
         )
 
 

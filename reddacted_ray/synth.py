@@ -176,15 +176,84 @@ def generate_table(num_rows: int, seed: int = 42, start_id: int = 0) -> pa.Table
     )
 
 
-def write_dataset(
-    out_dir: str, num_rows: int, seed: int = 42, rows_per_shard: int = 5_000
+def _make_clip(rng: np.random.RandomState) -> tuple[np.ndarray, int]:
+    """One deterministic clip: 2-4 sine harmonics + white noise, int16."""
+    sr = 8000
+    n = rng.randint(4000, 16001)
+    t = np.arange(n, dtype=np.float64) / sr
+    x = np.zeros(n)
+    for _ in range(rng.randint(2, 5)):
+        f0 = rng.uniform(80.0, 2000.0)
+        amp = rng.uniform(0.05, 0.3)
+        x += amp * np.sin(2 * np.pi * f0 * t + rng.uniform(0, 2 * np.pi))
+    x += rng.normal(0, 0.02, size=n)
+    return (np.clip(x, -0.999, 0.999) * 32767).astype(np.int16), sr
+
+
+def generate_audio_table(num_rows: int, seed: int = 42, start_id: int = 0) -> pa.Table:
+    """One shard of the audio-clip table (``AUDIO_SCHEMA``): FPCM blobs +
+    caption + 64-bit audio fingerprint, with duplicate clusters mirroring
+    the image table (~3% shared clips, one hot cluster). Deterministic in
+    (seed, start_id)."""
+    from .audio import afp64, encode_pcm
+    from .schema import AUDIO_SCHEMA
+
+    rng = np.random.RandomState(seed * 7 + start_id + 1)
+    shared = [_make_clip(rng) for _ in range(8)]
+    ids, blobs, srs, ns, fmts, caps, afps = [], [], [], [], [], [], []
+    for i in range(num_rows):
+        gid = start_id + i
+        if gid < len(LABELED_CAPTIONS):
+            cap = LABELED_CAPTIONS[gid]
+        else:
+            r = rng.rand()
+            cap = _pii_caption(rng) if r < 0.04 else _filler_caption(rng)
+        r = rng.rand()
+        if r < 0.015:
+            clip, sr = shared[0]  # hot duplicate cluster
+        elif r < 0.03:
+            clip, sr = shared[1 + rng.randint(7)]
+        else:
+            clip, sr = _make_clip(rng)
+        fp = afp64(clip)
+        if fp >= 1 << 63:
+            fp -= 1 << 64
+        ids.append(f"aud{gid:08d}")
+        blobs.append(encode_pcm(clip, sr))
+        srs.append(sr)
+        ns.append(len(clip))
+        fmts.append("fpcm")
+        caps.append(cap)
+        afps.append(fp)
+    return pa.table(
+        {
+            "audio_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "sr": pa.array(srs, pa.int32()),
+            "n_samples": pa.array(ns, pa.int32()),
+            "fmt": pa.array(fmts, pa.string()),
+            "caption": pa.array(caps, pa.string()),
+            "afp": pa.array(afps, pa.int64()),
+        },
+        schema=AUDIO_SCHEMA,
+    )
+
+
+def write_audio_dataset(
+    out_dir: str, num_rows: int, seed: int = 42, rows_per_shard: int = 2_000
 ) -> str:
-    """Write a sharded Parquet images dataset; idempotent (skips if a
-    matching _SYNTH_MANIFEST exists). Returns ``out_dir``."""
+    """Sharded Parquet audio dataset; idempotent via _SYNTH_MANIFEST
+    (same contract as ``write_dataset``)."""
+    return _write_sharded(
+        out_dir, num_rows, rows_per_shard,
+        tag=f"audio-v1 rows={num_rows} seed={seed} shard={rows_per_shard}",
+        gen=lambda start, n: generate_audio_table(n, seed=seed, start_id=start),
+    )
+
+
+def _write_sharded(out_dir: str, num_rows: int, rows_per_shard: int,
+                   tag: str, gen) -> str:
     manifest = os.path.join(out_dir, "_SYNTH_MANIFEST")
-    # v2: FJP2 6-bit lossy codec (old v1 caches hold FJPG payloads the
-    # current decoder rejects)
-    tag = f"v2 rows={num_rows} seed={seed} shard={rows_per_shard}"
     if os.path.exists(manifest):
         with open(manifest) as f:
             if f.read().strip() == tag:
@@ -204,20 +273,35 @@ def write_dataset(
     except ImportError:  # pragma: no cover
         use_ray = False
     if use_ray and len(shards) > 1:
-        # shards are seeded independently -> parallel generation is
-        # bit-identical to sequential
         import ray
 
         @ray.remote
         def _gen(shard: int, start: int, n: int) -> None:
-            t = generate_table(n, seed=seed, start_id=start)
-            pq.write_table(t, os.path.join(out_dir, f"part-{shard:05d}.parquet"))
+            pq.write_table(
+                gen(start, n), os.path.join(out_dir, f"part-{shard:05d}.parquet")
+            )
 
         ray.get([_gen.remote(s, st, n) for s, st, n in shards])
     else:
         for s, st, n in shards:
-            t = generate_table(n, seed=seed, start_id=st)
-            pq.write_table(t, os.path.join(out_dir, f"part-{s:05d}.parquet"))
+            pq.write_table(
+                gen(st, n), os.path.join(out_dir, f"part-{s:05d}.parquet")
+            )
     with open(manifest, "w") as f:
         f.write(tag)
     return out_dir
+
+
+def write_dataset(
+    out_dir: str, num_rows: int, seed: int = 42, rows_per_shard: int = 5_000
+) -> str:
+    """Write a sharded Parquet images dataset; idempotent (skips if a
+    matching _SYNTH_MANIFEST exists). Returns ``out_dir``.
+    Shards are seeded independently -> parallel generation is
+    bit-identical to sequential. (Tag v2: FJP2 6-bit lossy codec — old v1
+    caches hold FJPG payloads the current decoder rejects.)"""
+    return _write_sharded(
+        out_dir, num_rows, rows_per_shard,
+        tag=f"v2 rows={num_rows} seed={seed} shard={rows_per_shard}",
+        gen=lambda start, n: generate_table(n, seed=seed, start_id=start),
+    )
