@@ -486,15 +486,22 @@ def q_collect_events(sf_dir: str) -> rd.Dataset:
     aggregation surface; deterministic ordering makes it SQL-checkable)."""
     import pandas as pd
 
+    from ..stages.windows import grouped_vectorized
+
     ev = sf_table(sf_dir, "events", columns=["user_id", "event_type"])
 
     def collect(g: pd.DataFrame) -> pd.DataFrame:
-        types = ",".join(sorted(set(g["event_type"])))
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "event_types": [types]}
+        u = g.drop_duplicates(["user_id", "event_type"]).sort_values(
+            ["user_id", "event_type"], kind="mergesort"
         )
+        out = (
+            u.groupby("user_id", sort=False)["event_type"]
+            .agg(",".join).reset_index()
+        )
+        out.columns = ["user_id", "event_types"]
+        return out
 
-    return ev.groupby("user_id").map_groups(collect, batch_format="pandas")
+    return grouped_vectorized(ev, "user_id", collect)
 
 
 def q_running_total(sf_dir: str) -> rd.Dataset:
@@ -502,25 +509,27 @@ def q_running_total(sf_dir: str) -> rd.Dataset:
     cumsum inside each user group, integer cents for hash-stable sums."""
     import pandas as pd
 
+    from ..stages.windows import grouped_vectorized
+
     ev = sf_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         x = (g["value"] * 100.0).to_numpy()
         # ties away from zero, matching DuckDB round()
-        cents = pd.Series(
-            (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype("int64"),
-            index=g.index,
+        cents = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype("int64")
+        run_cents = (
+            g.assign(_c=cents).groupby("user_id", sort=False)["_c"].cumsum()
         )
         return pd.DataFrame(
             {
                 "user_id": g["user_id"],
                 "event_id": g["event_id"],
-                "running_cents": cents.cumsum(),
+                "running_cents": run_cents,
             }
         )
 
-    return ev.groupby("user_id").map_groups(run, batch_format="pandas")
+    return grouped_vectorized(ev, "user_id", run)
 
 
 def q_rollup_revenue(sf_dir: str) -> pa.Table:
@@ -1014,22 +1023,33 @@ def q_sessionize(sf_dir: str) -> rd.Dataset:
     Session identity is order-insensitive for tied timestamps (gap 0)."""
     import pandas as pd
 
+    from ..stages.windows import grouped_vectorized
+
     ev = sf_table(sf_dir, "events", columns=["user_id", "ts"])
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="mergesort")
-        brk = (g["ts"].diff() > pd.Timedelta(minutes=30)) | g["ts"].diff().isna()
-        sid = brk.cumsum().astype("int64")
-        out = g.assign(session_id=sid).groupby("session_id", as_index=False).agg(
-            n_events=("ts", "size"),
-            session_start=("ts", "min"),
-            session_end=("ts", "max"),
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = (g["ts"].diff() > pd.Timedelta(minutes=30)).to_numpy()
+        sid = np.cumsum(new_user | gap)  # global session break numbering
+        out = (
+            g.assign(_sid=sid)
+            .groupby(["user_id", "_sid"], as_index=False, sort=False)
+            .agg(n_events=("ts", "size"), session_start=("ts", "min"),
+                 session_end=("ts", "max"))
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
+        # per-user 1-based renumbering (matches the per-group brk.cumsum())
+        out.insert(
+            1, "session_id",
+            (out.groupby("user_id", sort=False).cumcount() + 1).astype("int64"),
+        )
         out["n_events"] = out["n_events"].astype("int64")
-        return out
+        return out.drop(columns=["_sid"])
 
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return grouped_vectorized(ev, "user_id", sessions)
 
 
 def q_top_orders_per_customer(sf_dir: str) -> rd.Dataset:
@@ -1037,12 +1057,15 @@ def q_top_orders_per_customer(sf_dir: str) -> rd.Dataset:
     (groupby().map_groups with deterministic tie-break)."""
     import pandas as pd
 
+    from ..stages.windows import grouped_vectorized
+
     orders = sf_table(sf_dir, "orders",
                       columns=["o_custkey", "o_orderkey", "o_totalprice"])
 
     def top2(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"],
-                          ascending=[False, True], kind="mergesort").head(2)
+        g = g.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("o_custkey", sort=False).head(2)
         return pd.DataFrame(
             {
                 "o_custkey": g["o_custkey"],
@@ -1053,7 +1076,7 @@ def q_top_orders_per_customer(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    return orders.groupby("o_custkey").map_groups(top2, batch_format="pandas")
+    return grouped_vectorized(orders, "o_custkey", top2)
 
 
 def q_salted_counts(sf_dir: str) -> rd.Dataset:

@@ -1,0 +1,66 @@
+"""Bucketed vectorized per-group windowing.
+
+``groupby(key).map_groups(fn)`` pays a Python call — and a DataFrame
+construction — PER GROUP. Fine at 10^3 groups; at 10^8 users the per-call
+overhead dominates the actual window math (round-2 VERDICT #9 stretch).
+
+``grouped_vectorized`` keeps the exact same single-shuffle plan but
+co-locates groups by a HASH BUCKET of the key: ``fn`` receives each
+bucket's frame — ALL of its groups at once, ~n_groups/n_buckets each —
+and computes with pandas' C-level grouped kernels (``groupby(...).cumsum/
+head/agg`` over a sorted frame). Python-call count drops from O(groups)
+to O(buckets) while results stay bit-identical (each group is wholly
+inside one bucket; the kernels sort by key first, so group order within
+the bucket is deterministic).
+
+Pick ``n_buckets`` ~ 4-16x the cluster's core count: enough parallelism
+for the shuffle, small enough that per-bucket frames stay memory-sized
+(bucket mass ~ rows/n_buckets for hash-uniform keys; a single hot KEY
+still lands in one bucket — cap it with a salted pre-aggregation when the
+window math is re-aggregable, cf. q_salted_counts).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bucket_of(col: pa.ChunkedArray, n_buckets: int) -> np.ndarray:
+    if pa.types.is_integer(col.type):
+        h = col.to_numpy(zero_copy_only=False).astype(np.uint64) * _GOLDEN
+        return ((h >> np.uint64(17)) % np.uint64(n_buckets)).astype(np.int64)
+    from ..functions.hashing import stable_hash64_batch
+
+    return (stable_hash64_batch(col) % np.uint64(n_buckets)).astype(np.int64)
+
+
+def grouped_vectorized(
+    ds: rd.Dataset,
+    key_col: str,
+    bucket_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """Apply ``bucket_fn`` to each hash bucket of complete key groups.
+
+    ``bucket_fn`` sees a frame holding every row of every key hashing to
+    the bucket (no ``_bucket`` column) and should use vectorized pandas
+    ``groupby(key_col, sort=False)`` kernels internally."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bucket", pa.array(_bucket_of(t[key_col], n_buckets))
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return bucket_fn(g.drop(columns=["_bucket"]))
+
+    keyed = ds.map_batches(add_bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return keyed.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
