@@ -73,6 +73,16 @@ def content_hash_batch(arr) -> np.ndarray:
     return (stable_hash64_batch(arr) >> np.uint64(1)).astype(np.int64)
 
 
+def md5_hex_batch(arr) -> list[str]:
+    """Full 32-char md5 hexdigest per row (buffer-level; SQL ``md5()``
+    parity for exact-dedup keys)."""
+    offs, data = _utf8_view(arr)
+    md5 = hashlib.md5
+    return [
+        md5(data[offs[i] : offs[i + 1]]).hexdigest() for i in range(len(offs) - 1)
+    ]
+
+
 def md5_top32_batch(arr) -> np.ndarray:
     """Top 32 bits of ``md5(str(v))`` per row (uint64 < 2**32). Comparing
     these integers == comparing the first 8 hex chars of the md5 hexdigest

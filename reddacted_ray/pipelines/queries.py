@@ -1079,6 +1079,96 @@ def q_top_orders_per_customer(sf_dir: str) -> rd.Dataset:
     return grouped_vectorized(orders, "o_custkey", top2)
 
 
+def q_asof_last_error(sf_dir: str) -> rd.Dataset:
+    """As-of join (custom operator — Ray Data has no native one): each
+    click event gains the timestamp of the SAME user's most recent error
+    at-or-before it (backward as-of; SQL ``ASOF LEFT JOIN``). Unmatched
+    clicks coalesce to the epoch so both sides hash null-free."""
+    import pandas as pd
+
+    from ..stages.joins import asof_join_backward
+
+    ev = sf_table(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                             "event_type"])
+
+    def clicks_fn(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.equal(t["event_type"], "click")).drop_columns(["event_type"])
+
+    def errors_fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "error"))
+        return pa.table(
+            {"user_id": t["user_id"], "ts": t["ts"], "last_error_ts": t["ts"]}
+        )
+
+    clicks = ev.map_batches(clicks_fn, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    errors = ev.map_batches(errors_fn, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    joined = asof_join_backward(clicks, errors, by_col="user_id",
+                                ts_col="ts", value_cols=["last_error_ts"])
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g[["event_id", "user_id", "last_error_ts"]].copy()
+        out["last_error_ts"] = out["last_error_ts"].fillna(
+            pd.Timestamp("1970-01-01")
+        )
+        return out
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def q_lag_delta(sf_dir: str) -> rd.Dataset:
+    """LAG window: per-user delta of the event value vs the previous event
+    (ts order), in cents; first event per user coalesces to 0. Bucketed-
+    vectorized (pandas grouped shift — no per-group Python calls)."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        x = (g["value"] * 100.0).to_numpy()
+        cents = pd.Series(
+            (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype("int64"),
+            index=g.index,
+        )
+        prev = g.assign(_c=cents).groupby("user_id", sort=False)["_c"].shift(1)
+        delta = (cents - prev).fillna(0).astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
+                "delta_cents": delta,
+            }
+        )
+
+    return grouped_vectorized(ev, "user_id", lag)
+
+
+def q_dedup_exact(sf_dir: str) -> rd.Dataset:
+    """Exact dedup with an SQL-checkable key: keep the min doc_id per full
+    md5 of the text (the blake2b-keyed ``exact_dedup`` twin whose key
+    DuckDB can recompute; buffer-level batched digest)."""
+    from ..functions.hashing import md5_hex_batch
+    from ray.data.aggregate import Min
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def key(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pa.array(md5_hex_batch(t["text"]), pa.string()),
+                "doc_id": t["doc_id"],
+            }
+        )
+
+    keyed = docs.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+    return keyed.groupby("k").aggregate(Min("doc_id", alias_name="doc_id"))
+
+
 def q_salted_counts(sf_dir: str) -> rd.Dataset:
     """Hot-key-safe grouped count: two-phase salted aggregation.
 
@@ -1605,6 +1695,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "source_top_comments": q_source_top,
         "sessionize": q_sessionize,
         "top_orders_per_customer": q_top_orders_per_customer,
+        "asof_last_error": q_asof_last_error,
+        "lag_delta": q_lag_delta,
+        "dedup_exact": q_dedup_exact,
         # rows-only (non-SQL-expressible). The three round-2-uncovered
         # entries come FIRST in case the driver pass caps how many
         # registry queries it evaluates (round-2 VERDICT #5).
@@ -1739,6 +1832,26 @@ def oracle_sqls() -> dict[str, str]:
             " (PARTITION BY user_id ORDER BY ts, event_id"
             " ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents"
             " FROM events"
+        ),
+        "asof_last_error": (
+            "SELECT l.event_id, l.user_id,"
+            " COALESCE(r.ts, TIMESTAMP '1970-01-01') AS last_error_ts"
+            " FROM (SELECT event_id, user_id, ts FROM events"
+            " WHERE event_type = 'click') l"
+            " ASOF LEFT JOIN (SELECT user_id, ts FROM events"
+            " WHERE event_type = 'error') r"
+            " ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "lag_delta": (
+            "SELECT event_id, user_id,"
+            " COALESCE(CAST(round(value * 100) AS BIGINT)"
+            " - LAG(CAST(round(value * 100) AS BIGINT)) OVER"
+            " (PARTITION BY user_id ORDER BY ts, event_id), 0) AS delta_cents"
+            " FROM events"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS k, min(doc_id) AS doc_id"
+            " FROM documents GROUP BY 1"
         ),
         "rollup_revenue": (
             "WITH p AS (SELECT CAST(c.c_nationkey AS VARCHAR) AS nation,"

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Mapping, Optional, Sequence
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -68,6 +69,101 @@ def bucketed_join(
     if not refs:
         return rd.from_items([])
     return rd.from_arrow_refs(refs)
+
+
+def asof_join_backward(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    by_col: str,
+    ts_col: str,
+    value_cols: Sequence[str],
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """Distributed backward as-of LEFT join: each left row gains the
+    ``value_cols`` of the right row with the greatest ``ts <= left.ts``
+    in the same ``by_col`` group (SQL ``ASOF LEFT JOIN``; unmatched rows
+    get nulls).
+
+    Custom operator (Ray Data has no as-of join). Shape: both sides tag a
+    ``_side`` column and union; ONE hash-bucket shuffle co-locates the
+    complete key groups of BOTH sides (the documented partitioning
+    assumption: every row of a key hashes to exactly one bucket); each
+    bucket then runs pandas' C-level ``merge_asof`` over ts-sorted frames
+    — no per-group Python calls, no driver involvement, and the only wide
+    step is the single bucket groupby."""
+    import pandas as pd
+
+    from .windows import grouped_vectorized
+
+    value_cols = list(value_cols)
+    lcols = [c for c in left.schema().names]
+
+    def tag(side: int, keep: list):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.select(keep)
+            return t.append_column(
+                "_side", pa.array(np.full(t.num_rows, side, dtype=np.int8))
+            )
+
+        return fn
+
+    # union schema: left cols + right value cols (absent side -> nulls)
+    rschema = dict(zip(right.schema().names, right.schema().types))
+
+    def widen_left(t: pa.Table) -> pa.Table:
+        for c in value_cols:
+            t = t.append_column(c, pa.nulls(t.num_rows, rschema[c]))
+        return t
+
+    lt = left.map_batches(tag(0, lcols), batch_format="pyarrow",
+                          zero_copy_batch=True).map_batches(
+        widen_left, batch_format="pyarrow", zero_copy_batch=True)
+
+    def widen_right(t: pa.Table) -> pa.Table:
+        out = {by_col: t[by_col], ts_col: t[ts_col]}
+        lschema = dict(zip(left.schema().names, left.schema().types))
+        for c in lcols:
+            if c not in (by_col, ts_col):
+                out[c] = pa.nulls(t.num_rows, lschema[c])
+        for c in value_cols:
+            out[c] = t[c]
+        out["_side"] = pa.array(np.full(t.num_rows, 1, dtype=np.int8))
+        # column order must match the left branch exactly for union
+        order = lcols + value_cols + ["_side"]
+        return pa.table({k: out[k] for k in order})
+
+    rt = right.map_batches(widen_right, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    # the union's null-filled rows upcast int64 left columns to float64 in
+    # pandas; restore the true left dtypes after the merge (left-join rows
+    # are never null in left columns, so the cast is lossless)
+    ldtypes = {
+        n: ty.to_pandas_dtype()
+        for n, ty in zip(left.schema().names, left.schema().types)
+    }
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == 0].sort_values(ts_col, kind="mergesort")
+        r = g[g["_side"] == 1].sort_values(ts_col, kind="mergesort")
+        l = l[lcols]
+        if len(r) == 0:
+            out = l.copy()
+            for c in value_cols:
+                out[c] = g[c].iloc[0:0].reindex(out.index)  # typed all-null
+        else:
+            r = r[[by_col, ts_col] + value_cols]
+            out = pd.merge_asof(
+                l, r, on=ts_col, by=by_col, direction="backward",
+                allow_exact_matches=True,
+            )
+        for c in lcols:
+            if out[c].dtype != ldtypes[c]:
+                out[c] = out[c].astype(ldtypes[c])
+        return out
+
+    return grouped_vectorized(lt.union(rt), by_col, bucket,
+                              n_buckets=n_buckets)
 
 
 def broadcast_semi_join(

@@ -1,0 +1,89 @@
+"""grouped_vectorized + as-of join unit tests (round-3 additions)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def test_grouped_vectorized_matches_map_groups(ray_session):
+    """Bucketed kernel == per-group map_groups for a grouped cumsum,
+    including the string-key hash path."""
+    from reddacted_ray.stages.windows import grouped_vectorized
+
+    rng = np.random.RandomState(5)
+    n = 2000
+    t = pa.table(
+        {
+            "k": pa.array([f"u{int(v)}" for v in rng.randint(0, 300, n)]),
+            "ord": pa.array(np.arange(n, dtype=np.int64)),
+            "v": pa.array(rng.randint(0, 100, n).astype(np.int64)),
+        }
+    )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["k", "ord"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "k": g["k"],
+                "ord": g["ord"],
+                "cum": g.groupby("k", sort=False)["v"].cumsum(),
+            }
+        )
+
+    got = (
+        grouped_vectorized(rd.from_arrow(t), "k", kernel, n_buckets=16)
+        .to_pandas().sort_values(["k", "ord"]).reset_index(drop=True)
+    )
+    ref = (
+        t.to_pandas().sort_values(["k", "ord"])
+        .assign(cum=lambda d: d.groupby("k")["v"].cumsum())
+        [["k", "ord", "cum"]].reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, ref)
+
+
+def test_asof_join_backward_basic(ray_session):
+    from reddacted_ray.stages.joins import asof_join_backward
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 2, 3], pa.int64()),
+                "ts": pa.array(
+                    pd.to_datetime(
+                        ["2024-01-01 10:00", "2024-01-01 12:00",
+                         "2024-01-01 10:00", "2024-01-01 09:00"]
+                    ),
+                    pa.timestamp("us"),
+                ),
+                "lid": pa.array([10, 11, 12, 13], pa.int64()),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 2], pa.int64()),
+                "ts": pa.array(
+                    pd.to_datetime(
+                        ["2024-01-01 09:00", "2024-01-01 11:00",
+                         "2024-01-01 10:00"]
+                    ),
+                    pa.timestamp("us"),
+                ),
+                "rv": pa.array([7.0, 8.0, 9.0], pa.float64()),
+            }
+        )
+    )
+    out = (
+        asof_join_backward(left, right, "k", "ts", ["rv"], n_buckets=4)
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    )
+    # k=1@10:00 -> 7 (09:00), k=1@12:00 -> 8 (11:00, latest <= 12:00),
+    # k=2@10:00 -> 9 (exact match allowed), k=3 -> no right rows -> NaN
+    assert out["rv"].tolist()[:3] == [7.0, 8.0, 9.0]
+    assert np.isnan(out["rv"].iloc[3])
+    assert out["lid"].dtype == np.int64  # left dtypes survive the union
