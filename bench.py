@@ -148,6 +148,11 @@ def run_bench() -> dict:
         "rollup_revenue",
         "running_total",
         "anti_join",
+        # round-3 additions
+        "sessionize",
+        "asof_last_error",
+        "lag_delta",
+        "dedup_exact",
     ]:
         timed(name, Q.registry()[name])
 
