@@ -87,3 +87,82 @@ def test_asof_join_backward_basic(ray_session):
     assert out["rv"].tolist()[:3] == [7.0, 8.0, 9.0]
     assert np.isnan(out["rv"].iloc[3])
     assert out["lid"].dtype == np.int64  # left dtypes survive the union
+
+
+def test_asof_join_empty_right(ray_session):
+    from reddacted_ray.stages.joins import asof_join_backward
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(
+                    pd.to_datetime(["2024-01-01", "2024-01-02"]),
+                    pa.timestamp("us"),
+                ),
+                "lid": pa.array([1, 2], pa.int64()),
+            }
+        )
+    )
+    right_empty = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "rv": pa.array([], pa.float64()),
+            }
+        )
+    )
+    out = asof_join_backward(left, right_empty, "k", "ts", ["rv"]).to_pandas()
+    assert len(out) == 2 and out["rv"].isna().all()
+    assert out["lid"].dtype == np.int64
+
+
+def test_asof_join_empty_left(ray_session):
+    from reddacted_ray.stages.joins import asof_join_backward
+
+    left_empty = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "lid": pa.array([], pa.int64()),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1], pa.int64()),
+                "ts": pa.array(pd.to_datetime(["2024-01-01"]), pa.timestamp("us")),
+                "rv": pa.array([7.0], pa.float64()),
+            }
+        )
+    )
+    out = asof_join_backward(left_empty, right, "k", "ts", ["rv"]).to_pandas()
+    assert len(out) == 0
+
+
+def test_grouped_vectorized_single_hot_key(ray_session):
+    """A single hot key lands wholly in one bucket — result must still be
+    a correct global cumsum for that key."""
+    from reddacted_ray.stages.windows import grouped_vectorized
+
+    n = 5000
+    t = pa.table(
+        {
+            "k": pa.array(np.zeros(n, dtype=np.int64)),
+            "ord": pa.array(np.arange(n, dtype=np.int64)),
+            "v": pa.array(np.ones(n, dtype=np.int64)),
+        }
+    )
+
+    def kernel(g):
+        g = g.sort_values(["k", "ord"], kind="mergesort")
+        return pd.DataFrame(
+            {"ord": g["ord"], "cum": g.groupby("k", sort=False)["v"].cumsum()}
+        )
+
+    out = grouped_vectorized(rd.from_arrow(t), "k", kernel).to_pandas()
+    out = out.sort_values("ord").reset_index(drop=True)
+    assert out["cum"].tolist() == list(range(1, n + 1))
