@@ -148,6 +148,24 @@ def _token_hashes(toks: list[str]) -> np.ndarray:
     return out
 
 
+def tokens_flat_batch(texts: list[str]) -> tuple[pa.Array, np.ndarray]:
+    """One Arrow RE2 tokenize pass for a whole column: ``(flat_tokens,
+    doc_of_token)`` — the non-empty ``[a-z0-9]+`` tokens of every doc
+    concatenated (doc order preserved) and each token's doc index.
+    Lowercasing stays in Python: ``utf8_lower`` uses simple case mapping
+    which diverges from ``str.lower`` on e.g. U+0130."""
+    low = pa.array([t.lower() for t in texts], pa.string())
+    sp = pc.split_pattern_regex(low, "[^a-z0-9]+")
+    flat = pc.list_flatten(sp)
+    offs = np.asarray(sp.offsets)
+    # split emits empty strings at separator edges; drop them
+    # (findall-equivalence: split on the complement class)
+    nonempty = pc.greater(pc.binary_length(flat), 0)
+    mask = nonempty.to_numpy(zero_copy_only=False)
+    doc_of_token = np.repeat(np.arange(len(texts)), np.diff(offs))
+    return flat.filter(nonempty), doc_of_token[mask]
+
+
 def tokens_hashed_batch(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
     """Token-hash stream for a whole column: ``(hashes, counts)`` where
     ``hashes`` is the uint64 concatenation of every doc's token hashes (doc
@@ -158,19 +176,10 @@ def tokens_hashed_batch(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
     map applies to the ``dictionary_encode`` uniques only (the vocabulary
     is Zipfian: uniques << tokens), then gathers by index — replacing the
     per-doc ``re.findall`` + per-token dict loop that dominated dedup cost
-    (round-2 VERDICT #1). Lowercasing stays in Python: ``utf8_lower`` uses
-    simple case mapping which diverges from ``str.lower`` on e.g. U+0130."""
-    low = pa.array([t.lower() for t in texts], pa.string())
-    sp = pc.split_pattern_regex(low, "[^a-z0-9]+")
-    flat = pc.list_flatten(sp)
-    offs = np.asarray(sp.offsets)
-    # split emits empty strings at separator edges; drop them but keep
-    # per-doc counts (findall-equivalence: split on the complement class)
-    nonempty = pc.greater(pc.binary_length(flat), 0)
-    mask = nonempty.to_numpy(zero_copy_only=False)
-    doc_of_token = np.repeat(np.arange(len(texts)), np.diff(offs))
-    counts = np.bincount(doc_of_token[mask], minlength=len(texts))
-    enc = pc.dictionary_encode(flat.filter(nonempty))
+    (round-2 VERDICT #1)."""
+    flat_ne, doc_ne = tokens_flat_batch(texts)
+    counts = np.bincount(doc_ne, minlength=len(texts))
+    enc = pc.dictionary_encode(flat_ne)
     uniq = enc.dictionary.to_pylist()
     cache = _TOKEN_HASH_CACHE
     uh = np.empty(len(uniq), dtype=np.uint64)

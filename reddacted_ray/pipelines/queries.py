@@ -1169,6 +1169,83 @@ def q_dedup_exact(sf_dir: str) -> rd.Dataset:
     return keyed.groupby("k").aggregate(Min("doc_id", alias_name="doc_id"))
 
 
+def q_rarest_term(sf_dir: str) -> rd.Dataset:
+    """Corpus-statistic text op (TF-IDF shape, integer-only): for each doc,
+    its globally RAREST token — argmin by (document frequency, token) over
+    the doc's distinct tokens. Demonstrates the distributed DF pipeline:
+    vectorized token explode (flat_map) -> per-doc distinct -> vocabulary
+    groupby count -> broadcast DF lookup -> composite argmin via a single
+    Min aggregate (zero-padded ``df`` + token sorts exactly like
+    ``ORDER BY df, tok``). Docs with no tokens drop (both sides)."""
+    from ray.data.aggregate import Count, Min
+
+    from ..functions.hashing import tokens_flat_batch
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode_distinct(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        flat, doc_of = tokens_flat_batch(texts)
+        enc = pc.dictionary_encode(flat)
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # in-batch (doc, token) dedupe: one np.unique over packed pairs
+        k = len(enc.dictionary)
+        uniq = np.unique(doc_of.astype(np.int64) * max(k, 1) + idx)
+        u_doc = uniq // max(k, 1)
+        u_tok = uniq % max(k, 1)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(pa.array(u_doc)),
+                "tok": enc.dictionary.take(pa.array(u_tok)),
+            }
+        )
+
+    pairs = docs.map_batches(explode_distinct, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    # distinct pairs across batches, then vocabulary-sized DF counts
+    pairs = pairs.groupby(["doc_id", "tok"]).aggregate(Count(alias_name="_n"))
+    df_counts = pairs.groupby("tok").aggregate(Count(alias_name="df"))
+    # DF table is vocabulary-sized (Zipf: ~sqrt of corpus) — broadcast it
+    # once; at web scale swap for a hash semi-join on tok (same shape as
+    # stages/dedup._only_colliding path 3)
+    df_map = {
+        r["tok"]: r["df"]
+        for b in df_counts.iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    df_ref = ray.put(df_map)
+
+    class Key:
+        def __init__(self) -> None:
+            self.df = ray.get(df_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            toks = t["tok"].to_pylist()
+            keys = [f"{self.df[tok]:012d}|{tok}" for tok in toks]
+            return pa.table(
+                {"doc_id": t["doc_id"], "k": pa.array(keys, pa.string())}
+            )
+
+    from ..stages import process_cached
+
+    keyed = pairs.map_batches(process_cached(Key), batch_format="pyarrow",
+                              zero_copy_batch=True)
+    best = keyed.groupby("doc_id").aggregate(Min("k", alias_name="k"))
+
+    def decode(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "rare_term": pc.utf8_slice_codeunits(t["k"], 13),
+                "df": pc.cast(
+                    pc.utf8_slice_codeunits(t["k"], 0, 12), pa.int64()
+                ),
+            }
+        )
+
+    return best.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_salted_counts(sf_dir: str) -> rd.Dataset:
     """Hot-key-safe grouped count: two-phase salted aggregation.
 
@@ -1698,6 +1775,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "asof_last_error": q_asof_last_error,
         "lag_delta": q_lag_delta,
         "dedup_exact": q_dedup_exact,
+        "rarest_term": q_rarest_term,
         # rows-only (non-SQL-expressible). The three round-2-uncovered
         # entries come FIRST in case the driver pass caps how many
         # registry queries it evaluates (round-2 VERDICT #5).
@@ -1852,6 +1930,17 @@ def oracle_sqls() -> dict[str, str]:
         "dedup_exact": (
             "SELECT md5(text) AS k, min(doc_id) AS doc_id"
             " FROM documents GROUP BY 1"
+        ),
+        "rarest_term": (
+            "WITH tok0 AS (SELECT doc_id,"
+            " unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok"
+            " FROM documents),"
+            " tok AS (SELECT DISTINCT doc_id, tok FROM tok0 WHERE tok <> ''),"
+            " df AS (SELECT tok, count(*) AS df FROM tok GROUP BY 1),"
+            " j AS (SELECT tok.doc_id, tok.tok, df.df, row_number() OVER"
+            " (PARTITION BY tok.doc_id ORDER BY df.df, tok.tok) AS rn"
+            " FROM tok JOIN df USING (tok))"
+            " SELECT doc_id, tok AS rare_term, df FROM j WHERE rn = 1"
         ),
         "rollup_revenue": (
             "WITH p AS (SELECT CAST(c.c_nationkey AS VARCHAR) AS nation,"
