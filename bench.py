@@ -153,6 +153,7 @@ def run_bench() -> dict:
         "asof_last_error",
         "lag_delta",
         "dedup_exact",
+        "rarest_term",
     ]:
         timed(name, Q.registry()[name])
 

@@ -107,8 +107,11 @@ def asof_join_backward(
 
         return fn
 
-    # union schema: left cols + right value cols (absent side -> nulls)
+    # union schema: left cols + right value cols (absent side -> nulls).
+    # Schemas resolve on the DRIVER — a Dataset must never ride into a
+    # map_batches closure.
     rschema = dict(zip(right.schema().names, right.schema().types))
+    lschema = dict(zip(left.schema().names, left.schema().types))
 
     def widen_left(t: pa.Table) -> pa.Table:
         for c in value_cols:
@@ -121,7 +124,6 @@ def asof_join_backward(
 
     def widen_right(t: pa.Table) -> pa.Table:
         out = {by_col: t[by_col], ts_col: t[ts_col]}
-        lschema = dict(zip(left.schema().names, left.schema().types))
         for c in lcols:
             if c not in (by_col, ts_col):
                 out[c] = pa.nulls(t.num_rows, lschema[c])
