@@ -47,6 +47,8 @@ def _utf8_view(arr) -> tuple[np.ndarray, memoryview]:
             arr = pc.cast(arr, pa.string())
         odt = np.int32
     bufs = arr.buffers()
+    if bufs[1] is None:  # some zero-length arrays carry no offsets buffer
+        return np.zeros(len(arr) + 1, dtype=odt), memoryview(b"")
     offs = np.frombuffer(bufs[1], dtype=odt)[arr.offset : arr.offset + len(arr) + 1]
     data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
     return offs, data
