@@ -1169,6 +1169,11 @@ def q_dedup_exact(sf_dir: str) -> rd.Dataset:
     return keyed.groupby("k").aggregate(Min("doc_id", alias_name="doc_id"))
 
 
+# rarest_term DF-attach: vocabularies up to this size broadcast; larger
+# ones take the distributed hash join (patched down in tests)
+VOCAB_BROADCAST_CAP = 2_000_000
+
+
 def q_rarest_term(sf_dir: str) -> rd.Dataset:
     """Corpus-statistic text op (TF-IDF shape, integer-only): for each doc,
     its globally RAREST token — argmin by (document frequency, token) over
@@ -1202,34 +1207,55 @@ def q_rarest_term(sf_dir: str) -> rd.Dataset:
 
     pairs = docs.map_batches(explode_distinct, batch_format="pyarrow",
                              zero_copy_batch=True)
-    # distinct pairs across batches, then vocabulary-sized DF counts
-    pairs = pairs.groupby(["doc_id", "tok"]).aggregate(Count(alias_name="_n"))
-    df_counts = pairs.groupby("tok").aggregate(Count(alias_name="df"))
-    # DF table is vocabulary-sized (Zipf: ~sqrt of corpus) — broadcast it
-    # once; at web scale swap for a hash semi-join on tok (same shape as
-    # stages/dedup._only_colliding path 3)
-    df_map = {
-        r["tok"]: r["df"]
-        for b in df_counts.iter_batches(batch_format="pyarrow")
-        for r in b.to_pylist()
-    }
-    df_ref = ray.put(df_map)
+    # distinct pairs across batches; pinned because BOTH the DF count and
+    # the key-attach consume them — recompute would repeat the explode AND
+    # its distinct shuffle (an extra all-to-all beats spill here, the
+    # opposite trade from dedup's map-only candidates)
+    pairs = pairs.groupby(["doc_id", "tok"]).aggregate(
+        Count(alias_name="_n")
+    ).materialize()
+    df_counts = pairs.groupby("tok").aggregate(Count(alias_name="df")).materialize()
+    # DF attach is adaptive like stages/dedup._only_colliding: the
+    # vocabulary (Zipf: ~sqrt of corpus) broadcasts once when bounded;
+    # a web-scale vocabulary takes the distributed hash join instead —
+    # the driver never holds it.
+    if df_counts.count() <= VOCAB_BROADCAST_CAP:
+        df_map = {
+            r["tok"]: r["df"]
+            for b in df_counts.iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()
+        }
+        df_ref = ray.put(df_map)
 
-    class Key:
-        def __init__(self) -> None:
-            self.df = ray.get(df_ref)
+        class Key:
+            def __init__(self) -> None:
+                self.df = ray.get(df_ref)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
+            def __call__(self, t: pa.Table) -> pa.Table:
+                toks = t["tok"].to_pylist()
+                keys = [f"{self.df[tok]:012d}|{tok}" for tok in toks]
+                return pa.table(
+                    {"doc_id": t["doc_id"], "k": pa.array(keys, pa.string())}
+                )
+
+        from ..stages import process_cached
+
+        keyed = pairs.map_batches(process_cached(Key), batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    else:  # forced-cap equality test covers this path
+        joined = pairs.join(df_counts, join_type="inner", num_partitions=16,
+                            on=("tok",))
+
+        def make_key(t: pa.Table) -> pa.Table:
+            dfs = t["df"].to_pylist()
             toks = t["tok"].to_pylist()
-            keys = [f"{self.df[tok]:012d}|{tok}" for tok in toks]
+            keys = [f"{d:012d}|{tok}" for d, tok in zip(dfs, toks)]
             return pa.table(
                 {"doc_id": t["doc_id"], "k": pa.array(keys, pa.string())}
             )
 
-    from ..stages import process_cached
-
-    keyed = pairs.map_batches(process_cached(Key), batch_format="pyarrow",
-                              zero_copy_batch=True)
+        keyed = joined.map_batches(make_key, batch_format="pyarrow",
+                                   zero_copy_batch=True)
     best = keyed.groupby("doc_id").aggregate(Min("k", alias_name="k"))
 
     def decode(t: pa.Table) -> pa.Table:

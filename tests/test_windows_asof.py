@@ -166,3 +166,20 @@ def test_grouped_vectorized_single_hot_key(ray_session):
     out = grouped_vectorized(rd.from_arrow(t), "k", kernel).to_pandas()
     out = out.sort_values("ord").reset_index(drop=True)
     assert out["cum"].tolist() == list(range(1, n + 1))
+
+
+def test_rarest_term_join_path_equals_broadcast(ray_session, monkeypatch):
+    """The web-scale DF hash-join path must produce the same result as the
+    bounded-vocabulary broadcast path."""
+    from reddacted_ray.pipelines import queries as Q
+
+    base = (
+        Q.q_rarest_term("/root/testdata/sf0.001").to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    monkeypatch.setattr(Q, "VOCAB_BROADCAST_CAP", 0)
+    forced = (
+        Q.q_rarest_term("/root/testdata/sf0.001").to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, forced)
