@@ -629,6 +629,35 @@ def q_quantiles(sf_dir: str) -> pa.Table:
     )
 
 
+def q_grouped_median(sf_dir: str) -> pa.Table:
+    """Exact PER-GROUP median (q_quantiles' grouped sibling): smallest
+    n_chars with cum_count >= ceil(N_g / 2) within each language. Phase 1
+    is a distributed (lang, value) count; phase 2 scans the tiny
+    value-count table (|langs| x |distinct values| rows) on the driver."""
+    import math
+
+    docs = _docs(sf_dir, ["lang", "n_chars"])
+    counts = (
+        docs.groupby(["lang", "n_chars"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(["lang", "n_chars"])
+    )
+    langs, medians = [], []
+    for lang, g in counts.groupby("lang", sort=True):
+        total = int(g["n"].sum())
+        rank = math.ceil(0.5 * total)
+        cum = g["n"].cumsum()
+        langs.append(lang)
+        medians.append(int(g.loc[cum >= rank, "n_chars"].iloc[0]))
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "median_chars": pa.array(medians, pa.int64()),
+        }
+    )
+
+
 def q_anti_join(sf_dir: str) -> rd.Dataset:
     """Left anti-join: customers with NO order above 200k (native
     hash-partitioned anti-join; the right side is filtered before the
@@ -1802,6 +1831,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "lag_delta": q_lag_delta,
         "dedup_exact": q_dedup_exact,
         "rarest_term": q_rarest_term,
+        "grouped_median": q_grouped_median,
         # rows-only (non-SQL-expressible). The three round-2-uncovered
         # entries come FIRST in case the driver pass caps how many
         # registry queries it evaluates (round-2 VERDICT #5).
@@ -1956,6 +1986,13 @@ def oracle_sqls() -> dict[str, str]:
         "dedup_exact": (
             "SELECT md5(text) AS k, min(doc_id) AS doc_id"
             " FROM documents GROUP BY 1"
+        ),
+        "grouped_median": (
+            "WITH r AS (SELECT lang, n_chars,"
+            " row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,"
+            " count(*) OVER (PARTITION BY lang) AS n FROM documents)"
+            " SELECT lang, CAST(min(n_chars) AS BIGINT) AS median_chars"
+            " FROM r WHERE rn >= CAST(ceil(0.5 * n) AS BIGINT) GROUP BY lang"
         ),
         "rarest_term": (
             "WITH tok0 AS (SELECT doc_id,"
