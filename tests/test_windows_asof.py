@@ -183,3 +183,48 @@ def test_rarest_term_join_path_equals_broadcast(ray_session, monkeypatch):
         .sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(base, forced)
+
+
+def test_asof_join_random_matches_single_frame_reference(ray_session):
+    """Distributed as-of (union + bucket shuffle + per-bucket merge_asof)
+    == one global pandas merge_asof, across random inputs."""
+    rng = np.random.RandomState(11)
+    for trial in range(4):
+        nl, nr = rng.randint(1, 60), rng.randint(0, 60)
+        lt = pd.DataFrame(
+            {
+                "k": rng.randint(0, 6, nl).astype(np.int64),
+                "ts": pd.to_datetime(
+                    rng.randint(0, 10_000, nl), unit="s"
+                ).astype("datetime64[us]"),
+                "lid": np.arange(nl, dtype=np.int64),
+            }
+        )
+        rt = pd.DataFrame(
+            {
+                "k": rng.randint(0, 6, nr).astype(np.int64),
+                "ts": pd.to_datetime(
+                    rng.randint(0, 10_000, nr), unit="s"
+                ).astype("datetime64[us]"),
+                "rv": rng.randint(0, 1000, nr).astype(np.float64),
+            }
+        )
+        # unique (k, ts) on the right so the asof winner's VALUE is
+        # deterministic regardless of tie-order
+        rt = rt.drop_duplicates(["k", "ts"])
+        from reddacted_ray.stages.joins import asof_join_backward
+
+        got = (
+            asof_join_backward(
+                rd.from_arrow(pa.Table.from_pandas(lt, preserve_index=False)),
+                rd.from_arrow(pa.Table.from_pandas(rt, preserve_index=False)),
+                "k", "ts", ["rv"], n_buckets=3,
+            )
+            .to_pandas().sort_values("lid").reset_index(drop=True)
+        )
+        ref = pd.merge_asof(
+            lt.sort_values("ts", kind="mergesort"),
+            rt.sort_values("ts", kind="mergesort"),
+            on="ts", by="k", direction="backward",
+        ).sort_values("lid").reset_index(drop=True)
+        pd.testing.assert_series_equal(got["rv"], ref["rv"], check_dtype=False), trial
