@@ -115,11 +115,20 @@ def main(argv=None) -> int:
         print("error: --input and --output are required", file=sys.stderr)
         return 2
     # Ray's write_parquet APPENDS into an existing dir; a rerun with the
-    # same --output would silently duplicate rows. Refuse up front
-    # (resumable mode is the rerun-safe path; --mode apply always writes
-    # directly, so --resumable does not exempt it from the guard).
+    # same --output would silently duplicate rows. Refuse up front.
+    # Rerun-safe paths are exempt: --resumable builds, and the colocated
+    # apply (decision dir carries a manifest -> per-partition atomic
+    # writes that skip completed partitions).
+    colocated_apply = (
+        cfg.get("mode") == "apply"
+        and cfg.get("decisions")
+        and os.path.exists(os.path.join(cfg["decisions"], "manifest.jsonl"))
+    )
+    rerun_safe = (
+        colocated_apply if cfg.get("mode") == "apply" else cfg.get("resumable")
+    )
     if (
-        (cfg.get("mode") == "apply" or not cfg.get("resumable"))
+        not rerun_safe
         and os.path.isdir(cfg["output"])
         and os.listdir(cfg["output"])
     ):
@@ -186,10 +195,20 @@ def main(argv=None) -> int:
         import ray.data as rd
 
         t0 = time.perf_counter()
-        out = apply_decisions(cfg["input"], rd.read_parquet(cfg["decisions"]))
-        out.write_parquet(cfg["output"])
-        summary = {"output": cfg["output"], "mode": "apply",
-                   "wall_s": round(time.perf_counter() - t0, 3)}
+        if os.path.exists(os.path.join(cfg["decisions"], "manifest.jsonl")):
+            # resumable decide output: zero-shuffle provenance-co-located
+            # apply (one task per partition, bytes never shuffle)
+            from .pipelines.quality_filter import apply_decisions_colocated
+
+            summary = apply_decisions_colocated(
+                cfg["input"], cfg["decisions"], cfg["output"]
+            )
+            summary["mode"] = "apply-colocated"
+        else:
+            out = apply_decisions(cfg["input"], rd.read_parquet(cfg["decisions"]))
+            out.write_parquet(cfg["output"])
+            summary = {"output": cfg["output"], "mode": "apply"}
+        summary["wall_s"] = round(time.perf_counter() - t0, 3)
         print(json.dumps(summary))
         ray.shutdown()
         return 0

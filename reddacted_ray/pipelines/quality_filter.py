@@ -238,6 +238,81 @@ def apply_decisions(
     return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def apply_decisions_colocated(
+    input_dir: str,
+    decisions_dir: str,
+    out_dir: str,
+    keep_only: bool = True,
+) -> dict:
+    """ZERO-SHUFFLE apply (the 100 TB phase-2 shape): a decide-mode
+    RESUMABLE run already wrote its decision table partitioned by
+    provenance — ``decisions_dir/partition_id=K/`` plus a manifest naming
+    each partition's input files. Apply therefore needs no global join at
+    all: one Ray task per partition reads THAT partition's input files and
+    its decision directory and joins them in memory (Acero, both sides
+    partition-sized). The image bytes never enter an all-to-all exchange —
+    vs ``apply_decisions``'s hash join, which shuffles the full-byte table.
+    Output is written atomically per partition; a rerun skips completed
+    partitions (resumable apply).
+
+    Requires ``decisions_dir`` to hold a ``manifest.jsonl`` (i.e. decide
+    ran with ``--resumable``); callers without one use ``apply_decisions``.
+    """
+    import os
+
+    import pyarrow as pa
+    import ray
+
+    from ..state.manifest import Manifest, _AtomicDir
+
+    mf = Manifest(decisions_dir)
+    done = mf.completed()
+    if not done:
+        raise ValueError(
+            f"{decisions_dir!r} has no manifest.jsonl partitions — run the"
+            " decide phase with --resumable, or use apply_decisions()"
+        )
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote
+    def _apply(pid: str, input_files: list, dec_dir: str, final_dir: str) -> int:
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        full = pa.concat_tables([pq.read_table(p) for p in input_files])
+        dec = pads.dataset(dec_dir, format="parquet").to_table(
+            columns=["image_id", "keep", "caption_scrubbed"]
+        )
+        j = full.join(dec, keys=["image_id"], join_type="inner")
+        if keep_only:
+            j = j.filter(j["keep"])
+        idx = j.schema.get_field_index("caption")
+        j = j.set_column(idx, "caption", j["caption_scrubbed"])
+        j = j.drop_columns(["caption_scrubbed", "keep"])
+        with _AtomicDir(final_dir) as tmp:
+            pq.write_table(j, os.path.join(tmp, "part-0.parquet"))
+        return j.num_rows
+
+    refs = []
+    skipped = 0
+    for pid, rec in sorted(done.items()):
+        final_dir = os.path.join(out_dir, f"partition_id={pid}")
+        if os.path.isdir(final_dir):
+            skipped += 1
+            continue
+        files = [os.path.join(input_dir, f) for f in rec["input_files"]]
+        refs.append(
+            _apply.remote(pid, files, mf.partition_dir(pid), final_dir)
+        )
+    rows = sum(ray.get(refs)) if refs else 0
+    return {
+        "partitions_ran": len(refs),
+        "partitions_skipped": skipped,
+        "rows_out": rows,
+        "output": out_dir,
+    }
+
+
 def write_output(ds: rd.Dataset, out_dir: str) -> None:
     """Partitioned parquet sink (many part files -> resumable/idempotent;
     see ``reddacted_ray.state.manifest`` for the partition manifest)."""

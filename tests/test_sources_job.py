@@ -407,3 +407,48 @@ def test_write_bucketed_rerun_overwrites(ray_session, tmp_path):
         read_bucket(out, b, columns=["doc_id"]).count() for b in range(4)
     )
     assert total == 64
+
+
+def test_apply_colocated_equals_hash_join(ray_session, synth_dir, tmp_path):
+    """Zero-shuffle provenance-co-located apply == the global hash-join
+    apply, byte for byte; a rerun skips every completed partition."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from reddacted_ray.oracle import LabelerConfig
+    from reddacted_ray.pipelines.quality_filter import (
+        apply_decisions, apply_decisions_colocated, build,
+    )
+    from reddacted_ray.state.manifest import run_resumable
+
+    cfg = LabelerConfig(skip_text="This comment has been reddacted")
+    dec = str(tmp_path / "dec")
+    run_resumable(
+        synth_dir, dec,
+        lambda files: build(files, cfg=cfg, mode="decide"),
+        files_per_partition=2,
+    )
+    out = str(tmp_path / "fin")
+    s = apply_decisions_colocated(synth_dir, dec, out)
+    assert s["partitions_ran"] == 2 and s["partitions_skipped"] == 0
+
+    got = (
+        pads.dataset(out, format="parquet").to_table().to_pandas()
+        .sort_values("image_id").reset_index(drop=True)
+    )
+    dec_files = [
+        os.path.join(root, f)
+        for root, _, fs in os.walk(dec) for f in fs if f.endswith(".parquet")
+    ]
+    ref = (
+        apply_decisions(synth_dir, rd.read_parquet(dec_files)).to_pandas()
+        .sort_values("image_id").reset_index(drop=True)
+    )
+    assert list(got.columns) == list(ref.columns)
+    assert len(got) == len(ref) == s["rows_out"]
+    for c in got.columns:
+        assert (got[c] == ref[c]).all(), c
+
+    # rerun: all partitions already applied -> nothing runs, output stable
+    s2 = apply_decisions_colocated(synth_dir, dec, out)
+    assert s2["partitions_ran"] == 0 and s2["partitions_skipped"] == 2
