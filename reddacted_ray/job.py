@@ -41,7 +41,8 @@ ENV_VARS_MAP = {
 }
 
 _BOOLS = {"pii_only", "resumable", "emit_errors"}
-_INTS = {"limit", "batch_size", "num_cpus", "files_per_partition"}
+_INTS = {"limit", "batch_size", "num_cpus", "files_per_partition",
+         "concurrent_partitions"}
 
 
 def merge_configs(env: dict, file_cfg: dict, flags: dict) -> dict:
@@ -96,6 +97,9 @@ def load_config(argv=None) -> dict:
                     " (keep=false, error column set) instead of the"
                     " reference's silent row skip")
     ap.add_argument("--files-per-partition", dest="files_per_partition", type=int)
+    ap.add_argument("--concurrent-partitions", dest="concurrent_partitions",
+                    type=int, help="resumable mode: how many partition"
+                    " pipelines execute at once (default 4)")
     ap.add_argument("--num-cpus", dest="num_cpus", type=int)
     ap.add_argument("--report", help="write a markdown summary report here")
     args = vars(ap.parse_args(argv))
@@ -220,6 +224,7 @@ def main(argv=None) -> int:
             cfg["output"],
             _build,
             files_per_partition=int(cfg.get("files_per_partition", 4)),
+            concurrent_partitions=int(cfg.get("concurrent_partitions", 4)),
         )
     else:
         ds = _build(cfg["input"])

@@ -95,13 +95,22 @@ def run_resumable(
     build_fn,
     files_per_partition: int = 4,
     max_partitions: int | None = None,
+    concurrent_partitions: int = 4,
 ) -> dict:
     """Run ``build_fn(list_of_files) -> Dataset`` per pending partition,
     writing each atomically + committing lineage. Returns a summary dict.
 
     ``max_partitions`` caps work this invocation (also simulates an
     interrupted run in tests); a rerun picks up where it stopped.
-    """
+
+    ``concurrent_partitions`` pipelines execute at once (driver threads,
+    each owning one streaming Dataset execution; Ray schedules their tasks
+    onto the shared CPU pool). Sequential partitions would serialize the
+    whole job behind one partition's stragglers — a cluster-scale bug —
+    while unbounded concurrency would thrash the object store; a small
+    constant keeps the cluster saturated with bounded memory. Manifest
+    commits are driver-side and lock-serialized; completion order across
+    partitions is irrelevant (the manifest is keyed by partition id)."""
     mf = Manifest(out_dir)
     done = mf.completed()
     files = [
@@ -127,7 +136,11 @@ def run_resumable(
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp_path, mf.path)
-    ran, skipped = 0, 0
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    pending = []
+    skipped = 0
     for pid, chunk in plan:
         # skip only when the committed record covers the SAME input files:
         # if the input dir gained/lost files between runs, partition ids
@@ -139,8 +152,13 @@ def run_resumable(
         ]:
             skipped += 1
             continue
-        if max_partitions is not None and ran >= max_partitions:
+        if max_partitions is not None and len(pending) >= max_partitions:
             break
+        pending.append((pid, chunk))
+
+    commit_lock = threading.Lock()
+
+    def _run_one(pid: str, chunk: list) -> None:
         t0 = time.perf_counter()
         ds = build_fn(chunk)
         # per-row lineage (SURVEY §1.7): every output row names the
@@ -158,18 +176,52 @@ def run_resumable(
         with mf.atomic_write_dir(pid) as tmp:
             ds.write_parquet(tmp)
             stats = _partition_stats(tmp)
-        mf.commit(
-            {
-                "partition_id": pid,
-                "input_files": [os.path.basename(c) for c in chunk],
-                "wall_s": round(time.perf_counter() - t0, 3),
-                **stats,
-            }
-        )
-        ran += 1
+        with commit_lock:
+            mf.commit(
+                {
+                    "partition_id": pid,
+                    "input_files": [os.path.basename(c) for c in chunk],
+                    "wall_s": round(time.perf_counter() - t0, 3),
+                    **stats,
+                }
+            )
+
+    if concurrent_partitions <= 1 or len(pending) <= 1:
+        for pid, chunk in pending:
+            _run_one(pid, chunk)
+    else:
+        # Ray's path resolution probes `from fsspec.implementations.http
+        # import HTTPFileSystem` on EVERY read/write and catches only
+        # ModuleNotFoundError. In this env the import always fails (no
+        # aiohttp), failed imports are never cached, and two partition
+        # threads importing at once can observe the partially-initialized
+        # module — raising plain ImportError ("cannot import name...")
+        # that Ray does not catch. Stabilize: if the real import fails,
+        # seed a sentinel module so the probe succeeds identically from
+        # every thread (isinstance against the sentinel is always False,
+        # which is also the correct answer — no HTTP filesystem can work
+        # without aiohttp).
+        try:
+            import fsspec.implementations.http  # noqa: F401
+        except Exception:
+            import sys
+            import types
+
+            if "fsspec.implementations.http" not in sys.modules:
+                stub = types.ModuleType("fsspec.implementations.http")
+
+                class _NoHTTPFileSystem:  # sentinel: nothing instantiates it
+                    pass
+
+                stub.HTTPFileSystem = _NoHTTPFileSystem
+                sys.modules["fsspec.implementations.http"] = stub
+        with ThreadPoolExecutor(max_workers=concurrent_partitions) as pool:
+            futs = [pool.submit(_run_one, pid, chunk) for pid, chunk in pending]
+            for f in futs:
+                f.result()  # re-raise the first failure
     return {
         "partitions_total": len(plan),
-        "partitions_ran": ran,
+        "partitions_ran": len(pending),
         "partitions_skipped": skipped,
         "manifest": mf.path,
     }
