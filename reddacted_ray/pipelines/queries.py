@@ -1656,6 +1656,91 @@ def q_dedup_audio_near(sf_dir: str) -> rd.Dataset:
     return hash_hamming_duplicates(ds, "afp", "audio_id", max_hamming=2)
 
 
+def _video_dir(sf_dir: str, rows: int = 1500) -> str:
+    import os
+
+    from ..synth import write_video_dataset
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or "0.01"
+    return write_video_dataset(f"/tmp/graft_video/small_sf{sf}", rows, seed=42)
+
+
+def q_video_decode_stats(sf_dir: str) -> rd.Dataset:
+    """Multimodal video decode stage over the synthetic FVID clip table
+    (duration / mean luminance / motion energy / fingerprint re-check —
+    the video analog of image/audio_decode_stats, rows-only)."""
+    from ..sources.tables import read_table
+    from ..stages import process_cached
+    from ..stages.multimodal import VideoDecodeStats
+
+    ds = read_table(_video_dir(sf_dir))
+    return ds.map_batches(
+        process_cached(VideoDecodeStats), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=64,
+    ).select_columns(
+        ["video_id", "fmt", "duration_s", "mean_lum", "motion", "vfp_check", "decode_ok"]
+    )
+
+
+def q_dedup_video_features(sf_dir: str) -> pa.Table:
+    """Multimodal chain: decode -> temporal feature-extract ->
+    embedding-cosine near-dup over VIDEO feature vectors (rows-only;
+    planted byte-identical clip clusters collide at cosine 1.0)."""
+    from ..sources.tables import read_table
+    from ..stages import process_cached
+    from ..stages.dedup import embedding_cosine_duplicates
+    from ..stages.multimodal import VideoFeatures
+
+    ds = read_table(_video_dir(sf_dir), columns=["video_id", "bytes", "fmt"])
+    feats = ds.map_batches(
+        process_cached(VideoFeatures), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=64,
+    ).select_columns(["video_id", "video_features"])
+    out = embedding_cosine_duplicates(
+        feats, "video_features", "video_id", dim=74, threshold=0.999999
+    ).to_pandas()
+    return pa.table(
+        {
+            "video_id": pa.array(out.get("video_id", []), pa.string()),
+            "dup_of": pa.array(out.get("dup_of", []), pa.string()),
+        }
+    )
+
+
+def q_dedup_video_near(sf_dir: str) -> rd.Dataset:
+    """Video NEAR-duplicate detection by TIRI-fingerprint hamming distance
+    over the stored ``vfp`` column — the generalized banded-hamming path on
+    a FOURTH modality; max_hamming=4 recovers the planted gain-scaled
+    re-encodes (sign-of-delta bits survive y = a*x + b) that are
+    byte-distinct (rows-only)."""
+    from ..sources.tables import read_table
+    from ..stages.dedup import hash_hamming_duplicates
+
+    ds = read_table(_video_dir(sf_dir), columns=["video_id", "vfp"])
+    return hash_hamming_duplicates(ds, "vfp", "video_id", max_hamming=4)
+
+
+def q_video_frames_phash(sf_dir: str) -> rd.Dataset:
+    """Cross-modality chain: video -> FrameSample flat-map (every 8th frame
+    re-encoded png, image-table schema) -> the unchanged IMAGE DecodeStats
+    stage -> per-frame phash. Proves the frame rows are first-class image
+    rows (rows-only; one clip row fans out to ceil(n_frames/8) frame
+    rows)."""
+    from ..sources.tables import read_table
+    from ..stages import process_cached
+    from ..stages.multimodal import DecodeStats, FrameSample
+
+    ds = read_table(_video_dir(sf_dir), columns=["video_id", "bytes", "fmt"])
+    frames = ds.map_batches(
+        process_cached(FrameSample), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=32,
+    )
+    return frames.map_batches(
+        process_cached(DecodeStats), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=128,
+    ).select_columns(["image_id", "video_id", "frame_idx", "phash_check", "decode_ok"])
+
+
 class _FindingsStage:
     """Per-row LLM-findings struct (reference ``llm_detector.py:20-26``):
     ``{has_pii, confidence, details: list<struct<type, example>>, reasoning,
@@ -1851,6 +1936,10 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "audio_decode_stats": q_audio_decode_stats,
         "dedup_audio_features": q_dedup_audio_features,
         "dedup_audio_near": q_dedup_audio_near,
+        "video_decode_stats": q_video_decode_stats,
+        "dedup_video_features": q_dedup_video_features,
+        "dedup_video_near": q_dedup_video_near,
+        "video_frames_phash": q_video_frames_phash,
     }
 
 

@@ -29,6 +29,20 @@ AUDIO_SCHEMA = pa.schema(
     ]
 )
 
+VIDEO_SCHEMA = pa.schema(
+    [
+        ("video_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("n_frames", pa.int32()),
+        ("fps", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("vfp", pa.int64()),
+    ]
+)
+
 PII_MATCH_TYPE = pa.struct(
     [("type", pa.string()), ("value", pa.string()), ("confidence", pa.float64())]
 )

@@ -2,11 +2,13 @@
 
 Images are opaque ``binary`` columns with typed metadata (``w,h,fmt``);
 every operator here is a ``map_batches`` actor stage over zero-copy Arrow
-batches. The container ships no image/audio libraries, so (per the task
-brief) the png path and the deterministic lossy stand-in are REAL
-(``reddacted_ray.imaging``), while formats we can't decode raise
-``NotImplementedError`` — the Ray-side plumbing (schema, batch sizing,
-actor signature, output layout) is real and tested either way.
+batches. The container ships no image/audio/video libraries, so (per the
+task brief) the codecs are REAL deterministic stand-ins — png + lossy FJP2
+(``reddacted_ray.imaging``), FPCM audio (``reddacted_ray.audio``), FVID
+delta-coded video (``reddacted_ray.video``) — while formats we can't
+decode raise ``NotImplementedError`` — the Ray-side plumbing (schema,
+batch sizing, actor signature, output layout) is real and tested for all
+three modalities.
 
 Batch-size guidance: rows carry encoded image payloads, so callers should
 use small ``batch_size`` (128-512) to keep ``batch x concurrency`` within
@@ -183,36 +185,120 @@ class AudioFeatures:
         )
 
 
-class FrameSample:
-    """Video frame-sampling STUB with a deterministic fake decoder.
-
-    Emits every ``stride``-th "frame" as synthetic gray frames derived from
-    a stable hash of the payload — deterministic, so the plumbing (flat-map
-    expansion of one row into N frame rows) is fully testable without a
-    video codec. Swap ``_frames`` for a real demuxer in production."""
-
-    def __init__(self, stride: int = 10, frames_per_clip: int = 30) -> None:
-        self.stride = stride
-        self.frames_per_clip = frames_per_clip
-
-    def _frames(self, blob: bytes) -> list[int]:
-        import hashlib
-
-        seed = int.from_bytes(hashlib.blake2b(blob, digest_size=4).digest(), "little")
-        return [(seed + f) % 256 for f in range(0, self.frames_per_clip, self.stride)]
+class VideoDecodeStats:
+    """Decode each video clip (FVID) and emit stream statistics + a
+    recomputed TIRI fingerprint. Output columns: ``duration_s: float64``,
+    ``mean_lum: float64``, ``motion: float64`` (mean abs frame-to-frame
+    pixel delta), ``vfp_check: int64``, ``decode_ok: bool``. Unknown
+    formats yield decode_ok=false (reference row-error policy: skip row,
+    keep going — reference ``sentiment.py:280-284``)."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids, frame_idx, gray = [], [], []
-        for i, blob in zip(t["image_id"].to_pylist(), t["bytes"].to_pylist()):
-            for fi, g in enumerate(self._frames(blob)):
-                ids.append(i)
-                frame_idx.append(fi * self.stride)
-                gray.append(g)
+        from ..video import decode as vdecode, vfp64
+
+        n = t.num_rows
+        dur = np.zeros(n, dtype=np.float64)
+        lum = np.zeros(n, dtype=np.float64)
+        motion = np.zeros(n, dtype=np.float64)
+        fp = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i, (blob, fmt) in enumerate(
+            zip(t["bytes"].to_pylist(), t["fmt"].to_pylist())
+        ):
+            try:
+                frames, fps = vdecode(blob, fmt)
+            except (NotImplementedError, ValueError):
+                continue
+            x = frames.astype(np.float64) / 255.0
+            dur[i] = frames.shape[0] / fps if fps else 0.0
+            lum[i] = float(x.mean())
+            motion[i] = (
+                float(np.abs(x[1:] - x[:-1]).mean()) if frames.shape[0] > 1 else 0.0
+            )
+            f = vfp64(frames)
+            fp[i] = f - (1 << 64) if f >= 1 << 63 else f
+            ok[i] = True
+        t = t.append_column("duration_s", pa.array(dur))
+        t = t.append_column("mean_lum", pa.array(lum))
+        t = t.append_column("motion", pa.array(motion))
+        t = t.append_column("vfp_check", pa.array(fp))
+        return t.append_column("decode_ok", pa.array(ok))
+
+
+class VideoFeatures:
+    """Feature extraction: decode (FVID) -> per-segment luminance/motion +
+    contrast/gradient vector (``reddacted_ray.video.video_features``).
+
+    Emits ``video_features: list<float>`` — a real embedding-style vector
+    usable by the similarity / embedding-dedup stages (the video analog of
+    ``ImageFeatures``/``AudioFeatures``). Undecodable rows get a zero
+    vector. Swap ``reddacted_ray.video.decode`` for a real demuxer in
+    production — the stage contract (binary in -> list<float> out) is
+    unchanged."""
+
+    def __init__(self, n_segments: int = 8) -> None:
+        self.n_segments = n_segments
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..video import decode as vdecode, video_features
+
+        dim = self.n_segments * 8 + self.n_segments + 2  # 2x4 grid default
+        out = []
+        for blob, fmt in zip(t["bytes"].to_pylist(), t["fmt"].to_pylist()):
+            try:
+                frames, _fps = vdecode(blob, fmt)
+                out.append(video_features(frames, self.n_segments).tolist())
+            except (NotImplementedError, ValueError):
+                out.append([0.0] * dim)
+        return t.append_column(
+            "video_features", pa.array(out, pa.list_(pa.float32()))
+        )
+
+
+class FrameSample:
+    """Video frame sampling: decode (FVID), take every ``stride``-th frame,
+    and emit each as an IMAGE-TABLE-shaped row (grayscale stacked to RGB,
+    re-encoded png) — a real flat-map expansion (1 clip row -> ceil(n/stride)
+    frame rows) whose output feeds the existing image stages (DecodeStats,
+    ImageFeatures, phash dedup) unchanged. Undecodable clips emit no rows
+    (reference row-error policy). ``max_frames`` caps the fan-out so one
+    long clip can't blow up a block (output rows, not input rows, carry the
+    pixel payload — keep caller batch_size small)."""
+
+    def __init__(self, stride: int = 8, max_frames: int = 16) -> None:
+        self.stride = stride
+        self.max_frames = max_frames
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..imaging import encode
+        from ..video import decode as vdecode
+
+        ids, frame_idx, blobs, ws, hs = [], [], [], [], []
+        for vid, blob, fmt in zip(
+            t["video_id"].to_pylist(), t["bytes"].to_pylist(), t["fmt"].to_pylist()
+        ):
+            try:
+                frames, _fps = vdecode(blob, fmt)
+            except (NotImplementedError, ValueError):
+                continue
+            for fi in list(range(0, frames.shape[0], self.stride))[: self.max_frames]:
+                px = np.repeat(frames[fi][:, :, None], 3, axis=2)
+                ids.append(vid)
+                frame_idx.append(fi)
+                blobs.append(encode(px, "png"))
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
         return pa.table(
             {
-                "image_id": pa.array(ids, pa.string()),
+                "image_id": pa.array(
+                    [f"{v}#f{f:04d}" for v, f in zip(ids, frame_idx)], pa.string()
+                ),
+                "video_id": pa.array(ids, pa.string()),
                 "frame_idx": pa.array(frame_idx, pa.int32()),
-                "gray_level": pa.array(gray, pa.int32()),
+                "bytes": pa.array(blobs, pa.binary()),
+                "w": pa.array(ws, pa.int32()),
+                "h": pa.array(hs, pa.int32()),
+                "fmt": pa.array(["png"] * len(ids), pa.string()),
             }
         )
 

@@ -251,6 +251,99 @@ def write_audio_dataset(
     )
 
 
+def _make_video_clip(rng: np.random.RandomState) -> tuple[np.ndarray, int]:
+    """One deterministic clip: random background gradient + a bright box
+    moving on a random trajectory + sensor noise. uint8 (n, h, w)."""
+    n = rng.randint(24, 49)
+    h, w = 24, 32
+    gx, gy = rng.uniform(-100, 100), rng.uniform(-60, 60)
+    base = (
+        np.linspace(0, gx, w)[None, :]
+        + np.linspace(0, gy, h)[:, None]
+        + rng.uniform(40.0, 160.0)
+    )
+    bx, by = rng.randint(0, w - 8), rng.randint(0, h - 6)
+    vx, vy = rng.randint(1, 4), rng.randint(1, 3)
+    frames = np.zeros((n, h, w))
+    for f in range(n):
+        fr = base + rng.normal(0, 2.0, (h, w))
+        x0 = (bx + vx * f) % (w - 8)
+        y0 = (by + vy * f) % (h - 6)
+        fr[y0 : y0 + 6, x0 : x0 + 8] += 100.0
+        frames[f] = fr
+    return np.clip(frames, 0, 255).astype(np.uint8), 12
+
+
+def generate_video_table(num_rows: int, seed: int = 42, start_id: int = 0) -> pa.Table:
+    """One shard of the video-clip table (``VIDEO_SCHEMA``): FVID blobs +
+    caption + 64-bit TIRI fingerprint, with duplicate clusters mirroring
+    the image/audio tables (~1.5% one hot byte-identical cluster, ~1.5%
+    smaller clusters, plus ~1% gain-scaled NEAR-dups of the hot clip —
+    hamming <= ~4 from it but byte-distinct). Deterministic in
+    (seed, start_id)."""
+    from .schema import VIDEO_SCHEMA
+    from .video import encode_video, vfp64
+
+    rng = np.random.RandomState(seed * 13 + start_id + 2)
+    shared = [_make_video_clip(rng) for _ in range(8)]
+    ids, blobs, ws, hs, nfs, fpss, fmts, caps, vfps = ([] for _ in range(9))
+    for i in range(num_rows):
+        gid = start_id + i
+        if gid < len(LABELED_CAPTIONS):
+            cap = LABELED_CAPTIONS[gid]
+        else:
+            cap = _pii_caption(rng) if rng.rand() < 0.04 else _filler_caption(rng)
+        r = rng.rand()
+        if r < 0.015:
+            clip, fps = shared[0]  # hot duplicate cluster
+        elif r < 0.03:
+            clip, fps = shared[1 + rng.randint(7)]
+        elif r < 0.04:  # gain-scaled near-dup of the hot clip
+            src, fps = shared[0]
+            gain = rng.uniform(0.8, 0.95)
+            clip = np.clip(src.astype(np.float64) * gain + rng.uniform(5, 15), 0, 255).astype(np.uint8)
+        else:
+            clip, fps = _make_video_clip(rng)
+        fp = vfp64(clip)
+        if fp >= 1 << 63:
+            fp -= 1 << 64
+        ids.append(f"vid{gid:08d}")
+        blobs.append(encode_video(clip, fps))
+        nfs.append(clip.shape[0])
+        hs.append(clip.shape[1])
+        ws.append(clip.shape[2])
+        fpss.append(fps)
+        fmts.append("fvid")
+        caps.append(cap)
+        vfps.append(fp)
+    return pa.table(
+        {
+            "video_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "n_frames": pa.array(nfs, pa.int32()),
+            "fps": pa.array(fpss, pa.int32()),
+            "fmt": pa.array(fmts, pa.string()),
+            "caption": pa.array(caps, pa.string()),
+            "vfp": pa.array(vfps, pa.int64()),
+        },
+        schema=VIDEO_SCHEMA,
+    )
+
+
+def write_video_dataset(
+    out_dir: str, num_rows: int, seed: int = 42, rows_per_shard: int = 1_000
+) -> str:
+    """Sharded Parquet video dataset; idempotent via _SYNTH_MANIFEST
+    (same contract as ``write_dataset``)."""
+    return _write_sharded(
+        out_dir, num_rows, rows_per_shard,
+        tag=f"video-v1 rows={num_rows} seed={seed} shard={rows_per_shard}",
+        gen=lambda start, n: generate_video_table(n, seed=seed, start_id=start),
+    )
+
+
 def _write_sharded(out_dir: str, num_rows: int, rows_per_shard: int,
                    tag: str, gen) -> str:
     manifest = os.path.join(out_dir, "_SYNTH_MANIFEST")

@@ -15,7 +15,7 @@ from reddacted_ray.stages.dedup import (
     ngram_jaccard_duplicates,
     simhash_duplicates,
 )
-from reddacted_ray.stages.multimodal import FrameSample, decode_stats, resize
+from reddacted_ray.stages.multimodal import decode_stats, resize
 from reddacted_ray.stages.similarity import (
     IVFIndex,
     brute_force_topk,
@@ -174,14 +174,6 @@ def test_decode_stats_and_resize(ray_session, synth_dir):
 
     px = decode(bytes(r["bytes"].iloc[0]), r["fmt"].iloc[0])
     assert px.shape == (8, 8, 3)
-
-
-def test_frame_sample_stub(ray_session, synth_dir):
-    ds = rd.read_parquet(synth_dir, columns=["image_id", "bytes"]).limit(10)
-    out = ds.map_batches(FrameSample, batch_format="pyarrow",
-                         concurrency=(1, 2)).to_pandas()
-    assert len(out) == 10 * 3  # 30 frames / stride 10
-    assert set(out["frame_idx"]) == {0, 10, 20}
 
 
 def test_text_stats_parity(ray_session):
