@@ -154,6 +154,9 @@ def run_bench() -> dict:
         "lag_delta",
         "dedup_exact",
         "rarest_term",
+        "rank_orders",
+        "corr_qty_price",
+        "top_terms",
     ]:
         timed(name, Q.registry()[name])
 

@@ -1198,6 +1198,134 @@ def q_dedup_exact(sf_dir: str) -> rd.Dataset:
     return keyed.groupby("k").aggregate(Min("doc_id", alias_name="doc_id"))
 
 
+def q_rank_orders(sf_dir: str) -> rd.Dataset:
+    """Ranking windows: per-customer ROW_NUMBER and RANK of orders by
+    totalprice (cents, DuckDB tie-rounding parity) descending. Bucketed-
+    vectorized (pandas C-level rank/cumcount kernels per hash bucket —
+    O(buckets) Python calls, not O(customers))."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    orders = sf_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def cents_col(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "cents": _money_int(t["o_totalprice"], 100.0),
+            }
+        )
+
+    prepped = orders.map_batches(cents_col, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        # ORDER BY cents DESC, o_orderkey makes row_number deterministic;
+        # RANK ties on cents alone ('min' method == SQL RANK)
+        g = g.sort_values(
+            ["o_custkey", "cents", "o_orderkey"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        grp = g.groupby("o_custkey", sort=False)
+        rn = grp.cumcount() + 1
+        rnk = grp["cents"].rank(method="min", ascending=False).astype("int64")
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"],
+                "o_custkey": g["o_custkey"],
+                "rn": rn.astype("int64"),
+                "rnk": rnk,
+            }
+        )
+
+    return grouped_vectorized(prepped, "o_custkey", rank)
+
+
+def q_corr_qty_price(sf_dir: str) -> rd.Dataset:
+    """Per-group Pearson correlation (quantity vs extendedprice per
+    returnflag) from ONE pass of mergeable integer partials (sx, sy, sxy,
+    sx2, sy2, n) — the bivariate extension of value_stats. Dollar units
+    (not cents) keep sum-of-squares within exact float64 range (< 2^53)
+    at bench scale; floats derive from the exact integer sums with the
+    same IEEE expression tree as the SQL oracle (bit-identical hash)."""
+    from ..stages.agg import grouped_sums
+
+    li = sf_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = _money_int(t["l_quantity"], 1.0)
+        y = _money_int(t["l_extendedprice"], 1.0)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "sx": x,
+                "sy": y,
+                "sxy": pc.multiply(x, y),
+                "sx2": pc.multiply(x, x),
+                "sy2": pc.multiply(y, y),
+            }
+        )
+
+    sums = grouped_sums(
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag"], ["sx", "sy", "sxy", "sx2", "sy2"], count_alias="n",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n"], pa.float64())
+        sx = pc.cast(t["sx"], pa.float64())
+        sy = pc.cast(t["sy"], pa.float64())
+        sxy = pc.cast(t["sxy"], pa.float64())
+        sx2 = pc.cast(t["sx2"], pa.float64())
+        sy2 = pc.cast(t["sy2"], pa.float64())
+        cov_n = pc.subtract(pc.multiply(n, sxy), pc.multiply(sx, sy))
+        vx_n = pc.subtract(pc.multiply(n, sx2), pc.multiply(sx, sx))
+        vy_n = pc.subtract(pc.multiply(n, sy2), pc.multiply(sy, sy))
+        corr = pc.divide(
+            cov_n, pc.multiply(pc.sqrt(vx_n), pc.sqrt(vy_n))
+        )
+        return pa.table(
+            {"l_returnflag": t["l_returnflag"], "n": t["n"], "corr_qp": corr}
+        )
+
+    return sums.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_top_terms(sf_dir: str) -> rd.Dataset:
+    """Corpus heavy hitters, exact: top-20 tokens by document frequency
+    (desc, token asc tie-break) — rarest_term's distinct-pairs + DF
+    pipeline with the argmin swapped for a global sort+limit over the
+    (small) vocabulary table; the data-sized explode never leaves the
+    cluster."""
+    from ray.data.aggregate import Count
+
+    from ..functions.hashing import tokens_flat_batch
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode_distinct(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        flat, doc_of = tokens_flat_batch(texts)
+        enc = pc.dictionary_encode(flat)
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        uniq = np.unique(doc_of.astype(np.int64) * max(k, 1) + idx)
+        u_tok = uniq % max(k, 1)
+        return pa.table({"tok": enc.dictionary.take(pa.array(u_tok))})
+
+    pairs = docs.map_batches(explode_distinct, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    df_counts = pairs.groupby("tok").aggregate(Count(alias_name="df"))
+    return df_counts.sort(["df", "tok"], descending=[True, False]).limit(20)
+
+
 # rarest_term DF-attach: vocabularies up to this size broadcast; larger
 # ones take the distributed hash join (patched down in tests)
 VOCAB_BROADCAST_CAP = 2_000_000
@@ -1936,6 +2064,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "audio_decode_stats": q_audio_decode_stats,
         "dedup_audio_features": q_dedup_audio_features,
         "dedup_audio_near": q_dedup_audio_near,
+        "rank_orders": q_rank_orders,
+        "corr_qty_price": q_corr_qty_price,
+        "top_terms": q_top_terms,
         "video_decode_stats": q_video_decode_stats,
         "dedup_video_features": q_dedup_video_features,
         "dedup_video_near": q_dedup_video_near,
@@ -2075,6 +2206,45 @@ def oracle_sqls() -> dict[str, str]:
         "dedup_exact": (
             "SELECT md5(text) AS k, min(doc_id) AS doc_id"
             " FROM documents GROUP BY 1"
+        ),
+        "rank_orders": (
+            "SELECT o_orderkey, o_custkey,"
+            " CAST(row_number() OVER (PARTITION BY o_custkey"
+            " ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,"
+            " o_orderkey) AS BIGINT) AS rn,"
+            " CAST(rank() OVER (PARTITION BY o_custkey"
+            " ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC)"
+            " AS BIGINT) AS rnk"
+            " FROM orders"
+        ),
+        "corr_qty_price": (
+            # identical IEEE expression tree to the Ray side (dollar units)
+            "WITH s AS (SELECT l_returnflag,"
+            " CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sx,"
+            " CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,"
+            " CAST(sum(CAST(round(l_quantity) AS BIGINT)"
+            " * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy,"
+            " CAST(sum(CAST(round(l_quantity) AS BIGINT)"
+            " * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sx2,"
+            " CAST(sum(CAST(round(l_extendedprice) AS BIGINT)"
+            " * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy2,"
+            " count(*) AS n FROM lineitem GROUP BY 1)"
+            " SELECT l_returnflag, n,"
+            " (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)"
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qp"
+            " FROM s"
+        ),
+        "top_terms": (
+            "WITH tok0 AS (SELECT doc_id,"
+            " unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok"
+            " FROM documents),"
+            " tok AS (SELECT DISTINCT doc_id, tok FROM tok0 WHERE tok <> '')"
+            " SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tok"
+            " GROUP BY 1 ORDER BY df DESC, tok LIMIT 20"
         ),
         "grouped_median": (
             "WITH r AS (SELECT lang, n_chars,"

@@ -76,6 +76,81 @@ def approx_distinct(
 
 
 # ---------------------------------------------------------------------------
+# Mergeable heavy-hitters summary (Misra-Gries)
+# ---------------------------------------------------------------------------
+
+
+def _mg_compress(counts: dict, err: int, k: int) -> tuple[dict, int]:
+    """Shrink to <= k counters by subtracting the (k+1)-th largest count
+    from every counter and dropping non-positives (Misra-Gries step). The
+    subtracted amount accumulates into ``err`` — the one-sided undercount
+    bound every surviving counter carries."""
+    if len(counts) <= k:
+        return counts, err
+    vals = np.sort(np.fromiter(counts.values(), dtype=np.int64))[::-1]
+    thresh = int(vals[k])
+    return (
+        {key: c - thresh for key, c in counts.items() if c > thresh},
+        err + thresh,
+    )
+
+
+def heavy_hitters(ds: rd.Dataset, col: str, k: int = 64) -> pa.Table:
+    """Approximate top frequent values of ``col`` via MERGEABLE Misra-Gries
+    summaries (Agarwal et al., "Mergeable Summaries", PODS 2012 — public):
+    each batch emits one <= k-counter summary; summaries merge
+    associatively (add counts, re-compress) in a tiny driver reduce — raw
+    values never leave their block, so the wide step ships O(k) rows per
+    block regardless of data size.
+
+    Returns (item, count_lower, count_upper) sorted by count_lower desc:
+    the true count is guaranteed inside [count_lower, count_upper], and
+    every item with true count > total_error (~= n/(k+1) worst case,
+    reported as count_upper - count_lower) is guaranteed present. The
+    EXACT SQL-checkable path is ``q_top_terms``; this is its one-pass
+    no-shuffle sibling for 100 TB cardinalities."""
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        vc = pa.chunked_array(t[col]).value_counts()
+        counts = dict(
+            zip(
+                (str(v) for v in vc.field("values").to_pylist()),
+                (int(c) for c in vc.field("counts").to_pylist()),
+            )
+        )
+        counts, err = _mg_compress(counts, 0, k)
+        # ONE row per summary (list-typed), so downstream re-blocking can
+        # never split a summary or conflate two summaries' err terms
+        return pa.table(
+            {
+                "items": pa.array([list(counts.keys())], pa.list_(pa.string())),
+                "counts": pa.array([list(counts.values())], pa.list_(pa.int64())),
+                "err": pa.array([err], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+    acc: dict = {}
+    total_err = 0
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for items, counts, err in zip(
+            b["items"].to_pylist(), b["counts"].to_pylist(), b["err"].to_pylist()
+        ):
+            total_err += int(err)
+            for item, c in zip(items, counts):
+                acc[item] = acc.get(item, 0) + c
+            acc, total_err = _mg_compress(acc, total_err, k)
+    items = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+    return pa.table(
+        {
+            "item": pa.array([i for i, _ in items], pa.string()),
+            "count_lower": pa.array([c for _, c in items], pa.int64()),
+            "count_upper": pa.array([c + total_err for _, c in items], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # Mergeable quantile summary (per-block order-statistic compaction)
 # ---------------------------------------------------------------------------
 

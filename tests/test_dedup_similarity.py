@@ -379,6 +379,36 @@ def test_approx_quantiles_tolerance(ray_session):
         assert abs(a - e) / max(abs(e), 1e-9) < 0.02, (q, a, e)
 
 
+def test_heavy_hitters_misra_gries_guarantees(ray_session):
+    """Mergeable Misra-Gries summary vs exact counts on a skewed column:
+    (a) every reported interval brackets the true count, (b) every value
+    whose true count exceeds the reported error bound is present."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+
+    from reddacted_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.RandomState(7)
+    vals = [f"u{z}" for z in rng.zipf(1.3, 40_000) if z < 10_000]
+    truth = collections.Counter(vals)
+    ds = rd.from_arrow(
+        pa.table({"user": pa.array(vals, pa.string())})
+    ).repartition(13)  # force many independent per-block summaries
+    out = heavy_hitters(ds, "user", k=32).to_pylist()
+    assert 0 < len(out) <= 32
+    err = out[0]["count_upper"] - out[0]["count_lower"]
+    got = {r["item"] for r in out}
+    for r in out:
+        assert r["count_lower"] <= truth[r["item"]] <= r["count_upper"], r
+    for item, c in truth.items():
+        if c > err:
+            assert item in got, (item, c, err)
+    # the true top value is always recovered (zipf head >> error bound)
+    assert truth.most_common(1)[0][0] == out[0]["item"]
+
+
 def test_broadcast_join_helpers(ray_session):
     """API-level broadcast joins: semi/anti filtering and dimension lookup
     against a once-shipped small side."""
