@@ -429,6 +429,19 @@ def q_value_stats(sf_dir: str) -> rd.Dataset:
     return sums.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_unpivot_lang_tier(sf_dir: str) -> rd.Dataset:
+    """Unpivot (wide -> long melt), the inverse reshape of
+    pivot_lang_tier: the per-language tier-count columns become
+    (lang, tier, n) rows via the zero-shuffle map-side ``unpivot``
+    stage."""
+    from ..stages.agg import unpivot
+
+    return unpivot(
+        q_pivot_lang_tier(sf_dir), ["lang"],
+        ["n_red", "n_yellow", "n_green"], var_name="tier", value_name="n",
+    )
+
+
 def q_pivot_lang_tier(sf_dir: str) -> rd.Dataset:
     """Pivot via conditional aggregation: one row per document language,
     one count column per risk tier (wide reshaping without a shuffle per
@@ -532,18 +545,12 @@ def q_running_total(sf_dir: str) -> rd.Dataset:
     return grouped_vectorized(ev, "user_id", run)
 
 
-def q_rollup_revenue(sf_dir: str) -> pa.Table:
-    """ROLLUP-style multi-level aggregate: revenue by (nation, priority),
-    by nation, and grand total in one result ('ALL' = rolled-up level).
-
-    Engine shape (round-2 VERDICT #2 — the classic rollup cascade): the
-    full table is scanned ONCE by a single map-side-combined grouped sum
-    at the FINEST level (nation, priority) — ~|nations|x|priorities|
-    partial rows. Sum and count are re-aggregable, so the nation and
-    grand-total levels derive from those tiny partials on the driver; no
-    ``materialize()`` of the prepped table, no second or third pass."""
-    import pandas as pd
-
+def _nation_priority_partials(sf_dir: str) -> "object":
+    """Finest-level (nation, priority) revenue partials — ONE map-side-
+    combined grouped-sum pass over orders (broadcast nation lookup), ~
+    |nations| x |priorities| rows. Shared by the rollup and cube cascades
+    (sum/count are re-aggregable, so every coarser level derives from
+    these on the driver)."""
     cust = sf_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
     lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
 
@@ -568,8 +575,22 @@ def q_rollup_revenue(sf_dir: str) -> pa.Table:
                       columns=["o_custkey", "o_orderpriority", "o_totalprice"])
     prepped = orders.map_batches(process_cached(Joiner), batch_format="pyarrow",
                                  zero_copy_batch=True)
-    fine = grouped_sums(prepped, ["nation", "priority"], ["price_cents"],
+    return grouped_sums(prepped, ["nation", "priority"], ["price_cents"],
                         count_alias="n_orders").to_pandas()  # tiny partials
+
+
+def q_rollup_revenue(sf_dir: str) -> pa.Table:
+    """ROLLUP-style multi-level aggregate: revenue by (nation, priority),
+    by nation, and grand total in one result ('ALL' = rolled-up level).
+
+    Engine shape (round-2 VERDICT #2 — the classic rollup cascade): the
+    full table is scanned ONCE at the FINEST level
+    (``_nation_priority_partials``); the nation and grand-total levels
+    derive from those tiny partials on the driver; no ``materialize()``
+    of the prepped table, no second or third pass."""
+    import pandas as pd
+
+    fine = _nation_priority_partials(sf_dir)
     lvl0 = fine.rename(columns={"price_cents": "revenue_cents"})
     nat = fine.groupby("nation", as_index=False)[["price_cents", "n_orders"]].sum()
     lvl1 = pd.DataFrame(
@@ -590,6 +611,50 @@ def q_rollup_revenue(sf_dir: str) -> pa.Table:
     )
     out = pd.concat(
         [lvl0[["nation", "priority", "revenue_cents", "n_orders"]], lvl1, lvl2],
+        ignore_index=True,
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_cube_revenue(sf_dir: str) -> pa.Table:
+    """CUBE multi-level aggregate: every grouping set of (nation,
+    priority) — (both), (nation), (priority), () — in one result ('ALL'
+    marks a collapsed dimension). Same single-pass cascade as rollup:
+    the data is scanned once at the finest level; all 2^d coarser sets
+    re-aggregate the ~151 driver-side partial rows."""
+    import pandas as pd
+
+    fine = _nation_priority_partials(sf_dir)
+    lvl0 = fine.rename(columns={"price_cents": "revenue_cents"})
+    nat = fine.groupby("nation", as_index=False)[["price_cents", "n_orders"]].sum()
+    lvl_n = pd.DataFrame(
+        {
+            "nation": nat["nation"],
+            "priority": "ALL",
+            "revenue_cents": nat["price_cents"],
+            "n_orders": nat["n_orders"],
+        }
+    )
+    pri = fine.groupby("priority", as_index=False)[["price_cents", "n_orders"]].sum()
+    lvl_p = pd.DataFrame(
+        {
+            "nation": "ALL",
+            "priority": pri["priority"],
+            "revenue_cents": pri["price_cents"],
+            "n_orders": pri["n_orders"],
+        }
+    )
+    lvl_all = pd.DataFrame(
+        {
+            "nation": ["ALL"],
+            "priority": ["ALL"],
+            "revenue_cents": [fine["price_cents"].sum()],
+            "n_orders": [fine["n_orders"].sum()],
+        }
+    )
+    out = pd.concat(
+        [lvl0[["nation", "priority", "revenue_cents", "n_orders"]],
+         lvl_n, lvl_p, lvl_all],
         ignore_index=True,
     )
     return pa.Table.from_pandas(out, preserve_index=False)
@@ -2064,6 +2129,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "audio_decode_stats": q_audio_decode_stats,
         "dedup_audio_features": q_dedup_audio_features,
         "dedup_audio_near": q_dedup_audio_near,
+        "cube_revenue": q_cube_revenue,
+        "unpivot_lang_tier": q_unpivot_lang_tier,
         "rank_orders": q_rank_orders,
         "corr_qty_price": q_corr_qty_price,
         "top_terms": q_top_terms,
@@ -2161,6 +2228,20 @@ def oracle_sqls() -> dict[str, str]:
             " AS BIGINT) AS n_green,"
             " count(*) AS n_docs"
             " FROM documents d2 JOIN k ON d2.doc_id = k.doc_id GROUP BY 1"
+        ),
+        "unpivot_lang_tier": (
+            PII_CTE
+            + ", piv AS (SELECT d2.lang,"
+            " CAST(sum(CASE WHEN k.risk_score > 0.5 THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_red,"
+            " CAST(sum(CASE WHEN k.risk_score > 0.2 AND k.risk_score <= 0.5"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS n_yellow,"
+            " CAST(sum(CASE WHEN k.risk_score <= 0.2 THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_green"
+            " FROM documents d2 JOIN k ON d2.doc_id = k.doc_id GROUP BY 1)"
+            " SELECT lang, 'n_red' AS tier, n_red AS n FROM piv"
+            " UNION ALL SELECT lang, 'n_yellow', n_yellow FROM piv"
+            " UNION ALL SELECT lang, 'n_green', n_green FROM piv"
         ),
         "hourly_histogram": (
             "SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,"
@@ -2273,6 +2354,20 @@ def oracle_sqls() -> dict[str, str]:
             " revenue_cents, count(*) AS n_orders FROM p GROUP BY 1, 2"
             " UNION ALL SELECT nation, 'ALL', CAST(sum(cents) AS BIGINT),"
             " count(*) FROM p GROUP BY 1"
+            " UNION ALL SELECT 'ALL', 'ALL', CAST(sum(cents) AS BIGINT),"
+            " count(*) FROM p"
+        ),
+        "cube_revenue": (
+            "WITH p AS (SELECT CAST(c.c_nationkey AS VARCHAR) AS nation,"
+            " o.o_orderpriority AS priority,"
+            " CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents"
+            " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)"
+            " SELECT nation, priority, CAST(sum(cents) AS BIGINT) AS"
+            " revenue_cents, count(*) AS n_orders FROM p GROUP BY 1, 2"
+            " UNION ALL SELECT nation, 'ALL', CAST(sum(cents) AS BIGINT),"
+            " count(*) FROM p GROUP BY 1"
+            " UNION ALL SELECT 'ALL', priority, CAST(sum(cents) AS BIGINT),"
+            " count(*) FROM p GROUP BY 2"
             " UNION ALL SELECT 'ALL', 'ALL', CAST(sum(cents) AS BIGINT),"
             " count(*) FROM p"
         ),

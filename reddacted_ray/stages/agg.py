@@ -47,3 +47,29 @@ def grouped_sums(
     if count_alias:
         final_aggs.append(Sum(count_alias, alias_name=count_alias))
     return partials.groupby(keys).aggregate(*final_aggs)
+
+
+def unpivot(
+    ds: rd.Dataset,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> rd.Dataset:
+    """Wide -> long reshape (the inverse of conditional-aggregation pivot):
+    each input row yields one output row per ``value_cols`` entry, tagged
+    with the source column name. Purely map-side (zero shuffle, streams) —
+    one Arrow concat of ``len(value_cols)`` slices per block."""
+    id_cols = list(id_cols)
+    value_cols = list(value_cols)
+
+    def melt(t: pa.Table) -> pa.Table:
+        pieces = []
+        for c in value_cols:
+            cols = {k: t[k] for k in id_cols}
+            cols[var_name] = pa.array([c] * t.num_rows, pa.string())
+            cols[value_name] = t[c]
+            pieces.append(pa.table(cols))
+        return pa.concat_tables(pieces)
+
+    return ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
