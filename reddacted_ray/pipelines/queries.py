@@ -1999,6 +1999,147 @@ def q_llm_findings(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_mode_event_type(sf_dir: str) -> rd.Dataset:
+    """Grouped MODE: each user's most frequent event type (ties break to
+    the lexicographically first type). Fully distributed argmax-by-count —
+    groupby (user, type) count, then ONE composite Min aggregate per user
+    (inverted zero-padded count + type sorts exactly like ``ORDER BY n
+    DESC, event_type``); the per-user candidate set never funnels through
+    the driver, so 10^8 users cost the same two shuffles as 10^2."""
+    from ray.data.aggregate import Count, Min
+
+    _INV = 999_999_999_999
+
+    ev = sf_table(sf_dir, "events", columns=["user_id", "event_type"])
+    counts = ev.groupby(["user_id", "event_type"]).aggregate(
+        Count(alias_name="n")
+    )
+
+    def key(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        types = t["event_type"].to_pylist()
+        ks = [f"{_INV - c:012d}|{s}" for c, s in zip(n, types)]
+        return pa.table(
+            {"user_id": t["user_id"], "k": pa.array(ks, pa.string())}
+        )
+
+    keyed = counts.map_batches(key, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    best = keyed.groupby("user_id").aggregate(Min("k", alias_name="k"))
+
+    def decode(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "mode_type": pc.utf8_slice_codeunits(t["k"], 13),
+                "n": pc.subtract(
+                    pa.scalar(_INV, pa.int64()),
+                    pc.cast(pc.utf8_slice_codeunits(t["k"], 0, 12), pa.int64()),
+                ),
+            }
+        )
+
+    return best.map_batches(decode, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def q_ntile_customers(sf_dir: str) -> rd.Dataset:
+    """NTILE(4) + DENSE_RANK ranking windows: quartile customers within
+    each nation by account balance (cents, DuckDB tie-rounding parity)
+    descending. Bucketed-vectorized like ``rank_orders`` — the NTILE
+    arithmetic is one numpy expression over grouped cumcount/size, so the
+    Python-call count is O(buckets), not O(nations)."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    cust = sf_table(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+                "cents": _money_int(t["c_acctbal"], 100.0),
+            }
+        )
+
+    prepped = cust.map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    k = 4
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["c_nationkey", "cents", "c_custkey"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        grp = g.groupby("c_nationkey", sort=False)
+        rn = (grp.cumcount() + 1).to_numpy()
+        sz = grp["c_custkey"].transform("size").to_numpy()
+        # SQL NTILE: the first (sz % k) tiles hold floor(sz/k)+1 rows each
+        small = sz // k
+        big = sz % k
+        cut = big * (small + 1)
+        tile = np.where(
+            rn <= cut,
+            (rn - 1) // np.maximum(small + 1, 1) + 1,
+            big + (rn - cut - 1) // np.maximum(small, 1) + 1,
+        )
+        drnk = grp["cents"].rank(method="dense", ascending=False)
+        return pd.DataFrame(
+            {
+                "c_custkey": g["c_custkey"],
+                "c_nationkey": g["c_nationkey"],
+                "tile": tile.astype("int64"),
+                "drnk": drnk.astype("int64"),
+            }
+        )
+
+    return grouped_vectorized(prepped, "c_nationkey", rank, n_buckets=32)
+
+
+def q_moving_sum_events(sf_dir: str) -> rd.Dataset:
+    """Frame-bounded window (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW):
+    per-user moving sum of the last 3 event values in cents, ts order.
+    Vectorized as grouped-cumsum minus its grouped shift(3) — two C-level
+    kernels per bucket, bit-exact integer arithmetic both sides."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["user_id", "event_id", "ts", "value"])
+
+    def msum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        x = (g["value"] * 100.0).to_numpy()
+        cents = pd.Series(
+            (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype("int64"),
+            index=g.index,
+        )
+        df = g.assign(_c=cents)
+        grp = df.groupby("user_id", sort=False)["_c"]
+        cs = grp.cumsum()
+        lag3 = (
+            df.assign(_cs=cs)
+            .groupby("user_id", sort=False)["_cs"]
+            .shift(3)
+            .fillna(0)
+            .astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
+                "mov_cents": (cs - lag3).astype("int64"),
+            }
+        )
+
+    return grouped_vectorized(ev, "user_id", msum)
+
+
 def q_dedup_phash_near(sf_dir: str) -> rd.Dataset:
     """Image NEAR-duplicate detection by perceptual-hash hamming distance
     (banded pigeonhole blocking over the stored ``phash`` column — the
@@ -2132,6 +2273,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "cube_revenue": q_cube_revenue,
         "unpivot_lang_tier": q_unpivot_lang_tier,
         "rank_orders": q_rank_orders,
+        "mode_event_type": q_mode_event_type,
+        "ntile_customers": q_ntile_customers,
+        "moving_sum_events": q_moving_sum_events,
         "corr_qty_price": q_corr_qty_price,
         "top_terms": q_top_terms,
         "video_decode_stats": q_video_decode_stats,
@@ -2297,6 +2441,30 @@ def oracle_sqls() -> dict[str, str]:
             " ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC)"
             " AS BIGINT) AS rnk"
             " FROM orders"
+        ),
+        "mode_event_type": (
+            "SELECT user_id, event_type AS mode_type, n FROM"
+            " (SELECT user_id, event_type, count(*) AS n,"
+            " row_number() OVER (PARTITION BY user_id"
+            " ORDER BY count(*) DESC, event_type) AS rn"
+            " FROM events GROUP BY 1, 2) WHERE rn = 1"
+        ),
+        "ntile_customers": (
+            "SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,"
+            " CAST(ntile(4) OVER (PARTITION BY c_nationkey"
+            " ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC,"
+            " c_custkey) AS BIGINT) AS tile,"
+            " CAST(dense_rank() OVER (PARTITION BY c_nationkey"
+            " ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC)"
+            " AS BIGINT) AS drnk"
+            " FROM customer"
+        ),
+        "moving_sum_events": (
+            "SELECT event_id, user_id,"
+            " CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER"
+            " (PARTITION BY user_id ORDER BY ts, event_id"
+            " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)"
+            " AS mov_cents FROM events"
         ),
         "corr_qty_price": (
             # identical IEEE expression tree to the Ray side (dollar units)
