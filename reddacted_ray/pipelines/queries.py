@@ -2140,6 +2140,37 @@ def q_moving_sum_events(sf_dir: str) -> rd.Dataset:
     return grouped_vectorized(ev, "user_id", msum)
 
 
+def q_range_join_bands(sf_dir: str) -> rd.Dataset:
+    """Non-equi RANGE join: tag every part with its retail-price band from
+    a small sorted interval table (``stages/joins.broadcast_range_join`` —
+    one ``ray.put`` broadcast + one ``np.searchsorted`` per batch; no
+    shuffle, no O(rows x bands) theta-join). Band bounds are integral
+    doubles so both sides compare bit-exactly."""
+    from ..stages.joins import broadcast_range_join
+
+    part = sf_table(sf_dir, "part", columns=["p_partkey", "p_retailprice"])
+    bands = pa.table(
+        {
+            "lo": pa.array([900.0, 920.0, 940.0, 960.0, 980.0]),
+            "hi": pa.array([920.0, 940.0, 960.0, 980.0, 1000.0]),
+            "band": pa.array(["b900", "b920", "b940", "b960", "b980"]),
+        }
+    )
+    joined = broadcast_range_join(part, "p_retailprice", bands)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "band": t["band"],
+                "price_cents": _money_int(t["p_retailprice"], 100.0),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def q_dedup_phash_near(sf_dir: str) -> rd.Dataset:
     """Image NEAR-duplicate detection by perceptual-hash hamming distance
     (banded pigeonhole blocking over the stored ``phash`` column — the
@@ -2276,6 +2307,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "mode_event_type": q_mode_event_type,
         "ntile_customers": q_ntile_customers,
         "moving_sum_events": q_moving_sum_events,
+        "range_join_bands": q_range_join_bands,
         "corr_qty_price": q_corr_qty_price,
         "top_terms": q_top_terms,
         "video_decode_stats": q_video_decode_stats,
@@ -2465,6 +2497,15 @@ def oracle_sqls() -> dict[str, str]:
             " (PARTITION BY user_id ORDER BY ts, event_id"
             " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)"
             " AS mov_cents FROM events"
+        ),
+        "range_join_bands": (
+            "SELECT p_partkey, b.band,"
+            " CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents"
+            " FROM part p JOIN (VALUES"
+            " (900.0, 920.0, 'b900'), (920.0, 940.0, 'b920'),"
+            " (940.0, 960.0, 'b940'), (960.0, 980.0, 'b960'),"
+            " (980.0, 1000.0, 'b980')) AS b(lo, hi, band)"
+            " ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi"
         ),
         "corr_qty_price": (
             # identical IEEE expression tree to the Ray side (dollar units)

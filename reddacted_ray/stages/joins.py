@@ -216,3 +216,51 @@ def broadcast_lookup_join(
 
     return ds.map_batches(process_cached(Lookup), batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def broadcast_range_join(
+    ds: rd.Dataset,
+    value_col: str,
+    intervals: pa.Table,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> rd.Dataset:
+    """Non-equi RANGE (band) join against a SMALL interval table: append
+    every payload column of ``intervals`` to the rows of ``ds`` whose
+    ``value_col`` falls in ``[lo, hi)``; unmatched rows drop (inner-join
+    semantics).
+
+    Partitioning assumption (custom-operator contract): intervals are
+    SORTED by ``lo`` and NON-OVERLAPPING, so membership is one vectorized
+    ``np.searchsorted`` per batch instead of the O(rows x bands) nested-
+    loop a general theta-join needs. The interval table ships to the
+    object store ONCE (``ray.put``) and every task reads it zero-copy —
+    the 100 TB shape for dimension-band enrichment (price bands, size
+    classes, SLA tiers); no shuffle, no per-batch re-ship."""
+    los = intervals[lo_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    his = intervals[hi_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    if not (np.all(np.diff(los) > 0) and np.all(los < his)
+            and np.all(his[:-1] <= los[1:])):
+        raise ValueError("intervals must be sorted by lo and non-overlapping")
+    payload = intervals.drop_columns([lo_col, hi_col])
+    ref = ray.put((los, his, payload))
+
+    class RangeJoin:
+        def __init__(self) -> None:
+            self.los, self.his, self.payload = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = pc.cast(t[value_col], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            idx = np.searchsorted(self.los, v, side="right") - 1
+            safe = np.maximum(idx, 0)
+            ok = (idx >= 0) & (v >= self.los[safe]) & (v < self.his[safe])
+            out = t.filter(pa.array(ok))
+            sel = pa.array(idx[ok])
+            for name in self.payload.column_names:
+                out = out.append_column(
+                    name, self.payload[name].take(sel))
+            return out
+
+    return ds.map_batches(process_cached(RangeJoin), batch_format="pyarrow",
+                          zero_copy_batch=True)

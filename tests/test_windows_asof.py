@@ -228,3 +228,39 @@ def test_asof_join_random_matches_single_frame_reference(ray_session):
             on="ts", by="k", direction="backward",
         ).sort_values("lid").reset_index(drop=True)
         pd.testing.assert_series_equal(got["rv"], ref["rv"], check_dtype=False), trial
+
+
+def test_broadcast_range_join_semantics(ray_session):
+    """Boundary inclusivity [lo, hi), unmatched-row drop, payload attach,
+    and the sorted/non-overlapping validation."""
+    import pytest
+
+    from reddacted_ray.stages.joins import broadcast_range_join
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            # below-all, on lo, interior, on hi (next band), gap, above-all
+            "v": pa.array([-5.0, 0.0, 7.5, 10.0, 25.0, 99.0]),
+        }
+    )
+    bands = pa.table(
+        {
+            "lo": pa.array([0.0, 10.0, 30.0]),
+            "hi": pa.array([10.0, 20.0, 40.0]),
+            "name": pa.array(["a", "b", "c"]),
+        }
+    )
+    out = (
+        broadcast_range_join(rd.from_arrow(t), "v", bands)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert out["id"].tolist() == [2, 3, 4]
+    assert out["name"].tolist() == ["a", "a", "b"]
+
+    bad = pa.table(
+        {"lo": pa.array([0.0, 5.0]), "hi": pa.array([6.0, 9.0]),
+         "name": pa.array(["x", "y"])}
+    )
+    with pytest.raises(ValueError):
+        broadcast_range_join(rd.from_arrow(t), "v", bad)
