@@ -2140,6 +2140,40 @@ def q_moving_sum_events(sf_dir: str) -> rd.Dataset:
     return grouped_vectorized(ev, "user_id", msum)
 
 
+def q_bloom_semijoin(sf_dir: str) -> rd.Dataset:
+    """Bloom-prefiltered semi-join: orders of high-balance customers. The
+    128 KiB Bloom filter (built DISTRIBUTED over the small side, one
+    summary per block, driver OR-merge) broadcasts once and drops ~all
+    non-matching orders BEFORE the exact hash-join shuffle — at 100 TB the
+    all-to-all exchange then moves only true-ish matches, not the whole
+    fact table. No false negatives, so the exact join keeps the result
+    identical to a plain semi-join (SQL-checked)."""
+    from ..stages.sketch import bloom_from_column, bloom_prefilter
+
+    cust = sf_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    sentinel = pa.table({"o_custkey": pa.array([-1], pa.int64())})
+
+    def rich(t: pa.Table) -> pa.Table:
+        # Per-block sentinel -1 (custkeys are positive, matches nothing):
+        # at tiny sf the filter can empty every block of the join's small
+        # side and Ray 2.49's hash shuffle then leaves partitions
+        # schema-less (see stages/dedup.py keep_colliding).
+        t = t.filter(pc.greater(t["c_acctbal"], 9500.0))
+        return pa.concat_tables(
+            [pa.table({"o_custkey": t["c_custkey"].cast(pa.int64())}),
+             sentinel])
+
+    keys = cust.map_batches(rich, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    bloom = bloom_from_column(keys, "o_custkey")
+
+    orders = sf_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    pre = bloom_prefilter(orders, "o_custkey", bloom)
+    joined = pre.join(keys, join_type="inner", num_partitions=8,
+                      on=("o_custkey",))
+    return joined.select_columns(["o_orderkey", "o_custkey"])
+
+
 def q_range_join_bands(sf_dir: str) -> rd.Dataset:
     """Non-equi RANGE join: tag every part with its retail-price band from
     a small sorted interval table (``stages/joins.broadcast_range_join`` —
@@ -2308,6 +2342,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "ntile_customers": q_ntile_customers,
         "moving_sum_events": q_moving_sum_events,
         "range_join_bands": q_range_join_bands,
+        "bloom_semijoin": q_bloom_semijoin,
         "corr_qty_price": q_corr_qty_price,
         "top_terms": q_top_terms,
         "video_decode_stats": q_video_decode_stats,
@@ -2497,6 +2532,11 @@ def oracle_sqls() -> dict[str, str]:
             " (PARTITION BY user_id ORDER BY ts, event_id"
             " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)"
             " AS mov_cents FROM events"
+        ),
+        "bloom_semijoin": (
+            "SELECT o_orderkey, o_custkey FROM orders"
+            " WHERE o_custkey IN (SELECT c_custkey FROM customer"
+            " WHERE c_acctbal > 9500.0)"
         ),
         "range_join_bands": (
             "SELECT p_partkey, b.band,"

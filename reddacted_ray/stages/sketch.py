@@ -254,3 +254,134 @@ def grouped_approx_quantiles(
         )
 
     return summaries.groupby(group_col).map_groups(merge, batch_format="pandas")
+
+
+# -- Bloom filter (mergeable membership sketch) ------------------------------
+
+_SPLITMIX_C1 = np.uint64(0x9E3779B97F4A7C15)
+_SPLITMIX_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLITMIX_C3 = np.uint64(0x94D049BB133111EB)
+_BLOOM_ODD = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain mixer)."""
+    with np.errstate(over="ignore"):
+        z = (x.astype(np.uint64) + _SPLITMIX_C1)
+        z = (z ^ (z >> np.uint64(30))) * _SPLITMIX_C2
+        z = (z ^ (z >> np.uint64(27))) * _SPLITMIX_C3
+        return z ^ (z >> np.uint64(31))
+
+
+def column_hashes64(col) -> np.ndarray:
+    """uint64 hashes of an Arrow column: vectorized splitmix64 for integer
+    keys, keyed blake2b for strings/binary (shared with the dedup family)."""
+    if pa.types.is_integer(col.type):
+        return _mix64(
+            col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        )
+    from ..functions.hashing import stable_hash64_batch
+
+    return stable_hash64_batch(col)
+
+
+class BloomFilter:
+    """Fixed-size mergeable Bloom filter (double hashing, Kirsch-
+    Mitzenmacher): k probe positions derive from two 64-bit hashes, so
+    membership tests are k vectorized gathers. Same-shape filters merge by
+    bitwise OR — build one per block, OR the (n_bits/8)-byte summaries;
+    the key set itself never moves. No false negatives; false-positive
+    rate ~ (1 - e^{-kn/m})^k."""
+
+    __slots__ = ("n_bits", "k", "words")
+
+    def __init__(self, n_bits: int = 1 << 20, k: int = 5,
+                 words: np.ndarray | None = None) -> None:
+        assert n_bits % 64 == 0
+        self.n_bits = n_bits
+        self.k = k
+        self.words = (
+            words if words is not None
+            else np.zeros(n_bits // 64, dtype=np.uint64)
+        )
+
+    def _positions(self, hs: np.ndarray) -> np.ndarray:
+        """(k, n) probe positions for n key hashes."""
+        with np.errstate(over="ignore"):
+            h1 = hs
+            # n_bits is a power of two, so `mod n_bits` keeps only LOW
+            # bits — derive h2 from the HIGH bits or two keys sharing
+            # low bits would share their entire probe sequence
+            h2 = ((hs >> np.uint64(32)) * _BLOOM_ODD) | np.uint64(1)
+            i = np.arange(self.k, dtype=np.uint64)[:, None]
+            return ((h1[None, :] + i * h2[None, :])
+                    % np.uint64(self.n_bits)).astype(np.int64)
+
+    def add_hashes(self, hs: np.ndarray) -> "BloomFilter":
+        pos = self._positions(hs).ravel()
+        np.bitwise_or.at(
+            self.words, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
+        )
+        return self
+
+    def contains_hashes(self, hs: np.ndarray) -> np.ndarray:
+        pos = self._positions(hs)
+        bits = (self.words[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+        return bits.all(axis=0)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.n_bits == other.n_bits and self.k == other.k
+        self.words |= other.words
+        return self
+
+    def serialize(self) -> bytes:
+        return self.words.tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes, n_bits: int, k: int) -> "BloomFilter":
+        return cls(n_bits, k, np.frombuffer(data, np.uint64).copy())
+
+
+def bloom_from_column(
+    ds: rd.Dataset, col: str, n_bits: int = 1 << 20, k: int = 5
+) -> BloomFilter:
+    """Distributed Bloom build: each block emits ONE (n_bits/8)-byte
+    summary; the driver OR-merges them (associative — a tree reduce would
+    do the same at larger block counts). The 100 TB use: build over the
+    SMALL join side, broadcast the fixed-size filter, and prefilter the
+    BIG side's rows before they enter the join shuffle."""
+
+    def per_block(t: pa.Table) -> pa.Table:
+        b = BloomFilter(n_bits, k).add_hashes(column_hashes64(t[col]))
+        return pa.table({"bloom": pa.array([b.serialize()], pa.binary())})
+
+    out = BloomFilter(n_bits, k)
+    for batch in ds.map_batches(
+        per_block, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for blob in batch["bloom"].to_pylist():
+            out.merge(BloomFilter.deserialize(blob, n_bits, k))
+    return out
+
+
+def bloom_prefilter(ds: rd.Dataset, col: str, bloom: BloomFilter) -> rd.Dataset:
+    """Drop rows whose ``col`` is definitely NOT in the filtered key set
+    (no false negatives — every true match survives; survivors still need
+    the exact verify/join). One ``ray.put`` broadcast, k gathers/batch."""
+    import ray
+
+    from . import process_cached
+
+    ref = ray.put((bloom.serialize(), bloom.n_bits, bloom.k))
+
+    class Pre:
+        def __init__(self) -> None:
+            blob, n_bits, k = ray.get(ref)
+            self.bloom = BloomFilter.deserialize(blob, n_bits, k)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = self.bloom.contains_hashes(column_hashes64(t[col]))
+            return t.filter(pa.array(mask))
+
+    return ds.map_batches(process_cached(Pre), batch_format="pyarrow",
+                          zero_copy_batch=True)

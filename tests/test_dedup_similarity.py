@@ -480,3 +480,47 @@ def test_grouped_approx_quantiles_tolerance(ray_session):
         e = float(np.quantile(vals, q, method="inverted_cdf"))
         a = float(sub["value"].iloc[0])
         assert abs(a - e) / max(abs(e), 1e-9) < 0.03, (etype, q, a, e)
+
+
+def test_bloom_filter_membership_and_merge(ray_session):
+    """No false negatives ever; FP rate near the analytic bound; OR-merge
+    equals building over the union; serialize roundtrip is exact."""
+    from reddacted_ray.stages.sketch import (
+        BloomFilter,
+        bloom_from_column,
+        bloom_prefilter,
+        column_hashes64,
+    )
+
+    rng = np.random.default_rng(7)
+    keys = rng.choice(10_000_000, size=20_000, replace=False).astype(np.int64)
+    present, absent = keys[:10_000], keys[10_000:]
+
+    b = BloomFilter(n_bits=1 << 17, k=5)
+    b.add_hashes(column_hashes64(pa.array(present)))
+    assert b.contains_hashes(column_hashes64(pa.array(present))).all()
+    fp = b.contains_hashes(column_hashes64(pa.array(absent))).mean()
+    # m=131072, n=10000, k=5 -> analytic FP ~ 0.22%; allow slack
+    assert fp < 0.01, fp
+
+    # merge == union build
+    b1 = BloomFilter(1 << 17, 5).add_hashes(column_hashes64(pa.array(present[:5000])))
+    b2 = BloomFilter(1 << 17, 5).add_hashes(column_hashes64(pa.array(present[5000:])))
+    assert (b1.merge(b2).words == b.words).all()
+
+    rt = BloomFilter.deserialize(b.serialize(), 1 << 17, 5)
+    assert (rt.words == b.words).all()
+
+    # string keys go through the keyed digest path
+    sb = BloomFilter(1 << 14, 5)
+    sb.add_hashes(column_hashes64(pa.array(["alpha", "beta"])))
+    assert sb.contains_hashes(column_hashes64(pa.array(["alpha", "beta"]))).all()
+    assert not sb.contains_hashes(column_hashes64(pa.array(["gamma"]))).any()
+
+    # distributed build + prefilter keeps every true match
+    ds = rd.from_arrow(pa.table({"k": pa.array(present)})).repartition(4)
+    built = bloom_from_column(ds, "k", n_bits=1 << 17, k=5)
+    assert (built.words == b.words).all()
+    big = rd.from_arrow(pa.table({"k": pa.array(keys)}))
+    surv = bloom_prefilter(big, "k", built).to_pandas()["k"].to_numpy()
+    assert set(present).issubset(set(surv))
