@@ -157,6 +157,9 @@ def run_bench() -> dict:
         "rank_orders",
         "corr_qty_price",
         "top_terms",
+        "bloom_semijoin",
+        "shipping_priority",
+        "left_join_spend",
     ]:
         timed(name, Q.registry()[name])
 

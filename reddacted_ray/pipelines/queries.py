@@ -1557,6 +1557,18 @@ def q_source_top(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
+def q_approx_distinct_by_type(sf_dir: str) -> rd.Dataset:
+    """Approximate distinct users per event type via mergeable per-group
+    KMV summaries (rows-only — estimates aren't SQL-expressible; accuracy
+    is tolerance-tested vs exact in tests). k=1024 > the per-type user
+    cardinality at driver sf, so values are exact there, but the plan is
+    the sketch plan: only fixed-size summaries shuffle."""
+    from ..stages.sketch import grouped_approx_distinct
+
+    ev = sf_table(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_approx_distinct(ev, "event_type", "user_id", k=1024)
+
+
 def q_ann_ivf(sf_dir: str) -> pa.Table:
     """IVF-probed approximate ANN (scale path of ann_topk; rows-only —
     recall vs the exact baseline is asserted in tests). The assigned corpus
@@ -2174,6 +2186,128 @@ def q_bloom_semijoin(sf_dir: str) -> rd.Dataset:
     return joined.select_columns(["o_orderkey", "o_custkey"])
 
 
+def q_shipping_priority(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q3 shape — the canonical 3-table analytic chain: dimension
+    filter (BUILDING customers) -> large x large hash join (orders) ->
+    second large x large hash join (lineitem, scan-pushed shipdate
+    filter) -> grouped revenue sum (map-side combine) -> top-10
+    sort+limit. Both date filters push to the parquet scan so dropped
+    rows never leave storage; revenue in e4 integer units so distributed
+    summation order cannot perturb low bits."""
+    import datetime as dt
+
+    import pyarrow.dataset as pads
+
+    from ..sources.tables import read_table
+    from ..stages.agg import grouped_sums
+
+    cut = dt.datetime(1998, 1, 1)
+    cust = sf_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def building(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+        return t.select(["c_custkey"])
+
+    cust = cust.map_batches(building, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    orders = read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter_expr=pads.field("o_orderdate") < cut,
+    )
+    jo = orders.join(cust, join_type="inner", num_partitions=16,
+                     on=("o_custkey",), right_on=("c_custkey",))
+
+    li = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter_expr=pads.field("l_shipdate") > cut,
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "revenue_e4": _money_int(disc, 10000.0),
+        })
+
+    li = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    j2 = li.join(jo, join_type="inner", num_partitions=16,
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+    out = grouped_sums(j2, ["l_orderkey", "o_orderdate", "o_orderpriority"],
+                       ["revenue_e4"])
+    return (
+        out.sort(["revenue_e4", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def q_left_join_spend(sf_dir: str) -> rd.Dataset:
+    """LEFT OUTER join: per-customer order count + total spend in cents,
+    KEEPING customers with zero orders (count 0, spend 0). Native
+    hash-partitioned left_outer join; cents computed on the orders side
+    pre-join so null handling is one coalesce, then a combined grouped
+    sum with map-side partials."""
+    from ..stages.agg import grouped_sums
+
+    cust = sf_table(sf_dir, "customer", columns=["c_custkey"])
+    orders = sf_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey",
+                                                 "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "cents": _money_int(t["o_totalprice"], 100.0),
+        })
+
+    orders = orders.map_batches(prep, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    joined = cust.join(orders, join_type="left_outer", num_partitions=16,
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def nullfix(t: pa.Table) -> pa.Table:
+        matched = pc.cast(pc.is_valid(t["cents"]), pa.int64())
+        cents = pc.coalesce(t["cents"], pa.scalar(0, pa.int64()))
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "n_orders": matched,
+            "spent_cents": cents,
+        })
+
+    fixed = joined.map_batches(nullfix, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return grouped_sums(fixed, ["c_custkey"], ["n_orders", "spent_cents"])
+
+
+def q_first_last_events(sf_dir: str) -> rd.Dataset:
+    """FIRST_VALUE / LAST_VALUE windows: each user's first and last event
+    value (ts order, event_id tiebreak) in cents, plus the span between
+    them. Bucketed-vectorized — one pandas groupby head/tail kernel per
+    hash bucket of complete user groups, not per user."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def firstlast(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        x = (g["value"] * 100.0).to_numpy()
+        cents = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype("int64")
+        gg = g.assign(_c=cents).groupby("user_id", sort=False)["_c"]
+        first, last = gg.first(), gg.last()
+        return pd.DataFrame({
+            "user_id": first.index.to_numpy(),
+            "first_cents": first.to_numpy(),
+            "last_cents": last.to_numpy(),
+            "span_cents": (last - first).to_numpy(),
+        })
+
+    return grouped_vectorized(ev, "user_id", firstlast)
+
+
 def q_range_join_bands(sf_dir: str) -> rd.Dataset:
     """Non-equi RANGE join: tag every part with its retail-price band from
     a small sorted interval table (``stages/joins.broadcast_range_join`` —
@@ -2343,6 +2477,10 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "moving_sum_events": q_moving_sum_events,
         "range_join_bands": q_range_join_bands,
         "bloom_semijoin": q_bloom_semijoin,
+        "shipping_priority": q_shipping_priority,
+        "first_last_events": q_first_last_events,
+        "left_join_spend": q_left_join_spend,
+        "approx_distinct_by_type": q_approx_distinct_by_type,
         "corr_qty_price": q_corr_qty_price,
         "top_terms": q_top_terms,
         "video_decode_stats": q_video_decode_stats,
@@ -2537,6 +2675,40 @@ def oracle_sqls() -> dict[str, str]:
             "SELECT o_orderkey, o_custkey FROM orders"
             " WHERE o_custkey IN (SELECT c_custkey FROM customer"
             " WHERE c_acctbal > 9500.0)"
+        ),
+        "shipping_priority": (
+            "SELECT l_orderkey,"
+            " CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount))"
+            " * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,"
+            " o_orderdate, o_orderpriority"
+            " FROM customer, orders, lineitem"
+            " WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey"
+            " AND l_orderkey = o_orderkey"
+            " AND o_orderdate < TIMESTAMP '1998-01-01'"
+            " AND l_shipdate > TIMESTAMP '1998-01-01'"
+            " GROUP BY l_orderkey, o_orderdate, o_orderpriority"
+            " ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10"
+        ),
+        "left_join_spend": (
+            "SELECT c_custkey,"
+            " CAST(count(o_orderkey) AS BIGINT) AS n_orders,"
+            " CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)),"
+            " 0) AS BIGINT) AS spent_cents"
+            " FROM customer LEFT JOIN orders ON o_custkey = c_custkey"
+            " GROUP BY c_custkey"
+        ),
+        "first_last_events": (
+            "SELECT DISTINCT user_id,"
+            " CAST(first_value(CAST(round(value * 100) AS BIGINT)) OVER w"
+            " AS BIGINT) AS first_cents,"
+            " CAST(last_value(CAST(round(value * 100) AS BIGINT)) OVER w"
+            " AS BIGINT) AS last_cents,"
+            " CAST(last_value(CAST(round(value * 100) AS BIGINT)) OVER w"
+            " - first_value(CAST(round(value * 100) AS BIGINT)) OVER w"
+            " AS BIGINT) AS span_cents"
+            " FROM events WINDOW w AS (PARTITION BY user_id"
+            " ORDER BY ts, event_id"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
         ),
         "range_join_bands": (
             "SELECT p_partkey, b.band,"

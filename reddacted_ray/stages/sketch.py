@@ -385,3 +385,136 @@ def bloom_prefilter(ds: rd.Dataset, col: str, bloom: BloomFilter) -> rd.Dataset:
 
     return ds.map_batches(process_cached(Pre), batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+# -- Count-Min sketch (mergeable frequency estimation) -----------------------
+
+
+class CountMinSketch:
+    """Mergeable Count-Min sketch (Cormode & Muthukrishnan 2005 — public):
+    a depth x width counter grid; each key increments one counter per row
+    (double hashing, same Kirsch-Mitzenmacher derivation as the Bloom
+    filter), point queries take the min over rows. Estimates OVERCOUNT
+    only — est >= true always; est <= true + eps*N with probability
+    1 - delta for width = ceil(e/eps), depth = ceil(ln 1/delta).
+    Same-shape sketches merge by elementwise ADD, so one fixed-size
+    summary per block + a driver (or tree) sum replaces shuffling the
+    raw keys."""
+
+    __slots__ = ("width", "depth", "table")
+
+    def __init__(self, width: int = 2048, depth: int = 4,
+                 table: np.ndarray | None = None) -> None:
+        self.width = width
+        self.depth = depth
+        self.table = (
+            table if table is not None
+            else np.zeros((depth, width), dtype=np.int64)
+        )
+
+    def _positions(self, hs: np.ndarray) -> np.ndarray:
+        """(depth, n) counter columns for n key hashes."""
+        with np.errstate(over="ignore"):
+            h2 = ((hs >> np.uint64(32)) * _BLOOM_ODD) | np.uint64(1)
+            i = np.arange(self.depth, dtype=np.uint64)[:, None]
+            return ((hs[None, :] + i * h2[None, :])
+                    % np.uint64(self.width)).astype(np.int64)
+
+    def add_hashes(self, hs: np.ndarray,
+                   counts: np.ndarray | None = None) -> "CountMinSketch":
+        pos = self._positions(hs)
+        w = (np.ones(len(hs), np.int64) if counts is None
+             else counts.astype(np.int64))
+        for r in range(self.depth):
+            np.add.at(self.table[r], pos[r], w)
+        return self
+
+    def estimate_hashes(self, hs: np.ndarray) -> np.ndarray:
+        pos = self._positions(hs)
+        return np.min(
+            np.stack([self.table[r][pos[r]] for r in range(self.depth)]),
+            axis=0,
+        )
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.width, self.depth) == (other.width, other.depth)
+        self.table += other.table
+        return self
+
+    def serialize(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes, width: int, depth: int) -> "CountMinSketch":
+        return cls(width, depth,
+                   np.frombuffer(data, np.int64).reshape(depth, width).copy())
+
+
+def cm_from_column(
+    ds: rd.Dataset, col: str, width: int = 2048, depth: int = 4
+) -> CountMinSketch:
+    """Distributed Count-Min build: pre-aggregate value counts inside each
+    block (value_counts — one counter update per DISTINCT value, not per
+    row), emit ONE (depth*width*8)-byte summary per block, add-merge on
+    the driver. Point frequencies over 100 TB then cost zero shuffle."""
+
+    def per_block(t: pa.Table) -> pa.Table:
+        vc = pa.chunked_array(t[col]).value_counts()
+        sk = CountMinSketch(width, depth).add_hashes(
+            column_hashes64(vc.field("values")),
+            vc.field("counts").to_numpy(zero_copy_only=False),
+        )
+        return pa.table({"cm": pa.array([sk.serialize()], pa.binary())})
+
+    out = CountMinSketch(width, depth)
+    for batch in ds.map_batches(
+        per_block, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for blob in batch["cm"].to_pylist():
+            out.merge(CountMinSketch.deserialize(blob, width, depth))
+    return out
+
+
+# -- Grouped approximate distinct count (KMV per group) ----------------------
+
+
+def grouped_approx_distinct(
+    ds: rd.Dataset, group_col: str, col: str, k: int = 256
+) -> rd.Dataset:
+    """Approximate COUNT(DISTINCT col) per group: each block emits one
+    <= k-hash KMV summary PER GROUP PRESENT (sort-segmented, vectorized
+    hashing); only those fixed-size summaries shuffle to the per-group
+    merge. Exact below k distinct; error ~ 1/sqrt(k) above. The exact
+    SQL path is a two-phase distinct groupby — this sibling bounds the
+    wide step at O(groups * k * 8) bytes regardless of row count."""
+    import pandas as pd
+
+    def per_block(t: pa.Table) -> pa.Table:
+        hs = column_hashes64(t[col]) >> np.uint64(1)  # 63-bit, KMV scale
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        g_sorted, hs_sorted = g[order], hs[order]
+        uniq, starts = np.unique(g_sorted, return_index=True)
+        bounds = np.append(starts, len(g_sorted))
+        sks = [
+            KMVSketch(k).add_hashes(hs_sorted[bounds[i]:bounds[i + 1]])
+            for i in range(len(uniq))
+        ]
+        return pa.table({
+            group_col: pa.array(uniq.tolist(), t[group_col].type),
+            "sketch": pa.array([s.serialize() for s in sks], pa.binary()),
+        })
+
+    summaries = ds.map_batches(per_block, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        acc = KMVSketch(k)
+        for blob in df["sketch"]:
+            acc = acc.merge(KMVSketch.deserialize(bytes(blob), k))
+        return pd.DataFrame({
+            group_col: [df[group_col].iloc[0]],
+            "approx_distinct": [acc.estimate()],
+        })
+
+    return summaries.groupby(group_col).map_groups(merge, batch_format="pandas")

@@ -524,3 +524,62 @@ def test_bloom_filter_membership_and_merge(ray_session):
     big = rd.from_arrow(pa.table({"k": pa.array(keys)}))
     surv = bloom_prefilter(big, "k", built).to_pandas()["k"].to_numpy()
     assert set(present).issubset(set(surv))
+
+
+def test_count_min_sketch_guarantees(ray_session):
+    """Overestimate-only (est >= true for EVERY key), bounded error
+    (est <= true + eps*N on a zipf stream), and add-merge == union build
+    — including the distributed per-block build path."""
+    from reddacted_ray.stages.sketch import (
+        CountMinSketch,
+        cm_from_column,
+        column_hashes64,
+    )
+
+    rng = np.random.default_rng(11)
+    stream = rng.zipf(1.3, size=50_000) % 5_000
+    vals, true = np.unique(stream, return_counts=True)
+    hs = column_hashes64(pa.array(vals.astype(np.int64)))
+
+    cm = CountMinSketch(width=2048, depth=4)
+    cm.add_hashes(column_hashes64(pa.array(stream.astype(np.int64))))
+    est = cm.estimate_hashes(hs)
+    assert (est >= true).all()
+    eps = np.e / 2048
+    assert (est - true <= eps * len(stream)).all()
+
+    half = len(stream) // 2
+    c1 = CountMinSketch(2048, 4).add_hashes(
+        column_hashes64(pa.array(stream[:half].astype(np.int64))))
+    c2 = CountMinSketch(2048, 4).add_hashes(
+        column_hashes64(pa.array(stream[half:].astype(np.int64))))
+    assert (c1.merge(c2).table == cm.table).all()
+
+    ds = rd.from_arrow(
+        pa.table({"v": pa.array(stream.astype(np.int64))})).repartition(4)
+    built = cm_from_column(ds, "v", width=2048, depth=4)
+    assert (built.table == cm.table).all()
+
+    rt = CountMinSketch.deserialize(cm.serialize(), 2048, 4)
+    assert (rt.table == cm.table).all()
+
+
+def test_grouped_approx_distinct(ray_session):
+    """Exact below k distinct per group; within KMV tolerance above."""
+    from reddacted_ray.stages.sketch import grouped_approx_distinct
+
+    ds = rd.read_parquet("/root/testdata/sf0.01/events.parquet",
+                         columns=["event_type", "user_id"])
+    exact = (
+        ds.to_pandas().groupby("event_type")["user_id"].nunique().to_dict()
+    )
+
+    big = grouped_approx_distinct(ds, "event_type", "user_id", k=1024).to_pandas()
+    for _, r in big.iterrows():
+        assert int(r["approx_distinct"]) == exact[r["event_type"]]
+
+    small = grouped_approx_distinct(ds, "event_type", "user_id", k=64).to_pandas()
+    assert set(small["event_type"]) == set(exact)
+    for _, r in small.iterrows():
+        e = exact[r["event_type"]]
+        assert abs(r["approx_distinct"] - e) / e < 0.3, (r["event_type"], e)
