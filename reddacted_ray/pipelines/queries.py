@@ -862,6 +862,22 @@ def q_langid(sf_dir: str) -> rd.Dataset:
     )
 
 
+def _min_id_row(sf_dir: str) -> list:
+    """Embedding of the min-vec_id row WITHOUT a full sort shuffle: a Min
+    aggregate (tree-reduced scalar) + a scan-pushed point filter — two
+    cheap narrow passes instead of sorting the whole corpus for row 1."""
+    import pyarrow.dataset as pads
+
+    from ..sources.tables import read_table
+
+    m = sf_table(sf_dir, "embeddings", columns=["vec_id"]).min("vec_id")
+    return read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["embedding"],
+        filter_expr=pads.field("vec_id") == m,
+    ).take(1)[0]["embedding"]
+
+
 def q_ann_topk(sf_dir: str) -> pa.Table:
     """Brute-force cosine top-10 around the min-vec_id query vector.
     Output is rank+id only (float sims are engine-summation-order dependent;
@@ -869,8 +885,7 @@ def q_ann_topk(sf_dir: str) -> pa.Table:
     from ..stages.similarity import brute_force_topk
 
     emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qrow = emb.sort("vec_id").limit(1).take(1)[0]
-    res = brute_force_topk(emb, np.asarray([qrow["embedding"]]), k=10)
+    res = brute_force_topk(emb, np.asarray([_min_id_row(sf_dir)]), k=10)
     ids = [i for i, _ in res[0]]
     return pa.table(
         {
@@ -1598,9 +1613,8 @@ def q_ann_ivf(sf_dir: str) -> pa.Table:
     # race on a shared rmtree+rewrite (round-2 ADVICE)
     index_dir = f"/tmp/graft_ivf/{tag}.{os.getpid()}"
     ivf_persist(ivf_assign(emb, _ray.put(idx)), index_dir)
-    qrow = emb.sort("vec_id").limit(1).take(1)[0]
     res = ivf_topk_persisted(
-        index_dir, idx, np.asarray([qrow["embedding"]]), k=10, n_probe=4
+        index_dir, idx, np.asarray([_min_id_row(sf_dir)]), k=10, n_probe=4
     )
     ids = [i for i, _ in res[0]]
     return pa.table(
@@ -2193,13 +2207,20 @@ def q_shipping_priority(sf_dir: str) -> rd.Dataset:
     filter) -> grouped revenue sum (map-side combine) -> top-10
     sort+limit. Both date filters push to the parquet scan so dropped
     rows never leave storage; revenue in e4 integer units so distributed
-    summation order cannot perturb low bits."""
+    summation order cannot perturb low bits.
+
+    Both joins are Bloom-accelerated: a fixed-size filter over each
+    join's SMALL side (BUILDING custkeys; then the surviving orderkeys)
+    broadcasts once and drops non-matching fact rows BEFORE the hash
+    shuffle — ~4/5 of orders and ~9/10 of lineitem never enter an
+    exchange. No false negatives + exact joins => result identical."""
     import datetime as dt
 
     import pyarrow.dataset as pads
 
     from ..sources.tables import read_table
     from ..stages.agg import grouped_sums
+    from ..stages.sketch import bloom_from_column, bloom_prefilter
 
     cut = dt.datetime(1998, 1, 1)
     cust = sf_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
@@ -2210,19 +2231,27 @@ def q_shipping_priority(sf_dir: str) -> rd.Dataset:
 
     cust = cust.map_batches(building, batch_format="pyarrow",
                             zero_copy_batch=True)
+    bloom_cust = bloom_from_column(cust, "c_custkey")
     orders = read_table(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
         filter_expr=pads.field("o_orderdate") < cut,
     )
+    orders = bloom_prefilter(orders, "o_custkey", bloom_cust)
     jo = orders.join(cust, join_type="inner", num_partitions=16,
                      on=("o_custkey",), right_on=("c_custkey",))
+    # jo is consumed twice (orderkey bloom + join input); it is the
+    # doubly-filtered small side, so pinning it beats recomputing the
+    # upstream join
+    jo = jo.materialize()
+    bloom_ord = bloom_from_column(jo, "o_orderkey")
 
     li = read_table(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
         filter_expr=pads.field("l_shipdate") > cut,
     )
+    li = bloom_prefilter(li, "l_orderkey", bloom_ord)
 
     def prep(t: pa.Table) -> pa.Table:
         disc = pc.multiply(

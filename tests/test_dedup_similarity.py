@@ -583,3 +583,35 @@ def test_grouped_approx_distinct(ray_session):
     for _, r in small.iterrows():
         e = exact[r["event_type"]]
         assert abs(r["approx_distinct"] - e) / e < 0.3, (r["event_type"], e)
+
+
+def test_hll_sketch_accuracy_and_merge(ray_session):
+    """HLL estimate within 5% (p=12, ~3 sigma) at 100k distinct;
+    linear-counting small range near-exact; max-merge == union build,
+    including the distributed per-block path; roundtrip exact."""
+    from reddacted_ray.stages.sketch import (
+        HLLSketch,
+        column_hashes64,
+        hll_from_column,
+    )
+
+    rng = np.random.default_rng(3)
+    keys = rng.choice(1 << 62, size=100_000, replace=False).astype(np.int64)
+
+    h = HLLSketch(p=12).add_hashes(column_hashes64(pa.array(keys)))
+    est = h.estimate()
+    assert abs(est - 100_000) / 100_000 < 0.05, est
+
+    small = HLLSketch(p=12).add_hashes(column_hashes64(pa.array(keys[:500])))
+    assert abs(small.estimate() - 500) / 500 < 0.03, small.estimate()
+
+    h1 = HLLSketch(12).add_hashes(column_hashes64(pa.array(keys[:50_000])))
+    h2 = HLLSketch(12).add_hashes(column_hashes64(pa.array(keys[50_000:])))
+    assert (h1.merge(h2).regs == h.regs).all()
+
+    rt = HLLSketch.deserialize(h.serialize(), 12)
+    assert (rt.regs == h.regs).all()
+
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys)})).repartition(6)
+    built = hll_from_column(ds, "k", p=12)
+    assert (built.regs == h.regs).all()
