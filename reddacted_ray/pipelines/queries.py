@@ -2428,6 +2428,208 @@ def q_quality_filter_images(sf_dir: str) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+def q_full_outer_spend(sf_dir: str) -> rd.Dataset:
+    """FULL OUTER join: positive-balance customers vs per-customer order
+    totals, keeping BOTH unmatched sides (customers with no orders AND
+    order groups whose customer fails the balance filter). The orders
+    side is pre-aggregated to one partial row per customer BEFORE the
+    join (map-side combine), so the full-outer exchange carries at most
+    one row per customer per side — never raw orders."""
+    from ..stages.agg import grouped_sums
+
+    cust = sf_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def positive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["c_acctbal"], 0.0)).select(["c_custkey"])
+        # Ray's full_outer coalesces the join key into the LEFT key name,
+        # so side presence must be read from payload nullity: this marker
+        # is the left side's only payload.
+        return t.append_column(
+            "c_flag", pa.array(np.ones(t.num_rows, dtype=np.int8)))
+
+    cust = cust.map_batches(positive, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    orders = sf_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "spent_cents": _money_int(t["o_totalprice"], 100.0),
+        })
+
+    per_cust = grouped_sums(
+        orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"], ["spent_cents"], count_alias="n_orders")
+    joined = cust.join(per_cust, join_type="full_outer", num_partitions=16,
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "custkey": t["c_custkey"],  # key already coalesced by the join
+            "has_customer": pc.is_valid(t["c_flag"]),
+            "has_orders": pc.is_valid(t["n_orders"]),
+            "n_orders": pc.coalesce(t["n_orders"], pa.scalar(0, pa.int64())),
+            "spent_cents": pc.coalesce(t["spent_cents"],
+                                       pa.scalar(0, pa.int64())),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def q_setops_users(sf_dir: str) -> rd.Dataset:
+    """INTERSECT / EXCEPT set ops in ONE distributed pass: classify every
+    user as clicking-and-erroring, click-only, or error-only
+    (``stages/joins.set_classify`` — per-block distinct + presence flags,
+    one grouped-Max shuffle of keys, no driver collect)."""
+    from ..stages.joins import set_classify
+
+    def side(event_type: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.equal(t["event_type"], event_type)).select(["user_id"])
+        return fn
+
+    ev = sf_table(sf_dir, "events", columns=["user_id", "event_type"])
+    clicks = ev.map_batches(side("click"), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    errors = ev.map_batches(side("error"), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return set_classify(clicks, errors, "user_id",
+                        labels=("both", "click_only", "error_only"))
+
+
+def q_percent_rank(sf_dir: str) -> rd.Dataset:
+    """PERCENT_RANK + CUME_DIST windows: each customer's balance
+    percentile within its nation. Bucketed-vectorized (pandas C-level
+    rank kernels per hash bucket of complete nations); both float
+    outputs derive from integer rank/count with the identical IEEE
+    division tree as the SQL, so doubles are bit-exact."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    cust = sf_table(sf_dir, "customer",
+                    columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+            "cents": _money_int(t["c_acctbal"], 100.0),
+        })
+
+    ds = cust.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby("c_nationkey", sort=False)["cents"]
+        rmin = gg.rank(method="min").to_numpy()
+        rmax = gg.rank(method="max").to_numpy()
+        cnt = gg.transform("size").to_numpy().astype(np.float64)
+        pct = np.where(cnt > 1.0, (rmin - 1.0) / (cnt - 1.0), 0.0)
+        return pd.DataFrame({
+            "c_custkey": g["c_custkey"].to_numpy(),
+            "c_nationkey": g["c_nationkey"].to_numpy(),
+            "pct_rank": pct,
+            "cume_dist": rmax / cnt,
+        })
+
+    return grouped_vectorized(ds, "c_nationkey", ranks)
+
+
+def q_promo_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q14 shape: PROMO revenue share for ship-year 1997. The part
+    dimension's PROMO keys broadcast once (``ray.put`` + ``pc.is_in``)
+    instead of a lineitem x part shuffle join (dimension side is bounded;
+    at a scale where it isn't, swap in the Bloom-prefiltered hash join of
+    ``q_shipping_priority``). The ship-date window pushes to the parquet
+    scan; one map pass emits a single conditional-sum partial row per
+    block; the percentage derives from the integer sums with the same
+    IEEE tree as the SQL."""
+    import datetime as dt
+
+    import pyarrow.dataset as pads
+
+    from ..sources.tables import read_table
+
+    part = sf_table(sf_dir, "part", columns=["p_partkey", "p_type"])
+
+    def promo_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["p_type"], "PROMO")).select(["p_partkey"])
+
+    keys = part.map_batches(promo_only, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    keys_ref = ray.put(pa.array(sorted(r["p_partkey"] for r in keys)))
+
+    li = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter_expr=(
+            (pads.field("l_shipdate") >= dt.datetime(1997, 1, 1))
+            & (pads.field("l_shipdate") < dt.datetime(1998, 1, 1))
+        ),
+    )
+
+    class Partial:
+        def __init__(self) -> None:
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            disc = pc.multiply(t["l_extendedprice"],
+                               pc.subtract(pa.scalar(1.0), t["l_discount"]))
+            rev = _money_int(disc, 10000.0)
+            promo = pc.if_else(
+                pc.is_in(t["l_partkey"], value_set=self.keys),
+                rev, pa.scalar(0, pa.int64()))
+            return pa.table({
+                "promo_e4": pa.array([pc.sum(promo).as_py() or 0]),
+                "total_e4": pa.array([pc.sum(rev).as_py() or 0]),
+                "n_items": pa.array([t.num_rows], pa.int64()),
+            })
+
+    from ..stages import process_cached
+
+    partials = li.map_batches(process_cached(Partial), batch_format="pyarrow",
+                              zero_copy_batch=True)
+    agg = partials.aggregate(Sum("promo_e4", alias_name="promo_e4"),
+                             Sum("total_e4", alias_name="total_e4"),
+                             Sum("n_items", alias_name="n_items"))
+    promo, total = int(agg["promo_e4"]), int(agg["total_e4"])
+    return pa.table({
+        "promo_e4": pa.array([promo]),
+        "total_e4": pa.array([total]),
+        "n_items": pa.array([int(agg["n_items"])]),
+        "promo_pct": pa.array([100.0 * float(promo) / float(total)]),
+    })
+
+
+def q_kmeans_embeddings(sf_dir: str) -> rd.Dataset:
+    """Distributed KMeans over the FULL embeddings table (rows-only:
+    iterative model fitting is not SQL-expressible). Lloyd's with
+    broadcast centroids + k-row partial sums per block
+    (``stages/kmeans.py``); labels canonicalized by (cluster size desc,
+    min vec_id) so reruns are deterministic."""
+    from ..stages.kmeans import kmeans_assign, kmeans_fit
+
+    k = 8
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = kmeans_fit(emb, "embedding", "vec_id", k=k, iters=8)
+    tagged = kmeans_assign(emb, "embedding", cent)
+    stats = tagged.groupby("cluster").aggregate(
+        Count(alias_name="n"), Min("vec_id", alias_name="mn")).take_all()
+    order = sorted(stats, key=lambda r: (-r["n"], r["mn"]))
+    lut = np.zeros(k, dtype=np.int64)
+    for i, r in enumerate(order):
+        lut[int(r["cluster"])] = i
+
+    def relabel(t: pa.Table) -> pa.Table:
+        lab = lut[t["cluster"].to_numpy(zero_copy_only=False)]
+        return pa.table({"vec_id": t["vec_id"], "cluster": pa.array(lab)})
+
+    return tagged.map_batches(relabel, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -2479,6 +2681,10 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "rarest_term": q_rarest_term,
         "grouped_median": q_grouped_median,
+        "full_outer_spend": q_full_outer_spend,
+        "setops_users": q_setops_users,
+        "percent_rank_balance": q_percent_rank,
+        "promo_revenue": q_promo_revenue,
         # rows-only (non-SQL-expressible). The three round-2-uncovered
         # entries come FIRST in case the driver pass caps how many
         # registry queries it evaluates (round-2 VERDICT #5).
@@ -2516,6 +2722,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "dedup_video_features": q_dedup_video_features,
         "dedup_video_near": q_dedup_video_near,
         "video_frames_phash": q_video_frames_phash,
+        "kmeans_embeddings": q_kmeans_embeddings,
     }
 
 
@@ -2963,6 +3170,59 @@ def oracle_sqls() -> dict[str, str]:
             " SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER"
             " (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn"
             " FROM orders) WHERE rn <= 2"
+        ),
+        "full_outer_spend": (
+            "WITH oc AS (SELECT o_custkey, count(*) AS n_orders,"
+            " CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            " AS spent_cents FROM orders GROUP BY 1),"
+            " c AS (SELECT c_custkey FROM customer WHERE c_acctbal > 0.0)"
+            " SELECT coalesce(c.c_custkey, oc.o_custkey) AS custkey,"
+            " c.c_custkey IS NOT NULL AS has_customer,"
+            " oc.o_custkey IS NOT NULL AS has_orders,"
+            " CAST(coalesce(oc.n_orders, 0) AS BIGINT) AS n_orders,"
+            " CAST(coalesce(oc.spent_cents, 0) AS BIGINT) AS spent_cents"
+            " FROM c FULL OUTER JOIN oc ON c.c_custkey = oc.o_custkey"
+        ),
+        "setops_users": (
+            "WITH a AS (SELECT DISTINCT user_id FROM events"
+            " WHERE event_type = 'click'),"
+            " b AS (SELECT DISTINCT user_id FROM events"
+            " WHERE event_type = 'error')"
+            " SELECT user_id, 'both' AS setop FROM"
+            " (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)"
+            " UNION ALL SELECT user_id, 'click_only' FROM"
+            " (SELECT user_id FROM a EXCEPT SELECT user_id FROM b)"
+            " UNION ALL SELECT user_id, 'error_only' FROM"
+            " (SELECT user_id FROM b EXCEPT SELECT user_id FROM a)"
+        ),
+        "percent_rank_balance": (
+            "WITH r AS (SELECT c_custkey,"
+            " CAST(c_nationkey AS BIGINT) AS c_nationkey,"
+            " rank() OVER (PARTITION BY c_nationkey"
+            " ORDER BY CAST(round(c_acctbal * 100) AS BIGINT)) AS rnk,"
+            " count(*) OVER (PARTITION BY c_nationkey"
+            " ORDER BY CAST(round(c_acctbal * 100) AS BIGINT)) AS rmax,"
+            " count(*) OVER (PARTITION BY c_nationkey) AS cnt"
+            " FROM customer)"
+            " SELECT c_custkey, c_nationkey,"
+            " CASE WHEN cnt = 1 THEN 0.0 ELSE CAST(rnk - 1 AS DOUBLE)"
+            " / CAST(cnt - 1 AS DOUBLE) END AS pct_rank,"
+            " CAST(rmax AS DOUBLE) / CAST(cnt AS DOUBLE) AS cume_dist"
+            " FROM r"
+        ),
+        "promo_revenue": (
+            "WITH j AS (SELECT CAST(round(l_extendedprice * (1.0 - l_discount)"
+            " * 10000) AS BIGINT) AS rev_e4, p_type"
+            " FROM lineitem JOIN part ON l_partkey = p_partkey"
+            " WHERE l_shipdate >= TIMESTAMP '1997-01-01'"
+            " AND l_shipdate < TIMESTAMP '1998-01-01'),"
+            " s AS (SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4"
+            " ELSE 0 END) AS BIGINT) AS promo_e4,"
+            " CAST(sum(rev_e4) AS BIGINT) AS total_e4,"
+            " count(*) AS n_items FROM j)"
+            " SELECT promo_e4, total_e4, n_items,"
+            " 100.0 * CAST(promo_e4 AS DOUBLE) / CAST(total_e4 AS DOUBLE)"
+            " AS promo_pct FROM s"
         ),
         "semijoin_bigspenders": (
             "SELECT l_orderkey, count(*) AS n_items, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty"

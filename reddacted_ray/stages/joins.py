@@ -264,3 +264,55 @@ def broadcast_range_join(
 
     return ds.map_batches(process_cached(RangeJoin), batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def set_classify(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key_col: str,
+    labels: Sequence[str] = ("both", "left_only", "right_only"),
+) -> rd.Dataset:
+    """Distributed INTERSECT / EXCEPT in one pass: classify every distinct
+    ``key_col`` value as present in both inputs, only the left, or only the
+    right (reference has no analog; SQL INTERSECT/EXCEPT shape).
+
+    Each side is tagged with a presence flag and pre-deduplicated INSIDE
+    ``map_batches`` (one partial row per key per block), so the single
+    union shuffle carries distinct keys + two int flags — never the raw
+    rows. The grouped Max of the flags then decides the set label. Scales
+    as a plain grouped aggregation: no driver collect, no broadcast."""
+    from ray.data.aggregate import Max
+
+    def tag(in_left: int):
+        def fn(t: pa.Table) -> pa.Table:
+            keys = pc.unique(t[key_col])
+            n = len(keys)
+            ones = np.full(n, 1, dtype=np.int64)
+            zeros = np.zeros(n, dtype=np.int64)
+            return pa.table({
+                key_col: keys,
+                "__l": pa.array(ones if in_left else zeros),
+                "__r": pa.array(zeros if in_left else ones),
+            })
+        return fn
+
+    tagged = left.map_batches(tag(1), batch_format="pyarrow",
+                              zero_copy_batch=True).union(
+        right.map_batches(tag(0), batch_format="pyarrow",
+                          zero_copy_batch=True))
+    merged = tagged.groupby(key_col).aggregate(
+        Max("__l", alias_name="__l"), Max("__r", alias_name="__r"))
+
+    both, left_only, right_only = labels
+
+    def classify(t: pa.Table) -> pa.Table:
+        lab = pc.if_else(
+            pc.and_(pc.equal(t["__l"], 1), pc.equal(t["__r"], 1)),
+            pa.scalar(both),
+            pc.if_else(pc.equal(t["__l"], 1), pa.scalar(left_only),
+                       pa.scalar(right_only)),
+        )
+        return pa.table({key_col: t[key_col], "setop": lab})
+
+    return merged.map_batches(classify, batch_format="pyarrow",
+                              zero_copy_batch=True)
