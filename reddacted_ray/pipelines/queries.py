@@ -2630,6 +2630,102 @@ def q_kmeans_embeddings(sf_dir: str) -> rd.Dataset:
                               zero_copy_batch=True)
 
 
+def q_exists_orders(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q4 shape — EXISTS semi-join: count orders per priority having
+    at least one late-shipping lineitem. Ray's NATIVE left_semi hash join
+    (no row duplication, right payload never shipped); the right side is
+    scan-filtered on shipdate AND pre-deduplicated per block so the
+    exchange carries distinct orderkeys, not raw lineitems."""
+    import datetime as dt
+
+    import pyarrow.dataset as pads
+
+    from ..sources.tables import read_table
+    from ..stages.agg import grouped_sums
+
+    orders = sf_table(sf_dir, "orders",
+                      columns=["o_orderkey", "o_orderpriority"])
+    late = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey"],
+        filter_expr=pads.field("l_shipdate") > dt.datetime(1998, 6, 1),
+    )
+
+    def distinct_keys(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": pc.unique(t["l_orderkey"])})
+
+    late = late.map_batches(distinct_keys, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    hit = orders.join(late, join_type="left_semi", num_partitions=16,
+                      on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "n_orders": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+
+    return grouped_sums(
+        hit.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_orderpriority"], ["n_orders"])
+
+
+def q_weighted_avg(sf_dir: str) -> rd.Dataset:
+    """Grouped WEIGHTED mean: quantity-weighted unit price per return
+    flag, as a ratio of two integer partial sums (one map-side-combined
+    pass; the float derives from the identical IEEE division both
+    sides)."""
+    from ..stages.agg import grouped_sums
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "price_cents": _money_int(t["l_extendedprice"], 100.0),
+            "qty": pc.cast(t["l_quantity"], pa.int64()),
+        })
+
+    sums = grouped_sums(
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag"], ["price_cents", "qty"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "qty": t["qty"],
+            "wavg_price_cents": pc.divide(
+                pc.cast(t["price_cents"], pa.float64()),
+                pc.cast(t["qty"], pa.float64())),
+        })
+
+    return sums.map_batches(finish, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def q_price_buckets(sf_dir: str) -> rd.Dataset:
+    """Numeric binning (width_bucket shape): fixed-width 50k-dollar
+    buckets over order totalprice with per-bucket count + cents sum —
+    one vectorized floor-divide per batch, map-side-combined grouped
+    sum (the binning twin of the date-part histogram)."""
+    from ..stages.agg import grouped_sums
+
+    orders = sf_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": pc.cast(
+                pc.floor(pc.divide(t["o_totalprice"], 50000.0)), pa.int64()),
+            "cents": _money_int(t["o_totalprice"], 100.0),
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+
+    return grouped_sums(
+        orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["bucket"], ["cents", "n"])
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -2685,6 +2781,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "setops_users": q_setops_users,
         "percent_rank_balance": q_percent_rank,
         "promo_revenue": q_promo_revenue,
+        "exists_orders": q_exists_orders,
+        "weighted_avg": q_weighted_avg,
+        "price_buckets": q_price_buckets,
         # rows-only (non-SQL-expressible). The three round-2-uncovered
         # entries come FIRST in case the driver pass caps how many
         # registry queries it evaluates (round-2 VERDICT #5).
@@ -3223,6 +3322,28 @@ def oracle_sqls() -> dict[str, str]:
             " SELECT promo_e4, total_e4, n_items,"
             " 100.0 * CAST(promo_e4 AS DOUBLE) / CAST(total_e4 AS DOUBLE)"
             " AS promo_pct FROM s"
+        ),
+        "exists_orders": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders"
+            " FROM orders WHERE EXISTS (SELECT 1 FROM lineitem"
+            " WHERE l_orderkey = o_orderkey"
+            " AND l_shipdate > TIMESTAMP '1998-06-01')"
+            " GROUP BY 1"
+        ),
+        "weighted_avg": (
+            "WITH s AS (SELECT l_returnflag,"
+            " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+            " AS BIGINT) AS price_cents,"
+            " CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty"
+            " FROM lineitem GROUP BY 1)"
+            " SELECT l_returnflag, qty,"
+            " CAST(price_cents AS DOUBLE) / CAST(qty AS DOUBLE)"
+            " AS wavg_price_cents FROM s"
+        ),
+        "price_buckets": (
+            "SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,"
+            " CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            " AS cents, count(*) AS n FROM orders GROUP BY 1"
         ),
         "semijoin_bigspenders": (
             "SELECT l_orderkey, count(*) AS n_items, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty"
