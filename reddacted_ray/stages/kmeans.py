@@ -36,16 +36,23 @@ def _assign_partials(ds: rd.Dataset, vec_col: str, cent_ref) -> rd.Dataset:
             self.c_sq = (self.c * self.c).sum(axis=1)
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            k, d = self.c.shape
+            if t.num_rows == 0:  # zero-row blocks survive upstream filters
+                cols = {"cluster": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64())}
+                cols.update({f"s{j}": pa.array([], pa.float64())
+                             for j in range(d)})
+                return pa.table(cols)
             m = _as_matrix(t[vec_col]).astype(np.float64)
             # argmin ||x - c||^2 == argmin (||c||^2 - 2 x.c); ||x||^2 drops
             d2 = self.c_sq[None, :] - 2.0 * (m @ self.c.T)
             lab = d2.argmin(axis=1)
-            k, d = self.c.shape
             n = np.bincount(lab, minlength=k).astype(np.int64)
             sums = np.zeros((k, d), dtype=np.float64)
             np.add.at(sums, lab, m)
             present = n > 0
-            cols = {"cluster": pa.array(np.arange(k, dtype=np.int64)[present]),
+            cols = {"cluster": pa.array(
+                        np.arange(k, dtype=np.int64)[present]),
                     "n": pa.array(n[present])}
             for j in range(d):
                 cols[f"s{j}"] = pa.array(sums[present, j])
@@ -127,6 +134,8 @@ def kmeans_assign(
             self.c_sq = (self.c * self.c).sum(axis=1)
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t.append_column(out_col, pa.array([], pa.int64()))
             m = _as_matrix(t[vec_col]).astype(np.float64)
             d2 = self.c_sq[None, :] - 2.0 * (m @ self.c.T)
             return t.append_column(

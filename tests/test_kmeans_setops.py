@@ -116,3 +116,20 @@ def test_set_classify_empty_side(ray_session):
         pa.table({"k": pa.array([], pa.int64())}))
     out = {r["k"]: r["setop"] for r in set_classify(left, right, "k").take_all()}
     assert out == {1: "left_only", 2: "left_only", 3: "left_only"}
+
+
+def test_kmeans_zero_row_blocks(ray_session, blob_table):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from reddacted_ray.stages.kmeans import kmeans_assign, kmeans_fit
+
+    # a filter that empties some blocks entirely: kmeans must survive
+    # zero-row blocks in both the partial and the assign pass
+    ds = rd.from_arrow(blob_table).repartition(16).map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 100)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cent = kmeans_fit(ds, "embedding", "vec_id", k=2, iters=4)
+    out = kmeans_assign(ds, "embedding", cent).take_all()
+    assert len(out) == 100
+    assert {r["vec_id"] // 50 for r in out} == {0, 1}
