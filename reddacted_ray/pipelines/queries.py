@@ -1676,6 +1676,19 @@ def q_dedup_minhash(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_dedup_ngram(sf_dir: str) -> rd.Dataset:
+    """EXACT shingle-Jaccard near-dup over documents (rows-only: LSH
+    candidate generation + exact verification is not SQL-expressible;
+    planted-duplicate recovery is lock-tested in
+    tests/test_dedup_similarity.py)."""
+    from ..stages.dedup import ngram_jaccard_duplicates
+
+    return ngram_jaccard_duplicates(
+        _docs(sf_dir, ["doc_id", "text"]), "text", "doc_id",
+        shingle_n=3, threshold=0.6,
+    )
+
+
 def q_dedup_simhash(sf_dir: str) -> rd.Dataset:
     from ..stages.dedup import simhash_duplicates
 
@@ -2861,6 +2874,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "ppl_docs": q_ppl_docs,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram": q_dedup_ngram,
         "dedup_embedding": q_dedup_embedding,
         "ann_ivf": q_ann_ivf,
         "image_decode_stats": q_image_decode_stats,
