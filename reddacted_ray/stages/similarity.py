@@ -132,6 +132,24 @@ class IVFIndex:
     def assign(self, mat: np.ndarray) -> np.ndarray:
         return np.argmax(_normalize(mat) @ self.centroids.T, axis=1)
 
+    @staticmethod
+    def train_distributed(
+        ds: rd.Dataset,
+        vec_col: str,
+        id_col: str,
+        n_lists: int,
+        iters: int = 8,
+    ) -> "IVFIndex":
+        """Scale path: fit the coarse quantizer on the FULL corpus with
+        the distributed Lloyd's of ``stages/kmeans.py`` (broadcast
+        centroids, k partial rows per block) instead of a driver-side
+        sample. Same broadcastable IVFIndex out; centroids re-normalized
+        for the cosine assign."""
+        from .kmeans import kmeans_fit
+
+        cent = kmeans_fit(ds, vec_col, id_col, k=n_lists, iters=iters)
+        return IVFIndex(cent)
+
 
 def ivf_assign(
     ds: rd.Dataset,

@@ -133,3 +133,30 @@ def test_kmeans_zero_row_blocks(ray_session, blob_table):
     out = kmeans_assign(ds, "embedding", cent).take_all()
     assert len(out) == 100
     assert {r["vec_id"] // 50 for r in out} == {0, 1}
+
+
+def test_ivf_train_distributed_recall(ray_session, tmp_path):
+    import ray
+    import ray.data as rd
+
+    from reddacted_ray.stages.similarity import (
+        IVFIndex, brute_force_topk, ivf_assign, ivf_topk)
+
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(400, 16)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(400), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+    })).repartition(8)
+    idx = IVFIndex.train_distributed(ds, "embedding", "vec_id", n_lists=8)
+    assert idx.centroids.shape == (8, 16)
+    assigned = ivf_assign(ds, ray.put(idx)).materialize()
+    q = vecs[:5]
+    exact = brute_force_topk(ds, q, k=5)
+    approx = ivf_topk(assigned, idx, q, k=5, n_probe=4)
+    hits = 0
+    for qi in range(5):
+        ids = {i for i, _ in approx[qi]}
+        assert qi in ids  # self-vector always found
+        hits += len(ids & {i for i, _ in exact[qi]})
+    assert hits / 25 >= 0.6
