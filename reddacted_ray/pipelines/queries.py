@@ -2805,6 +2805,44 @@ def q_regional_revenue(sf_dir: str) -> rd.Dataset:
         ["n_name"], ["revenue_cents", "n_orders"])
 
 
+def q_heavy_event_types(sf_dir: str) -> pa.Table:
+    """Mergeable Misra-Gries heavy hitters over event_type (rows-only:
+    the sketch returns guaranteed [lower, upper] count brackets, not
+    exact counts — bracketing + presence-guarantee lock-tested; the
+    exact SQL-checkable sibling is ``top_terms``)."""
+    from ..stages.sketch import heavy_hitters
+
+    return heavy_hitters(
+        sf_table(sf_dir, "events", columns=["event_type"]),
+        "event_type", k=16)
+
+
+def q_approx_quantiles_value(sf_dir: str) -> pa.Table:
+    """Mergeable per-block quantile summaries over the continuous value
+    column (rows-only: deterministic but approximate — tolerance
+    lock-tested vs exact; the exact SQL sibling is ``quantiles``)."""
+    from ..stages.sketch import approx_quantiles
+
+    vals = approx_quantiles(
+        sf_table(sf_dir, "events", columns=["value"]),
+        "value", [0.25, 0.5, 0.75, 0.95], k=256)
+    return pa.table({
+        "q": pa.array(["p25", "p50", "p75", "p95"]),
+        "value": pa.array([float(v) for v in vals]),
+    })
+
+
+def q_hll_distinct_users(sf_dir: str) -> pa.Table:
+    """HyperLogLog distinct user count (rows-only: constant-size
+    registers, 64-way distributed fan-in merge; 5%-accuracy lock-tested;
+    the exact SQL sibling is ``distinct_users``)."""
+    from ..stages.sketch import hll_from_column
+
+    est = hll_from_column(
+        sf_table(sf_dir, "events", columns=["user_id"]), "user_id").estimate()
+    return pa.table({"hll_users": pa.array([float(est)])})
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -2903,6 +2941,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "dedup_video_near": q_dedup_video_near,
         "video_frames_phash": q_video_frames_phash,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "heavy_event_types": q_heavy_event_types,
+        "approx_quantiles_value": q_approx_quantiles_value,
+        "hll_distinct_users": q_hll_distinct_users,
     }
 
 
