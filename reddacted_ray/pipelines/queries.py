@@ -2608,11 +2608,12 @@ def q_promo_revenue(sf_dir: str) -> pa.Table:
                              Sum("total_e4", alias_name="total_e4"),
                              Sum("n_items", alias_name="n_items"))
     promo, total = int(agg["promo_e4"]), int(agg["total_e4"])
+    pct = 100.0 * float(promo) / float(total) if total else 0.0
     return pa.table({
         "promo_e4": pa.array([promo]),
         "total_e4": pa.array([total]),
         "n_items": pa.array([int(agg["n_items"])]),
-        "promo_pct": pa.array([100.0 * float(promo) / float(total)]),
+        "promo_pct": pa.array([pct]),
     })
 
 
