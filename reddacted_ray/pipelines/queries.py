@@ -2844,6 +2844,44 @@ def q_hll_distinct_users(sf_dir: str) -> pa.Table:
     return pa.table({"hll_users": pa.array([float(est)])})
 
 
+def q_zscore_outliers(sf_dir: str) -> rd.Dataset:
+    """Two-pass ADAPTIVE filter: pass 1 computes global moments from
+    integer partials (map-side combine, one scalar row to the driver);
+    pass 2 re-streams the corpus filtering |value - mean| > 2*stddev with
+    the driver-computed doubles broadcast in the task closure. The float
+    threshold derives from the exact integer sums with the identical IEEE
+    tree as the SQL, so the per-row comparisons are bit-equivalent."""
+    ev = sf_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = _money_int(t["value"], 100.0)
+        return pa.table({
+            "sc": pa.array([pc.sum(cents).as_py() or 0]),
+            "sc2": pa.array([pc.sum(pc.multiply(cents, cents)).as_py() or 0]),
+            "n": pa.array([t.num_rows], pa.int64()),
+        })
+
+    agg = ev.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True).aggregate(
+        Sum("sc", alias_name="sc"), Sum("sc2", alias_name="sc2"),
+        Sum("n", alias_name="n"))
+    sc, sc2, n = float(agg["sc"]), float(agg["sc2"]), float(agg["n"])
+    mean = sc / n
+    rhs = 2.0 * np.sqrt((sc2 - (sc * sc) / n) / n)
+
+    def outliers(t: pa.Table) -> pa.Table:
+        cents = _money_int(t["value"], 100.0)
+        dev = pc.abs(pc.subtract(pc.cast(cents, pa.float64()), mean))
+        keep = pc.greater(dev, rhs)
+        return pa.table({
+            "event_id": pc.filter(t["event_id"], keep),
+            "cents": pc.filter(cents, keep),
+        })
+
+    return ev.map_batches(outliers, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -2903,6 +2941,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "weighted_avg": q_weighted_avg,
         "price_buckets": q_price_buckets,
         "regional_revenue": q_regional_revenue,
+        "zscore_outliers": q_zscore_outliers,
         # rows-only (non-SQL-expressible). The three round-2-uncovered
         # entries come FIRST in case the driver pass caps how many
         # registry queries it evaluates (round-2 VERDICT #5).
@@ -3467,6 +3506,19 @@ def oracle_sqls() -> dict[str, str]:
             "SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,"
             " CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
             " AS cents, count(*) AS n FROM orders GROUP BY 1"
+        ),
+        "zscore_outliers": (
+            "WITH c AS (SELECT event_id,"
+            " CAST(round(value * 100) AS BIGINT) AS cents FROM events),"
+            " s AS (SELECT CAST(sum(cents) AS BIGINT) AS sc,"
+            " CAST(sum(cents * cents) AS BIGINT) AS sc2,"
+            " count(*) AS n FROM c)"
+            " SELECT event_id, cents FROM c, s"
+            " WHERE abs(CAST(cents AS DOUBLE)"
+            " - CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) >"
+            " 2.0 * sqrt((CAST(sc2 AS DOUBLE)"
+            " - (CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))"
+            " / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))"
         ),
         "regional_revenue": (
             "SELECT n_name,"
