@@ -2251,13 +2251,14 @@ def q_shipping_priority(sf_dir: str) -> rd.Dataset:
         filter_expr=pads.field("o_orderdate") < cut,
     )
     orders = bloom_prefilter(orders, "o_custkey", bloom_cust)
+    # the lineitem bloom is built from the PREFILTERED orders (not the
+    # joined result): a superset only by bloom_cust's false positives, so
+    # the exact join below is unchanged — and no mid-pipeline materialize
+    # pins a fact-sized intermediate in the object store (measured
+    # equal-or-faster at sf0.1: 10.1 vs 10.4 s warm, 13.0 vs 16.4 s cold)
+    bloom_ord = bloom_from_column(orders, "o_orderkey")
     jo = orders.join(cust, join_type="inner", num_partitions=16,
                      on=("o_custkey",), right_on=("c_custkey",))
-    # jo is consumed twice (orderkey bloom + join input); it is the
-    # doubly-filtered small side, so pinning it beats recomputing the
-    # upstream join
-    jo = jo.materialize()
-    bloom_ord = bloom_from_column(jo, "o_orderkey")
 
     li = read_table(
         f"{sf_dir}/lineitem.parquet",
