@@ -2883,6 +2883,33 @@ def q_zscore_outliers(sf_dir: str) -> rd.Dataset:
                           zero_copy_batch=True)
 
 
+def q_grouped_quantiles_value(sf_dir: str) -> rd.Dataset:
+    """Per-GROUP mergeable quantile summaries (rows-only: deterministic
+    but approximate; per-group tolerance lock-tested). Only compacted
+    order-statistic summaries shuffle — never raw values."""
+    from ..stages.sketch import grouped_approx_quantiles
+
+    return grouped_approx_quantiles(
+        sf_table(sf_dir, "events", columns=["event_type", "value"]),
+        "event_type", "value", [0.5, 0.95], k=128)
+
+
+def q_cm_event_counts(sf_dir: str) -> pa.Table:
+    """Count-Min point-frequency estimates per event type (rows-only:
+    overestimate-only within eps*N — bound lock-tested; one fixed-size
+    summary per block, add-merged, zero shuffle)."""
+    from ..stages.sketch import cm_from_column, column_hashes64
+
+    sk = cm_from_column(
+        sf_table(sf_dir, "events", columns=["event_type"]), "event_type")
+    types = ["click", "error", "purchase", "signup", "view"]
+    est = sk.estimate_hashes(column_hashes64(pa.array(types)))
+    return pa.table({
+        "event_type": pa.array(types),
+        "est_count": pa.array(est.astype(np.int64)),
+    })
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -2985,6 +3012,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "heavy_event_types": q_heavy_event_types,
         "approx_quantiles_value": q_approx_quantiles_value,
         "hll_distinct_users": q_hll_distinct_users,
+        "grouped_quantiles_value": q_grouped_quantiles_value,
+        "cm_event_counts": q_cm_event_counts,
     }
 
 
