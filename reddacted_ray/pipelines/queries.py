@@ -2910,6 +2910,37 @@ def q_cm_event_counts(sf_dir: str) -> pa.Table:
     })
 
 
+def q_dedup_survivors(sf_dir: str) -> rd.Dataset:
+    """Dedup-and-retrieve: exact-dedup winners (min doc_id per full-text
+    md5) joined BACK to the corpus for their full rows — the canonical
+    'write the deduplicated corpus' composition. The winner set is
+    corpus-sized, so the retrieval is a NATIVE left_semi hash join (never
+    a driver-side id broadcast)."""
+    from ..functions.hashing import md5_hex_batch
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def key(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": pa.array(md5_hex_batch(t["text"]), pa.string()),
+            "doc_id": t["doc_id"],
+        })
+
+    winners = docs.map_batches(key, batch_format="pyarrow",
+                               zero_copy_batch=True).groupby("k").aggregate(
+        Min("doc_id", alias_name="win_id"))
+
+    def ids_only(t: pa.Table) -> pa.Table:
+        return pa.table({"win_id": t["win_id"]})
+
+    winners = winners.map_batches(ids_only, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    full = sf_table(sf_dir, "documents",
+                    columns=["doc_id", "lang", "n_chars"])
+    return full.join(winners, join_type="left_semi", num_partitions=16,
+                     on=("doc_id",), right_on=("win_id",))
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -2970,6 +3001,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "price_buckets": q_price_buckets,
         "regional_revenue": q_regional_revenue,
         "zscore_outliers": q_zscore_outliers,
+        "dedup_survivors": q_dedup_survivors,
         # rows-only (non-SQL-expressible). The three round-2-uncovered
         # entries come FIRST in case the driver pass caps how many
         # registry queries it evaluates (round-2 VERDICT #5).
@@ -3536,6 +3568,11 @@ def oracle_sqls() -> dict[str, str]:
             "SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,"
             " CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
             " AS cents, count(*) AS n FROM orders GROUP BY 1"
+        ),
+        "dedup_survivors": (
+            "SELECT doc_id, lang, n_chars FROM documents"
+            " WHERE doc_id IN (SELECT min(doc_id) FROM documents"
+            " GROUP BY md5(text))"
         ),
         "zscore_outliers": (
             "WITH c AS (SELECT event_id,"
