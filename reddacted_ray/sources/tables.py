@@ -87,3 +87,15 @@ def read_jsonl(
     if columns is not None:
         ds = ds.select_columns(list(columns))
     return ds
+
+
+def read_csv(
+    path: str, columns: Optional[Sequence[str]] = None, **kwargs
+) -> rd.Dataset:
+    """CSV source (interchange-format ingest). CSV cannot prune columns at
+    the byte level, so the projection happens immediately after parse —
+    downstream stages and every exchange see only the requested fields."""
+    ds = rd.read_csv(path, **kwargs)
+    if columns is not None:
+        ds = ds.select_columns(list(columns))
+    return ds

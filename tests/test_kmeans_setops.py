@@ -160,3 +160,22 @@ def test_ivf_train_distributed_recall(ray_session, tmp_path):
         assert qi in ids  # self-vector always found
         hits += len(ids & {i for i, _ in exact[qi]})
     assert hits / 25 >= 0.6
+
+
+def test_read_csv_roundtrip(ray_session, tmp_path):
+    import pyarrow.csv as pacsv
+    import ray.data as rd
+
+    from reddacted_ray.sources.tables import read_csv
+
+    t = pa.table({
+        "doc_id": pa.array(range(20), pa.int64()),
+        "text": pa.array([f"w{i}" for i in range(20)]),
+        "extra": pa.array([i * 2 for i in range(20)], pa.int64()),
+    })
+    p = str(tmp_path / "docs.csv")
+    pacsv.write_csv(t, p)
+    out = read_csv(p, columns=["doc_id", "text"]).take_all()
+    assert len(out) == 20
+    assert sorted(out[0].keys()) == ["doc_id", "text"]
+    assert {r["text"] for r in out} == {f"w{i}" for i in range(20)}
