@@ -2941,6 +2941,99 @@ def q_dedup_survivors(sf_dir: str) -> rd.Dataset:
                      on=("doc_id",), right_on=("win_id",))
 
 
+def q_big_orders(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q18 shape — HAVING + join-back: orders whose total lineitem
+    quantity exceeds 150. Grouped sum with map-side combine, the HAVING
+    as a post-aggregation vectorized filter, then the survivors (already
+    aggregate-sized) hash-join back to orders for their detail columns."""
+    from ..stages.agg import grouped_sums
+
+    li = sf_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "sum_qty": pc.cast(t["l_quantity"], pa.int64()),
+        })
+
+    per_order = grouped_sums(
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey"], ["sum_qty"])
+    big = per_order.map_batches(
+        lambda t: t.filter(pc.greater(t["sum_qty"], 150)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    orders = sf_table(sf_dir, "orders",
+                      columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    joined = orders.join(big, join_type="inner", num_partitions=16,
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "totalprice_cents": _money_int(t["o_totalprice"], 100.0),
+            "sum_qty": t["sum_qty"],
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def q_returned_customers(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q10 shape — filter -> join -> aggregate -> join -> top-k:
+    revenue of RETURNED items per customer, nationkey attached, top 20.
+    The returnflag filter pushes to the parquet scan; revenue aggregates
+    per custkey BEFORE the customer join (aggregate-sized second
+    exchange); final global top-20 via sort+limit."""
+    import pyarrow.dataset as pads
+
+    from ..sources.tables import read_table
+    from ..stages.agg import grouped_sums
+
+    li = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter_expr=pads.field("l_returnflag") == "R",
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "revenue_e4": _money_int(disc, 10000.0),
+        })
+
+    li = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    orders = sf_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    j1 = li.join(orders, join_type="inner", num_partitions=16,
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+    per_cust = grouped_sums(j1, ["o_custkey"], ["revenue_e4"])
+    cust = sf_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def prep_cust(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+        })
+
+    cust = cust.map_batches(prep_cust, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    j2 = per_cust.join(cust, join_type="inner", num_partitions=16,
+                       on=("o_custkey",), right_on=("c_custkey",))
+    return (
+        j2.sort(["revenue_e4", "o_custkey"], descending=[True, False])
+        .limit(20)
+        .map_batches(
+            lambda t: pa.table({
+                "c_custkey": t["o_custkey"],
+                "nationkey": t["nationkey"],
+                "revenue_e4": t["revenue_e4"],
+            }),
+            batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -3002,6 +3095,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "regional_revenue": q_regional_revenue,
         "zscore_outliers": q_zscore_outliers,
         "dedup_survivors": q_dedup_survivors,
+        "big_orders": q_big_orders,
+        "returned_customers": q_returned_customers,
         # rows-only (non-SQL-expressible). The three round-2-uncovered
         # entries come FIRST in case the driver pass caps how many
         # registry queries it evaluates (round-2 VERDICT #5).
@@ -3568,6 +3663,25 @@ def oracle_sqls() -> dict[str, str]:
             "SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,"
             " CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
             " AS cents, count(*) AS n FROM orders GROUP BY 1"
+        ),
+        "big_orders": (
+            "WITH big AS (SELECT l_orderkey,"
+            " CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty"
+            " FROM lineitem GROUP BY 1"
+            " HAVING sum(CAST(l_quantity AS BIGINT)) > 150)"
+            " SELECT o.o_orderkey, o.o_custkey,"
+            " CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,"
+            " b.sum_qty"
+            " FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey"
+        ),
+        "returned_customers": (
+            "SELECT c.c_custkey, CAST(c.c_nationkey AS BIGINT) AS nationkey,"
+            " CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)"
+            " * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4"
+            " FROM customer c, orders o, lineitem l"
+            " WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey"
+            " AND l.l_returnflag = 'R'"
+            " GROUP BY 1, 2 ORDER BY revenue_e4 DESC, c.c_custkey LIMIT 20"
         ),
         "dedup_survivors": (
             "SELECT doc_id, lang, n_chars FROM documents"
