@@ -3034,6 +3034,205 @@ def q_returned_customers(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_forecast_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q6 shape — the pure scan-kernel query: every predicate
+    (ship-year, discount band, quantity cap) pushes to the parquet scan so
+    non-qualifying row groups never leave storage, then one conditional-sum
+    partial row per block fans into a single driver scalar. Zero shuffle,
+    zero join — the measure of raw scan+filter throughput."""
+    import datetime as dt
+
+    import pyarrow.dataset as pads
+
+    from ..sources.tables import read_table
+
+    li = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount"],
+        filter_expr=(
+            (pads.field("l_shipdate") >= dt.datetime(1996, 1, 1))
+            & (pads.field("l_shipdate") < dt.datetime(1997, 1, 1))
+            & (pads.field("l_discount") >= 0.03)
+            & (pads.field("l_discount") <= 0.07)
+            & (pads.field("l_quantity") < 24.0)
+        ),
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], t["l_discount"])
+        return pa.table({
+            "revenue_e4": pa.array(
+                [pc.sum(_money_int(rev, 10000.0)).as_py() or 0], pa.int64()),
+            "n_items": pa.array([t.num_rows], pa.int64()),
+        })
+
+    agg = li.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True).aggregate(
+        Sum("revenue_e4", alias_name="revenue_e4"),
+        Sum("n_items", alias_name="n_items"))
+    return pa.table({
+        "revenue_e4": pa.array([int(agg["revenue_e4"] or 0)], pa.int64()),
+        "n_items": pa.array([int(agg["n_items"] or 0)], pa.int64()),
+    })
+
+
+def q_order_count_distribution(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q13 shape — count-of-counts with zero-preserving outer join:
+    orders (non-F only) pre-aggregate to one count per customer BEFORE the
+    join, so the left_outer exchange ships aggregate-sized rows; customers
+    with no qualifying orders surface as nulls and fill to 0; the second
+    groupby runs over at most |distinct counts| partials per block."""
+    import pyarrow.dataset as pads
+
+    from ..sources.tables import read_table
+    from ..stages.agg import grouped_sums
+
+    orders = read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter_expr=pads.field("o_orderstatus") != "F",
+    )
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "n_orders": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+
+    per_cust = grouped_sums(
+        orders.map_batches(ones, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_custkey"], ["n_orders"])
+    cust = sf_table(sf_dir, "customer", columns=["c_custkey"])
+    j = cust.join(per_cust, join_type="left_outer", num_partitions=16,
+                  on=("c_custkey",), right_on=("o_custkey",))
+
+    def counts(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_count": pc.fill_null(t["n_orders"], 0),
+            "custdist": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+
+    return grouped_sums(
+        j.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True),
+        ["c_count"], ["custdist"])
+
+
+def q_hot_parts(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q11 shape — HAVING against a fraction of a GLOBAL aggregate.
+    Pass 1 reduces the corpus to ONE integer scalar (map-side partial sums,
+    no shuffle); pass 2 computes per-part revenue with map-side combine and
+    filters by the broadcast threshold. Neither pass materializes anything
+    fact-sized; the threshold double derives from exact integer sums with
+    the same IEEE tree as the SQL."""
+    from ..stages.agg import grouped_sums
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "rev_e4": _money_int(disc, 10000.0),
+        })
+
+    prepped = li.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def scalar(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "s": pa.array([pc.sum(t["rev_e4"]).as_py() or 0], pa.int64())})
+
+    total = prepped.map_batches(
+        scalar, batch_format="pyarrow", zero_copy_batch=True).aggregate(
+        Sum("s", alias_name="s"))["s"]
+    # Scale-relative HAVING bar: 1.5x the average per-part revenue share,
+    # selects the ~p99 tail at every sf (a fixed fraction of total
+    # would go empty as the part count grows; per-part shares here are
+    # near-uniform with max/avg ~1.9).
+    n_parts = sf_table(sf_dir, "part", columns=["p_partkey"]).count()
+    thr = float(total or 0) * (1.5 / float(n_parts))
+    per_part = grouped_sums(prepped, ["l_partkey"], ["rev_e4"])
+
+    from ..stages import ensure_schema
+
+    return ensure_schema(
+        per_part.map_batches(
+            lambda t: t.filter(
+                pc.greater(pc.cast(t["rev_e4"], pa.float64()), thr))
+            if t.num_columns else t,
+            batch_format="pyarrow", zero_copy_batch=True),
+        [("l_partkey", pa.int64()), ("rev_e4", pa.int64())])
+
+
+def q_top_supplier(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q15 shape — argmax-of-aggregate join-back: quarterly revenue
+    per supplier (scan-pushed date window, map-side combine), global Max
+    over the aggregate, then the tied winners hash-join back to supplier
+    for names. The per-supplier aggregate is supplier-sized (never
+    fact-sized), so materializing it to serve both the Max and the filter
+    is the cheap branch-reuse — one lineitem scan total."""
+    import datetime as dt
+
+    import pyarrow.dataset as pads
+
+    from ..sources.tables import read_table
+    from ..stages.agg import grouped_sums
+
+    li = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter_expr=(
+            (pads.field("l_shipdate") >= dt.datetime(1996, 1, 1))
+            & (pads.field("l_shipdate") < dt.datetime(1996, 4, 1))
+        ),
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "l_suppkey": t["l_suppkey"],
+            "total_rev_e4": _money_int(disc, 10000.0),
+        })
+
+    per_supp = grouped_sums(
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_suppkey"], ["total_rev_e4"]).materialize()
+    mx = per_supp.max("total_rev_e4")
+    # The winners (ties for the max) are inherently tiny — broadcast them
+    # into the supplier scan instead of a hash join whose near-empty side
+    # would trip Ray 2.49's empty-shuffle-partition schema bug.
+    best = per_supp.map_batches(
+        lambda t: t.filter(pc.equal(t["total_rev_e4"], mx))
+        if t.num_columns else t,
+        batch_format="pyarrow", zero_copy_batch=True).take_all()
+    win_keys = pa.array([r["l_suppkey"] for r in best], pa.int64())
+    win_rev = pa.array([r["total_rev_e4"] for r in best], pa.int64())
+    win_ref = ray.put((win_keys, win_rev))
+
+    from ..stages import process_cached
+
+    class Attach:
+        def __init__(self) -> None:
+            self.keys, self.rev = ray.get(win_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            idx = pc.index_in(t["s_suppkey"], value_set=self.keys)
+            mask = pc.is_valid(idx)
+            return pa.table({
+                "s_suppkey": pc.filter(t["s_suppkey"], mask),
+                "s_name": pc.filter(t["s_name"], mask),
+                "total_rev_e4": pc.take(self.rev, pc.filter(idx, mask)),
+            })
+
+    supp = sf_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    return supp.map_batches(process_cached(Attach), batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -3097,6 +3296,10 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "dedup_survivors": q_dedup_survivors,
         "big_orders": q_big_orders,
         "returned_customers": q_returned_customers,
+        "forecast_revenue": q_forecast_revenue,
+        "order_count_distribution": q_order_count_distribution,
+        "hot_parts": q_hot_parts,
+        "top_supplier": q_top_supplier,
         # rows-only (non-SQL-expressible). The three round-2-uncovered
         # entries come FIRST in case the driver pass caps how many
         # registry queries it evaluates (round-2 VERDICT #5).
@@ -3673,6 +3876,44 @@ def oracle_sqls() -> dict[str, str]:
             " CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,"
             " b.sum_qty"
             " FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey"
+        ),
+        "forecast_revenue": (
+            "SELECT CAST(sum(CAST(round(l_extendedprice * l_discount"
+            " * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,"
+            " count(*) AS n_items FROM lineitem"
+            " WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+            " AND l_shipdate < TIMESTAMP '1997-01-01'"
+            " AND l_discount >= 0.03 AND l_discount <= 0.07"
+            " AND l_quantity < 24"
+        ),
+        "order_count_distribution": (
+            "WITH oc AS (SELECT c_custkey, CAST(count(o_custkey) AS BIGINT)"
+            " AS c_count FROM customer LEFT OUTER JOIN orders"
+            " ON c_custkey = o_custkey AND o_orderstatus <> 'F'"
+            " GROUP BY 1)"
+            " SELECT c_count, count(*) AS custdist FROM oc GROUP BY 1"
+        ),
+        "hot_parts": (
+            "WITH p AS (SELECT l_partkey,"
+            " CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)"
+            " * 10000) AS BIGINT)) AS BIGINT) AS rev_e4"
+            " FROM lineitem GROUP BY 1),"
+            " t AS (SELECT CAST(sum(rev_e4) AS DOUBLE)"
+            " * (1.5 / CAST((SELECT count(*) FROM part) AS DOUBLE))"
+            " AS thr FROM p)"
+            " SELECT l_partkey, rev_e4 FROM p, t"
+            " WHERE CAST(rev_e4 AS DOUBLE) > thr"
+        ),
+        "top_supplier": (
+            "WITH r AS (SELECT l_suppkey,"
+            " CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)"
+            " * 10000) AS BIGINT)) AS BIGINT) AS total_rev_e4"
+            " FROM lineitem"
+            " WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+            " AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1)"
+            " SELECT s_suppkey, s_name, total_rev_e4 FROM supplier, r"
+            " WHERE s_suppkey = l_suppkey"
+            " AND total_rev_e4 = (SELECT max(total_rev_e4) FROM r)"
         ),
         "returned_customers": (
             "SELECT c.c_custkey, CAST(c.c_nationkey AS BIGINT) AS nationkey,"
