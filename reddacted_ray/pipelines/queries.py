@@ -3233,6 +3233,321 @@ def q_top_supplier(sf_dir: str) -> rd.Dataset:
                             zero_copy_batch=True)
 
 
+def q_small_qty_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q17 shape — correlated per-group average join-back: revenue
+    from lineitems whose quantity is below 0.2x their part's average, for
+    one brand. The brand slice of ``part`` is dimension-bounded, so its
+    keys broadcast once; per-part averages aggregate from the prefiltered
+    fact (map-side combine) and broadcast BACK as a threshold map instead
+    of a second fact shuffle. Thresholds derive from exact integer sums
+    with the SQL's IEEE tree (0.2 * (sum/count))."""
+    from ..stages import process_cached
+    from ..stages.agg import grouped_sums
+
+    part = sf_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    keys = part.map_batches(
+        lambda t: t.filter(pc.equal(t["p_brand"], "Brand#3")).select(
+            ["p_partkey"]),
+        batch_format="pyarrow", zero_copy_batch=True).take_all()
+    keys_ref = ray.put(pa.array(sorted(r["p_partkey"] for r in keys)))
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    class Prefilter:
+        def __init__(self) -> None:
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["l_partkey"], value_set=self.keys))
+
+    li_f = li.map_batches(process_cached(Prefilter), batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def qty(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "sum_qty": pc.cast(t["l_quantity"], pa.int64()),
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+
+    per_part = grouped_sums(
+        li_f.map_batches(qty, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_partkey"], ["sum_qty", "n"]).take_all()
+    thr_keys = pa.array([r["l_partkey"] for r in per_part], pa.int64())
+    thr_vals = pa.array(
+        [0.2 * (float(r["sum_qty"]) / float(r["n"])) for r in per_part],
+        pa.float64())
+    thr_ref = ray.put((thr_keys, thr_vals))
+
+    class Partial:
+        def __init__(self) -> None:
+            self.keys, self.thr = ray.get(thr_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            idx = pc.index_in(t["l_partkey"], value_set=self.keys)
+            mask = pc.is_valid(idx)
+            qv = pc.filter(t["l_quantity"], mask)
+            price = pc.filter(t["l_extendedprice"], mask)
+            thr = pc.take(self.thr, pc.filter(idx, mask))
+            small = pc.less(qv, thr)
+            cents = pc.filter(_money_int(price, 100.0), small)
+            return pa.table({
+                "revenue_cents": pa.array(
+                    [pc.sum(cents).as_py() or 0], pa.int64()),
+                "n_small": pa.array(
+                    [pc.sum(pc.cast(small, pa.int64())).as_py() or 0],
+                    pa.int64()),
+            })
+
+    agg = li.map_batches(process_cached(Partial), batch_format="pyarrow",
+                         zero_copy_batch=True).aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"),
+        Sum("n_small", alias_name="n_small"))
+    return pa.table({
+        "revenue_cents": pa.array([int(agg["revenue_cents"] or 0)], pa.int64()),
+        "n_small": pa.array([int(agg["n_small"] or 0)], pa.int64()),
+    })
+
+
+def q_idle_rich_customers(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q22 shape — global-scalar predicate + NOT EXISTS: customers
+    richer than the positive-balance average with no premium order,
+    counted per nation. Pass 1 reduces to two integer scalars (no shuffle); pass 2
+    filters by the broadcast average and anti-joins the filtered slice
+    against order custkeys (right side projected to keys before the
+    exchange); the final groupby runs over nation-sized partials."""
+    from ..stages.agg import grouped_sums
+
+    cust = sf_table(sf_dir, "customer",
+                    columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        cents = _money_int(t["c_acctbal"], 100.0)
+        pos = pc.filter(cents, pc.greater(cents, 0))
+        return pa.table({
+            "s": pa.array([pc.sum(pos).as_py() or 0], pa.int64()),
+            "n": pa.array([len(pos)], pa.int64()),
+        })
+
+    agg = cust.map_batches(pos_partial, batch_format="pyarrow",
+                           zero_copy_batch=True).aggregate(
+        Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    avg_cents = float(agg["s"]) / float(agg["n"])
+
+    def rich(t: pa.Table) -> pa.Table:
+        cents = _money_int(t["c_acctbal"], 100.0)
+        mask = pc.greater(pc.cast(cents, pa.float64()), avg_cents)
+        return pa.table({
+            "c_custkey": pc.filter(t["c_custkey"], mask),
+            "nationkey": pc.cast(pc.filter(t["c_nationkey"], mask),
+                                 pa.int64()),
+            "cents": pc.filter(cents, mask),
+        })
+
+    rich_ds = cust.map_batches(rich, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    # "never placed a premium order" — the EXISTS side filters in the
+    # parquet scan, so only qualifying keys enter the anti-join exchange.
+    import pyarrow.dataset as pads
+
+    from ..sources.tables import read_table
+
+    from ..stages.joins import pad_sentinel
+
+    orders = pad_sentinel(
+        read_table(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+            filter_expr=pads.field("o_totalprice") > 300000.0),
+        "o_custkey", {"o_custkey": -1})
+    idle = rich_ds.join(orders, join_type="left_anti", num_partitions=16,
+                        on=("c_custkey",), right_on=("o_custkey",))
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "nationkey": t["nationkey"],
+            "n_custs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "total_cents": t["cents"],
+        })
+
+    return grouped_sums(
+        idle.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True),
+        ["nationkey"], ["n_custs", "total_cents"])
+
+
+def q_disjunctive_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q19 shape — disjunction of conjunctive brand/size/quantity
+    clauses across a fact-dimension join. The three-brand part slice is
+    dimension-bounded: one broadcast ships (partkey -> brand ordinal,
+    size), and each lineitem block evaluates the whole OR-of-ANDs as
+    vectorized Arrow masks — the join never shuffles the fact."""
+    from ..stages import process_cached
+
+    part = sf_table(sf_dir, "part",
+                    columns=["p_partkey", "p_brand", "p_size"])
+    brands = ["Brand#1", "Brand#2", "Brand#3"]
+
+    def slim(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["p_brand"], value_set=pa.array(brands))
+        return pa.table({
+            "p_partkey": pc.filter(t["p_partkey"], mask),
+            "b": pc.cast(pc.index_in(pc.filter(t["p_brand"], mask),
+                                     value_set=pa.array(brands)), pa.int8()),
+            "p_size": pc.cast(pc.filter(t["p_size"], mask), pa.int32()),
+        })
+
+    rows = part.map_batches(slim, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    pk = pa.array([r["p_partkey"] for r in rows], pa.int64())
+    bb = np.array([r["b"] for r in rows], dtype=np.int8)
+    sz = np.array([r["p_size"] for r in rows], dtype=np.int32)
+    dim_ref = ray.put((pk, bb, sz))
+
+    # (brand ordinal, size lo/hi, qty lo/hi) per clause
+    clauses = [(0, 1, 15, 1.0, 11.0), (1, 1, 10, 10.0, 20.0),
+               (2, 1, 5, 20.0, 30.0)]
+
+    class Partial:
+        def __init__(self) -> None:
+            self.pk, self.bb, self.sz = ray.get(dim_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            idx = pc.index_in(t["l_partkey"], value_set=self.pk)
+            mask = pc.is_valid(idx)
+            pos = pc.filter(idx, mask).to_numpy(zero_copy_only=False)
+            qty = pc.filter(t["l_quantity"], mask).to_numpy(
+                zero_copy_only=False)
+            price = pc.filter(t["l_extendedprice"], mask)
+            b, s = self.bb[pos], self.sz[pos]
+            hit = np.zeros(len(pos), dtype=bool)
+            for cb, slo, shi, qlo, qhi in clauses:
+                hit |= ((b == cb) & (s >= slo) & (s <= shi)
+                        & (qty >= qlo) & (qty <= qhi))
+            cents = pc.filter(_money_int(price, 100.0), pa.array(hit))
+            return pa.table({
+                "revenue_cents": pa.array(
+                    [pc.sum(cents).as_py() or 0], pa.int64()),
+                "n_items": pa.array([int(hit.sum())], pa.int64()),
+            })
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    agg = li.map_batches(process_cached(Partial), batch_format="pyarrow",
+                         zero_copy_batch=True).aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"),
+        Sum("n_items", alias_name="n_items"))
+    return pa.table({
+        "revenue_cents": pa.array([int(agg["revenue_cents"] or 0)], pa.int64()),
+        "n_items": pa.array([int(agg["n_items"] or 0)], pa.int64()),
+    })
+
+
+def q_nation_trade_flows(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q7 shape — two-nation trade volume by year: revenue of
+    lineitems whose SUPPLIER sits in one nation of a pair and whose
+    ORDERING CUSTOMER sits in the other, grouped by (supp_nation,
+    cust_nation, ship-year). The nation-filtered supplier map broadcasts
+    (dimension-bounded); customers filter to the pair and Bloom-prefilter
+    orders before the orders x customer hash join; the fact side prunes
+    to supplier-matched rows in the scan map before its single exchange
+    with the order->nation feed."""
+    from ..stages import process_cached
+    from ..stages.agg import grouped_sums
+    from ..stages.sketch import bloom_from_column, bloom_prefilter
+
+    nation = sf_table(sf_dir, "nation").take_all()
+    name_of = {n["n_nationkey"]: n["n_name"] for n in nation}
+    pair = [k for k, v in name_of.items() if v in ("NATION_1", "NATION_7")]
+    pair_arr = pa.array(sorted(pair), pa.int32())
+
+    supp = sf_table(sf_dir, "supplier",
+                    columns=["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: t.filter(pc.is_in(pc.cast(t["s_nationkey"], pa.int32()),
+                                    value_set=pair_arr)),
+        batch_format="pyarrow", zero_copy_batch=True).take_all()
+    sk = pa.array([r["s_suppkey"] for r in supp], pa.int64())
+    sn = pa.array([int(r["s_nationkey"]) for r in supp], pa.int64())
+    supp_ref = ray.put((sk, sn))
+
+    def cust_slim(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(pc.cast(t["c_nationkey"], pa.int32()),
+                        value_set=pair_arr)
+        return pa.table({
+            "c_custkey": pc.filter(t["c_custkey"], mask),
+            "cust_nk": pc.cast(pc.filter(t["c_nationkey"], mask),
+                               pa.int64()),
+        })
+
+    # The nation filter can empty whole customer blocks at small sf, and
+    # Ray 2.49 strips the schema from empty blocks before a join — fuse
+    # the filter with a per-block -1 sentinel pad (pad_sentinel docs).
+    from ..stages.joins import pad_sentinel
+
+    cust = pad_sentinel(
+        sf_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        "c_custkey", {"c_custkey": -1, "cust_nk": -1},
+        transform=cust_slim)
+    bloom = bloom_from_column(cust, "c_custkey")
+    orders = bloom_prefilter(
+        sf_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+        "o_custkey", bloom)
+    ord_nat = orders.join(cust, join_type="inner", num_partitions=16,
+                          on=("o_custkey",), right_on=("c_custkey",))
+
+    class LiPrep:
+        # one -1 sentinel row per block: the supplier filter can empty a
+        # block and Ray 2.49 strips empty blocks' schema before the join
+        _pad = pa.table({
+            "l_orderkey": pa.array([-1], pa.int64()),
+            "supp_nk": pa.array([-1], pa.int64()),
+            "l_year": pa.array([-1], pa.int64()),
+            "revenue_e4": pa.array([0], pa.int64()),
+        })
+
+        def __init__(self) -> None:
+            self.sk, self.sn = ray.get(supp_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            idx = pc.index_in(t["l_suppkey"], value_set=self.sk)
+            mask = pc.is_valid(idx)
+            disc = pc.multiply(
+                pc.filter(t["l_extendedprice"], mask),
+                pc.subtract(pa.scalar(1.0), pc.filter(t["l_discount"], mask)))
+            out = pa.table({
+                "l_orderkey": pc.filter(t["l_orderkey"], mask),
+                "supp_nk": pc.take(self.sn, pc.filter(idx, mask)),
+                "l_year": pc.cast(
+                    pc.year(pc.filter(t["l_shipdate"], mask)), pa.int64()),
+                "revenue_e4": _money_int(disc, 10000.0),
+            })
+            return pa.concat_tables([out, self._pad])
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                           "l_discount", "l_shipdate"]).map_batches(
+        process_cached(LiPrep), batch_format="pyarrow", zero_copy_batch=True)
+    j = li.join(ord_nat, join_type="inner", num_partitions=16,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    names = {k: name_of[k] for k in pair}
+    keys_arr = pa.array(sorted(names), pa.int64())
+    names_arr = pa.array([names[k] for k in sorted(names)])
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["supp_nk"], t["cust_nk"]))
+        return pa.table({
+            "supp_nation": pc.take(
+                names_arr, pc.index_in(t["supp_nk"], value_set=keys_arr)),
+            "cust_nation": pc.take(
+                names_arr, pc.index_in(t["cust_nk"], value_set=keys_arr)),
+            "l_year": t["l_year"],
+            "revenue_e4": t["revenue_e4"],
+        })
+
+    return grouped_sums(
+        j.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True),
+        ["supp_nation", "cust_nation", "l_year"], ["revenue_e4"])
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -3300,6 +3615,10 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "order_count_distribution": q_order_count_distribution,
         "hot_parts": q_hot_parts,
         "top_supplier": q_top_supplier,
+        "small_qty_revenue": q_small_qty_revenue,
+        "idle_rich_customers": q_idle_rich_customers,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "nation_trade_flows": q_nation_trade_flows,
         # rows-only (non-SQL-expressible). The three round-2-uncovered
         # entries come FIRST in case the driver pass caps how many
         # registry queries it evaluates (round-2 VERDICT #5).
@@ -3914,6 +4233,55 @@ def oracle_sqls() -> dict[str, str]:
             " SELECT s_suppkey, s_name, total_rev_e4 FROM supplier, r"
             " WHERE s_suppkey = l_suppkey"
             " AND total_rev_e4 = (SELECT max(total_rev_e4) FROM r)"
+        ),
+        "small_qty_revenue": (
+            "WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#3'),"
+            " a AS (SELECT l_partkey, 0.2 *"
+            " (CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*))"
+            " AS thr FROM lineitem JOIN pk ON l_partkey = p_partkey"
+            " GROUP BY 1)"
+            " SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+            " AS BIGINT) AS revenue_cents, count(*) AS n_small"
+            " FROM lineitem JOIN a USING (l_partkey)"
+            " WHERE l_quantity < thr"
+        ),
+        "idle_rich_customers": (
+            "WITH c AS (SELECT c_custkey,"
+            " CAST(c_nationkey AS BIGINT) AS nationkey,"
+            " CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),"
+            " a AS (SELECT CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents"
+            " FROM c WHERE cents > 0),"
+            " r AS (SELECT * FROM c, a"
+            " WHERE CAST(cents AS DOUBLE) > avg_cents AND NOT EXISTS"
+            " (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000))"
+            " SELECT nationkey, count(*) AS n_custs,"
+            " CAST(sum(cents) AS BIGINT) AS total_cents FROM r GROUP BY 1"
+        ),
+        "disjunctive_revenue": (
+            "SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+            " AS BIGINT) AS revenue_cents, count(*) AS n_items"
+            " FROM lineitem JOIN part ON l_partkey = p_partkey"
+            " WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15"
+            " AND l_quantity BETWEEN 1 AND 11)"
+            " OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10"
+            " AND l_quantity BETWEEN 10 AND 20)"
+            " OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 5"
+            " AND l_quantity BETWEEN 20 AND 30)"
+        ),
+        "nation_trade_flows": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,"
+            " CAST(year(l_shipdate) AS BIGINT) AS l_year,"
+            " CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)"
+            " * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4"
+            " FROM supplier, lineitem, orders, customer,"
+            " nation n1, nation n2"
+            " WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey"
+            " AND c_custkey = o_custkey"
+            " AND s_nationkey = n1.n_nationkey"
+            " AND c_nationkey = n2.n_nationkey"
+            " AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_7')"
+            " OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_1'))"
+            " GROUP BY 1, 2, 3"
         ),
         "returned_customers": (
             "SELECT c.c_custkey, CAST(c.c_nationkey AS BIGINT) AS nationkey,"

@@ -316,3 +316,39 @@ def set_classify(
 
     return merged.map_batches(classify, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def pad_sentinel(
+    ds: rd.Dataset,
+    key_col: str,
+    sentinel_row: Mapping[str, object],
+    transform=None,
+) -> rd.Dataset:
+    """Append one impossible-key sentinel row per block so NO block of a
+    join side is ever empty (Ray 2.49 turns zero-row blocks schema-less
+    and skips them during the hash shuffle's schema broadcast, so an
+    empty-ish side reaches Acero schema-less and the join dies with "no
+    match for key field"). The sentinel key must match no real key (the
+    suite uses -1 against non-negative id domains): inner/semi joins drop
+    it naturally; for left_anti the padded side is the RIGHT, where an
+    unmatched sentinel is simply ignored.
+
+    IMPORTANT: Ray never hands an already-empty block to a map UDF, so
+    padding cannot be a separate stage downstream of the filter that
+    empties blocks — pass that filter as ``transform`` and it fuses into
+    the SAME map task, guaranteeing every output block carries >= 1 row
+    and the schema. ``sentinel_row`` must cover every output column with
+    correctly-typed values."""
+    names = list(sentinel_row.keys())
+    pad = pa.table({n: pa.array([sentinel_row[n]]) for n in names})
+    if key_col not in names:
+        raise ValueError(f"sentinel_row must include key column {key_col}")
+
+    def fix(t: pa.Table) -> pa.Table:
+        if transform is not None and t.num_columns:
+            t = transform(t)
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pad
+        return pa.concat_tables([t.select(names), pad])
+
+    return ds.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
