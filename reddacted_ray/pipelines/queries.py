@@ -3548,6 +3548,145 @@ def q_nation_trade_flows(sf_dir: str) -> rd.Dataset:
         ["supp_nation", "cust_nation", "l_year"], ["revenue_e4"])
 
 
+def q_bottomk_sample(sf_dir: str) -> rd.Dataset:
+    """Deterministic distributed uniform sample — bottom-k by md5(doc_id):
+    every block prunes locally to its k smallest keys (vectorized argsort),
+    so the global sort+limit sees at most k rows per block instead of the
+    corpus. Rerun-stable (pure function of ids), mergeable, and the exact
+    ORDER BY md5 LIMIT k SQL twin. The 100 TB shape for 'give me a uniform
+    N-row sample without a shuffle'."""
+    from ..functions.hashing import md5_hex_batch
+
+    k = 64
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = np.array(md5_hex_batch(pc.cast(t["doc_id"], pa.string())))
+        take = np.argsort(keys, kind="stable")[:k]
+        return pa.table({
+            "k": pa.array(keys[take]),
+            "doc_id": pc.take(t["doc_id"], pa.array(take)),
+        })
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .sort(["k", "doc_id"]).limit(k)
+    )
+
+
+def q_cheapest_supplier(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q2 shape — group-wise argmin with deterministic tie-break:
+    for every part, the supplier quoting the lowest unit price (min
+    suppkey on ties). Phase 1 reduces the fact to one min-unit-price
+    partial per part (map-side combine via ``grouped_agg``); phase 2 joins
+    the aggregate-sized mins back and re-aggregates the tied candidates —
+    no window sort, no fact materialization."""
+    from ..stages.agg import grouped_agg
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                           "l_quantity"])
+
+    def unit(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "l_suppkey": t["l_suppkey"],
+            "unit_e4": _money_int(
+                pc.divide(t["l_extendedprice"], t["l_quantity"]), 10000.0),
+        })
+
+    u = li.map_batches(unit, batch_format="pyarrow", zero_copy_batch=True)
+    mins = grouped_agg(u, ["l_partkey"], [("unit_e4", "min")]).map_batches(
+        lambda t: t.rename_columns(["m_partkey", "min_unit_e4"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j = u.join(mins, join_type="inner", num_partitions=16,
+               on=("l_partkey",), right_on=("m_partkey",))
+    cand = j.map_batches(
+        lambda t: t.filter(pc.equal(t["unit_e4"], t["min_unit_e4"])).select(
+            ["l_partkey", "l_suppkey", "unit_e4"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_agg(cand, ["l_partkey"],
+                      [("l_suppkey", "min"), ("unit_e4", "min")])
+    return out.map_batches(
+        lambda t: t.rename_columns(["l_partkey", "best_suppkey", "unit_e4"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_next_event_gap(sf_dir: str) -> rd.Dataset:
+    """LEAD window — microsecond gap to each user's NEXT event (ts order,
+    event_id tie-break); the last event per user coalesces to 0. Bucketed-
+    vectorized like ``lag_delta``: one pandas call per hash bucket of
+    complete user groups, shift(-1) inside."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def lead(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        # normalize to us explicitly — pandas may carry datetime64[us]
+        # (parquet native) or datetime64[ns] depending on the block path
+        us = g["ts"].astype("datetime64[us]").astype("int64")
+        nxt = g.assign(_u=us).groupby("user_id", sort=False)["_u"].shift(-1)
+        gap = (nxt - us).fillna(0).astype("int64")
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "gap_us": gap,
+        })
+
+    return grouped_vectorized(ev, "user_id", lead)
+
+
+def q_regr_price_qty(sf_dir: str) -> rd.Dataset:
+    """Grouped simple linear regression (price-cents on quantity) per
+    return flag — slope and intercept derived on the driver from exact
+    integer moment partials (n, Sx, Sy, Sxy, Sxx; map-side combine, one
+    partial row per flag per block), with the identical IEEE expression
+    tree as the SQL so the doubles are bit-equal."""
+    from ..stages.agg import grouped_sums
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["l_quantity"], pa.int64())
+        y = _money_int(t["l_extendedprice"], 100.0)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "sx": x,
+            "sy": y,
+            "sxy": pc.multiply(x, y),
+            "sxx": pc.multiply(x, x),
+        })
+
+    sums = grouped_sums(
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag"], ["n", "sx", "sy", "sxy", "sxx"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n"], pa.float64())
+        sx = pc.cast(t["sx"], pa.float64())
+        sy = pc.cast(t["sy"], pa.float64())
+        sxy = pc.cast(t["sxy"], pa.float64())
+        sxx = pc.cast(t["sxx"], pa.float64())
+        num = pc.subtract(pc.multiply(n, sxy), pc.multiply(sx, sy))
+        den = pc.subtract(pc.multiply(n, sxx), pc.multiply(sx, sx))
+        slope = pc.divide(num, den)
+        intercept = pc.divide(pc.subtract(sy, pc.multiply(slope, sx)), n)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "slope": slope,
+            "intercept": intercept,
+        })
+
+    return sums.map_batches(finish, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -3619,6 +3758,10 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "idle_rich_customers": q_idle_rich_customers,
         "disjunctive_revenue": q_disjunctive_revenue,
         "nation_trade_flows": q_nation_trade_flows,
+        "bottomk_sample": q_bottomk_sample,
+        "cheapest_supplier": q_cheapest_supplier,
+        "next_event_gap": q_next_event_gap,
+        "regr_price_qty": q_regr_price_qty,
         # rows-only (non-SQL-expressible). The three round-2-uncovered
         # entries come FIRST in case the driver pass caps how many
         # registry queries it evaluates (round-2 VERDICT #5).
@@ -4282,6 +4425,48 @@ def oracle_sqls() -> dict[str, str]:
             " AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_7')"
             " OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_1'))"
             " GROUP BY 1, 2, 3"
+        ),
+        "bottomk_sample": (
+            "SELECT md5(CAST(doc_id AS VARCHAR)) AS k, doc_id"
+            " FROM documents ORDER BY k, doc_id LIMIT 64"
+        ),
+        "cheapest_supplier": (
+            "WITH u AS (SELECT l_partkey, l_suppkey,"
+            " CAST(round(l_extendedprice / l_quantity * 10000) AS BIGINT)"
+            " AS unit_e4 FROM lineitem),"
+            " m AS (SELECT l_partkey AS m_partkey, min(unit_e4)"
+            " AS min_unit_e4 FROM u GROUP BY 1)"
+            " SELECT l_partkey, min(l_suppkey) AS best_suppkey,"
+            " min(unit_e4) AS unit_e4 FROM u JOIN m"
+            " ON l_partkey = m_partkey AND unit_e4 = min_unit_e4"
+            " GROUP BY 1"
+        ),
+        "next_event_gap": (
+            "SELECT event_id, user_id,"
+            " CAST(coalesce(date_diff('microsecond', ts,"
+            " lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)),"
+            " 0) AS BIGINT) AS gap_us FROM events"
+        ),
+        "regr_price_qty": (
+            "WITH s AS (SELECT l_returnflag, count(*) AS n,"
+            " CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,"
+            " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+            " AS BIGINT) AS sy,"
+            " CAST(sum(CAST(l_quantity AS BIGINT)"
+            " * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)"
+            " AS sxy,"
+            " CAST(sum(CAST(l_quantity AS BIGINT)"
+            " * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx"
+            " FROM lineitem GROUP BY 1),"
+            " d AS (SELECT l_returnflag,"
+            " (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,"
+            " n, sx, sy FROM s)"
+            " SELECT l_returnflag, slope,"
+            " (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))"
+            " / CAST(n AS DOUBLE) AS intercept FROM d"
         ),
         "returned_customers": (
             "SELECT c.c_custkey, CAST(c.c_nationkey AS BIGINT) AS nationkey,"

@@ -73,3 +73,31 @@ def unpivot(
         return pa.concat_tables(pieces)
 
     return ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_agg(
+    ds: rd.Dataset,
+    keys: Sequence[str],
+    specs: Sequence[tuple],
+) -> rd.Dataset:
+    """groupby(keys) with mixed re-aggregable kernels — ``specs`` is
+    [(col, "sum"|"min"|"max"), ...] (output name == col). Same map-side
+    combine shape as ``grouped_sums``: Arrow hash-aggregates each block to
+    one partial row per key, so the exchange ships partials, and the
+    kernels' idempotent re-aggregation (sum of sums, min of mins, max of
+    maxes) finishes exactly."""
+    from ray.data.aggregate import Max, Min
+
+    keys = list(keys)
+    specs = [(c, fn) for c, fn in specs]
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([(c, fn) for c, fn in specs])
+        renames = {f"{c}_{fn}": c for c, fn in specs}
+        return g.rename_columns([renames.get(n, n) for n in g.schema.names])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    kinds = {"sum": Sum, "min": Min, "max": Max}
+    final = [kinds[fn](c, alias_name=c) for c, fn in specs]
+    return partials.groupby(keys).aggregate(*final)
