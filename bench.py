@@ -160,6 +160,10 @@ def run_bench() -> dict:
         "bloom_semijoin",
         "shipping_priority",
         "left_join_spend",
+        # late round-3 additions
+        "nation_trade_flows",
+        "cheapest_supplier",
+        "next_event_gap",
     ]:
         timed(name, Q.registry()[name])
 

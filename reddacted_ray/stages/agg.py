@@ -81,23 +81,31 @@ def grouped_agg(
     specs: Sequence[tuple],
 ) -> rd.Dataset:
     """groupby(keys) with mixed re-aggregable kernels — ``specs`` is
-    [(col, "sum"|"min"|"max"), ...] (output name == col). Same map-side
-    combine shape as ``grouped_sums``: Arrow hash-aggregates each block to
-    one partial row per key, so the exchange ships partials, and the
-    kernels' idempotent re-aggregation (sum of sums, min of mins, max of
-    maxes) finishes exactly."""
+    [(col, "sum"|"min"|"max"[, out_name]), ...]; out_name defaults to col
+    and every output name must be unique (aggregate the same column under
+    two kernels by naming the outputs). Same map-side combine shape as
+    ``grouped_sums``: Arrow hash-aggregates each block to one partial row
+    per key, so the exchange ships partials, and the kernels' idempotent
+    re-aggregation (sum of sums, min of mins, max of maxes) finishes
+    exactly."""
     from ray.data.aggregate import Max, Min
 
     keys = list(keys)
-    specs = [(c, fn) for c, fn in specs]
+    norm = [(s[0], s[1], s[2] if len(s) > 2 else s[0]) for s in specs]
+    outs = [o for _, _, o in norm]
+    if len(set(outs)) != len(outs):
+        raise ValueError(f"duplicate output names in specs: {outs}")
 
     def partial(t: pa.Table) -> pa.Table:
-        g = t.group_by(keys).aggregate([(c, fn) for c, fn in specs])
-        renames = {f"{c}_{fn}": c for c, fn in specs}
+        for c, _, o in norm:
+            if o != c:
+                t = t.append_column(o, t[c])
+        g = t.group_by(keys).aggregate([(o, fn) for _, fn, o in norm])
+        renames = {f"{o}_{fn}": o for _, fn, o in norm}
         return g.rename_columns([renames.get(n, n) for n in g.schema.names])
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
     kinds = {"sum": Sum, "min": Min, "max": Max}
-    final = [kinds[fn](c, alias_name=c) for c, fn in specs]
+    final = [kinds[fn](o, alias_name=o) for _, fn, o in norm]
     return partials.groupby(keys).aggregate(*final)
