@@ -3687,6 +3687,159 @@ def q_regr_price_qty(sf_dir: str) -> rd.Dataset:
                             zero_copy_batch=True)
 
 
+def q_profit_by_nation_year(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q9 shape — profit per supplier-nation per ship-year for a
+    part-name slice. All three dimensions resolve into broadcasts (part
+    keys for the name filter, suppkey -> nation-name via the driver-side
+    nation map), so the fact streams through ONE map pass and the only
+    exchange is the (nation, year)-sized grouped sum."""
+    from ..stages import process_cached
+    from ..stages.agg import grouped_sums
+
+    nation = sf_table(sf_dir, "nation").take_all()
+    name_of = {n["n_nationkey"]: n["n_name"] for n in nation}
+
+    part_keys = sf_table(
+        sf_dir, "part", columns=["p_partkey", "p_name"]).map_batches(
+        lambda t: t.filter(
+            pc.match_substring(t["p_name"], "red")).select(["p_partkey"]),
+        batch_format="pyarrow", zero_copy_batch=True).take_all()
+    pk = pa.array(sorted(r["p_partkey"] for r in part_keys), pa.int64())
+
+    supp = sf_table(sf_dir, "supplier",
+                    columns=["s_suppkey", "s_nationkey"]).take_all()
+    sk = pa.array([r["s_suppkey"] for r in supp], pa.int64())
+    snm = pa.array([name_of[int(r["s_nationkey"])] for r in supp])
+    dims_ref = ray.put((pk, sk, snm))
+
+    class Partial:
+        def __init__(self) -> None:
+            self.pk, self.sk, self.snm = ray.get(dims_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pc.is_in(t["l_partkey"], value_set=self.pk)
+            t = t.filter(mask)
+            disc = pc.multiply(t["l_extendedprice"],
+                               pc.subtract(pa.scalar(1.0), t["l_discount"]))
+            return pa.table({
+                "n_name": pc.take(
+                    self.snm, pc.index_in(t["l_suppkey"], value_set=self.sk)),
+                "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+                "profit_e4": _money_int(disc, 10000.0),
+            })
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                           "l_discount", "l_shipdate"]).map_batches(
+        process_cached(Partial), batch_format="pyarrow",
+        zero_copy_batch=True)
+    return grouped_sums(li, ["n_name", "l_year"], ["profit_e4"])
+
+
+def q_market_share(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q8 shape — one nation's yearly market share inside a region's
+    widget purchases. Part keys and the suppkey -> is-target-nation flag
+    broadcast; region customers Bloom-prefilter orders before the orders x
+    customer join; the fact prunes to widget rows in its scan map, so the
+    single fact-sized exchange is the lineitem x orders join; the share
+    ratio derives from the two integer sums with the SQL's IEEE tree."""
+    from ..stages import process_cached
+    from ..stages.agg import grouped_sums
+    from ..stages.joins import pad_sentinel
+    from ..stages.sketch import bloom_from_column, bloom_prefilter
+
+    nation = sf_table(sf_dir, "nation").take_all()
+    region = sf_table(sf_dir, "region").take_all()
+    asia = {r["r_regionkey"] for r in region if r["r_name"] == "ASIA"}
+    asia_keys = pa.array(sorted(
+        n["n_nationkey"] for n in nation if n["n_regionkey"] in asia),
+        pa.int32())
+    n3 = next(n["n_nationkey"] for n in nation if n["n_name"] == "NATION_3")
+
+    part_keys = sf_table(
+        sf_dir, "part", columns=["p_partkey", "p_name"]).map_batches(
+        lambda t: t.filter(
+            pc.match_substring(t["p_name"], "widget")).select(["p_partkey"]),
+        batch_format="pyarrow", zero_copy_batch=True).take_all()
+    pk = pa.array(sorted(r["p_partkey"] for r in part_keys), pa.int64())
+
+    supp = sf_table(sf_dir, "supplier",
+                    columns=["s_suppkey", "s_nationkey"]).take_all()
+    sk = pa.array([r["s_suppkey"] for r in supp], pa.int64())
+    sflag = pa.array([int(int(r["s_nationkey"]) == n3) for r in supp],
+                     pa.int64())
+    dims_ref = ray.put((pk, sk, sflag))
+
+    def cust_slim(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(pc.cast(t["c_nationkey"], pa.int32()),
+                        value_set=asia_keys)
+        return pa.table({"c_custkey": pc.filter(t["c_custkey"], mask)})
+
+    cust = pad_sentinel(
+        sf_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
+        "c_custkey", {"c_custkey": -1}, transform=cust_slim)
+    bloom = bloom_from_column(cust, "c_custkey")
+
+    def ord_slim(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "l_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+        })
+
+    orders = bloom_prefilter(
+        sf_table(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate"]),
+        "o_custkey", bloom).map_batches(
+        ord_slim, batch_format="pyarrow", zero_copy_batch=True)
+    ord_asia = orders.join(cust, join_type="inner", num_partitions=16,
+                           on=("o_custkey",), right_on=("c_custkey",))
+
+    class LiPrep:
+        _pad = pa.table({
+            "l_orderkey": pa.array([-1], pa.int64()),
+            "rev_e4": pa.array([0], pa.int64()),
+            "rev_n3_e4": pa.array([0], pa.int64()),
+        })
+
+        def __init__(self) -> None:
+            self.pk, self.sk, self.sflag = ray.get(dims_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t["l_partkey"], value_set=self.pk))
+            disc = pc.multiply(t["l_extendedprice"],
+                               pc.subtract(pa.scalar(1.0), t["l_discount"]))
+            rev = _money_int(disc, 10000.0)
+            flag = pc.take(
+                self.sflag, pc.index_in(t["l_suppkey"], value_set=self.sk))
+            out = pa.table({
+                "l_orderkey": t["l_orderkey"],
+                "rev_e4": rev,
+                "rev_n3_e4": pc.multiply(rev, flag),
+            })
+            return pa.concat_tables([out, self._pad])
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_partkey", "l_suppkey",
+                           "l_extendedprice", "l_discount"]).map_batches(
+        process_cached(LiPrep), batch_format="pyarrow", zero_copy_batch=True)
+    j = li.join(ord_asia, join_type="inner", num_partitions=16,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    sums = grouped_sums(j, ["l_year"], ["rev_n3_e4", "rev_e4"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_year": t["l_year"],
+            "n3_e4": t["rev_n3_e4"],
+            "total_e4": t["rev_e4"],
+            "mkt_share": pc.divide(pc.cast(t["rev_n3_e4"], pa.float64()),
+                                   pc.cast(t["rev_e4"], pa.float64())),
+        })
+
+    return sums.map_batches(finish, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -3759,6 +3912,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "disjunctive_revenue": q_disjunctive_revenue,
         "nation_trade_flows": q_nation_trade_flows,
         "bottomk_sample": q_bottomk_sample,
+        "profit_by_nation_year": q_profit_by_nation_year,
+        "market_share": q_market_share,
         "cheapest_supplier": q_cheapest_supplier,
         "next_event_gap": q_next_event_gap,
         "regr_price_qty": q_regr_price_qty,
@@ -4425,6 +4580,37 @@ def oracle_sqls() -> dict[str, str]:
             " AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_7')"
             " OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_1'))"
             " GROUP BY 1, 2, 3"
+        ),
+        "profit_by_nation_year": (
+            "SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS l_year,"
+            " CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)"
+            " * 10000) AS BIGINT)) AS BIGINT) AS profit_e4"
+            " FROM lineitem, part, supplier, nation"
+            " WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey"
+            " AND s_nationkey = n_nationkey"
+            " AND p_name LIKE '%red%'"
+            " GROUP BY 1, 2"
+        ),
+        "market_share": (
+            "WITH x AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS l_year,"
+            " CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)"
+            " AS BIGINT) AS rev_e4,"
+            " CASE WHEN n_s.n_name = 'NATION_3' THEN 1 ELSE 0 END AS is_n3"
+            " FROM lineitem, part, supplier, orders, customer,"
+            " nation n_c, nation n_s, region"
+            " WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey"
+            " AND l_orderkey = o_orderkey AND o_custkey = c_custkey"
+            " AND c_nationkey = n_c.n_nationkey"
+            " AND n_c.n_regionkey = r_regionkey AND r_name = 'ASIA'"
+            " AND s_nationkey = n_s.n_nationkey"
+            " AND p_name LIKE '%widget%')"
+            " SELECT l_year,"
+            " CAST(sum(CASE WHEN is_n3 = 1 THEN rev_e4 ELSE 0 END)"
+            " AS BIGINT) AS n3_e4,"
+            " CAST(sum(rev_e4) AS BIGINT) AS total_e4,"
+            " CAST(sum(CASE WHEN is_n3 = 1 THEN rev_e4 ELSE 0 END)"
+            " AS DOUBLE) / CAST(sum(rev_e4) AS DOUBLE) AS mkt_share"
+            " FROM x GROUP BY 1"
         ),
         "bottomk_sample": (
             "SELECT md5(CAST(doc_id AS VARCHAR)) AS k, doc_id"
