@@ -3840,6 +3840,259 @@ def q_market_share(sf_dir: str) -> rd.Dataset:
                             zero_copy_batch=True)
 
 
+def q_shipmode_counts(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q12 shape — join + two-way conditional count by category:
+    per line-status (the schema's shipmode stand-in), how many 1996
+    shipments belong to high- vs low-priority orders. The ship-year
+    window pushes to the lineitem scan; orders slims to (key, flag) so
+    the single fact x fact exchange carries two int64 columns; a Bloom
+    filter over the surviving lineitem orderkeys drops orders rows that
+    cannot match BEFORE their shuffle; the CASE counts are map-side
+    flag sums (cf. reference `pii_detector.py` batch-count idiom;
+    TPC-H Q12 per SURVEY §2.5 conditional aggregation)."""
+    import datetime as dt
+
+    import pyarrow.dataset as pads
+
+    from ..sources.tables import read_table
+    from ..stages.agg import grouped_sums
+    from ..stages.sketch import bloom_from_column, bloom_prefilter
+
+    lo, hi = dt.datetime(1996, 1, 1), dt.datetime(1997, 1, 1)
+    li = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+        filter_expr=(pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi),
+    ).select_columns(["l_orderkey", "l_linestatus"])
+
+    def distinct_keys(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": pc.unique(t["l_orderkey"])})
+
+    bloom = bloom_from_column(
+        li.map_batches(distinct_keys, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "l_orderkey")
+
+    def ord_slim(t: pa.Table) -> pa.Table:
+        high = pc.cast(
+            pc.is_in(t["o_orderpriority"],
+                     value_set=pa.array(["1-URGENT", "2-HIGH"])),
+            pa.int64())
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "high_count": high,
+            "low_count": pc.subtract(pa.scalar(1, pa.int64()), high),
+        })
+
+    orders = bloom_prefilter(
+        sf_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]),
+        "o_orderkey", bloom).map_batches(
+        ord_slim, batch_format="pyarrow", zero_copy_batch=True)
+    j = li.join(orders, join_type="inner", num_partitions=16,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    return grouped_sums(j, ["l_linestatus"], ["high_count", "low_count"])
+
+
+def q_supplier_variety(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q16 shape — distinct-count with an anti-filter subquery:
+    how many distinct suppliers ship each (brand, size) part slice,
+    excluding one brand and every negative-balance supplier (the
+    'complaints' NOT IN). Both dimensions broadcast (supplier is tiny;
+    part ships only keys+attrs, documented small-side assumption); the
+    fact maps to (brand, size, suppkey) triples deduplicated per block,
+    so the ONLY row-bearing exchange is the distinct-triple groupby —
+    then the per-(brand,size) count re-aggregates those triples."""
+    from ..stages import process_cached
+    from ..stages.agg import grouped_sums
+
+    supp = sf_table(sf_dir, "supplier",
+                    columns=["s_suppkey", "s_acctbal"]).take_all()
+    bad = pa.array(sorted(r["s_suppkey"] for r in supp
+                          if r["s_acctbal"] < 0), pa.int64())
+    parts = sf_table(
+        sf_dir, "part",
+        columns=["p_partkey", "p_brand", "p_size"]).take_all()
+    keep = [r for r in parts if r["p_brand"] != "Brand#1"]
+    pk = pa.array([r["p_partkey"] for r in keep], pa.int64())
+    pbrand = pa.array([r["p_brand"] for r in keep])
+    psize = pa.array([int(r["p_size"]) for r in keep], pa.int64())
+    dims_ref = ray.put((bad, pk, pbrand, psize))
+
+    class Triples:
+        def __init__(self) -> None:
+            self.bad, self.pk, self.pbrand, self.psize = ray.get(dims_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(pc.invert(pc.is_in(t["l_suppkey"],
+                                            value_set=self.bad)))
+            idx = pc.index_in(t["l_partkey"], value_set=self.pk)
+            mask = pc.is_valid(idx)
+            idx, sk = pc.filter(idx, mask), pc.filter(t["l_suppkey"], mask)
+            trip = pa.table({
+                "p_brand": pc.take(self.pbrand, idx),
+                "p_size": pc.take(self.psize, idx),
+                "l_suppkey": sk,
+            })
+            return trip.group_by(
+                ["p_brand", "p_size", "l_suppkey"]).aggregate([])
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_suppkey"]).map_batches(
+        process_cached(Triples), batch_format="pyarrow",
+        zero_copy_batch=True)
+    distinct = li.groupby(["p_brand", "p_size", "l_suppkey"]).aggregate(
+        Count(alias_name="__n"))
+    return grouped_sums(distinct, ["p_brand", "p_size"], [],
+                        count_alias="supplier_cnt")
+
+
+def q_bulk_part_suppliers(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q20 shape — nested semi-join chain with a quantity
+    threshold: suppliers who shipped more than 50 units of some
+    red-named part during 1997. Part keys broadcast; the ship-year
+    window pushes to the scan; the (suppkey, partkey) quantity sum is
+    map-side combined; the HAVING survivors deduplicate per block to
+    distinct suppkeys; supplier rows then flow through a NATIVE
+    left_semi join (no duplication, right payload never ships). The
+    filtered right side is sentinel-padded — Ray 2.49 drops schema on
+    empty shuffle blocks."""
+    import datetime as dt
+
+    import pyarrow.dataset as pads
+
+    from ..sources.tables import read_table
+    from ..stages.agg import grouped_sums
+    from ..stages.joins import pad_sentinel
+
+    part_keys = sf_table(
+        sf_dir, "part", columns=["p_partkey", "p_name"]).map_batches(
+        lambda t: t.filter(
+            pc.match_substring(t["p_name"], "red")).select(["p_partkey"]),
+        batch_format="pyarrow", zero_copy_batch=True).take_all()
+    pk_ref = ray.put(
+        pa.array(sorted(r["p_partkey"] for r in part_keys), pa.int64()))
+
+    lo, hi = dt.datetime(1997, 1, 1), dt.datetime(1998, 1, 1)
+    li = read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        filter_expr=(pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi),
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_partkey"], value_set=ray.get(pk_ref)))
+        return pa.table({
+            "l_suppkey": t["l_suppkey"],
+            "l_partkey": t["l_partkey"],
+            "sum_qty": pc.cast(t["l_quantity"], pa.int64()),
+        })
+
+    sums = grouped_sums(
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_suppkey", "l_partkey"], ["sum_qty"])
+
+    def survivors(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["sum_qty"], pa.scalar(50, pa.int64())))
+        return pa.table({"l_suppkey": pc.unique(t["l_suppkey"])})
+
+    surv = pad_sentinel(sums, "l_suppkey", {"l_suppkey": -1},
+                        transform=survivors)
+    supp = sf_table(sf_dir, "supplier",
+                    columns=["s_suppkey", "s_name", "s_acctbal"])
+    return supp.join(surv, join_type="left_semi", num_partitions=8,
+                     on=("s_suppkey",), right_on=("l_suppkey",))
+
+
+def q_waiting_suppliers(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q21 shape — EXISTS + NOT EXISTS per-order self-correlation,
+    recast as grouped aggregation (never a self-join): for finalized
+    orders, count per supplier the multi-supplier orders where that
+    supplier was the ONLY one shipping late (> 90 days after the order
+    date). The status filter pushes to the orders scan and its keys
+    Bloom-prefilter lineitem before the one fact-sized exchange; the
+    per-(order, supplier) late flag Max and the per-order supplier
+    census are both map-side combined, so the EXISTS/NOT-EXISTS logic
+    runs over order-sized partials; supplier names attach from a
+    broadcast at the end."""
+    import datetime as dt
+
+    import pyarrow.dataset as pads
+
+    from ..sources.tables import read_table
+    from ..stages.agg import grouped_agg, grouped_sums
+    from ..stages.sketch import bloom_from_column, bloom_prefilter
+
+    orders = read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+        filter_expr=pads.field("o_orderstatus") == "F",
+    ).select_columns(["o_orderkey", "o_orderdate"])
+    bloom = bloom_from_column(orders, "o_orderkey")
+
+    li = bloom_prefilter(
+        sf_table(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_suppkey", "l_shipdate"]),
+        "l_orderkey", bloom)
+    j = li.join(orders, join_type="inner", num_partitions=16,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    grace = pa.scalar(dt.timedelta(days=90))
+
+    def pair_flags(t: pa.Table) -> pa.Table:
+        late = pc.cast(
+            pc.greater(t["l_shipdate"], pc.add(t["o_orderdate"], grace)),
+            pa.int64())
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_suppkey": t["l_suppkey"],
+            "late": late,
+        })
+
+    pairs = grouped_agg(
+        j.map_batches(pair_flags, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        ["l_orderkey", "l_suppkey"], [("late", "max")])
+
+    def order_prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "n_supp": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "n_late": t["late"],
+            "late_suppkey": pc.multiply(t["l_suppkey"], t["late"]),
+        })
+
+    per_order = grouped_agg(
+        pairs.map_batches(order_prep, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["l_orderkey"],
+        [("n_supp", "sum"), ("n_late", "sum"), ("late_suppkey", "max")])
+
+    supp = sf_table(sf_dir, "supplier",
+                    columns=["s_suppkey", "s_name"]).take_all()
+    names_ref = ray.put((
+        pa.array([r["s_suppkey"] for r in supp], pa.int64()),
+        pa.array([r["s_name"] for r in supp]),
+    ))
+
+    def waiting(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.greater(t["n_supp"], pa.scalar(1, pa.int64())),
+                       pc.equal(t["n_late"], pa.scalar(1, pa.int64())))
+        t = t.filter(mask)
+        sk, nm = ray.get(names_ref)
+        return pa.table({
+            "s_name": pc.take(nm, pc.index_in(t["late_suppkey"],
+                                              value_set=sk)),
+            "numwait": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+
+    return grouped_sums(
+        per_order.map_batches(waiting, batch_format="pyarrow",
+                              zero_copy_batch=True),
+        ["s_name"], ["numwait"])
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -3914,6 +4167,10 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "bottomk_sample": q_bottomk_sample,
         "profit_by_nation_year": q_profit_by_nation_year,
         "market_share": q_market_share,
+        "shipmode_counts": q_shipmode_counts,
+        "supplier_variety": q_supplier_variety,
+        "bulk_part_suppliers": q_bulk_part_suppliers,
+        "waiting_suppliers": q_waiting_suppliers,
         "cheapest_supplier": q_cheapest_supplier,
         "next_event_gap": q_next_event_gap,
         "regr_price_qty": q_regr_price_qty,
@@ -4611,6 +4868,48 @@ def oracle_sqls() -> dict[str, str]:
             " CAST(sum(CASE WHEN is_n3 = 1 THEN rev_e4 ELSE 0 END)"
             " AS DOUBLE) / CAST(sum(rev_e4) AS DOUBLE) AS mkt_share"
             " FROM x GROUP BY 1"
+        ),
+        "shipmode_counts": (
+            "SELECT l_linestatus,"
+            " CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS high_count,"
+            " CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+            " THEN 0 ELSE 1 END) AS BIGINT) AS low_count"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " WHERE l_shipdate >= TIMESTAMP '1996-01-01'"
+            " AND l_shipdate < TIMESTAMP '1997-01-01'"
+            " GROUP BY 1"
+        ),
+        "supplier_variety": (
+            "SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,"
+            " CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt"
+            " FROM lineitem JOIN part ON l_partkey = p_partkey"
+            " WHERE p_brand <> 'Brand#1' AND l_suppkey NOT IN"
+            " (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)"
+            " GROUP BY 1, 2"
+        ),
+        "bulk_part_suppliers": (
+            "SELECT s_suppkey, s_name, s_acctbal FROM supplier"
+            " WHERE s_suppkey IN (SELECT l_suppkey"
+            " FROM lineitem JOIN part ON l_partkey = p_partkey"
+            " WHERE p_name LIKE '%red%'"
+            " AND l_shipdate >= TIMESTAMP '1997-01-01'"
+            " AND l_shipdate < TIMESTAMP '1998-01-01'"
+            " GROUP BY l_suppkey, l_partkey"
+            " HAVING CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) > 50)"
+        ),
+        "waiting_suppliers": (
+            "WITH pairs AS (SELECT l_orderkey, l_suppkey,"
+            " max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY"
+            " THEN 1 ELSE 0 END) AS late"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " WHERE o_orderstatus = 'F' GROUP BY 1, 2),"
+            " po AS (SELECT l_orderkey, count(*) AS n_supp,"
+            " CAST(sum(late) AS BIGINT) AS n_late,"
+            " max(l_suppkey * late) AS late_suppkey FROM pairs GROUP BY 1)"
+            " SELECT s_name, count(*) AS numwait FROM po"
+            " JOIN supplier ON s_suppkey = late_suppkey"
+            " WHERE n_supp > 1 AND n_late = 1 GROUP BY 1"
         ),
         "bottomk_sample": (
             "SELECT md5(CAST(doc_id AS VARCHAR)) AS k, doc_id"
