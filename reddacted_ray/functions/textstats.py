@@ -230,3 +230,66 @@ class TrigramLM:
         if not text:
             return float(self.vocab)
         return float(self.perplexity_batch([text])[0])
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality signals (Gopher-style, Rae et al. 2021 §A1.1 analogs
+# for a whitespace word-stream corpus): duplicate-word fraction and
+# top-bigram share per document. Fully batched — one Arrow split/flatten
+# per batch, per-doc distinct/bigram counting via Arrow hash aggregation
+# over (doc, token) pair tables; no Python loop over rows or tokens.
+# ---------------------------------------------------------------------------
+
+
+def repetition_batch(t):
+    """pyarrow.Table[doc_id, text] -> per-doc repetition stats table.
+
+    Output columns: n_words, n_distinct, top_bigram_n (0 when the doc has
+    no bigram), dup_word_frac = (n_words - n_distinct) / n_words, and
+    top_bigram_share = top_bigram_n / (n_words - 1) (null when no
+    bigrams). Ratios are float64 over the integer counts — the identical
+    IEEE expression tree as the SQL oracle, so doubles are bit-exact."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = t.num_rows
+    words = pc.split_pattern(t["text"], " ")
+    lens = pc.cast(pc.list_value_length(words), pa.int64()).to_numpy(
+        zero_copy_only=False)
+    flat = pc.list_flatten(words).combine_chunks()
+    didx = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+    uniq = pa.table({"d": didx, "w": flat}).group_by(["d", "w"]).aggregate([])
+    per_doc = uniq.group_by(["d"]).aggregate([("w", "count")])
+    nd = np.zeros(n, dtype=np.int64)
+    nd[per_doc["d"].to_numpy()] = per_doc["w_count"].to_numpy()
+
+    # consecutive-token bigrams: shift the flat token column by one and
+    # mask doc boundaries — no per-doc slicing
+    total = len(flat)
+    top = np.zeros(n, dtype=np.int64)
+    if total > 1:
+        left, right = flat.slice(0, total - 1), flat.slice(1)
+        same = didx[:-1] == didx[1:]
+        bg = pc.binary_join_element_wise(left, right, " ")
+        bt = pa.table({
+            "d": didx[:-1][same],
+            "b": pc.filter(bg, pa.array(same)),
+        })
+        bc = bt.group_by(["d", "b"]).aggregate([("b", "count")])
+        mx = bc.group_by(["d"]).aggregate([("b_count", "max")])
+        top[mx["d"].to_numpy()] = mx["b_count_max"].to_numpy()
+
+    nw = lens.astype(np.float64)
+    dup_frac = np.where(nw > 0, (lens - nd) / nw, 0.0)
+    nbg = lens - 1
+    share = np.where(nbg > 0, top / nbg.astype(np.float64), np.nan)
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "n_words": pa.array(lens),
+        "n_distinct": pa.array(nd),
+        "top_bigram_n": pa.array(np.where(nbg > 0, top, 0).astype(np.int64)),
+        "dup_word_frac": pa.array(dup_frac),
+        "top_bigram_share": pa.array(share, pa.float64(), from_pandas=True),
+    })

@@ -4093,6 +4093,139 @@ def q_waiting_suppliers(sf_dir: str) -> rd.Dataset:
         ["s_name"], ["numwait"])
 
 
+def q_repetition_stats(sf_dir: str) -> rd.Dataset:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A1.1 analogs over the word-stream corpus): duplicate-word
+    fraction and top-bigram share. Pure map stage — each doc lives in
+    one row, so zero shuffle; the per-doc distinct/bigram counting is
+    Arrow hash aggregation over (doc, token) pairs built from ONE
+    ``split_pattern`` flatten per batch (no Python row loop). Ratios
+    derive from integer counts with the SQL's IEEE division tree."""
+    from ..functions.textstats import repetition_batch
+
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(repetition_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def q_ntile_balance(sf_dir: str) -> rd.Dataset:
+    """NTILE(4) window: balance quartile of each customer within its
+    nation (deterministic ORDER BY cents, custkey tiebreak). Bucketed-
+    vectorized — pandas lexsort + the exact SQL NTILE fill rule (first
+    n%k tiles take the extra row) computed arithmetically over rank
+    positions, O(buckets) Python calls."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized, ntile_of
+
+    cust = sf_table(sf_dir, "customer",
+                    columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+            "cents": _money_int(t["c_acctbal"], 100.0),
+        })
+
+    ds = cust.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def ntiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c_nationkey", "cents", "c_custkey"],
+                          kind="mergesort")
+        pos = g.groupby("c_nationkey", sort=False).cumcount().to_numpy()
+        cnt = (g.groupby("c_nationkey", sort=False)["cents"]
+               .transform("size").to_numpy())
+        return pd.DataFrame({
+            "c_custkey": g["c_custkey"].to_numpy(),
+            "c_nationkey": g["c_nationkey"].to_numpy(),
+            "cents": g["cents"].to_numpy(),
+            "quartile": ntile_of(pos, cnt, 4),
+        })
+
+    return grouped_vectorized(ds, "c_nationkey", ntiles)
+
+
+def q_moving_avg(sf_dir: str) -> rd.Dataset:
+    """Moving average over a ROWS frame (3 PRECEDING .. CURRENT ROW)
+    per user ordered by time: the windowed-mean smoother every
+    event-stream pipeline needs. Bucketed-vectorized pandas grouped
+    rolling sum over integer cents (exact — no float accumulation
+    drift), count from the rank position; the double derives from the
+    two integers with the SQL's IEEE tree."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts": t["ts"],
+            "cents": _money_int(t["value"], 100.0),
+        })
+
+    ds = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        gg = g.groupby("user_id", sort=False)
+        wsum = (gg["cents"].rolling(4, min_periods=1).sum()
+                .to_numpy().astype(np.int64))
+        wcnt = np.minimum(gg.cumcount().to_numpy() + 1, 4)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "win_sum_cents": wsum,
+            "win_n": wcnt.astype(np.int64),
+            "moving_avg_cents": wsum.astype(np.float64)
+            / wcnt.astype(np.float64),
+        })
+
+    return grouped_vectorized(ds, "user_id", roll)
+
+
+def q_grouped_mode(sf_dir: str) -> rd.Dataset:
+    """Grouped MODE: each user's most frequent event type (ties break to
+    the lexicographically smallest type — deterministic). Two-phase:
+    the (user, type) counts come from ONE map-side-combined grouped
+    sum (the only fact-sized exchange), then the per-user argmax runs
+    bucketed-vectorized over the counts table — rows there are bounded
+    by users x distinct types, far below the event count."""
+    import pandas as pd
+
+    from ..stages.agg import grouped_sums
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "n_events": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+
+    counts = grouped_sums(
+        ev.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "event_type"], ["n_events"])
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "n_events", "event_type"],
+                          ascending=[True, False, True], kind="mergesort")
+        first = g.groupby("user_id", sort=False).head(1)
+        return pd.DataFrame({
+            "user_id": first["user_id"].to_numpy(),
+            "mode_type": first["event_type"].to_numpy(),
+            "n_events": first["n_events"].to_numpy(),
+        })
+
+    return grouped_vectorized(counts, "user_id", argmax)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -4171,6 +4304,10 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "supplier_variety": q_supplier_variety,
         "bulk_part_suppliers": q_bulk_part_suppliers,
         "waiting_suppliers": q_waiting_suppliers,
+        "repetition_stats": q_repetition_stats,
+        "ntile_balance": q_ntile_balance,
+        "moving_avg": q_moving_avg,
+        "grouped_mode": q_grouped_mode,
         "cheapest_supplier": q_cheapest_supplier,
         "next_event_gap": q_next_event_gap,
         "regr_price_qty": q_regr_price_qty,
@@ -4910,6 +5047,56 @@ def oracle_sqls() -> dict[str, str]:
             " SELECT s_name, count(*) AS numwait FROM po"
             " JOIN supplier ON s_suppkey = late_suppkey"
             " WHERE n_supp > 1 AND n_late = 1 GROUP BY 1"
+        ),
+        "repetition_stats": (
+            "WITH l AS (SELECT doc_id, string_split(text, ' ') AS ws"
+            " FROM documents),"
+            " w AS (SELECT doc_id, unnest(ws) AS word FROM l),"
+            " agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,"
+            " CAST(count(DISTINCT word) AS BIGINT) AS n_distinct"
+            " FROM w GROUP BY 1),"
+            " b AS (SELECT doc_id, unnest(list_transform("
+            " generate_series(1, len(ws) - 1),"
+            " i -> ws[i] || ' ' || ws[i + 1])) AS bg FROM l),"
+            " bgc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),"
+            " tp AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_n"
+            " FROM bgc GROUP BY 1)"
+            " SELECT a.doc_id, n_words, n_distinct,"
+            " coalesce(top_n, 0) AS top_bigram_n,"
+            " CAST(n_words - n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE)"
+            " AS dup_word_frac,"
+            " CASE WHEN n_words > 1 THEN CAST(coalesce(top_n, 0) AS DOUBLE)"
+            " / CAST(n_words - 1 AS DOUBLE) END AS top_bigram_share"
+            " FROM agg a LEFT JOIN tp USING (doc_id)"
+        ),
+        "ntile_balance": (
+            "SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,"
+            " CAST(round(c_acctbal * 100) AS BIGINT) AS cents,"
+            " CAST(ntile(4) OVER (PARTITION BY c_nationkey"
+            " ORDER BY CAST(round(c_acctbal * 100) AS BIGINT), c_custkey)"
+            " AS BIGINT) AS quartile"
+            " FROM customer"
+        ),
+        "moving_avg": (
+            "WITH c AS (SELECT event_id, user_id, ts,"
+            " CAST(round(value * 100) AS BIGINT) AS cents FROM events)"
+            " SELECT event_id, user_id,"
+            " CAST(sum(cents) OVER w AS BIGINT) AS win_sum_cents,"
+            " CAST(count(*) OVER w AS BIGINT) AS win_n,"
+            " CAST(sum(cents) OVER w AS DOUBLE)"
+            " / CAST(count(*) OVER w AS DOUBLE) AS moving_avg_cents"
+            " FROM c WINDOW w AS (PARTITION BY user_id"
+            " ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+        ),
+        "grouped_mode": (
+            "WITH c AS (SELECT user_id, event_type,"
+            " CAST(count(*) AS BIGINT) AS n_events"
+            " FROM events GROUP BY 1, 2),"
+            " r AS (SELECT user_id, event_type, n_events,"
+            " row_number() OVER (PARTITION BY user_id"
+            " ORDER BY n_events DESC, event_type) AS rn FROM c)"
+            " SELECT user_id, event_type AS mode_type, n_events"
+            " FROM r WHERE rn = 1"
         ),
         "bottomk_sample": (
             "SELECT md5(CAST(doc_id AS VARCHAR)) AS k, doc_id"

@@ -41,6 +41,22 @@ def _bucket_of(col: pa.ChunkedArray, n_buckets: int) -> np.ndarray:
     return (stable_hash64_batch(col) % np.uint64(n_buckets)).astype(np.int64)
 
 
+def ntile_of(pos: np.ndarray, cnt: np.ndarray, k: int) -> np.ndarray:
+    """SQL NTILE(k) fill rule, vectorized over rank positions: with n
+    rows in the partition the first ``n % k`` tiles take ``n // k + 1``
+    rows, the rest ``n // k``. ``pos`` is the 0-based ORDER BY position
+    within the partition, ``cnt`` the partition size (both per-row
+    arrays); returns 1-based tile numbers."""
+    small, extra = cnt // k, cnt % k
+    cut = extra * (small + 1)
+    tile = np.where(
+        pos < cut,
+        pos // np.maximum(small + 1, 1),
+        extra + np.where(small > 0, (pos - cut) // np.maximum(small, 1), 0),
+    )
+    return (tile + 1).astype(np.int64)
+
+
 def grouped_vectorized(
     ds: rd.Dataset,
     key_col: str,

@@ -97,3 +97,82 @@ def test_cheapest_supplier_argmin_semantics(ray_session):
     assert (m["best_suppkey"].to_numpy()
             == ref["l_suppkey"].to_numpy()).all()
     assert (m["unit_e4"].to_numpy() == ref["unit_e4"].to_numpy()).all()
+
+
+def test_ntile_fill_rule_matches_sql_semantics():
+    from reddacted_ray.stages.windows import ntile_of
+
+    # n=10, k=4: first 2 tiles get 3 rows, last 2 get 2
+    pos = np.arange(10)
+    cnt = np.full(10, 10)
+    assert ntile_of(pos, cnt, 4).tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+    # n < k: every row its own tile
+    pos = np.arange(3)
+    cnt = np.full(3, 3)
+    assert ntile_of(pos, cnt, 4).tolist() == [1, 2, 3]
+    # exact division
+    pos = np.arange(8)
+    cnt = np.full(8, 8)
+    assert ntile_of(pos, cnt, 4).tolist() == [1, 1, 2, 2, 3, 3, 4, 4]
+    # single row
+    assert ntile_of(np.array([0]), np.array([1]), 4).tolist() == [1]
+
+
+def test_repetition_batch_ground_truth():
+    from reddacted_ray.functions.textstats import repetition_batch
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "a a b",        # 3 words, 2 distinct; bigrams "a a","a b" -> top 1
+            "x",            # single word: no bigrams
+            "c d c d c d",  # 6 words, 2 distinct; "c d" x3, "d c" x2 -> top 3
+        ]),
+    })
+    out = repetition_batch(t).to_pydict()
+    assert out["n_words"] == [3, 1, 6]
+    assert out["n_distinct"] == [2, 1, 2]
+    assert out["top_bigram_n"] == [1, 0, 3]
+    assert out["dup_word_frac"] == [(3 - 2) / 3.0, 0.0, (6 - 2) / 6.0]
+    assert out["top_bigram_share"][0] == 1 / 2.0
+    assert out["top_bigram_share"][1] is None
+    assert out["top_bigram_share"][2] == 3 / 5.0
+    # boundary isolation: last token of doc 0 + first of doc 2 never pair
+    t2 = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["p q", "q p"]),
+    })
+    o2 = repetition_batch(t2).to_pydict()
+    assert o2["top_bigram_n"] == [1, 1]
+
+
+def test_moving_avg_and_grouped_mode_shapes(ray_session):
+    import pandas as pd
+
+    from reddacted_ray.pipelines.queries import q_grouped_mode, q_moving_avg
+
+    mv = q_moving_avg(SF).to_pandas().sort_values("event_id")
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    ev["cents"] = (ev["value"] * 100).round().astype(np.int64)
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    ref = ev.groupby("user_id")["cents"].rolling(4, min_periods=1).sum()
+    ev["want"] = ref.to_numpy().astype(np.int64)
+    merged = mv.merge(ev[["event_id", "want"]], on="event_id")
+    assert (merged["win_sum_cents"] == merged["want"]).all()
+    assert (merged["win_n"] <= 4).all() and (merged["win_n"] >= 1).all()
+
+    md = q_grouped_mode(SF).to_pandas()
+    cnt = (ev.groupby(["user_id", "event_type"])
+           if "event_type" in ev else None)
+    ev2 = pd.read_parquet(f"{SF}/events.parquet",
+                          columns=["user_id", "event_type"])
+    c = (ev2.groupby(["user_id", "event_type"]).size()
+         .rename("n").reset_index()
+         .sort_values(["user_id", "n", "event_type"],
+                      ascending=[True, False, True], kind="mergesort"))
+    want = c.groupby("user_id").head(1).reset_index(drop=True)
+    got = md.sort_values("user_id").reset_index(drop=True)
+    assert (got["user_id"].to_numpy() == want["user_id"].to_numpy()).all()
+    assert (got["mode_type"].to_numpy() == want["event_type"].to_numpy()).all()
+    assert (got["n_events"].to_numpy() == want["n"].to_numpy()).all()
