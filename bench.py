@@ -164,6 +164,11 @@ def run_bench() -> dict:
         "nation_trade_flows",
         "cheapest_supplier",
         "next_event_gap",
+        # this-session additions
+        "waiting_suppliers",
+        "supplier_variety",
+        "repetition_stats",
+        "moving_avg",
     ]:
         timed(name, Q.registry()[name])
 

@@ -293,3 +293,47 @@ def repetition_batch(t):
         "dup_word_frac": pa.array(dup_frac),
         "top_bigram_share": pa.array(share, pa.float64(), from_pandas=True),
     })
+
+
+def levenshtein_batch(a, b):
+    """Exact Levenshtein distance for P string pairs at once — the
+    verify kernel of fuzzy (edit-distance) dedup. Vectorized
+    Wagner-Fischer: the DP rows advance with (P,)-wide numpy mins, so
+    Python-level work is O(maxlen^2) loop steps regardless of the pair
+    count (chars compared as UTF-32 code points, matching SQL
+    ``levenshtein`` character semantics for non-combining text)."""
+    import numpy as np
+
+    P = len(a)
+    if P == 0:
+        return np.zeros(0, dtype=np.int64)
+    la = np.array([len(s) for s in a], dtype=np.int32)
+    lb = np.array([len(s) for s in b], dtype=np.int32)
+    maxla, maxlb = int(la.max()), int(lb.max())
+    A = np.zeros((P, max(maxla, 1)), dtype=np.uint32)
+    B = np.zeros((P, max(maxlb, 1)), dtype=np.uint32)
+    for p, s in enumerate(a):
+        if s:
+            A[p, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32)
+    for p, s in enumerate(b):
+        if s:
+            B[p, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32)
+
+    out = np.zeros(P, dtype=np.int64)
+    prev = np.tile(np.arange(maxlb + 1, dtype=np.int32), (P, 1))
+    done = la == 0
+    out[done] = lb[done]
+    for i in range(1, maxla + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        sub = prev[:, :-1] + (A[:, i - 1][:, None] != B).astype(np.int32)
+        for j in range(1, maxlb + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1), sub[:, j - 1])
+        hit = la == i
+        if hit.any():
+            out[hit] = cur[hit, lb[hit]]
+        prev = cur
+    return out

@@ -4226,6 +4226,65 @@ def q_grouped_mode(sf_dir: str) -> rd.Dataset:
     return grouped_vectorized(counts, "user_id", argmax)
 
 
+def q_fuzzy_pairs(sf_dir: str) -> rd.Dataset:
+    """Fuzzy (edit-distance) similarity join: candidate pairs block on
+    exact (lang, n_chars) — one hash shuffle co-locating each block —
+    then the exact Levenshtein verify runs on 40-char prefixes with the
+    batched Wagner-Fischer kernel (P pairs advance together; Python
+    work is O(40^2) regardless of pair count). The partitioning
+    assumption is the standard blocked-similarity one: block sizes stay
+    small because the key is exact length + language; a skewed block
+    would need the dedup-family pair cap (`stages/dedup.py`), which is
+    omitted here to keep SQL parity pairwise-complete."""
+    import pandas as pd
+
+    from ..functions.textstats import levenshtein_batch
+    from ..stages.windows import grouped_vectorized
+
+    docs = sf_table(sf_dir, "documents",
+                    columns=["doc_id", "text", "lang", "n_chars"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "prefix": pc.utf8_slice_codeunits(t["text"], 0, 40),
+            "blk": pc.binary_join_element_wise(
+                t["lang"], pc.cast(t["n_chars"], pa.string()), ":"),
+        })
+
+    ds = docs.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["blk", "doc_id"], kind="mergesort")
+        ids = g["doc_id"].to_numpy()
+        txt = g["prefix"].to_numpy()
+        sizes = g.groupby("blk", sort=False)["doc_id"].transform("size")
+        starts = np.flatnonzero(
+            np.r_[True, g["blk"].to_numpy()[1:] != g["blk"].to_numpy()[:-1]])
+        ia, ib = [], []
+        for s, c in zip(starts, sizes.to_numpy()[starts]):
+            if c < 2:
+                continue
+            i, j = np.triu_indices(c, k=1)
+            ia.append(s + i)
+            ib.append(s + j)
+        if not ia:
+            return pd.DataFrame({
+                "doc_a": pd.Series([], dtype=np.int64),
+                "doc_b": pd.Series([], dtype=np.int64),
+                "lev_dist": pd.Series([], dtype=np.int64),
+            })
+        ia, ib = np.concatenate(ia), np.concatenate(ib)
+        d = levenshtein_batch(list(txt[ia]), list(txt[ib]))
+        return pd.DataFrame({
+            "doc_a": ids[ia],
+            "doc_b": ids[ib],
+            "lev_dist": d,
+        })
+
+    return grouped_vectorized(ds, "blk", pairs)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -4308,6 +4367,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "ntile_balance": q_ntile_balance,
         "moving_avg": q_moving_avg,
         "grouped_mode": q_grouped_mode,
+        "fuzzy_pairs": q_fuzzy_pairs,
         "cheapest_supplier": q_cheapest_supplier,
         "next_event_gap": q_next_event_gap,
         "regr_price_qty": q_regr_price_qty,
@@ -5097,6 +5157,14 @@ def oracle_sqls() -> dict[str, str]:
             " ORDER BY n_events DESC, event_type) AS rn FROM c)"
             " SELECT user_id, event_type AS mode_type, n_events"
             " FROM r WHERE rn = 1"
+        ),
+        "fuzzy_pairs": (
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+            " CAST(levenshtein(substr(a.text, 1, 40),"
+            " substr(b.text, 1, 40)) AS BIGINT) AS lev_dist"
+            " FROM documents a JOIN documents b"
+            " ON a.lang = b.lang AND a.n_chars = b.n_chars"
+            " AND a.doc_id < b.doc_id"
         ),
         "bottomk_sample": (
             "SELECT md5(CAST(doc_id AS VARCHAR)) AS k, doc_id"

@@ -176,3 +176,31 @@ def test_moving_avg_and_grouped_mode_shapes(ray_session):
     assert (got["user_id"].to_numpy() == want["user_id"].to_numpy()).all()
     assert (got["mode_type"].to_numpy() == want["event_type"].to_numpy()).all()
     assert (got["n_events"].to_numpy() == want["n"].to_numpy()).all()
+
+
+def test_levenshtein_batch_matches_reference_dp():
+    import random
+
+    from reddacted_ray.functions.textstats import levenshtein_batch
+
+    def ref(a: str, b: str) -> int:
+        la, lb = len(a), len(b)
+        d = [[0] * (lb + 1) for _ in range(la + 1)]
+        for i in range(la + 1):
+            d[i][0] = i
+        for j in range(lb + 1):
+            d[0][j] = j
+        for i in range(1, la + 1):
+            for j in range(1, lb + 1):
+                d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1,
+                              d[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+        return d[la][lb]
+
+    rng = random.Random(7)
+    al, bl = [], []
+    for _ in range(300):
+        al.append("".join(rng.choice("abcdé☃") for _ in range(rng.randint(0, 15))))
+        bl.append("".join(rng.choice("abcdé☃") for _ in range(rng.randint(0, 15))))
+    got = levenshtein_batch(al, bl)
+    assert got.tolist() == [ref(x, y) for x, y in zip(al, bl)]
+    assert levenshtein_batch([], []).tolist() == []
