@@ -4285,6 +4285,157 @@ def q_fuzzy_pairs(sf_dir: str) -> rd.Dataset:
     return grouped_vectorized(ds, "blk", pairs)
 
 
+def q_share_of_region(sf_dir: str) -> rd.Dataset:
+    """Ratio-to-report window (share of a parent aggregate): each
+    nation's customer-balance share within its region. ONE grouped-sum
+    pass at the finest (region, nation) level — the dimension chain
+    resolves driver-side into a single nationkey -> (region, nation)
+    broadcast — then the region totals re-aggregate from the ~25
+    partial rows (the rollup cascade), so the window's partition sum
+    costs nothing extra and the share divides the two integers with
+    the SQL's IEEE tree."""
+    from ..stages import process_cached
+    from ..stages.agg import grouped_sums
+
+    nation = sf_table(sf_dir, "nation").take_all()
+    region = sf_table(sf_dir, "region").take_all()
+    rname = {r["r_regionkey"]: r["r_name"] for r in region}
+    nk = pa.array([n["n_nationkey"] for n in nation], pa.int32())
+    nnm = pa.array([n["n_name"] for n in nation])
+    rnm = pa.array([rname[n["n_regionkey"]] for n in nation])
+    dims_ref = ray.put((nk, nnm, rnm))
+
+    class Prep:
+        def __init__(self) -> None:
+            self.nk, self.nnm, self.rnm = ray.get(dims_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            idx = pc.index_in(pc.cast(t["c_nationkey"], pa.int32()),
+                              value_set=self.nk)
+            return pa.table({
+                "r_name": pc.take(self.rnm, idx),
+                "n_name": pc.take(self.nnm, idx),
+                "cents": _money_int(t["c_acctbal"], 100.0),
+            })
+
+    cust = sf_table(sf_dir, "customer",
+                    columns=["c_nationkey", "c_acctbal"]).map_batches(
+        process_cached(Prep), batch_format="pyarrow", zero_copy_batch=True)
+    fine = grouped_sums(cust, ["r_name", "n_name"], ["cents"]).to_pandas()
+
+    totals = fine.groupby("r_name")["cents"].transform("sum").to_numpy()
+    out = pa.table({
+        "r_name": pa.array(fine["r_name"]),
+        "n_name": pa.array(fine["n_name"]),
+        "cents": pa.array(fine["cents"].to_numpy()),
+        "region_cents": pa.array(totals),
+        "share": pa.array(fine["cents"].to_numpy().astype(np.float64)
+                          / totals.astype(np.float64)),
+    })
+    return rd.from_arrow(out)
+
+
+def q_mad_value(sf_dir: str) -> pa.Table:
+    """Robust scale statistics: exact median + median-absolute-deviation
+    of the event value (integer cents). Two two-phase passes — each is a
+    distributed value-count groupby whose distinct-cents table (~20k
+    rows at bench scale) scans on the driver; the deviation pass
+    re-streams against the broadcast median. At a scale where distinct
+    values explode, the mergeable quantile summaries in
+    ``stages/sketch.py`` are the documented path; this is the exact
+    one. Definition matches q_quantiles: smallest v with cum >=
+    ceil(0.5 N)."""
+    import math
+
+    def cents_of(t: pa.Table) -> pa.Table:
+        return pa.table({"v": _money_int(t["value"], 100.0)})
+
+    ev = sf_table(sf_dir, "events", columns=["value"]).map_batches(
+        cents_of, batch_format="pyarrow", zero_copy_batch=True)
+
+    def exact_median(ds: rd.Dataset) -> int:
+        counts = (ds.groupby("v").aggregate(Count(alias_name="n"))
+                  .to_pandas().sort_values("v"))
+        rank = math.ceil(0.5 * int(counts["n"].sum()))
+        return int(counts.loc[counts["n"].cumsum() >= rank, "v"].iloc[0])
+
+    med = exact_median(ev)
+
+    def dev_of(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": pc.abs(pc.subtract(_money_int(t["value"], 100.0),
+                                    pa.scalar(med, pa.int64()))),
+        })
+
+    dev = sf_table(sf_dir, "events", columns=["value"]).map_batches(
+        dev_of, batch_format="pyarrow", zero_copy_batch=True)
+    mad = exact_median(dev)
+    return pa.table({
+        "median_cents": pa.array([med], pa.int64()),
+        "mad_cents": pa.array([mad], pa.int64()),
+    })
+
+
+def q_page_orders(sf_dir: str) -> pa.Table:
+    """Keyset-free pagination (ORDER BY ... LIMIT k OFFSET s): page 2 of
+    the price-ranked order list. Distributed sort + ``limit(s + k)``
+    pushes the top-(s+k) selection into the sort's merge; only those
+    s + k rows reach the driver, where the first s are skipped — an
+    OFFSET never ships more than one page-horizon of rows."""
+    orders = sf_table(sf_dir, "orders",
+                      columns=["o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "cents": _money_int(t["o_totalprice"], 100.0),
+        })
+
+    top = (orders.map_batches(prep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .sort(["cents", "o_orderkey"], descending=[True, False])
+           .limit(30).take_all())
+    page = top[10:30]
+    return pa.table({
+        "o_orderkey": pa.array([r["o_orderkey"] for r in page], pa.int64()),
+        "cents": pa.array([r["cents"] for r in page], pa.int64()),
+    })
+
+
+BLOCKLIST = ["spark", "panda"]
+
+
+def q_blocklist_filter(sf_dir: str) -> rd.Dataset:
+    """C4-style blocklist gate (Raffel et al. 2020 §2.2 'bad words'
+    analog): drop every document containing any blocked token. Pure map
+    stage, zero shuffle — ONE split/flatten per batch, `pc.is_in`
+    against the broadcast blocklist, per-doc any() via a segmented max
+    over the flattened hit mask (no Python token loop)."""
+    block_ref = ray.put(pa.array(BLOCKLIST))
+
+    def keep_clean(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words)
+        hit = pc.is_in(flat, value_set=ray.get(block_ref)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # segmented any(): max of hits within each doc's token span.
+        # split("") yields [""] so every doc has >= 1 token — the spans
+        # partition the flat array exactly and reduceat needs no pads
+        if len(hit) == 0:
+            return pa.table({"doc_id": t["doc_id"], "lang": t["lang"]})
+        offs = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        blocked = np.maximum.reduceat(hit, offs) > 0
+        t = t.filter(pa.array(~blocked))
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"]})
+
+    docs = sf_table(sf_dir, "documents",
+                    columns=["doc_id", "lang", "text"])
+    return docs.map_batches(keep_clean, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -4368,6 +4519,10 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "moving_avg": q_moving_avg,
         "grouped_mode": q_grouped_mode,
         "fuzzy_pairs": q_fuzzy_pairs,
+        "share_of_region": q_share_of_region,
+        "mad_value": q_mad_value,
+        "page_orders": q_page_orders,
+        "blocklist_filter": q_blocklist_filter,
         "cheapest_supplier": q_cheapest_supplier,
         "next_event_gap": q_next_event_gap,
         "regr_price_qty": q_regr_price_qty,
@@ -5157,6 +5312,44 @@ def oracle_sqls() -> dict[str, str]:
             " ORDER BY n_events DESC, event_type) AS rn FROM c)"
             " SELECT user_id, event_type AS mode_type, n_events"
             " FROM r WHERE rn = 1"
+        ),
+        "share_of_region": (
+            "WITH f AS (SELECT r_name, n_name,"
+            " CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)"
+            " AS cents FROM customer, nation, region"
+            " WHERE c_nationkey = n_nationkey"
+            " AND n_regionkey = r_regionkey GROUP BY 1, 2)"
+            " SELECT r_name, n_name, cents,"
+            " CAST(sum(cents) OVER (PARTITION BY r_name) AS BIGINT)"
+            " AS region_cents,"
+            " CAST(cents AS DOUBLE)"
+            " / CAST(sum(cents) OVER (PARTITION BY r_name) AS DOUBLE)"
+            " AS share FROM f"
+        ),
+        "mad_value": (
+            "WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents"
+            " FROM events),"
+            " r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn,"
+            " count(*) OVER () AS n FROM c),"
+            " m AS (SELECT min(cents) AS med FROM r"
+            " WHERE rn >= CAST(ceil(0.5 * n) AS BIGINT)),"
+            " a AS (SELECT abs(cents - (SELECT med FROM m)) AS dev FROM c),"
+            " r2 AS (SELECT dev, row_number() OVER (ORDER BY dev) AS rn,"
+            " count(*) OVER () AS n FROM a)"
+            " SELECT (SELECT med FROM m) AS median_cents,"
+            " min(dev) AS mad_cents FROM r2"
+            " WHERE rn >= CAST(ceil(0.5 * n) AS BIGINT)"
+        ),
+        "page_orders": (
+            "SELECT o_orderkey,"
+            " CAST(round(o_totalprice * 100) AS BIGINT) AS cents"
+            " FROM orders ORDER BY cents DESC, o_orderkey"
+            " LIMIT 20 OFFSET 10"
+        ),
+        "blocklist_filter": (
+            "SELECT doc_id, lang FROM documents"
+            " WHERE NOT list_has_any(string_split(text, ' '),"
+            " ['spark', 'panda'])"
         ),
         "fuzzy_pairs": (
             "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
