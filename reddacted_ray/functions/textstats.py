@@ -241,22 +241,17 @@ class TrigramLM:
 # ---------------------------------------------------------------------------
 
 
-def repetition_batch(t):
-    """pyarrow.Table[doc_id, text] -> per-doc repetition stats table.
-
-    Output columns: n_words, n_distinct, top_bigram_n (0 when the doc has
-    no bigram), dup_word_frac = (n_words - n_distinct) / n_words, and
-    top_bigram_share = top_bigram_n / (n_words - 1) (null when no
-    bigrams). Ratios are float64 over the integer counts — the identical
-    IEEE expression tree as the SQL oracle, so doubles are bit-exact."""
+def repetition_counts(texts):
+    """Per-doc integer repetition counts over a string array/chunked
+    array: (n_words, n_distinct, top_bigram_count) numpy int64 arrays."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    n = t.num_rows
-    words = pc.split_pattern(t["text"], " ")
+    words = pc.split_pattern(texts, " ")
     lens = pc.cast(pc.list_value_length(words), pa.int64()).to_numpy(
         zero_copy_only=False)
+    n = len(lens)
     flat = pc.list_flatten(words).combine_chunks()
     didx = np.repeat(np.arange(n, dtype=np.int64), lens)
 
@@ -280,7 +275,43 @@ def repetition_batch(t):
         bc = bt.group_by(["d", "b"]).aggregate([("b", "count")])
         mx = bc.group_by(["d"]).aggregate([("b_count", "max")])
         top[mx["d"].to_numpy()] = mx["b_count_max"].to_numpy()
+    return lens, nd, top
 
+
+def blocklist_hits(texts, block_values) -> "object":
+    """Per-doc boolean: does the doc contain ANY blocked token? One
+    split/flatten + ``pc.is_in`` + segmented reduceat any() — no Python
+    token loop. ``block_values`` is a pyarrow string array."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    words = pc.split_pattern(texts, " ")
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(words)
+    hit = pc.is_in(flat, value_set=block_values).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    if len(hit) == 0:
+        return np.zeros(len(lens), dtype=bool)
+    # split("") yields [""] so every doc has >= 1 token — spans
+    # partition the flat array exactly and reduceat needs no pads
+    offs = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    return np.maximum.reduceat(hit, offs) > 0
+
+
+def repetition_batch(t):
+    """pyarrow.Table[doc_id, text] -> per-doc repetition stats table.
+
+    Output columns: n_words, n_distinct, top_bigram_n (0 when the doc has
+    no bigram), dup_word_frac = (n_words - n_distinct) / n_words, and
+    top_bigram_share = top_bigram_n / (n_words - 1) (null when no
+    bigrams). Ratios are float64 over the integer counts — the identical
+    IEEE expression tree as the SQL oracle, so doubles are bit-exact."""
+    import numpy as np
+    import pyarrow as pa
+
+    lens, nd, top = repetition_counts(t["text"])
     nw = lens.astype(np.float64)
     dup_frac = np.where(nw > 0, (lens - nd) / nw, 0.0)
     nbg = lens - 1

@@ -4411,22 +4411,12 @@ def q_blocklist_filter(sf_dir: str) -> rd.Dataset:
     stage, zero shuffle — ONE split/flatten per batch, `pc.is_in`
     against the broadcast blocklist, per-doc any() via a segmented max
     over the flattened hit mask (no Python token loop)."""
+    from ..functions.textstats import blocklist_hits
+
     block_ref = ray.put(pa.array(BLOCKLIST))
 
     def keep_clean(t: pa.Table) -> pa.Table:
-        words = pc.split_pattern(t["text"], " ")
-        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
-        flat = pc.list_flatten(words)
-        hit = pc.is_in(flat, value_set=ray.get(block_ref)).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        # segmented any(): max of hits within each doc's token span.
-        # split("") yields [""] so every doc has >= 1 token — the spans
-        # partition the flat array exactly and reduceat needs no pads
-        if len(hit) == 0:
-            return pa.table({"doc_id": t["doc_id"], "lang": t["lang"]})
-        offs = np.zeros(len(lens), dtype=np.int64)
-        np.cumsum(lens[:-1], out=offs[1:])
-        blocked = np.maximum.reduceat(hit, offs) > 0
+        blocked = blocklist_hits(t["text"], ray.get(block_ref))
         t = t.filter(pa.array(~blocked))
         return pa.table({"doc_id": t["doc_id"], "lang": t["lang"]})
 
@@ -4434,6 +4424,94 @@ def q_blocklist_filter(sf_dir: str) -> rd.Dataset:
                     columns=["doc_id", "lang", "text"])
     return docs.map_batches(keep_clean, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def q_funnel_steps(sf_dir: str) -> rd.Dataset:
+    """Sequential funnel (product-analytics staple): per user the first
+    'view', the first 'click' strictly after it, and the first
+    'purchase' strictly after that. One co-locating shuffle
+    (bucketed-vectorized); inside each bucket the three stages are
+    pandas grouped min/first kernels over the ts-sorted frame — no
+    Python per user. Timestamps emit as epoch microseconds so
+    comparisons are integer-exact."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["user_id", "event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array(["view", "click", "purchase"]))
+        t = t.filter(keep)
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+        })
+
+    ds = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        def first_after(step: str, lower: pd.Series) -> pd.Series:
+            sub = g[g["event_type"] == step]
+            lo = sub["user_id"].map(lower)
+            sub = sub[sub["ts_us"] > lo.fillna(np.iinfo(np.int64).max)]
+            return sub.groupby("user_id", sort=False)["ts_us"].min()
+
+        views = (g[g["event_type"] == "view"]
+                 .groupby("user_id", sort=False)["ts_us"].min())
+        users = g["user_id"].drop_duplicates()
+        clicks = first_after("click", views)
+        buys = first_after("purchase", clicks)
+        out = pd.DataFrame({"user_id": users.to_numpy()})
+        out["first_view_us"] = out["user_id"].map(views)
+        out["first_click_us"] = out["user_id"].map(clicks)
+        out["first_purchase_us"] = out["user_id"].map(buys)
+        for c in ["first_view_us", "first_click_us", "first_purchase_us"]:
+            out[c] = out[c].astype("Int64")
+        return out
+
+    return grouped_vectorized(ds, "user_id", funnel)
+
+
+def q_chi2_cells(sf_dir: str) -> rd.Dataset:
+    """Chi-square contingency cells: observed vs expected counts for the
+    lang x source cross-tab (the independence screen a corpus audit
+    runs). ONE map-side-combined grouped count is the only fact-sized
+    exchange; the marginals re-aggregate driver-side from the
+    |langs| x |sources| cell partials (rollup cascade), and each cell's
+    contribution is computed per row — no order-dependent global float
+    sum, so doubles bit-match the SQL."""
+    from ..stages.agg import grouped_sums
+
+    docs = sf_table(sf_dir, "documents", columns=["lang", "source"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t["lang"],
+            "source": t["source"],
+            "obs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+
+    cells = grouped_sums(
+        docs.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang", "source"], ["obs"]).to_pandas()
+
+    rt = cells.groupby("lang")["obs"].transform("sum").to_numpy()
+    ct = cells.groupby("source")["obs"].transform("sum").to_numpy()
+    n = float(cells["obs"].sum())
+    obs = cells["obs"].to_numpy()
+    expected = rt.astype(np.float64) * ct.astype(np.float64) / n
+    d = obs.astype(np.float64) - expected
+    return rd.from_arrow(pa.table({
+        "lang": pa.array(cells["lang"]),
+        "source": pa.array(cells["source"]),
+        "obs": pa.array(obs),
+        "expected": pa.array(expected),
+        "contrib": pa.array((d * d) / expected),
+    }))
 
 
 # registry + SQL oracles
@@ -4523,6 +4601,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "mad_value": q_mad_value,
         "page_orders": q_page_orders,
         "blocklist_filter": q_blocklist_filter,
+        "funnel_steps": q_funnel_steps,
+        "chi2_cells": q_chi2_cells,
         "cheapest_supplier": q_cheapest_supplier,
         "next_event_gap": q_next_event_gap,
         "regr_price_qty": q_regr_price_qty,
@@ -5350,6 +5430,40 @@ def oracle_sqls() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents"
             " WHERE NOT list_has_any(string_split(text, ' '),"
             " ['spark', 'panda'])"
+        ),
+        "funnel_steps": (
+            "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us"
+            " FROM events WHERE event_type IN ('view', 'click', 'purchase')),"
+            " v AS (SELECT user_id, min(ts_us) AS tv FROM e"
+            " WHERE event_type = 'view' GROUP BY 1),"
+            " c AS (SELECT e.user_id, min(ts_us) AS tc FROM e JOIN v"
+            " USING (user_id) WHERE event_type = 'click' AND ts_us > tv"
+            " GROUP BY 1),"
+            " p AS (SELECT e.user_id, min(ts_us) AS tp FROM e JOIN c"
+            " USING (user_id) WHERE event_type = 'purchase' AND ts_us > tc"
+            " GROUP BY 1)"
+            " SELECT u.user_id, v.tv AS first_view_us,"
+            " c.tc AS first_click_us, p.tp AS first_purchase_us"
+            " FROM (SELECT DISTINCT user_id FROM e) u"
+            " LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)"
+            " LEFT JOIN p USING (user_id)"
+        ),
+        "chi2_cells": (
+            "WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT)"
+            " AS obs FROM documents GROUP BY 1, 2),"
+            " t AS (SELECT lang, source, obs,"
+            " CAST(sum(obs) OVER (PARTITION BY lang) AS BIGINT) AS rt,"
+            " CAST(sum(obs) OVER (PARTITION BY source) AS BIGINT) AS ct,"
+            " CAST(sum(obs) OVER () AS BIGINT) AS n FROM c)"
+            " SELECT lang, source, obs,"
+            " CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)"
+            " AS expected,"
+            " ((CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)"
+            " / CAST(n AS DOUBLE)) * (CAST(obs AS DOUBLE)"
+            " - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)"
+            " / CAST(n AS DOUBLE)))"
+            " / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)"
+            " / CAST(n AS DOUBLE)) AS contrib FROM t"
         ),
         "fuzzy_pairs": (
             "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"

@@ -24,6 +24,15 @@ class QualityGateConfig:
     allowed_langs: Optional[list[str]] = None  # None = any language
     max_ppl: Optional[float] = None  # None = no perplexity cap
     min_lang_conf: float = 0.0
+    # Gopher-style repetition caps (Rae et al. 2021 §A1.1 analogs) over
+    # ``text_col``: drop docs whose duplicate-word fraction or top-bigram
+    # share exceeds the cap. None = no cap.
+    max_dup_word_frac: Optional[float] = None
+    max_top_bigram_share: Optional[float] = None
+    # C4-style blocklist (Raffel et al. 2020 §2.2): drop docs containing
+    # ANY of these tokens. None/[] = no blocklist.
+    blocklist: Optional[list[str]] = None
+    text_col: str = "caption_scrubbed"
 
 
 def quality_mask(t: pa.Table, qcfg: QualityGateConfig):
@@ -36,6 +45,26 @@ def quality_mask(t: pa.Table, qcfg: QualityGateConfig):
         mask = pc.and_(mask, pc.greater_equal(t["lang_conf"], qcfg.min_lang_conf))
     if qcfg.max_ppl is not None:
         mask = pc.and_(mask, pc.less_equal(t["ppl"], qcfg.max_ppl))
+    if (qcfg.max_dup_word_frac is not None
+            or qcfg.max_top_bigram_share is not None):
+        import numpy as np
+
+        from ..functions.textstats import repetition_counts
+
+        lens, nd, top = repetition_counts(t[qcfg.text_col])
+        ok = np.ones(len(lens), dtype=bool)
+        if qcfg.max_dup_word_frac is not None:
+            nw = np.maximum(lens, 1).astype(np.float64)
+            ok &= (lens - nd) / nw <= qcfg.max_dup_word_frac
+        if qcfg.max_top_bigram_share is not None:
+            nbg = np.maximum(lens - 1, 1).astype(np.float64)
+            ok &= top / nbg <= qcfg.max_top_bigram_share
+        mask = pc.and_(mask, pa.array(ok))
+    if qcfg.blocklist:
+        from ..functions.textstats import blocklist_hits
+
+        blocked = blocklist_hits(t[qcfg.text_col], pa.array(qcfg.blocklist))
+        mask = pc.and_(mask, pa.array(~blocked))
     return mask
 
 

@@ -133,6 +133,36 @@ def test_quality_gate_composition(ray_session, synth_dir, scored_and_oracle):
     assert n_drop == int(out["keep_quality"].sum())
 
 
+def test_quality_gate_repetition_and_blocklist(ray_session, synth_dir):
+    """The Gopher-repetition caps and C4 blocklist knobs must match a
+    pure-Python per-row reference over the scrubbed caption."""
+    from reddacted_ray.stages.quality_gate import (
+        QualityGateConfig,
+        apply_quality_gate,
+    )
+
+    ds = build(synth_dir, cfg=CFG, batch_size=256, concurrency=(1, 4))
+    qcfg = QualityGateConfig(max_dup_word_frac=0.4, max_top_bigram_share=0.5,
+                             blocklist=["the", "ssn"])
+    out = apply_quality_gate(ds, qcfg).to_pandas()
+
+    def ref_ok(text: str, keep: bool) -> bool:
+        ws = text.split(" ")
+        n, nd = len(ws), len(set(ws))
+        bgs = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        top = max((bgs.count(b) for b in set(bgs)), default=0)
+        ok = keep
+        ok = ok and (n - nd) / max(n, 1) <= 0.4
+        ok = ok and top / max(n - 1, 1) <= 0.5
+        ok = ok and not any(w in ("the", "ssn") for w in ws)
+        return ok
+
+    got = out["keep_quality"].to_numpy()
+    want = [ref_ok(r.caption_scrubbed, bool(r.keep)) for r in out.itertuples()]
+    assert got.tolist() == want
+    assert 0 < sum(want) < len(want)  # both branches exercised
+
+
 def test_apply_decisions_closes_decide_loop(ray_session, synth_dir):
     """Decide-mode phase 2: joining the decision table back onto the
     full-byte table must reproduce exactly the kept rows of a
