@@ -895,6 +895,31 @@ def q_ann_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ann_filtered(sf_dir: str) -> pa.Table:
+    """Filtered vector search (the RAG-era staple: ANN under an
+    attribute predicate): brute-force cosine top-10 restricted to
+    vec_id % 3 == 0. The predicate applies IN the scan map — filtered
+    vectors never enter the matmul or leave their block — and the
+    distributed per-block partial top-k merge is unchanged. With the
+    IVF path the same predicate composes after partition pruning
+    (`ivf_topk_persisted`)."""
+    from ..stages.similarity import brute_force_topk
+
+    def only_mod3(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 3 == 0))
+
+    emb = sf_table(sf_dir, "embeddings",
+                   columns=["vec_id", "embedding"]).map_batches(
+        only_mod3, batch_format="pyarrow", zero_copy_batch=True)
+    res = brute_force_topk(emb, np.asarray([_min_id_row(sf_dir)]), k=10)
+    ids = [i for i, _ in res[0]]
+    return pa.table({
+        "rank": pa.array(range(1, len(ids) + 1), pa.int64()),
+        "vec_id": pa.array(ids, pa.int64()),
+    })
+
+
 def q_window_events(sf_dir: str) -> rd.Dataset:
     """Tumbling 1-hour windowed aggregate per event_type (graft custom op)."""
     ev = sf_table(sf_dir, "events", columns=["ts", "event_type", "value"])
@@ -4603,6 +4628,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "blocklist_filter": q_blocklist_filter,
         "funnel_steps": q_funnel_steps,
         "chi2_cells": q_chi2_cells,
+        "ann_filtered": q_ann_filtered,
         "cheapest_supplier": q_cheapest_supplier,
         "next_event_gap": q_next_event_gap,
         "regr_price_qty": q_regr_price_qty,
@@ -4999,6 +5025,17 @@ def oracle_sqls() -> dict[str, str]:
             " WHEN n_fr >= n_es AND n_fr >= n_zh THEN n_fr"
             " WHEN n_es >= n_zh THEN n_es ELSE n_zh END AS DOUBLE)"
             " / CAST(n_en + n_de + n_fr + n_es + n_zh AS DOUBLE) END AS pred_conf FROM c"
+        ),
+        "ann_filtered": (
+            "WITH q AS (SELECT embedding AS qe FROM embeddings"
+            " ORDER BY vec_id LIMIT 1),"
+            " s AS (SELECT e.vec_id,"
+            " list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),"
+            " CAST(q.qe AS DOUBLE[])) AS sim"
+            " FROM embeddings e, q WHERE e.vec_id % 3 = 0)"
+            " SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id)"
+            " AS BIGINT) AS rank, vec_id"
+            " FROM s ORDER BY sim DESC, vec_id LIMIT 10"
         ),
         "ann_topk": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 1),"
