@@ -38,11 +38,21 @@ ENV_VARS_MAP = {
     "REDD_TIME_FILTER": "time_filter",
     # reference config key "sort" (cli.py:243-244): source listing order
     "REDD_SORT": "sort",
+    # quality-gate knobs (graft: lang/ppl thresholds, Gopher repetition
+    # caps, C4 blocklist — stages/quality_gate.py)
+    "REDD_ALLOWED_LANGS": "allowed_langs",
+    "REDD_MAX_PPL": "max_ppl",
+    "REDD_MIN_LANG_CONF": "min_lang_conf",
+    "REDD_MAX_DUP_FRAC": "max_dup_frac",
+    "REDD_MAX_BIGRAM_SHARE": "max_bigram_share",
+    "REDD_BLOCKLIST": "blocklist",
+    "REDD_GATE_DROP": "gate_drop",
 }
 
-_BOOLS = {"pii_only", "resumable", "emit_errors"}
+_BOOLS = {"pii_only", "resumable", "emit_errors", "gate_drop"}
 _INTS = {"limit", "batch_size", "num_cpus", "files_per_partition",
          "concurrent_partitions"}
+_FLOATS = {"max_ppl", "min_lang_conf", "max_dup_frac", "max_bigram_share"}
 
 
 def merge_configs(env: dict, file_cfg: dict, flags: dict) -> dict:
@@ -56,6 +66,10 @@ def merge_configs(env: dict, file_cfg: dict, flags: dict) -> dict:
                 v = v.lower() in ("1", "true", "yes")
             if k in _INTS and isinstance(v, str):
                 v = int(v)
+            if k in _FLOATS and isinstance(v, str):
+                v = float(v)
+            if k in ("allowed_langs", "blocklist") and isinstance(v, str):
+                v = [s for s in v.split(",") if s]
             out[k] = v
     return out
 
@@ -102,6 +116,23 @@ def load_config(argv=None) -> dict:
                     " pipelines execute at once (default 4)")
     ap.add_argument("--num-cpus", dest="num_cpus", type=int)
     ap.add_argument("--report", help="write a markdown summary report here")
+    ap.add_argument("--allowed-langs", dest="allowed_langs",
+                    help="quality gate: comma list of languages to keep")
+    ap.add_argument("--max-ppl", dest="max_ppl", type=float,
+                    help="quality gate: perplexity cap")
+    ap.add_argument("--min-lang-conf", dest="min_lang_conf", type=float,
+                    help="quality gate: language-ID confidence floor")
+    ap.add_argument("--max-dup-frac", dest="max_dup_frac", type=float,
+                    help="quality gate: Gopher duplicate-word-fraction cap")
+    ap.add_argument("--max-bigram-share", dest="max_bigram_share",
+                    type=float,
+                    help="quality gate: Gopher top-bigram-share cap")
+    ap.add_argument("--blocklist", help="quality gate: comma list of"
+                    " blocked tokens (C4-style drop)")
+    ap.add_argument("--gate-drop", dest="gate_drop",
+                    action="store_const", const=True,
+                    help="quality gate: filter to survivors instead of"
+                    " only annotating keep_quality")
     args = vars(ap.parse_args(argv))
     env = {
         name: os.environ[var] for var, name in ENV_VARS_MAP.items() if var in os.environ
@@ -184,10 +215,31 @@ def main(argv=None) -> int:
 
     mode = cfg.get("mode", "materialize")
 
+    gate_keys = ("allowed_langs", "max_ppl", "min_lang_conf",
+                 "max_dup_frac", "max_bigram_share", "blocklist")
+    qcfg = None
+    if any(cfg.get(k) is not None for k in gate_keys):
+        from .stages.quality_gate import QualityGateConfig
+
+        qcfg = QualityGateConfig(
+            allowed_langs=cfg.get("allowed_langs"),
+            max_ppl=cfg.get("max_ppl"),
+            min_lang_conf=float(cfg.get("min_lang_conf") or 0.0),
+            max_dup_word_frac=cfg.get("max_dup_frac"),
+            max_top_bigram_share=cfg.get("max_bigram_share"),
+            blocklist=cfg.get("blocklist"),
+        )
+
     def _build(path):
-        return build(path, cfg=lcfg, batch_size=batch_size, mode=mode,
-                     time_filter=time_filter, now=now,
-                     sort=cfg.get("sort", "new"))
+        ds = build(path, cfg=lcfg, batch_size=batch_size, mode=mode,
+                   time_filter=time_filter, now=now,
+                   sort=cfg.get("sort", "new"))
+        if qcfg is not None:
+            from .stages.quality_gate import apply_quality_gate
+
+            ds = apply_quality_gate(ds, qcfg,
+                                    drop=bool(cfg.get("gate_drop", False)))
+        return ds
 
     if mode == "apply":
         # decide-mode phase 2: join the decision table back onto the

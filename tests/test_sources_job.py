@@ -452,3 +452,37 @@ def test_apply_colocated_equals_hash_join(ray_session, synth_dir, tmp_path):
     # rerun: all partitions already applied -> nothing runs, output stable
     s2 = apply_decisions_colocated(synth_dir, dec, out)
     assert s2["partitions_ran"] == 0 and s2["partitions_skipped"] == 2
+
+
+def test_job_cli_quality_gate_flags(synth_dir, tmp_path):
+    """--max-dup-frac/--blocklist/--gate-drop run the quality gate from
+    the CLI: the output carries keep_quality and (with --gate-drop)
+    only gate survivors, matching the library-level gate row count."""
+    out = str(tmp_path / "gated")
+    proc = subprocess.run(
+        [sys.executable, "-m", "reddacted_ray.job", "--input", synth_dir,
+         "--output", out, "--num-cpus", "4",
+         "--max-dup-frac", "0.4", "--blocklist", "the,ssn",
+         "--gate-drop"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(out, format="parquet").to_table()
+    assert "keep_quality" in t.schema.names
+    assert t["keep_quality"].combine_chunks().false_count == 0
+    # annotate-only run keeps every row and marks the same survivors
+    out2 = str(tmp_path / "annot")
+    proc2 = subprocess.run(
+        [sys.executable, "-m", "reddacted_ray.job", "--input", synth_dir,
+         "--output", out2, "--num-cpus", "4",
+         "--max-dup-frac", "0.4", "--blocklist", "the,ssn"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    t2 = pads.dataset(out2, format="parquet").to_table()
+    assert t2.num_rows > t.num_rows
+    assert t2["keep_quality"].combine_chunks().true_count == t.num_rows
