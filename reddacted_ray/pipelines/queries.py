@@ -4539,6 +4539,64 @@ def q_chi2_cells(sf_dir: str) -> rd.Dataset:
     }))
 
 
+def q_event_bigrams(sf_dir: str) -> rd.Dataset:
+    """Sequential-pattern mining step 1: global counts of consecutive
+    event-type transitions per user (the Markov-transition table a
+    behavior model trains on). One co-locating shuffle forms the
+    per-user ordered bigrams (pandas shift inside each bucket — no
+    Python per user); the transition-count exchange then ships at most
+    |types|^2 partial rows per block via the map-side combine."""
+    import pandas as pd
+
+    from ..stages.agg import grouped_sums
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["event_id", "user_id", "event_type", "ts"])
+
+    def bigrams(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        nxt = g.groupby("user_id", sort=False)["event_type"].shift(-1)
+        ok = nxt.notna().to_numpy()
+        return pd.DataFrame({
+            "prev_type": g["event_type"].to_numpy()[ok],
+            "next_type": nxt.to_numpy()[ok],
+            "n_pairs": np.ones(int(ok.sum()), dtype=np.int64),
+        })
+
+    pairs = grouped_vectorized(ev, "user_id", bigrams)
+    return grouped_sums(pairs, ["prev_type", "next_type"], ["n_pairs"])
+
+
+def q_median_cont(sf_dir: str) -> pa.Table:
+    """Interpolated (continuous) median — percentile_cont semantics:
+    h = (n-1)/2, result = v[floor(h)] + (v[ceil(h)] - v[floor(h)]) *
+    (h - floor(h)) over the sorted values. Same two-phase exact shape
+    as q_quantiles (distributed value-counts, driver scan of the
+    distinct table); the interpolation runs the identical IEEE tree as
+    the SQL so the double is bit-exact."""
+    import math
+
+    def cents_of(t: pa.Table) -> pa.Table:
+        return pa.table({"v": _money_int(t["value"], 100.0)})
+
+    ev = sf_table(sf_dir, "events", columns=["value"]).map_batches(
+        cents_of, batch_format="pyarrow", zero_copy_batch=True)
+    counts = (ev.groupby("v").aggregate(Count(alias_name="n"))
+              .to_pandas().sort_values("v"))
+    n = int(counts["n"].sum())
+    h = (n - 1) / 2.0
+    cum = counts["n"].cumsum()
+
+    def value_at(rank1: int) -> int:  # 1-based rank in the sorted list
+        return int(counts.loc[cum >= rank1, "v"].iloc[0])
+
+    lo = value_at(int(math.floor(h)) + 1)
+    hi = value_at(int(math.ceil(h)) + 1)
+    med = float(lo) + (float(hi) - float(lo)) * (h - math.floor(h))
+    return pa.table({"median_cont": pa.array([med], pa.float64())})
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -4629,6 +4687,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "funnel_steps": q_funnel_steps,
         "chi2_cells": q_chi2_cells,
         "ann_filtered": q_ann_filtered,
+        "event_bigrams": q_event_bigrams,
+        "median_cont": q_median_cont,
         "cheapest_supplier": q_cheapest_supplier,
         "next_event_gap": q_next_event_gap,
         "regr_price_qty": q_regr_price_qty,
@@ -5467,6 +5527,29 @@ def oracle_sqls() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents"
             " WHERE NOT list_has_any(string_split(text, ' '),"
             " ['spark', 'panda'])"
+        ),
+        "event_bigrams": (
+            "WITH s AS (SELECT user_id, event_type,"
+            " lead(event_type) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id) AS nxt FROM events)"
+            " SELECT event_type AS prev_type, nxt AS next_type,"
+            " CAST(count(*) AS BIGINT) AS n_pairs FROM s"
+            " WHERE nxt IS NOT NULL GROUP BY 1, 2"
+        ),
+        "median_cont": (
+            "WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents"
+            " FROM events),"
+            " r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn,"
+            " count(*) OVER () AS n FROM c),"
+            " h AS (SELECT CAST(n - 1 AS DOUBLE) / 2.0 AS hh FROM r"
+            " LIMIT 1),"
+            " lo AS (SELECT min(cents) AS v FROM r, h"
+            " WHERE rn = CAST(floor(hh) AS BIGINT) + 1),"
+            " hi AS (SELECT min(cents) AS v FROM r, h"
+            " WHERE rn = CAST(ceil(hh) AS BIGINT) + 1)"
+            " SELECT CAST(lo.v AS DOUBLE) + (CAST(hi.v AS DOUBLE)"
+            " - CAST(lo.v AS DOUBLE)) * (hh - floor(hh)) AS median_cont"
+            " FROM lo, hi, h"
         ),
         "funnel_steps": (
             "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us"
