@@ -4046,7 +4046,7 @@ def q_waiting_suppliers(sf_dir: str) -> rd.Dataset:
     import pyarrow.dataset as pads
 
     from ..sources.tables import read_table
-    from ..stages.agg import grouped_agg, grouped_sums
+    from ..stages.agg import grouped_sums
     from ..stages.sketch import bloom_from_column, bloom_prefilter
 
     orders = read_table(
@@ -4075,24 +4075,32 @@ def q_waiting_suppliers(sf_dir: str) -> rd.Dataset:
             "late": late,
         })
 
-    pairs = grouped_agg(
-        j.map_batches(pair_flags, batch_format="pyarrow",
-                      zero_copy_batch=True),
-        ["l_orderkey", "l_suppkey"], [("late", "max")])
+    flagged = j.map_batches(pair_flags, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
-    def order_prep(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "l_orderkey": t["l_orderkey"],
-            "n_supp": pa.array(np.ones(t.num_rows, dtype=np.int64)),
-            "n_late": t["late"],
-            "late_suppkey": pc.multiply(t["l_suppkey"], t["late"]),
+    # ONE co-locating shuffle does both the per-(order, supplier) late
+    # Max and the per-order census (profile showed three aggregate
+    # exchanges each costing full shuffle overhead; pandas grouped
+    # kernels inside the bucket are milliseconds)
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    def census(g: pd.DataFrame) -> pd.DataFrame:
+        gg = (g.groupby(["l_orderkey", "l_suppkey"], sort=False)["late"]
+              .max().reset_index())
+        po = gg.groupby("l_orderkey", sort=False).agg(
+            n_supp=("l_suppkey", "size"), n_late=("late", "sum"))
+        lsk = (gg[gg["late"] == 1]
+               .groupby("l_orderkey", sort=False)["l_suppkey"].max())
+        sel = po[(po["n_supp"] > 1) & (po["n_late"] == 1)]
+        winners = lsk.loc[sel.index]
+        return pd.DataFrame({
+            "late_suppkey": winners.to_numpy(dtype=np.int64),
+            "numwait": np.ones(len(winners), dtype=np.int64),
         })
 
-    per_order = grouped_agg(
-        pairs.map_batches(order_prep, batch_format="pyarrow",
-                          zero_copy_batch=True),
-        ["l_orderkey"],
-        [("n_supp", "sum"), ("n_late", "sum"), ("late_suppkey", "max")])
+    waiting = grouped_vectorized(flagged, "l_orderkey", census)
 
     supp = sf_table(sf_dir, "supplier",
                     columns=["s_suppkey", "s_name"]).take_all()
@@ -4101,20 +4109,17 @@ def q_waiting_suppliers(sf_dir: str) -> rd.Dataset:
         pa.array([r["s_name"] for r in supp]),
     ))
 
-    def waiting(t: pa.Table) -> pa.Table:
-        mask = pc.and_(pc.greater(t["n_supp"], pa.scalar(1, pa.int64())),
-                       pc.equal(t["n_late"], pa.scalar(1, pa.int64())))
-        t = t.filter(mask)
+    def named(t: pa.Table) -> pa.Table:
         sk, nm = ray.get(names_ref)
         return pa.table({
             "s_name": pc.take(nm, pc.index_in(t["late_suppkey"],
                                               value_set=sk)),
-            "numwait": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "numwait": t["numwait"],
         })
 
     return grouped_sums(
-        per_order.map_batches(waiting, batch_format="pyarrow",
-                              zero_copy_batch=True),
+        waiting.map_batches(named, batch_format="pyarrow",
+                            zero_copy_batch=True),
         ["s_name"], ["numwait"])
 
 

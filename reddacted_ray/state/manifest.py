@@ -176,12 +176,17 @@ def run_resumable(
         with mf.atomic_write_dir(pid) as tmp:
             ds.write_parquet(tmp)
             stats = _partition_stats(tmp)
+        wall = round(time.perf_counter() - t0, 3)
         with commit_lock:
             mf.commit(
                 {
                     "partition_id": pid,
                     "input_files": [os.path.basename(c) for c in chunk],
-                    "wall_s": round(time.perf_counter() - t0, 3),
+                    "wall_s": wall,
+                    # per-partition throughput (north-rule scaling metric):
+                    # rows_out / wall for THIS partition's pipeline run
+                    "rows_per_sec": round(
+                        stats.get("rows_out", 0) / wall, 1) if wall else 0.0,
                     **stats,
                 }
             )
