@@ -4632,6 +4632,44 @@ def q_median_cont(sf_dir: str) -> pa.Table:
     return pa.table({"median_cont": pa.array([med], pa.float64())})
 
 
+def q_dedup_window(sf_dir: str) -> rd.Dataset:
+    """Windowed deduplication — keep only each user's FIRST event inside
+    every tumbling hour (the rate-limit / event-compaction primitive;
+    composes the dedup family with time windows). The (user, hour) key
+    computes map-side (Arrow floor_temporal), then one co-locating
+    bucket shuffle picks the (ts, event_id)-min row per key with pandas
+    grouped head-1 — no window sort over the full stream."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["event_id", "user_id", "event_type", "ts"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "ts": t["ts"],
+            "win": pc.floor_temporal(t["ts"], unit="hour"),
+        })
+
+    ds = ev.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+
+    def first_per_window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "win", "ts", "event_id"],
+                          kind="mergesort")
+        first = g.groupby(["user_id", "win"], sort=False).head(1)
+        return pd.DataFrame({
+            "event_id": first["event_id"].to_numpy(),
+            "user_id": first["user_id"].to_numpy(),
+            "event_type": first["event_type"].to_numpy(),
+        })
+
+    return grouped_vectorized(ds, "user_id", first_per_window)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -4724,6 +4762,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "ann_filtered": q_ann_filtered,
         "event_bigrams": q_event_bigrams,
         "median_cont": q_median_cont,
+        "dedup_window": q_dedup_window,
         "cheapest_supplier": q_cheapest_supplier,
         "next_event_gap": q_next_event_gap,
         "regr_price_qty": q_regr_price_qty,
@@ -5562,6 +5601,13 @@ def oracle_sqls() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents"
             " WHERE NOT list_has_any(string_split(text, ' '),"
             " ['spark', 'panda'])"
+        ),
+        "dedup_window": (
+            "WITH r AS (SELECT event_id, user_id, event_type,"
+            " row_number() OVER (PARTITION BY user_id,"
+            " date_trunc('hour', ts) ORDER BY ts, event_id) AS rn"
+            " FROM events)"
+            " SELECT event_id, user_id, event_type FROM r WHERE rn = 1"
         ),
         "event_bigrams": (
             "WITH s AS (SELECT user_id, event_type,"

@@ -333,3 +333,48 @@ def test_buffer_hash_int_cast_matches_str(ids):
     assert md5_top32_batch(arr).tolist() == [
         int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) for v in ids
     ]
+
+
+WORD_TEXTS = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=24), min_size=1,
+    max_size=8)
+
+
+@settings(max_examples=200, deadline=None)
+@given(WORD_TEXTS)
+def test_repetition_batch_matches_python_reference(texts):
+    import pyarrow as _pa
+
+    from reddacted_ray.functions.textstats import repetition_batch
+
+    t = _pa.table({
+        "doc_id": _pa.array(range(len(texts)), _pa.int64()),
+        "text": _pa.array(texts),
+    })
+    out = repetition_batch(t).to_pydict()
+    for i, s in enumerate(texts):
+        ws = s.split(" ")
+        bgs = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        top = max((bgs.count(b) for b in set(bgs)), default=0)
+        assert out["n_words"][i] == len(ws)
+        assert out["n_distinct"][i] == len(set(ws))
+        assert out["top_bigram_n"][i] == top
+        assert out["dup_word_frac"][i] == (len(ws) - len(set(ws))) / len(ws)
+        if len(ws) > 1:
+            assert out["top_bigram_share"][i] == top / (len(ws) - 1)
+        else:
+            assert out["top_bigram_share"][i] is None
+
+
+@settings(max_examples=200, deadline=None)
+@given(WORD_TEXTS, st.lists(st.sampled_from(["a", "b", "ab", "c", ""]),
+                            max_size=3))
+def test_blocklist_hits_matches_python_reference(texts, block):
+    import pyarrow as _pa
+
+    from reddacted_ray.functions.textstats import blocklist_hits
+
+    got = blocklist_hits(_pa.chunked_array([_pa.array(texts)]),
+                         _pa.array(block, _pa.string()))
+    want = [any(w in block for w in s.split(" ")) for s in texts]
+    assert got.tolist() == want
