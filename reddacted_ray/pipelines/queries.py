@@ -4670,6 +4670,83 @@ def q_dedup_window(sf_dir: str) -> rd.Dataset:
     return grouped_vectorized(ds, "user_id", first_per_window)
 
 
+def q_dedup_incremental(sf_dir: str) -> rd.Dataset:
+    """Incremental ingest dedup — the production pattern where a NEW
+    batch (doc_id >= 400) dedups against the EXISTING corpus (doc_id <
+    400) without reprocessing the corpus: the corpus reduces to
+    per-block-distinct content keys once, a Bloom filter of those keys
+    broadcasts to prefilter the increment (most novel rows never enter
+    the exchange), and the survivors finish with an exact left_anti
+    hash join. At 100 TB the corpus key table is the persisted index; a
+    run only streams the increment."""
+    from ..functions.hashing import md5_hex_batch
+    from ..stages import ensure_schema
+    from ..stages.joins import pad_sentinel
+    from ..stages.sketch import bloom_from_column, bloom_prefilter
+
+    def keyed(which: str):
+        lo, hi = (0, 400) if which == "corpus" else (400, 1 << 62)
+
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array((ids >= lo) & (ids < hi)))
+            out = pa.table({
+                "doc_id": t["doc_id"],
+                "key": pa.array(md5_hex_batch(t["text"]), pa.string()),
+            })
+            if which == "corpus":
+                return pa.table({"ckey": pc.unique(out["key"])})
+            return out
+
+        return fn
+
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    # "-" can never be an md5 hexdigest, and BOTH sides pad with it, so
+    # the left pad always meets a right match and the anti join eats it
+    corpus = pad_sentinel(docs, "ckey", {"ckey": "-"},
+                          transform=keyed("corpus"))
+    bloom = bloom_from_column(corpus, "ckey")
+    # Bloom absence is EXACT: rows certainly missing from the corpus are
+    # novel with no join at all; only maybe-present rows join exactly.
+    # The maybe side feeds a hash join, so increment-filter + keying +
+    # bloom split + sentinel pad all FUSE into one map task: a pad in a
+    # later stage cannot fix blocks an earlier filter emptied (Ray 2.49
+    # never hands an empty block to a UDF, and strips its schema before
+    # the shuffle).
+    from ..stages import process_cached
+    from ..stages.sketch import BloomFilter, column_hashes64
+
+    bref = ray.put((bloom.serialize(), bloom.n_bits, bloom.k))
+
+    class MaybePad:
+        _pad = pa.table({"doc_id": pa.array([-1], pa.int64()),
+                         "key": pa.array(["-"], pa.string())})
+
+        def __init__(self) -> None:
+            blob, n_bits, k = ray.get(bref)
+            self.bloom = BloomFilter.deserialize(blob, n_bits, k)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = keyed("increment")(t)
+            mask = self.bloom.contains_hashes(column_hashes64(t["key"]))
+            return pa.concat_tables([t.filter(pa.array(mask)), self._pad])
+
+    maybe_dup = docs.map_batches(process_cached(MaybePad),
+                                 batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    inc = docs.map_batches(keyed("increment"), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    certain = bloom_prefilter(inc, "key", bloom, invert=True)
+    novel = maybe_dup.join(corpus, join_type="left_anti", num_partitions=8,
+                           on=("key",), right_on=("ckey",))
+    out = novel.union(certain)
+    return ensure_schema(
+        out.map_batches(
+            lambda t: t.select(["doc_id"]) if t.num_columns else t,
+            batch_format="pyarrow", zero_copy_batch=True),
+        [("doc_id", pa.int64())]).sort("doc_id")
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -4763,6 +4840,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "event_bigrams": q_event_bigrams,
         "median_cont": q_median_cont,
         "dedup_window": q_dedup_window,
+        "dedup_incremental": q_dedup_incremental,
         "cheapest_supplier": q_cheapest_supplier,
         "next_event_gap": q_next_event_gap,
         "regr_price_qty": q_regr_price_qty,
@@ -5601,6 +5679,11 @@ def oracle_sqls() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents"
             " WHERE NOT list_has_any(string_split(text, ' '),"
             " ['spark', 'panda'])"
+        ),
+        "dedup_incremental": (
+            "SELECT a.doc_id FROM documents a WHERE a.doc_id >= 400"
+            " AND NOT EXISTS (SELECT 1 FROM documents b"
+            " WHERE b.doc_id < 400 AND md5(b.text) = md5(a.text))"
         ),
         "dedup_window": (
             "WITH r AS (SELECT event_id, user_id, event_type,"

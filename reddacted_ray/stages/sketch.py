@@ -374,24 +374,31 @@ def bloom_from_column(
     return out
 
 
-def bloom_prefilter(ds: rd.Dataset, col: str, bloom: BloomFilter) -> rd.Dataset:
+def bloom_prefilter(ds: rd.Dataset, col: str, bloom: BloomFilter,
+                    invert: bool = False) -> rd.Dataset:
     """Drop rows whose ``col`` is definitely NOT in the filtered key set
     (no false negatives — every true match survives; survivors still need
-    the exact verify/join). One ``ray.put`` broadcast, k gathers/batch."""
+    the exact verify/join). One ``ray.put`` broadcast, k gathers/batch.
+
+    ``invert=True`` keeps the COMPLEMENT — rows certainly absent from
+    the set (the certainty direction: Bloom absence is exact). The
+    incremental-dedup pattern uses both: absent rows are novel with no
+    join at all; present-maybe rows go to the exact anti-join."""
     import ray
 
     from . import process_cached
 
-    ref = ray.put((bloom.serialize(), bloom.n_bits, bloom.k))
+    ref = ray.put((bloom.serialize(), bloom.n_bits, bloom.k, invert))
 
     class Pre:
         def __init__(self) -> None:
-            blob, n_bits, k = ray.get(ref)
+            blob, n_bits, k, inv = ray.get(ref)
             self.bloom = BloomFilter.deserialize(blob, n_bits, k)
+            self.inv = inv
 
         def __call__(self, t: pa.Table) -> pa.Table:
             mask = self.bloom.contains_hashes(column_hashes64(t[col]))
-            return t.filter(pa.array(mask))
+            return t.filter(pa.array(~mask if self.inv else mask))
 
     return ds.map_batches(process_cached(Pre), batch_format="pyarrow",
                           zero_copy_batch=True)
