@@ -99,3 +99,40 @@ def read_csv(
     if columns is not None:
         ds = ds.select_columns(list(columns))
     return ds
+
+
+def compact_parquet(
+    in_dir: str,
+    out_dir: str,
+    min_rows_per_file: int = 100_000,
+    max_rows_per_file: int = 1_000_000,
+) -> dict:
+    """Small-file compaction — the maintenance op every long-running
+    partitioned sink eventually needs (thousands of KB-scale files turn
+    the NEXT job's scan into a metadata storm). Streams the input
+    through Ray Data and rewrites with row-count bounds per file; no
+    driver materialization, no schema change. Returns {files_in,
+    files_out, rows}. The output dir must not exist or be empty
+    (write_parquet APPENDS into existing dirs)."""
+    import os
+
+    import ray.data as rd
+
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        raise ValueError(f"compact_parquet: out_dir {out_dir!r} is non-empty")
+    files_in = sum(
+        1 for _, _, fs in os.walk(in_dir) for f in fs if f.endswith(".parquet")
+    )
+    ds = rd.read_parquet(in_dir)
+    ds.write_parquet(out_dir, min_rows_per_file=min_rows_per_file,
+                     max_rows_per_file=max_rows_per_file)
+    files_out = sum(
+        1 for _, _, fs in os.walk(out_dir) for f in fs if f.endswith(".parquet")
+    )
+    import pyarrow.dataset as pads
+
+    return {
+        "files_in": files_in,
+        "files_out": files_out,
+        "rows": pads.dataset(out_dir, format="parquet").count_rows(),
+    }

@@ -486,3 +486,32 @@ def test_job_cli_quality_gate_flags(synth_dir, tmp_path):
     t2 = pads.dataset(out2, format="parquet").to_table()
     assert t2.num_rows > t.num_rows
     assert t2["keep_quality"].combine_chunks().true_count == t.num_rows
+
+
+def test_compact_parquet_merges_small_files(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+
+    from reddacted_ray.sources.tables import compact_parquet
+
+    src = tmp_path / "shards"
+    src.mkdir()
+    for i in range(20):  # 20 tiny files
+        pq.write_table(
+            pa.table({"id": pa.array(range(i * 50, (i + 1) * 50), pa.int64()),
+                      "v": pa.array([i] * 50, pa.int64())}),
+            src / f"part-{i:03d}.parquet")
+    out = tmp_path / "compacted"
+    stats = compact_parquet(str(src), str(out), min_rows_per_file=500,
+                            max_rows_per_file=1000)
+    assert stats["files_in"] == 20 and stats["rows"] == 1000
+    assert stats["files_out"] < 5
+    a = pads.dataset(str(src), format="parquet").to_table().sort_by("id")
+    b = pads.dataset(str(out), format="parquet").to_table().sort_by("id")
+    assert a.equals(b)
+    # non-empty target refused (append hazard)
+    import pytest
+
+    with pytest.raises(ValueError):
+        compact_parquet(str(src), str(out))
