@@ -1252,6 +1252,47 @@ def q_asof_last_error(sf_dir: str) -> rd.Dataset:
     return joined.map_batches(finish, batch_format="pandas")
 
 
+def q_asof_next_error(sf_dir: str) -> rd.Dataset:
+    """FORWARD as-of join — each click gains the SAME user's next error
+    STRICTLY after it (the time-to-failure lookup; SQL ``ASOF LEFT JOIN
+    ... ON l.ts < r.ts``). Same one-bucket-shuffle custom operator as
+    the backward variant, pandas ``merge_asof(direction='forward',
+    allow_exact_matches=False)`` per bucket."""
+    import pandas as pd
+
+    from ..stages.joins import asof_join_forward
+
+    ev = sf_table(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                             "event_type"])
+
+    def clicks_fn(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.equal(t["event_type"], "click")).drop_columns(["event_type"])
+
+    def errors_fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "error"))
+        return pa.table(
+            {"user_id": t["user_id"], "ts": t["ts"], "next_error_ts": t["ts"]}
+        )
+
+    clicks = ev.map_batches(clicks_fn, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    errors = ev.map_batches(errors_fn, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    joined = asof_join_forward(clicks, errors, by_col="user_id",
+                               ts_col="ts", value_cols=["next_error_ts"],
+                               allow_exact_matches=False)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g[["event_id", "user_id", "next_error_ts"]].copy()
+        out["next_error_ts"] = out["next_error_ts"].fillna(
+            pd.Timestamp("1970-01-01")
+        )
+        return out
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 def q_lag_delta(sf_dir: str) -> rd.Dataset:
     """LAG window: per-user delta of the event value vs the previous event
     (ts order), in cents; first event per user coalesces to 0. Bucketed-
@@ -4841,6 +4882,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "median_cont": q_median_cont,
         "dedup_window": q_dedup_window,
         "dedup_incremental": q_dedup_incremental,
+        "asof_next_error": q_asof_next_error,
         "cheapest_supplier": q_cheapest_supplier,
         "next_event_gap": q_next_event_gap,
         "regr_price_qty": q_regr_price_qty,
@@ -5017,6 +5059,15 @@ def oracle_sqls() -> dict[str, str]:
             " (PARTITION BY user_id ORDER BY ts, event_id"
             " ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents"
             " FROM events"
+        ),
+        "asof_next_error": (
+            "SELECT l.event_id, l.user_id,"
+            " COALESCE(r.ts, TIMESTAMP '1970-01-01') AS next_error_ts"
+            " FROM (SELECT event_id, user_id, ts FROM events"
+            " WHERE event_type = 'click') l"
+            " ASOF LEFT JOIN (SELECT user_id, ts FROM events"
+            " WHERE event_type = 'error') r"
+            " ON l.user_id = r.user_id AND l.ts < r.ts"
         ),
         "asof_last_error": (
             "SELECT l.event_id, l.user_id,"

@@ -78,11 +78,16 @@ def asof_join_backward(
     ts_col: str,
     value_cols: Sequence[str],
     n_buckets: int = 64,
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
 ) -> rd.Dataset:
-    """Distributed backward as-of LEFT join: each left row gains the
+    """Distributed as-of LEFT join: each left row gains the
     ``value_cols`` of the right row with the greatest ``ts <= left.ts``
-    in the same ``by_col`` group (SQL ``ASOF LEFT JOIN``; unmatched rows
-    get nulls).
+    (``direction="backward"``, SQL ``ASOF LEFT JOIN ... ON l.ts >=
+    r.ts``) or the smallest ``ts >= left.ts`` (``"forward"``, the
+    next-event lookup; with ``allow_exact_matches=False`` the
+    comparisons turn strict) in the same ``by_col`` group; unmatched
+    rows get nulls.
 
     Custom operator (Ray Data has no as-of join). Shape: both sides tag a
     ``_side`` column and union; ONE hash-bucket shuffle co-locates the
@@ -156,8 +161,8 @@ def asof_join_backward(
         else:
             r = r[[by_col, ts_col] + value_cols]
             out = pd.merge_asof(
-                l, r, on=ts_col, by=by_col, direction="backward",
-                allow_exact_matches=True,
+                l, r, on=ts_col, by=by_col, direction=direction,
+                allow_exact_matches=allow_exact_matches,
             )
         for c in lcols:
             if out[c].dtype != ldtypes[c]:
@@ -166,6 +171,23 @@ def asof_join_backward(
 
     return grouped_vectorized(lt.union(rt), by_col, bucket,
                               n_buckets=n_buckets)
+
+
+def asof_join_forward(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    by_col: str,
+    ts_col: str,
+    value_cols: Sequence[str],
+    n_buckets: int = 64,
+    allow_exact_matches: bool = True,
+) -> rd.Dataset:
+    """Forward as-of LEFT join (next right event at-or-after each left
+    row; strictly-after with ``allow_exact_matches=False``). Same
+    single-bucket-shuffle shape as the backward variant."""
+    return asof_join_backward(
+        left, right, by_col, ts_col, value_cols, n_buckets=n_buckets,
+        direction="forward", allow_exact_matches=allow_exact_matches)
 
 
 def broadcast_semi_join(
