@@ -51,7 +51,7 @@ ENV_VARS_MAP = {
 
 _BOOLS = {"pii_only", "resumable", "emit_errors", "gate_drop"}
 _INTS = {"limit", "batch_size", "num_cpus", "files_per_partition",
-         "concurrent_partitions"}
+         "concurrent_partitions", "min_rows_per_file", "max_rows_per_file"}
 _FLOATS = {"max_ppl", "min_lang_conf", "max_dup_frac", "max_bigram_share"}
 
 
@@ -96,14 +96,19 @@ def load_config(argv=None) -> dict:
                     " (default: current UTC time; pass explicitly for"
                     " reproducible runs)")
     ap.add_argument("--batch-size", dest="batch_size", type=int)
-    ap.add_argument("--mode", choices=["materialize", "decide", "apply"],
+    ap.add_argument("--mode",
+                    choices=["materialize", "decide", "apply", "compact"],
                     help="materialize: full-row copy incl. bytes (default);"
                     " decide: write the id-keyed decision+scrub table with"
                     " bytes pruned at the scan (the 100 TB analysis shape);"
                     " apply: hash-join a decision table (--decisions) back"
                     " onto the full-byte input and write the kept rows with"
-                    " scrubbed captions (decide-mode phase 2)")
+                    " scrubbed captions (decide-mode phase 2);"
+                    " compact: merge small parquet files of --input into"
+                    " --output within row-count bounds (maintenance op)")
     ap.add_argument("--decisions", help="decision-table dir for --mode apply")
+    ap.add_argument("--min-rows-per-file", dest="min_rows_per_file", type=int)
+    ap.add_argument("--max-rows-per-file", dest="max_rows_per_file", type=int)
     ap.add_argument("--resumable", action="store_const", const=True)
     ap.add_argument("--emit-errors", dest="emit_errors",
                     action="store_const", const=True,
@@ -240,6 +245,21 @@ def main(argv=None) -> int:
             ds = apply_quality_gate(ds, qcfg,
                                     drop=bool(cfg.get("gate_drop", False)))
         return ds
+
+    if mode == "compact":
+        from .sources.tables import compact_parquet
+
+        t0 = time.perf_counter()
+        summary = compact_parquet(
+            cfg["input"], cfg["output"],
+            min_rows_per_file=int(cfg.get("min_rows_per_file", 100_000)),
+            max_rows_per_file=int(cfg.get("max_rows_per_file", 1_000_000)),
+        )
+        summary["mode"] = "compact"
+        summary["wall_s"] = round(time.perf_counter() - t0, 3)
+        print(json.dumps(summary))
+        ray.shutdown()
+        return 0
 
     if mode == "apply":
         # decide-mode phase 2: join the decision table back onto the
