@@ -4788,6 +4788,57 @@ def q_dedup_incremental(sf_dir: str) -> rd.Dataset:
         [("doc_id", pa.int64())]).sort("doc_id")
 
 
+def q_regex_extract(sf_dir: str) -> rd.Dataset:
+    """Vectorized regex capture-group extraction (the scalar-function
+    family's standalone face): pull the numeric shard id out of each
+    document's source tag with Arrow's RE2 `extract_regex` — zero
+    shuffle, no Python per row."""
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def ext(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["source"], r"src(?P<num>\d+)")
+        num = pc.struct_field(m, "num")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "src_num": pc.cast(num, pa.int64()),
+        })
+
+    return docs.map_batches(ext, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def q_region_nation_matrix(sf_dir: str) -> rd.Dataset:
+    """CROSS JOIN (small x small): every (region, nation) combination
+    with a same-region flag. Ray Data has no cartesian operator — the
+    correct distributed shape for a bounded side is replication: the
+    small side broadcasts once (`ray.put`) and each block of the other
+    side emits |block| x |small| rows via index arithmetic (no shuffle;
+    an unbounded x unbounded cartesian is a design error, not an op)."""
+    region = sf_table(sf_dir, "region").take_all()
+    rk = pa.array([r["r_regionkey"] for r in region], pa.int64())
+    rn = pa.array([r["r_name"] for r in region])
+    rref = ray.put((rk, rn))
+
+    def cross(t: pa.Table) -> pa.Table:
+        rkeys, rnames = ray.get(rref)
+        nr, ns = t.num_rows, len(rkeys)
+        nidx = np.repeat(np.arange(nr, dtype=np.int64), ns)
+        ridx = np.tile(np.arange(ns, dtype=np.int64), nr)
+        nat_rk = pc.cast(t["n_regionkey"], pa.int64()).take(
+            pa.array(nidx)).combine_chunks()
+        reg_rk = rkeys.take(pa.array(ridx))
+        return pa.table({
+            "n_name": t["n_name"].take(pa.array(nidx)),
+            "r_name": rnames.take(pa.array(ridx)),
+            "same_region": pc.cast(pc.equal(nat_rk, reg_rk), pa.int64()),
+        })
+
+    nation = sf_table(sf_dir, "nation",
+                      columns=["n_name", "n_regionkey"])
+    return nation.map_batches(cross, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -4883,6 +4934,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "dedup_window": q_dedup_window,
         "dedup_incremental": q_dedup_incremental,
         "asof_next_error": q_asof_next_error,
+        "regex_extract": q_regex_extract,
+        "region_nation_matrix": q_region_nation_matrix,
         "cheapest_supplier": q_cheapest_supplier,
         "next_event_gap": q_next_event_gap,
         "regr_price_qty": q_regr_price_qty,
@@ -5059,6 +5112,15 @@ def oracle_sqls() -> dict[str, str]:
             " (PARTITION BY user_id ORDER BY ts, event_id"
             " ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents"
             " FROM events"
+        ),
+        "regex_extract": (
+            "SELECT doc_id, CAST(regexp_extract(source, 'src(\\d+)', 1)"
+            " AS BIGINT) AS src_num FROM documents"
+        ),
+        "region_nation_matrix": (
+            "SELECT n_name, r_name, CAST(CASE WHEN n_regionkey = r_regionkey"
+            " THEN 1 ELSE 0 END AS BIGINT) AS same_region"
+            " FROM nation CROSS JOIN region"
         ),
         "asof_next_error": (
             "SELECT l.event_id, l.user_id,"
