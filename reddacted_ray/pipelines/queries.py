@@ -4839,6 +4839,82 @@ def q_region_nation_matrix(sf_dir: str) -> rd.Dataset:
                               zero_copy_batch=True)
 
 
+def q_fill_forward(sf_dir: str) -> rd.Dataset:
+    """LOCF imputation (forward-fill): error events null their value;
+    every row then carries the user's last non-null observation
+    (last_value IGNORE NULLS). One co-locating shuffle, pandas C-level
+    grouped ffill per bucket; rows with no prior observation stay null
+    — nullable Int64 end to end."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["event_id", "user_id", "ts", "event_type",
+                           "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = _money_int(t["value"], 100.0)
+        keep = pc.invert(pc.equal(t["event_type"], "error"))
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts": t["ts"],
+            "cents": pc.if_else(keep, cents, pa.nulls(t.num_rows,
+                                                      pa.int64())),
+        })
+
+    ds = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def ffill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        filled = (g.groupby("user_id", sort=False)["cents"].ffill()
+                  .astype("Int64"))
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "last_cents": filled.to_numpy(),
+        })
+
+    return grouped_vectorized(ds, "user_id", ffill)
+
+
+def q_ewma_value(sf_dir: str) -> rd.Dataset:
+    """Exponentially weighted moving average per user (alpha = 0.5,
+    recursive smoother — the stateful time-series primitive SQL cannot
+    express without recursion, hence a rows-only registry entry with
+    a hand-computed pytest lock). One co-locating shuffle; pandas
+    C-level ``ewm(adjust=False)`` per bucket."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts": t["ts"],
+            "cents": _money_int(t["value"], 100.0),
+        })
+
+    ds = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def smooth(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ew = (g.groupby("user_id", sort=False)["cents"]
+              .transform(lambda s: s.ewm(alpha=0.5, adjust=False).mean()))
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "ewma_cents": ew.to_numpy(),
+        })
+
+    return grouped_vectorized(ds, "user_id", smooth)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -4936,6 +5012,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "asof_next_error": q_asof_next_error,
         "regex_extract": q_regex_extract,
         "region_nation_matrix": q_region_nation_matrix,
+        "fill_forward": q_fill_forward,
+        "ewma_value": q_ewma_value,
         "cheapest_supplier": q_cheapest_supplier,
         "next_event_gap": q_next_event_gap,
         "regr_price_qty": q_regr_price_qty,
@@ -5112,6 +5190,17 @@ def oracle_sqls() -> dict[str, str]:
             " (PARTITION BY user_id ORDER BY ts, event_id"
             " ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents"
             " FROM events"
+        ),
+        "fill_forward": (
+            "WITH c AS (SELECT event_id, user_id, ts,"
+            " CASE WHEN event_type = 'error' THEN NULL"
+            " ELSE CAST(round(value * 100) AS BIGINT) END AS cents"
+            " FROM events)"
+            " SELECT event_id, user_id,"
+            " last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " AS last_cents FROM c"
         ),
         "regex_extract": (
             "SELECT doc_id, CAST(regexp_extract(source, 'src(\\d+)', 1)"

@@ -264,3 +264,29 @@ def test_broadcast_range_join_semantics(ray_session):
     )
     with pytest.raises(ValueError):
         broadcast_range_join(rd.from_arrow(t), "v", bad)
+
+
+def test_ewma_recursion_hand_computed(ray_session):
+    """EWMA (alpha=0.5, adjust=False) must follow the exact recursion
+    y_t = 0.5*x_t + 0.5*y_{t-1} per user in (ts, event_id) order."""
+    from reddacted_ray.pipelines.queries import q_ewma_value
+
+    SF = "/root/testdata/sf0.001"
+    import pandas as pd
+
+    got = (q_ewma_value(SF).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    want = {}
+    state = {}
+    for r in ev.itertuples():
+        prev = state.get(r.user_id)
+        y = float(r.cents) if prev is None else 0.5 * r.cents + 0.5 * prev
+        state[r.user_id] = y
+        want[r.event_id] = y
+    w = got["event_id"].map(want)
+    assert np.allclose(got["ewma_cents"].to_numpy(), w.to_numpy(),
+                       rtol=0, atol=1e-9)
