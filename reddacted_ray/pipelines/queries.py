@@ -4915,6 +4915,63 @@ def q_ewma_value(sf_dir: str) -> rd.Dataset:
     return grouped_vectorized(ds, "user_id", smooth)
 
 
+def q_tfidf_top_term(sf_dir: str) -> rd.Dataset:
+    """Per-document most-characteristic term (TF-IDF shape; the score is
+    tf/df — a correctly-rounded IEEE division, so doubles bit-match SQL
+    where a libm log would not). Pass 1 builds the vocabulary DF table
+    (per-doc-distinct pairs -> grouped count; vocabulary-bounded, the
+    broadcast assumption shared with `q_rarest_term`); pass 2 re-streams
+    the docs, computes in-block TF (each doc lives in one row), gathers
+    DF from the broadcast, and takes the per-doc argmax with a term
+    tie-break — zero additional shuffle."""
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words).combine_chunks()
+        didx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        u = pa.table({"d": didx, "term": flat}).group_by(
+            ["d", "term"]).aggregate([])
+        return pa.table({"term": u["term"]})
+
+    df_tab = (docs.map_batches(distinct_pairs, batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .groupby("term").aggregate(Count(alias_name="df"))
+              .take_all())
+    terms = pa.array([r["term"] for r in df_tab])
+    dfs = np.array([r["df"] for r in df_tab], dtype=np.float64)
+    dref = ray.put((terms, dfs))
+
+    def top_term(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words).combine_chunks()
+        didx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        tf = pa.table({"d": didx, "term": flat}).group_by(
+            ["d", "term"]).aggregate([("term", "count")])
+        terms_b, dfs_b = ray.get(dref)
+        idx = pc.index_in(tf["term"], value_set=terms_b).to_numpy(
+            zero_copy_only=False)
+        tfv = tf["term_count"].to_numpy().astype(np.float64)
+        score = tfv / dfs_b[idx]
+        # per-doc argmax with term tie-break: lexsort by (d, -score, term)
+        dd = tf["d"].to_numpy()
+        tt = np.asarray(tf["term"].to_pylist(), dtype=object)
+        order = np.lexsort((tt, -score, dd))
+        first = order[np.r_[True, dd[order][1:] != dd[order][:-1]]]
+        return pa.table({
+            "doc_id": pc.take(t["doc_id"], pa.array(dd[first])),
+            "top_term": pa.array(list(tt[first]), pa.string()),
+            "tf": pa.array(tf["term_count"].to_numpy()[first]
+                           .astype(np.int64)),
+            "score": pa.array(score[first]),
+        })
+
+    return docs.map_batches(top_term, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -5014,6 +5071,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "region_nation_matrix": q_region_nation_matrix,
         "fill_forward": q_fill_forward,
         "ewma_value": q_ewma_value,
+        "tfidf_top_term": q_tfidf_top_term,
         "cheapest_supplier": q_cheapest_supplier,
         "next_event_gap": q_next_event_gap,
         "regr_price_qty": q_regr_price_qty,
@@ -5190,6 +5248,22 @@ def oracle_sqls() -> dict[str, str]:
             " (PARTITION BY user_id ORDER BY ts, event_id"
             " ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents"
             " FROM events"
+        ),
+        "tfidf_top_term": (
+            "WITH w AS (SELECT doc_id, unnest(string_split(text, ' '))"
+            " AS term FROM documents),"
+            " tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf"
+            " FROM w GROUP BY 1, 2),"
+            " df AS (SELECT term, CAST(count(*) AS BIGINT) AS df"
+            " FROM tf GROUP BY 1),"
+            " sc AS (SELECT doc_id, term, tf,"
+            " CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS score"
+            " FROM tf JOIN df USING (term)),"
+            " r AS (SELECT doc_id, term, tf, score, row_number() OVER"
+            " (PARTITION BY doc_id ORDER BY score DESC, term) AS rn"
+            " FROM sc)"
+            " SELECT doc_id, term AS top_term, tf, score FROM r"
+            " WHERE rn = 1"
         ),
         "fill_forward": (
             "WITH c AS (SELECT event_id, user_id, ts,"
