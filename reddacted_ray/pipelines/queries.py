@@ -4972,6 +4972,32 @@ def q_tfidf_top_term(sf_dir: str) -> rd.Dataset:
                             zero_copy_batch=True)
 
 
+def q_embedding_norms(sf_dir: str) -> rd.Dataset:
+    """Vector-column kernel with SQL float parity: per-vector L2 norm.
+    Zero shuffle; the list column reshapes to a (rows, dim) float64
+    matrix and the squared sum runs as a per-row CUMSUM (strict
+    left-to-right adds — the same sequential order as SQL's list_sum,
+    so with correctly-rounded square/sqrt the doubles are bit-exact;
+    a pairwise `np.sum` would NOT match)."""
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def norms(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        d = int(lens[0])
+        assert (lens == d).all(), "ragged embedding column"
+        vals = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, d)
+        sq = vals * vals
+        l2 = np.sqrt(np.cumsum(sq, axis=1)[:, -1])
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "l2_norm": pa.array(l2),
+        })
+
+    return emb.map_batches(norms, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -5072,6 +5098,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "fill_forward": q_fill_forward,
         "ewma_value": q_ewma_value,
         "tfidf_top_term": q_tfidf_top_term,
+        "embedding_norms": q_embedding_norms,
         "cheapest_supplier": q_cheapest_supplier,
         "next_event_gap": q_next_event_gap,
         "regr_price_qty": q_regr_price_qty,
@@ -5248,6 +5275,11 @@ def oracle_sqls() -> dict[str, str]:
             " (PARTITION BY user_id ORDER BY ts, event_id"
             " ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents"
             " FROM events"
+        ),
+        "embedding_norms": (
+            "SELECT vec_id, sqrt(list_sum(list_transform("
+            "CAST(embedding AS DOUBLE[]), v -> v * v))) AS l2_norm"
+            " FROM embeddings"
         ),
         "tfidf_top_term": (
             "WITH w AS (SELECT doc_id, unnest(string_split(text, ' '))"
