@@ -1213,6 +1213,41 @@ def q_top_orders_per_customer(sf_dir: str) -> rd.Dataset:
     return grouped_vectorized(orders, "o_custkey", top2)
 
 
+def q_top_orders_with_ties(sf_dir: str) -> rd.Dataset:
+    """Per-group top-k WITH TIES (RANK <= k — every order matching the
+    k-th price stays, unlike head-k's row_number cut): top-2 price
+    levels per customer in cents. Bucketed-vectorized pandas dense
+    'min' rank per bucket."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    orders = sf_table(sf_dir, "orders",
+                      columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "o_orderkey": t["o_orderkey"],
+            "totalprice_cents": _money_int(t["o_totalprice"], 100.0),
+        })
+
+    ds = orders.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def ties(g: pd.DataFrame) -> pd.DataFrame:
+        rk = (g.groupby("o_custkey", sort=False)["totalprice_cents"]
+              .rank(method="min", ascending=False))
+        out = g[rk.to_numpy() <= 2]
+        return pd.DataFrame({
+            "o_custkey": out["o_custkey"].to_numpy(),
+            "o_orderkey": out["o_orderkey"].to_numpy(),
+            "totalprice_cents": out["totalprice_cents"].to_numpy(),
+        })
+
+    return grouped_vectorized(ds, "o_custkey", ties)
+
+
 def q_asof_last_error(sf_dir: str) -> rd.Dataset:
     """As-of join (custom operator — Ray Data has no native one): each
     click event gains the timestamp of the SAME user's most recent error
@@ -5099,6 +5134,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "ewma_value": q_ewma_value,
         "tfidf_top_term": q_tfidf_top_term,
         "embedding_norms": q_embedding_norms,
+        "top_orders_with_ties": q_top_orders_with_ties,
         "cheapest_supplier": q_cheapest_supplier,
         "next_event_gap": q_next_event_gap,
         "regr_price_qty": q_regr_price_qty,
@@ -5275,6 +5311,16 @@ def oracle_sqls() -> dict[str, str]:
             " (PARTITION BY user_id ORDER BY ts, event_id"
             " ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents"
             " FROM events"
+        ),
+        "top_orders_with_ties": (
+            "WITH r AS (SELECT o_custkey, o_orderkey,"
+            " CAST(round(o_totalprice * 100) AS BIGINT)"
+            " AS totalprice_cents,"
+            " rank() OVER (PARTITION BY o_custkey"
+            " ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC)"
+            " AS rk FROM orders)"
+            " SELECT o_custkey, o_orderkey, totalprice_cents"
+            " FROM r WHERE rk <= 2"
         ),
         "embedding_norms": (
             "SELECT vec_id, sqrt(list_sum(list_transform("
