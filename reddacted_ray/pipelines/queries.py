@@ -4939,8 +4939,11 @@ def q_ewma_value(sf_dir: str) -> rd.Dataset:
 
     def smooth(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        # groupby.ewm is pandas' C-level grouped path — no Python call
+        # per user (a transform(lambda) would pay one); rows come back
+        # in group-appearance order == g's order after the sort
         ew = (g.groupby("user_id", sort=False)["cents"]
-              .transform(lambda s: s.ewm(alpha=0.5, adjust=False).mean()))
+              .ewm(alpha=0.5, adjust=False).mean())
         return pd.DataFrame({
             "event_id": g["event_id"].to_numpy(),
             "user_id": g["user_id"].to_numpy(),
