@@ -1213,6 +1213,40 @@ def q_top_orders_per_customer(sf_dir: str) -> rd.Dataset:
     return grouped_vectorized(orders, "o_custkey", top2)
 
 
+def q_dense_rank_orders(sf_dir: str) -> rd.Dataset:
+    """DENSE_RANK window (gap-free rank of price LEVELS per customer —
+    completes the ranking family next to row_number/rank/percent_rank/
+    ntile). Bucketed-vectorized pandas dense rank."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    orders = sf_table(sf_dir, "orders",
+                      columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "o_orderkey": t["o_orderkey"],
+            "cents": _money_int(t["o_totalprice"], 100.0),
+        })
+
+    ds = orders.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def dense(g: pd.DataFrame) -> pd.DataFrame:
+        rk = (g.groupby("o_custkey", sort=False)["cents"]
+              .rank(method="dense", ascending=False))
+        return pd.DataFrame({
+            "o_custkey": g["o_custkey"].to_numpy(),
+            "o_orderkey": g["o_orderkey"].to_numpy(),
+            "cents": g["cents"].to_numpy(),
+            "price_level": rk.to_numpy().astype(np.int64),
+        })
+
+    return grouped_vectorized(ds, "o_custkey", dense)
+
+
 def q_top_orders_with_ties(sf_dir: str) -> rd.Dataset:
     """Per-group top-k WITH TIES (RANK <= k — every order matching the
     k-th price stays, unlike head-k's row_number cut): top-2 price
@@ -5138,6 +5172,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_term": q_tfidf_top_term,
         "embedding_norms": q_embedding_norms,
         "top_orders_with_ties": q_top_orders_with_ties,
+        "dense_rank_orders": q_dense_rank_orders,
         "cheapest_supplier": q_cheapest_supplier,
         "next_event_gap": q_next_event_gap,
         "regr_price_qty": q_regr_price_qty,
@@ -5314,6 +5349,13 @@ def oracle_sqls() -> dict[str, str]:
             " (PARTITION BY user_id ORDER BY ts, event_id"
             " ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents"
             " FROM events"
+        ),
+        "dense_rank_orders": (
+            "SELECT o_custkey, o_orderkey,"
+            " CAST(round(o_totalprice * 100) AS BIGINT) AS cents,"
+            " CAST(dense_rank() OVER (PARTITION BY o_custkey"
+            " ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC)"
+            " AS BIGINT) AS price_level FROM orders"
         ),
         "top_orders_with_ties": (
             "WITH r AS (SELECT o_custkey, o_orderkey,"
