@@ -5070,6 +5070,65 @@ def q_embedding_norms(sf_dir: str) -> rd.Dataset:
                            zero_copy_batch=True)
 
 
+_DECON_N = 8
+
+
+def _shingles_of(t: pa.Table):
+    """(doc_idx, shingle-string) arrays for every in-doc 8-token window
+    — one split/flatten + 8 shifted zero-copy slices joined elementwise;
+    windows crossing doc boundaries mask out (no Python token loop)."""
+    n = _DECON_N
+    words = pc.split_pattern(t["text"], " ")
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(words).combine_chunks()
+    didx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+    total = len(flat)
+    if total < n:
+        return np.zeros(0, np.int64), pa.array([], pa.string())
+    m = total - n + 1
+    parts = [flat.slice(k, m) for k in range(n)]
+    joined = pc.binary_join_element_wise(*parts, " ")
+    same = didx[: m] == didx[n - 1:]
+    return didx[:m][same], pc.filter(joined, pa.array(same))
+
+
+def q_decontaminate(sf_dir: str) -> rd.Dataset:
+    """Benchmark decontamination (the GPT-3 §B / Gopher eval-overlap
+    gate, 13-gram style scaled to this corpus' doc length): flag every
+    training doc (doc_id >= 50) sharing ANY 8-token shingle with the
+    benchmark set (doc_id < 50). The benchmark's distinct shingles are
+    eval-set-bounded — they reduce per block, then globally, and
+    broadcast ONCE; the training pass is zero-shuffle (`pc.is_in`
+    membership + segmented any per doc). Exact string shingles both
+    sides — no hash-collision gap vs the SQL oracle."""
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_shingles(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids < 50))
+        _, sh = _shingles_of(t)
+        return pa.table({"g": pc.unique(sh)})
+
+    bench = (docs.map_batches(bench_shingles, batch_format="pyarrow",
+                              zero_copy_batch=True)
+             .groupby("g").aggregate(Count(alias_name="__n")).take_all())
+    bref = ray.put(pa.array([r["g"] for r in bench], pa.string()))
+
+    def contaminated(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids >= 50))
+        d, sh = _shingles_of(t)
+        hit = pc.is_in(sh, value_set=ray.get(bref)).to_numpy(
+            zero_copy_only=False)
+        bad = np.unique(d[hit])
+        return pa.table({
+            "doc_id": pc.take(t["doc_id"], pa.array(bad)),
+        })
+
+    return docs.map_batches(contaminated, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -5173,6 +5232,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": q_embedding_norms,
         "top_orders_with_ties": q_top_orders_with_ties,
         "dense_rank_orders": q_dense_rank_orders,
+        "decontaminate": q_decontaminate,
         "cheapest_supplier": q_cheapest_supplier,
         "next_event_gap": q_next_event_gap,
         "regr_price_qty": q_regr_price_qty,
@@ -5349,6 +5409,18 @@ def oracle_sqls() -> dict[str, str]:
             " (PARTITION BY user_id ORDER BY ts, event_id"
             " ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents"
             " FROM events"
+        ),
+        "decontaminate": (
+            "WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws"
+            " FROM documents),"
+            " sh AS (SELECT doc_id, unnest(list_transform("
+            " generate_series(1, len(ws) - 7),"
+            " i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||"
+            " ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||"
+            " ws[i+6] || ' ' || ws[i+7])) AS g FROM s),"
+            " bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < 50)"
+            " SELECT DISTINCT doc_id FROM sh WHERE doc_id >= 50"
+            " AND g IN (SELECT g FROM bench)"
         ),
         "dense_rank_orders": (
             "SELECT o_custkey, o_orderkey,"
