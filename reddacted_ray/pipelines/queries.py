@@ -5070,6 +5070,34 @@ def q_embedding_norms(sf_dir: str) -> rd.Dataset:
                            zero_copy_batch=True)
 
 
+MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.25, "zh": 0.125}
+
+
+def q_mix_sources(sf_dir: str) -> rd.Dataset:
+    """Deterministic data-mixing resampler (the DoReMi-style source
+    re-weighting step, degenerate-simple weights): each language keeps a
+    fixed fraction of its docs, chosen by the same md5-threshold rule as
+    ``hash_split`` — stable across reruns/machines/engines, no RNG, no
+    shuffle (pure map; the per-lang bound gathers from a broadcast)."""
+    from ..functions.hashing import md5_top32_batch
+
+    langs = pa.array(sorted(MIX_RATES), pa.string())
+    bounds = np.array([min(int(MIX_RATES[l] * 2**32), 2**32)
+                       for l in sorted(MIX_RATES)], dtype=np.uint64)
+
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        h = md5_top32_batch(t["doc_id"])
+        idx = pc.index_in(t["lang"], value_set=langs).to_numpy(
+            zero_copy_only=False)
+        t = t.filter(pa.array(h < bounds[idx]))
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"]})
+
+    return docs.map_batches(keep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 _DECON_N = 8
 
 
@@ -5233,6 +5261,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "top_orders_with_ties": q_top_orders_with_ties,
         "dense_rank_orders": q_dense_rank_orders,
         "decontaminate": q_decontaminate,
+        "mix_sources": q_mix_sources,
         "cheapest_supplier": q_cheapest_supplier,
         "next_event_gap": q_next_event_gap,
         "regr_price_qty": q_regr_price_qty,
@@ -5409,6 +5438,14 @@ def oracle_sqls() -> dict[str, str]:
             " (PARTITION BY user_id ORDER BY ts, event_id"
             " ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents"
             " FROM events"
+        ),
+        "mix_sources": (
+            "SELECT doc_id, lang FROM documents"
+            " WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <"
+            " CASE lang WHEN 'en' THEN 'gggggggg'"
+            " WHEN 'de' THEN '80000000'"
+            " WHEN 'fr' THEN '40000000' WHEN 'es' THEN '40000000'"
+            " WHEN 'zh' THEN '20000000' END"
         ),
         "decontaminate": (
             "WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws"
