@@ -169,6 +169,10 @@ def run_bench() -> dict:
         "supplier_variety",
         "repetition_stats",
         "moving_avg",
+        "fuzzy_pairs",
+        "dedup_incremental",
+        "decontaminate",
+        "tfidf_top_term",
     ]:
         timed(name, Q.registry()[name])
 
