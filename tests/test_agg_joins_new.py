@@ -204,3 +204,46 @@ def test_levenshtein_batch_matches_reference_dp():
     got = levenshtein_batch(al, bl)
     assert got.tolist() == [ref(x, y) for x, y in zip(al, bl)]
     assert levenshtein_batch([], []).tolist() == []
+
+
+def test_shingles_respect_doc_boundaries():
+    from reddacted_ray.pipelines.queries import _DECON_N, _shingles_of
+
+    assert _DECON_N == 8
+    w8 = " ".join(f"w{i}" for i in range(8))
+    w9 = " ".join(f"v{i}" for i in range(9))
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([w8, "short text", w9]),
+    })
+    d, sh = _shingles_of(t)
+    # doc0: exactly 1 window; doc1: none (2 tokens); doc2: 2 windows
+    assert d.tolist() == [0, 2, 2]
+    got = sh.to_pylist()
+    assert got[0] == w8
+    assert got[1] == " ".join(f"v{i}" for i in range(8))
+    assert got[2] == " ".join(f"v{i}" for i in range(1, 9))
+    # no cross-doc window leaked (every shingle's tokens share a prefix)
+    assert all(len(set(s.split(" ")[0][0] for s in [g])) == 1 for g in got)
+
+
+def test_mix_rates_thresholds_match_sql_rule():
+    import hashlib
+
+    from reddacted_ray.functions.hashing import md5_top32_batch
+    from reddacted_ray.pipelines.queries import MIX_RATES
+
+    ids = pa.array(list(range(1000)), pa.int64())
+    h = md5_top32_batch(ids)
+    for lang, rate in MIX_RATES.items():
+        bound = min(int(rate * 2**32), 2**32)
+        kept = int((h < bound).sum())
+        # SQL-side rule: substr(md5(id),1,8) < hex bound (string compare
+        # == numeric compare of the top 32 bits)
+        hexbound = "gggggggg" if bound >= 2**32 else format(bound, "08x")
+        kept_sql = sum(
+            1 for i in range(1000)
+            if hashlib.md5(str(i).encode()).hexdigest()[:8] < hexbound
+        )
+        assert kept == kept_sql
+        assert abs(kept / 1000 - rate) < 0.06 or rate == 1.0
