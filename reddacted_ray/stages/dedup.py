@@ -524,3 +524,94 @@ def embedding_cosine_duplicates(
         rows, pin_candidates=_auto_pin(ds, float(n_tables))
     ).groupby("band_key").map_groups(verify, batch_format="pandas")
     return pairs.groupby(id_col).aggregate(Min("dup_of", alias_name="dup_of"))
+
+
+# -- persisted content-key index for incremental ingest dedup ----------------
+
+
+def build_content_index(ds: rd.Dataset, text_col: str, out_dir: str) -> str:
+    """Persist the corpus' distinct content keys (full md5 hex — SQL-
+    recomputable) as a parquet index. At 100 TB this is the artifact an
+    incremental ingest dedups against: the corpus streams ONCE at index
+    build; later runs only stream the increment. Per-block distinct
+    shrinks the exchange; one groupby finishes global distinctness.
+    The output dir is cleared first (write_parquet appends)."""
+    import shutil
+
+    from ..functions.hashing import md5_hex_batch
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def keys(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pa.compute.unique(
+                pa.array(md5_hex_batch(t[text_col]), pa.string())),
+        })
+
+    (ds.map_batches(keys, batch_format="pyarrow", zero_copy_batch=True)
+     .groupby("key").aggregate(Count(alias_name="__n"))
+     .select_columns(["key"]).write_parquet(out_dir))
+    return out_dir
+
+
+def dedup_against_index(
+    ds: rd.Dataset, text_col: str, index_dir: str
+) -> rd.Dataset:
+    """Keep only rows whose content key is ABSENT from a persisted
+    index (`build_content_index`). Bloom over the index broadcasts once:
+    absence is exact, so certainly-novel rows skip the join entirely;
+    maybe-present rows take the exact left_anti. The increment-side
+    keying fuses with a sentinel pad ("-", impossible as md5) per the
+    Ray 2.49 empty-block rule; the index side pads identically, so the
+    left pad always anti-joins away."""
+    import ray
+
+    from . import process_cached
+    from ..functions.hashing import md5_hex_batch
+    from .joins import pad_sentinel
+    from .sketch import (
+        BloomFilter,
+        bloom_from_column,
+        bloom_prefilter,
+        column_hashes64,
+    )
+
+    index = pad_sentinel(
+        rd.read_parquet(index_dir), "ikey", {"ikey": "-"},
+        transform=lambda t: pa.table({"ikey": t["key"]}))
+    bloom = bloom_from_column(index, "ikey")
+    bref = ray.put((bloom.serialize(), bloom.n_bits, bloom.k))
+    cols = list(ds.schema().names)
+
+    class KeyPad:
+        def __init__(self) -> None:
+            blob, n_bits, k = ray.get(bref)
+            self.bloom = BloomFilter.deserialize(blob, n_bits, k)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            key = pa.array(md5_hex_batch(t[text_col]), pa.string())
+            t = t.append_column("key", key)
+            mask = self.bloom.contains_hashes(column_hashes64(t["key"]))
+            pad = pa.table({
+                **{c: pa.nulls(1, t.schema.field(c).type) for c in cols},
+                "key": pa.array(["-"], pa.string()),
+            }).select(t.schema.names)
+            return pa.concat_tables([t.filter(pa.array(mask)), pad])
+
+    keyed = ds.map_batches(process_cached(KeyPad), batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "key", pa.array(md5_hex_batch(t[text_col]), pa.string()))
+
+    certain = bloom_prefilter(
+        ds.map_batches(add_key, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "key", bloom, invert=True)
+    novel = keyed.join(index, join_type="left_anti", num_partitions=8,
+                       on=("key",), right_on=("ikey",))
+    out = novel.union(certain)
+    return out.map_batches(
+        lambda t: t.drop_columns(["key"]) if "key" in t.schema.names else t,
+        batch_format="pyarrow", zero_copy_batch=True)

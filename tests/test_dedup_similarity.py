@@ -615,3 +615,40 @@ def test_hll_sketch_accuracy_and_merge(ray_session):
     ds = rd.from_arrow(pa.table({"k": pa.array(keys)})).repartition(6)
     built = hll_from_column(ds, "k", p=12)
     assert (built.regs == h.regs).all()
+
+
+def test_incremental_index_dedup_roundtrip(ray_session, tmp_path):
+    """build_content_index + dedup_against_index: increment rows whose
+    text already exists in the indexed corpus are dropped; novel rows
+    survive with their full schema; rerun of the build overwrites."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reddacted_ray.stages.dedup import (
+        build_content_index,
+        dedup_against_index,
+    )
+
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "text": pa.array([f"corpus doc {i % 40}" for i in range(100)]),
+    })).repartition(8)
+    idx = str(tmp_path / "idx")
+    build_content_index(corpus, "text", idx)
+    # distinct keys only
+    import pyarrow.dataset as pads
+
+    assert pads.dataset(idx, format="parquet").count_rows() == 40
+
+    inc = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(1000, 1020), pa.int64()),
+        "text": pa.array(
+            [f"corpus doc {i}" for i in range(10)]      # 10 dups (0-9 seen)
+            + [f"novel doc {i}" for i in range(10)]),   # 10 novel
+    })).repartition(6)
+    out = dedup_against_index(inc, "text", idx).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(1010, 1020))
+    assert set(out.columns) == {"doc_id", "text"}
+    # idempotent rebuild (dir cleared, not appended)
+    build_content_index(corpus, "text", idx)
+    assert pads.dataset(idx, format="parquet").count_rows() == 40
