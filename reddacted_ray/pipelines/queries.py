@@ -3622,12 +3622,41 @@ def q_nation_trade_flows(sf_dir: str) -> rd.Dataset:
         sf_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]),
         "c_custkey", {"c_custkey": -1, "cust_nk": -1},
         transform=cust_slim)
-    bloom = bloom_from_column(cust, "c_custkey")
-    orders = bloom_prefilter(
-        sf_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
-        "o_custkey", bloom)
-    ord_nat = orders.join(cust, join_type="inner", num_partitions=16,
-                          on=("o_custkey",), right_on=("c_custkey",))
+    # adaptive bounded broadcast (same policy as dedup's _only_colliding):
+    # the pair slice is ~2/25 of customers — when it fits the broadcast
+    # cap, ship it once and resolve orders -> cust_nk inside the scan map
+    # (drops the orders x customer exchange entirely); past the cap, fall
+    # back to the Bloom-prefiltered hash join
+    if cust.count() <= 2_000_000:
+        crows = [r for r in cust.take_all() if r["c_custkey"] != -1]
+        ck = pa.array([r["c_custkey"] for r in crows], pa.int64())
+        cn = pa.array([r["cust_nk"] for r in crows], pa.int64())
+        cref = ray.put((ck, cn))
+
+        class OrdNat:
+            def __init__(self) -> None:
+                self.ck, self.cn = ray.get(cref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                idx = pc.index_in(t["o_custkey"], value_set=self.ck)
+                mask = pc.is_valid(idx)
+                return pa.table({
+                    "o_orderkey": pc.filter(t["o_orderkey"], mask),
+                    "cust_nk": pc.take(self.cn, pc.filter(idx, mask)),
+                })
+
+        ordnat_fn = process_cached(OrdNat)
+        ord_nat = pad_sentinel(
+            sf_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+            "o_orderkey", {"o_orderkey": -1, "cust_nk": -1},
+            transform=ordnat_fn)
+    else:
+        bloom = bloom_from_column(cust, "c_custkey")
+        orders = bloom_prefilter(
+            sf_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+            "o_custkey", bloom)
+        ord_nat = orders.join(cust, join_type="inner", num_partitions=16,
+                              on=("o_custkey",), right_on=("c_custkey",))
 
     class LiPrep:
         # one -1 sentinel row per block: the supplier filter can empty a
