@@ -2379,21 +2379,43 @@ def q_shipping_priority(sf_dir: str) -> rd.Dataset:
 
     cust = cust.map_batches(building, batch_format="pyarrow",
                             zero_copy_batch=True)
-    bloom_cust = bloom_from_column(cust, "c_custkey")
     orders = read_table(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
         filter_expr=pads.field("o_orderdate") < cut,
     )
-    orders = bloom_prefilter(orders, "o_custkey", bloom_cust)
-    # the lineitem bloom is built from the PREFILTERED orders (not the
-    # joined result): a superset only by bloom_cust's false positives, so
-    # the exact join below is unchanged — and no mid-pipeline materialize
-    # pins a fact-sized intermediate in the object store (measured
-    # equal-or-faster at sf0.1: 10.1 vs 10.4 s warm, 13.0 vs 16.4 s cold)
-    bloom_ord = bloom_from_column(orders, "o_orderkey")
-    jo = orders.join(cust, join_type="inner", num_partitions=16,
-                     on=("o_custkey",), right_on=("c_custkey",))
+    # adaptive bounded broadcast for the dimension semi-join: when the
+    # BUILDING key set fits the cap, `pc.is_in` against the broadcast set
+    # IS the exact semi-join (no false positives, no exchange); past the
+    # cap, Bloom-prefilter + native hash join (the 100 TB fallback)
+    if cust.count() <= 2_000_000:
+        keys = pa.array(sorted(r["c_custkey"] for r in cust.take_all()),
+                        pa.int64())
+        kref = ray.put(keys)
+
+        class SemiCust:
+            def __init__(self) -> None:
+                self.keys = ray.get(kref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                return t.filter(pc.is_in(t["o_custkey"], value_set=self.keys))
+
+        from ..stages import process_cached as _pcached
+
+        jo = orders.map_batches(_pcached(SemiCust), batch_format="pyarrow",
+                                zero_copy_batch=True)
+        bloom_ord = bloom_from_column(jo, "o_orderkey")
+    else:
+        bloom_cust = bloom_from_column(cust, "c_custkey")
+        orders = bloom_prefilter(orders, "o_custkey", bloom_cust)
+        # the lineitem bloom is built from the PREFILTERED orders (not the
+        # joined result): a superset only by bloom_cust's false positives,
+        # so the exact join below is unchanged — and no mid-pipeline
+        # materialize pins a fact-sized intermediate (measured
+        # equal-or-faster at sf0.1: 10.1 vs 10.4 s warm, 13.0 vs 16.4 cold)
+        bloom_ord = bloom_from_column(orders, "o_orderkey")
+        jo = orders.join(cust, join_type="inner", num_partitions=16,
+                         on=("o_custkey",), right_on=("c_custkey",))
 
     li = read_table(
         f"{sf_dir}/lineitem.parquet",
