@@ -374,3 +374,66 @@ def pad_sentinel(
         return pa.concat_tables([t.select(names), pad])
 
     return ds.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def adaptive_semi_join(
+    fact: rd.Dataset,
+    fact_key: str,
+    dim: rd.Dataset,
+    dim_key: str,
+    cap: int = 2_000_000,
+    num_partitions: int = 16,
+    sentinel=-1,
+) -> rd.Dataset:
+    """Exact semi-join of ``fact`` against ``dim``'s key set, choosing
+    the cheapest exact plan by the dimension's size (the policy behind
+    the Q3/Q7 rewrites and dedup's ``_only_colliding``):
+
+      * |dim| <= cap — the key set broadcasts once (``ray.put``) and
+        ``pc.is_in`` IS the semi-join: exact, zero exchange, the fact
+        never shuffles.
+      * past the cap — a Bloom filter of the keys broadcasts to
+        prefilter the fact (no false negatives), then Ray's NATIVE
+        left_semi hash join finishes exactly. The dim side is
+        sentinel-padded for Ray 2.49's empty-block rule; ``sentinel``
+        must be impossible as a real key.
+
+    Both paths return identical rows (forced-fallback equality test in
+    tests/). The ``dim.count()`` probe costs one pass over the (small)
+    dim side only."""
+    import numpy as np
+    import ray
+
+    from . import process_cached
+    from .sketch import bloom_from_column, bloom_prefilter
+
+    if dim.count() <= cap:
+        rows = dim.take_all()
+        keys = pa.array(sorted({r[dim_key] for r in rows}))
+        kref = ray.put(keys)
+
+        class Semi:
+            def __init__(self) -> None:
+                self.keys = ray.get(kref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                return t.filter(
+                    pa.compute.is_in(t[fact_key], value_set=self.keys))
+
+        return fact.map_batches(process_cached(Semi),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    key_type = dict(zip(dim.schema().names, dim.schema().types))[dim_key]
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table({dim_key: pa.compute.unique(t[dim_key])})
+
+    padded = pad_sentinel(dim, dim_key,
+                          {dim_key: pa.scalar(sentinel, key_type).as_py()},
+                          transform=slim)
+    bloom = bloom_from_column(padded, dim_key)
+    pre = bloom_prefilter(fact, fact_key, bloom)
+    return pre.join(padded, join_type="left_semi",
+                    num_partitions=num_partitions,
+                    on=(fact_key,), right_on=(dim_key,))

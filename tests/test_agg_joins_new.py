@@ -247,3 +247,29 @@ def test_mix_rates_thresholds_match_sql_rule():
         )
         assert kept == kept_sql
         assert abs(kept / 1000 - rate) < 0.06 or rate == 1.0
+
+
+def test_adaptive_semi_join_paths_agree(ray_session):
+    """Broadcast path (under cap) and Bloom+left_semi fallback (cap=0)
+    must return identical rows — including when the dim side's blocks
+    mostly empty after filtering."""
+    import ray.data as rd
+
+    from reddacted_ray.stages.joins import adaptive_semi_join
+
+    fact = rd.from_arrow(pa.table({
+        "k": pa.array([i % 50 for i in range(2000)], pa.int64()),
+        "v": pa.array(range(2000), pa.int64()),
+    })).repartition(8)
+    dim = rd.from_arrow(pa.table({
+        "dk": pa.array([3, 7, 7, 11, 42], pa.int64()),
+    })).repartition(6)  # several empty blocks
+
+    a = (adaptive_semi_join(fact, "k", dim, "dk", cap=1_000_000)
+         .to_pandas().sort_values("v").reset_index(drop=True))
+    b = (adaptive_semi_join(fact, "k", dim, "dk", cap=0)
+         .to_pandas().sort_values("v").reset_index(drop=True))
+    assert set(a["k"]) == {3, 7, 11, 42}
+    assert len(a) == 4 * 40
+    assert (a["k"].to_numpy() == b["k"].to_numpy()).all()
+    assert (a["v"].to_numpy() == b["v"].to_numpy()).all()
