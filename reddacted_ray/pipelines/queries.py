@@ -5208,6 +5208,37 @@ def q_decontaminate(sf_dir: str) -> rd.Dataset:
                             zero_copy_batch=True)
 
 
+def q_grouped_median_cont(sf_dir: str) -> pa.Table:
+    """PER-GROUP interpolated median (percentile_cont's grouped form):
+    continuous median of document length per language. One distributed
+    (lang, value) count exchange; the per-group interpolation scans the
+    tiny |langs| x |distinct lengths| table on the driver with the
+    identical IEEE tree as the SQL (h = (n-1)/2; lo + (hi-lo) * frac)."""
+    import math
+
+    docs = sf_table(sf_dir, "documents", columns=["lang", "n_chars"])
+    counts = (docs.groupby(["lang", "n_chars"])
+              .aggregate(Count(alias_name="n"))
+              .to_pandas().sort_values(["lang", "n_chars"]))
+    langs, meds = [], []
+    for lang, g in counts.groupby("lang", sort=True):
+        n = int(g["n"].sum())
+        h = (n - 1) / 2.0
+        cum = g["n"].cumsum()
+
+        def value_at(rank1: int) -> int:
+            return int(g.loc[cum >= rank1, "n_chars"].iloc[0])
+
+        lo = value_at(int(math.floor(h)) + 1)
+        hi = value_at(int(math.ceil(h)) + 1)
+        langs.append(lang)
+        meds.append(float(lo) + (float(hi) - float(lo)) * (h - math.floor(h)))
+    return pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "median_cont": pa.array(meds, pa.float64()),
+    })
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -5313,6 +5344,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "dense_rank_orders": q_dense_rank_orders,
         "decontaminate": q_decontaminate,
         "mix_sources": q_mix_sources,
+        "grouped_median_cont": q_grouped_median_cont,
         "cheapest_supplier": q_cheapest_supplier,
         "next_event_gap": q_next_event_gap,
         "regr_price_qty": q_regr_price_qty,
@@ -5489,6 +5521,23 @@ def oracle_sqls() -> dict[str, str]:
             " (PARTITION BY user_id ORDER BY ts, event_id"
             " ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents"
             " FROM events"
+        ),
+        "grouped_median_cont": (
+            "WITH r AS (SELECT lang, n_chars,"
+            " row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,"
+            " count(*) OVER (PARTITION BY lang) AS n FROM documents),"
+            " h AS (SELECT lang, CAST(max(n) - 1 AS DOUBLE) / 2.0 AS hh"
+            " FROM r GROUP BY 1),"
+            " lo AS (SELECT r.lang, min(n_chars) AS v FROM r"
+            " JOIN h USING (lang)"
+            " WHERE rn = CAST(floor(hh) AS BIGINT) + 1 GROUP BY 1),"
+            " hi AS (SELECT r.lang, min(n_chars) AS v FROM r"
+            " JOIN h USING (lang)"
+            " WHERE rn = CAST(ceil(hh) AS BIGINT) + 1 GROUP BY 1)"
+            " SELECT h.lang, CAST(lo.v AS DOUBLE)"
+            " + (CAST(hi.v AS DOUBLE) - CAST(lo.v AS DOUBLE))"
+            " * (hh - floor(hh)) AS median_cont"
+            " FROM h JOIN lo USING (lang) JOIN hi USING (lang)"
         ),
         "mix_sources": (
             "SELECT doc_id, lang FROM documents"
