@@ -5239,6 +5239,33 @@ def q_grouped_median_cont(sf_dir: str) -> pa.Table:
     })
 
 
+def q_user_event_path(sf_dir: str) -> rd.Dataset:
+    """Ordered string aggregation (LISTAGG ... WITHIN GROUP): each
+    user's full event-type path in (ts, event_id) order, '->'-joined —
+    the journey column a funnel analysis reads. One co-locating
+    shuffle; the join runs as pandas' C-level grouped str.join over the
+    sorted bucket (no Python loop per event)."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["event_id", "user_id", "event_type", "ts"])
+
+    def paths(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        agg = (g.groupby("user_id", sort=False)["event_type"]
+               .agg("->".join))
+        return pd.DataFrame({
+            "user_id": agg.index.to_numpy(),
+            "path": agg.to_numpy(),
+            "n_events": g.groupby("user_id", sort=False)["event_type"]
+            .size().to_numpy().astype(np.int64),
+        })
+
+    return grouped_vectorized(ev, "user_id", paths)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -5345,6 +5372,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "mix_sources": q_mix_sources,
         "grouped_median_cont": q_grouped_median_cont,
+        "user_event_path": q_user_event_path,
         "cheapest_supplier": q_cheapest_supplier,
         "next_event_gap": q_next_event_gap,
         "regr_price_qty": q_regr_price_qty,
@@ -5521,6 +5549,12 @@ def oracle_sqls() -> dict[str, str]:
             " (PARTITION BY user_id ORDER BY ts, event_id"
             " ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents"
             " FROM events"
+        ),
+        "user_event_path": (
+            "SELECT user_id,"
+            " string_agg(event_type, '->' ORDER BY ts, event_id) AS path,"
+            " CAST(count(*) AS BIGINT) AS n_events"
+            " FROM events GROUP BY 1"
         ),
         "grouped_median_cont": (
             "WITH r AS (SELECT lang, n_chars,"
