@@ -515,3 +515,32 @@ def test_compact_parquet_merges_small_files(ray_session, tmp_path):
 
     with pytest.raises(ValueError):
         compact_parquet(str(src), str(out))
+
+
+def test_job_cli_compact_mode(tmp_path):
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "many"
+    src.mkdir()
+    for i in range(12):
+        pq.write_table(
+            pa.table({"x": pa.array(range(i * 25, (i + 1) * 25), pa.int64())}),
+            src / f"f{i}.parquet")
+    out = str(tmp_path / "merged")
+    proc = subprocess.run(
+        [sys.executable, "-m", "reddacted_ray.job", "--input", str(src),
+         "--output", out, "--mode", "compact", "--min-rows-per-file", "150",
+         "--max-rows-per-file", "300", "--num-cpus", "4"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["mode"] == "compact"
+    assert summary["files_in"] == 12 and summary["rows"] == 300
+    assert summary["files_out"] <= 2
+    a = pads.dataset(str(src), format="parquet").to_table().sort_by("x")
+    b = pads.dataset(out, format="parquet").to_table().sort_by("x")
+    assert a.equals(b)
