@@ -5266,6 +5266,41 @@ def q_user_event_path(sf_dir: str) -> rd.Dataset:
     return grouped_vectorized(ev, "user_id", paths)
 
 
+def q_skew_metrics(sf_dir: str) -> pa.Table:
+    """Key-skew diagnostic (the measurement half of the skew-handling
+    story: decide whether a key needs salting BEFORE shuffling on it):
+    cardinality, heaviest-key count and top-1 share of events.user_id.
+    One map-side-combined grouped count; the three scalars reduce over
+    the key-sized counts table with distributed Max/Sum/Count — the
+    driver sees one row."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..stages.agg import grouped_sums
+
+    ev = sf_table(sf_dir, "events", columns=["user_id"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+
+    counts = grouped_sums(
+        ev.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], ["n"])
+    agg = counts.aggregate(Count(alias_name="n_keys"),
+                           Max("n", alias_name="max_n"),
+                           Sum("n", alias_name="total_n"))
+    n_keys, mx, tot = (int(agg["n_keys"]), int(agg["max_n"]),
+                       int(agg["total_n"]))
+    return pa.table({
+        "n_keys": pa.array([n_keys], pa.int64()),
+        "max_n": pa.array([mx], pa.int64()),
+        "total_n": pa.array([tot], pa.int64()),
+        "top1_share": pa.array([float(mx) / float(tot)], pa.float64()),
+    })
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -5373,6 +5408,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "mix_sources": q_mix_sources,
         "grouped_median_cont": q_grouped_median_cont,
         "user_event_path": q_user_event_path,
+        "skew_metrics": q_skew_metrics,
         "cheapest_supplier": q_cheapest_supplier,
         "next_event_gap": q_next_event_gap,
         "regr_price_qty": q_regr_price_qty,
@@ -5549,6 +5585,15 @@ def oracle_sqls() -> dict[str, str]:
             " (PARTITION BY user_id ORDER BY ts, event_id"
             " ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents"
             " FROM events"
+        ),
+        "skew_metrics": (
+            "WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n"
+            " FROM events GROUP BY 1)"
+            " SELECT CAST(count(*) AS BIGINT) AS n_keys,"
+            " CAST(max(n) AS BIGINT) AS max_n,"
+            " CAST(sum(n) AS BIGINT) AS total_n,"
+            " CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE)"
+            " AS top1_share FROM c"
         ),
         "user_event_path": (
             "SELECT user_id,"
