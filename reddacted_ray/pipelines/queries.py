@@ -5301,6 +5301,66 @@ def q_skew_metrics(sf_dir: str) -> pa.Table:
     })
 
 
+def q_revenue_mom_change(sf_dir: str) -> rd.Dataset:
+    """Window-over-aggregate: daily revenue with day-over-day delta and
+    ratio (the trend line every ops dashboard draws). The fact reduces
+    to one partial row per day per block (map-side combine); the LAG
+    runs vectorized over the days-sized aggregate on the driver —
+    shuffling a window over an aggregate would move tens of rows, so
+    the driver finish IS the scale shape."""
+    from ..stages.agg import grouped_sums
+
+    ev = sf_table(sf_dir, "events", columns=["ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.floor_temporal(t["ts"], unit="day"),
+            "cents": _money_int(t["value"], 100.0),
+        })
+
+    monthly = grouped_sums(
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["day"], ["cents"]).to_pandas().sort_values("day")
+    cents = monthly["cents"].to_numpy()
+    prev = np.empty_like(cents)
+    prev[0], prev[1:] = 0, cents[:-1]
+    first = np.zeros(len(cents), dtype=bool)
+    if len(first):
+        first[0] = True
+    ratio = np.where(first, np.nan,
+                     cents.astype(np.float64)
+                     / np.where(first, 1.0, prev).astype(np.float64))
+    return rd.from_arrow(pa.table({
+        "day": pa.Array.from_pandas(monthly["day"]),
+        "cents": pa.array(cents),
+        "prev_cents": pa.array(np.where(first, 0, prev).astype(np.int64)),
+        "dod_ratio": pa.array(ratio, pa.float64(), from_pandas=True),
+    }))
+
+
+def q_daily_active_users(sf_dir: str) -> rd.Dataset:
+    """Distinct-count per time window (DAU — the activity series):
+    per-block-distinct (month, user) pairs shrink the exchange, one
+    groupby dedups globally, and the per-month count re-aggregates the
+    pair table (users x months, far below the event count)."""
+    from ..stages.agg import grouped_sums
+
+    ev = sf_table(sf_dir, "events", columns=["ts", "user_id"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        p = pa.table({
+            "day": pc.floor_temporal(t["ts"], unit="day"),
+            "user_id": t["user_id"],
+        })
+        return p.group_by(["day", "user_id"]).aggregate([])
+
+    distinct = (ev.map_batches(pairs, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby(["day", "user_id"])
+                .aggregate(Count(alias_name="__n")))
+    return grouped_sums(distinct, ["day"], [], count_alias="active_users")
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -5409,6 +5469,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "grouped_median_cont": q_grouped_median_cont,
         "user_event_path": q_user_event_path,
         "skew_metrics": q_skew_metrics,
+        "revenue_mom_change": q_revenue_mom_change,
+        "daily_active_users": q_daily_active_users,
         "cheapest_supplier": q_cheapest_supplier,
         "next_event_gap": q_next_event_gap,
         "regr_price_qty": q_regr_price_qty,
@@ -5585,6 +5647,22 @@ def oracle_sqls() -> dict[str, str]:
             " (PARTITION BY user_id ORDER BY ts, event_id"
             " ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents"
             " FROM events"
+        ),
+        "revenue_mom_change": (
+            "WITH m AS (SELECT date_trunc('day', ts) AS day,"
+            " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+            " AS cents FROM events GROUP BY 1)"
+            " SELECT day, cents,"
+            " CAST(coalesce(lag(cents) OVER (ORDER BY day), 0)"
+            " AS BIGINT) AS prev_cents,"
+            " CAST(cents AS DOUBLE)"
+            " / CAST(lag(cents) OVER (ORDER BY day) AS DOUBLE)"
+            " AS dod_ratio FROM m"
+        ),
+        "daily_active_users": (
+            "SELECT date_trunc('day', ts) AS day,"
+            " CAST(count(DISTINCT user_id) AS BIGINT) AS active_users"
+            " FROM events GROUP BY 1"
         ),
         "skew_metrics": (
             "WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n"
