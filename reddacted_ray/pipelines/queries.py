@@ -5361,6 +5361,42 @@ def q_daily_active_users(sf_dir: str) -> rd.Dataset:
     return grouped_sums(distinct, ["day"], [], count_alias="active_users")
 
 
+def q_retention_cohorts(sf_dir: str) -> rd.Dataset:
+    """Cohort retention triangle: users grouped by first-seen day, how
+    many are active k days later. ONE co-locating bucket shuffle holds
+    each user's complete (user, day) activity — dedup, cohort min and
+    day offsets are pandas kernels inside the bucket — then the
+    (cohort, offset) count exchange ships triangle-sized partials."""
+    import pandas as pd
+
+    from ..stages.agg import grouped_sums
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        p = pa.table({
+            "user_id": t["user_id"],
+            "day": pc.floor_temporal(t["ts"], unit="day"),
+        })
+        return p.group_by(["user_id", "day"]).aggregate([])
+
+    ds = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def cohortize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        cohort = g.groupby("user_id", sort=False)["day"].transform("min")
+        off = ((g["day"] - cohort).dt.days).to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "cohort": cohort.to_numpy(),
+            "day_offset": off,
+            "n_users": np.ones(len(g), dtype=np.int64),
+        })
+
+    rows = grouped_vectorized(ds, "user_id", cohortize)
+    return grouped_sums(rows, ["cohort", "day_offset"], ["n_users"])
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -5471,6 +5507,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "skew_metrics": q_skew_metrics,
         "revenue_mom_change": q_revenue_mom_change,
         "daily_active_users": q_daily_active_users,
+        "retention_cohorts": q_retention_cohorts,
         "cheapest_supplier": q_cheapest_supplier,
         "next_event_gap": q_next_event_gap,
         "regr_price_qty": q_regr_price_qty,
@@ -5658,6 +5695,15 @@ def oracle_sqls() -> dict[str, str]:
             " CAST(cents AS DOUBLE)"
             " / CAST(lag(cents) OVER (ORDER BY day) AS DOUBLE)"
             " AS dod_ratio FROM m"
+        ),
+        "retention_cohorts": (
+            "WITH act AS (SELECT DISTINCT user_id,"
+            " date_trunc('day', ts) AS day FROM events),"
+            " f AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY 1)"
+            " SELECT cohort,"
+            " CAST(date_diff('day', cohort, day) AS BIGINT) AS day_offset,"
+            " CAST(count(*) AS BIGINT) AS n_users"
+            " FROM act JOIN f USING (user_id) GROUP BY 1, 2"
         ),
         "daily_active_users": (
             "SELECT date_trunc('day', ts) AS day,"
