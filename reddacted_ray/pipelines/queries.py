@@ -5397,6 +5397,44 @@ def q_retention_cohorts(sf_dir: str) -> rd.Dataset:
     return grouped_sums(rows, ["cohort", "day_offset"], ["n_users"])
 
 
+def q_longest_streak(sf_dir: str) -> rd.Dataset:
+    """Gaps-and-islands: each user's longest run of consecutive active
+    days (the engagement-streak query; islands found by the classic
+    day-number minus row-number trick — constant within a consecutive
+    run). One co-locating bucket shuffle; dedup, the island key and the
+    run-length max are all pandas C-level kernels inside the bucket."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        p = pa.table({
+            "user_id": t["user_id"],
+            "day": pc.floor_temporal(t["ts"], unit="day"),
+        })
+        return p.group_by(["user_id", "day"]).aggregate([])
+
+    ds = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def streaks(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(["user_id", "day"])
+             .sort_values(["user_id", "day"], kind="mergesort"))
+        daynum = (g["day"].astype("int64") // 86_400_000_000)
+        rn = g.groupby("user_id", sort=False).cumcount()
+        g = g.assign(_grp=daynum.to_numpy() - rn.to_numpy())
+        runs = (g.groupby(["user_id", "_grp"], sort=False).size()
+                .rename("len").reset_index())
+        best = runs.groupby("user_id", sort=False)["len"].max()
+        return pd.DataFrame({
+            "user_id": best.index.to_numpy(),
+            "longest_streak": best.to_numpy().astype(np.int64),
+        })
+
+    return grouped_vectorized(ds, "user_id", streaks)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -5508,6 +5546,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "revenue_mom_change": q_revenue_mom_change,
         "daily_active_users": q_daily_active_users,
         "retention_cohorts": q_retention_cohorts,
+        "longest_streak": q_longest_streak,
         "cheapest_supplier": q_cheapest_supplier,
         "next_event_gap": q_next_event_gap,
         "regr_price_qty": q_regr_price_qty,
@@ -5695,6 +5734,18 @@ def oracle_sqls() -> dict[str, str]:
             " CAST(cents AS DOUBLE)"
             " / CAST(lag(cents) OVER (ORDER BY day) AS DOUBLE)"
             " AS dod_ratio FROM m"
+        ),
+        "longest_streak": (
+            "WITH act AS (SELECT DISTINCT user_id,"
+            " date_trunc('day', ts) AS day FROM events),"
+            " r AS (SELECT user_id, day,"
+            " CAST(date_diff('day', TIMESTAMP '1970-01-01', day) AS BIGINT)"
+            " - row_number() OVER (PARTITION BY user_id ORDER BY day)"
+            " AS grp FROM act),"
+            " s AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len"
+            " FROM r GROUP BY 1, 2)"
+            " SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak"
+            " FROM s GROUP BY 1"
         ),
         "retention_cohorts": (
             "WITH act AS (SELECT DISTINCT user_id,"
