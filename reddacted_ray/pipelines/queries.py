@@ -5435,6 +5435,44 @@ def q_longest_streak(sf_dir: str) -> rd.Dataset:
     return grouped_vectorized(ds, "user_id", streaks)
 
 
+def q_funnel_rates(sf_dir: str) -> pa.Table:
+    """Funnel conversion summary (one row): stage counts + step ratios
+    over the per-user funnel table. Composes the verified
+    ``q_funnel_steps`` pipeline with a distributed Sum of presence
+    flags; the ratios divide the integer counts with the SQL's IEEE
+    tree."""
+    from ray.data.aggregate import Sum
+
+    steps = q_funnel_steps(sf_dir)
+
+    def flags(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_users": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "n_view": pc.cast(pc.is_valid(t["first_view_us"]), pa.int64()),
+            "n_click": pc.cast(pc.is_valid(t["first_click_us"]), pa.int64()),
+            "n_purchase": pc.cast(pc.is_valid(t["first_purchase_us"]),
+                                  pa.int64()),
+        })
+
+    agg = steps.map_batches(flags, batch_format="pyarrow",
+                            zero_copy_batch=True).aggregate(
+        Sum("n_users", alias_name="n_users"),
+        Sum("n_view", alias_name="n_view"),
+        Sum("n_click", alias_name="n_click"),
+        Sum("n_purchase", alias_name="n_purchase"))
+    nu, nv, nc, np_ = (int(agg["n_users"]), int(agg["n_view"]),
+                       int(agg["n_click"]), int(agg["n_purchase"]))
+    return pa.table({
+        "n_users": pa.array([nu], pa.int64()),
+        "n_view": pa.array([nv], pa.int64()),
+        "n_click": pa.array([nc], pa.int64()),
+        "n_purchase": pa.array([np_], pa.int64()),
+        "view_to_click": pa.array([float(nc) / float(nv)], pa.float64()),
+        "click_to_purchase": pa.array([float(np_) / float(nc)],
+                                      pa.float64()),
+    })
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -5547,6 +5585,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "daily_active_users": q_daily_active_users,
         "retention_cohorts": q_retention_cohorts,
         "longest_streak": q_longest_streak,
+        "funnel_rates": q_funnel_rates,
         "cheapest_supplier": q_cheapest_supplier,
         "next_event_gap": q_next_event_gap,
         "regr_price_qty": q_regr_price_qty,
@@ -5734,6 +5773,30 @@ def oracle_sqls() -> dict[str, str]:
             " CAST(cents AS DOUBLE)"
             " / CAST(lag(cents) OVER (ORDER BY day) AS DOUBLE)"
             " AS dod_ratio FROM m"
+        ),
+        "funnel_rates": (
+            "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us"
+            " FROM events WHERE event_type IN ('view', 'click', 'purchase')),"
+            " v AS (SELECT user_id, min(ts_us) AS tv FROM e"
+            " WHERE event_type = 'view' GROUP BY 1),"
+            " c AS (SELECT e.user_id, min(ts_us) AS tc FROM e JOIN v"
+            " USING (user_id) WHERE event_type = 'click' AND ts_us > tv"
+            " GROUP BY 1),"
+            " p AS (SELECT e.user_id, min(ts_us) AS tp FROM e JOIN c"
+            " USING (user_id) WHERE event_type = 'purchase' AND ts_us > tc"
+            " GROUP BY 1),"
+            " u AS (SELECT u.user_id, v.tv, c.tc, p.tp"
+            " FROM (SELECT DISTINCT user_id FROM e) u"
+            " LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)"
+            " LEFT JOIN p USING (user_id))"
+            " SELECT CAST(count(*) AS BIGINT) AS n_users,"
+            " CAST(count(tv) AS BIGINT) AS n_view,"
+            " CAST(count(tc) AS BIGINT) AS n_click,"
+            " CAST(count(tp) AS BIGINT) AS n_purchase,"
+            " CAST(count(tc) AS DOUBLE) / CAST(count(tv) AS DOUBLE)"
+            " AS view_to_click,"
+            " CAST(count(tp) AS DOUBLE) / CAST(count(tc) AS DOUBLE)"
+            " AS click_to_purchase FROM u"
         ),
         "longest_streak": (
             "WITH act AS (SELECT DISTINCT user_id,"
