@@ -5473,6 +5473,41 @@ def q_funnel_rates(sf_dir: str) -> pa.Table:
     })
 
 
+def q_type_cooccurrence(sf_dir: str) -> rd.Dataset:
+    """Co-occurrence (market-basket) matrix: for every unordered pair
+    of event types, how many users did both. Never a raw self-join of
+    the fact: per-block-distinct (user, type) pairs are the only
+    fact-sized exchange; the pair expansion runs inside each user
+    bucket as a pandas self-merge (bounded — a user has at most
+    |types| rows), and the |types|^2-sized count re-aggregates."""
+    import pandas as pd
+
+    from ..stages.agg import grouped_sums
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return t.group_by(["user_id", "event_type"]).aggregate([])
+
+    ds = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "event_type"])
+        m = g.merge(g, on="user_id", suffixes=("_a", "_b"))
+        m = m[m["event_type_a"] < m["event_type_b"]]
+        out = (m.groupby(["event_type_a", "event_type_b"], sort=False)
+               .size().rename("n_users").reset_index())
+        return pd.DataFrame({
+            "type_a": out["event_type_a"].to_numpy(),
+            "type_b": out["event_type_b"].to_numpy(),
+            "n_users": out["n_users"].to_numpy().astype(np.int64),
+        })
+
+    pairs = grouped_vectorized(ds, "user_id", expand)
+    return grouped_sums(pairs, ["type_a", "type_b"], ["n_users"])
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -5586,6 +5621,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": q_retention_cohorts,
         "longest_streak": q_longest_streak,
         "funnel_rates": q_funnel_rates,
+        "type_cooccurrence": q_type_cooccurrence,
         "cheapest_supplier": q_cheapest_supplier,
         "next_event_gap": q_next_event_gap,
         "regr_price_qty": q_regr_price_qty,
@@ -5773,6 +5809,13 @@ def oracle_sqls() -> dict[str, str]:
             " CAST(cents AS DOUBLE)"
             " / CAST(lag(cents) OVER (ORDER BY day) AS DOUBLE)"
             " AS dod_ratio FROM m"
+        ),
+        "type_cooccurrence": (
+            "WITH a AS (SELECT DISTINCT user_id, event_type FROM events)"
+            " SELECT x.event_type AS type_a, y.event_type AS type_b,"
+            " CAST(count(*) AS BIGINT) AS n_users"
+            " FROM a x JOIN a y ON x.user_id = y.user_id"
+            " AND x.event_type < y.event_type GROUP BY 1, 2"
         ),
         "funnel_rates": (
             "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us"
