@@ -5508,6 +5508,51 @@ def q_type_cooccurrence(sf_dir: str) -> rd.Dataset:
     return grouped_sums(pairs, ["type_a", "type_b"], ["n_users"])
 
 
+def q_pair_lift(sf_dir: str) -> rd.Dataset:
+    """Association-rule lift for event-type pairs:
+    lift(a, b) = P(a and b) / (P(a) P(b)) over users — the
+    market-basket significance score on top of co-occurrence. The pair
+    counts reuse the co-occurrence plan; the per-type marginals and the
+    user total come from the SAME distinct (user, type) exchange; the
+    lift double derives from four integers with the SQL's IEEE tree
+    ((n_ab * n) / n_a / n_b in that association order both sides)."""
+    import pandas as pd
+
+    pairs = q_type_cooccurrence(sf_dir).to_pandas()
+
+    from ray.data.aggregate import Count as _Cnt
+
+    ev = sf_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return t.group_by(["user_id", "event_type"]).aggregate([])
+
+    distinct = (ev.map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby(["user_id", "event_type"])
+                .aggregate(_Cnt(alias_name="__n")))
+    marg = (distinct.groupby("event_type")
+            .aggregate(_Cnt(alias_name="n_type")).to_pandas())
+    n_users = int(sf_table(sf_dir, "events", columns=["user_id"])
+                  .groupby("user_id").aggregate(_Cnt(alias_name="c"))
+                  .count())
+
+    m = dict(zip(marg["event_type"], marg["n_type"].astype(int)))
+    na = pairs["type_a"].map(m).to_numpy().astype(np.int64)
+    nb = pairs["type_b"].map(m).to_numpy().astype(np.int64)
+    nab = pairs["n_users"].to_numpy().astype(np.int64)
+    lift = ((nab.astype(np.float64) * float(n_users))
+            / na.astype(np.float64) / nb.astype(np.float64))
+    return rd.from_arrow(pa.table({
+        "type_a": pa.array(pairs["type_a"]),
+        "type_b": pa.array(pairs["type_b"]),
+        "n_ab": pa.array(nab),
+        "n_a": pa.array(na),
+        "n_b": pa.array(nb),
+        "lift": pa.array(lift),
+    }))
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -5622,6 +5667,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "longest_streak": q_longest_streak,
         "funnel_rates": q_funnel_rates,
         "type_cooccurrence": q_type_cooccurrence,
+        "pair_lift": q_pair_lift,
         "cheapest_supplier": q_cheapest_supplier,
         "next_event_gap": q_next_event_gap,
         "regr_price_qty": q_regr_price_qty,
@@ -5809,6 +5855,24 @@ def oracle_sqls() -> dict[str, str]:
             " CAST(cents AS DOUBLE)"
             " / CAST(lag(cents) OVER (ORDER BY day) AS DOUBLE)"
             " AS dod_ratio FROM m"
+        ),
+        "pair_lift": (
+            "WITH a AS (SELECT DISTINCT user_id, event_type FROM events),"
+            " p AS (SELECT x.event_type AS type_a, y.event_type AS type_b,"
+            " CAST(count(*) AS BIGINT) AS n_ab"
+            " FROM a x JOIN a y ON x.user_id = y.user_id"
+            " AND x.event_type < y.event_type GROUP BY 1, 2),"
+            " m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t"
+            " FROM a GROUP BY 1),"
+            " u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n"
+            " FROM events)"
+            " SELECT type_a, type_b, n_ab,"
+            " ma.n_t AS n_a, mb.n_t AS n_b,"
+            " CAST(n_ab AS DOUBLE) * CAST(u.n AS DOUBLE)"
+            " / CAST(ma.n_t AS DOUBLE) / CAST(mb.n_t AS DOUBLE) AS lift"
+            " FROM p CROSS JOIN u"
+            " JOIN m ma ON ma.event_type = p.type_a"
+            " JOIN m mb ON mb.event_type = p.type_b"
         ),
         "type_cooccurrence": (
             "WITH a AS (SELECT DISTINCT user_id, event_type FROM events)"
