@@ -248,7 +248,10 @@ def repetition_counts(texts):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    words = pc.split_pattern(texts, " ")
+    # Null text -> "" (a null list's length is null, which would turn
+    # lens into float64 NaN and crash np.repeat); "" splits to [""],
+    # counting as one word of zero repetition — same as empty text.
+    words = pc.split_pattern(pc.fill_null(texts, ""), " ")
     lens = pc.cast(pc.list_value_length(words), pa.int64()).to_numpy(
         zero_copy_only=False)
     n = len(lens)
@@ -286,7 +289,7 @@ def blocklist_hits(texts, block_values) -> "object":
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    words = pc.split_pattern(texts, " ")
+    words = pc.split_pattern(pc.fill_null(texts, ""), " ")
     lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
     flat = pc.list_flatten(words)
     hit = pc.is_in(flat, value_set=block_values).to_numpy(

@@ -125,7 +125,9 @@ def _only_colliding(
                      zero_copy_batch=True)
         .materialize()
     )
-    if dup_keys.count() <= BROADCAST_KEY_CAP:
+    from .joins import broadcast_cap
+
+    if dup_keys.count() <= broadcast_cap(BROADCAST_KEY_CAP):
         import ray as _ray
 
         keys = pa.concat_tables(

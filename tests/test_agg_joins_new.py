@@ -273,3 +273,100 @@ def test_adaptive_semi_join_paths_agree(ray_session):
     assert len(a) == 4 * 40
     assert (a["k"].to_numpy() == b["k"].to_numpy()).all()
     assert (a["v"].to_numpy() == b["v"].to_numpy()).all()
+
+
+def _sorted_pd(ds, by):
+    return ds.to_pandas().sort_values(by).reset_index(drop=True)
+
+
+def test_attach_via_lookup_paths_agree(ray_session):
+    """Broadcast pc.index_in path (under cap) and the native-hash-join
+    fallback (cap=0) must return identical rows for both inner and
+    left_outer semantics, including unmatched and null fact keys."""
+    from reddacted_ray.stages.joins import attach_via_lookup
+
+    fact = rd.from_arrow(pa.table({
+        "k": pa.array([i % 50 if i % 13 else None for i in range(2000)],
+                      pa.int64()),
+        "v": pa.array(range(2000), pa.int64()),
+    })).repartition(8)
+    dim = rd.from_arrow(pa.table({
+        "dk": pa.array([3, 7, 11, 42], pa.int64()),
+        "name": pa.array(["a", "b", "c", "d"]),
+    })).repartition(6)  # several empty blocks
+
+    for inner in (True, False):
+        a = _sorted_pd(attach_via_lookup(
+            fact, "k", dim, "dk", {"name": "nm"},
+            cap=1_000_000, inner=inner), "v")
+        b = _sorted_pd(attach_via_lookup(
+            fact, "k", dim, "dk", {"name": "nm"},
+            cap=0, inner=inner), "v")
+        assert list(a.columns.sort_values()) == list(b.columns.sort_values())
+        assert (a["v"].to_numpy() == b["v"].to_numpy()).all()
+        assert (a["nm"].fillna("-") == b["nm"].fillna("-")).all()
+        if inner:
+            assert set(a["k"]) == {3, 7, 11, 42}
+        else:
+            assert len(a) == 2000
+            assert a.loc[a["k"].isna(), "nm"].isna().all()
+
+
+def test_attach_via_lookup_int32_key(ray_session):
+    """Fallback path with a non-int64 key: the sentinel pad must carry
+    the dim's real key type (ADVICE: pa.array inference would make an
+    int64 pad meet an int32 column and crash concat)."""
+    from reddacted_ray.stages.joins import attach_via_lookup
+
+    fact = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4] * 50, pa.int32()),
+        "v": pa.array(range(200), pa.int64()),
+    })).repartition(4)
+    dim = rd.from_arrow(pa.table({
+        "dk": pa.array([2, 4], pa.int32()),
+        "tag": pa.array([20, 40], pa.int64()),
+    })).repartition(3)
+    out = _sorted_pd(attach_via_lookup(fact, "k", dim, "dk",
+                                       {"tag": "tag"}, cap=0), "v")
+    assert set(out["k"]) == {2, 4}
+    assert (out["tag"].to_numpy() == out["k"].to_numpy() * 10).all()
+
+
+def test_adaptive_anti_join_paths_agree(ray_session):
+    """Broadcast NOT-is_in path and the Bloom-certain + left_anti split
+    must return identical rows; null fact keys are KEPT in both."""
+    from reddacted_ray.stages.joins import adaptive_anti_join
+
+    fact = rd.from_arrow(pa.table({
+        "k": pa.array([i % 50 if i % 17 else None for i in range(2000)],
+                      pa.int64()),
+        "v": pa.array(range(2000), pa.int64()),
+    })).repartition(8)
+    dim = rd.from_arrow(pa.table({
+        "dk": pa.array([3, 7, 7, 11, 42], pa.int64()),
+    })).repartition(6)
+
+    a = _sorted_pd(adaptive_anti_join(fact, "k", dim, "dk",
+                                      cap=1_000_000), "v")
+    b = _sorted_pd(adaptive_anti_join(fact, "k", dim, "dk", cap=0), "v")
+    assert (a["v"].to_numpy() == b["v"].to_numpy()).all()
+    assert not ({3, 7, 11, 42} & set(a["k"].dropna()))
+    assert a["k"].isna().any()  # null keys kept
+
+
+def test_adaptive_semi_join_sentinel_fact_rows_dropped(ray_session):
+    """A fact row whose key equals the sentinel must be dropped by BOTH
+    paths (ADVICE: the padded dim used to leak it through left_semi)."""
+    from reddacted_ray.stages.joins import adaptive_semi_join
+
+    fact = rd.from_arrow(pa.table({
+        "k": pa.array([-1, 3, 5, -1, 7], pa.int64()),
+        "v": pa.array(range(5), pa.int64()),
+    })).repartition(2)
+    dim = rd.from_arrow(pa.table({
+        "dk": pa.array([3, 7], pa.int64()),
+    })).repartition(2)
+    a = _sorted_pd(adaptive_semi_join(fact, "k", dim, "dk",
+                                      cap=1_000_000), "v")
+    b = _sorted_pd(adaptive_semi_join(fact, "k", dim, "dk", cap=0), "v")
+    assert list(a["k"]) == [3, 7] == list(b["k"])
