@@ -2712,28 +2712,31 @@ def q_percent_rank(sf_dir: str) -> rd.Dataset:
 
 
 def q_promo_revenue(sf_dir: str) -> pa.Table:
-    """TPC-H Q14 shape: PROMO revenue share for ship-year 1997. The part
-    dimension's PROMO keys broadcast once (``ray.put`` + ``pc.is_in``)
-    instead of a lineitem x part shuffle join (dimension side is bounded;
-    at a scale where it isn't, swap in the Bloom-prefiltered hash join of
-    ``q_shipping_priority``). The ship-date window pushes to the parquet
-    scan; one map pass emits a single conditional-sum partial row per
-    block; the percentage derives from the integer sums with the same
-    IEEE tree as the SQL."""
+    """TPC-H Q14 shape: PROMO revenue share for ship-year 1997. The
+    PROMO slice of ``part`` is SF-proportional, so it attaches through
+    the size-policied ``attach_via_lookup`` (round-3 VERDICT #2): under
+    the 2M-row cap its keys broadcast once and a left_outer
+    ``pc.index_in`` marks promo rows in the scan map; past the cap the
+    same left_outer runs as Ray's native hash join. The ship-date window
+    pushes to the parquet scan; one map pass emits a single
+    conditional-sum partial row per block; the percentage derives from
+    the integer sums with the same IEEE tree as the SQL."""
     import datetime as dt
 
     import pyarrow.dataset as pads
 
     from ..sources.tables import read_table
+    from ..stages.joins import attach_via_lookup
 
     part = sf_table(sf_dir, "part", columns=["p_partkey", "p_type"])
 
     def promo_only(t: pa.Table) -> pa.Table:
-        return t.filter(pc.equal(t["p_type"], "PROMO")).select(["p_partkey"])
+        t = t.filter(pc.equal(t["p_type"], "PROMO")).select(["p_partkey"])
+        return t.append_column(
+            "flag", pa.array(np.ones(t.num_rows, dtype=np.int64)))
 
-    keys = part.map_batches(promo_only, batch_format="pyarrow",
-                            zero_copy_batch=True).take_all()
-    keys_ref = ray.put(pa.array(sorted(r["p_partkey"] for r in keys)))
+    promo_dim = part.map_batches(promo_only, batch_format="pyarrow",
+                                 zero_copy_batch=True)
 
     li = read_table(
         f"{sf_dir}/lineitem.parquet",
@@ -2743,28 +2746,23 @@ def q_promo_revenue(sf_dir: str) -> pa.Table:
             & (pads.field("l_shipdate") < dt.datetime(1998, 1, 1))
         ),
     )
+    flagged = attach_via_lookup(li, "l_partkey", promo_dim, "p_partkey",
+                                {"flag": "flag"}, inner=False)
 
-    class Partial:
-        def __init__(self) -> None:
-            self.keys = ray.get(keys_ref)
+    def partial(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        rev = _money_int(disc, 10000.0)
+        promo = pc.if_else(pc.is_valid(t["flag"]), rev,
+                           pa.scalar(0, pa.int64()))
+        return pa.table({
+            "promo_e4": pa.array([pc.sum(promo).as_py() or 0]),
+            "total_e4": pa.array([pc.sum(rev).as_py() or 0]),
+            "n_items": pa.array([t.num_rows], pa.int64()),
+        })
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            disc = pc.multiply(t["l_extendedprice"],
-                               pc.subtract(pa.scalar(1.0), t["l_discount"]))
-            rev = _money_int(disc, 10000.0)
-            promo = pc.if_else(
-                pc.is_in(t["l_partkey"], value_set=self.keys),
-                rev, pa.scalar(0, pa.int64()))
-            return pa.table({
-                "promo_e4": pa.array([pc.sum(promo).as_py() or 0]),
-                "total_e4": pa.array([pc.sum(rev).as_py() or 0]),
-                "n_items": pa.array([t.num_rows], pa.int64()),
-            })
-
-    from ..stages import process_cached
-
-    partials = li.map_batches(process_cached(Partial), batch_format="pyarrow",
-                              zero_copy_batch=True)
+    partials = flagged.map_batches(partial, batch_format="pyarrow",
+                                   zero_copy_batch=True)
     agg = partials.aggregate(Sum("promo_e4", alias_name="promo_e4"),
                              Sum("total_e4", alias_name="total_e4"),
                              Sum("n_items", alias_name="n_items"))
@@ -3401,28 +3399,21 @@ def q_small_qty_revenue(sf_dir: str) -> pa.Table:
     fact (map-side combine) and broadcast BACK as a threshold map instead
     of a second fact shuffle. Thresholds derive from exact integer sums
     with the SQL's IEEE tree (0.2 * (sum/count))."""
-    from ..stages import process_cached
     from ..stages.agg import grouped_sums
+    from ..stages.joins import adaptive_semi_join, attach_via_lookup
 
-    part = sf_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
-    keys = part.map_batches(
+    # both the brand slice of part and the per-part threshold table are
+    # SF-proportional — size-policied helpers (round-3 VERDICT #2)
+    brand_parts = sf_table(
+        sf_dir, "part", columns=["p_partkey", "p_brand"]).map_batches(
         lambda t: t.filter(pc.equal(t["p_brand"], "Brand#3")).select(
             ["p_partkey"]),
-        batch_format="pyarrow", zero_copy_batch=True).take_all()
-    keys_ref = ray.put(pa.array(sorted(r["p_partkey"] for r in keys)))
+        batch_format="pyarrow", zero_copy_batch=True)
 
-    li = sf_table(sf_dir, "lineitem",
-                  columns=["l_partkey", "l_quantity", "l_extendedprice"])
-
-    class Prefilter:
-        def __init__(self) -> None:
-            self.keys = ray.get(keys_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            return t.filter(pc.is_in(t["l_partkey"], value_set=self.keys))
-
-    li_f = li.map_batches(process_cached(Prefilter), batch_format="pyarrow",
-                          zero_copy_batch=True)
+    li_f = adaptive_semi_join(
+        sf_table(sf_dir, "lineitem",
+                 columns=["l_partkey", "l_quantity", "l_extendedprice"]),
+        "l_partkey", brand_parts, "p_partkey")
 
     def qty(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -3431,37 +3422,33 @@ def q_small_qty_revenue(sf_dir: str) -> pa.Table:
             "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
         })
 
-    per_part = grouped_sums(
+    thr_ds = grouped_sums(
         li_f.map_batches(qty, batch_format="pyarrow", zero_copy_batch=True),
-        ["l_partkey"], ["sum_qty", "n"]).take_all()
-    thr_keys = pa.array([r["l_partkey"] for r in per_part], pa.int64())
-    thr_vals = pa.array(
-        [0.2 * (float(r["sum_qty"]) / float(r["n"])) for r in per_part],
-        pa.float64())
-    thr_ref = ray.put((thr_keys, thr_vals))
+        ["l_partkey"], ["sum_qty", "n"]).map_batches(
+        lambda t: pa.table({
+            "p_partkey": t["l_partkey"],
+            # the SQL's IEEE tree: 0.2 * (sum / count)
+            "thr": pc.multiply(pa.scalar(0.2), pc.divide(
+                pc.cast(t["sum_qty"], pa.float64()),
+                pc.cast(t["n"], pa.float64()))),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True)
 
-    class Partial:
-        def __init__(self) -> None:
-            self.keys, self.thr = ray.get(thr_ref)
+    def partial(t: pa.Table) -> pa.Table:
+        small = pc.less(t["l_quantity"], t["thr"])
+        cents = pc.filter(_money_int(t["l_extendedprice"], 100.0), small)
+        return pa.table({
+            "revenue_cents": pa.array(
+                [pc.sum(cents).as_py() or 0], pa.int64()),
+            "n_small": pa.array(
+                [pc.sum(pc.cast(small, pa.int64())).as_py() or 0],
+                pa.int64()),
+        })
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            idx = pc.index_in(t["l_partkey"], value_set=self.keys)
-            mask = pc.is_valid(idx)
-            qv = pc.filter(t["l_quantity"], mask)
-            price = pc.filter(t["l_extendedprice"], mask)
-            thr = pc.take(self.thr, pc.filter(idx, mask))
-            small = pc.less(qv, thr)
-            cents = pc.filter(_money_int(price, 100.0), small)
-            return pa.table({
-                "revenue_cents": pa.array(
-                    [pc.sum(cents).as_py() or 0], pa.int64()),
-                "n_small": pa.array(
-                    [pc.sum(pc.cast(small, pa.int64())).as_py() or 0],
-                    pa.int64()),
-            })
-
-    agg = li.map_batches(process_cached(Partial), batch_format="pyarrow",
-                         zero_copy_batch=True).aggregate(
+    agg = attach_via_lookup(
+        li_f, "l_partkey", thr_ds, "p_partkey", {"thr": "thr"}
+    ).map_batches(partial, batch_format="pyarrow",
+                  zero_copy_batch=True).aggregate(
         Sum("revenue_cents", alias_name="revenue_cents"),
         Sum("n_small", alias_name="n_small"))
     return pa.table({
@@ -3556,43 +3543,40 @@ def q_disjunctive_revenue(sf_dir: str) -> pa.Table:
             "p_size": pc.cast(pc.filter(t["p_size"], mask), pa.int32()),
         })
 
-    rows = part.map_batches(slim, batch_format="pyarrow",
-                            zero_copy_batch=True).take_all()
-    pk = pa.array([r["p_partkey"] for r in rows], pa.int64())
-    bb = np.array([r["b"] for r in rows], dtype=np.int8)
-    sz = np.array([r["p_size"] for r in rows], dtype=np.int32)
-    dim_ref = ray.put((pk, bb, sz))
+    # the three-brand part slice is SF-proportional — it attaches via
+    # the size-policied attach_via_lookup (round-3 VERDICT #2); each
+    # block then evaluates the whole OR-of-ANDs as vectorized masks
+    from ..stages.joins import attach_via_lookup
+
+    dim = part.map_batches(slim, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
     # (brand ordinal, size lo/hi, qty lo/hi) per clause
     clauses = [(0, 1, 15, 1.0, 11.0), (1, 1, 10, 10.0, 20.0),
                (2, 1, 5, 20.0, 30.0)]
 
-    class Partial:
-        def __init__(self) -> None:
-            self.pk, self.bb, self.sz = ray.get(dim_ref)
+    def partial(t: pa.Table) -> pa.Table:
+        b = t["b"].to_numpy(zero_copy_only=False)
+        s = t["p_size"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        hit = np.zeros(len(b), dtype=bool)
+        for cb, slo, shi, qlo, qhi in clauses:
+            hit |= ((b == cb) & (s >= slo) & (s <= shi)
+                    & (qty >= qlo) & (qty <= qhi))
+        cents = pc.filter(_money_int(t["l_extendedprice"], 100.0),
+                          pa.array(hit))
+        return pa.table({
+            "revenue_cents": pa.array(
+                [pc.sum(cents).as_py() or 0], pa.int64()),
+            "n_items": pa.array([int(hit.sum())], pa.int64()),
+        })
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            idx = pc.index_in(t["l_partkey"], value_set=self.pk)
-            mask = pc.is_valid(idx)
-            pos = pc.filter(idx, mask).to_numpy(zero_copy_only=False)
-            qty = pc.filter(t["l_quantity"], mask).to_numpy(
-                zero_copy_only=False)
-            price = pc.filter(t["l_extendedprice"], mask)
-            b, s = self.bb[pos], self.sz[pos]
-            hit = np.zeros(len(pos), dtype=bool)
-            for cb, slo, shi, qlo, qhi in clauses:
-                hit |= ((b == cb) & (s >= slo) & (s <= shi)
-                        & (qty >= qlo) & (qty <= qhi))
-            cents = pc.filter(_money_int(price, 100.0), pa.array(hit))
-            return pa.table({
-                "revenue_cents": pa.array(
-                    [pc.sum(cents).as_py() or 0], pa.int64()),
-                "n_items": pa.array([int(hit.sum())], pa.int64()),
-            })
-
-    li = sf_table(sf_dir, "lineitem",
-                  columns=["l_partkey", "l_quantity", "l_extendedprice"])
-    agg = li.map_batches(process_cached(Partial), batch_format="pyarrow",
+    li = attach_via_lookup(
+        sf_table(sf_dir, "lineitem",
+                 columns=["l_partkey", "l_quantity", "l_extendedprice"]),
+        "l_partkey", dim, "p_partkey",
+        {"b": "b", "p_size": "p_size"})
+    agg = li.map_batches(partial, batch_format="pyarrow",
                          zero_copy_batch=True).aggregate(
         Sum("revenue_cents", alias_name="revenue_cents"),
         Sum("n_items", alias_name="n_items"))
@@ -3620,14 +3604,19 @@ def q_nation_trade_flows(sf_dir: str) -> rd.Dataset:
     pair = [k for k, v in name_of.items() if v in ("NATION_1", "NATION_7")]
     pair_arr = pa.array(sorted(pair), pa.int32())
 
-    supp = sf_table(sf_dir, "supplier",
-                    columns=["s_suppkey", "s_nationkey"]).map_batches(
-        lambda t: t.filter(pc.is_in(pc.cast(t["s_nationkey"], pa.int32()),
-                                    value_set=pair_arr)),
-        batch_format="pyarrow", zero_copy_batch=True).take_all()
-    sk = pa.array([r["s_suppkey"] for r in supp], pa.int64())
-    sn = pa.array([int(r["s_nationkey"]) for r in supp], pa.int64())
-    supp_ref = ray.put((sk, sn))
+    # the pair's supplier slice is SF-proportional — it attaches through
+    # the size-policied attach_via_lookup (round-3 VERDICT #2)
+    from ..stages.joins import attach_via_lookup
+
+    supp_pair = sf_table(
+        sf_dir, "supplier",
+        columns=["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: (lambda f: pa.table({
+            "s_suppkey": f["s_suppkey"],
+            "supp_nk": pc.cast(f["s_nationkey"], pa.int64()),
+        }))(t.filter(pc.is_in(pc.cast(t["s_nationkey"], pa.int32()),
+                              value_set=pair_arr))),
+        batch_format="pyarrow", zero_copy_batch=True)
 
     def cust_slim(t: pa.Table) -> pa.Table:
         mask = pc.is_in(pc.cast(t["c_nationkey"], pa.int32()),
@@ -3685,38 +3674,34 @@ def q_nation_trade_flows(sf_dir: str) -> rd.Dataset:
         ord_nat = orders.join(cust, join_type="inner", num_partitions=16,
                               on=("o_custkey",), right_on=("c_custkey",))
 
-    class LiPrep:
-        # one -1 sentinel row per block: the supplier filter can empty a
-        # block and Ray 2.49 strips empty blocks' schema before the join
-        _pad = pa.table({
+    def li_prep(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        out = pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "supp_nk": t["supp_nk"],
+            "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+            "revenue_e4": _money_int(disc, 10000.0),
+        })
+        # one -1 sentinel row per block: the supplier semi-filter can
+        # empty a block and Ray 2.49 strips empty blocks' schema before
+        # the join (fused into this map by the streaming executor)
+        pad = pa.table({
             "l_orderkey": pa.array([-1], pa.int64()),
             "supp_nk": pa.array([-1], pa.int64()),
             "l_year": pa.array([-1], pa.int64()),
             "revenue_e4": pa.array([0], pa.int64()),
         })
+        return pa.concat_tables([out, pad])
 
-        def __init__(self) -> None:
-            self.sk, self.sn = ray.get(supp_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            idx = pc.index_in(t["l_suppkey"], value_set=self.sk)
-            mask = pc.is_valid(idx)
-            disc = pc.multiply(
-                pc.filter(t["l_extendedprice"], mask),
-                pc.subtract(pa.scalar(1.0), pc.filter(t["l_discount"], mask)))
-            out = pa.table({
-                "l_orderkey": pc.filter(t["l_orderkey"], mask),
-                "supp_nk": pc.take(self.sn, pc.filter(idx, mask)),
-                "l_year": pc.cast(
-                    pc.year(pc.filter(t["l_shipdate"], mask)), pa.int64()),
-                "revenue_e4": _money_int(disc, 10000.0),
-            })
-            return pa.concat_tables([out, self._pad])
-
-    li = sf_table(sf_dir, "lineitem",
-                  columns=["l_orderkey", "l_suppkey", "l_extendedprice",
-                           "l_discount", "l_shipdate"]).map_batches(
-        process_cached(LiPrep), batch_format="pyarrow", zero_copy_batch=True)
+    li = attach_via_lookup(
+        sf_table(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                          "l_discount", "l_shipdate"]),
+        "l_suppkey", supp_pair, "s_suppkey",
+        {"supp_nk": "supp_nk"}).map_batches(
+        li_prep, batch_format="pyarrow", zero_copy_batch=True)
     j = li.join(ord_nat, join_type="inner", num_partitions=16,
                 on=("l_orderkey",), right_on=("o_orderkey",))
     names = {k: name_of[k] for k in pair}
@@ -3893,50 +3878,57 @@ def q_regr_price_qty(sf_dir: str) -> rd.Dataset:
 
 def q_profit_by_nation_year(sf_dir: str) -> rd.Dataset:
     """TPC-H Q9 shape — profit per supplier-nation per ship-year for a
-    part-name slice. All three dimensions resolve into broadcasts (part
-    keys for the name filter, suppkey -> nation-name via the driver-side
-    nation map), so the fact streams through ONE map pass and the only
-    exchange is the (nation, year)-sized grouped sum."""
-    from ..stages import process_cached
+    part-name slice. Both SF-proportional dimensions route through the
+    size-policied helpers (round-3 VERDICT #2): the red part keys via
+    ``adaptive_semi_join`` and the supplier -> nation-name map via
+    ``attach_via_lookup`` (supplier resolves its 25-row nation name with
+    a fixed-size driver map first). Under the 2M cap everything
+    broadcasts and the fact streams through fused map passes; past it
+    the plans become Bloom-prefiltered hash joins. The only exchange
+    under the cap is the (nation, year)-sized grouped sum."""
     from ..stages.agg import grouped_sums
+    from ..stages.joins import adaptive_semi_join, attach_via_lookup
 
-    nation = sf_table(sf_dir, "nation").take_all()
+    nation = sf_table(sf_dir, "nation").take_all()  # fixed 25 rows
     name_of = {n["n_nationkey"]: n["n_name"] for n in nation}
+    nk = pa.array(sorted(name_of), pa.int64())
+    nm = pa.array([name_of[k] for k in sorted(name_of)])
 
-    part_keys = sf_table(
+    red_parts = sf_table(
         sf_dir, "part", columns=["p_partkey", "p_name"]).map_batches(
         lambda t: t.filter(
             pc.match_substring(t["p_name"], "red")).select(["p_partkey"]),
-        batch_format="pyarrow", zero_copy_batch=True).take_all()
-    pk = pa.array(sorted(r["p_partkey"] for r in part_keys), pa.int64())
+        batch_format="pyarrow", zero_copy_batch=True)
 
-    supp = sf_table(sf_dir, "supplier",
-                    columns=["s_suppkey", "s_nationkey"]).take_all()
-    sk = pa.array([r["s_suppkey"] for r in supp], pa.int64())
-    snm = pa.array([name_of[int(r["s_nationkey"])] for r in supp])
-    dims_ref = ray.put((pk, sk, snm))
+    supp_named = sf_table(
+        sf_dir, "supplier",
+        columns=["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: pa.table({
+            "s_suppkey": t["s_suppkey"],
+            "n_name": pc.take(nm, pc.index_in(
+                pc.cast(t["s_nationkey"], pa.int64()), value_set=nk)),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True)
 
-    class Partial:
-        def __init__(self) -> None:
-            self.pk, self.sk, self.snm = ray.get(dims_ref)
+    li = adaptive_semi_join(
+        sf_table(sf_dir, "lineitem",
+                 columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                          "l_discount", "l_shipdate"]),
+        "l_partkey", red_parts, "p_partkey")
+    li = attach_via_lookup(li, "l_suppkey", supp_named, "s_suppkey",
+                           {"n_name": "n_name"})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pc.is_in(t["l_partkey"], value_set=self.pk)
-            t = t.filter(mask)
-            disc = pc.multiply(t["l_extendedprice"],
-                               pc.subtract(pa.scalar(1.0), t["l_discount"]))
-            return pa.table({
-                "n_name": pc.take(
-                    self.snm, pc.index_in(t["l_suppkey"], value_set=self.sk)),
-                "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
-                "profit_e4": _money_int(disc, 10000.0),
-            })
+    def partial(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "n_name": t["n_name"],
+            "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+            "profit_e4": _money_int(disc, 10000.0),
+        })
 
-    li = sf_table(sf_dir, "lineitem",
-                  columns=["l_partkey", "l_suppkey", "l_extendedprice",
-                           "l_discount", "l_shipdate"]).map_batches(
-        process_cached(Partial), batch_format="pyarrow",
-        zero_copy_batch=True)
+    li = li.map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
     return grouped_sums(li, ["n_name", "l_year"], ["profit_e4"])
 
 
@@ -3960,19 +3952,27 @@ def q_market_share(sf_dir: str) -> rd.Dataset:
         pa.int32())
     n3 = next(n["n_nationkey"] for n in nation if n["n_name"] == "NATION_3")
 
-    part_keys = sf_table(
+    # SF-proportional dimensions route through the size-policied helpers
+    # (round-3 VERDICT #2): widget part keys via adaptive_semi_join, the
+    # suppkey -> is-target-nation flag via attach_via_lookup
+    from ..stages.joins import adaptive_semi_join, attach_via_lookup
+
+    widget_parts = sf_table(
         sf_dir, "part", columns=["p_partkey", "p_name"]).map_batches(
         lambda t: t.filter(
             pc.match_substring(t["p_name"], "widget")).select(["p_partkey"]),
-        batch_format="pyarrow", zero_copy_batch=True).take_all()
-    pk = pa.array(sorted(r["p_partkey"] for r in part_keys), pa.int64())
+        batch_format="pyarrow", zero_copy_batch=True)
 
-    supp = sf_table(sf_dir, "supplier",
-                    columns=["s_suppkey", "s_nationkey"]).take_all()
-    sk = pa.array([r["s_suppkey"] for r in supp], pa.int64())
-    sflag = pa.array([int(int(r["s_nationkey"]) == n3) for r in supp],
-                     pa.int64())
-    dims_ref = ray.put((pk, sk, sflag))
+    supp_flag = sf_table(
+        sf_dir, "supplier",
+        columns=["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: pa.table({
+            "s_suppkey": t["s_suppkey"],
+            "flag": pc.cast(pc.equal(pc.cast(t["s_nationkey"], pa.int64()),
+                                     pa.scalar(int(n3), pa.int64())),
+                            pa.int64()),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True)
 
     def cust_slim(t: pa.Table) -> pa.Table:
         mask = pc.is_in(pc.cast(t["c_nationkey"], pa.int32()),
@@ -3999,34 +3999,34 @@ def q_market_share(sf_dir: str) -> rd.Dataset:
     ord_asia = orders.join(cust, join_type="inner", num_partitions=16,
                            on=("o_custkey",), right_on=("c_custkey",))
 
-    class LiPrep:
-        _pad = pa.table({
+    li = adaptive_semi_join(
+        sf_table(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_partkey", "l_suppkey",
+                          "l_extendedprice", "l_discount"]),
+        "l_partkey", widget_parts, "p_partkey")
+    li = attach_via_lookup(li, "l_suppkey", supp_flag, "s_suppkey",
+                           {"flag": "flag"})
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        rev = _money_int(disc, 10000.0)
+        out = pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "rev_e4": rev,
+            "rev_n3_e4": pc.multiply(rev, t["flag"]),
+        })
+        # one -1 sentinel row per block: the widget filter can empty a
+        # block and Ray 2.49 strips empty blocks' schema before the join
+        pad = pa.table({
             "l_orderkey": pa.array([-1], pa.int64()),
             "rev_e4": pa.array([0], pa.int64()),
             "rev_n3_e4": pa.array([0], pa.int64()),
         })
+        return pa.concat_tables([out, pad])
 
-        def __init__(self) -> None:
-            self.pk, self.sk, self.sflag = ray.get(dims_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            t = t.filter(pc.is_in(t["l_partkey"], value_set=self.pk))
-            disc = pc.multiply(t["l_extendedprice"],
-                               pc.subtract(pa.scalar(1.0), t["l_discount"]))
-            rev = _money_int(disc, 10000.0)
-            flag = pc.take(
-                self.sflag, pc.index_in(t["l_suppkey"], value_set=self.sk))
-            out = pa.table({
-                "l_orderkey": t["l_orderkey"],
-                "rev_e4": rev,
-                "rev_n3_e4": pc.multiply(rev, flag),
-            })
-            return pa.concat_tables([out, self._pad])
-
-    li = sf_table(sf_dir, "lineitem",
-                  columns=["l_orderkey", "l_partkey", "l_suppkey",
-                           "l_extendedprice", "l_discount"]).map_batches(
-        process_cached(LiPrep), batch_format="pyarrow", zero_copy_batch=True)
+    li = li.map_batches(li_prep, batch_format="pyarrow",
+                        zero_copy_batch=True)
     j = li.join(ord_asia, join_type="inner", num_partitions=16,
                 on=("l_orderkey",), right_on=("o_orderkey",))
     sums = grouped_sums(j, ["l_year"], ["rev_n3_e4", "rev_e4"])
@@ -4108,47 +4108,42 @@ def q_supplier_variety(sf_dir: str) -> rd.Dataset:
     so the ONLY exchange is one co-locating bucket shuffle of those
     per-block-distinct triples — cross-block dedup and the distinct
     count both run as pandas kernels inside the bucket."""
-    from ..stages import process_cached
+    from ..stages.joins import adaptive_anti_join, attach_via_lookup
 
-    supp = sf_table(sf_dir, "supplier",
-                    columns=["s_suppkey", "s_acctbal"]).take_all()
-    bad = pa.array(sorted(r["s_suppkey"] for r in supp
-                          if r["s_acctbal"] < 0), pa.int64())
-    parts = sf_table(
+    supp_bad = sf_table(
+        sf_dir, "supplier",
+        columns=["s_suppkey", "s_acctbal"]).map_batches(
+        lambda t: t.filter(pc.less(t["s_acctbal"], 0)).select(["s_suppkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    part_keep = sf_table(
         sf_dir, "part",
-        columns=["p_partkey", "p_brand", "p_size"]).take_all()
-    keep = [r for r in parts if r["p_brand"] != "Brand#1"]
-    pk = pa.array([r["p_partkey"] for r in keep], pa.int64())
-    pbrand = pa.array([r["p_brand"] for r in keep])
-    psize = pa.array([int(r["p_size"]) for r in keep], pa.int64())
-    dims_ref = ray.put((bad, pk, pbrand, psize))
+        columns=["p_partkey", "p_brand", "p_size"]).map_batches(
+        lambda t: (lambda f: pa.table({
+            "p_partkey": f["p_partkey"],
+            "p_brand": f["p_brand"],
+            "p_size": pc.cast(f["p_size"], pa.int64()),
+        }))(t.filter(pc.not_equal(t["p_brand"], "Brand#1"))),
+        batch_format="pyarrow", zero_copy_batch=True)
 
-    class Triples:
-        def __init__(self) -> None:
-            self.bad, self.pk, self.pbrand, self.psize = ray.get(dims_ref)
+    # both dimension slices are SF-proportional: the 'complaints' NOT IN
+    # runs through adaptive_anti_join and the part attrs through
+    # attach_via_lookup (round-3 VERDICT #2) — broadcast under the 2M
+    # cap, distributed Bloom/left_anti + hash-join plans past it
+    li = adaptive_anti_join(
+        sf_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"]),
+        "l_suppkey", supp_bad, "s_suppkey")
+    li = attach_via_lookup(li, "l_partkey", part_keep, "p_partkey",
+                           {"p_brand": "p_brand", "p_size": "p_size"})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            t = t.filter(pc.invert(pc.is_in(t["l_suppkey"],
-                                            value_set=self.bad)))
-            idx = pc.index_in(t["l_partkey"], value_set=self.pk)
-            mask = pc.is_valid(idx)
-            idx, sk = pc.filter(idx, mask), pc.filter(t["l_suppkey"], mask)
-            trip = pa.table({
-                "p_brand": pc.take(self.pbrand, idx),
-                "p_size": pc.take(self.psize, idx),
-                "l_suppkey": sk,
-            })
-            trip = trip.group_by(
-                ["p_brand", "p_size", "l_suppkey"]).aggregate([])
-            return trip.append_column(
-                "blk", pc.binary_join_element_wise(
-                    trip["p_brand"], pc.cast(trip["p_size"], pa.string()),
-                    ":"))
+    def triples(t: pa.Table) -> pa.Table:
+        trip = t.select(["p_brand", "p_size", "l_suppkey"]).group_by(
+            ["p_brand", "p_size", "l_suppkey"]).aggregate([])
+        return trip.append_column(
+            "blk", pc.binary_join_element_wise(
+                trip["p_brand"], pc.cast(trip["p_size"], pa.string()), ":"))
 
-    li = sf_table(sf_dir, "lineitem",
-                  columns=["l_partkey", "l_suppkey"]).map_batches(
-        process_cached(Triples), batch_format="pyarrow",
-        zero_copy_batch=True)
+    li = li.map_batches(triples, batch_format="pyarrow",
+                        zero_copy_batch=True)
 
     # ONE co-locating bucket shuffle of per-block-distinct triples does
     # the cross-block dedup AND the per-(brand, size) distinct count
@@ -4186,24 +4181,27 @@ def q_bulk_part_suppliers(sf_dir: str) -> rd.Dataset:
     from ..stages.agg import grouped_sums
     from ..stages.joins import pad_sentinel
 
-    part_keys = sf_table(
+    from ..stages.joins import adaptive_semi_join
+
+    # the red part-name slice is SF-proportional — size-policied
+    # semi-join (round-3 VERDICT #2)
+    red_parts = sf_table(
         sf_dir, "part", columns=["p_partkey", "p_name"]).map_batches(
         lambda t: t.filter(
             pc.match_substring(t["p_name"], "red")).select(["p_partkey"]),
-        batch_format="pyarrow", zero_copy_batch=True).take_all()
-    pk_ref = ray.put(
-        pa.array(sorted(r["p_partkey"] for r in part_keys), pa.int64()))
+        batch_format="pyarrow", zero_copy_batch=True)
 
     lo, hi = dt.datetime(1997, 1, 1), dt.datetime(1998, 1, 1)
-    li = read_table(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
-        filter_expr=(pads.field("l_shipdate") >= lo)
-        & (pads.field("l_shipdate") < hi),
-    )
+    li = adaptive_semi_join(
+        read_table(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+            filter_expr=(pads.field("l_shipdate") >= lo)
+            & (pads.field("l_shipdate") < hi),
+        ),
+        "l_partkey", red_parts, "p_partkey")
 
     def prep(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_in(t["l_partkey"], value_set=ray.get(pk_ref)))
         return pa.table({
             "l_suppkey": t["l_suppkey"],
             "l_partkey": t["l_partkey"],

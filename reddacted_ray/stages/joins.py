@@ -334,28 +334,50 @@ def attach_via_lookup(
         types={dim_key: key_type,
                **{v: dim_types[k] for k, v in attach.items()}},
     )
-    # Sentinel-keyed fact rows out (both paths must agree — see
-    # adaptive_semi_join); null-keyed rows SURVIVE the filter (null !=
-    # sentinel is null -> fill true) so inner/left_outer null-key
-    # semantics stay Acero's, not the prefilter's.
-    sent = pa.scalar(-1, key_type)
+    # Negative (pad-domain) fact keys out (both paths must agree — see
+    # adaptive_semi_join; real keys are non-negative by contract);
+    # null-keyed rows SURVIVE the filter so inner/left_outer null-key
+    # semantics stay Acero's, not the prefilter's. Both sides then gain
+    # the covering sentinel keys so every hash partition of every side
+    # receives >= 1 row (see covering_sentinels).
+    zero = pa.scalar(0, key_type)
     pre = fact.map_batches(
-        lambda t: t.filter(pc.fill_null(pc.not_equal(t[fact_key], sent),
-                                        True)),
+        lambda t: t.filter(pc.fill_null(
+            pc.greater_equal(t[fact_key], zero), True)),
         batch_format="pyarrow", zero_copy_batch=True)
+    if inner:
+        # Bloom over the dim keys drops provably-unmatched fact rows
+        # BEFORE the hash exchange (no false negatives, join stays
+        # exact). left_outer must keep every fact row, so no prefilter.
+        from .sketch import bloom_from_column, bloom_prefilter
+
+        pre = bloom_prefilter(pre, fact_key,
+                              bloom_from_column(padded, dim_key))
+    cover = covering_sentinels(num_partitions, key_type)
+    fact_types = dict(zip(fact.schema().names, fact.schema().types))
+    pre = pre.union(rd.from_arrow(
+        _cover_block(fact_types, fact_key, cover)))
+    padded = padded.union(rd.from_arrow(_cover_block(
+        {dim_key: key_type,
+         **{v: dim_types[k] for k, v in attach.items()}},
+        dim_key, cover)))
     joined = pre.join(
         padded,
         join_type="inner" if inner else "left_outer",
         num_partitions=num_partitions,
         on=(fact_key,), right_on=(dim_key,),
+        aggregator_ray_remote_args=_pool_args(num_partitions),
     )
     drop = [] if fact_key == dim_key else [dim_key]
-    if drop:
-        joined = joined.map_batches(
-            lambda t: t.drop_columns([c for c in drop
-                                      if c in t.schema.names]),
-            batch_format="pyarrow", zero_copy_batch=True)
-    return joined
+
+    def finish(t: pa.Table) -> pa.Table:
+        # the left cover pads joined the right cover keys — drop them
+        t = t.filter(pc.fill_null(
+            pc.greater_equal(t[fact_key], zero), True))
+        return t.drop_columns([c for c in drop if c in t.schema.names])
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
 
 def broadcast_range_join(
@@ -511,6 +533,67 @@ def pad_sentinel(
     return ds.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _pool_args(num_partitions: int) -> dict:
+    """Aggregator-pool remote args for the adaptive helpers' fallback
+    joins: ~1 CPU reserved per pool (1/num_partitions per aggregator
+    actor) instead of Ray's default CPU/2 budget. The aggregators mostly
+    idle until finalize, but their RESERVATION is what matters: a query
+    plan can stack several helper joins (semi + attach + the query's own
+    joins), and at 8 CPUs the default reservations deadlock the
+    streaming executor — pools hold CPUs while upstream maps starve
+    (observed: q_market_share forced-fallback wedged at 8 CPUs, ran at
+    32)."""
+    return {"num_cpus": 1.0 / num_partitions}
+
+
+def covering_sentinels(
+    num_partitions: int,
+    key_type: pa.DataType,
+    probe: int = 4096,
+) -> "list[int]":
+    """One NEGATIVE int key per hash partition, computed with the SAME
+    ``hash_partition`` function Ray's shuffle uses (int hashing is
+    value-based and cross-process stable, verified by test).
+
+    Why: ``HashShuffleAggregator.finalize`` builds each side of a join
+    partition from the shards it actually received; a partition that
+    never receives a shard on one side becomes a ZERO-COLUMN table and
+    Acero rejects it ("no match for key field"). A single -1 sentinel
+    row lands in exactly one partition — the other 15 stay exposed
+    whenever a side is sparse (a filtered dim, a Bloom-prefiltered
+    fact). Padding every partition of BOTH sides with these covering
+    keys makes the join crash-proof by construction; real keys must be
+    non-negative (the suite-wide id contract), so the pads are dropped
+    or self-cancel afterwards."""
+    from ray.data._internal.arrow_ops.transform_pyarrow import (
+        hash_partition,
+    )
+
+    t = pa.table({"k": pa.array(list(range(-probe, 0)), key_type)})
+    parts = hash_partition(t, hash_cols=["k"], num_partitions=num_partitions)
+    if len(parts) < num_partitions:  # pragma: no cover — 4096 >> 16
+        raise RuntimeError(
+            f"probe of {probe} keys covered only {len(parts)}/"
+            f"{num_partitions} partitions")
+    return sorted(tab["k"][0].as_py() for tab in parts.values())
+
+
+def _cover_block(
+    col_types: "Mapping[str, pa.DataType]",
+    key_col: str,
+    keys: "Sequence[int]",
+) -> pa.Table:
+    """One block holding the covering sentinel keys (other columns
+    null) — union it onto a join side to make every hash partition of
+    that side provably non-empty."""
+    n = len(keys)
+    return pa.table({
+        c: (pa.array(list(keys), type=ty) if c == key_col
+            else pa.nulls(n, ty))
+        for c, ty in col_types.items()
+    })
+
+
 def adaptive_semi_join(
     fact: rd.Dataset,
     fact_key: str,
@@ -567,19 +650,32 @@ def adaptive_semi_join(
 
     padded = pad_sentinel(dim, dim_key, {dim_key: sentinel},
                           transform=slim, types={dim_key: key_type})
+    # partition-complete both sides: every hash partition must receive
+    # >= 1 row per side or finalize() meets a zero-column table (see
+    # covering_sentinels). Real keys are non-negative by contract, so
+    # negative pads are filtered out of the fact and of the result.
+    cover = covering_sentinels(num_partitions, key_type)
+    padded = padded.union(rd.from_arrow(
+        _cover_block({dim_key: key_type}, dim_key, cover)))
     bloom = bloom_from_column(padded, dim_key)
-    # Drop fact rows whose key EQUALS the sentinel before the semi-join:
-    # the padded dim carries one sentinel row per block, so without this
-    # the fallback path would keep a sentinel-keyed fact row that the
-    # broadcast is_in path (real dim keys only) correctly drops. Fused
-    # into the prefilter map so it costs no extra stage.
-    sent = pa.scalar(sentinel, key_type)
+    fact_types = dict(zip(fact.schema().names, fact.schema().types))
+    zero = pa.scalar(0, key_type)
     pre = bloom_prefilter(fact, fact_key, bloom).map_batches(
-        lambda t: t.filter(pa.compute.not_equal(t[fact_key], sent)),
+        lambda t: t.filter(pa.compute.fill_null(
+            pa.compute.greater_equal(t[fact_key], zero), False)),
         batch_format="pyarrow", zero_copy_batch=True)
-    return pre.join(padded, join_type="left_semi",
-                    num_partitions=num_partitions,
-                    on=(fact_key,), right_on=(dim_key,))
+    left = pre.union(rd.from_arrow(
+        _cover_block(fact_types, fact_key, cover)))
+    joined = left.join(padded, join_type="left_semi",
+                       num_partitions=num_partitions,
+                       on=(fact_key,), right_on=(dim_key,),
+                       aggregator_ray_remote_args=_pool_args(
+                           num_partitions))
+    # the left cover pads semi-match the right cover keys — drop them
+    return joined.map_batches(
+        lambda t: t.filter(pa.compute.fill_null(
+            pa.compute.greater_equal(t[fact_key], zero), False)),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 def adaptive_anti_join(
@@ -610,13 +706,14 @@ def adaptive_anti_join(
 
     cap = broadcast_cap() if cap is None else cap
     key_type = dict(zip(dim.schema().names, dim.schema().types))[dim_key]
-    sent = pa.scalar(sentinel, key_type)
 
     if dim.count() <= cap:
         rows = dim.take_all()
         keys = pa.array(sorted({r[dim_key] for r in rows}),
                         type=key_type)
         kref = ray.put(keys)
+
+        zero = pa.scalar(0, key_type)
 
         class Anti:
             def __init__(self) -> None:
@@ -626,7 +723,8 @@ def adaptive_anti_join(
                 hit = pc.is_in(t[fact_key], value_set=self.keys)
                 ok = pc.and_kleene(
                     pc.invert(hit),
-                    pc.fill_null(pc.not_equal(t[fact_key], sent), True))
+                    pc.fill_null(pc.greater_equal(t[fact_key], zero),
+                                 True))
                 return t.filter(pc.fill_null(ok, True))
 
         return fact.map_batches(process_cached(Anti),
@@ -638,19 +736,32 @@ def adaptive_anti_join(
 
     padded = pad_sentinel(dim, dim_key, {dim_key: sentinel},
                           transform=slim, types={dim_key: key_type})
+    # partition-complete both sides (see covering_sentinels): the right
+    # side carries one covering key per hash partition; the maybe side
+    # unions the same keys, which anti-join AWAY against the right pads
+    # — so no post-filter is needed on the join output.
+    cover = covering_sentinels(num_partitions, key_type)
+    padded = padded.union(rd.from_arrow(
+        _cover_block({dim_key: key_type}, dim_key, cover)))
     bloom = bloom_from_column(padded, dim_key)
+    zero = pa.scalar(0, key_type)
 
-    def certain_keep(t: pa.Table) -> pa.Table:
-        # bloom-absent rows are PROVABLY not in dim; sentinel-keyed rows
-        # are excluded here (and pad-matched away in the maybe path)
-        return t.filter(pc.fill_null(pc.not_equal(t[fact_key], sent),
+    def nonneg_keep(t: pa.Table) -> pa.Table:
+        # negative (pad-domain) fact keys are excluded in both paths;
+        # null keys are KEPT (left_anti semantics)
+        return t.filter(pc.fill_null(pc.greater_equal(t[fact_key], zero),
                                      True))
 
     certain = bloom_prefilter(fact, fact_key, bloom,
                               invert=True).map_batches(
-        certain_keep, batch_format="pyarrow", zero_copy_batch=True)
-    maybe = bloom_prefilter(fact, fact_key, bloom)
+        nonneg_keep, batch_format="pyarrow", zero_copy_batch=True)
+    fact_types = dict(zip(fact.schema().names, fact.schema().types))
+    maybe = bloom_prefilter(fact, fact_key, bloom).map_batches(
+        nonneg_keep, batch_format="pyarrow", zero_copy_batch=True
+    ).union(rd.from_arrow(_cover_block(fact_types, fact_key, cover)))
     anti = maybe.join(padded, join_type="left_anti",
                       num_partitions=num_partitions,
-                      on=(fact_key,), right_on=(dim_key,))
+                      on=(fact_key,), right_on=(dim_key,),
+                      aggregator_ray_remote_args=_pool_args(
+                          num_partitions))
     return certain.union(anti)

@@ -370,3 +370,43 @@ def test_adaptive_semi_join_sentinel_fact_rows_dropped(ray_session):
                                       cap=1_000_000), "v")
     b = _sorted_pd(adaptive_semi_join(fact, "k", dim, "dk", cap=0), "v")
     assert list(a["k"]) == [3, 7] == list(b["k"])
+
+
+def test_adaptive_fallbacks_sparse_dim_dense_fact(ray_session):
+    """Regression: a dim with FEWER distinct keys than join partitions
+    left some right hash partitions with zero shards -> zero-COLUMN
+    tables in finalize -> Acero 'no match for key field'. The covering
+    sentinel pads must make semi/anti/attach fallbacks crash-proof when
+    every left partition is populated (dense fact keys) but the right
+    side is sparse."""
+    from reddacted_ray.stages.joins import (
+        adaptive_anti_join,
+        adaptive_semi_join,
+        attach_via_lookup,
+    )
+
+    # 2000 distinct keys -> every one of the 16 left partitions populated
+    fact = rd.from_arrow(pa.table({
+        "k": pa.array(range(2000), pa.int64()),
+        "v": pa.array(range(2000), pa.int64()),
+    })).repartition(8)
+    dim = rd.from_arrow(pa.table({
+        "dk": pa.array([42, 43], pa.int64()),
+        "name": pa.array(["a", "b"]),
+    }))
+
+    semi = _sorted_pd(adaptive_semi_join(
+        fact, "k", dim.select_columns(["dk"]), "dk", cap=0), "v")
+    assert list(semi["k"]) == [42, 43]
+
+    anti = adaptive_anti_join(
+        fact, "k", dim.select_columns(["dk"]), "dk", cap=0)
+    assert anti.count() == 1998
+
+    att = _sorted_pd(attach_via_lookup(
+        fact, "k", dim, "dk", {"name": "nm"}, cap=0), "v")
+    assert list(att["nm"]) == ["a", "b"]
+
+    outer = attach_via_lookup(fact, "k", dim, "dk", {"name": "nm"},
+                              cap=0, inner=False)
+    assert outer.count() == 2000
