@@ -115,10 +115,16 @@ def load_config(argv=None) -> dict:
                     help="keep failing rows as error-lineage rows"
                     " (keep=false, error column set) instead of the"
                     " reference's silent row skip")
-    ap.add_argument("--files-per-partition", dest="files_per_partition", type=int)
+    ap.add_argument("--files-per-partition", dest="files_per_partition",
+                    type=int, help="resumable mode: input files per"
+                    " checkpoint partition (default: auto — sized so"
+                    " ~max(8, cpus//4) partitions amortize executor"
+                    " fixed latency; pass a smaller value for finer"
+                    " checkpoint granularity)")
     ap.add_argument("--concurrent-partitions", dest="concurrent_partitions",
                     type=int, help="resumable mode: how many partition"
-                    " pipelines execute at once (default 4)")
+                    " pipelines execute at once (default: auto —"
+                    " min(cluster CPUs, pending partitions))")
     ap.add_argument("--num-cpus", dest="num_cpus", type=int)
     ap.add_argument("--report", help="write a markdown summary report here")
     ap.add_argument("--allowed-langs", dest="allowed_langs",
@@ -295,8 +301,14 @@ def main(argv=None) -> int:
             cfg["input"],
             cfg["output"],
             _build,
-            files_per_partition=int(cfg.get("files_per_partition", 4)),
-            concurrent_partitions=int(cfg.get("concurrent_partitions", 4)),
+            # default: auto — target max(8, cpus // 4) partitions
+            files_per_partition=(
+                int(cfg["files_per_partition"])
+                if cfg.get("files_per_partition") is not None else None),
+            # default: auto — min(cluster CPUs, pending partitions)
+            concurrent_partitions=(
+                int(cfg["concurrent_partitions"])
+                if cfg.get("concurrent_partitions") is not None else None),
         )
     else:
         ds = _build(cfg["input"])
@@ -305,12 +317,31 @@ def main(argv=None) -> int:
     summary["mode"] = mode
     summary["wall_s"] = round(time.perf_counter() - t0, 3)
     if cfg.get("report"):
-        scored = _build(cfg["input"])
+        # ONE input scan total for decide+report (round-3 VERDICT #3):
+        # the report reads the decision table just WRITTEN above instead
+        # of rebuilding the scoring pipeline, so the raw input is scanned
+        # once (by the decide pass) and the report passes touch only the
+        # slim output parquet.
+        import ray.data as rd
+
+        scored = rd.read_parquet(cfg["output"], file_extensions=["parquet"])
         agg = aggregates(scored)
+
         # per-row detail for the top-5 riskiest rows (reference K1 detail
-        # sections; tiny sort+limit materialization)
+        # sections). No global sort: each block prunes to its local top-5
+        # by (risk desc, id asc) first, so the sort sees <= 5 rows per
+        # block instead of the corpus (the bottomk_sample shape).
+        import pyarrow as pa
+
+        def local_top(t: pa.Table, k: int = 5) -> pa.Table:
+            if t.num_rows <= k:
+                return t
+            return t.sort_by([("risk_score", "descending"),
+                              ("image_id", "ascending")]).slice(0, k)
+
         top = (
-            _build(cfg["input"])
+            scored.map_batches(local_top, batch_format="pyarrow",
+                               zero_copy_batch=True)
             .sort(["risk_score", "image_id"], descending=[True, False])
             .limit(5)
             .to_pandas()

@@ -39,7 +39,15 @@ def read_table(
             kw["filter"] = filter_expr
         return rd.read_parquet(list(path), **kw)
     if HAVE_LANCE and (path.endswith(".lance") or os.path.isdir(os.path.join(path, "_versions"))):
-        return rd.read_lance(path, columns=list(columns) if columns else None, **kwargs)
+        kw = dict(kwargs)
+        if filter_expr is not None:
+            # Lance scanners accept pyarrow dataset expressions — the row
+            # filter pushes down to the fragment scan exactly like the
+            # parquet branch (never silently dropped)
+            kw["scanner_options"] = {
+                **kw.get("scanner_options", {}), "filter": filter_expr}
+        return rd.read_lance(path, columns=list(columns) if columns else None,
+                             **kw)
     kw = dict(kwargs)
     if columns is not None:
         kw["columns"] = list(columns)

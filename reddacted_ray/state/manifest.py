@@ -93,9 +93,9 @@ def run_resumable(
     input_dir: str,
     out_dir: str,
     build_fn,
-    files_per_partition: int = 4,
+    files_per_partition: "int | None" = None,
     max_partitions: int | None = None,
-    concurrent_partitions: int = 4,
+    concurrent_partitions: "int | None" = None,
 ) -> dict:
     """Run ``build_fn(list_of_files) -> Dataset`` per pending partition,
     writing each atomically + committing lineage. Returns a summary dict.
@@ -103,12 +103,25 @@ def run_resumable(
     ``max_partitions`` caps work this invocation (also simulates an
     interrupted run in tests); a rerun picks up where it stopped.
 
+    ``files_per_partition`` default auto-sizes to target ``max(8,
+    cpus // 4)`` partitions: each partition pays ~0.5-2 s of streaming-
+    executor fixed latency regardless of size, so sub-second-compute
+    partitions drown in it (measured, sf0.1/32 cpus/128 files: 17.9 s
+    at 32 partitions -> 11.2 s at 16 -> 7.1 s at 8, vs 5.4 s
+    non-resumable — the 8-partition auto default keeps resumable decide
+    within ~1.3x). Pass an explicit value to trade throughput for finer
+    checkpoint/lineage granularity.
+
     ``concurrent_partitions`` pipelines execute at once (driver threads,
     each owning one streaming Dataset execution; Ray schedules their tasks
     onto the shared CPU pool). Sequential partitions would serialize the
     whole job behind one partition's stragglers — a cluster-scale bug —
-    while unbounded concurrency would thrash the object store; a small
-    constant keeps the cluster saturated with bounded memory. Manifest
+    while unbounded concurrency would thrash the object store. Default:
+    ``min(cluster CPUs, pending partitions)`` — at sub-second-compute
+    partition sizes the wall is executor fixed latency, which overlaps
+    across threads (ray.get/execution release the GIL); measured
+    17.9/20.2/22.1 s at 32/8/16 threads for 32 partitions vs 28.5 s at
+    the old default 4 (sf0.1, 32 cpus). Manifest
     commits are driver-side and lock-serialized; completion order across
     partitions is irrelevant (the manifest is keyed by partition id)."""
     mf = Manifest(out_dir)
@@ -118,6 +131,13 @@ def run_resumable(
         for f in os.listdir(input_dir)
         if f.endswith(".parquet")
     ]
+    if files_per_partition is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+        target = max(8, cpus // 4)
+        files_per_partition = max(1, -(-len(files) // target))
     plan = plan_partitions(files, files_per_partition)
     # If the input SHRANK since the last run, trailing partition ids fall
     # out of the plan: their output dirs would otherwise keep serving stale
@@ -190,6 +210,14 @@ def run_resumable(
                     **stats,
                 }
             )
+
+    if concurrent_partitions is None:
+        # one driver thread per cluster CPU (bounded by pending work)
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+        concurrent_partitions = max(1, min(cpus, len(pending)))
 
     if concurrent_partitions <= 1 or len(pending) <= 1:
         for pid, chunk in pending:

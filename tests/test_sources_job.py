@@ -544,3 +544,39 @@ def test_job_cli_compact_mode(tmp_path):
     a = pads.dataset(str(src), format="parquet").to_table().sort_by("x")
     b = pads.dataset(out, format="parquet").to_table().sort_by("x")
     assert a.equals(b)
+
+
+def test_read_table_lance_seam(synth_dir, monkeypatch, tmp_path):
+    """The TableSource seam dispatches to rd.read_lance (with pruned
+    columns AND the pushed row filter) whenever the lance package exists
+    and the path looks like a Lance dataset — verified with a fake
+    read_lance since the container lacks the package; the same call
+    falls back to parquet otherwise (SURVEY §8.5 disclosure)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from reddacted_ray.sources import tables as T
+
+    calls = {}
+
+    def fake_read_lance(uri, *, columns=None, scanner_options=None, **kw):
+        calls["uri"] = uri
+        calls["columns"] = columns
+        calls["scanner_options"] = scanner_options
+        return rd.range(1)
+
+    monkeypatch.setattr(T, "HAVE_LANCE", True)
+    monkeypatch.setattr(T.rd, "read_lance", fake_read_lance)
+    expr = pads.field("image_id") >= 0
+    ds = T.read_table("/data/corpus.lance", columns=["image_id"],
+                      filter_expr=expr)
+    assert calls["uri"] == "/data/corpus.lance"
+    assert calls["columns"] == ["image_id"]
+    assert calls["scanner_options"]["filter"].equals(expr)
+    assert ds.count() == 1
+
+    # non-lance path with the package "present" still reads parquet
+    out = T.read_table(synth_dir, columns=["image_id"],
+                       filter_expr=pads.field("image_id") != "")
+    assert calls["uri"] == "/data/corpus.lance"  # fake not re-invoked
+    assert out.count() > 0
