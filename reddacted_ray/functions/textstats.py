@@ -371,3 +371,40 @@ def levenshtein_batch(a, b):
             out[hit] = cur[hit, lb[hit]]
         prev = cur
     return out
+
+
+def char_entropy_batch(texts) -> "object":
+    """Per-document byte-level Shannon entropy in bits (base-2) — the
+    CCNet-style gibberish / encoding-noise quality signal. Empty or null
+    text scores 0.0.
+
+    Fully batched over an Arrow string column: one zero-copy view of the
+    column's flat UTF-8 value buffer plus its offsets, byte counts from a
+    single ``np.unique`` over composite (doc_index * 256 + byte) keys,
+    entropy via segmented sums — zero per-document Python loops."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    texts = pc.fill_null(texts, "")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = texts.cast(pa.large_string())
+    n = len(texts)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    # value buffer + offsets (account for the array's own offset slice)
+    buf = np.frombuffer(texts.buffers()[2], dtype=np.uint8)
+    offs = np.frombuffer(texts.buffers()[1], dtype=np.int64)[
+        texts.offset: texts.offset + n + 1]
+    lens = np.diff(offs)
+    flat = buf[offs[0]: offs[-1]]
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    key = doc_of * np.int64(256) + flat.astype(np.int64)
+    uniq, counts = np.unique(key, return_counts=True)
+    udoc = uniq >> np.int64(8)
+    p = counts.astype(np.float64) / lens[udoc].astype(np.float64)
+    contrib = -p * np.log2(p)
+    out = np.zeros(n, dtype=np.float64)
+    np.add.at(out, udoc, contrib)
+    return out

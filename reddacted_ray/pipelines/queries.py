@@ -5555,6 +5555,201 @@ def q_pair_lift(sf_dir: str) -> rd.Dataset:
     }))
 
 
+def q_rolling_1h_sum(sf_dir: str) -> rd.Dataset:
+    """Time-RANGE window frame: per user, the sum of event cents inside
+    [ts - 1 hour, ts] ordered by ts (SQL ``RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING AND CURRENT ROW``, which includes ALL ts-peers of the
+    current row). One co-locating bucket shuffle; inside each bucket the
+    frame bounds come from TWO np.searchsorted calls over a composite
+    (user, ts) integer key — zero per-group Python, exact integer sums."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["user_id", "event_id", "ts", "value"])
+    HOUR_US = 3_600_000_000
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = _money_np(g["value"].to_numpy())
+        ts_rel = ts - ts.min() if len(ts) else ts
+        span = (ts_rel.max() if len(ts_rel) else 0) + HOUR_US + 1
+        key = u * span + ts_rel
+        cs = np.cumsum(cents)
+        # frame start: first row of the same user with ts >= ts_i - 1h;
+        # frame end: LAST ts-peer of the current row (RANGE semantics)
+        start = np.searchsorted(key, u * span + (ts_rel - HOUR_US), "left")
+        end = np.searchsorted(key, key, "right") - 1
+        rolling = cs[end] - np.where(start > 0, cs[start - 1], 0)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "rolling_cents": rolling,
+        })
+
+    return grouped_vectorized(ev, "user_id", roll)
+
+
+def _money_np(x: np.ndarray) -> np.ndarray:
+    """value -> integer cents with DuckDB round() semantics (ties away
+    from zero) — numpy twin of ``_money_int``."""
+    x = x * 100.0
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
+def q_winsorize_value(sf_dir: str) -> rd.Dataset:
+    """Winsorization (outlier clipping) at the exact discrete 1st/99th
+    percentiles: pass 1 reduces to a (cents -> count) table (bounded by
+    distinct values, shuffled pre-aggregated); the driver takes the
+    smallest value whose cumulative count reaches ceil(q*n) and
+    broadcasts the two clip bounds; pass 2 clips in the scan map. The
+    standard feature-cleanup op ahead of model training."""
+    from ray.data.aggregate import Count as _Cnt
+
+    ev = sf_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "cents": _money_int(t["value"], 100.0),
+        })
+
+    cents_ds = ev.map_batches(prep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    counts = (cents_ds.groupby("cents").aggregate(_Cnt(alias_name="k"))
+              .to_pandas().sort_values("cents"))
+    cum = counts["k"].cumsum().to_numpy()
+    vals = counts["cents"].to_numpy()
+    n = int(cum[-1]) if len(cum) else 0
+    import math
+
+    def pick(q: float) -> int:
+        rank = int(math.ceil(q * n))
+        return int(vals[np.searchsorted(cum, rank, "left")])
+
+    lo, hi = pick(0.01), pick(0.99)
+
+    def clip(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": t["event_id"],
+            "wcents": pa.array(np.clip(c, lo, hi)),
+        })
+
+    return cents_ds.map_batches(clip, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
+def q_mix_temperature(sf_dir: str) -> rd.Dataset:
+    """Temperature-weighted source mixing (the multilingual-corpus
+    rebalancing shape, cf. mC4/XLM-R alpha-sampling): low-resource
+    languages keep a larger FRACTION of their rows. Deterministic and
+    rerun-stable: per-lang keep fraction f = min(1, K*isqrt(n_lang)/
+    n_lang) (integer sqrt so both engines compute the identical double),
+    and a row survives iff its md5(doc_id) hex8 prefix sorts below the
+    fraction's 2^32-scaled hex threshold — the split_train_test idiom,
+    so the SQL oracle hash-matches exactly. Counts reduce to |langs|
+    driver rows; the keep-filter is one scan map, zero shuffle."""
+    import math
+
+    from ray.data.aggregate import Count as _Cnt
+
+    from ..functions.hashing import md5_top32_batch
+
+    K = 20
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+    counts = (docs.groupby("lang").aggregate(_Cnt(alias_name="n"))
+              .to_pandas())
+    thr: dict[str, str] = {}
+    for lang, n in zip(counts["lang"], counts["n"].astype(int)):
+        f = min(1.0, (float(K) * float(math.isqrt(int(n)))) / float(n))
+        t = int(math.floor(f * 4294967296.0))
+        thr[lang] = "g" * 8 if t >= 2**32 else format(t, "08x")
+    langs = pa.array(sorted(thr))
+    bounds = pa.array([thr[l] for l in sorted(thr)])
+
+    def keep(t: pa.Table) -> pa.Table:
+        h = md5_top32_batch(t["doc_id"])
+        hexes = np.array([format(v, "08x") for v in h])
+        b = pc.take(bounds, pc.index_in(t["lang"], value_set=langs))
+        mask = pa.array(hexes < np.array(b.to_pylist(), dtype=object))
+        return t.filter(mask)
+
+    return docs.map_batches(keep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def q_dup_pairs(sf_dir: str) -> rd.Dataset:
+    """Near-duplicate PAIR listing (id_a < id_b sharing a 40-char text
+    prefix, the dedup_prefix key) — the audit artifact reviewers ask of
+    a dedup stage. One co-locating bucket shuffle of (md5(prefix), id);
+    pair expansion runs only inside groups with >= 2 members, so the
+    work is bounded by duplicate mass, never all-pairs over the
+    corpus."""
+    import pandas as pd
+
+    from ..functions.hashing import md5_hex_batch
+    from ..stages.windows import grouped_vectorized
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "h": pa.array(md5_hex_batch(
+                pc.utf8_slice_codeunits(t["text"], 0, 40))),
+        })
+
+    ds = docs.map_batches(keyed, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"], kind="mergesort")
+        h = g["h"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+        sizes = np.diff(np.r_[starts, len(h)])
+        out_a, out_b = [], []
+        for s, k in zip(starts[sizes > 1], sizes[sizes > 1]):
+            grp = ids[s:s + k]
+            ia, ib = np.triu_indices(k, 1)
+            out_a.append(grp[ia])
+            out_b.append(grp[ib])
+        if not out_a:
+            return pd.DataFrame({
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+            })
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+        })
+
+    return grouped_vectorized(ds, "h", pairs)
+
+
+def q_char_entropy(sf_dir: str) -> rd.Dataset:
+    """Per-document byte-level Shannon entropy (CCNet-style gibberish /
+    encoding-noise signal; rows-only — the float sum order is not
+    SQL-pinnable). Fully batched: one flat byte buffer + segment
+    offsets per block, counts via a single np.unique over composite
+    (doc, byte) keys (functions/textstats.py)."""
+    from ..functions.textstats import char_entropy_batch
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def ent(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "entropy": pa.array(char_entropy_batch(t["text"])),
+        })
+
+    return docs.map_batches(ent, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -5717,6 +5912,12 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": q_hll_distinct_users,
         "grouped_quantiles_value": q_grouped_quantiles_value,
         "cm_event_counts": q_cm_event_counts,
+        # round-4 additions
+        "rolling_1h_sum": q_rolling_1h_sum,
+        "winsorize_value": q_winsorize_value,
+        "mix_temperature": q_mix_temperature,
+        "dup_pairs": q_dup_pairs,
+        "char_entropy": q_char_entropy,
     }
 
 
@@ -6874,5 +7075,46 @@ def oracle_sqls() -> dict[str, str]:
             " FROM lineitem WHERE l_orderkey IN"
             " (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)"
             " GROUP BY 1"
+        ),
+        "rolling_1h_sum": (
+            "SELECT event_id,"
+            " CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER ("
+            " PARTITION BY user_id ORDER BY ts"
+            " RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+            " AS BIGINT) AS rolling_cents FROM events"
+        ),
+        "winsorize_value": (
+            "WITH c AS (SELECT event_id,"
+            " CAST(round(value * 100) AS BIGINT) AS cents FROM events),"
+            " n AS (SELECT count(*) AS cnt FROM c),"
+            " d AS (SELECT cents, count(*) AS k FROM c GROUP BY 1),"
+            " r AS (SELECT cents, CAST(sum(k) OVER (ORDER BY cents)"
+            " AS BIGINT) AS cum FROM d),"
+            " lo AS (SELECT min(cents) AS v FROM r, n"
+            " WHERE cum >= CAST(ceil(0.01 * cnt) AS BIGINT)),"
+            " hi AS (SELECT min(cents) AS v FROM r, n"
+            " WHERE cum >= CAST(ceil(0.99 * cnt) AS BIGINT))"
+            " SELECT event_id, CASE WHEN cents < lo.v THEN lo.v"
+            " WHEN cents > hi.v THEN hi.v ELSE cents END AS wcents"
+            " FROM c, lo, hi"
+        ),
+        "mix_temperature": (
+            "WITH c AS (SELECT lang, count(*) AS n FROM documents"
+            " GROUP BY 1),"
+            " t AS (SELECT lang, CAST(floor(LEAST(1.0,"
+            " (20.0 * CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT))"
+            " / CAST(n AS DOUBLE)) * 4294967296.0) AS BIGINT) AS ti"
+            " FROM c),"
+            " b AS (SELECT lang, CASE WHEN ti >= 4294967296"
+            " THEN 'gggggggg' ELSE lpad(lower(to_hex(ti)), 8, '0') END"
+            " AS bound FROM t)"
+            " SELECT d.doc_id, d.lang FROM documents d JOIN b USING (lang)"
+            " WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < b.bound"
+        ),
+        "dup_pairs": (
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b"
+            " FROM documents a JOIN documents b"
+            " ON md5(substr(a.text, 1, 40)) = md5(substr(b.text, 1, 40))"
+            " AND a.doc_id < b.doc_id"
         ),
     }

@@ -207,3 +207,72 @@ def test_simhash_uses_all_64_bits():
     for t in texts:
         seen |= simhash64(t)
     assert seen == (1 << 64) - 1  # every bit position fires somewhere
+
+
+def test_char_entropy_batch_ground_truth():
+    """Byte-level Shannon entropy matches the hand-computed definition,
+    including null/empty docs and multi-byte UTF-8 (entropy is over
+    BYTES, so 'é' contributes its two UTF-8 bytes)."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+
+    from reddacted_ray.functions.textstats import char_entropy_batch
+
+    texts = ["aaaa", "ab", "", None, "abcd", "aab", "héé"]
+
+    def ref(s):
+        if not s:
+            return 0.0
+        b = s.encode("utf-8")
+        c = Counter(b)
+        return -sum((k / len(b)) * math.log2(k / len(b))
+                    for k in c.values())
+
+    got = char_entropy_batch(pa.chunked_array([pa.array(texts)]))
+    exp = [ref(s) for s in texts]
+    assert np.allclose(got, exp)
+    # sliced-offset arrays (zero-copy view with a non-zero offset)
+    arr = pa.array(["xx"] + texts).slice(1)
+    got2 = char_entropy_batch(pa.chunked_array([arr]))
+    assert np.allclose(got2, exp)
+
+
+def test_rolling_time_range_includes_ts_peers(ray_session):
+    """SQL RANGE ... CURRENT ROW includes ALL ts-peers of the current
+    row — verify the searchsorted frame math against a hand-built case
+    with duplicate timestamps and a window boundary exactly 1h back
+    (RANGE 1 HOUR PRECEDING is inclusive of ts - 1h)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reddacted_ray.pipelines.queries import q_rolling_1h_sum
+
+    # build a tiny events parquet in the sf layout
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="roll_")
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(3600, "s").astype("timedelta64[us]")
+    ts = [base, base, base + h, base + 2 * h, base + 2 * h]
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "event_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0]),
+    }), os.path.join(d, "events.parquet"))
+
+    out = (q_rolling_1h_sum(d).to_pandas()
+           .set_index("event_id")["rolling_cents"].to_dict())
+    # events 10,11 share ts -> both frames cover both peers (300)
+    # event 12 at +1h: window [0, 1h] inclusive -> 100+200+400 = 700
+    # event 13 at +2h: window [1h, 2h] -> 400+800 = 1200
+    # event 14: other user -> 1600
+    assert out == {10: 300, 11: 300, 12: 700, 13: 1200, 14: 1600}
