@@ -287,17 +287,26 @@ def attach_via_lookup(
     Both paths return identical rows (forced-fallback equality test)."""
     cap = broadcast_cap() if cap is None else cap
     dim_cols = [dim_key] + list(attach.keys())
+    # column types from the LAZY schema — a materialized all-empty
+    # dataset reports schema() None
+    dim_types = {n: ty for n, ty in zip(dim.schema().names,
+                                        dim.schema().types)
+                 if n in dim_cols}
+    # ONE execution of the dim pipeline: the size probe and the collect
+    # both read the materialized blocks (count()/to_arrow_refs() on a
+    # lazy Dataset would each re-execute it — measured ~+1 s of fixed
+    # cost per attach at sf0.1)
     slim_dim = dim.map_batches(lambda t: t.select(dim_cols),
-                               batch_format="pyarrow", zero_copy_batch=True)
-    if dim.count() <= cap:
+                               batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+    if slim_dim.count() <= cap:
         parts = [t for t in ray.get(slim_dim.to_arrow_refs())
                  if t.num_rows]
         if parts:
             tbl = pa.concat_tables(parts).select(dim_cols)
         else:
-            sch = dict(zip(dim.schema().names, dim.schema().types))
             tbl = pa.schema(
-                [(n, sch[n]) for n in dim_cols]).empty_table()
+                [(n, dim_types[n]) for n in dim_cols]).empty_table()
         dim_ref = ray.put((tbl[dim_key].combine_chunks(),
                            {c: tbl[c].combine_chunks() for c in attach}))
 
@@ -319,7 +328,6 @@ def attach_via_lookup(
                                 batch_format="pyarrow",
                                 zero_copy_batch=True)
 
-    dim_types = dict(zip(dim.schema().names, dim.schema().types))
     key_type = dim_types[dim_key]
 
     def rename(t: pa.Table) -> pa.Table:
@@ -626,6 +634,14 @@ def adaptive_semi_join(
     from .sketch import bloom_from_column, bloom_prefilter
 
     cap = broadcast_cap() if cap is None else cap
+    # key type from the LAZY schema — a materialized all-empty dataset
+    # reports schema() None
+    key_type = dict(zip(dim.schema().names, dim.schema().types))[dim_key]
+    # ONE execution of the dim pipeline for probe + collect (see
+    # attach_via_lookup)
+    dim = dim.map_batches(lambda t: t.select([dim_key]),
+                          batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
     if dim.count() <= cap:
         rows = dim.take_all()
         keys = pa.array(sorted({r[dim_key] for r in rows}))
@@ -642,8 +658,6 @@ def adaptive_semi_join(
         return fact.map_batches(process_cached(Semi),
                                 batch_format="pyarrow",
                                 zero_copy_batch=True)
-
-    key_type = dict(zip(dim.schema().names, dim.schema().types))[dim_key]
 
     def slim(t: pa.Table) -> pa.Table:
         return pa.table({dim_key: pa.compute.unique(t[dim_key])})
@@ -705,7 +719,14 @@ def adaptive_anti_join(
     from .sketch import bloom_from_column, bloom_prefilter
 
     cap = broadcast_cap() if cap is None else cap
+    # key type from the LAZY schema first — a materialized all-empty
+    # dataset reports schema() None
     key_type = dict(zip(dim.schema().names, dim.schema().types))[dim_key]
+    # ONE execution of the dim pipeline for probe + collect (see
+    # attach_via_lookup)
+    dim = dim.map_batches(lambda t: t.select([dim_key]),
+                          batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
 
     if dim.count() <= cap:
         rows = dim.take_all()

@@ -410,3 +410,30 @@ def test_adaptive_fallbacks_sparse_dim_dense_fact(ray_session):
     outer = attach_via_lookup(fact, "k", dim, "dk", {"name": "nm"},
                               cap=0, inner=False)
     assert outer.count() == 2000
+
+
+def test_rewritten_queries_fallback_paths_agree(ray_session, monkeypatch):
+    """The round-4 broadcast-policy rewrites must return identical
+    results on the broadcast path and the forced distributed fallback
+    (REDD_BCAST_CAP=0) — the in-repo lock for what check_oracle verifies
+    against DuckDB at the larger sfs."""
+    import pandas as pd
+
+    from reddacted_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+
+    def run(name):
+        res = Q.registry()[name](sf)
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        if isinstance(df, pa.Table):
+            df = df.to_pandas()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    for name in ("promo_revenue", "supplier_variety", "small_qty_revenue",
+                 "revenue_by_nation"):
+        base = run(name)
+        monkeypatch.setenv("REDD_BCAST_CAP", "0")
+        forced = run(name)
+        monkeypatch.delenv("REDD_BCAST_CAP")
+        pd.testing.assert_frame_equal(base, forced, check_exact=True), name
