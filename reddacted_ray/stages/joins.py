@@ -284,7 +284,16 @@ def attach_via_lookup(
 
     ``inner=True`` drops fact rows with no dim match (inner-join
     semantics); ``inner=False`` keeps them with null attach columns.
-    Both paths return identical rows (forced-fallback equality test)."""
+    Both paths return identical rows (forced-fallback equality test).
+
+    The slim projected dim materializes ONCE up front: the size probe
+    and the collect/joins all read the same blocks instead of
+    re-executing the dim pipeline per consumer (count + collect cost two
+    executions, ~+1 s fixed at sf0.1). Past the cap this pins the slim
+    dim in the object store — Ray spills it to disk if large, and the
+    fallback join reads those blocks instead of re-scanning the dim
+    twice more (pad + bloom + join are three consumers), so pinning is
+    the cheaper side of the trade at every scale."""
     cap = broadcast_cap() if cap is None else cap
     dim_cols = [dim_key] + list(attach.keys())
     # column types from the LAZY schema — a materialized all-empty
