@@ -5750,6 +5750,132 @@ def q_char_entropy(sf_dir: str) -> rd.Dataset:
                             zero_copy_batch=True)
 
 
+def q_pack_sequences(sf_dir: str) -> rd.Dataset:
+    """Sequence packing — THE LLM-pretraining data op: documents
+    concatenate in global doc_id order and chunk into fixed
+    token-budget sequences; each doc reports the sequence its first
+    token lands in. Built on ``ordered_prefix_sum`` (stages/windows.py:
+    fixed-width key-range partitioning, one slim (range, sum) exchange,
+    driver scan over ranges, local cumsum + offset — NO global sort
+    shuffle). Token counts are the whitespace rule, vectorized with one
+    RE2 scan per block."""
+    from ..stages.windows import ordered_prefix_sum
+
+    BUDGET = 1024
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pc.cast(
+                pc.count_substring_regex(t["text"], r"\S+"), pa.int64()),
+        })
+
+    counted = docs.map_batches(tok, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    summed = ordered_prefix_sum(counted, "doc_id", "n_tokens",
+                                range_width=1000, out_col="cum_tokens")
+
+    def seq(t: pa.Table) -> pa.Table:
+        cum = t["cum_tokens"].to_numpy(zero_copy_only=False)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": t["n_tokens"],
+            "seq_id": pa.array((cum - n) // BUDGET),
+        })
+
+    return summed.map_batches(seq, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def q_value_histogram(sf_dir: str) -> rd.Dataset:
+    """Equi-width 20-bin histogram of event cents: global min/max from
+    one distributed reduce (two driver scalars), bin assignment with
+    ALL-integer math — ``((cents - lo) * 20) // (hi - lo + 1)`` — so
+    the SQL oracle hash-matches without any float-order concern; counts
+    are a map-side-combined grouped sum."""
+    from ray.data.aggregate import Max, Min
+
+    ev = sf_table(sf_dir, "events", columns=["value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"cents": _money_int(t["value"], 100.0)})
+
+    cds = ev.map_batches(cents, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    agg = cds.aggregate(Min("cents", alias_name="lo"),
+                        Max("cents", alias_name="hi"))
+    lo, hi = int(agg["lo"]), int(agg["hi"])
+    width = hi - lo + 1
+
+    def bin_of(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        return pa.table({"bin": pa.array((c - lo) * 20 // width),
+                         "one": pa.array(np.ones(len(c), np.int64))})
+
+    from ..stages.agg import grouped_sums
+
+    return grouped_sums(
+        cds.map_batches(bin_of, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["bin"], ["one"]).map_batches(
+        lambda t: pa.table({"bin": t["bin"], "n": t["one"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_grouping_sets(sf_dir: str) -> rd.Dataset:
+    """Arbitrary GROUPING SETS ((event_type), (user_id)) from ONE shared
+    partial pass: the fact reduces once to (user_id, event_type)
+    partials (map-side combined), and each grouping set re-aggregates
+    those partials — the rollup/cube cascade generalized to a custom
+    set list. Absent columns are NULL exactly as SQL emits them."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.agg import grouped_sums
+
+    ev = sf_table(sf_dir, "events", columns=["user_id", "event_type",
+                                             "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "cents": _money_int(t["value"], 100.0),
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    partials = grouped_sums(
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "event_type"], ["cents", "one"]).materialize()
+
+    by_type = partials.groupby("event_type").aggregate(
+        Sum("cents", alias_name="cents"), Sum("one", alias_name="n"))
+    by_user = partials.groupby("user_id").aggregate(
+        Sum("cents", alias_name="cents"), Sum("one", alias_name="n"))
+
+    def widen_type(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pa.nulls(t.num_rows, pa.int64()),
+            "event_type": t["event_type"],
+            "cents": t["cents"],
+            "n": t["n"],
+        })
+
+    def widen_user(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_type": pa.nulls(t.num_rows, pa.string()),
+            "cents": t["cents"],
+            "n": t["n"],
+        })
+
+    return by_type.map_batches(
+        widen_type, batch_format="pyarrow", zero_copy_batch=True
+    ).union(by_user.map_batches(
+        widen_user, batch_format="pyarrow", zero_copy_batch=True))
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -5918,6 +6044,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "mix_temperature": q_mix_temperature,
         "dup_pairs": q_dup_pairs,
         "char_entropy": q_char_entropy,
+        "pack_sequences": q_pack_sequences,
+        "value_histogram": q_value_histogram,
+        "grouping_sets": q_grouping_sets,
     }
 
 
@@ -7116,5 +7245,28 @@ def oracle_sqls() -> dict[str, str]:
             " FROM documents a JOIN documents b"
             " ON md5(substr(a.text, 1, 40)) = md5(substr(b.text, 1, 40))"
             " AND a.doc_id < b.doc_id"
+        ),
+        "pack_sequences": (
+            "WITH t AS (SELECT doc_id,"
+            " CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)"
+            " AS n_tokens FROM documents),"
+            " c AS (SELECT doc_id, n_tokens,"
+            " CAST(sum(n_tokens) OVER (ORDER BY doc_id"
+            " ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t)"
+            " SELECT doc_id, n_tokens, (cum - n_tokens) // 1024 AS seq_id"
+            " FROM c"
+        ),
+        "value_histogram": (
+            "WITH c AS (SELECT CAST(round(value * 100) AS BIGINT)"
+            " AS cents FROM events),"
+            " b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM c)"
+            " SELECT ((cents - lo) * 20) // (hi - lo + 1) AS bin,"
+            " CAST(count(*) AS BIGINT) AS n FROM c, b GROUP BY 1"
+        ),
+        "grouping_sets": (
+            "SELECT user_id, event_type,"
+            " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+            " AS cents, CAST(count(*) AS BIGINT) AS n FROM events"
+            " GROUP BY GROUPING SETS ((event_type), (user_id))"
         ),
     }

@@ -80,3 +80,61 @@ def grouped_vectorized(
     keyed = ds.map_batches(add_bucket, batch_format="pyarrow",
                            zero_copy_batch=True)
     return keyed.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def ordered_prefix_sum(
+    ds: rd.Dataset,
+    order_col: str,
+    val_col: str,
+    range_width: int = 100_000,
+    out_col: str = "prefix_sum",
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """Distributed INCLUSIVE prefix sum of ``val_col`` in global
+    ``order_col`` order (SQL ``SUM(v) OVER (ORDER BY k ROWS UNBOUNDED
+    PRECEDING)``) — the primitive behind sequence packing, global
+    rank-by-position, and ordered quota cuts.
+
+    Custom operator (Ray Data has no ordered scan). Shape: ``order_col``
+    buckets into FIXED-WIDTH key ranges (``key // range_width``) — a
+    deterministic range partitioning that needs NO sort shuffle; one
+    slim (range, sum) exchange gives per-range totals, the driver runs
+    an exclusive scan over the ordered ranges (bounded by key-domain /
+    range_width rows) and broadcasts the offsets; each range then
+    cumsums locally inside the bucketed shuffle and adds its offset.
+
+    Partitioning assumptions (documented per the custom-operator
+    contract): ``order_col`` is a non-negative integer key, globally
+    UNIQUE (ties would make 'global order' ambiguous), and the number
+    of distinct ranges (max_key / range_width) stays driver-sized —
+    pick ``range_width`` accordingly for the key domain."""
+    from ray.data.aggregate import Sum
+
+    def tag(t: pa.Table) -> pa.Table:
+        rng = pa.compute.divide(
+            pa.compute.cast(t[order_col], pa.int64()),
+            pa.scalar(range_width, pa.int64()))
+        return t.append_column("_rng", rng)
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    partials = (tagged.groupby("_rng")
+                .aggregate(Sum(val_col, alias_name="_s")).to_pandas()
+                .sort_values("_rng"))
+    sums = partials["_s"].to_numpy()
+    offsets = dict(zip(
+        partials["_rng"].astype(int),
+        np.r_[0, np.cumsum(sums)[:-1]].astype(np.int64)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # the bucket holds MANY ranges (grouped_vectorized contract):
+        # grouped cumsum per range + that range's broadcast offset
+        g = g.sort_values(["_rng", order_col], kind="mergesort")
+        cum = g.groupby("_rng", sort=False)[val_col].cumsum().to_numpy()
+        off = g["_rng"].map(offsets).fillna(0).to_numpy(dtype=np.int64)
+        out = g.drop(columns=["_rng"]).copy()
+        out[out_col] = cum + off
+        return out
+
+    return grouped_vectorized(tagged, "_rng", per_bucket,
+                              n_buckets=n_buckets)

@@ -290,3 +290,26 @@ def test_ewma_recursion_hand_computed(ray_session):
     w = got["event_id"].map(want)
     assert np.allclose(got["ewma_cents"].to_numpy(), w.to_numpy(),
                        rtol=0, atol=1e-9)
+
+
+def test_ordered_prefix_sum_matches_numpy(ray_session):
+    """Distributed ordered prefix sum (fixed-width key-range
+    partitioning, driver range scan, local cumsum + offset) must equal
+    the single-threaded cumsum over the globally sorted input —
+    including ranges with no rows (sparse key domains)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reddacted_ray.stages.windows import ordered_prefix_sum
+
+    rng = np.random.default_rng(7)
+    # sparse, shuffled, non-contiguous keys
+    ids = rng.permutation(200_000)[:50_000].astype(np.int64) * 3
+    vals = rng.integers(1, 100, size=50_000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": ids, "v": vals})).repartition(8)
+    out = (ordered_prefix_sum(ds, "k", "v", range_width=1000)
+           .to_pandas().sort_values("k"))
+    exp = np.cumsum(vals[np.argsort(ids, kind="stable")])
+    assert (out["prefix_sum"].to_numpy() == exp).all()
+    assert len(out) == 50_000
