@@ -5876,6 +5876,63 @@ def q_grouping_sets(sf_dir: str) -> rd.Dataset:
         widen_user, batch_format="pyarrow", zero_copy_batch=True))
 
 
+def q_impute_group_mean(sf_dir: str) -> rd.Dataset:
+    """Group-mean imputation (the feature-cleanup twin of LOCF):
+    'error' events null their value; nulls fill with the event type's
+    mean cents over the OBSERVED rows. One map-side-combined partial
+    pass reduces to |types| driver rows; the fill is a broadcast map —
+    zero fact shuffle. The mean divides the exact integer sums with the
+    SQL's IEEE tree, so values hash bit-identically."""
+    from ..stages.agg import grouped_sums
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = _money_int(t["value"], 100.0)
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        nulled = pa.array(ids % 7 == 0)
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "cents": pc.if_else(nulled, pa.nulls(t.num_rows, pa.int64()),
+                                cents),
+        })
+
+    keyed = ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.is_valid(t["cents"])
+        f = t.filter(mask)
+        return pa.table({
+            "event_type": f["event_type"],
+            "s": f["cents"],
+            "n": pa.array(np.ones(f.num_rows, np.int64)),
+        })
+
+    sums = grouped_sums(
+        keyed.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["event_type"], ["s", "n"]).to_pandas()
+    types = pa.array(sums["event_type"])
+    means = pa.array([float(s) / float(n)
+                      for s, n in zip(sums["s"], sums["n"])], pa.float64())
+
+    def fill(t: pa.Table) -> pa.Table:
+        mean = pc.take(means, pc.index_in(t["event_type"],
+                                          value_set=types))
+        filled = pc.if_else(pc.is_valid(t["cents"]),
+                            pc.cast(t["cents"], pa.float64()), mean)
+        return pa.table({
+            "event_id": t["event_id"],
+            "filled_cents": filled,
+        })
+
+    return keyed.map_batches(fill, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -6047,6 +6104,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "value_histogram": q_value_histogram,
         "grouping_sets": q_grouping_sets,
+        "impute_group_mean": q_impute_group_mean,
     }
 
 
@@ -7268,5 +7326,16 @@ def oracle_sqls() -> dict[str, str]:
             " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
             " AS cents, CAST(count(*) AS BIGINT) AS n FROM events"
             " GROUP BY GROUPING SETS ((event_type), (user_id))"
+        ),
+        "impute_group_mean": (
+            "WITH c AS (SELECT event_id, event_type,"
+            " CASE WHEN event_id % 7 = 0 THEN NULL"
+            " ELSE CAST(round(value * 100) AS BIGINT) END AS cents"
+            " FROM events),"
+            " m AS (SELECT event_type,"
+            " CAST(sum(cents) AS DOUBLE) / CAST(count(cents) AS DOUBLE)"
+            " AS mean_c FROM c GROUP BY 1)"
+            " SELECT event_id, COALESCE(CAST(cents AS DOUBLE), mean_c)"
+            " AS filled_cents FROM c JOIN m USING (event_type)"
         ),
     }
