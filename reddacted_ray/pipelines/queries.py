@@ -3525,11 +3525,10 @@ def q_idle_rich_customers(sf_dir: str) -> rd.Dataset:
 def q_disjunctive_revenue(sf_dir: str) -> pa.Table:
     """TPC-H Q19 shape — disjunction of conjunctive brand/size/quantity
     clauses across a fact-dimension join. The three-brand part slice is
-    dimension-bounded: one broadcast ships (partkey -> brand ordinal,
-    size), and each lineitem block evaluates the whole OR-of-ANDs as
-    vectorized Arrow masks — the join never shuffles the fact."""
-    from ..stages import process_cached
-
+    SF-proportional: its (partkey -> brand ordinal, size) attrs attach
+    through the size-policied ``attach_via_lookup`` (broadcast under the
+    2M cap, Bloom-prefiltered hash join past it), and each lineitem
+    block evaluates the whole OR-of-ANDs as vectorized masks."""
     part = sf_table(sf_dir, "part",
                     columns=["p_partkey", "p_brand", "p_size"])
     brands = ["Brand#1", "Brand#2", "Brand#3"]
@@ -3939,7 +3938,6 @@ def q_market_share(sf_dir: str) -> rd.Dataset:
     customer join; the fact prunes to widget rows in its scan map, so the
     single fact-sized exchange is the lineitem x orders join; the share
     ratio derives from the two integer sums with the SQL's IEEE tree."""
-    from ..stages import process_cached
     from ..stages.agg import grouped_sums
     from ..stages.joins import pad_sentinel
     from ..stages.sketch import bloom_from_column, bloom_prefilter
