@@ -5931,6 +5931,58 @@ def q_impute_group_mean(sf_dir: str) -> rd.Dataset:
                              zero_copy_batch=True)
 
 
+def q_weighted_sample(sf_dir: str) -> rd.Dataset:
+    """EXACT weighted sampling without replacement, deterministic and
+    engine-portable: each doc enters a hash race with w tickets (w =
+    its whitespace token count clamped to [1, 32]) and ranks by its
+    BEST ticket ``min_j md5(id:j)``. All Σw tickets are exchangeable
+    uniform draws, so the top-k docs by best ticket are exactly a
+    weighted sample without replacement (the A-RES scheme with the
+    exponential race replaced by an integer hash race — no floats, no
+    libm, so the SQL oracle hash-matches bit-for-bit). Per block: one
+    repeated-id md5 batch + a segmented min; only (id, best) rows reach
+    the tiny global sort."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    K = 50
+
+    from ..functions.hashing import md5_hex_batch
+
+    def best_ticket(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        w = pc.count_substring_regex(t["text"], r"\S+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        w = np.clip(w, 1, 32)
+        total = int(w.sum())
+        offs0 = np.r_[0, np.cumsum(w)]
+        rep_ids = np.repeat(ids, w)
+        # ticket index within each doc, fully vectorized
+        ticket_no = (np.arange(total, dtype=np.int64)
+                     - np.repeat(offs0[:-1], w) + 1)
+        keys = pa.array(np.char.add(np.char.add(
+            rep_ids.astype("U20"), ":"), ticket_no.astype("U2")))
+        hx = np.array(md5_hex_batch(keys))
+        # segmented string-min via lexsort (np.minimum has no unicode
+        # loop): order tickets by (doc, hex) and take each doc's first
+        doc_idx = np.repeat(np.arange(len(w), dtype=np.int64), w)
+        order = np.lexsort((hx, doc_idx))
+        firsts = order[np.r_[0, np.cumsum(w)[:-1]]] if len(w) else order
+        best = hx[firsts]
+        tbl = pa.table({
+            "doc_id": t["doc_id"],
+            "w": pa.array(w),
+            "best": pa.array(best.astype(object), pa.string()),
+        })
+        # per-block top-K prune: the global sort sees <= K rows/block
+        return tbl.sort_by([("best", "ascending"),
+                            ("doc_id", "ascending")]).slice(0, K)
+
+    ranked = docs.map_batches(best_ticket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return ranked.sort(["best", "doc_id"]).limit(K).map_batches(
+        lambda t: t.select(["doc_id", "w"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -6103,6 +6155,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "value_histogram": q_value_histogram,
         "grouping_sets": q_grouping_sets,
         "impute_group_mean": q_impute_group_mean,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -7324,6 +7377,17 @@ def oracle_sqls() -> dict[str, str]:
             " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
             " AS cents, CAST(count(*) AS BIGINT) AS n FROM events"
             " GROUP BY GROUPING SETS ((event_type), (user_id))"
+        ),
+        "weighted_sample": (
+            "WITH w AS (SELECT doc_id, LEAST(GREATEST("
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT), 1),"
+            " 32) AS w FROM documents),"
+            " t AS (SELECT doc_id, w,"
+            " min(md5(CAST(doc_id AS VARCHAR) || ':'"
+            " || CAST(j AS VARCHAR))) AS best"
+            " FROM w, generate_series(1, 32) AS g(j) WHERE j <= w"
+            " GROUP BY doc_id, w)"
+            " SELECT doc_id, w FROM t ORDER BY best, doc_id LIMIT 50"
         ),
         "impute_group_mean": (
             "WITH c AS (SELECT event_id, event_type,"
