@@ -5983,6 +5983,41 @@ def q_weighted_sample(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_dedup_keep_best(sf_dir: str) -> rd.Dataset:
+    """Dedup with a QUALITY keep-rule: within each 40-char-prefix
+    duplicate cluster keep the LONGEST document (ties -> smallest id) —
+    'keep the best copy', the policy real corpus dedup wants instead of
+    keep-first. Same single co-locating exchange as the keep-first
+    path; the per-cluster argmax runs vectorized inside the bucket
+    (sort by (key, -len, id) + grouped head-1)."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "k": pc.utf8_slice_codeunits(t["text"], 0, 40),
+            "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+        })
+
+    ds = docs.map_batches(keyed, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["k", "n_chars", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        f = g.groupby("k", sort=False).head(1)
+        return pd.DataFrame({
+            "doc_id": f["doc_id"].to_numpy(),
+            "n_chars": f["n_chars"].to_numpy(),
+        })
+
+    return grouped_vectorized(ds, "k", best)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -6156,6 +6191,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "grouping_sets": q_grouping_sets,
         "impute_group_mean": q_impute_group_mean,
         "weighted_sample": q_weighted_sample,
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 
@@ -7377,6 +7413,13 @@ def oracle_sqls() -> dict[str, str]:
             " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
             " AS cents, CAST(count(*) AS BIGINT) AS n FROM events"
             " GROUP BY GROUPING SETS ((event_type), (user_id))"
+        ),
+        "dedup_keep_best": (
+            "WITH r AS (SELECT doc_id,"
+            " CAST(length(text) AS BIGINT) AS n_chars, row_number()"
+            " OVER (PARTITION BY substr(text, 1, 40)"
+            " ORDER BY length(text) DESC, doc_id) AS rn FROM documents)"
+            " SELECT doc_id, n_chars FROM r WHERE rn = 1"
         ),
         "weighted_sample": (
             "WITH w AS (SELECT doc_id, LEAST(GREATEST("
