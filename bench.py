@@ -284,6 +284,12 @@ def run_bench() -> dict:
         "dedup_incremental",
         "decontaminate",
         "tfidf_top_term",
+        # round-4 additions
+        "rolling_1h_sum",
+        "pack_sequences",
+        "winsorize_value",
+        "weighted_sample",
+        "dedup_keep_best",
     ]:
         timed(name, Q.registry()[name])
 
