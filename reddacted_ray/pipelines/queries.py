@@ -6018,6 +6018,115 @@ def q_dedup_keep_best(sf_dir: str) -> rd.Dataset:
     return grouped_vectorized(ds, "k", best)
 
 
+def q_chunk_documents(sf_dir: str) -> rd.Dataset:
+    """Overlapping fixed-window document chunking — the LLM context-prep
+    op (each doc emits 120-char windows every 100 chars, 20-char
+    overlap). Fully vectorized: the batch's string buffer becomes ONE
+    (rows x max_len) uint8 matrix via a row-major ragged mask; the only
+    Python loop is over window OFFSETS (<=6 for this corpus), each
+    slicing EVERY doc at once; chunk strings are rebuilt zero-copy-ish
+    with StringArray.from_buffers. No per-row / per-chunk Python."""
+    WIN, STRIDE = 120, 100
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("doc_id", pa.int64()),
+                                ("chunk_id", pa.int64()),
+                                ("chunk", pa.string())])
+        n = t.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        arr = t["text"].combine_chunks()
+        off = np.frombuffer(arr.buffers()[1], np.int32)[
+            arr.offset: arr.offset + n + 1].astype(np.int64)
+        flat = np.frombuffer(arr.buffers()[2], np.uint8)[off[0]: off[-1]]
+        lens = np.diff(off)
+        maxlen = int(lens.max())
+        cols = np.arange(maxlen)
+        mat = np.zeros((n, maxlen), np.uint8)
+        mat[cols[None, :] < lens[:, None]] = flat  # row-major fill
+        parts = []
+        for o in range(0, maxlen, STRIDE):
+            sel = lens > o
+            m = mat[sel, o: o + WIN]
+            clens = np.minimum(lens[sel] - o, WIN)
+            cdata = m[np.arange(m.shape[1])[None, :] < clens[:, None]]
+            coffs = np.zeros(len(clens) + 1, np.int32)
+            np.cumsum(clens, out=coffs[1:])
+            chunk = pa.Array.from_buffers(
+                pa.string(), len(clens),
+                [None, pa.py_buffer(coffs.tobytes()),
+                 pa.py_buffer(cdata.tobytes())])
+            parts.append(pa.table({
+                "doc_id": pa.array(ids[sel]),
+                "chunk_id": pa.array(
+                    np.full(len(clens), o // STRIDE, np.int64)),
+                "chunk": chunk}))
+        return pa.concat_tables(parts)
+
+    return docs.map_batches(chunks, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def q_systematic_sample(sf_dir: str) -> rd.Dataset:
+    """Systematic (every-Nth-in-global-order) sampling WITHOUT a sort
+    shuffle: global rank = ``ordered_prefix_sum`` of ones over the
+    unique doc_id key (fixed-width key ranges + one slim exchange), then
+    a rank % 25 filter. The classic epoch-stable eval-holdout cut."""
+    from ..stages.windows import ordered_prefix_sum
+
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "one", pa.array(np.ones(t.num_rows, np.int64)))
+
+    ranked = ordered_prefix_sum(
+        docs.map_batches(ones, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        "doc_id", "one", range_width=1000, out_col="rn")
+
+    def pick(t: pa.Table) -> pa.Table:
+        rn = t["rn"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(rn % 25 == 0))
+        return t.select(["doc_id", "lang", "rn"])
+
+    return ranked.map_batches(pick, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def q_revenue_calendar(sf_dir: str) -> rd.Dataset:
+    """Date-spine gap fill: daily revenue with MISSING DAYS emitted as
+    zero rows — one map-side-combined grouped sum over orders (epoch-day
+    integer key), then a driver-built dense calendar spine. The daily
+    aggregate is bounded by the CALENDAR SPAN (~2.4k rows for TPC-H
+    dates), not by SF, so the driver finish is scale-safe by
+    construction."""
+    from ..stages.agg import grouped_sums
+
+    od = sf_table(sf_dir, "orders",
+                  columns=["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["o_orderdate"], pa.int64())
+        return pa.table({
+            "day_num": pc.divide(us, pa.scalar(86_400_000_000, pa.int64())),
+            "cents": _money_int(t["o_totalprice"], 100.0),
+        })
+
+    daily = grouped_sums(
+        od.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["day_num"], ["cents"]).to_pandas()  # calendar-bounded
+    days = daily["day_num"].to_numpy(dtype=np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    cents = np.zeros(hi - lo + 1, np.int64)
+    cents[days - lo] = daily["cents"].to_numpy(dtype=np.int64)
+    return rd.from_arrow(pa.table({
+        "day_num": pa.array(np.arange(lo, hi + 1, dtype=np.int64)),
+        "cents": pa.array(cents)}))
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -6192,6 +6301,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "impute_group_mean": q_impute_group_mean,
         "weighted_sample": q_weighted_sample,
         "dedup_keep_best": q_dedup_keep_best,
+        "chunk_documents": q_chunk_documents,
+        "systematic_sample": q_systematic_sample,
+        "revenue_calendar": q_revenue_calendar,
     }
 
 
@@ -7442,5 +7554,28 @@ def oracle_sqls() -> dict[str, str]:
             " AS mean_c FROM c GROUP BY 1)"
             " SELECT event_id, COALESCE(CAST(cents AS DOUBLE), mean_c)"
             " AS filled_cents FROM c JOIN m USING (event_type)"
+        ),
+        "chunk_documents": (
+            "SELECT doc_id, CAST(j AS BIGINT) AS chunk_id,"
+            " substring(text, 1 + CAST(j AS INTEGER) * 100, 120) AS chunk"
+            " FROM (SELECT doc_id, text, unnest(generate_series(0,"
+            " (length(text) - 1) // 100)) AS j FROM documents)"
+        ),
+        "systematic_sample": (
+            "WITH r AS (SELECT doc_id, lang,"
+            " row_number() OVER (ORDER BY doc_id) AS rn FROM documents)"
+            " SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn"
+            " FROM r WHERE rn % 25 = 0"
+        ),
+        "revenue_calendar": (
+            "WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000"
+            " AS day_num,"
+            " CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " AS BIGINT) AS cents FROM orders GROUP BY 1),"
+            " b AS (SELECT min(day_num) AS lo, max(day_num) AS hi FROM d),"
+            " spine AS (SELECT unnest(generate_series(lo, hi)) AS j FROM b)"
+            " SELECT CAST(j AS BIGINT) AS day_num,"
+            " COALESCE(d.cents, 0) AS cents"
+            " FROM spine LEFT JOIN d ON spine.j = d.day_num"
         ),
     }

@@ -437,3 +437,60 @@ def test_rewritten_queries_fallback_paths_agree(ray_session, monkeypatch):
         forced = run(name)
         monkeypatch.delenv("REDD_BCAST_CAP")
         pd.testing.assert_frame_equal(base, forced, check_exact=True), name
+
+
+def test_chunk_documents_reconstructs_text(ray_session):
+    """Every doc must be exactly recoverable from its chunks: chunk 0 +
+    the tail (beyond the 20-char overlap) of each later chunk, in
+    chunk_id order — validating offsets, overlap and ragged trimming of
+    the vectorized byte-matrix chunker."""
+    import pyarrow.parquet as pq
+
+    from reddacted_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    out = Q.q_chunk_documents(sf).to_pandas()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in pq.read_table(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pylist()
+    }
+    rebuilt: dict[int, str] = {}
+    for _, row in out.sort_values(["doc_id", "chunk_id"]).iterrows():
+        d, c, s = row["doc_id"], row["chunk_id"], row["chunk"]
+        assert len(s) <= 120
+        if c == 0:
+            rebuilt[d] = s
+        else:
+            assert rebuilt[d][c * 100:] == s[:20] or len(s) <= 20
+            rebuilt[d] = rebuilt[d][: c * 100] + s
+    assert rebuilt == texts
+
+
+def test_systematic_sample_every_25th(ray_session):
+    from reddacted_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    out = Q.q_systematic_sample(sf).to_pandas().sort_values("rn")
+    assert (out["rn"].to_numpy() % 25 == 0).all()
+    # doc_id is dense 0..n-1 in testdata, so rank == doc_id + 1
+    assert (out["doc_id"].to_numpy() == out["rn"].to_numpy() - 1).all()
+
+
+def test_revenue_calendar_dense_and_conserving(ray_session):
+    """The spine is dense (every day between min and max exactly once)
+    and total cents equals the direct sum over orders."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from reddacted_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    out = Q.q_revenue_calendar(sf).to_pandas().sort_values("day_num")
+    days = out["day_num"].to_numpy()
+    assert (np.diff(days) == 1).all()
+    tp = pq.read_table(f"{sf}/orders.parquet", columns=["o_totalprice"])
+    x = tp["o_totalprice"].to_numpy(zero_copy_only=False)
+    cents = (np.sign(x) * np.floor(np.abs(x) * 100 + 0.5)).astype("int64")
+    assert out["cents"].sum() == cents.sum()
