@@ -6127,6 +6127,130 @@ def q_revenue_calendar(sf_dir: str) -> rd.Dataset:
         "cents": pa.array(cents)}))
 
 
+def q_inverted_index(sf_dir: str) -> rd.Dataset:
+    """Inverted-index build (search / dedup-support op): token ->
+    (document frequency, capped posting list of the first 20 doc_ids in
+    doc order). One vectorized distinct-(doc, token) explode (docs are
+    one row each, so per-block distinct IS global distinct), then a
+    single vocabulary-keyed bucket shuffle; the posting string is
+    assembled per TOKEN (bounded by vocabulary size, not corpus size).
+    Partitioning note: a Zipf head token concentrates its postings in
+    one bucket — the 20-id cap keeps the emitted row O(1) regardless."""
+    import pandas as pd
+
+    from ..functions.hashing import tokens_flat_batch
+    from ..stages.windows import grouped_vectorized
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode_distinct(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        flat, doc_of = tokens_flat_batch(texts)
+        enc = pc.dictionary_encode(flat)
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        uniq = np.unique(doc_of.astype(np.int64) * max(k, 1) + idx)
+        return pa.table({
+            "doc_id": t["doc_id"].take(pa.array(uniq // max(k, 1))),
+            "tok": enc.dictionary.take(pa.array(uniq % max(k, 1))),
+        })
+
+    pairs = docs.map_batches(explode_distinct, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def index(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tok", "doc_id"], kind="mergesort")
+        df = g.groupby("tok", sort=False).size()
+        head = g.groupby("tok", sort=False).head(20)
+        postings = head.groupby("tok", sort=False)["doc_id"].agg(
+            lambda s: ",".join(map(str, s)))
+        return pd.DataFrame({
+            "tok": df.index,
+            "df": df.to_numpy(dtype=np.int64),
+            "postings": postings.reindex(df.index).to_numpy(),
+        })
+
+    return grouped_vectorized(pairs, "tok", index)
+
+
+def q_boilerplate_ngrams(sf_dir: str) -> rd.Dataset:
+    """Boilerplate detection (Lee et al. repeated-substring flavor):
+    the 10 most frequent token 5-grams across the corpus. 5-grams are
+    built with ZERO per-doc Python: one flat tokenize pass per block,
+    five shifted slices joined element-wise (RE2-split tokens keep doc
+    order), a doc-boundary mask, then a map-side-combined grouped count
+    and a vocabulary-sized sort+limit."""
+    from ..functions.hashing import tokens_flat_batch
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def grams(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("gram", pa.string()), ("one", pa.int64())])
+        texts = t["text"].to_pylist()
+        flat, doc_of = tokens_flat_batch(texts)
+        n = len(flat)
+        if n < 5:
+            return schema.empty_table()
+        g5 = pc.binary_join_element_wise(
+            flat.slice(0, n - 4), flat.slice(1, n - 4),
+            flat.slice(2, n - 4), flat.slice(3, n - 4),
+            flat.slice(4, n - 4), " ")
+        g5 = g5.filter(pa.array(doc_of[:-4] == doc_of[4:]))
+        return pa.table({"gram": g5, "one": pa.array(
+            np.ones(len(g5), np.int64))})
+
+    counts = grouped_sums(
+        docs.map_batches(grams, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["gram"], ["one"])
+    top = counts.sort(["one", "gram"], descending=[True, False]).limit(10)
+    return top.map_batches(
+        lambda t: pa.table({"gram": t["gram"], "n": t["one"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_session_stats(sf_dir: str) -> rd.Dataset:
+    """Per-user session statistics (session count, busiest session,
+    total in-session dwell time) — the 30-min gap sessionizer fused
+    with its per-user rollup inside ONE bucket kernel, so sessionize +
+    aggregate costs a single co-locating shuffle. Durations are exact
+    integer microseconds (unit-proof via Timedelta division)."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = (g["ts"].diff() > pd.Timedelta(minutes=30)).to_numpy()
+        sid = np.cumsum(new_user | gap)
+        per = (
+            g.assign(_sid=sid)
+            .groupby(["user_id", "_sid"], as_index=False, sort=False)
+            .agg(n_events=("ts", "size"), st=("ts", "min"),
+                 en=("ts", "max"))
+        )
+        per["_dur_us"] = (
+            (per["en"] - per["st"]) // pd.Timedelta(microseconds=1)
+        ).astype("int64")
+        out = per.groupby("user_id", as_index=False, sort=False).agg(
+            n_sessions=("_sid", "size"),
+            max_events=("n_events", "max"),
+            total_dur_us=("_dur_us", "sum"),
+        )
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        out["max_events"] = out["max_events"].astype("int64")
+        return out
+
+    return grouped_vectorized(ev, "user_id", stats)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -6304,6 +6428,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,
         "systematic_sample": q_systematic_sample,
         "revenue_calendar": q_revenue_calendar,
+        "inverted_index": q_inverted_index,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
+        "session_stats": q_session_stats,
     }
 
 
@@ -7577,5 +7704,43 @@ def oracle_sqls() -> dict[str, str]:
             " SELECT CAST(j AS BIGINT) AS day_num,"
             " COALESCE(d.cents, 0) AS cents"
             " FROM spine LEFT JOIN d ON spine.j = d.day_num"
+        ),
+        "inverted_index": (
+            "WITH tok0 AS (SELECT doc_id,"
+            " unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok"
+            " FROM documents),"
+            " tok AS (SELECT DISTINCT doc_id, tok FROM tok0"
+            " WHERE tok <> ''),"
+            " r AS (SELECT tok, doc_id, row_number() OVER"
+            " (PARTITION BY tok ORDER BY doc_id) AS rn FROM tok)"
+            " SELECT tok, CAST(count(*) AS BIGINT) AS df,"
+            " string_agg(CASE WHEN rn <= 20 THEN"
+            " CAST(doc_id AS VARCHAR) END, ',' ORDER BY doc_id)"
+            " AS postings FROM r GROUP BY tok"
+        ),
+        "boilerplate_ngrams": (
+            "WITH toks AS (SELECT string_split(text, ' ') AS ts"
+            " FROM documents),"
+            " grams AS (SELECT array_to_string(ts[i:i+4], ' ') AS gram"
+            " FROM (SELECT ts, unnest(generate_series(1, len(ts) - 4))"
+            " AS i FROM toks))"
+            " SELECT gram, CAST(count(*) AS BIGINT) AS n FROM grams"
+            " GROUP BY 1 ORDER BY n DESC, gram LIMIT 10"
+        ),
+        "session_stats": (
+            "WITH x AS (SELECT user_id, ts,"
+            " CASE WHEN lag(ts) OVER w IS NULL"
+            " OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0"
+            " END AS brk"
+            " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),"
+            " y AS (SELECT user_id, ts, sum(brk) OVER"
+            " (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)"
+            " AS session_id FROM x),"
+            " s AS (SELECT user_id, session_id, count(*) AS n_events,"
+            " min(ts) AS st, max(ts) AS en FROM y GROUP BY 1, 2)"
+            " SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,"
+            " CAST(max(n_events) AS BIGINT) AS max_events,"
+            " CAST(sum(epoch_us(en) - epoch_us(st)) AS BIGINT)"
+            " AS total_dur_us FROM s GROUP BY 1"
         ),
     }

@@ -494,3 +494,41 @@ def test_revenue_calendar_dense_and_conserving(ray_session):
     x = tp["o_totalprice"].to_numpy(zero_copy_only=False)
     cents = (np.sign(x) * np.floor(np.abs(x) * 100 + 0.5)).astype("int64")
     assert out["cents"].sum() == cents.sum()
+
+
+def test_inverted_index_postings_capped_and_df_exact(ray_session):
+    import pyarrow.parquet as pq
+
+    from reddacted_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    out = Q.q_inverted_index(sf).to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    want_df: dict[str, set] = {}
+    for r in docs:
+        for tok in set(r["text"].split()):
+            want_df.setdefault(tok, set()).add(r["doc_id"])
+    assert set(out["tok"]) == set(want_df)
+    for _, row in out.iterrows():
+        ids = sorted(want_df[row["tok"]])
+        assert row["df"] == len(ids)
+        assert row["postings"] == ",".join(map(str, ids[:20]))
+
+
+def test_session_stats_consistent_with_sessionize(ray_session):
+    from reddacted_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    sess = Q.q_sessionize(sf).to_pandas()
+    stats = Q.q_session_stats(sf).to_pandas().set_index("user_id")
+    per = sess.groupby("user_id").agg(
+        n_sessions=("session_id", "size"),
+        max_events=("n_events", "max"))
+    assert (stats["n_sessions"].sort_index()
+            == per["n_sessions"].sort_index()).all()
+    assert (stats["max_events"].sort_index()
+            == per["max_events"].sort_index()).all()
+    dur = ((sess["session_end"] - sess["session_start"])
+           .dt.total_seconds() * 1e6).round().astype("int64")
+    assert stats["total_dur_us"].sum() == dur.sum()
