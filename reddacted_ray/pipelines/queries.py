@@ -6251,6 +6251,140 @@ def q_session_stats(sf_dir: str) -> rd.Dataset:
     return grouped_vectorized(ev, "user_id", stats)
 
 
+def q_table_checksum(sf_dir: str) -> rd.Dataset:
+    """Order-independent table fingerprint (the data-validation /
+    migration-audit op): XOR of a 32-bit md5 slice of each row's
+    canonical key string, plus the row count. XOR is commutative and
+    associative, so block order / partitioning cannot perturb the
+    digest — one streaming pass, one O(num_blocks) scalar exchange,
+    nothing row-sized ever leaves the workers. SQL parity: DuckDB
+    ``bit_xor`` over ``CAST('0x' || substr(md5(key),1,8) AS BIGINT)``
+    equals ``md5_top32_batch``."""
+    from ..functions.hashing import md5_top32_batch
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"x": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        key = pc.binary_join_element_wise(
+            pc.cast(t["l_orderkey"], pa.string()),
+            pc.cast(t["l_linenumber"], pa.string()),
+            pc.cast(_money_int(t["l_quantity"], 100.0), pa.string()),
+            ":",
+        )
+        h = md5_top32_batch(key)
+        return pa.table({
+            "x": pa.array([int(np.bitwise_xor.reduce(h))], pa.int64()),
+            "n": pa.array([t.num_rows], pa.int64()),
+        })
+
+    parts = li.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()  # O(blocks)
+    xs = np.array([r["x"] for r in parts], dtype=np.int64)
+    n = int(sum(r["n"] for r in parts))
+    cs = int(np.bitwise_xor.reduce(xs)) if len(xs) else 0
+    return rd.from_arrow(pa.table({
+        "n_rows": pa.array([n], pa.int64()),
+        "checksum": pa.array([cs], pa.int64()),
+    }))
+
+
+def q_profile_table(sf_dir: str) -> rd.Dataset:
+    """Column-profiling pass (data validation): per numeric lineitem
+    column — row count, min, max, sum in exact e4 integer units. ALL
+    columns profile in ONE streaming scan: each block emits 4 partial
+    rows (one per column), and the exchange re-aggregates partials, so
+    the shuffle is O(4 x num_blocks) regardless of table size."""
+    from ..stages.agg import grouped_agg
+
+    COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = sf_table(sf_dir, "lineitem", columns=COLS)
+
+    def partial(t: pa.Table) -> pa.Table:
+        schema = pa.schema([
+            ("col", pa.string()), ("n", pa.int64()), ("mn", pa.int64()),
+            ("mx", pa.int64()), ("s", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        rows = {"col": [], "n": [], "mn": [], "mx": [], "s": []}
+        for c in COLS:
+            v = _money_int(t[c], 10000.0).to_numpy(zero_copy_only=False)
+            rows["col"].append(c)
+            rows["n"].append(t.num_rows)
+            rows["mn"].append(int(v.min()))
+            rows["mx"].append(int(v.max()))
+            rows["s"].append(int(v.sum()))
+        return pa.table(rows, schema=schema)
+
+    partials = li.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out = grouped_agg(partials, ["col"], [
+        ("n", "sum", "n"), ("mn", "min", "min_e4"),
+        ("mx", "max", "max_e4"), ("s", "sum", "sum_e4")])
+    return out
+
+
+def q_dup_cluster_sizes(sf_dir: str) -> rd.Dataset:
+    """Duplicate-cluster size histogram (the dedup-audit op: how much
+    mass sits in clusters of each size). Two map-side-combined grouped
+    sums: prefix-key -> cluster size (exchange bounded by distinct
+    keys per block), then size -> number of clusters (exchange bounded
+    by distinct sizes — a handful of rows)."""
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": pc.utf8_slice_codeunits(t["text"], 0, 40),
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    per_key = grouped_sums(
+        docs.map_batches(keyed, batch_format="pyarrow",
+                         zero_copy_batch=True), ["k"], ["one"])
+
+    def sized(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cluster_size": t["one"],
+            "nc": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    hist = grouped_sums(
+        per_key.map_batches(sized, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        ["cluster_size"], ["nc"])
+    return hist.map_batches(
+        lambda t: t.rename_columns(["cluster_size", "n_clusters"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_transition_probs(sf_dir: str) -> rd.Dataset:
+    """Markov transition matrix over event types: P(next | current) =
+    pair count / outgoing total. Reuses the bigram machinery (one
+    co-locating shuffle + combined count exchange); the probability
+    finish runs on the |types|^2-bounded transition table on the
+    driver, with the division left as the identical two-int IEEE
+    divide the SQL performs, so doubles bit-match."""
+    pairs = q_event_bigrams(sf_dir).to_arrow_refs()
+    t = pa.concat_tables([ray.get(r) for r in pairs])
+    prev = t["prev_type"].to_numpy(zero_copy_only=False)
+    n = t["n_pairs"].to_numpy(zero_copy_only=False).astype(np.int64)
+    import pandas as pd
+
+    tot = pd.Series(n).groupby(pd.Series(prev), sort=False).transform("sum")
+    prob = n.astype(np.float64) / tot.to_numpy().astype(np.float64)
+    return rd.from_arrow(pa.table({
+        "prev_type": t["prev_type"],
+        "next_type": t["next_type"],
+        "n_pairs": pa.array(n),
+        "prob": pa.array(prob),
+    }))
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -6431,6 +6565,10 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "inverted_index": q_inverted_index,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "session_stats": q_session_stats,
+        "table_checksum": q_table_checksum,
+        "profile_table": q_profile_table,
+        "dup_cluster_sizes": q_dup_cluster_sizes,
+        "transition_probs": q_transition_probs,
     }
 
 
@@ -7742,5 +7880,46 @@ def oracle_sqls() -> dict[str, str]:
             " CAST(max(n_events) AS BIGINT) AS max_events,"
             " CAST(sum(epoch_us(en) - epoch_us(st)) AS BIGINT)"
             " AS total_dur_us FROM s GROUP BY 1"
+        ),
+        "table_checksum": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows,"
+            " bit_xor(CAST(('0x' || substr(md5("
+            "CAST(l_orderkey AS VARCHAR) || ':'"
+            " || CAST(l_linenumber AS VARCHAR) || ':'"
+            " || CAST(CAST(round(l_quantity * 100) AS BIGINT)"
+            " AS VARCHAR)), 1, 8)) AS BIGINT)) AS checksum"
+            " FROM lineitem"
+        ),
+        "profile_table": (
+            "SELECT col, CAST(n AS BIGINT) AS n,"
+            " CAST(mn AS BIGINT) AS min_e4, CAST(mx AS BIGINT) AS max_e4,"
+            " CAST(s AS BIGINT) AS sum_e4 FROM ("
+            + " UNION ALL ".join(
+                f"SELECT '{c}' AS col, count(*) AS n,"
+                f" min(CAST(round({c} * 10000) AS BIGINT)) AS mn,"
+                f" max(CAST(round({c} * 10000) AS BIGINT)) AS mx,"
+                f" sum(CAST(round({c} * 10000) AS BIGINT)) AS s"
+                " FROM lineitem"
+                for c in ["l_quantity", "l_extendedprice",
+                          "l_discount", "l_tax"]
+            )
+            + ")"
+        ),
+        "dup_cluster_sizes": (
+            "WITH c AS (SELECT substr(text, 1, 40) AS k,"
+            " count(*) AS c FROM documents GROUP BY 1)"
+            " SELECT CAST(c AS BIGINT) AS cluster_size,"
+            " CAST(count(*) AS BIGINT) AS n_clusters FROM c GROUP BY 1"
+        ),
+        "transition_probs": (
+            "WITH s AS (SELECT user_id, event_type,"
+            " lead(event_type) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id) AS nxt FROM events),"
+            " p AS (SELECT event_type AS prev_type, nxt AS next_type,"
+            " count(*) AS n FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),"
+            " t AS (SELECT prev_type, sum(n) AS tot FROM p GROUP BY 1)"
+            " SELECT prev_type, next_type, CAST(n AS BIGINT) AS n_pairs,"
+            " CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS prob"
+            " FROM p JOIN t USING (prev_type)"
         ),
     }
