@@ -6385,6 +6385,131 @@ def q_transition_probs(sf_dir: str) -> rd.Dataset:
     }))
 
 
+def _skyline2d_mask(price: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Survivor mask of the 2-D skyline (minimize price, maximize size).
+    A point is dominated iff some point has size strictly above it at a
+    price <= its own, or size >= its own at a strictly lower price.
+    O(n log n): per-price max sizes, exclusive running max over the
+    sorted price axis, two vectorized comparisons."""
+    import pandas as pd
+
+    g = pd.Series(size).groupby(pd.Series(price)).max()
+    prices_sorted = g.index.to_numpy()
+    gmax_sorted = g.to_numpy()
+    run = np.maximum.accumulate(gmax_sorted)
+    mstrict = np.empty(len(run), np.int64)
+    mstrict[0] = np.iinfo(np.int64).min
+    mstrict[1:] = run[:-1]
+    pos = np.searchsorted(prices_sorted, price)
+    dominated = (mstrict[pos] >= size) | (size < gmax_sorted[pos])
+    return ~dominated
+
+
+def q_skyline_parts(sf_dir: str) -> rd.Dataset:
+    """Pareto frontier (skyline) of parts: cheapest-for-their-size — no
+    other part is both <= price and >= size with one strict. Classic
+    distributed skyline: each block computes its LOCAL skyline (the
+    global skyline is a subset of the union of local skylines), so only
+    candidates — bounded by the distinct-size domain, ~50 rows/block —
+    reach the driver for the final sweep. The fact-sized scan never
+    shuffles at all."""
+    pt = sf_table(sf_dir, "part",
+                  columns=["p_partkey", "p_retailprice", "p_size"])
+
+    schema = pa.schema([("p_partkey", pa.int64()),
+                        ("price_c", pa.int64()), ("size", pa.int64())])
+
+    def local_sky(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        price = _money_int(t["p_retailprice"], 100.0).to_numpy(
+            zero_copy_only=False)
+        size = pc.cast(t["p_size"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = _skyline2d_mask(price, size)
+        return pa.table({
+            "p_partkey": t["p_partkey"].to_numpy(zero_copy_only=False)[keep],
+            "price_c": price[keep], "size": size[keep]}, schema=schema)
+
+    cand = pa.concat_tables(
+        [ray.get(r) for r in
+         pt.map_batches(local_sky, batch_format="pyarrow",
+                        zero_copy_batch=True).to_arrow_refs()],
+        promote_options="default")
+    price = cand["price_c"].to_numpy(zero_copy_only=False)
+    size = cand["size"].to_numpy(zero_copy_only=False)
+    keep = _skyline2d_mask(price, size)
+    return rd.from_arrow(cand.filter(pa.array(keep)))
+
+
+def q_stratified_exact(sf_dir: str) -> rd.Dataset:
+    """EXACT-count stratified sample: precisely 50 docs per language,
+    chosen by the deterministic md5(doc_id) hash race (rerun- and
+    machine-stable, no RNG state). Per-block top-50-per-lang partials
+    shrink the exchange to <=50 x |langs| rows per block; one bounded
+    co-locating shuffle finishes the per-language selection."""
+    import pandas as pd
+
+    from ..functions.hashing import md5_hex_batch
+    from ..stages.windows import grouped_vectorized
+
+    K = 50
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": t["lang"].to_numpy(zero_copy_only=False),
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            "h": md5_hex_batch(pc.cast(t["doc_id"], pa.string())),
+        })
+        df = df.sort_values(["lang", "h"], kind="mergesort")
+        return df.groupby("lang", sort=False).head(K)
+
+    parts = docs.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "h"], kind="mergesort")
+        g = g.groupby("lang", sort=False).head(K)
+        g["rn"] = g.groupby("lang", sort=False).cumcount() + 1
+        return g[["lang", "doc_id", "rn"]]
+
+    return grouped_vectorized(parts, "lang", finish)
+
+
+def q_vocab_coverage(sf_dir: str) -> rd.Dataset:
+    """Vocabulary-coverage statistic (tokenizer/vocab design op): what
+    fraction of all token OCCURRENCES the top-100 terms by frequency
+    cover. Per-block Arrow value_counts shrink the token stream to
+    vocabulary-bounded partials; the grouped-sum exchange, the global
+    top-k, and the two totals all run over that bounded table. The
+    coverage ratio is the same two-integer IEEE divide as the SQL."""
+    from ..functions.hashing import tokens_flat_batch
+    from ..stages.agg import grouped_sums
+
+    K = 100
+    docs = _docs(sf_dir, ["text"])
+
+    def counts_of(t: pa.Table) -> pa.Table:
+        flat, _ = tokens_flat_batch(t["text"].to_pylist())
+        vc = flat.value_counts()
+        return pa.table({"t": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts = grouped_sums(
+        docs.map_batches(counts_of, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["t"], ["n"]).materialize()  # vocabulary-bounded
+    total = int(counts.sum("n"))
+    top = counts.sort(["n", "t"], descending=[True, False]).limit(K)
+    covered = int(sum(r["n"] for r in top.take_all()))
+    return rd.from_arrow(pa.table({
+        "total_tokens": pa.array([total], pa.int64()),
+        "covered_tokens": pa.array([covered], pa.int64()),
+        "coverage": pa.array([float(covered) / float(total)], pa.float64()),
+    }))
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -6569,6 +6694,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "profile_table": q_profile_table,
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "transition_probs": q_transition_probs,
+        "skyline_parts": q_skyline_parts,
+        "stratified_exact": q_stratified_exact,
+        "vocab_coverage": q_vocab_coverage,
     }
 
 
@@ -7921,5 +8049,36 @@ def oracle_sqls() -> dict[str, str]:
             " SELECT prev_type, next_type, CAST(n AS BIGINT) AS n_pairs,"
             " CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS prob"
             " FROM p JOIN t USING (prev_type)"
+        ),
+        "skyline_parts": (
+            "WITH p AS (SELECT p_partkey,"
+            " CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,"
+            " CAST(p_size AS BIGINT) AS size FROM part),"
+            " g AS (SELECT price_c, max(size) AS gmax FROM p GROUP BY 1),"
+            " s AS (SELECT price_c, gmax, max(gmax) OVER (ORDER BY price_c"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+            " AS mstrict FROM g)"
+            " SELECT a.p_partkey, a.price_c, a.size"
+            " FROM p a JOIN s ON a.price_c = s.price_c"
+            " WHERE a.size = s.gmax"
+            " AND (s.mstrict IS NULL OR s.mstrict < a.size)"
+        ),
+        "stratified_exact": (
+            "SELECT lang, doc_id, CAST(row_number() OVER"
+            " (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)))"
+            " AS BIGINT) AS rn FROM documents"
+            " QUALIFY rn <= 50"
+        ),
+        "vocab_coverage": (
+            "WITH tok AS (SELECT unnest(string_split_regex(lower(text),"
+            " '[^a-z0-9]+')) AS t FROM documents),"
+            " c AS (SELECT t, count(*) AS n FROM tok WHERE t <> ''"
+            " GROUP BY 1),"
+            " k AS (SELECT n FROM c ORDER BY n DESC, t LIMIT 100)"
+            " SELECT CAST((SELECT sum(n) FROM c) AS BIGINT)"
+            " AS total_tokens,"
+            " CAST((SELECT sum(n) FROM k) AS BIGINT) AS covered_tokens,"
+            " CAST((SELECT sum(n) FROM k) AS DOUBLE)"
+            " / CAST((SELECT sum(n) FROM c) AS DOUBLE) AS coverage"
         ),
     }

@@ -378,3 +378,23 @@ def test_blocklist_hits_matches_python_reference(texts, block):
                          _pa.array(block, _pa.string()))
     want = [any(w in block for w in s.split(" ")) for s in texts]
     assert got.tolist() == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 20), st.integers(0, 10)),
+                min_size=1, max_size=40))
+def test_skyline2d_mask_matches_brute_force(points):
+    import numpy as _np
+
+    from reddacted_ray.pipelines.queries import _skyline2d_mask
+
+    price = _np.array([p for p, _ in points], dtype=_np.int64)
+    size = _np.array([s for _, s in points], dtype=_np.int64)
+    got = _skyline2d_mask(price, size)
+    for i in range(len(points)):
+        dominated = any(
+            price[j] <= price[i] and size[j] >= size[i]
+            and (price[j] < price[i] or size[j] > size[i])
+            for j in range(len(points))
+        )
+        assert got[i] == (not dominated), (i, points)
