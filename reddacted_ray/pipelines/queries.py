@@ -6510,6 +6510,121 @@ def q_vocab_coverage(sf_dir: str) -> rd.Dataset:
     }))
 
 
+ZORDER_BITS = 8
+
+
+def q_zorder_events(sf_dir: str) -> rd.Dataset:
+    """Morton (Z-order) curve key over (user_id, value-cents) — the
+    multi-dimensional layout key ``stages.layout.zorder_write`` sorts
+    by so per-file min/max stats prune on BOTH columns. Pure map-side
+    vectorized bit math; the SQL oracle is GENERATED from the same
+    (bit, column) -> output-bit mapping (``zvalue_sql``), so the two
+    sides cannot drift."""
+    from ..stages.layout import zvalue
+
+    ev = sf_table(sf_dir, "events", columns=["event_id", "user_id",
+                                             "value"])
+
+    def zed(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        c = _money_int(t["value"], 100.0).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": t["event_id"],
+            "zval": pa.array(zvalue([u, c], ZORDER_BITS)),
+        })
+
+    return ev.map_batches(zed, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+PAGERANK_ITERS = 10
+PAGERANK_SCALE = 1_000_000_000_000
+
+
+def q_pagerank_events(sf_dir: str) -> rd.Dataset:
+    """PageRank over the event-type transition graph — the stationary
+    'random surfer' score of the Markov chain the bigram table encodes
+    (damping 0.85, 10 iterations). ALL arithmetic is fixed-point
+    integer (rank scaled by 1e12, floor divisions), so the distributed
+    edge aggregation and the SQL oracle's unrolled-CTE iterations are
+    bit-identical — no float summation order anywhere. The fact-sized
+    work is the one bigram co-locating shuffle; iterations run on the
+    |types|-node graph, which is vocabulary-bounded, not data-bounded.
+    (At larger node counts the same update is expressible as K rounds
+    of broadcast-rank + grouped-sum inflow; weights here are counts,
+    so rank*weight stays far inside int64.)"""
+    from ray.data.aggregate import Count as _Cnt
+
+    # node set: distinct event types (per-block distinct -> tiny groupby)
+    ev = sf_table(sf_dir, "events", columns=["event_type"])
+    nodes_ds = ev.map_batches(
+        lambda t: pa.table({"node": pc.unique(t["event_type"])}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("node").aggregate(_Cnt(alias_name="_n"))
+    nodes = sorted(r["node"] for r in nodes_ds.take_all())
+    n = len(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+
+    # edge weights: the bigram transition counts (one co-locating shuffle)
+    pairs = pa.concat_tables(
+        [ray.get(r) for r in q_event_bigrams(sf_dir).to_arrow_refs()],
+        promote_options="default")
+    src = np.array([idx[v] for v in pairs["prev_type"].to_pylist()],
+                   np.int64)
+    dst = np.array([idx[v] for v in pairs["next_type"].to_pylist()],
+                   np.int64)
+    wt = pairs["n_pairs"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    tot = np.zeros(n, np.int64)
+    np.add.at(tot, src, wt)
+    base = (PAGERANK_SCALE * 15) // (100 * n)
+    rank = np.full(n, PAGERANK_SCALE // n, np.int64)
+    for _ in range(PAGERANK_ITERS):
+        contrib = (rank[src] * wt) // tot[src]
+        inflow = np.zeros(n, np.int64)
+        np.add.at(inflow, dst, contrib)
+        rank = base + (85 * inflow) // 100
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(nodes, pa.string()),
+        "rank_fp": pa.array(rank),
+    }))
+
+
+def _pagerank_sql() -> str:
+    """Unrolled fixed-point PageRank CTE chain — same constants and
+    integer expression tree as ``q_pagerank_events``."""
+    S, K = PAGERANK_SCALE, PAGERANK_ITERS
+    steps = []
+    for i in range(1, K + 1):
+        steps.append(
+            f"r{i} AS (SELECT nd.node,"
+            f" b.base + (85 * COALESCE(s.inflow, 0)) // 100 AS rank"
+            f" FROM nodes nd CROSS JOIN b LEFT JOIN ("
+            f"SELECT e.dst AS node,"
+            f" CAST(sum((r.rank * e.wt) // w.tot) AS BIGINT) AS inflow"
+            f" FROM r{i - 1} r JOIN e ON e.src = r.node"
+            f" JOIN w ON w.src = e.src GROUP BY 1) s USING (node))"
+        )
+    return (
+        "WITH seq AS (SELECT user_id, event_type,"
+        " lead(event_type) OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id) AS nxt FROM events),"
+        " e AS (SELECT event_type AS src, nxt AS dst,"
+        " CAST(count(*) AS BIGINT) AS wt FROM seq"
+        " WHERE nxt IS NOT NULL GROUP BY 1, 2),"
+        " w AS (SELECT src, CAST(sum(wt) AS BIGINT) AS tot"
+        " FROM e GROUP BY 1),"
+        " nodes AS (SELECT DISTINCT event_type AS node FROM events),"
+        f" b AS (SELECT ({S} * 15) // (100 * count(*)) AS base"
+        " FROM nodes),"
+        f" r0 AS (SELECT node, {S} // (SELECT count(*) FROM nodes)"
+        " AS rank FROM nodes),"
+        + ", ".join(steps)
+        + f" SELECT node AS event_type, CAST(rank AS BIGINT) AS rank_fp"
+        f" FROM r{K}"
+    )
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -6697,10 +6812,13 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "skyline_parts": q_skyline_parts,
         "stratified_exact": q_stratified_exact,
         "vocab_coverage": q_vocab_coverage,
+        "zorder_events": q_zorder_events,
+        "pagerank_events": q_pagerank_events,
     }
 
 
 def oracle_sqls() -> dict[str, str]:
+    from ..stages.layout import zvalue_sql
     from ..stages.sampling import split_thresholds
 
     bounds = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
@@ -8081,4 +8199,12 @@ def oracle_sqls() -> dict[str, str]:
             " CAST((SELECT sum(n) FROM k) AS DOUBLE)"
             " / CAST((SELECT sum(n) FROM c) AS DOUBLE) AS coverage"
         ),
+        "zorder_events": (
+            "WITH c AS (SELECT event_id, user_id,"
+            " CAST(round(value * 100) AS BIGINT) AS cents FROM events)"
+            " SELECT event_id, CAST("
+            + zvalue_sql(["user_id", "cents"], ZORDER_BITS)
+            + " AS BIGINT) AS zval FROM c"
+        ),
+        "pagerank_events": _pagerank_sql(),
     }
