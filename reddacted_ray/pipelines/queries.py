@@ -6625,6 +6625,157 @@ def _pagerank_sql() -> str:
     )
 
 
+def q_interval_coverage(sf_dir: str) -> rd.Dataset:
+    """Merge overlapping per-user activity intervals (each event opens a
+    [ts, ts+5min) window) and report island count + total covered time —
+    the gaps-and-islands MERGE variant (longest_streak is the gap
+    variant). One co-locating bucket shuffle of (user, epoch-us); inside
+    each bucket a grouped cummax finds island breaks fully vectorized.
+    All-integer epoch-us math so the SQL oracle hash-matches."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    GAP = 300_000_000  # 5 min in us
+    ev = sf_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "tsu": pc.cast(t["ts"], pa.int64()),
+        })
+
+    keyed = ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def cover(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "tsu"], kind="mergesort")
+        fin = g["tsu"] + GAP
+        grp = g.groupby("user_id", sort=False)
+        prevmax = fin.groupby(g["user_id"], sort=False).cummax().shift(1)
+        first = grp.cumcount().to_numpy() == 0
+        brk = first | (g["tsu"].to_numpy() > prevmax.to_numpy())
+        isl = np.cumsum(brk)  # unique across users within the bucket
+        f = pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(),
+            "isl": isl,
+            "st": g["tsu"].to_numpy(),
+            "en": fin.to_numpy(),
+        })
+        i = f.groupby(["user_id", "isl"], sort=False).agg(
+            st=("st", "min"), en=("en", "max")).reset_index()
+        i["span"] = i["en"] - i["st"]
+        out = i.groupby("user_id", sort=False).agg(
+            n_intervals=("isl", "size"),
+            covered_us=("span", "sum"),
+        ).reset_index()
+        out["n_intervals"] = out["n_intervals"].astype(np.int64)
+        out["covered_us"] = out["covered_us"].astype(np.int64)
+        return out
+
+    return grouped_vectorized(keyed, "user_id", cover)
+
+
+def q_global_rank_chars(sf_dir: str) -> rd.Dataset:
+    """Global RANK() + quantile-normalization of every document by
+    n_chars WITHOUT a sort shuffle: one tiny value-count groupby
+    (bounded by distinct lengths), a driver exclusive cumsum giving
+    rank = |{v' < v}| + 1, then a broadcast (value -> rank) Arrow map
+    applied in the scan pass. pctl_e6 is the integer-scaled quantile
+    normalizer (rank-1)*1e6 // (n-1) used for feature scaling."""
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    counts = (docs.groupby("n_chars").aggregate(Count(alias_name="k"))
+              .to_pandas().sort_values("n_chars"))
+    ks = counts["k"].to_numpy(dtype=np.int64)
+    n = int(ks.sum())
+    ranks = np.r_[0, np.cumsum(ks)[:-1]].astype(np.int64) + 1
+    vals = pa.array(counts["n_chars"].to_numpy(dtype=np.int64))
+    rank_arr = pa.array(ranks)
+    ref = ray.put((vals, rank_arr, n))
+
+    def attach(t: pa.Table) -> pa.Table:
+        v, r, total = ray.get(ref)
+        rnk = pc.take(r, pc.index_in(t["n_chars"], value_set=v))
+        rnp = rnk.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "rnk": rnk,
+            "pctl_e6": pa.array((rnp - 1) * 1_000_000 // (total - 1)),
+        })
+
+    return docs.map_batches(attach, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def q_trimmed_mean_qty(sf_dir: str) -> pa.Table:
+    """Exact 5%-trimmed mean of l_quantity from ONE value-count reduce:
+    the fact collapses to (cents -> count) (50 distinct values), and the
+    driver intersects each value's rank span with [k+1, n-k] — no sort,
+    no second pass. The sum is integer cents so the final single
+    division is the only float op (bit-exact vs SQL)."""
+    import math
+
+    li = sf_table(sf_dir, "lineitem", columns=["l_quantity"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"qc": _money_int(t["l_quantity"], 100.0)})
+
+    counts = (li.map_batches(cents, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("qc").aggregate(Count(alias_name="n"))
+              .to_pandas().sort_values("qc"))
+    vals = counts["qc"].to_numpy(dtype=np.int64)
+    ks = counts["n"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(ks)
+    n = int(cum[-1]) if len(cum) else 0
+    k = int(math.floor(0.05 * n))
+    lo_rank, hi_rank = k + 1, n - k
+    prev = np.r_[0, cum[:-1]]
+    kept = np.maximum(
+        0,
+        np.minimum(cum, hi_rank) - np.maximum(prev + 1, lo_rank) + 1,
+    )
+    tsum = int(np.sum(kept * vals))
+    tcnt = int(np.sum(kept))
+    return pa.table({
+        "trimmed_n": pa.array([tcnt], pa.int64()),
+        "trimmed_cents": pa.array([tsum], pa.int64()),
+        "trimmed_mean": pa.array([float(tsum) / float(tcnt)],
+                                 pa.float64()),
+    })
+
+
+def q_weighted_median_qty(sf_dir: str) -> pa.Table:
+    """Exact weighted median (l_quantity weighted by extendedprice
+    cents): map-side-combined grouped integer weight sums per quantity
+    value, driver cumsum over the ~50-row result, pick the smallest
+    value whose doubled cumulative weight reaches the total. Weights
+    stay integers end-to-end — no float accumulation anywhere."""
+    from ..stages.agg import grouped_sums
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "qc": _money_int(t["l_quantity"], 100.0),
+            "wc": _money_int(t["l_extendedprice"], 100.0),
+        })
+
+    g = (grouped_sums(li.map_batches(prep, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["qc"], ["wc"])
+         .to_pandas().sort_values("qc"))
+    w = g["wc"].to_numpy(dtype=np.int64)
+    tot = int(w.sum())
+    cum = np.cumsum(w)
+    idx = int(np.searchsorted(cum * 2, tot, "left"))
+    return pa.table({
+        "wmedian_qc": pa.array([int(g["qc"].to_numpy()[idx])], pa.int64()),
+        "total_weight": pa.array([tot], pa.int64()),
+    })
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -6814,6 +6965,10 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": q_vocab_coverage,
         "zorder_events": q_zorder_events,
         "pagerank_events": q_pagerank_events,
+        "interval_coverage": q_interval_coverage,
+        "global_rank_chars": q_global_rank_chars,
+        "trimmed_mean_qty": q_trimmed_mean_qty,
+        "weighted_median_qty": q_weighted_median_qty,
     }
 
 
@@ -8207,4 +8362,54 @@ def oracle_sqls() -> dict[str, str]:
             + " AS BIGINT) AS zval FROM c"
         ),
         "pagerank_events": _pagerank_sql(),
+        "interval_coverage": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),"
+            " w AS (SELECT user_id, tsu, tsu + 300000000 AS fin,"
+            " max(tsu + 300000000) OVER (PARTITION BY user_id"
+            " ORDER BY tsu ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            " 1 PRECEDING) AS prevmax FROM e),"
+            " f AS (SELECT user_id, tsu, fin, CASE WHEN prevmax IS NULL"
+            " OR tsu > prevmax THEN 1 ELSE 0 END AS brk FROM w),"
+            " g AS (SELECT user_id, tsu, fin, sum(brk) OVER"
+            " (PARTITION BY user_id ORDER BY tsu"
+            " ROWS UNBOUNDED PRECEDING) AS isl FROM f),"
+            " i AS (SELECT user_id, isl, min(tsu) AS st, max(fin) AS en"
+            " FROM g GROUP BY 1, 2)"
+            " SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,"
+            " CAST(sum(en - st) AS BIGINT) AS covered_us"
+            " FROM i GROUP BY 1"
+        ),
+        "global_rank_chars": (
+            "SELECT doc_id, RANK() OVER (ORDER BY n_chars) AS rnk,"
+            " (RANK() OVER (ORDER BY n_chars) - 1) * 1000000"
+            " // ((SELECT count(*) FROM documents) - 1) AS pctl_e6"
+            " FROM documents"
+        ),
+        "trimmed_mean_qty": (
+            "WITH c AS (SELECT CAST(round(l_quantity * 100) AS BIGINT)"
+            " AS qc FROM lineitem),"
+            " n AS (SELECT count(*) AS cnt FROM c),"
+            " r AS (SELECT qc, row_number() OVER (ORDER BY qc) AS rn"
+            " FROM c),"
+            " k AS (SELECT CAST(floor(0.05 * cnt) AS BIGINT) AS kk, cnt"
+            " FROM n)"
+            " SELECT CAST(count(*) AS BIGINT) AS trimmed_n,"
+            " CAST(sum(qc) AS BIGINT) AS trimmed_cents,"
+            " CAST(sum(qc) AS DOUBLE) / CAST(count(*) AS DOUBLE)"
+            " AS trimmed_mean"
+            " FROM r, k WHERE rn > kk AND rn <= cnt - kk"
+        ),
+        "weighted_median_qty": (
+            "WITH c AS (SELECT CAST(round(l_quantity * 100) AS BIGINT)"
+            " AS qc, CAST(round(l_extendedprice * 100) AS BIGINT) AS wc"
+            " FROM lineitem),"
+            " g AS (SELECT qc, CAST(sum(wc) AS BIGINT) AS w FROM c"
+            " GROUP BY 1),"
+            " t AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM g),"
+            " r AS (SELECT qc, CAST(sum(w) OVER (ORDER BY qc)"
+            " AS BIGINT) AS cum FROM g)"
+            " SELECT CAST(min(qc) AS BIGINT) AS wmedian_qc,"
+            " (SELECT tot FROM t) AS total_weight"
+            " FROM r, t WHERE cum * 2 >= tot"
+        ),
     }
