@@ -6776,6 +6776,139 @@ def q_weighted_median_qty(sf_dir: str) -> pa.Table:
     })
 
 
+def q_late_event_filter(sf_dir: str) -> rd.Dataset:
+    """Streaming watermark semantics over a batch table: events arrive
+    in event_id order, the watermark is the running max event-time seen
+    so far, and a row is LATE (dropped) when its ts lags the watermark
+    by more than 10 minutes; survivors aggregate into 5-minute tumbling
+    windows. The running max is ``ordered_prefix_max``
+    (stages/windows.py) — the same fixed-width key-range scan as
+    sequence packing, NO global sort shuffle; the window counts are one
+    map-side-combined grouped sum."""
+    from ..stages.agg import grouped_sums
+    from ..stages.windows import ordered_prefix_max
+
+    LAG = 600_000_000  # 10 min
+    WIN = 300_000_000  # 5 min
+    ev = sf_table(sf_dir, "events", columns=["event_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "tsu": pc.cast(t["ts"], pa.int64()),
+        })
+
+    marked = ordered_prefix_max(
+        ev.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "event_id", "tsu", out_col="wm")
+
+    def ontime_win(t: pa.Table) -> pa.Table:
+        tsu = t["tsu"].to_numpy(zero_copy_only=False)
+        wm = t["wm"].to_numpy(zero_copy_only=False)
+        keep = tsu >= wm - LAG
+        return pa.table({
+            "win": pa.array(tsu[keep] // WIN),
+            "n": pa.array(np.ones(int(keep.sum()), np.int64)),
+        })
+
+    counted = marked.map_batches(ontime_win, batch_format="pyarrow")
+    return grouped_sums(counted, ["win"], ["n"])
+
+
+def q_cdc_merge(sf_dir: str) -> rd.Dataset:
+    """Change-data-capture MERGE (upsert + delete) — the snapshot
+    maintenance op every lakehouse ingest runs: a delta stream of
+    updates (price bump) and deletes applies onto the base orders
+    table. Base survivors come from ``adaptive_anti_join`` (broadcast
+    NOT-is_in under the 2M cap, Bloom+left_anti past it), updates union
+    back in; nothing fact-sized ever materializes on the driver."""
+    from ..stages.joins import adaptive_anti_join
+
+    orders = sf_table(sf_dir, "orders",
+                      columns=["o_orderkey", "o_totalprice"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "cents": _money_int(t["o_totalprice"], 100.0),
+        })
+
+    base = orders.map_batches(slim, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def delta_of(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        m = (k % 10 == 3) | (k % 10 == 7)
+        return pa.table({
+            "d_orderkey": pa.array(k[m]),
+            "d_cents": pa.array(c[m] + 100),
+            "deleted": pa.array(k[m] % 10 == 7),
+        })
+
+    delta = base.map_batches(delta_of, batch_format="pyarrow")
+    survivors = adaptive_anti_join(base, "o_orderkey",
+                                   delta, "d_orderkey")
+
+    def upserts(t: pa.Table) -> pa.Table:
+        live = t.filter(pc.invert(t["deleted"]))
+        return pa.table({
+            "o_orderkey": live["d_orderkey"],
+            "cents": live["d_cents"],
+        })
+
+    return survivors.union(
+        delta.map_batches(upserts, batch_format="pyarrow"))
+
+
+def q_gini_impurity_users(sf_dir: str) -> rd.Dataset:
+    """Per-user Gini impurity of the event-type distribution (the
+    log-free diversity score — 0 for single-type users): two map-side-
+    combined grouped sums, the first bounded by distinct (user, type)
+    pairs, and ALL-integer arithmetic ((n^2 - sum c^2) * 1e4 // n^2) so
+    the SQL oracle hash-matches with no float concern."""
+    from ..stages.agg import grouped_sums
+
+    ev = sf_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "k": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    pairs = grouped_sums(
+        ev.map_batches(ones, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id", "event_type"], ["k"])
+
+    def squares(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "n": t["k"],
+            "s2": pa.array(k * k),
+        })
+
+    g = grouped_sums(
+        pairs.map_batches(squares, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["user_id"], ["n", "s2"])
+
+    def gini(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        s2 = t["s2"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "gini_e4": pa.array((n * n - s2) * 10_000 // (n * n)),
+        })
+
+    return g.map_batches(gini, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -6969,6 +7102,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "global_rank_chars": q_global_rank_chars,
         "trimmed_mean_qty": q_trimmed_mean_qty,
         "weighted_median_qty": q_weighted_median_qty,
+        "late_event_filter": q_late_event_filter,
+        "cdc_merge": q_cdc_merge,
+        "gini_impurity_users": q_gini_impurity_users,
     }
 
 
@@ -8411,5 +8547,34 @@ def oracle_sqls() -> dict[str, str]:
             " SELECT CAST(min(qc) AS BIGINT) AS wmedian_qc,"
             " (SELECT tot FROM t) AS total_weight"
             " FROM r, t WHERE cum * 2 >= tot"
+        ),
+        "late_event_filter": (
+            "WITH e AS (SELECT event_id, epoch_us(ts) AS tsu"
+            " FROM events),"
+            " w AS (SELECT event_id, tsu, max(tsu) OVER"
+            " (ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS wm"
+            " FROM e)"
+            " SELECT tsu // 300000000 AS win,"
+            " CAST(count(*) AS BIGINT) AS n"
+            " FROM w WHERE tsu >= wm - 600000000 GROUP BY 1"
+        ),
+        "cdc_merge": (
+            "WITH b AS (SELECT o_orderkey,"
+            " CAST(round(o_totalprice * 100) AS BIGINT) AS cents"
+            " FROM orders),"
+            " d AS (SELECT o_orderkey, cents + 100 AS cents,"
+            " (o_orderkey % 10 = 7) AS del FROM b"
+            " WHERE o_orderkey % 10 IN (3, 7))"
+            " SELECT o_orderkey, cents FROM b"
+            " WHERE o_orderkey NOT IN (SELECT o_orderkey FROM d)"
+            " UNION ALL SELECT o_orderkey, cents FROM d WHERE NOT del"
+        ),
+        "gini_impurity_users": (
+            "WITH c AS (SELECT user_id, event_type, count(*) AS k"
+            " FROM events GROUP BY 1, 2),"
+            " g AS (SELECT user_id, CAST(sum(k) AS BIGINT) AS n,"
+            " CAST(sum(k * k) AS BIGINT) AS s2 FROM c GROUP BY 1)"
+            " SELECT user_id, (n * n - s2) * 10000 // (n * n)"
+            " AS gini_e4 FROM g"
         ),
     }

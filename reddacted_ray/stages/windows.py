@@ -108,7 +108,37 @@ def ordered_prefix_sum(
     UNIQUE (ties would make 'global order' ambiguous), and the number
     of distinct ranges (max_key / range_width) stays driver-sized —
     pick ``range_width`` accordingly for the key domain."""
-    from ray.data.aggregate import Sum
+    return _ordered_prefix(ds, order_col, val_col, range_width, out_col,
+                           n_buckets, op="sum")
+
+
+def ordered_prefix_max(
+    ds: rd.Dataset,
+    order_col: str,
+    val_col: str,
+    range_width: int = 100_000,
+    out_col: str = "prefix_max",
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """Distributed INCLUSIVE running max in global ``order_col`` order
+    (SQL ``MAX(v) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)``) — the
+    watermark primitive for streaming late-data semantics. Same
+    range-partitioned shape and key contract as ``ordered_prefix_sum``;
+    the driver scan and the in-bucket combine use max instead of +."""
+    return _ordered_prefix(ds, order_col, val_col, range_width, out_col,
+                           n_buckets, op="max")
+
+
+def _ordered_prefix(
+    ds: rd.Dataset,
+    order_col: str,
+    val_col: str,
+    range_width: int,
+    out_col: str,
+    n_buckets: int,
+    op: str,
+) -> rd.Dataset:
+    from ray.data.aggregate import Max, Sum
 
     def tag(t: pa.Table) -> pa.Table:
         rng = pa.compute.divide(
@@ -118,22 +148,31 @@ def ordered_prefix_sum(
 
     tagged = ds.map_batches(tag, batch_format="pyarrow",
                             zero_copy_batch=True)
+    agg = (Sum if op == "sum" else Max)(val_col, alias_name="_s")
     partials = (tagged.groupby("_rng")
-                .aggregate(Sum(val_col, alias_name="_s")).to_pandas()
+                .aggregate(agg).to_pandas()
                 .sort_values("_rng"))
     sums = partials["_s"].to_numpy()
-    offsets = dict(zip(
-        partials["_rng"].astype(int),
-        np.r_[0, np.cumsum(sums)[:-1]].astype(np.int64)))
+    if op == "sum":
+        scan = np.r_[0, np.cumsum(sums)[:-1]]
+    else:
+        lowest = np.iinfo(np.int64).min
+        scan = np.r_[lowest, np.maximum.accumulate(sums)[:-1]]
+    offsets = dict(zip(partials["_rng"].astype(int),
+                       scan.astype(np.int64)))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # the bucket holds MANY ranges (grouped_vectorized contract):
-        # grouped cumsum per range + that range's broadcast offset
+        # grouped scan per range combined with that range's broadcast
+        # exclusive-prefix offset
         g = g.sort_values(["_rng", order_col], kind="mergesort")
-        cum = g.groupby("_rng", sort=False)[val_col].cumsum().to_numpy()
+        grp = g.groupby("_rng", sort=False)[val_col]
         off = g["_rng"].map(offsets).fillna(0).to_numpy(dtype=np.int64)
         out = g.drop(columns=["_rng"]).copy()
-        out[out_col] = cum + off
+        if op == "sum":
+            out[out_col] = grp.cumsum().to_numpy() + off
+        else:
+            out[out_col] = np.maximum(grp.cummax().to_numpy(), off)
         return out
 
     return grouped_vectorized(tagged, "_rng", per_bucket,

@@ -313,3 +313,24 @@ def test_ordered_prefix_sum_matches_numpy(ray_session):
     exp = np.cumsum(vals[np.argsort(ids, kind="stable")])
     assert (out["prefix_sum"].to_numpy() == exp).all()
     assert len(out) == 50_000
+
+def test_ordered_prefix_max_matches_numpy(ray_session):
+    """Running max in global key order (the watermark primitive) must
+    equal the single-threaded cummax over the sorted input, including
+    NEGATIVE values (the int64-min identity must not leak) and sparse
+    key ranges."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reddacted_ray.stages.windows import ordered_prefix_max
+
+    rng = np.random.default_rng(11)
+    ids = rng.permutation(120_000)[:40_000].astype(np.int64) * 5
+    vals = rng.integers(-1000, 1000, size=40_000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": ids, "v": vals})).repartition(8)
+    out = (ordered_prefix_max(ds, "k", "v", range_width=1000)
+           .to_pandas().sort_values("k"))
+    exp = np.maximum.accumulate(vals[np.argsort(ids, kind="stable")])
+    assert (out["prefix_max"].to_numpy() == exp).all()
+    assert len(out) == 40_000
