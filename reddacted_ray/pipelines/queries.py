@@ -6909,6 +6909,129 @@ def q_gini_impurity_users(sf_dir: str) -> rd.Dataset:
                          zero_copy_batch=True)
 
 
+def q_term_shift(sf_dir: str) -> rd.Dataset:
+    """Domain-shift term lift (the corpus-comparison op behind filter
+    tuning): for every token, its document frequency in English docs vs
+    the rest, and the integer-scaled lift (dfa*totB*1e4)//(dfb*totA) —
+    log-odds without the libm log, so SQL bit-matches. Per-block
+    distinct (doc, token) pairs with the group flag folded into two
+    indicator columns; ONE map-side-combined grouped sum over the
+    vocabulary; totals are a driver-tiny lang count."""
+    from ray.data.aggregate import Count as _Cnt
+
+    from ..functions.hashing import tokens_flat_batch
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    langs = (docs.groupby("lang").aggregate(_Cnt(alias_name="n"))
+             .to_pandas())
+    ta = int(langs.loc[langs["lang"] == "en", "n"].sum())
+    tb = int(langs.loc[langs["lang"] != "en", "n"].sum())
+
+    def explode(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        ga = pc.equal(t["lang"], "en").to_numpy(zero_copy_only=False)
+        flat, doc_of = tokens_flat_batch(texts)
+        enc = pc.dictionary_encode(flat)
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = max(len(enc.dictionary), 1)
+        uniq = np.unique(doc_of.astype(np.int64) * k + idx)
+        u_doc, u_tok = uniq // k, uniq % k
+        in_a = ga[u_doc]
+        return pa.table({
+            "term": enc.dictionary.take(pa.array(u_tok)),
+            "dfa": pa.array(in_a.astype(np.int64)),
+            "dfb": pa.array((~in_a).astype(np.int64)),
+        })
+
+    counts = grouped_sums(
+        docs.map_batches(explode, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["term"], ["dfa", "dfb"])
+
+    def lift(t: pa.Table) -> pa.Table:
+        dfa = t["dfa"].to_numpy(zero_copy_only=False)
+        dfb = t["dfb"].to_numpy(zero_copy_only=False)
+        m = (dfa >= 5) & (dfb >= 5)
+        return pa.table({
+            "term": t["term"].filter(pa.array(m)),
+            "dfa": pa.array(dfa[m]),
+            "dfb": pa.array(dfb[m]),
+            "lift_e4": pa.array(dfa[m] * tb * 10_000 // (dfb[m] * ta)),
+        })
+
+    return counts.map_batches(lift, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def q_embedding_quantize(sf_dir: str) -> rd.Dataset:
+    """Int8 vector quantization with reconstruction-error accounting —
+    the compression step ANN indexes run before sharding. Pure scan map
+    (zero shuffle): per vector, symmetric scale amax/127, q = floor(x*
+    127/amax), and the squared reconstruction error summed in strict
+    left-to-right order (cumsum) so the double bit-matches SQL
+    list_sum; every float op mirrors the SQL expression tree
+    (e*e, not pow)."""
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        d = int(lens[0]) if len(lens) else 0
+        assert (lens == d).all(), "ragged embedding column"
+        vals = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, d)
+        amax = np.max(np.abs(vals), axis=1)
+        keep = amax > 0.0
+        vals, amax = vals[keep], amax[keep]
+        q = np.floor(vals * 127.0 / amax[:, None])
+        e = vals - q * amax[:, None] / 127.0
+        sq_err = np.cumsum(e * e, axis=1)[:, -1] if d else np.zeros(0)
+        return pa.table({
+            "vec_id": t["vec_id"].filter(pa.array(keep)),
+            "amax": pa.array(amax),
+            "sq_err": pa.array(sq_err),
+        })
+
+    return emb.map_batches(quant, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def q_orphan_check(sf_dir: str) -> pa.Table:
+    """Referential-integrity audit across every FK edge of the star
+    schema — the data-quality gate run before a training snapshot
+    ships. Each edge is an ``adaptive_anti_join`` (PK side broadcasts
+    under the 2M cap, Bloom+left_anti past it) reduced to a count;
+    nothing fact-sized touches the driver."""
+    from ..stages.joins import adaptive_anti_join
+
+    edges = [
+        ("orders->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("customer->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("supplier->nation", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+        ("nation->region", "nation", "n_regionkey",
+         "region", "r_regionkey"),
+    ]
+    names, counts = [], []
+    for name, fact, fk, dim, pk in edges:
+        f = sf_table(sf_dir, fact, columns=[fk])
+        d = sf_table(sf_dir, dim, columns=[pk])
+        orphans = adaptive_anti_join(f, fk, d, pk)
+        names.append(name)
+        counts.append(int(orphans.count()))
+    return pa.table({
+        "edge": pa.array(names, pa.string()),
+        "n_orphans": pa.array(counts, pa.int64()),
+    })
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -7105,6 +7228,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "late_event_filter": q_late_event_filter,
         "cdc_merge": q_cdc_merge,
         "gini_impurity_users": q_gini_impurity_users,
+        "term_shift": q_term_shift,
+        "embedding_quantize": q_embedding_quantize,
+        "orphan_check": q_orphan_check,
     }
 
 
@@ -8576,5 +8702,54 @@ def oracle_sqls() -> dict[str, str]:
             " CAST(sum(k * k) AS BIGINT) AS s2 FROM c GROUP BY 1)"
             " SELECT user_id, (n * n - s2) * 10000 // (n * n)"
             " AS gini_e4 FROM g"
+        ),
+        "term_shift": (
+            "WITH w AS (SELECT doc_id, lang = 'en' AS ga,"
+            " unnest(string_split(text, ' ')) AS term FROM documents),"
+            " d AS (SELECT DISTINCT doc_id, ga, term FROM w),"
+            " c AS (SELECT term,"
+            " CAST(sum(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS dfa,"
+            " CAST(sum(CASE WHEN ga THEN 0 ELSE 1 END) AS BIGINT)"
+            " AS dfb FROM d GROUP BY 1),"
+            " t AS (SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1"
+            " ELSE 0 END) AS BIGINT) AS ta,"
+            " CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS tb FROM documents)"
+            " SELECT term, dfa, dfb, (dfa * tb * 10000) // (dfb * ta)"
+            " AS lift_e4 FROM c, t WHERE dfa >= 5 AND dfb >= 5"
+        ),
+        "embedding_quantize": (
+            "WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[])"
+            " AS v FROM embeddings),"
+            " m AS (SELECT vec_id, v, list_max(list_transform(v,"
+            " x -> abs(x))) AS amax FROM a)"
+            " SELECT vec_id, amax, list_sum(list_transform(v,"
+            " x -> (x - floor(x * 127 / amax) * amax / 127)"
+            " * (x - floor(x * 127 / amax) * amax / 127))) AS sq_err"
+            " FROM m WHERE amax > 0"
+        ),
+        "orphan_check": (
+            "SELECT 'orders->customer' AS edge,"
+            " CAST(count(*) AS BIGINT) AS n_orphans FROM orders"
+            " WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)"
+            " UNION ALL SELECT 'lineitem->orders',"
+            " CAST(count(*) AS BIGINT) FROM lineitem"
+            " WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)"
+            " UNION ALL SELECT 'lineitem->part',"
+            " CAST(count(*) AS BIGINT) FROM lineitem"
+            " WHERE l_partkey NOT IN (SELECT p_partkey FROM part)"
+            " UNION ALL SELECT 'lineitem->supplier',"
+            " CAST(count(*) AS BIGINT) FROM lineitem"
+            " WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)"
+            " UNION ALL SELECT 'customer->nation',"
+            " CAST(count(*) AS BIGINT) FROM customer"
+            " WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)"
+            " UNION ALL SELECT 'supplier->nation',"
+            " CAST(count(*) AS BIGINT) FROM supplier"
+            " WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)"
+            " UNION ALL SELECT 'nation->region',"
+            " CAST(count(*) AS BIGINT) FROM nation"
+            " WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)"
         ),
     }
