@@ -7032,6 +7032,162 @@ def q_orphan_check(sf_dir: str) -> pa.Table:
     })
 
 
+def q_decile_price_stats(sf_dir: str) -> rd.Dataset:
+    """Equal-depth decile statistics over a nearly-all-distinct fact
+    column (583k distinct prices / 600k rows at bench scale) with NO
+    sort shuffle and NO driver materialization of the value table: the
+    fact reduces to (cents -> count, weighted sum) partials, the
+    global rank of every distinct value comes from
+    ``ordered_prefix_sum`` over those partials (cents is the unique
+    order key), and decile = rows-below * 10 // n is pure integer
+    math re-aggregated map-side."""
+    from ..stages.agg import grouped_sums
+    from ..stages.windows import ordered_prefix_sum
+
+    li = sf_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = _money_int(t["l_extendedprice"], 100.0)
+        return pa.table({
+            "cents": c,
+            "k": pa.array(np.ones(t.num_rows, np.int64)),
+            "wc": c,
+        })
+
+    pds = li.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    n = li.count()
+    dv = grouped_sums(pds, ["cents"], ["k", "wc"])
+    ranked = ordered_prefix_sum(dv, "cents", "k", out_col="cum")
+
+    def to_decile(t: pa.Table) -> pa.Table:
+        cum = t["cum"].to_numpy(zero_copy_only=False)
+        k = t["k"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "decile": pa.array((cum - k) * 10 // n),
+            "n_rows": t["k"],
+            "sum_cents": t["wc"],
+        })
+
+    return grouped_sums(
+        ranked.map_batches(to_decile, batch_format="pyarrow"),
+        ["decile"], ["n_rows", "sum_cents"])
+
+
+def q_rolling_dau_7d(sf_dir: str) -> rd.Dataset:
+    """Rolling 7-day distinct active users per day — the engagement
+    window distinct-count (exact, not sketched): each (user, day) pair
+    contributes to seven window days, so the explode is bounded by 7x
+    the distinct-pair count, never fact size. Per-block distinct pairs
+    -> window fan-out -> pair-level dedup groupby -> per-day sum; days
+    clip to the observed max so no phantom trailing windows."""
+    from ..stages.agg import grouped_sums
+
+    DAY = 86_400_000_000
+    ev = sf_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        d = pc.cast(t["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // DAY
+        base = d.min() if len(d) else 0
+        assert len(u) == 0 or u.max() < 2_000_000, "user domain overflow"
+        uniq = np.unique((d - base) * 2_000_000 + u)
+        return pa.table({
+            "user_id": pa.array(uniq % 2_000_000),
+            "day": pa.array(uniq // 2_000_000 + base),
+            "k": pa.array(np.ones(len(uniq), np.int64)),
+        })
+
+    pds = ev.map_batches(pairs, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    max_day = int(pds.aggregate(Max("day", alias_name="md"))["md"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        d = t["day"].to_numpy(zero_copy_only=False)
+        wday = (d[:, None] + np.arange(7)).ravel()
+        uu = np.repeat(u, 7)
+        m = wday <= max_day
+        return pa.table({
+            "user_id": pa.array(uu[m]),
+            "wday": pa.array(wday[m]),
+            "k": pa.array(np.ones(int(m.sum()), np.int64)),
+        })
+
+    exp = pds.map_batches(expand, batch_format="pyarrow")
+    dedup = grouped_sums(exp, ["wday", "user_id"], ["k"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "wday": t["wday"],
+            "dau7": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    return grouped_sums(
+        dedup.map_batches(ones, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["wday"], ["dau7"])
+
+
+def q_grouped_outliers(sf_dir: str) -> rd.Dataset:
+    """Per-group 3-sigma outlier detection with ZERO float arithmetic:
+    per event_type integer partials (n, sum, sum-of-squares) reduce
+    map-side to a handful of driver rows; the flag condition
+    |v - mean| > 3*sigma rearranges to (v*n - s)^2 > 9*(n*s2 - s^2),
+    evaluated as |v*n - s| > isqrt(9*(n*s2 - s^2)) with exact Python
+    integer sqrt — so the SQL (HUGEINT) oracle matches bit-for-bit and
+    distributed sum order is irrelevant. Second pass is a pure scan
+    filter against the broadcast thresholds."""
+    import math
+
+    from ..stages.agg import grouped_sums
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = _money_int(t["value"], 100.0)
+        cn = c.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+            "s": c,
+            "s2": pa.array(cn * cn),
+        })
+
+    g = (grouped_sums(ev.map_batches(prep, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["event_type"], ["n", "s", "s2"])
+         .to_pandas())
+    stats = {}
+    for et, n, s, s2 in zip(g["event_type"], g["n"], g["s"], g["s2"]):
+        n, s, s2 = int(n), int(s), int(s2)
+        stats[et] = (n, s, math.isqrt(9 * (n * s2 - s * s)))
+    types = pa.array(sorted(stats), pa.string())
+    ns = pa.array([stats[e][0] for e in sorted(stats)], pa.int64())
+    ss = pa.array([stats[e][1] for e in sorted(stats)], pa.int64())
+    thrs = pa.array([stats[e][2] for e in sorted(stats)], pa.int64())
+    ref = ray.put((types, ns, ss, thrs))
+
+    def flag(t: pa.Table) -> pa.Table:
+        tys, nn, sv, th = ray.get(ref)
+        idx = pc.index_in(t["event_type"], value_set=tys)
+        n = pc.take(nn, idx).to_numpy(zero_copy_only=False)
+        s = pc.take(sv, idx).to_numpy(zero_copy_only=False)
+        thr = pc.take(th, idx).to_numpy(zero_copy_only=False)
+        c = _money_int(t["value"], 100.0).to_numpy(zero_copy_only=False)
+        m = np.abs(c * n - s) > thr
+        return pa.table({
+            "event_id": t["event_id"].filter(pa.array(m)),
+            "event_type": t["event_type"].filter(pa.array(m)),
+            "cents": pa.array(c[m]),
+        })
+
+    return ev.map_batches(flag, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -7231,6 +7387,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "term_shift": q_term_shift,
         "embedding_quantize": q_embedding_quantize,
         "orphan_check": q_orphan_check,
+        "decile_price_stats": q_decile_price_stats,
+        "rolling_dau_7d": q_rolling_dau_7d,
+        "grouped_outliers": q_grouped_outliers,
     }
 
 
@@ -8751,5 +8910,41 @@ def oracle_sqls() -> dict[str, str]:
             " UNION ALL SELECT 'nation->region',"
             " CAST(count(*) AS BIGINT) FROM nation"
             " WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)"
+        ),
+        "decile_price_stats": (
+            "WITH c AS (SELECT CAST(round(l_extendedprice * 100)"
+            " AS BIGINT) AS cents FROM lineitem),"
+            " n AS (SELECT count(*) AS cnt FROM c),"
+            " d AS (SELECT cents, CAST(count(*) AS BIGINT) AS k"
+            " FROM c GROUP BY 1),"
+            " r AS (SELECT cents, k, CAST(sum(k) OVER (ORDER BY cents)"
+            " AS BIGINT) - k AS below FROM d)"
+            " SELECT (below * 10) // cnt AS decile,"
+            " CAST(sum(k) AS BIGINT) AS n_rows,"
+            " CAST(sum(cents * k) AS BIGINT) AS sum_cents"
+            " FROM r, n GROUP BY 1"
+        ),
+        "rolling_dau_7d": (
+            "WITH p AS (SELECT DISTINCT user_id,"
+            " epoch_us(ts) // 86400000000 AS day FROM events),"
+            " mx AS (SELECT max(day) AS md FROM p),"
+            " e AS (SELECT DISTINCT user_id, day + j AS wday"
+            " FROM p, generate_series(0, 6) AS g(j))"
+            " SELECT wday, CAST(count(*) AS BIGINT) AS dau7"
+            " FROM e, mx WHERE wday <= md GROUP BY 1"
+        ),
+        "grouped_outliers": (
+            "WITH c AS (SELECT event_id, event_type,"
+            " CAST(round(value * 100) AS BIGINT) AS cents FROM events),"
+            " g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,"
+            " CAST(sum(cents) AS BIGINT) AS s,"
+            " CAST(sum(cents * cents) AS BIGINT) AS s2"
+            " FROM c GROUP BY 1)"
+            " SELECT event_id, event_type, cents"
+            " FROM c JOIN g USING (event_type)"
+            " WHERE CAST(cents * n - s AS HUGEINT)"
+            " * CAST(cents * n - s AS HUGEINT)"
+            " > 9 * (CAST(n AS HUGEINT) * CAST(s2 AS HUGEINT)"
+            " - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))"
         ),
     }
