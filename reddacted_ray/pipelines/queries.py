@@ -7188,6 +7188,100 @@ def q_grouped_outliers(sf_dir: str) -> rd.Dataset:
                           zero_copy_batch=True)
 
 
+def q_window_join_counts(sf_dir: str) -> rd.Dataset:
+    """Stream-stream time-window join WITHOUT a join: for every error
+    event, how many view events the same user produced in the preceding
+    5 minutes (strictly before the error). One co-locating bucket
+    shuffle; inside each bucket the window bounds are two
+    np.searchsorted calls over the rolling_1h_sum composite (user, ts)
+    integer key and the view count is a prefix-sum difference — the
+    self-join the SQL oracle writes never materializes."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    WIN = 300_000_000  # 5 min
+    ev = sf_table(sf_dir, "events",
+                  columns=["user_id", "event_id", "ts", "event_type"])
+
+    def count_views(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        ts_rel = ts - ts.min() if len(ts) else ts
+        span = (ts_rel.max() if len(ts_rel) else 0) + WIN + 1
+        key = u * span + ts_rel
+        cv = np.cumsum((et == "view").astype(np.int64))
+        start = np.searchsorted(key, u * span + (ts_rel - WIN), "left")
+        end = np.searchsorted(key, key, "left")  # strictly before ts
+        n_views = (np.where(end > 0, cv[end - 1], 0)
+                   - np.where(start > 0, cv[start - 1], 0))
+        m = et == "error"
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[m],
+            "n_views": n_views[m],
+        })
+
+    return grouped_vectorized(ev, "user_id", count_views)
+
+
+def q_grouped_winsorize(sf_dir: str) -> rd.Dataset:
+    """Per-group winsorization (p05/p95 clip PER event_type — the
+    grouped variant of winsorize_value): the fact reduces to a
+    (type, cents) -> count table bounded by distinct values per group,
+    the driver picks each group's two exact discrete clip bounds, and
+    pass 2 clips in the scan map against broadcast parallel arrays
+    (pc.index_in attach, no Python per row)."""
+    import math
+
+    from ..stages.agg import grouped_sums
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "cents": _money_int(t["value"], 100.0),
+            "k": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    cds = ev.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    d = (grouped_sums(cds, ["event_type", "cents"], ["k"])
+         .to_pandas().sort_values(["event_type", "cents"]))
+    los, his = {}, {}
+    for et, sub in d.groupby("event_type", sort=False):
+        cum = sub["k"].cumsum().to_numpy()
+        vals = sub["cents"].to_numpy()
+        n = int(cum[-1])
+        lo_r = int(math.ceil(0.05 * n))
+        hi_r = int(math.ceil(0.95 * n))
+        los[et] = int(vals[np.searchsorted(cum, lo_r, "left")])
+        his[et] = int(vals[np.searchsorted(cum, hi_r, "left")])
+    types = pa.array(sorted(los), pa.string())
+    lo_arr = pa.array([los[e] for e in sorted(los)], pa.int64())
+    hi_arr = pa.array([his[e] for e in sorted(los)], pa.int64())
+    ref = ray.put((types, lo_arr, hi_arr))
+
+    def clip(t: pa.Table) -> pa.Table:
+        tys, lo_a, hi_a = ray.get(ref)
+        idx = pc.index_in(t["event_type"], value_set=tys)
+        lo = pc.take(lo_a, idx).to_numpy(zero_copy_only=False)
+        hi = pc.take(hi_a, idx).to_numpy(zero_copy_only=False)
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": t["event_id"],
+            "wcents": pa.array(np.clip(c, lo, hi)),
+        })
+
+    return cds.map_batches(clip, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -7390,6 +7484,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "decile_price_stats": q_decile_price_stats,
         "rolling_dau_7d": q_rolling_dau_7d,
         "grouped_outliers": q_grouped_outliers,
+        "window_join_counts": q_window_join_counts,
+        "grouped_winsorize": q_grouped_winsorize,
     }
 
 
@@ -8946,5 +9042,38 @@ def oracle_sqls() -> dict[str, str]:
             " * CAST(cents * n - s AS HUGEINT)"
             " > 9 * (CAST(n AS HUGEINT) * CAST(s2 AS HUGEINT)"
             " - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))"
+        ),
+        "window_join_counts": (
+            "WITH e AS (SELECT event_id, user_id, ts FROM events"
+            " WHERE event_type = 'error'),"
+            " v AS (SELECT user_id, ts FROM events"
+            " WHERE event_type = 'view')"
+            " SELECT e.event_id, CAST(count(v.ts) AS BIGINT) AS n_views"
+            " FROM e LEFT JOIN v ON v.user_id = e.user_id"
+            " AND v.ts >= e.ts - INTERVAL 5 MINUTE AND v.ts < e.ts"
+            " GROUP BY 1"
+        ),
+        "grouped_winsorize": (
+            "WITH c AS (SELECT event_id, event_type,"
+            " CAST(round(value * 100) AS BIGINT) AS cents FROM events),"
+            " d AS (SELECT event_type, cents, count(*) AS k FROM c"
+            " GROUP BY 1, 2),"
+            " n AS (SELECT event_type, CAST(sum(k) AS BIGINT) AS cnt"
+            " FROM d GROUP BY 1),"
+            " r AS (SELECT event_type, cents, CAST(sum(k) OVER"
+            " (PARTITION BY event_type ORDER BY cents) AS BIGINT)"
+            " AS cum FROM d),"
+            " lo AS (SELECT r.event_type, min(cents) AS v FROM r"
+            " JOIN n USING (event_type)"
+            " WHERE cum >= CAST(ceil(0.05 * cnt) AS BIGINT)"
+            " GROUP BY 1),"
+            " hi AS (SELECT r.event_type, min(cents) AS v FROM r"
+            " JOIN n USING (event_type)"
+            " WHERE cum >= CAST(ceil(0.95 * cnt) AS BIGINT)"
+            " GROUP BY 1)"
+            " SELECT c.event_id, CASE WHEN cents < lo.v THEN lo.v"
+            " WHEN cents > hi.v THEN hi.v ELSE cents END AS wcents"
+            " FROM c JOIN lo USING (event_type)"
+            " JOIN hi USING (event_type)"
         ),
     }

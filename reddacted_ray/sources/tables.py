@@ -144,3 +144,87 @@ def compact_parquet(
         "files_out": files_out,
         "rows": pads.dataset(out_dir, format="parquet").count_rows(),
     }
+
+
+def read_ipc(
+    path, columns: Optional[Sequence[str]] = None
+) -> rd.Dataset:
+    """Arrow IPC / Feather-v2 source (the zero-copy interchange format
+    sitting between engines in an Arrow-native stack). ``path`` may be
+    a file, a directory of ``.arrow``/``.feather``/``.ipc`` files, or an
+    explicit list. The driver holds only the PATH list; each file
+    decodes inside a task (``pyarrow.feather.read_table`` memory-maps
+    uncompressed files) with column pruning applied at the decode."""
+    import glob as _glob
+
+    import pyarrow as pa
+
+    if isinstance(path, (list, tuple)):
+        files = [str(p) for p in path]
+    elif os.path.isdir(path):
+        files = sorted(
+            f for ext in ("*.arrow", "*.feather", "*.ipc")
+            for f in _glob.glob(os.path.join(path, ext))
+        )
+    else:
+        files = [path]
+    if not files:
+        raise ValueError(f"read_ipc: no IPC files under {path!r}")
+    cols = list(columns) if columns is not None else None
+
+    def decode(t: pa.Table) -> pa.Table:
+        from pyarrow import feather
+
+        tabs = [feather.read_table(p, columns=cols)
+                for p in t["item"].to_pylist()]
+        return pa.concat_tables(tabs)
+
+    return rd.from_items(files).map_batches(
+        decode, batch_format="pyarrow", batch_size=1)
+
+
+def read_table_union(
+    paths: Sequence[str], columns: Optional[Sequence[str]] = None
+) -> rd.Dataset:
+    """Union-by-name read across Parquet files with HETEROGENEOUS
+    schemas (schema evolution: columns added/dropped between snapshot
+    generations). Files group by schema signature so the plan unions a
+    handful of branches, not one per file (multi-branch unions schedule
+    poorly in Ray 2.49); each branch reads only its present columns and
+    pads the missing ones with typed nulls in the scan map, emitting
+    the unified column order everywhere."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    groups: dict[tuple, list[str]] = {}
+    schemas: dict[tuple, pa.Schema] = {}
+    for p in paths:
+        s = pq.read_schema(p)
+        sig = tuple(zip(s.names, (str(t) for t in s.types)))
+        groups.setdefault(sig, []).append(p)
+        schemas[sig] = s
+    unified = pa.unify_schemas(list(schemas.values()))
+    if columns is not None:
+        unified = pa.schema([unified.field(c) for c in columns])
+
+    branches = []
+    for sig, files in groups.items():
+        present = [f.name for f in unified
+                   if schemas[sig].get_field_index(f.name) != -1]
+        target = unified  # captured; pa.Schema is picklable
+
+        def pad(t: pa.Table, _present=tuple(present)) -> pa.Table:
+            cols = {}
+            for f in target:
+                if f.name in _present:
+                    cols[f.name] = t[f.name]
+                else:
+                    cols[f.name] = pa.nulls(t.num_rows, f.type)
+            return pa.table(cols)
+
+        branches.append(
+            rd.read_parquet(files, columns=present or None)
+            .map_batches(pad, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    out = branches[0]
+    return out.union(*branches[1:]) if len(branches) > 1 else out

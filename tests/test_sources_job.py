@@ -580,3 +580,47 @@ def test_read_table_lance_seam(synth_dir, monkeypatch, tmp_path):
                        filter_expr=pads.field("image_id") != "")
     assert calls["uri"] == "/data/corpus.lance"  # fake not re-invoked
     assert out.count() > 0
+
+
+def test_read_ipc_roundtrip(ray_session, tmp_path):
+    """Feather/IPC files read back identical to the parquet source,
+    with column pruning applied at the decode."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyarrow import feather
+
+    from reddacted_ray.sources.tables import read_ipc
+
+    src = pq.read_table("/root/testdata/sf0.001/nation.parquet")
+    d = tmp_path / "ipc"
+    d.mkdir()
+    feather.write_feather(src.slice(0, 10), str(d / "a.arrow"))
+    feather.write_feather(src.slice(10), str(d / "b.arrow"))
+    got = (read_ipc(str(d), columns=["n_nationkey", "n_name"])
+           .to_pandas().sort_values("n_nationkey").reset_index(drop=True))
+    exp = (src.select(["n_nationkey", "n_name"]).to_pandas()
+           .sort_values("n_nationkey").reset_index(drop=True))
+    assert got.equals(exp)
+
+
+def test_read_table_union_schema_evolution(ray_session, tmp_path):
+    """Union-by-name across generations: old files missing a column get
+    typed nulls; both branches emit the unified column order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from reddacted_ray.sources.tables import read_table_union
+
+    old = pa.table({"id": pa.array([1, 2], pa.int64()),
+                    "txt": pa.array(["a", "b"])})
+    new = pa.table({"id": pa.array([3], pa.int64()),
+                    "txt": pa.array(["c"]),
+                    "score": pa.array([0.5], pa.float64())})
+    p1, p2 = str(tmp_path / "old.parquet"), str(tmp_path / "new.parquet")
+    pq.write_table(old, p1)
+    pq.write_table(new, p2)
+    got = (read_table_union([p1, p2]).to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    assert list(got.columns) == ["id", "txt", "score"]
+    assert got["score"].isna().tolist() == [True, True, False]
+    assert got["txt"].tolist() == ["a", "b", "c"]
