@@ -7282,6 +7282,122 @@ def q_grouped_winsorize(sf_dir: str) -> rd.Dataset:
                            zero_copy_batch=True)
 
 
+def q_k_anonymize(sf_dir: str) -> rd.Dataset:
+    """k-anonymity suppression over the (lang, source) quasi-identifier
+    pair (the privacy-release twin of the PII scrub): any combination
+    carried by fewer than K=10 documents generalizes to 'OTHER'. Cell
+    counts reduce map-side to a driver-tiny table; the rewrite is one
+    scan map against broadcast parallel arrays (composite key via
+    index_in — no Python per row)."""
+    from ..stages.agg import grouped_sums
+
+    K = 10
+    docs = _docs(sf_dir, ["doc_id", "lang", "source"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t["lang"],
+            "source": t["source"],
+            "k": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    cells = (grouped_sums(docs.map_batches(ones, batch_format="pyarrow",
+                                           zero_copy_batch=True),
+                          ["lang", "source"], ["k"])
+             .to_pandas())
+    keep = cells[cells["k"] >= K]
+    combo = pa.array((keep["lang"] + "\x1f" + keep["source"]).to_numpy())
+    ref = ray.put(combo)
+
+    def suppress(t: pa.Table) -> pa.Table:
+        ok_set = ray.get(ref)
+        key = pc.binary_join_element_wise(t["lang"], t["source"], "\x1f")
+        ok = pc.is_in(key, value_set=ok_set).to_numpy(
+            zero_copy_only=False)
+        lang = t["lang"].to_pandas().where(ok, "OTHER")
+        src = t["source"].to_pandas().where(ok, "OTHER")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lang_k": pa.array(lang, pa.string()),
+            "source_k": pa.array(src, pa.string()),
+        })
+
+    return docs.map_batches(suppress, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def q_pareto_parts(sf_dir: str) -> pa.Table:
+    """Pareto (80/20) concentration: the smallest set of parts covering
+    80% of revenue. The fact reduces to per-part integer revenue
+    (bounded by |part|, map-side combined); the driver sorts that
+    reduced table once — the fact itself is never sorted. All-integer
+    cutoff test (cum*10 >= tot*8)."""
+    from ..stages.agg import grouped_sums
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "cents": _money_int(t["l_extendedprice"], 100.0),
+        })
+
+    r = (grouped_sums(li.map_batches(prep, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["l_partkey"], ["cents"])
+         .to_pandas().sort_values(["cents", "l_partkey"],
+                                  ascending=[False, True]))
+    cents = r["cents"].to_numpy(dtype=np.int64)
+    tot = int(cents.sum())
+    cum = np.cumsum(cents)
+    n80 = int(np.argmax(cum * 10 >= tot * 8)) + 1
+    return pa.table({
+        "n_parts_80": pa.array([n80], pa.int64()),
+        "total_parts": pa.array([len(r)], pa.int64()),
+    })
+
+
+def q_dp_counts(sf_dir: str) -> pa.Table:
+    """Differentially-private event-type counts (eps=1 Laplace) with
+    DETERMINISTIC noise: the uniform draw is md5(event_type) —
+    rerun/machine-stable, no RNG state — mapped through the inverse
+    Laplace CDF. Rows-only (libm log is not SQL-bit-pinnable);
+    tests/test_agg_joins_new.py recomputes the exact expected values.
+    True counts reduce map-side; noise is applied to the driver-tiny
+    result, the standard central-DP shape."""
+    import math
+
+    from ..functions.hashing import md5_top32_batch
+    from ..stages.agg import grouped_sums
+
+    EPS = 1.0
+    ev = sf_table(sf_dir, "events", columns=["event_type"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    g = (grouped_sums(ev.map_batches(ones, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["event_type"], ["n"])
+         .to_pandas().sort_values("event_type"))
+    h = md5_top32_batch(pa.array(g["event_type"], pa.string()))
+    u = h.astype(np.float64) / 4294967296.0 - 0.5  # (-0.5, 0.5)
+    noise = np.array([
+        -math.copysign(1.0, x) * math.log(1.0 - 2.0 * abs(x)) / EPS
+        if abs(x) < 0.5 else 0.0
+        for x in u
+    ])
+    return pa.table({
+        "event_type": pa.array(g["event_type"], pa.string()),
+        "n_true": pa.array(g["n"].to_numpy(dtype=np.int64)),
+        "n_dp": pa.array(g["n"].to_numpy(dtype=np.float64) + noise),
+    })
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -7486,6 +7602,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "grouped_outliers": q_grouped_outliers,
         "window_join_counts": q_window_join_counts,
         "grouped_winsorize": q_grouped_winsorize,
+        "k_anonymize": q_k_anonymize,
+        "pareto_parts": q_pareto_parts,
+        "dp_counts": q_dp_counts,
     }
 
 
@@ -9075,5 +9194,27 @@ def oracle_sqls() -> dict[str, str]:
             " WHEN cents > hi.v THEN hi.v ELSE cents END AS wcents"
             " FROM c JOIN lo USING (event_type)"
             " JOIN hi USING (event_type)"
+        ),
+        "k_anonymize": (
+            "WITH c AS (SELECT lang, source, count(*) AS k"
+            " FROM documents GROUP BY 1, 2)"
+            " SELECT doc_id,"
+            " CASE WHEN k >= 10 THEN d.lang ELSE 'OTHER' END AS lang_k,"
+            " CASE WHEN k >= 10 THEN d.source ELSE 'OTHER' END"
+            " AS source_k"
+            " FROM documents d JOIN c USING (lang, source)"
+        ),
+        "pareto_parts": (
+            "WITH r AS (SELECT l_partkey,"
+            " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+            " AS BIGINT) AS cents FROM lineitem GROUP BY 1),"
+            " t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM r),"
+            " c AS (SELECT row_number() OVER (ORDER BY cents DESC,"
+            " l_partkey) AS rn, CAST(sum(cents) OVER (ORDER BY cents"
+            " DESC, l_partkey ROWS UNBOUNDED PRECEDING) AS BIGINT)"
+            " AS cum FROM r)"
+            " SELECT CAST(min(rn) AS BIGINT) AS n_parts_80,"
+            " (SELECT CAST(count(*) AS BIGINT) FROM r) AS total_parts"
+            " FROM c, t WHERE cum * 10 >= tot * 8"
         ),
     }

@@ -532,3 +532,24 @@ def test_session_stats_consistent_with_sessionize(ray_session):
     dur = ((sess["session_end"] - sess["session_start"])
            .dt.total_seconds() * 1e6).round().astype("int64")
     assert stats["total_dur_us"].sum() == dur.sum()
+
+
+def test_dp_counts_deterministic(ray_session):
+    """dp_counts noise is a pure function of the group key: recompute
+    the inverse-Laplace-CDF noise from md5(event_type) and require
+    exact equality (no RNG state anywhere)."""
+    import hashlib
+    import math
+
+    from reddacted_ray.pipelines.queries import q_dp_counts
+
+    t = q_dp_counts("/root/testdata/sf0.001")
+    got = dict(zip(t["event_type"].to_pylist(), t["n_dp"].to_pylist()))
+    true = dict(zip(t["event_type"].to_pylist(), t["n_true"].to_pylist()))
+    for et, n in true.items():
+        h = int.from_bytes(
+            hashlib.md5(et.encode()).digest()[:4], "big")
+        u = h / 4294967296.0 - 0.5
+        noise = (-math.copysign(1.0, u)
+                 * math.log(1.0 - 2.0 * abs(u)) if abs(u) < 0.5 else 0.0)
+        assert got[et] == float(n) + noise
