@@ -7398,6 +7398,95 @@ def q_dp_counts(sf_dir: str) -> pa.Table:
     })
 
 
+def q_centered_median(sf_dir: str) -> rd.Dataset:
+    """Centered moving median (ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+    per user, ordered by ts) — the robust smoother ROWS-frame moving_avg
+    can't express. One co-locating bucket shuffle; inside each bucket
+    the +-2 window gathers into an (n, 5) matrix (segment-clipped,
+    int64-max padded), one vectorized row sort, and the median picks by
+    valid count — zero per-row Python. Even windows average the two
+    middles with a single /2.0 (exact for integer cents), matching
+    DuckDB's window median bit-for-bit."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["user_id", "event_id", "ts", "value"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy()
+        c = _money_np(g["value"].to_numpy())
+        n = len(u)
+        if n == 0:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "med": pd.Series([], dtype="float64"),
+            })
+        new = np.r_[True, u[1:] != u[:-1]]
+        seg_id = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.r_[starts, n])
+        seg_start = starts[seg_id]
+        seg_end = seg_start + sizes[seg_id]
+        pos = np.arange(n)
+        idx = pos[:, None] + np.arange(-2, 3)
+        valid = (idx >= seg_start[:, None]) & (idx < seg_end[:, None])
+        vals = c[np.clip(idx, 0, n - 1)]
+        vals[~valid] = np.iinfo(np.int64).max
+        vals.sort(axis=1)
+        cnt = valid.sum(axis=1)
+        lo = vals[pos, (cnt - 1) // 2].astype(np.float64)
+        hi = vals[pos, cnt // 2].astype(np.float64)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "med": (lo + hi) / 2.0,
+        })
+
+    return grouped_vectorized(ev, "user_id", med)
+
+
+def q_activity_bitmask(sf_dir: str) -> rd.Dataset:
+    """Per-user day-presence bitmask (the packed activity calendar a
+    feature store ships instead of 30 boolean columns): bit d set iff
+    the user was active on day min_day+d. Distinct (user, day) pairs
+    dedup in ONE grouped pass, so the bit SUM equals the bit OR exactly
+    — no custom OR aggregate needed; all integer."""
+    from ..stages.agg import grouped_sums
+
+    DAY = 86_400_000_000
+    ev = sf_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "day": pc.divide(pc.cast(t["ts"], pa.int64()),
+                             pa.scalar(DAY, pa.int64())),
+            "k": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    pds = ev.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    min_day = int(pds.aggregate(Min("day", alias_name="md"))["md"])
+    pairs = grouped_sums(pds, ["user_id", "day"], ["k"])
+
+    def bits(t: pa.Table) -> pa.Table:
+        d = t["day"].to_numpy(zero_copy_only=False)
+        shift = (d - min_day).astype(np.int64)
+        assert shift.max(initial=0) < 63, "day span exceeds one int64"
+        return pa.table({
+            "user_id": t["user_id"],
+            "mask": pa.array(np.int64(1) << shift),
+        })
+
+    return grouped_sums(
+        pairs.map_batches(bits, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["user_id"], ["mask"])
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -7605,6 +7694,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "k_anonymize": q_k_anonymize,
         "pareto_parts": q_pareto_parts,
         "dp_counts": q_dp_counts,
+        "centered_median": q_centered_median,
+        "activity_bitmask": q_activity_bitmask,
     }
 
 
@@ -9216,5 +9307,20 @@ def oracle_sqls() -> dict[str, str]:
             " SELECT CAST(min(rn) AS BIGINT) AS n_parts_80,"
             " (SELECT CAST(count(*) AS BIGINT) FROM r) AS total_parts"
             " FROM c, t WHERE cum * 10 >= tot * 8"
+        ),
+        "centered_median": (
+            "WITH c AS (SELECT user_id, event_id, ts,"
+            " CAST(round(value * 100) AS BIGINT) AS cents FROM events)"
+            " SELECT event_id, median(cents) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND"
+            " 2 FOLLOWING) AS med FROM c"
+        ),
+        "activity_bitmask": (
+            "WITH p AS (SELECT DISTINCT user_id,"
+            " epoch_us(ts) // 86400000000 AS day FROM events),"
+            " m AS (SELECT min(day) AS mind FROM p)"
+            " SELECT user_id, CAST(sum(CAST(1 AS BIGINT)"
+            " << CAST(day - mind AS INT)) AS BIGINT) AS mask"
+            " FROM p, m GROUP BY 1"
         ),
     }
