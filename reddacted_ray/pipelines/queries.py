@@ -7487,6 +7487,142 @@ def q_activity_bitmask(sf_dir: str) -> rd.Dataset:
         ["user_id"], ["mask"])
 
 
+def q_gap_histogram(sf_dir: str) -> rd.Dataset:
+    """Log2-bucketed histogram of inter-event gaps per user (the
+    latency/arrival-process profile): bucket = bit_length(gap_us + 1),
+    computed with np.frexp — an INTEGER log2, so the SQL oracle
+    (length(bin(gap+1))) matches exactly with zero libm involvement.
+    One co-locating shuffle for the per-user lag, then a map-side-
+    combined grouped sum over ~45 buckets."""
+    import pandas as pd
+
+    from ..stages.agg import grouped_sums
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["user_id", "event_id", "ts"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same = np.r_[False, u[1:] == u[:-1]]
+        gap = np.empty(len(u), np.int64)
+        gap[1:] = ts[1:] - ts[:-1]
+        gap = gap[same]
+        # bit_length(gap+1): frexp exponent is exact for ints < 2^53
+        bucket = np.frexp((gap + 1).astype(np.float64))[1].astype(
+            np.int64)
+        return pd.DataFrame({
+            "bucket": bucket,
+            "n": np.ones(len(bucket), np.int64),
+        })
+
+    return grouped_sums(grouped_vectorized(ev, "user_id", gaps),
+                        ["bucket"], ["n"])
+
+
+def q_bigram_cond_probs(sf_dir: str) -> rd.Dataset:
+    """Bigram conditional probabilities P(w2|w1) over the corpus — the
+    count-table half of n-gram LM training, integer-e6 scaled so SQL
+    bit-matches without log space. Within-doc adjacent pairs come from
+    the flat token buffer (positions where doc_of[i] == doc_of[i+1] —
+    no Python token loops); pair counts reduce in ONE grouped sum, the
+    unigram marginals derive FROM the pair table (vocabulary-bounded)
+    and broadcast back via index_in."""
+    from ..functions.hashing import tokens_flat_batch
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        flat, doc_of = tokens_flat_batch(t["text"].to_pylist())
+        if len(doc_of) < 2:
+            return pa.table({
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "c12": pa.array([], pa.int64()),
+            })
+        adj = doc_of[:-1] == doc_of[1:]
+        return pa.table({
+            "w1": flat.slice(0, len(flat) - 1).filter(pa.array(adj)),
+            "w2": flat.slice(1).filter(pa.array(adj)),
+            "c12": pa.array(np.ones(int(adj.sum()), np.int64)),
+        })
+
+    c12 = grouped_sums(
+        docs.map_batches(pairs, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["w1", "w2"], ["c12"])
+
+    def w1_only(t: pa.Table) -> pa.Table:
+        return pa.table({"w1": t["w1"], "c1": t["c12"]})
+
+    c1 = (grouped_sums(c12.map_batches(w1_only, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                       ["w1"], ["c1"])
+          .to_pandas())
+    w1_arr = pa.array(c1["w1"], pa.string())
+    c1_arr = pa.array(c1["c1"].to_numpy(dtype=np.int64))
+    ref = ray.put((w1_arr, c1_arr))
+
+    def probs(t: pa.Table) -> pa.Table:
+        ws, cs = ray.get(ref)
+        n12 = t["c12"].to_numpy(zero_copy_only=False)
+        m = n12 >= 5
+        sel = t.filter(pa.array(m))
+        idx = pc.index_in(sel["w1"], value_set=ws)
+        cc1 = pc.take(cs, idx).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "w1": sel["w1"],
+            "w2": sel["w2"],
+            "c12": sel["c12"],
+            "p_e6": pa.array(n12[m] * 1_000_000 // cc1),
+        })
+
+    return c12.map_batches(probs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def q_ppl_filter(sf_dir: str) -> rd.Dataset:
+    """CCNet-shape quality filter: keep documents whose trigram-LM
+    perplexity is at or below their LANGUAGE's median ppl (rows-only —
+    the LM is stateful, no SQL analog; tests recompute the kept set
+    from the shared per-row core). Per-lang medians gather via
+    map_groups over the slim (lang, ppl) projection — bounded by docs
+    per language here; at corpus scale the mergeable quantile sketch
+    (stages/sketch.py) is the documented swap-in."""
+    import math
+
+    import pandas as pd
+
+    from ..stages.text import text_stats
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+    st = text_stats(ds).select_columns(["doc_id", "lang", "ppl"])
+
+    def med_of(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["ppl"].to_numpy())
+        m = v[int(math.ceil(0.5 * len(v))) - 1]
+        return pd.DataFrame({"lang": [g["lang"].iloc[0]],
+                             "med_ppl": [m]})
+
+    meds = (st.groupby("lang").map_groups(med_of, batch_format="pandas")
+            .to_pandas())
+    langs = pa.array(meds["lang"], pa.string())
+    cuts = pa.array(meds["med_ppl"].to_numpy(dtype=np.float64))
+    ref = ray.put((langs, cuts))
+
+    def keep(t: pa.Table) -> pa.Table:
+        ls, cs = ray.get(ref)
+        cut = pc.take(cs, pc.index_in(t["lang"], value_set=ls))
+        return t.filter(pc.less_equal(t["ppl"], cut))
+
+    return st.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -7696,6 +7832,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "dp_counts": q_dp_counts,
         "centered_median": q_centered_median,
         "activity_bitmask": q_activity_bitmask,
+        "gap_histogram": q_gap_histogram,
+        "bigram_cond_probs": q_bigram_cond_probs,
+        "ppl_filter": q_ppl_filter,
     }
 
 
@@ -9322,5 +9461,27 @@ def oracle_sqls() -> dict[str, str]:
             " SELECT user_id, CAST(sum(CAST(1 AS BIGINT)"
             " << CAST(day - mind AS INT)) AS BIGINT) AS mask"
             " FROM p, m GROUP BY 1"
+        ),
+        "gap_histogram": (
+            "WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS tsu"
+            " FROM events),"
+            " l AS (SELECT tsu - lag(tsu) OVER (PARTITION BY user_id"
+            " ORDER BY tsu, event_id) AS gap FROM o)"
+            " SELECT CAST(length(bin(gap + 1)) AS BIGINT) AS bucket,"
+            " CAST(count(*) AS BIGINT) AS n FROM l"
+            " WHERE gap IS NOT NULL GROUP BY 1"
+        ),
+        "bigram_cond_probs": (
+            "WITH toks AS (SELECT string_split(text, ' ') AS ts"
+            " FROM documents),"
+            " p AS (SELECT ts[i] AS w1, ts[i + 1] AS w2"
+            " FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1))"
+            " AS i FROM toks)),"
+            " c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12"
+            " FROM p GROUP BY 1, 2),"
+            " c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1"
+            " FROM c12 GROUP BY 1)"
+            " SELECT w1, w2, c12, (c12 * 1000000) // c1 AS p_e6"
+            " FROM c12 JOIN c1 USING (w1) WHERE c12 >= 5"
         ),
     }

@@ -553,3 +553,33 @@ def test_dp_counts_deterministic(ray_session):
         noise = (-math.copysign(1.0, u)
                  * math.log(1.0 - 2.0 * abs(u)) if abs(u) < 0.5 else 0.0)
         assert got[et] == float(n) + noise
+
+
+def test_ppl_filter_matches_recomputation(ray_session):
+    """ppl_filter's kept set must equal an independent single-process
+    recomputation: TrigramLM ppl per doc, per-lang median at the
+    ceil(n/2) rank, keep ppl <= median."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from reddacted_ray.functions.textstats import TrigramLM
+    from reddacted_ray.pipelines.queries import q_ppl_filter
+
+    got = q_ppl_filter("/root/testdata/sf0.001").to_pandas()
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "lang", "text"])
+    lm = TrigramLM()
+    ppl = lm.perplexity_batch(t["text"].to_pylist())
+    ids = np.asarray(t["doc_id"])
+    langs = np.asarray(t["lang"])
+    keep = []
+    for lg in np.unique(langs):
+        m = langs == lg
+        v = np.sort(ppl[m])
+        cut = v[int(math.ceil(0.5 * len(v))) - 1]
+        keep.extend(ids[m & (ppl <= cut)].tolist())
+    assert sorted(got["doc_id"].tolist()) == sorted(keep)
+    assert (got["ppl"] <= got["ppl"].max()).all()
