@@ -7623,6 +7623,125 @@ def q_ppl_filter(sf_dir: str) -> rd.Dataset:
                           zero_copy_batch=True)
 
 
+def q_event_type_distances(sf_dir: str) -> pa.Table:
+    """BFS hop distances from 'view' over the event-type transition
+    graph — the iterative-graph op the SQL oracle writes as a RECURSIVE
+    CTE. The edge list is the distributed bigram reduce (|types|^2
+    rows); BFS itself runs on the driver over that tiny graph, exactly
+    like pagerank_events' fan-in. Distances are pure integers."""
+    edges_t = (q_event_bigrams(sf_dir)
+               .select_columns(["prev_type", "next_type"]).to_pandas())
+    adj: dict[str, set] = {}
+    for a, b in zip(edges_t["prev_type"], edges_t["next_type"]):
+        adj.setdefault(a, set()).add(b)
+    dist = {"view": 0}
+    frontier = ["view"]
+    while frontier:
+        nxt = []
+        for node in frontier:
+            for m in sorted(adj.get(node, ())):
+                if m not in dist:
+                    dist[m] = dist[node] + 1
+                    nxt.append(m)
+        frontier = nxt
+    keys = sorted(dist)
+    return pa.table({
+        "event_type": pa.array(keys, pa.string()),
+        "dist": pa.array([dist[k] for k in keys], pa.int64()),
+    })
+
+
+def q_running_distinct_types(sf_dir: str) -> rd.Dataset:
+    """Running DISTINCT count per user over time (how many different
+    event types the user has touched so far) — the window SQL can only
+    express via a first-occurrence flag + cumulative sum, and exactly
+    that shape runs here: one co-locating bucket shuffle, first-touch
+    flags from a grouped cumcount, per-user cumsum. Zero per-row
+    Python."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["event_id", "user_id", "event_type", "ts"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        fst = (g.groupby(["user_id", "event_type"], sort=False)
+               .cumcount().to_numpy() == 0).astype(np.int64)
+        seen = (pd.Series(fst).groupby(g["user_id"].to_numpy(),
+                                       sort=False).cumsum())
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "n_types_seen": seen.to_numpy(),
+        })
+
+    return grouped_vectorized(ev, "user_id", running)
+
+
+def q_expect_suite(sf_dir: str) -> pa.Table:
+    """dbt-style expectation suite over orders in ONE fused scan: the
+    three row-level checks (not-null key, positive amount, accepted
+    status domain) reduce to per-block partial counters summed
+    distributively; the uniqueness check is a grouped count exchange
+    (bounded by distinct keys) whose excess (k-1) sums to the duplicate
+    count. Output is the (check, violations) report a CI gate reads."""
+    from ..stages.agg import grouped_sums
+
+    orders = sf_table(sf_dir, "orders",
+                      columns=["o_orderkey", "o_totalprice",
+                               "o_orderstatus"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        nulls = int(t["o_orderkey"].null_count)
+        nonpos = int(pc.sum(pc.cast(pc.less_equal(
+            t["o_totalprice"], 0.0), pa.int64())).as_py() or 0)
+        bad = int(pc.sum(pc.cast(pc.invert(pc.is_in(
+            t["o_orderstatus"],
+            value_set=pa.array(["O", "F", "P"]))), pa.int64()))
+            .as_py() or 0)
+        return pa.table({
+            "nulls": pa.array([nulls], pa.int64()),
+            "nonpos": pa.array([nonpos], pa.int64()),
+            "bad_status": pa.array([bad], pa.int64()),
+        })
+
+    agg = (orders.map_batches(partials, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .aggregate(Sum("nulls", alias_name="nulls"),
+                      Sum("nonpos", alias_name="nonpos"),
+                      Sum("bad_status", alias_name="bad_status")))
+
+    def keys(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "k": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    kcounts = grouped_sums(
+        orders.map_batches(keys, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_orderkey"], ["k"])
+
+    def excess(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy(zero_copy_only=False)
+        return pa.table({"dups": pa.array([int((k - 1).sum())],
+                                          pa.int64())})
+
+    dups = (kcounts.map_batches(excess, batch_format="pyarrow")
+            .aggregate(Sum("dups", alias_name="dups")))
+    return pa.table({
+        "chk": pa.array(["o_orderkey_not_null", "o_orderkey_unique",
+                         "o_orderstatus_accepted",
+                         "o_totalprice_positive"], pa.string()),
+        "violations": pa.array([
+            int(agg["nulls"] or 0), int(dups["dups"] or 0),
+            int(agg["bad_status"] or 0), int(agg["nonpos"] or 0),
+        ], pa.int64()),
+    })
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -7835,6 +7954,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "gap_histogram": q_gap_histogram,
         "bigram_cond_probs": q_bigram_cond_probs,
         "ppl_filter": q_ppl_filter,
+        "event_type_distances": q_event_type_distances,
+        "running_distinct_types": q_running_distinct_types,
+        "expect_suite": q_expect_suite,
     }
 
 
@@ -9483,5 +9605,40 @@ def oracle_sqls() -> dict[str, str]:
             " FROM c12 GROUP BY 1)"
             " SELECT w1, w2, c12, (c12 * 1000000) // c1 AS p_e6"
             " FROM c12 JOIN c1 USING (w1) WHERE c12 >= 5"
+        ),
+        "event_type_distances": (
+            "WITH RECURSIVE s AS (SELECT user_id, event_type,"
+            " lead(event_type) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id) AS nxt FROM events),"
+            " e AS (SELECT DISTINCT event_type AS src, nxt AS dst"
+            " FROM s WHERE nxt IS NOT NULL),"
+            " walk(node, dist) AS ("
+            " SELECT 'view', 0"
+            " UNION ALL SELECT e.dst, w.dist + 1 FROM walk w"
+            " JOIN e ON e.src = w.node WHERE w.dist < 5)"
+            " SELECT node AS event_type, CAST(min(dist) AS BIGINT)"
+            " AS dist FROM walk GROUP BY 1"
+        ),
+        "running_distinct_types": (
+            "WITH f AS (SELECT event_id, user_id, ts,"
+            " CASE WHEN row_number() OVER (PARTITION BY user_id,"
+            " event_type ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END"
+            " AS fst FROM events)"
+            " SELECT event_id, CAST(sum(fst) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)"
+            " AS BIGINT) AS n_types_seen FROM f"
+        ),
+        "expect_suite": (
+            "SELECT 'o_orderkey_not_null' AS chk, CAST(count(*) FILTER"
+            " (WHERE o_orderkey IS NULL) AS BIGINT) AS violations"
+            " FROM orders"
+            " UNION ALL SELECT 'o_orderkey_unique', CAST(count(*)"
+            " - count(DISTINCT o_orderkey) AS BIGINT) FROM orders"
+            " UNION ALL SELECT 'o_orderstatus_accepted',"
+            " CAST(count(*) FILTER (WHERE o_orderstatus NOT IN"
+            " ('O', 'F', 'P')) AS BIGINT) FROM orders"
+            " UNION ALL SELECT 'o_totalprice_positive',"
+            " CAST(count(*) FILTER (WHERE o_totalprice <= 0)"
+            " AS BIGINT) FROM orders"
         ),
     }
