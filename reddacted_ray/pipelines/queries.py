@@ -7742,6 +7742,111 @@ def q_expect_suite(sf_dir: str) -> pa.Table:
     })
 
 
+def q_dominant_dim(sf_dir: str) -> rd.Dataset:
+    """Per-vector dominant dimension (1-based index of the first
+    maximum component — the cluster-ish signal cheap enough to compute
+    at ingest) plus the vector-table histogram over dimensions. Pure
+    scan map: reshape to (rows, dim), np.argmax (first occurrence =
+    SQL list_position), then a map-side-combined grouped count."""
+    from ..stages.agg import grouped_sums
+
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def dims(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        d = int(lens[0]) if len(lens) else 0
+        assert (lens == d).all(), "ragged embedding column"
+        vals = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, d)
+        arg = np.argmax(vals, axis=1) + 1
+        return pa.table({
+            "dim": pa.array(arg.astype(np.int64)),
+            "n": pa.array(np.ones(len(arg), np.int64)),
+        })
+
+    return grouped_sums(
+        emb.map_batches(dims, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["dim"], ["n"])
+
+
+def q_top10_customer_share(sf_dir: str) -> rd.Dataset:
+    """Revenue concentration per nation: the share (e4 integer) of a
+    nation's order revenue carried by its top-10 customers. The fact
+    reduces once to per-customer integer revenue (bounded by |customer|),
+    nationkey attaches via the adaptive dimension broadcast, and the
+    per-nation top-10-vs-total finish is one bucketed vectorized pass —
+    the grouped Pareto shape."""
+    import pandas as pd
+
+    from ..stages.agg import grouped_sums
+    from ..stages.joins import attach_via_lookup
+    from ..stages.windows import grouped_vectorized
+
+    orders = sf_table(sf_dir, "orders",
+                      columns=["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "cents": _money_int(t["o_totalprice"], 100.0),
+        })
+
+    rev = grouped_sums(orders.map_batches(prep, batch_format="pyarrow",
+                                          zero_copy_batch=True),
+                       ["o_custkey"], ["cents"])
+    cust = sf_table(sf_dir, "customer",
+                    columns=["c_custkey", "c_nationkey"])
+    withnat = attach_via_lookup(rev, "o_custkey", cust, "c_custkey",
+                                {"c_nationkey": "c_nationkey"})
+
+    def share(g: pd.DataFrame) -> pd.DataFrame:
+        out_nat, out_share = [], []
+        for nat, sub in g.groupby("c_nationkey", sort=False):
+            c = np.sort(sub["cents"].to_numpy())[::-1]
+            tot = int(c.sum())
+            top = int(c[:10].sum())
+            out_nat.append(nat)
+            out_share.append(top * 10_000 // tot)
+        return pd.DataFrame({
+            "c_nationkey": np.array(out_nat, dtype=np.int64),
+            "share_e4": np.array(out_share, dtype=np.int64),
+        })
+
+    return grouped_vectorized(withnat, "c_nationkey", share)
+
+
+def q_rate_limit_events(sf_dir: str) -> rd.Dataset:
+    """Rate limiting as a batch policy op: keep at most 3 events per
+    user per 10-minute window (deterministic (ts, event_id) arrival
+    order), emitting the kept ids — the throttle/abuse-control pass a
+    feed pipeline runs before fan-out. One co-locating bucket shuffle;
+    the per-(user, window) position is a grouped cumcount."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    WIN = 600_000_000
+    ev = sf_table(sf_dir, "events",
+                  columns=["event_id", "user_id", "ts"])
+
+    def limit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        win = (g["ts"].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // WIN)
+        pos = (g.assign(_w=win)
+               .groupby(["user_id", "_w"], sort=False).cumcount()
+               .to_numpy())
+        keep = pos < 3
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[keep],
+            "win": win[keep],
+        })
+
+    return grouped_vectorized(ev, "user_id", limit)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -7957,6 +8062,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "event_type_distances": q_event_type_distances,
         "running_distinct_types": q_running_distinct_types,
         "expect_suite": q_expect_suite,
+        "dominant_dim": q_dominant_dim,
+        "top10_customer_share": q_top10_customer_share,
+        "rate_limit_events": q_rate_limit_events,
     }
 
 
@@ -9640,5 +9748,31 @@ def oracle_sqls() -> dict[str, str]:
             " UNION ALL SELECT 'o_totalprice_positive',"
             " CAST(count(*) FILTER (WHERE o_totalprice <= 0)"
             " AS BIGINT) FROM orders"
+        ),
+        "dominant_dim": (
+            "WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e"
+            " FROM embeddings)"
+            " SELECT CAST(list_position(e, list_max(e)) AS BIGINT)"
+            " AS dim, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1"
+        ),
+        "top10_customer_share": (
+            "WITH r AS (SELECT o_custkey,"
+            " CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " AS BIGINT) AS cents FROM orders GROUP BY 1),"
+            " j AS (SELECT c_nationkey, cents, row_number() OVER"
+            " (PARTITION BY c_nationkey ORDER BY cents DESC) AS rn"
+            " FROM r JOIN customer ON c_custkey = o_custkey)"
+            " SELECT c_nationkey,"
+            " CAST(sum(cents) FILTER (WHERE rn <= 10) AS BIGINT)"
+            " * 10000 // CAST(sum(cents) AS BIGINT) AS share_e4"
+            " FROM j GROUP BY 1"
+        ),
+        "rate_limit_events": (
+            "WITH w AS (SELECT event_id, user_id, ts,"
+            " epoch_us(ts) // 600000000 AS win FROM events),"
+            " r AS (SELECT event_id, win, row_number() OVER"
+            " (PARTITION BY user_id, win ORDER BY ts, event_id) AS rn"
+            " FROM w)"
+            " SELECT event_id, win FROM r WHERE rn <= 3"
         ),
     }
