@@ -7847,6 +7847,204 @@ def q_rate_limit_events(sf_dir: str) -> rd.Dataset:
     return grouped_vectorized(ev, "user_id", limit)
 
 
+def q_target_encode_loo(sf_dir: str) -> rd.Dataset:
+    """Leave-one-out target encoding (the leakage-safe categorical
+    encoder): each event's feature is the mean value of its event_type
+    EXCLUDING itself — (s_g - v) / (n_g - 1) from broadcast per-group
+    integer partials, one scan map, zero fact shuffle. The single
+    division is the only float op (same IEEE tree as SQL)."""
+    from ..stages.agg import grouped_sums
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+            "s": _money_int(t["value"], 100.0),
+        })
+
+    g = (grouped_sums(ev.map_batches(prep, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["event_type"], ["n", "s"])
+         .to_pandas())
+    types = pa.array(sorted(g["event_type"]), pa.string())
+    order = g.set_index("event_type")
+    ns = pa.array([int(order.loc[e, "n"]) for e in sorted(g["event_type"])],
+                  pa.int64())
+    ss = pa.array([int(order.loc[e, "s"]) for e in sorted(g["event_type"])],
+                  pa.int64())
+    ref = ray.put((types, ns, ss))
+
+    def encode(t: pa.Table) -> pa.Table:
+        tys, nn, sv = ray.get(ref)
+        idx = pc.index_in(t["event_type"], value_set=tys)
+        n = pc.take(nn, idx).to_numpy(zero_copy_only=False)
+        s = pc.take(sv, idx).to_numpy(zero_copy_only=False)
+        c = _money_int(t["value"], 100.0).to_numpy(zero_copy_only=False)
+        keep = n > 1
+        return pa.table({
+            "event_id": t["event_id"].filter(pa.array(keep)),
+            "loo_mean": pa.array(
+                (s[keep] - c[keep]).astype(np.float64)
+                / (n[keep] - 1).astype(np.float64)),
+        })
+
+    return ev.map_batches(encode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def q_reconcile_orders(sf_dir: str) -> pa.Table:
+    """Cross-table reconciliation audit: does each order's header total
+    match the cents-sum of its line items? Line items reduce map-side
+    to per-order integer sums; the header attaches via the adaptive
+    dimension policy (broadcast under the cap, hash join past it);
+    headers with NO items are the anti-join count. One driver row out —
+    nothing fact-sized materializes."""
+    from ..stages.agg import grouped_sums
+    from ..stages.joins import adaptive_anti_join, attach_via_lookup
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_extendedprice"])
+    orders = sf_table(sf_dir, "orders",
+                      columns=["o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "li_cents": _money_int(t["l_extendedprice"], 100.0),
+        })
+
+    liagg = grouped_sums(li.map_batches(prep, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                         ["l_orderkey"], ["li_cents"])
+
+    def ocents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_cents": _money_int(t["o_totalprice"], 100.0),
+        })
+
+    oc = orders.map_batches(ocents, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    joined = attach_via_lookup(liagg, "l_orderkey", oc, "o_orderkey",
+                               {"o_cents": "o_cents"})
+
+    def cmp(t: pa.Table) -> pa.Table:
+        eq = pc.equal(t["li_cents"], t["o_cents"])
+        m = int(pc.sum(pc.cast(eq, pa.int64())).as_py() or 0)
+        return pa.table({
+            "matched": pa.array([m], pa.int64()),
+            "mismatched": pa.array([t.num_rows - m], pa.int64()),
+        })
+
+    agg = (joined.map_batches(cmp, batch_format="pyarrow")
+           .aggregate(Sum("matched", alias_name="matched"),
+                      Sum("mismatched", alias_name="mismatched")))
+    empty = adaptive_anti_join(oc, "o_orderkey", liagg, "l_orderkey")
+    return pa.table({
+        "matched": pa.array([int(agg["matched"] or 0)], pa.int64()),
+        "mismatched": pa.array([int(agg["mismatched"] or 0)],
+                               pa.int64()),
+        "orders_without_items": pa.array([int(empty.count())],
+                                         pa.int64()),
+    })
+
+
+def q_adjacent_cosine(sf_dir: str) -> rd.Dataset:
+    """Cosine similarity between consecutive vectors (vec_id, vec_id+1)
+    — a self-join on a DERIVED key, routed through the adaptive
+    dimension-attach (vectors serialize to fixed-width binary for the
+    broadcast, the Acero list-payload workaround). Dot and norms run as
+    per-row cumsums so the doubles bit-match SQL's sequential
+    list_sum; sqrt is IEEE-correctly-rounded on both sides."""
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def to_bin(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        d = int(lens[0]) if len(lens) else 0
+        assert (lens == d).all(), "ragged embedding column"
+        vals = np.asarray(col.flatten(), dtype=np.float32).reshape(-1, d)
+        # fixed-width binary rows (the embedding-dedup idiom): Acero /
+        # broadcast buffers handle binary, not list<float>
+        return pa.table({
+            "nxt_id": pc.add(t["vec_id"], 1),
+            "vec_bin": pa.array([v.tobytes() for v in vals],
+                                pa.binary()),
+        })
+
+    from ..stages.joins import attach_via_lookup
+
+    nxt = emb.map_batches(to_bin, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    joined = attach_via_lookup(emb, "vec_id", nxt, "nxt_id",
+                               {"vec_bin": "vec_bin"})
+
+    def cos(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        d = int(lens[0]) if len(lens) else 0
+        a = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, d)
+        raw = b"".join(t["vec_bin"].to_pylist())
+        b = np.frombuffer(raw, dtype=np.float32).astype(
+            np.float64).reshape(-1, d)
+        dot = np.cumsum(a * b, axis=1)[:, -1]
+        na = np.sqrt(np.cumsum(a * a, axis=1)[:, -1])
+        nb = np.sqrt(np.cumsum(b * b, axis=1)[:, -1])
+        # the attached vec_bin is vector (vec_id - 1); the pair label is
+        # the FIRST id, matching the SQL's a.vec_id
+        return pa.table({
+            "vec_id": pc.subtract(t["vec_id"], 1),
+            "cos_sim": pa.array(dot / (na * nb)),
+        })
+
+    return joined.map_batches(cos, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def q_grouped_percentiles(sf_dir: str) -> rd.Dataset:
+    """Exact discrete P50/P90/P99 per event_type (the latency-SLO
+    report shape): ONE (type, cents) count exchange bounded by distinct
+    values per group; the driver walks each group's cumulative counts
+    for all three ranks. Returns a driver-built table — group count is
+    dimension-sized by contract (the mergeable quantile sketch is the
+    documented swap-in past that)."""
+    import math
+
+    from ..stages.agg import grouped_sums
+
+    ev = sf_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "cents": _money_int(t["value"], 100.0),
+            "k": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    d = (grouped_sums(ev.map_batches(prep, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["event_type", "cents"], ["k"])
+         .to_pandas().sort_values(["event_type", "cents"]))
+    rows = []
+    for et, sub in d.groupby("event_type", sort=True):
+        cum = sub["k"].cumsum().to_numpy()
+        vals = sub["cents"].to_numpy()
+        n = int(cum[-1])
+        picks = [int(vals[np.searchsorted(
+            cum, int(math.ceil(q * n)), "left")])
+            for q in (0.5, 0.9, 0.99)]
+        rows.append((et, *picks))
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "p50": pa.array([r[1] for r in rows], pa.int64()),
+        "p90": pa.array([r[2] for r in rows], pa.int64()),
+        "p99": pa.array([r[3] for r in rows], pa.int64()),
+    }))
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -8065,6 +8263,10 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "dominant_dim": q_dominant_dim,
         "top10_customer_share": q_top10_customer_share,
         "rate_limit_events": q_rate_limit_events,
+        "target_encode_loo": q_target_encode_loo,
+        "reconcile_orders": q_reconcile_orders,
+        "adjacent_cosine": q_adjacent_cosine,
+        "grouped_percentiles": q_grouped_percentiles,
     }
 
 
@@ -9774,5 +9976,66 @@ def oracle_sqls() -> dict[str, str]:
             " (PARTITION BY user_id, win ORDER BY ts, event_id) AS rn"
             " FROM w)"
             " SELECT event_id, win FROM r WHERE rn <= 3"
+        ),
+        "target_encode_loo": (
+            "WITH c AS (SELECT event_id, event_type,"
+            " CAST(round(value * 100) AS BIGINT) AS cents FROM events),"
+            " g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,"
+            " CAST(sum(cents) AS BIGINT) AS s FROM c GROUP BY 1)"
+            " SELECT event_id, CAST(s - cents AS DOUBLE)"
+            " / CAST(n - 1 AS DOUBLE) AS loo_mean"
+            " FROM c JOIN g USING (event_type) WHERE n > 1"
+        ),
+        "reconcile_orders": (
+            "WITH la AS (SELECT l_orderkey,"
+            " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+            " AS BIGINT) AS li_cents FROM lineitem GROUP BY 1),"
+            " oc AS (SELECT o_orderkey,"
+            " CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents"
+            " FROM orders),"
+            " j AS (SELECT li_cents, o_cents FROM la"
+            " JOIN oc ON o_orderkey = l_orderkey)"
+            " SELECT CAST(count(*) FILTER (WHERE li_cents = o_cents)"
+            " AS BIGINT) AS matched,"
+            " CAST(count(*) FILTER (WHERE li_cents <> o_cents)"
+            " AS BIGINT) AS mismatched,"
+            " (SELECT CAST(count(*) AS BIGINT) FROM oc"
+            " WHERE o_orderkey NOT IN (SELECT l_orderkey FROM la))"
+            " AS orders_without_items FROM j"
+        ),
+        "adjacent_cosine": (
+            "WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+            " FROM embeddings)"
+            " SELECT a.vec_id,"
+            " list_sum(list_transform(generate_series(1, len(a.e)),"
+            " i -> a.e[i] * b.e[i]))"
+            " / (sqrt(list_sum(list_transform(a.e, x -> x * x)))"
+            " * sqrt(list_sum(list_transform(b.e, x -> x * x))))"
+            " AS cos_sim"
+            " FROM a JOIN a AS b ON b.vec_id = a.vec_id + 1"
+        ),
+        "grouped_percentiles": (
+            "WITH c AS (SELECT event_type,"
+            " CAST(round(value * 100) AS BIGINT) AS cents FROM events),"
+            " d AS (SELECT event_type, cents, count(*) AS k FROM c"
+            " GROUP BY 1, 2),"
+            " n AS (SELECT event_type, CAST(sum(k) AS BIGINT) AS cnt"
+            " FROM d GROUP BY 1),"
+            " r AS (SELECT event_type, cents, CAST(sum(k) OVER"
+            " (PARTITION BY event_type ORDER BY cents) AS BIGINT)"
+            " AS cum FROM d),"
+            " q50 AS (SELECT r.event_type, min(cents) AS v FROM r"
+            " JOIN n USING (event_type)"
+            " WHERE cum >= CAST(ceil(0.5 * cnt) AS BIGINT) GROUP BY 1),"
+            " q90 AS (SELECT r.event_type, min(cents) AS v FROM r"
+            " JOIN n USING (event_type)"
+            " WHERE cum >= CAST(ceil(0.9 * cnt) AS BIGINT) GROUP BY 1),"
+            " q99 AS (SELECT r.event_type, min(cents) AS v FROM r"
+            " JOIN n USING (event_type)"
+            " WHERE cum >= CAST(ceil(0.99 * cnt) AS BIGINT)"
+            " GROUP BY 1)"
+            " SELECT event_type, q50.v AS p50, q90.v AS p90,"
+            " q99.v AS p99 FROM q50 JOIN q90 USING (event_type)"
+            " JOIN q99 USING (event_type)"
         ),
     }
