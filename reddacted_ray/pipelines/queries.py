@@ -7977,19 +7977,34 @@ def q_adjacent_cosine(sf_dir: str) -> rd.Dataset:
 
     from ..stages.joins import attach_via_lookup
 
-    nxt = emb.map_batches(to_bin, batch_format="pyarrow",
-                          zero_copy_batch=True)
-    joined = attach_via_lookup(emb, "vec_id", nxt, "nxt_id",
-                               {"vec_bin": "vec_bin"})
-
-    def cos(t: pa.Table) -> pa.Table:
+    def fact_bin(t: pa.Table) -> pa.Table:
         col = t["embedding"].combine_chunks()
         lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
         d = int(lens[0]) if len(lens) else 0
-        a = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, d)
-        raw = b"".join(t["vec_bin"].to_pylist())
-        b = np.frombuffer(raw, dtype=np.float32).astype(
-            np.float64).reshape(-1, d)
+        assert (lens == d).all(), "ragged embedding column"
+        vals = np.asarray(col.flatten(), dtype=np.float32).reshape(-1, d)
+        # the FACT side must also drop list<float> before the attach —
+        # the fallback hash join is Acero, which rejects list payloads
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "a_bin": pa.array([v.tobytes() for v in vals], pa.binary()),
+        })
+
+    fact = emb.map_batches(fact_bin, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    nxt = emb.map_batches(to_bin, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    joined = attach_via_lookup(fact, "vec_id", nxt, "nxt_id",
+                               {"vec_bin": "vec_bin"})
+
+    def cos(t: pa.Table) -> pa.Table:
+        a = np.frombuffer(b"".join(t["a_bin"].to_pylist()),
+                          dtype=np.float32).astype(np.float64)
+        b = np.frombuffer(b"".join(t["vec_bin"].to_pylist()),
+                          dtype=np.float32).astype(np.float64)
+        d = len(a) // max(t.num_rows, 1) if t.num_rows else 1
+        a = a.reshape(-1, d)
+        b = b.reshape(-1, d)
         dot = np.cumsum(a * b, axis=1)[:, -1]
         na = np.sqrt(np.cumsum(a * a, axis=1)[:, -1])
         nb = np.sqrt(np.cumsum(b * b, axis=1)[:, -1])
