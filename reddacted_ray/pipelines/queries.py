@@ -8060,6 +8060,108 @@ def q_grouped_percentiles(sf_dir: str) -> rd.Dataset:
     }))
 
 
+def q_ks_drift(sf_dir: str) -> pa.Table:
+    """Exact Kolmogorov-Smirnov drift statistic between the value
+    distributions of 'view' and 'click' events — the distribution-shift
+    monitor a feature pipeline runs between snapshots. The fact reduces
+    to (cents -> count-in-A, count-in-B) (map-side combined, bounded by
+    distinct values); the driver scans the merged CDFs once. D is
+    reported as the ALL-INTEGER max |c1*N2 - c2*N1| * 1e6 // (N1*N2) —
+    no float CDFs anywhere."""
+    from ..stages.agg import grouped_sums
+
+    ev = sf_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        keep = pc.is_in(et, value_set=pa.array(["view", "click"]))
+        sel = t.filter(keep)
+        isa = pc.equal(sel["event_type"], "view").to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "cents": _money_int(sel["value"], 100.0),
+            "ca": pa.array(isa.astype(np.int64)),
+            "cb": pa.array((~isa).astype(np.int64)),
+        })
+
+    d = (grouped_sums(ev.map_batches(prep, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["cents"], ["ca", "cb"])
+         .to_pandas().sort_values("cents"))
+    c1 = d["ca"].to_numpy(dtype=np.int64).cumsum()
+    c2 = d["cb"].to_numpy(dtype=np.int64).cumsum()
+    n1, n2 = int(c1[-1]), int(c2[-1])
+    gap = int(np.max(np.abs(c1 * n2 - c2 * n1)))
+    return pa.table({
+        "d_e6": pa.array([gap * 1_000_000 // (n1 * n2)], pa.int64()),
+        "n_view": pa.array([n1], pa.int64()),
+        "n_click": pa.array([n2], pa.int64()),
+    })
+
+
+def q_running_var_num(sf_dir: str) -> rd.Dataset:
+    """Cumulative variance numerator per user (n*Σv² - (Σv)²) over time
+    — the running second moment a drift monitor keeps, kept as EXACT
+    integers so distributed order can't perturb it (the float variance
+    is one division away, done by the consumer). One co-locating bucket
+    shuffle, three grouped cumsums."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["event_id", "user_id", "ts", "value"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        c = _money_np(g["value"].to_numpy())
+        grp = g["user_id"].to_numpy()
+        s = pd.Series(c).groupby(grp, sort=False).cumsum().to_numpy()
+        s2 = pd.Series(c * c).groupby(grp, sort=False).cumsum().to_numpy()
+        n = (pd.Series(np.ones(len(c), np.int64)).groupby(grp, sort=False)
+             .cumsum().to_numpy())
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "var_num": n * s2 - s * s,
+        })
+
+    return grouped_vectorized(ev, "user_id", running)
+
+
+def q_churn_flags(sf_dir: str) -> rd.Dataset:
+    """Churn labeling: a user is churned when their last activity falls
+    more than 7 days before the dataset's last day — the retention
+    label a lifecycle model trains on. Per-user Max reduce (map-side
+    combined) + a global scalar; the flag is pure integer compare."""
+    DAY = 86_400_000_000
+    ev = sf_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "day": pc.divide(pc.cast(t["ts"], pa.int64()),
+                             pa.scalar(DAY, pa.int64())),
+        })
+
+    pds = ev.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    last = pds.groupby("user_id").aggregate(
+        Max("day", alias_name="last_day"))
+    max_day = int(pds.aggregate(Max("day", alias_name="md"))["md"])
+
+    def flag(t: pa.Table) -> pa.Table:
+        ld = t["last_day"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "last_day": t["last_day"],
+            "churned": pa.array(ld < max_day - 7),
+        })
+
+    return last.map_batches(flag, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -8282,6 +8384,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "reconcile_orders": q_reconcile_orders,
         "adjacent_cosine": q_adjacent_cosine,
         "grouped_percentiles": q_grouped_percentiles,
+        "ks_drift": q_ks_drift,
+        "running_var_num": q_running_var_num,
+        "churn_flags": q_churn_flags,
     }
 
 
@@ -10052,5 +10157,39 @@ def oracle_sqls() -> dict[str, str]:
             " SELECT event_type, q50.v AS p50, q90.v AS p90,"
             " q99.v AS p99 FROM q50 JOIN q90 USING (event_type)"
             " JOIN q99 USING (event_type)"
+        ),
+        "ks_drift": (
+            "WITH c AS (SELECT event_type,"
+            " CAST(round(value * 100) AS BIGINT) AS cents FROM events"
+            " WHERE event_type IN ('view', 'click')),"
+            " d AS (SELECT cents, CAST(count(*) FILTER"
+            " (WHERE event_type = 'view') AS BIGINT) AS ca,"
+            " CAST(count(*) FILTER (WHERE event_type = 'click')"
+            " AS BIGINT) AS cb FROM c GROUP BY 1),"
+            " r AS (SELECT CAST(sum(ca) OVER (ORDER BY cents)"
+            " AS BIGINT) AS c1, CAST(sum(cb) OVER (ORDER BY cents)"
+            " AS BIGINT) AS c2 FROM d),"
+            " n AS (SELECT CAST(sum(ca) AS BIGINT) AS n1,"
+            " CAST(sum(cb) AS BIGINT) AS n2 FROM d)"
+            " SELECT CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT)"
+            " * 1000000 // (n1 * n2) AS d_e6, n1 AS n_view,"
+            " n2 AS n_click FROM r, n GROUP BY n1, n2"
+        ),
+        "running_var_num": (
+            "WITH c AS (SELECT event_id, user_id, ts,"
+            " CAST(round(value * 100) AS BIGINT) AS v FROM events)"
+            " SELECT event_id, CAST((count(*) OVER w)"
+            " * (sum(v * v) OVER w) - (sum(v) OVER w)"
+            " * (sum(v) OVER w) AS BIGINT) AS var_num FROM c"
+            " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id"
+            " ROWS UNBOUNDED PRECEDING)"
+        ),
+        "churn_flags": (
+            "WITH p AS (SELECT user_id,"
+            " max(epoch_us(ts) // 86400000000) AS last_day"
+            " FROM events GROUP BY 1),"
+            " m AS (SELECT max(last_day) AS md FROM p)"
+            " SELECT user_id, CAST(last_day AS BIGINT) AS last_day,"
+            " last_day < md - 7 AS churned FROM p, m"
         ),
     }
