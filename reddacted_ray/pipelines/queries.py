@@ -8162,6 +8162,113 @@ def q_churn_flags(sf_dir: str) -> rd.Dataset:
                             zero_copy_batch=True)
 
 
+def q_time_to_purchase(sf_dir: str) -> rd.Dataset:
+    """Time-to-conversion: for every view event, the wait until the
+    SAME user's next purchase (views that never convert drop — inner
+    semantics). The SQL oracle writes a fact self-join + MIN; here one
+    co-locating bucket shuffle and a single np.searchsorted of view
+    keys into the purchase key array (the forward window-join twin of
+    window_join_counts) — the self-join never exists."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["event_id", "user_id", "ts", "event_type"])
+
+    def wait(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        ts_rel = ts - ts.min() if len(ts) else ts
+        span = (ts_rel.max() if len(ts_rel) else 0) + 2
+        key = u * span + ts_rel
+        isp = et == "purchase"
+        pkey, pts = key[isp], ts[isp]
+        isv = et == "view"
+        if len(pkey) == 0 or not isv.any():
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "wait_us": pd.Series([], dtype="int64"),
+            })
+        # first purchase with key STRICTLY greater (same user, later ts)
+        pos = np.searchsorted(pkey, key[isv], "right")
+        # valid only when that purchase belongs to the same user
+        ok = (pos < len(pkey)) & (
+            (pkey[pos.clip(max=max(len(pkey) - 1, 0))] // span)
+            == u[isv])
+        pos_ok = pos[ok]
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[isv][ok],
+            "wait_us": pts[pos_ok] - ts[isv][ok],
+        })
+
+    return grouped_vectorized(ev, "user_id", wait)
+
+
+def q_user_type_set(sf_dir: str) -> rd.Dataset:
+    """Ordered DISTINCT set aggregation: each user's sorted,
+    comma-joined set of event types (the compact behavioral signature
+    string). Distinct (user, type) pairs dedup in one grouped pass
+    bounded by the pair count; the join-to-string is a vectorized
+    per-bucket groupby-agg."""
+    import pandas as pd
+
+    from ..stages.agg import grouped_sums
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "k": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    pairs = grouped_sums(
+        ev.map_batches(ones, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id", "event_type"], ["k"])
+
+    def joinstr(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type"], kind="mergesort")
+        out = (g.groupby("user_id", sort=False)["event_type"]
+               .agg(",".join).reset_index())
+        out.columns = ["user_id", "type_set"]
+        return out
+
+    return grouped_vectorized(pairs, "user_id", joinstr)
+
+
+def q_weekday_profile(sf_dir: str) -> rd.Dataset:
+    """Day-of-week x event-type activity matrix — the seasonality
+    profile, with the weekday computed as PURE integer epoch-day math
+    ((days + 4) % 7, anchored to 1970-01-01 = Thursday) so it matches
+    SQL dayofweek (0 = Sunday) with no calendar library in the hot
+    path. One map-side-combined grouped sum."""
+    from ..stages.agg import grouped_sums
+
+    DAY = 86_400_000_000
+    ev = sf_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        days = (pc.cast(t["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // DAY)
+        return pa.table({
+            "dow": pa.array((days + 4) % 7),
+            "event_type": t["event_type"],
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    return grouped_sums(
+        ev.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["dow", "event_type"], ["n"])
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -8387,6 +8494,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "ks_drift": q_ks_drift,
         "running_var_num": q_running_var_num,
         "churn_flags": q_churn_flags,
+        "time_to_purchase": q_time_to_purchase,
+        "user_type_set": q_user_type_set,
+        "weekday_profile": q_weekday_profile,
     }
 
 
@@ -10191,5 +10301,20 @@ def oracle_sqls() -> dict[str, str]:
             " m AS (SELECT max(last_day) AS md FROM p)"
             " SELECT user_id, CAST(last_day AS BIGINT) AS last_day,"
             " last_day < md - 7 AS churned FROM p, m"
+        ),
+        "time_to_purchase": (
+            "SELECT v.event_id,"
+            " CAST(min(epoch_us(p.ts) - epoch_us(v.ts)) AS BIGINT)"
+            " AS wait_us FROM events v JOIN events p"
+            " ON p.user_id = v.user_id AND p.event_type = 'purchase'"
+            " AND p.ts > v.ts WHERE v.event_type = 'view' GROUP BY 1"
+        ),
+        "user_type_set": (
+            "SELECT user_id, string_agg(DISTINCT event_type, ','"
+            " ORDER BY event_type) AS type_set FROM events GROUP BY 1"
+        ),
+        "weekday_profile": (
+            "SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, event_type,"
+            " CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2"
         ),
     }
