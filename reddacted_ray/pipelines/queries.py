@@ -8269,6 +8269,107 @@ def q_weekday_profile(sf_dir: str) -> rd.Dataset:
         ["dow", "event_type"], ["n"])
 
 
+def q_m4_downsample(sf_dir: str) -> rd.Dataset:
+    """M4 time-series downsampling (min/max/first/last per 30-minute
+    pixel bucket — the lossless-for-rendering reduction a dashboard
+    runs before plotting millions of points). First/last resolve by a
+    UNIQUE composite (ts, event_id) integer key through plain Min/Max
+    aggregates: per-block partials combine associatively, so the whole
+    op is ONE map-side-combined grouped pass; the value fetch-back is a
+    broadcast point lookup on the bucket-bounded result."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    BUCKET = 1_800_000_000  # 30 min
+    ev = sf_table(sf_dir, "events",
+                  columns=["event_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        tsu = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        c = _money_int(t["value"], 100.0).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(tsu // BUCKET),
+            "tsu": pa.array(tsu),
+            "event_id": t["event_id"],
+            "cents": pa.array(c),
+        })
+
+    keyed = ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def m4(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bucket", "tsu", "event_id"],
+                          kind="mergesort")
+        gg = g.groupby("bucket", sort=False)
+        return pd.DataFrame({
+            "bucket": gg["tsu"].first().index.to_numpy(dtype=np.int64),
+            "min_cents": gg["cents"].min().to_numpy(dtype=np.int64),
+            "max_cents": gg["cents"].max().to_numpy(dtype=np.int64),
+            "first_cents": gg["cents"].first().to_numpy(np.int64),
+            "last_cents": gg["cents"].last().to_numpy(np.int64),
+        })
+
+    return grouped_vectorized(keyed, "bucket", m4)
+
+
+def q_quantile_match(sf_dir: str) -> rd.Dataset:
+    """Quantile matching / CDF transfer: re-express every CLICK value on
+    the VIEW distribution's scale (the feature-alignment step when two
+    sources disagree systematically). Both CDFs reduce to distinct-value
+    count tables (map-side combined); the driver maps each click value's
+    rank onto the smallest view value at the same or higher quantile
+    with PURE integer cross-multiplication (cumv*Nc >= cumc*Nv), and the
+    rewrite broadcasts back into a scan map."""
+    from ..stages.agg import grouped_sums
+
+    ev = sf_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        keep = pc.is_in(et, value_set=pa.array(["view", "click"]))
+        sel = t.filter(keep)
+        isv = pc.equal(sel["event_type"], "view").to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "cents": _money_int(sel["value"], 100.0),
+            "cv": pa.array(isv.astype(np.int64)),
+            "cc": pa.array((~isv).astype(np.int64)),
+        })
+
+    cds = ev.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    d = (grouped_sums(cds, ["cents"], ["cv", "cc"])
+         .to_pandas().sort_values("cents"))
+    vals = d["cents"].to_numpy(dtype=np.int64)
+    cumv = d["cv"].to_numpy(dtype=np.int64).cumsum()
+    cumc = d["cc"].to_numpy(dtype=np.int64).cumsum()
+    nv, nc = int(cumv[-1]), int(cumc[-1])
+    vmask = d["cv"].to_numpy(dtype=np.int64) > 0
+    vvals, vcum = vals[vmask], cumv[vmask]
+    cmask = d["cc"].to_numpy(dtype=np.int64) > 0
+    cvals, ccum = vals[cmask], cumc[cmask]
+    # for each click value: smallest view value with cumv*Nc >= cumc*Nv
+    pos = np.searchsorted(vcum * nc, ccum * nv, "left")
+    pos = np.minimum(pos, len(vvals) - 1)
+    mapped = vvals[pos]
+    ck = pa.array(cvals)
+    mp = pa.array(mapped)
+    ref = ray.put((ck, mp))
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        k, m = ray.get(ref)
+        clicks = t.filter(pc.greater(t["cc"], 0))
+        idx = pc.index_in(clicks["cents"], value_set=k)
+        return pa.table({
+            "cents": clicks["cents"],
+            "matched_cents": pc.take(m, idx),
+        })
+
+    return cds.map_batches(rewrite, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -8497,6 +8598,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "time_to_purchase": q_time_to_purchase,
         "user_type_set": q_user_type_set,
         "weekday_profile": q_weekday_profile,
+        "m4_downsample": q_m4_downsample,
+        "quantile_match": q_quantile_match,
     }
 
 
@@ -10316,5 +10419,45 @@ def oracle_sqls() -> dict[str, str]:
         "weekday_profile": (
             "SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, event_type,"
             " CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2"
+        ),
+        "m4_downsample": (
+            "WITH c AS (SELECT event_id, epoch_us(ts) AS tsu,"
+            " CAST(round(value * 100) AS BIGINT) AS cents,"
+            " epoch_us(ts) // 1800000000 AS bucket FROM events),"
+            " r AS (SELECT bucket, cents, row_number() OVER"
+            " (PARTITION BY bucket ORDER BY tsu, event_id) AS rf,"
+            " row_number() OVER (PARTITION BY bucket"
+            " ORDER BY tsu DESC, event_id DESC) AS rl FROM c),"
+            " mm AS (SELECT bucket, CAST(min(cents) AS BIGINT)"
+            " AS min_cents, CAST(max(cents) AS BIGINT) AS max_cents"
+            " FROM c GROUP BY 1),"
+            " f AS (SELECT bucket, cents AS first_cents FROM r"
+            " WHERE rf = 1),"
+            " l AS (SELECT bucket, cents AS last_cents FROM r"
+            " WHERE rl = 1)"
+            " SELECT bucket, min_cents, max_cents, first_cents,"
+            " last_cents FROM mm JOIN f USING (bucket)"
+            " JOIN l USING (bucket)"
+        ),
+        "quantile_match": (
+            "WITH c AS (SELECT event_type,"
+            " CAST(round(value * 100) AS BIGINT) AS cents FROM events"
+            " WHERE event_type IN ('view', 'click')),"
+            " d AS (SELECT cents, CAST(count(*) FILTER"
+            " (WHERE event_type = 'view') AS BIGINT) AS cv,"
+            " CAST(count(*) FILTER (WHERE event_type = 'click')"
+            " AS BIGINT) AS cc FROM c GROUP BY 1),"
+            " r AS (SELECT cents, cv, cc,"
+            " CAST(sum(cv) OVER (ORDER BY cents) AS BIGINT) AS cumv,"
+            " CAST(sum(cc) OVER (ORDER BY cents) AS BIGINT) AS cumc"
+            " FROM d),"
+            " n AS (SELECT CAST(sum(cv) AS BIGINT) AS nv,"
+            " CAST(sum(cc) AS BIGINT) AS nc FROM d),"
+            " m AS (SELECT rc.cents, min(rv.cents) AS matched_cents"
+            " FROM r rc, r rv, n"
+            " WHERE rc.cc > 0 AND rv.cv > 0"
+            " AND rv.cumv * nc >= rc.cumc * nv GROUP BY 1)"
+            " SELECT c.cents, m.matched_cents FROM c JOIN m USING (cents)"
+            " WHERE c.event_type = 'click'"
         ),
     }

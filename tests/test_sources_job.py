@@ -624,3 +624,23 @@ def test_read_table_union_schema_evolution(ray_session, tmp_path):
     assert list(got.columns) == ["id", "txt", "score"]
     assert got["score"].isna().tolist() == [True, True, False]
     assert got["txt"].tolist() == ["a", "b", "c"]
+
+
+def test_write_ipc_roundtrip(ray_session, tmp_path):
+    """write_ipc -> read_ipc roundtrips a table exactly (values and
+    schema), one file per non-empty block."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from reddacted_ray.sources.tables import read_ipc, write_ipc
+
+    src = "/root/testdata/sf0.001/customer.parquet"
+    ds = rd.read_parquet(src)
+    out = str(tmp_path / "ipc_out")
+    n = write_ipc(ds, out)
+    exp = pq.read_table(src).to_pandas().sort_values(
+        "c_custkey").reset_index(drop=True)
+    got = (read_ipc(out).to_pandas().sort_values("c_custkey")
+           .reset_index(drop=True)[list(exp.columns)])
+    assert n == len(exp)
+    assert got.equals(exp)
