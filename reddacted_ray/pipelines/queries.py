@@ -8370,6 +8370,122 @@ def q_quantile_match(sf_dir: str) -> rd.Dataset:
                            zero_copy_batch=True)
 
 
+def q_closest_price_gap(sf_dir: str) -> rd.Dataset:
+    """Minimum gap between consecutive sorted retail prices per brand —
+    the near-duplicate-price audit (a 0 gap means two SKUs share a
+    price). One co-locating bucket shuffle on brand; inside the bucket
+    a single mergesort + grouped diff. All integer cents."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    part = sf_table(sf_dir, "part",
+                    columns=["p_brand", "p_retailprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": t["p_brand"],
+            "cents": _money_int(t["p_retailprice"], 100.0),
+        })
+
+    keyed = part.map_batches(prep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["p_brand", "cents"], kind="mergesort")
+        b = g["p_brand"].to_numpy()
+        c = g["cents"].to_numpy()
+        same = np.r_[False, b[1:] == b[:-1]]
+        d = np.empty(len(c), np.int64)
+        d[1:] = c[1:] - c[:-1]
+        f = pd.DataFrame({"p_brand": b[same], "gap": d[same]})
+        out = (f.groupby("p_brand", sort=False)["gap"].min()
+               .reset_index())
+        out.columns = ["p_brand", "min_gap"]
+        return out
+
+    return grouped_vectorized(keyed, "p_brand", gaps)
+
+
+def q_lang_overlap(sf_dir: str) -> pa.Table:
+    """Histogram-intersection similarity between two sources' language
+    mixes (the cheap distribution-agreement check before pooling
+    corpora): sum of per-lang MIN counts, scaled e4 by the smaller
+    total. One dimension-bounded grouped count; the intersection is
+    driver math over |langs| rows, all integer."""
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["lang", "source"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["source"], value_set=pa.array(["src0", "src1"]))
+        sel = t.filter(keep)
+        isa = pc.equal(sel["source"], "src0").to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "lang": sel["lang"],
+            "na": pa.array(isa.astype(np.int64)),
+            "nb": pa.array((~isa).astype(np.int64)),
+        })
+
+    d = (grouped_sums(docs.map_batches(prep, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                      ["lang"], ["na", "nb"])
+         .to_pandas())
+    na = d["na"].to_numpy(dtype=np.int64)
+    nb = d["nb"].to_numpy(dtype=np.int64)
+    inter = int(np.minimum(na, nb).sum())
+    denom = min(int(na.sum()), int(nb.sum()))
+    return pa.table({
+        "overlap_e4": pa.array([inter * 10_000 // denom], pa.int64()),
+        "n_src0": pa.array([int(na.sum())], pa.int64()),
+        "n_src1": pa.array([int(nb.sum())], pa.int64()),
+    })
+
+
+def q_daily_vwap(sf_dir: str) -> rd.Dataset:
+    """Daily volume-weighted average price over lineitem (VWAP — the
+    canonical weighted ratio-of-sums): both numerator and denominator
+    reduce as exact integers map-side; the single division per day is
+    the only float op, matching SQL's IEEE tree. Quantity units are
+    cents-scaled to keep the weights integral."""
+    from ..stages.agg import grouped_sums
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_shipdate", "l_quantity",
+                           "l_extendedprice"])
+    DAY = 86_400_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        qc = _money_int(t["l_quantity"], 100.0).to_numpy(
+            zero_copy_only=False)
+        pc_ = _money_int(t["l_extendedprice"], 100.0).to_numpy(
+            zero_copy_only=False)
+        days = (pc.cast(t["l_shipdate"], pa.int64()).to_numpy(
+            zero_copy_only=False) // DAY)
+        return pa.table({
+            "day": pa.array(days),
+            "pq": pa.array(pc_ * qc),
+            "q": pa.array(qc),
+        })
+
+    g = grouped_sums(li.map_batches(prep, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                     ["day"], ["pq", "q"])
+
+    def vwap(t: pa.Table) -> pa.Table:
+        pq_ = t["pq"].to_numpy(zero_copy_only=False)
+        q = t["q"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "day": t["day"],
+            "vwap": pa.array(pq_.astype(np.float64)
+                             / q.astype(np.float64)),
+        })
+
+    return g.map_batches(vwap, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -8600,6 +8716,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "weekday_profile": q_weekday_profile,
         "m4_downsample": q_m4_downsample,
         "quantile_match": q_quantile_match,
+        "closest_price_gap": q_closest_price_gap,
+        "lang_overlap": q_lang_overlap,
+        "daily_vwap": q_daily_vwap,
     }
 
 
@@ -10459,5 +10578,34 @@ def oracle_sqls() -> dict[str, str]:
             " AND rv.cumv * nc >= rc.cumc * nv GROUP BY 1)"
             " SELECT c.cents, m.matched_cents FROM c JOIN m USING (cents)"
             " WHERE c.event_type = 'click'"
+        ),
+        "closest_price_gap": (
+            "WITH c AS (SELECT p_brand,"
+            " CAST(round(p_retailprice * 100) AS BIGINT) AS cents"
+            " FROM part),"
+            " l AS (SELECT p_brand, cents - lag(cents) OVER"
+            " (PARTITION BY p_brand ORDER BY cents) AS gap FROM c)"
+            " SELECT p_brand, CAST(min(gap) AS BIGINT) AS min_gap"
+            " FROM l WHERE gap IS NOT NULL GROUP BY 1"
+        ),
+        "lang_overlap": (
+            "WITH d AS (SELECT lang, CAST(count(*) FILTER"
+            " (WHERE source = 'src0') AS BIGINT) AS na,"
+            " CAST(count(*) FILTER (WHERE source = 'src1') AS BIGINT)"
+            " AS nb FROM documents WHERE source IN ('src0', 'src1')"
+            " GROUP BY 1)"
+            " SELECT CAST(sum(LEAST(na, nb)) AS BIGINT) * 10000"
+            " // LEAST(CAST(sum(na) AS BIGINT),"
+            " CAST(sum(nb) AS BIGINT)) AS overlap_e4,"
+            " CAST(sum(na) AS BIGINT) AS n_src0,"
+            " CAST(sum(nb) AS BIGINT) AS n_src1 FROM d"
+        ),
+        "daily_vwap": (
+            "WITH c AS (SELECT epoch_us(l_shipdate) // 86400000000"
+            " AS day, CAST(round(l_quantity * 100) AS BIGINT) AS qc,"
+            " CAST(round(l_extendedprice * 100) AS BIGINT) AS pcc"
+            " FROM lineitem)"
+            " SELECT day, CAST(sum(pcc * qc) AS DOUBLE)"
+            " / CAST(sum(qc) AS DOUBLE) AS vwap FROM c GROUP BY 1"
         ),
     }
