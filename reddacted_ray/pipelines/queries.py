@@ -8486,6 +8486,129 @@ def q_daily_vwap(sf_dir: str) -> rd.Dataset:
                          zero_copy_batch=True)
 
 
+JL_DIMS = 4
+
+
+def _jl_signs(k: int, d: int) -> np.ndarray:
+    """Deterministic +-1 projection matrix: sign(i, j) from the first
+    hex nibble of md5('i:j') — identical on the SQL side, no RNG."""
+    import hashlib
+
+    s = np.empty((k, d), dtype=np.float64)
+    for i in range(k):
+        for j in range(d):
+            h = hashlib.md5(f"{i + 1}:{j + 1}".encode()).hexdigest()
+            s[i, j] = 1.0 if h[0] < "8" else -1.0
+    return s
+
+
+def q_jl_projection(sf_dir: str) -> rd.Dataset:
+    """Johnson-Lindenstrauss sketch of the embedding column: 4 output
+    dims, each the +-1-signed sum over the 64 inputs with the sign
+    matrix derived from md5 (rerun/engine-stable — the SQL oracle
+    recomputes the identical matrix from the same strings). Pure scan
+    map; each output dim sums via cumsum so the doubles bit-match SQL's
+    sequential list_sum."""
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def project(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        d = int(lens[0]) if len(lens) else 0
+        assert (lens == d).all(), "ragged embedding column"
+        vals = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, d)
+        signs = _jl_signs(JL_DIMS, d)
+        cols = {"vec_id": t["vec_id"]}
+        for i in range(JL_DIMS):
+            cols[f"p{i + 1}"] = pa.array(
+                np.cumsum(vals * signs[i], axis=1)[:, -1]
+                if d else np.zeros(0))
+        return pa.table(cols)
+
+    return emb.map_batches(project, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def q_grouped_trend(sf_dir: str) -> rd.Dataset:
+    """Per-group OLS trend: the slope of value-cents against the
+    day offset for every event_type, from FIVE integer partial sums
+    (n, Sx, Sy, Sxy, Sxx) combined map-side — order-free by
+    construction; the closing division is the one float op (identical
+    IEEE tree to the SQL). Day offsets keep x small so every product
+    stays in int64."""
+    from ..stages.agg import grouped_sums
+
+    DAY = 86_400_000_000
+    ev = sf_table(sf_dir, "events", columns=["event_type", "ts",
+                                             "value"])
+    pds = ev.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "day": pc.divide(pc.cast(t["ts"], pa.int64()),
+                             pa.scalar(DAY, pa.int64())),
+            "cents": _money_int(t["value"], 100.0),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+    min_day = int(pds.aggregate(Min("day", alias_name="md"))["md"])
+
+    def parts(t: pa.Table) -> pa.Table:
+        x = (t["day"].to_numpy(zero_copy_only=False) - min_day)
+        y = t["cents"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "n": pa.array(np.ones(len(x), np.int64)),
+            "sx": pa.array(x),
+            "sy": pa.array(y),
+            "sxy": pa.array(x * y),
+            "sxx": pa.array(x * x),
+        })
+
+    g = grouped_sums(pds.map_batches(parts, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                     ["event_type"], ["n", "sx", "sy", "sxy", "sxx"])
+
+    def slope(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sy = t["sy"].to_numpy(zero_copy_only=False)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "slope": pa.array((n * sxy - sx * sy).astype(np.float64)
+                              / (n * sxx - sx * sx).astype(np.float64)),
+        })
+
+    return g.map_batches(slope, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def q_incremental_agg(sf_dir: str) -> rd.Dataset:
+    """Incremental materialized-view maintenance, PROVEN correct by the
+    oracle: the per-day count/sum aggregate is built as base (all days
+    but the last) MERGED with the last day's delta — two partial
+    grouped sums re-aggregated — while the SQL recomputes from scratch;
+    the hash match demonstrates the merge path is exactly the full
+    rebuild. Integer sums keep the merge order-free."""
+    from ..stages.agg import grouped_sums
+
+    DAY = 86_400_000_000
+    ev = sf_table(sf_dir, "events", columns=["ts", "value"])
+    pds = ev.map_batches(
+        lambda t: pa.table({
+            "day": pc.divide(pc.cast(t["ts"], pa.int64()),
+                             pa.scalar(DAY, pa.int64())),
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+            "cents": _money_int(t["value"], 100.0),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+    max_day = int(pds.aggregate(Max("day", alias_name="md"))["md"])
+    base = pds.filter(expr=f"day < {max_day}")
+    delta = pds.filter(expr=f"day >= {max_day}")
+    base_agg = grouped_sums(base, ["day"], ["n", "cents"])
+    delta_agg = grouped_sums(delta, ["day"], ["n", "cents"])
+    return grouped_sums(base_agg.union(delta_agg), ["day"],
+                        ["n", "cents"])
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -8719,6 +8842,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "closest_price_gap": q_closest_price_gap,
         "lang_overlap": q_lang_overlap,
         "daily_vwap": q_daily_vwap,
+        "jl_projection": q_jl_projection,
+        "grouped_trend": q_grouped_trend,
+        "incremental_agg": q_incremental_agg,
     }
 
 
@@ -10607,5 +10733,37 @@ def oracle_sqls() -> dict[str, str]:
             " FROM lineitem)"
             " SELECT day, CAST(sum(pcc * qc) AS DOUBLE)"
             " / CAST(sum(qc) AS DOUBLE) AS vwap FROM c GROUP BY 1"
+        ),
+        "jl_projection": (
+            "WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+            " FROM embeddings) SELECT vec_id, "
+            + ", ".join(
+                "list_sum(list_transform(generate_series(1, len(e)),"
+                f" j -> e[j] * (CASE WHEN substr(md5('{i}:' ||"
+                " CAST(j AS VARCHAR)), 1, 1) < '8' THEN 1.0"
+                f" ELSE -1.0 END))) AS p{i}"
+                for i in range(1, JL_DIMS + 1))
+            + " FROM a"
+        ),
+        "grouped_trend": (
+            "WITH c AS (SELECT event_type,"
+            " epoch_us(ts) // 86400000000 AS day,"
+            " CAST(round(value * 100) AS BIGINT) AS cents FROM events),"
+            " m AS (SELECT min(day) AS md FROM c),"
+            " x AS (SELECT event_type, day - md AS x, cents AS y"
+            " FROM c, m),"
+            " g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,"
+            " CAST(sum(x) AS BIGINT) AS sx,"
+            " CAST(sum(y) AS BIGINT) AS sy,"
+            " CAST(sum(x * y) AS BIGINT) AS sxy,"
+            " CAST(sum(x * x) AS BIGINT) AS sxx FROM x GROUP BY 1)"
+            " SELECT event_type, CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE) AS slope FROM g"
+        ),
+        "incremental_agg": (
+            "SELECT epoch_us(ts) // 86400000000 AS day,"
+            " CAST(count(*) AS BIGINT) AS n,"
+            " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+            " AS cents FROM events GROUP BY 1"
         ),
     }
