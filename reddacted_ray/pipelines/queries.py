@@ -8609,6 +8609,126 @@ def q_incremental_agg(sf_dir: str) -> rd.Dataset:
                         ["n", "cents"])
 
 
+def q_ttr_by_lang(sf_dir: str) -> rd.Dataset:
+    """Type-token ratio per language (vocabulary richness — the
+    lexical-diversity signal in corpus QA), integer-e4: distinct tokens
+    come from per-block (lang, token) dedup + a Count-dedup groupby
+    (bounded by vocab x langs); total tokens are one RE2-vectorized
+    count. No Python token loops anywhere."""
+    from ray.data.aggregate import Count as _Cnt
+
+    from ..functions.hashing import tokens_flat_batch
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["text", "lang"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        flat, doc_of = tokens_flat_batch(t["text"].to_pylist())
+        enc = pc.dictionary_encode(flat)
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = max(len(enc.dictionary), 1)
+        lang_codes, lang_inv = np.unique(langs, return_inverse=True)
+        uniq = np.unique(lang_inv[doc_of] * k + idx)
+        return pa.table({
+            "lang": pa.array(lang_codes[uniq // k]),
+            "tok": enc.dictionary.take(pa.array(uniq % k)),
+        })
+
+    pairs = docs.map_batches(explode, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    distinct = (pairs.groupby(["lang", "tok"])
+                .aggregate(_Cnt(alias_name="c")))
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t["lang"],
+            "types": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    types = grouped_sums(
+        distinct.map_batches(ones, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["lang"], ["types"])
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t["lang"],
+            "tokens": pc.cast(
+                pc.count_substring_regex(t["text"], r"\S+"), pa.int64()),
+        })
+
+    totals = grouped_sums(
+        docs.map_batches(tok_counts, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["lang"], ["tokens"]).to_pandas()
+    tot = dict(zip(totals["lang"], totals["tokens"].astype(int)))
+    langs_arr = pa.array(sorted(tot), pa.string())
+    tok_arr = pa.array([tot[l] for l in sorted(tot)], pa.int64())
+    ref = ray.put((langs_arr, tok_arr))
+
+    def ratio(t: pa.Table) -> pa.Table:
+        ls, ts = ray.get(ref)
+        tk = pc.take(ts, pc.index_in(t["lang"], value_set=ls)).to_numpy(
+            zero_copy_only=False)
+        ty = t["types"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lang": t["lang"],
+            "types": t["types"],
+            "tokens": pa.array(tk),
+            "ttr_e4": pa.array(ty * 10_000 // tk),
+        })
+
+    return types.map_batches(ratio, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def q_nation_hhi(sf_dir: str) -> rd.Dataset:
+    """Market concentration per nation: the Herfindahl index over its
+    customers' revenue shares, with shares floored to integer e4 so the
+    squared sum is pure integer (deterministic under any distribution).
+    Customer revenue reduces once (bounded by |customer|); nation
+    attaches via the adaptive broadcast; the HHI finish is one bucketed
+    vectorized pass."""
+    import pandas as pd
+
+    from ..stages.agg import grouped_sums
+    from ..stages.joins import attach_via_lookup
+    from ..stages.windows import grouped_vectorized
+
+    orders = sf_table(sf_dir, "orders",
+                      columns=["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "cents": _money_int(t["o_totalprice"], 100.0),
+        })
+
+    rev = grouped_sums(orders.map_batches(prep, batch_format="pyarrow",
+                                          zero_copy_batch=True),
+                       ["o_custkey"], ["cents"])
+    cust = sf_table(sf_dir, "customer",
+                    columns=["c_custkey", "c_nationkey"])
+    withnat = attach_via_lookup(rev, "o_custkey", cust, "c_custkey",
+                                {"c_nationkey": "c_nationkey"})
+
+    def hhi(g: pd.DataFrame) -> pd.DataFrame:
+        out_nat, out_hhi = [], []
+        for nat, sub in g.groupby("c_nationkey", sort=False):
+            c = sub["cents"].to_numpy(dtype=np.int64)
+            tot = int(c.sum())
+            sh = c * 10_000 // tot
+            out_nat.append(nat)
+            out_hhi.append(int(np.sum(sh * sh)))
+        return pd.DataFrame({
+            "c_nationkey": np.array(out_nat, dtype=np.int64),
+            "hhi_e8": np.array(out_hhi, dtype=np.int64),
+        })
+
+    return grouped_vectorized(withnat, "c_nationkey", hhi)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -8845,6 +8965,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "jl_projection": q_jl_projection,
         "grouped_trend": q_grouped_trend,
         "incremental_agg": q_incremental_agg,
+        "ttr_by_lang": q_ttr_by_lang,
+        "nation_hhi": q_nation_hhi,
     }
 
 
@@ -10765,5 +10887,29 @@ def oracle_sqls() -> dict[str, str]:
             " CAST(count(*) AS BIGINT) AS n,"
             " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
             " AS cents FROM events GROUP BY 1"
+        ),
+        "ttr_by_lang": (
+            "WITH w AS (SELECT lang,"
+            " unnest(string_split(text, ' ')) AS tok FROM documents),"
+            " ty AS (SELECT lang, CAST(count(DISTINCT tok) AS BIGINT)"
+            " AS types FROM w GROUP BY 1),"
+            " tk AS (SELECT lang, CAST(count(*) AS BIGINT) AS tokens"
+            " FROM w GROUP BY 1)"
+            " SELECT lang, types, tokens, types * 10000 // tokens"
+            " AS ttr_e4 FROM ty JOIN tk USING (lang)"
+        ),
+        "nation_hhi": (
+            "WITH r AS (SELECT o_custkey,"
+            " CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " AS BIGINT) AS cents FROM orders GROUP BY 1),"
+            " j AS (SELECT c_nationkey, cents FROM r"
+            " JOIN customer ON c_custkey = o_custkey),"
+            " t AS (SELECT c_nationkey, CAST(sum(cents) AS BIGINT)"
+            " AS tot FROM j GROUP BY 1),"
+            " s AS (SELECT j.c_nationkey,"
+            " (cents * 10000) // tot AS sh FROM j"
+            " JOIN t USING (c_nationkey))"
+            " SELECT c_nationkey, CAST(sum(sh * sh) AS BIGINT)"
+            " AS hhi_e8 FROM s GROUP BY 1"
         ),
     }
