@@ -8729,6 +8729,115 @@ def q_nation_hhi(sf_dir: str) -> rd.Dataset:
     return grouped_vectorized(withnat, "c_nationkey", hhi)
 
 
+def q_token_fertility(sf_dir: str) -> rd.Dataset:
+    """Tokenizer fertility per language (chars per token, e4 integer —
+    the compression-ratio signal multilingual tokenizer work tracks):
+    token chars = text length minus separator spaces, both from
+    vectorized Arrow kernels; one dimension-bounded grouped sum."""
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["text", "lang"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        total = pc.utf8_length(t["text"])
+        spaces = pc.count_substring(t["text"], " ")
+        toks = pc.count_substring_regex(t["text"], r"\S+")
+        return pa.table({
+            "lang": t["lang"],
+            "chars": pc.cast(pc.subtract(total, spaces), pa.int64()),
+            "tokens": pc.cast(toks, pa.int64()),
+        })
+
+    g = grouped_sums(docs.map_batches(counts, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                     ["lang"], ["chars", "tokens"])
+
+    def fert(t: pa.Table) -> pa.Table:
+        ch = t["chars"].to_numpy(zero_copy_only=False)
+        tk = t["tokens"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lang": t["lang"],
+            "chars": t["chars"],
+            "tokens": t["tokens"],
+            "fertility_e4": pa.array(ch * 10_000 // tk),
+        })
+
+    return g.map_batches(fert, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def q_reorder_gaps(sf_dir: str) -> rd.Dataset:
+    """Reorder-interval histogram: days between a customer's
+    consecutive orders, counted per gap length — the repurchase-cycle
+    distribution. Per-customer lag inside one co-locating bucket
+    shuffle ((custkey, date, orderkey) mergesort), then a map-side-
+    combined count exchange over the tiny gap domain."""
+    import pandas as pd
+
+    from ..stages.agg import grouped_sums
+    from ..stages.windows import grouped_vectorized
+
+    DAY = 86_400_000_000
+    orders = sf_table(sf_dir, "orders",
+                      columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort")
+        u = g["o_custkey"].to_numpy()
+        d = (g["o_orderdate"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64) // DAY)
+        same = np.r_[False, u[1:] == u[:-1]]
+        gap = np.empty(len(u), np.int64)
+        gap[1:] = d[1:] - d[:-1]
+        return pd.DataFrame({
+            "gap_days": gap[same],
+            "n": np.ones(int(same.sum()), np.int64),
+        })
+
+    return grouped_sums(
+        grouped_vectorized(orders, "o_custkey", gaps),
+        ["gap_days"], ["n"])
+
+
+def q_pii_by_lang(sf_dir: str) -> rd.Dataset:
+    """PII density per language — the privacy-review rollup over the
+    flagship detector: per-lang sums of email/name hits and veto
+    firings. The per-row core is the SAME CompiledBank the flagship and
+    the SQL oracle share (the oracle aggregates the generated PII CTE),
+    so the counts are reference-faithful by construction; the rollup is
+    one dimension-bounded grouped sum."""
+    from ..stages import process_cached
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "text"])
+    per_row = docs.map_batches(
+        process_cached(_PiiLangStage), batch_format="pyarrow",
+        zero_copy_batch=True)
+    return grouped_sums(per_row, ["lang"],
+                        ["emails", "names", "vetoes"])
+
+
+class _PiiLangStage:
+    """_PiiQueryStage (shared compiled banks, once per process via
+    process_cached) with the lang column carried through for the
+    per-language rollup — the stage preserves row order, so the input
+    lang column zips back on positionally."""
+
+    def __init__(self) -> None:
+        self.stage = _PiiQueryStage()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = self.stage(t.select(["doc_id", "text"]))
+        veto = out["veto"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lang": t["lang"],
+            "emails": out["n_email"],
+            "names": out["n_name"],
+            "vetoes": pa.array(veto.astype(np.int64)),
+        })
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -8967,6 +9076,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "incremental_agg": q_incremental_agg,
         "ttr_by_lang": q_ttr_by_lang,
         "nation_hhi": q_nation_hhi,
+        "token_fertility": q_token_fertility,
+        "reorder_gaps": q_reorder_gaps,
+        "pii_by_lang": q_pii_by_lang,
     }
 
 
@@ -10911,5 +11023,33 @@ def oracle_sqls() -> dict[str, str]:
             " JOIN t USING (c_nationkey))"
             " SELECT c_nationkey, CAST(sum(sh * sh) AS BIGINT)"
             " AS hhi_e8 FROM s GROUP BY 1"
+        ),
+        "token_fertility": (
+            "WITH c AS (SELECT lang,"
+            " CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars,"
+            " CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)"
+            " AS tokens FROM documents)"
+            " SELECT lang, CAST(sum(chars) AS BIGINT) AS chars,"
+            " CAST(sum(tokens) AS BIGINT) AS tokens,"
+            " CAST(sum(chars) AS BIGINT) * 10000"
+            " // CAST(sum(tokens) AS BIGINT) AS fertility_e4"
+            " FROM c GROUP BY 1"
+        ),
+        "reorder_gaps": (
+            "WITH o AS (SELECT o_custkey, o_orderkey,"
+            " epoch_us(o_orderdate) // 86400000000 AS d FROM orders),"
+            " l AS (SELECT d - lag(d) OVER (PARTITION BY o_custkey"
+            " ORDER BY d, o_orderkey) AS gap FROM o)"
+            " SELECT gap AS gap_days, CAST(count(*) AS BIGINT) AS n"
+            " FROM l WHERE gap IS NOT NULL GROUP BY 1"
+        ),
+        "pii_by_lang": (
+            PII_CTE
+            + " SELECT l.lang,"
+            " CAST(sum(n_email) AS BIGINT) AS emails,"
+            " CAST(sum(n_name) AS BIGINT) AS names,"
+            " CAST(sum(CASE WHEN veto THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS vetoes FROM k JOIN documents l USING (doc_id)"
+            " GROUP BY 1"
         ),
     }
