@@ -8838,6 +8838,117 @@ class _PiiLangStage:
         })
 
 
+def q_hapax_rate(sf_dir: str) -> pa.Table:
+    """Hapax legomena rate: the share of vocabulary occurring exactly
+    once in the corpus (the Zipf-tail health check for tokenizer /
+    dedup pipelines). Token explode reduces map-side to corpus term
+    frequencies (vocabulary-bounded); two scalars come back. Integer
+    e4 ratio."""
+    from ..functions.hashing import tokens_flat_batch
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        flat, _ = tokens_flat_batch(t["text"].to_pylist())
+        return pa.table({
+            "tok": flat,
+            "tf": pa.array(np.ones(len(flat), np.int64)),
+        })
+
+    tf = grouped_sums(docs.map_batches(explode, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                      ["tok"], ["tf"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        one = pc.cast(pc.equal(t["tf"], 1), pa.int64())
+        return pa.table({
+            "vocab": pa.array([t.num_rows], pa.int64()),
+            "hapax": pa.array([int(pc.sum(one).as_py() or 0)],
+                              pa.int64()),
+        })
+
+    agg = (tf.map_batches(flags, batch_format="pyarrow")
+           .aggregate(Sum("vocab", alias_name="vocab"),
+                      Sum("hapax", alias_name="hapax")))
+    vocab, hapax = int(agg["vocab"] or 0), int(agg["hapax"] or 0)
+    return pa.table({
+        "vocab": pa.array([vocab], pa.int64()),
+        "hapax": pa.array([hapax], pa.int64()),
+        "rate_e4": pa.array([hapax * 10_000 // vocab], pa.int64()),
+    })
+
+
+def q_top_movers(sf_dir: str) -> rd.Dataset:
+    """Day-over-day top movers: event types ranked by absolute count
+    change between the last two days — the anomaly headline a
+    monitoring dashboard leads with. Scan-filtered to two days, one
+    dimension-bounded grouped sum, driver-side rank over |types|
+    rows."""
+    from ..stages.agg import grouped_sums
+
+    DAY = 86_400_000_000
+    ev = sf_table(sf_dir, "events", columns=["ts", "event_type"])
+    pds = ev.map_batches(
+        lambda t: pa.table({
+            "day": pc.divide(pc.cast(t["ts"], pa.int64()),
+                             pa.scalar(DAY, pa.int64())),
+            "event_type": t["event_type"],
+        }), batch_format="pyarrow", zero_copy_batch=True)
+    max_day = int(pds.aggregate(Max("day", alias_name="md"))["md"])
+
+    def two_days(t: pa.Table) -> pa.Table:
+        d = t["day"].to_numpy(zero_copy_only=False)
+        m = d >= max_day - 1
+        sel = t.filter(pa.array(m))
+        dd = sel["day"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": sel["event_type"],
+            "n_prev": pa.array((dd == max_day - 1).astype(np.int64)),
+            "n_last": pa.array((dd == max_day).astype(np.int64)),
+        })
+
+    g = (grouped_sums(pds.map_batches(two_days, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                      ["event_type"], ["n_prev", "n_last"])
+         .to_pandas())
+    g["delta"] = (g["n_last"] - g["n_prev"]).astype(np.int64)
+    g["abs_delta"] = g["delta"].abs().astype(np.int64)
+    g = g.sort_values(["abs_delta", "event_type"],
+                      ascending=[False, True])
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(g["event_type"], pa.string()),
+        "n_prev": pa.array(g["n_prev"].to_numpy(dtype=np.int64)),
+        "n_last": pa.array(g["n_last"].to_numpy(dtype=np.int64)),
+        "delta": pa.array(g["delta"].to_numpy(dtype=np.int64)),
+    }))
+
+
+def q_type_graph_stats(sf_dir: str) -> rd.Dataset:
+    """Degree profile of the event-type transition graph: per node its
+    distinct out-degree, in-degree and self-loop transition count —
+    the sanity panel next to pagerank_events. Derived entirely from the
+    distributed bigram reduce (|types|^2 rows), finished on the
+    driver."""
+    edges = (q_event_bigrams(sf_dir).to_pandas())
+    import pandas as pd
+
+    nodes = sorted(set(edges["prev_type"]) | set(edges["next_type"]))
+    out_deg = edges.groupby("prev_type")["next_type"].nunique()
+    in_deg = edges.groupby("next_type")["prev_type"].nunique()
+    self_n = (edges[edges["prev_type"] == edges["next_type"]]
+              .set_index("prev_type")["n_pairs"])
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(nodes, pa.string()),
+        "out_degree": pa.array([int(out_deg.get(n, 0)) for n in nodes],
+                               pa.int64()),
+        "in_degree": pa.array([int(in_deg.get(n, 0)) for n in nodes],
+                              pa.int64()),
+        "self_loops": pa.array([int(self_n.get(n, 0)) for n in nodes],
+                               pa.int64()),
+    }))
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -9079,6 +9190,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "token_fertility": q_token_fertility,
         "reorder_gaps": q_reorder_gaps,
         "pii_by_lang": q_pii_by_lang,
+        "hapax_rate": q_hapax_rate,
+        "top_movers": q_top_movers,
+        "type_graph_stats": q_type_graph_stats,
     }
 
 
@@ -11051,5 +11165,50 @@ def oracle_sqls() -> dict[str, str]:
             " CAST(sum(CASE WHEN veto THEN 1 ELSE 0 END) AS BIGINT)"
             " AS vetoes FROM k JOIN documents l USING (doc_id)"
             " GROUP BY 1"
+        ),
+        "hapax_rate": (
+            "WITH w AS (SELECT unnest(string_split(text, ' ')) AS tok"
+            " FROM documents),"
+            " tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM w"
+            " GROUP BY 1),"
+            " s AS (SELECT CAST(count(*) AS BIGINT) AS vocab,"
+            " CAST(count(*) FILTER (WHERE tf = 1) AS BIGINT) AS hapax"
+            " FROM tf)"
+            " SELECT vocab, hapax, hapax * 10000 // vocab AS rate_e4"
+            " FROM s"
+        ),
+        "top_movers": (
+            "WITH p AS (SELECT epoch_us(ts) // 86400000000 AS day,"
+            " event_type FROM events),"
+            " m AS (SELECT max(day) AS md FROM p),"
+            " g AS (SELECT event_type, CAST(count(*) FILTER"
+            " (WHERE day = md - 1) AS BIGINT) AS n_prev,"
+            " CAST(count(*) FILTER (WHERE day = md) AS BIGINT)"
+            " AS n_last FROM p, m WHERE day >= md - 1 GROUP BY 1)"
+            " SELECT event_type, n_prev, n_last, n_last - n_prev"
+            " AS delta FROM g"
+        ),
+        "type_graph_stats": (
+            "WITH s AS (SELECT user_id, event_type,"
+            " lead(event_type) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id) AS nxt FROM events),"
+            " e AS (SELECT event_type AS src, nxt AS dst,"
+            " CAST(count(*) AS BIGINT) AS n FROM s"
+            " WHERE nxt IS NOT NULL GROUP BY 1, 2),"
+            " nodes AS (SELECT DISTINCT src AS node FROM e"
+            " UNION SELECT DISTINCT dst FROM e),"
+            " od AS (SELECT src AS node,"
+            " CAST(count(DISTINCT dst) AS BIGINT) AS out_degree"
+            " FROM e GROUP BY 1),"
+            " idg AS (SELECT dst AS node,"
+            " CAST(count(DISTINCT src) AS BIGINT) AS in_degree"
+            " FROM e GROUP BY 1),"
+            " sl AS (SELECT src AS node, n FROM e WHERE src = dst)"
+            " SELECT node AS event_type,"
+            " CAST(COALESCE(out_degree, 0) AS BIGINT) AS out_degree,"
+            " CAST(COALESCE(in_degree, 0) AS BIGINT) AS in_degree,"
+            " CAST(COALESCE(sl.n, 0) AS BIGINT) AS self_loops"
+            " FROM nodes LEFT JOIN od USING (node)"
+            " LEFT JOIN idg USING (node) LEFT JOIN sl USING (node)"
         ),
     }
