@@ -8974,6 +8974,83 @@ def q_type_graph_stats(sf_dir: str) -> rd.Dataset:
     }))
 
 
+def q_attribution_last_touch(sf_dir: str) -> rd.Dataset:
+    """Last-touch attribution: each purchase credits the user's most
+    recent PRECEDING non-purchase event type (the marketing-attribution
+    primitive). SQL needs last_value(... IGNORE NULLS) over a shifted
+    frame; here it's a vectorized LOCF index trick inside one
+    co-locating bucket shuffle — carry the index of the last
+    non-purchase row forward, shift by one position, gather."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["event_id", "user_id", "ts", "event_type"])
+
+    def attrib(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        n = len(u)
+        first = np.r_[True, u[1:] != u[:-1]]
+        src_pos = np.where(et != "purchase", np.arange(n), -1)
+        # segmented forward-fill of the last non-purchase row index:
+        # grouped cummax restarts the carry at each user boundary
+        carry = (pd.Series(src_pos).groupby(u, sort=False).cummax()
+                 .to_numpy())
+        prev = np.empty(n, np.int64)
+        prev[1:] = carry[:-1]
+        prev[0] = -1
+        prev[first] = -1
+        isp = et == "purchase"
+        ok = isp & (prev >= 0)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[ok],
+            "src_type": et[prev[ok]],
+        })
+
+    return grouped_vectorized(ev, "user_id", attrib)
+
+
+def q_allocate_slots(sf_dir: str) -> rd.Dataset:
+    """Largest-remainder (Hare quota) apportionment of 100 sampling
+    slots across event types proportional to their counts — the exact
+    integer allocation a stratified sampler needs (floors + the K
+    largest remainders get one extra; ties break by type name). Counts
+    reduce map-side; the apportionment is driver math over |types|
+    rows, all integer."""
+    from ..stages.agg import grouped_sums
+
+    SLOTS = 100
+    ev = sf_table(sf_dir, "events", columns=["event_type"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    g = (grouped_sums(ev.map_batches(ones, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["event_type"], ["n"])
+         .to_pandas().sort_values("event_type"))
+    n = g["n"].to_numpy(dtype=np.int64)
+    total = int(n.sum())
+    base = n * SLOTS // total
+    rem = n * SLOTS % total
+    extra = SLOTS - int(base.sum())
+    order = np.lexsort((g["event_type"].to_numpy(), -rem))
+    bonus = np.zeros(len(n), np.int64)
+    bonus[order[:extra]] = 1
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(g["event_type"], pa.string()),
+        "n": pa.array(n),
+        "slots": pa.array(base + bonus),
+    }))
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -9218,6 +9295,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "hapax_rate": q_hapax_rate,
         "top_movers": q_top_movers,
         "type_graph_stats": q_type_graph_stats,
+        "attribution_last_touch": q_attribution_last_touch,
+        "allocate_slots": q_allocate_slots,
     }
 
 
@@ -11235,5 +11314,28 @@ def oracle_sqls() -> dict[str, str]:
             " CAST(COALESCE(sl.n, 0) AS BIGINT) AS self_loops"
             " FROM nodes LEFT JOIN od USING (node)"
             " LEFT JOIN idg USING (node) LEFT JOIN sl USING (node)"
+        ),
+        "attribution_last_touch": (
+            "WITH w AS (SELECT event_id, event_type,"
+            " last_value(CASE WHEN event_type <> 'purchase'"
+            " THEN event_type END IGNORE NULLS) OVER"
+            " (PARTITION BY user_id ORDER BY ts, event_id"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+            " AS src_type FROM events)"
+            " SELECT event_id, src_type FROM w"
+            " WHERE event_type = 'purchase' AND src_type IS NOT NULL"
+        ),
+        "allocate_slots": (
+            "WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT)"
+            " AS n FROM events GROUP BY 1),"
+            " t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),"
+            " b AS (SELECT event_type, n, n * 100 // total AS base,"
+            " n * 100 % total AS rem FROM c, t),"
+            " x AS (SELECT CAST(100 - sum(base) AS BIGINT) AS extra"
+            " FROM b),"
+            " r AS (SELECT event_type, n, base, row_number() OVER"
+            " (ORDER BY rem DESC, event_type) AS rk FROM b)"
+            " SELECT event_type, n, CAST(base + CASE WHEN rk <= extra"
+            " THEN 1 ELSE 0 END AS BIGINT) AS slots FROM r, x"
         ),
     }
