@@ -9051,6 +9051,68 @@ def q_allocate_slots(sf_dir: str) -> rd.Dataset:
     }))
 
 
+def q_spend_decile_flow(sf_dir: str) -> rd.Dataset:
+    """Value-migration matrix: each user's daily-spend decile (rank
+    within that day, ties share below-count) transitions to their
+    decile on the next ACTIVE day; output counts per (from, to) pair —
+    the mobility analysis behind churn/upsell models. Three bounded
+    stages: (user, day) spend reduce, per-DAY decile via one bucketed
+    searchsorted, per-USER lead via a second bucket pass, then a tiny
+    count exchange. Decile = |smaller spenders that day| * 10 // n_day
+    (pure integers, tie-stable — never NTILE)."""
+    import pandas as pd
+
+    from ..stages.agg import grouped_sums
+    from ..stages.windows import grouped_vectorized
+
+    DAY = 86_400_000_000
+    ev = sf_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "day": pc.divide(pc.cast(t["ts"], pa.int64()),
+                             pa.scalar(DAY, pa.int64())),
+            "cents": _money_int(t["value"], 100.0),
+        })
+
+    spend = grouped_sums(ev.map_batches(prep, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                         ["user_id", "day"], ["cents"])
+
+    def decile_of_day(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for day, sub in g.groupby("day", sort=False):
+            c = sub["cents"].to_numpy(dtype=np.int64)
+            s = np.sort(c)
+            below = np.searchsorted(s, c, "left")
+            out.append(pd.DataFrame({
+                "user_id": sub["user_id"].to_numpy(dtype=np.int64),
+                "day": np.full(len(c), day, np.int64),
+                "dec": below * 10 // len(c),
+            }))
+        return (pd.concat(out) if out else
+                pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                              "day": pd.Series([], dtype="int64"),
+                              "dec": pd.Series([], dtype="int64")}))
+
+    decs = grouped_vectorized(spend, "day", decile_of_day)
+
+    def flows(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "day"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        d = g["dec"].to_numpy()
+        same = np.r_[u[1:] == u[:-1], False]
+        return pd.DataFrame({
+            "dec_from": d[:-1][same[:-1]] if len(d) else d,
+            "dec_to": d[1:][same[:-1]] if len(d) else d,
+            "n": np.ones(int(same.sum()), np.int64),
+        })
+
+    pairs = grouped_vectorized(decs, "user_id", flows)
+    return grouped_sums(pairs, ["dec_from", "dec_to"], ["n"])
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -9297,6 +9359,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "type_graph_stats": q_type_graph_stats,
         "attribution_last_touch": q_attribution_last_touch,
         "allocate_slots": q_allocate_slots,
+        "spend_decile_flow": q_spend_decile_flow,
     }
 
 
@@ -11337,5 +11400,19 @@ def oracle_sqls() -> dict[str, str]:
             " (ORDER BY rem DESC, event_type) AS rk FROM b)"
             " SELECT event_type, n, CAST(base + CASE WHEN rk <= extra"
             " THEN 1 ELSE 0 END AS BIGINT) AS slots FROM r, x"
+        ),
+        "spend_decile_flow": (
+            "WITH s AS (SELECT user_id,"
+            " epoch_us(ts) // 86400000000 AS day,"
+            " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+            " AS cents FROM events GROUP BY 1, 2),"
+            " d AS (SELECT user_id, day,"
+            " (rank() OVER (PARTITION BY day ORDER BY cents) - 1)"
+            " * 10 // (count(*) OVER (PARTITION BY day)) AS dec"
+            " FROM s),"
+            " f AS (SELECT dec AS dec_from, lead(dec) OVER"
+            " (PARTITION BY user_id ORDER BY day) AS dec_to FROM d)"
+            " SELECT dec_from, dec_to, CAST(count(*) AS BIGINT) AS n"
+            " FROM f WHERE dec_to IS NOT NULL GROUP BY 1, 2"
         ),
     }
