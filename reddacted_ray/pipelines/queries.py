@@ -9113,6 +9113,99 @@ def q_spend_decile_flow(sf_dir: str) -> rd.Dataset:
     return grouped_sums(pairs, ["dec_from", "dec_to"], ["n"])
 
 
+def q_fanout_histogram(sf_dir: str) -> rd.Dataset:
+    """Join-fanout diagnostic: the distribution of lineitems-per-order
+    (how many orders have k line items) — the skew profile a planner
+    consults before choosing a join strategy. Per-key counts reduce
+    map-side (bounded by |orders|); the histogram over counts is a
+    second, |distinct k|-bounded exchange."""
+    from ..stages.agg import grouped_sums
+
+    li = sf_table(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "k": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    per_key = grouped_sums(
+        li.map_batches(ones, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["l_orderkey"], ["k"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "fanout": t["k"],
+            "n_orders": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    return grouped_sums(
+        per_key.map_batches(hist, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        ["fanout"], ["n_orders"])
+
+
+def q_grouped_mad(sf_dir: str) -> rd.Dataset:
+    """Per-group robust scale: exact median + median absolute deviation
+    per event_type — the grouped twin of mad_value. Two (type, cents)
+    count exchanges (each bounded by distinct values per group); the
+    driver walks cumulative counts for both medians; deviations are
+    recomputed in the scan against broadcast medians. Rank rule matches
+    q_quantiles: smallest v with cum >= ceil(0.5 n)."""
+    import math
+
+    from ..stages.agg import grouped_sums
+
+    ev = sf_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "cents": _money_int(t["value"], 100.0),
+            "k": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    cds = ev.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    def pick_medians(df) -> dict:
+        meds = {}
+        for et, sub in df.groupby("event_type", sort=False):
+            sub = sub.sort_values("cents")
+            cum = sub["k"].cumsum().to_numpy()
+            rank = int(math.ceil(0.5 * int(cum[-1])))
+            meds[et] = int(sub["cents"].to_numpy()[
+                np.searchsorted(cum, rank, "left")])
+        return meds
+
+    med = pick_medians(
+        grouped_sums(cds, ["event_type", "cents"], ["k"]).to_pandas())
+    types = pa.array(sorted(med), pa.string())
+    meds_arr = pa.array([med[e] for e in sorted(med)], pa.int64())
+    ref = ray.put((types, meds_arr))
+
+    def dev(t: pa.Table) -> pa.Table:
+        tys, ms = ray.get(ref)
+        m = pc.take(ms, pc.index_in(t["event_type"], value_set=tys))
+        return pa.table({
+            "event_type": t["event_type"],
+            "cents": pc.abs(pc.subtract(t["cents"], m)),
+            "k": t["k"],
+        })
+
+    mad = pick_medians(
+        grouped_sums(cds.map_batches(dev, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                     ["event_type", "cents"], ["k"]).to_pandas())
+    keys = sorted(med)
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(keys, pa.string()),
+        "median_cents": pa.array([med[k] for k in keys], pa.int64()),
+        "mad_cents": pa.array([mad[k] for k in keys], pa.int64()),
+    }))
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -9360,6 +9453,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "attribution_last_touch": q_attribution_last_touch,
         "allocate_slots": q_allocate_slots,
         "spend_decile_flow": q_spend_decile_flow,
+        "fanout_histogram": q_fanout_histogram,
+        "grouped_mad": q_grouped_mad,
     }
 
 
@@ -11414,5 +11509,40 @@ def oracle_sqls() -> dict[str, str]:
             " (PARTITION BY user_id ORDER BY day) AS dec_to FROM d)"
             " SELECT dec_from, dec_to, CAST(count(*) AS BIGINT) AS n"
             " FROM f WHERE dec_to IS NOT NULL GROUP BY 1, 2"
+        ),
+        "fanout_histogram": (
+            "WITH c AS (SELECT l_orderkey, CAST(count(*) AS BIGINT)"
+            " AS k FROM lineitem GROUP BY 1)"
+            " SELECT k AS fanout, CAST(count(*) AS BIGINT) AS n_orders"
+            " FROM c GROUP BY 1"
+        ),
+        "grouped_mad": (
+            "WITH c AS (SELECT event_type,"
+            " CAST(round(value * 100) AS BIGINT) AS cents FROM events),"
+            " d AS (SELECT event_type, cents, count(*) AS k FROM c"
+            " GROUP BY 1, 2),"
+            " n AS (SELECT event_type, CAST(sum(k) AS BIGINT) AS cnt"
+            " FROM d GROUP BY 1),"
+            " r AS (SELECT event_type, cents, CAST(sum(k) OVER"
+            " (PARTITION BY event_type ORDER BY cents) AS BIGINT)"
+            " AS cum FROM d),"
+            " med AS (SELECT r.event_type, min(cents) AS m FROM r"
+            " JOIN n USING (event_type)"
+            " WHERE cum >= CAST(ceil(0.5 * cnt) AS BIGINT) GROUP BY 1),"
+            " dev AS (SELECT c.event_type, abs(cents - m) AS dc"
+            " FROM c JOIN med USING (event_type)),"
+            " dd AS (SELECT event_type, dc, count(*) AS k FROM dev"
+            " GROUP BY 1, 2),"
+            " nn AS (SELECT event_type, CAST(sum(k) AS BIGINT) AS cnt"
+            " FROM dd GROUP BY 1),"
+            " rr AS (SELECT event_type, dc, CAST(sum(k) OVER"
+            " (PARTITION BY event_type ORDER BY dc) AS BIGINT) AS cum"
+            " FROM dd),"
+            " mad AS (SELECT rr.event_type, min(dc) AS d FROM rr"
+            " JOIN nn USING (event_type)"
+            " WHERE cum >= CAST(ceil(0.5 * cnt) AS BIGINT) GROUP BY 1)"
+            " SELECT event_type, CAST(m AS BIGINT) AS median_cents,"
+            " CAST(d AS BIGINT) AS mad_cents FROM med"
+            " JOIN mad USING (event_type)"
         ),
     }
