@@ -143,13 +143,35 @@ def _only_colliding(
 
         return rows.map_batches(filt, batch_format="pyarrow",
                                 zero_copy_batch=True)
+    # partition-complete BOTH sides (covering_sentinels): the per-block
+    # -1 sentinel above lands in only ONE hash partition — with sparse
+    # collisions the other partitions receive no right-side shard at
+    # all and Acero rejects the zero-column block ("no match for key
+    # field", surfaced by the forced-fallback sweep). Pad keys are
+    # negative, so the matching pad-pad join rows filter out exactly.
+    from .joins import _cover_block, covering_sentinels
+
+    row_types = dict(zip(rows.schema().names, rows.schema().types))
+    cover = covering_sentinels(num_partitions, key_type)
+    left = rows.union(rd.from_arrow(
+        _cover_block(row_types, key_col, cover)))
+    right = dup_keys.union(rd.from_arrow(
+        pa.table({key_col: pa.array(cover, key_type)})))
+
+    def drop_pads(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return t
+        return t.filter(pa.compute.greater_equal(
+            t[key_col], pa.scalar(0, key_type)))
+
     return ensure_schema(
-        rows.join(
-            dup_keys, join_type="inner", num_partitions=num_partitions,
+        left.join(
+            right, join_type="inner", num_partitions=num_partitions,
             on=(key_col,),
         ),
         list(zip(rows.schema().names, rows.schema().types)),
-    )
+    ).map_batches(drop_pads, batch_format="pyarrow",
+                  zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------

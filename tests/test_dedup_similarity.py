@@ -652,3 +652,25 @@ def test_incremental_index_dedup_roundtrip(ray_session, tmp_path):
     # idempotent rebuild (dir cleared, not appended)
     build_content_index(corpus, "text", idx)
     assert pads.dataset(idx, format="parquet").count_rows() == 40
+
+
+def test_banded_fallback_path_agrees(ray_session, monkeypatch):
+    """_only_colliding's forced distributed semi-join (REDD_BCAST_CAP=0)
+    must return exactly the broadcast-path result on the banded
+    phash near-dup — locking the covering-sentinel fix for Ray 2.49's
+    empty-hash-partition join crash surfaced by the forced sweep."""
+    import pandas as pd
+
+    from reddacted_ray.pipelines.queries import registry
+
+    sf = "/root/testdata/sf0.001"
+
+    def run():
+        df = registry()["dedup_phash_near"](sf).to_pandas()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    base = run()
+    monkeypatch.setenv("REDD_BCAST_CAP", "0")
+    forced = run()
+    monkeypatch.delenv("REDD_BCAST_CAP")
+    pd.testing.assert_frame_equal(base, forced, check_exact=True)
