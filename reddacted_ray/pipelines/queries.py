@@ -9206,6 +9206,102 @@ def q_grouped_mad(sf_dir: str) -> rd.Dataset:
     }))
 
 
+def q_record_events(sf_dir: str) -> rd.Dataset:
+    """Record-breaking events: rows whose value strictly exceeds the
+    user's previous running maximum (the high-water-mark detector).
+    One co-locating bucket shuffle; the prior max is a grouped cummax
+    shifted one row — all integer cents."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["event_id", "user_id", "ts", "value"])
+
+    def records(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy()
+        c = _money_np(g["value"].to_numpy())
+        cm = pd.Series(c).groupby(u, sort=False).cummax().to_numpy()
+        first = np.r_[True, u[1:] != u[:-1]]
+        prev = np.empty(len(c), np.int64)
+        prev[1:] = cm[:-1]
+        is_rec = first | (c > prev)
+        # the first event of a user is a record by definition
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[is_rec],
+            "cents": c[is_rec],
+        })
+
+    return grouped_vectorized(ev, "user_id", records)
+
+
+def q_path_counts(sf_dir: str) -> rd.Dataset:
+    """Behavioral-path frequency table: how many users share each full
+    ordered event-type journey — a pipeline COMPOSED over
+    user_event_path's ordered string_agg, plus one tiny count exchange
+    over the path strings."""
+    from ..stages.agg import grouped_sums
+
+    paths = q_user_event_path(sf_dir)
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "path": t["path"],
+            "n_users": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    return grouped_sums(
+        paths.map_batches(ones, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["path"], ["n_users"])
+
+
+def q_asof_recent_error(sf_dir: str) -> rd.Dataset:
+    """Tolerance-bounded as-of: each click gains the same user's most
+    recent error ONLY if it happened within the last hour (the
+    staleness cap every feature-store as-of ships with;
+    ``asof_join_backward(tolerance=...)``). Output keeps matched rows —
+    identical to SQL ASOF + a gap predicate."""
+    import pandas as pd
+
+    from ..stages.joins import asof_join_backward
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["event_id", "user_id", "ts", "event_type"])
+
+    def clicks_fn(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["event_type"], "click")).drop_columns(
+            ["event_type"])
+
+    def errors_fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "error"))
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "err_ts": t["ts"]})
+
+    joined = asof_join_backward(
+        ev.map_batches(clicks_fn, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ev.map_batches(errors_fn, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        by_col="user_id", ts_col="ts", value_cols=["err_ts"],
+        tolerance=pd.Timedelta(hours=1))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        m = g["err_ts"].notna().to_numpy()
+        ts = (g["ts"].to_numpy().astype("datetime64[us]")
+              .astype(np.int64))[m]
+        er = (g["err_ts"].to_numpy().astype("datetime64[us]")
+              .astype(np.int64))[m]
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[m],
+            "gap_us": ts - er,
+        })
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -9455,6 +9551,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "spend_decile_flow": q_spend_decile_flow,
         "fanout_histogram": q_fanout_histogram,
         "grouped_mad": q_grouped_mad,
+        "record_events": q_record_events,
+        "path_counts": q_path_counts,
+        "asof_recent_error": q_asof_recent_error,
     }
 
 
@@ -11544,5 +11643,32 @@ def oracle_sqls() -> dict[str, str]:
             " SELECT event_type, CAST(m AS BIGINT) AS median_cents,"
             " CAST(d AS BIGINT) AS mad_cents FROM med"
             " JOIN mad USING (event_type)"
+        ),
+        "record_events": (
+            "WITH c AS (SELECT event_id, user_id, ts,"
+            " CAST(round(value * 100) AS BIGINT) AS cents FROM events),"
+            " w AS (SELECT event_id, cents, max(cents) OVER"
+            " (PARTITION BY user_id ORDER BY ts, event_id"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+            " AS prevmax FROM c)"
+            " SELECT event_id, cents FROM w"
+            " WHERE prevmax IS NULL OR cents > prevmax"
+        ),
+        "path_counts": (
+            "WITH p AS (SELECT user_id, string_agg(event_type, '->'"
+            " ORDER BY ts, event_id) AS path FROM events GROUP BY 1)"
+            " SELECT path, CAST(count(*) AS BIGINT) AS n_users"
+            " FROM p GROUP BY 1"
+        ),
+        "asof_recent_error": (
+            "SELECT l.event_id, epoch_us(l.ts) - epoch_us(r.ts)"
+            " AS gap_us"
+            " FROM (SELECT event_id, user_id, ts FROM events"
+            " WHERE event_type = 'click') l"
+            " ASOF LEFT JOIN (SELECT user_id, ts FROM events"
+            " WHERE event_type = 'error') r"
+            " ON l.user_id = r.user_id AND l.ts >= r.ts"
+            " WHERE r.ts IS NOT NULL"
+            " AND l.ts - r.ts <= INTERVAL 1 HOUR"
         ),
     }

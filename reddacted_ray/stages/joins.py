@@ -93,6 +93,7 @@ def asof_join_backward(
     n_buckets: int = 64,
     direction: str = "backward",
     allow_exact_matches: bool = True,
+    tolerance=None,
 ) -> rd.Dataset:
     """Distributed as-of LEFT join: each left row gains the
     ``value_cols`` of the right row with the greatest ``ts <= left.ts``
@@ -100,7 +101,9 @@ def asof_join_backward(
     r.ts``) or the smallest ``ts >= left.ts`` (``"forward"``, the
     next-event lookup; with ``allow_exact_matches=False`` the
     comparisons turn strict) in the same ``by_col`` group; unmatched
-    rows get nulls.
+    rows get nulls. ``tolerance`` (a ``pd.Timedelta`` / numeric matching
+    the ts dtype) bounds the match window — older/farther right rows
+    become non-matches, the standard staleness cap on feature as-ofs.
 
     Custom operator (Ray Data has no as-of join). Shape: both sides tag a
     ``_side`` column and union; ONE hash-bucket shuffle co-locates the
@@ -176,6 +179,7 @@ def asof_join_backward(
             out = pd.merge_asof(
                 l, r, on=ts_col, by=by_col, direction=direction,
                 allow_exact_matches=allow_exact_matches,
+                tolerance=tolerance,
             )
         for c in lcols:
             if out[c].dtype != ldtypes[c]:
