@@ -9302,6 +9302,72 @@ def q_asof_recent_error(sf_dir: str) -> rd.Dataset:
     return joined.map_batches(finish, batch_format="pandas")
 
 
+def q_max_drawdown(sf_dir: str) -> rd.Dataset:
+    """Maximum drawdown per user (largest peak-to-trough drop of the
+    value series in time order — the risk metric generalized to any
+    KPI stream): drawdown_i = running_max - v_i, answer = max over i.
+    One co-locating bucket shuffle, grouped cummax + grouped max, all
+    integer cents."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["event_id", "user_id", "ts", "value"])
+
+    def dd(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy()
+        c = _money_np(g["value"].to_numpy())
+        cm = pd.Series(c).groupby(u, sort=False).cummax().to_numpy()
+        draw = cm - c
+        out = (pd.DataFrame({"user_id": u, "draw": draw})
+               .groupby("user_id", sort=False)["draw"].max()
+               .reset_index())
+        out.columns = ["user_id", "max_drawdown_cents"]
+        out["max_drawdown_cents"] = out["max_drawdown_cents"].astype(
+            np.int64)
+        return out
+
+    return grouped_vectorized(ev, "user_id", dd)
+
+
+def q_longest_value_run(sf_dir: str) -> rd.Dataset:
+    """Longest strictly-increasing value run per user (the
+    momentum-streak variant of gaps-and-islands; longest_streak is the
+    calendar-day one): breaks where v <= prev start new islands, the
+    answer is the biggest island. One bucket shuffle, vectorized island
+    arithmetic."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["event_id", "user_id", "ts", "value"])
+
+    def runs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy()
+        c = _money_np(g["value"].to_numpy())
+        first = np.r_[True, u[1:] != u[:-1]]
+        inc = np.empty(len(c), dtype=bool)
+        inc[0] = False
+        inc[1:] = c[1:] > c[:-1]
+        brk = first | ~inc
+        isl = np.cumsum(brk)
+        sizes = pd.Series(np.ones(len(c), np.int64)).groupby(
+            isl, sort=False).transform("sum").to_numpy()
+        out = (pd.DataFrame({"user_id": u, "s": sizes})
+               .groupby("user_id", sort=False)["s"].max().reset_index())
+        out.columns = ["user_id", "run_len"]
+        out["run_len"] = out["run_len"].astype(np.int64)
+        return out
+
+    return grouped_vectorized(ev, "user_id", runs)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -9554,6 +9620,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "record_events": q_record_events,
         "path_counts": q_path_counts,
         "asof_recent_error": q_asof_recent_error,
+        "max_drawdown": q_max_drawdown,
+        "longest_value_run": q_longest_value_run,
     }
 
 
@@ -11670,5 +11738,30 @@ def oracle_sqls() -> dict[str, str]:
             " ON l.user_id = r.user_id AND l.ts >= r.ts"
             " WHERE r.ts IS NOT NULL"
             " AND l.ts - r.ts <= INTERVAL 1 HOUR"
+        ),
+        "max_drawdown": (
+            "WITH c AS (SELECT user_id, ts, event_id,"
+            " CAST(round(value * 100) AS BIGINT) AS v FROM events),"
+            " w AS (SELECT user_id, max(v) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - v"
+            " AS draw FROM c)"
+            " SELECT user_id, CAST(max(draw) AS BIGINT)"
+            " AS max_drawdown_cents FROM w GROUP BY 1"
+        ),
+        "longest_value_run": (
+            "WITH c AS (SELECT user_id, ts, event_id,"
+            " CAST(round(value * 100) AS BIGINT) AS v FROM events),"
+            " l AS (SELECT user_id, ts, event_id, v, lag(v) OVER"
+            " (PARTITION BY user_id ORDER BY ts, event_id) AS pv"
+            " FROM c),"
+            " b AS (SELECT user_id, ts, event_id, CASE WHEN pv IS NULL"
+            " OR v <= pv THEN 1 ELSE 0 END AS brk FROM l),"
+            " i AS (SELECT user_id, sum(brk) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS isl"
+            " FROM b),"
+            " s AS (SELECT user_id, isl, count(*) AS k FROM i"
+            " GROUP BY 1, 2)"
+            " SELECT user_id, CAST(max(k) AS BIGINT) AS run_len"
+            " FROM s GROUP BY 1"
         ),
     }
