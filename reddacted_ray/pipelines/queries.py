@@ -9368,6 +9368,71 @@ def q_longest_value_run(sf_dir: str) -> rd.Dataset:
     return grouped_vectorized(ev, "user_id", runs)
 
 
+def q_resize_images(sf_dir: str) -> rd.Dataset:
+    """Image RESIZE as a pipeline stage (actor-pool decode -> nearest-
+    neighbor 16x16 -> re-encode), verified by re-decoding: the output
+    streams through decode_stats and must report the new dimensions
+    with decode_ok everywhere. Rows-only (binary payloads);
+    pixel-exactness of the codec chain is locked in
+    tests/test_dedup_similarity.py."""
+    import os
+
+    from ..sources.tables import read_table
+    from ..stages.multimodal import decode_stats, resize
+    from ..synth import write_dataset
+
+    sf = (os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+          or "0.01")
+    img_dir = write_dataset(f"/tmp/graft_images/small_sf{sf}", 2000,
+                            seed=42)
+    ds = resize(read_table(img_dir), 16, 16)
+    return decode_stats(ds).select_columns(
+        ["image_id", "w", "h", "decode_ok"])
+
+
+def q_top_terms_per_lang(sf_dir: str) -> rd.Dataset:
+    """Grouped heavy hitters: the top-3 tokens by document frequency
+    WITHIN each language (DF desc, token asc ties). Per-block distinct
+    (lang, doc, token) triples reduce to a vocabulary-x-langs DF table;
+    the per-lang top-3 is one bucketed vectorized argsort — the
+    top_terms shape made per-group."""
+    import pandas as pd
+
+    from ..functions.hashing import tokens_flat_batch
+    from ..stages.agg import grouped_sums
+    from ..stages.windows import grouped_vectorized
+
+    docs = _docs(sf_dir, ["text", "lang"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        flat, doc_of = tokens_flat_batch(t["text"].to_pylist())
+        enc = pc.dictionary_encode(flat)
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = max(len(enc.dictionary), 1)
+        uniq = np.unique(doc_of.astype(np.int64) * k + idx)
+        return pa.table({
+            "lang": pa.array(langs[uniq // k]),
+            "tok": enc.dictionary.take(pa.array(uniq % k)),
+            "df": pa.array(np.ones(len(uniq), np.int64)),
+        })
+
+    dfs = grouped_sums(docs.map_batches(explode, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                       ["lang", "tok"], ["df"])
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "df", "tok"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        out = g.groupby("lang", sort=False).head(3).copy()
+        out["rnk"] = (out.groupby("lang", sort=False).cumcount() + 1
+                      ).astype(np.int64)
+        return out[["lang", "tok", "df", "rnk"]]
+
+    return grouped_vectorized(dfs, "lang", top3)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -9622,6 +9687,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "asof_recent_error": q_asof_recent_error,
         "max_drawdown": q_max_drawdown,
         "longest_value_run": q_longest_value_run,
+        "top_terms_per_lang": q_top_terms_per_lang,
+        # rows-only multimodal resize (binary payloads)
+        "resize_images": q_resize_images,
     }
 
 
@@ -11763,5 +11831,16 @@ def oracle_sqls() -> dict[str, str]:
             " GROUP BY 1, 2)"
             " SELECT user_id, CAST(max(k) AS BIGINT) AS run_len"
             " FROM s GROUP BY 1"
+        ),
+        "top_terms_per_lang": (
+            "WITH w AS (SELECT lang, doc_id,"
+            " unnest(string_split(text, ' ')) AS tok FROM documents),"
+            " d AS (SELECT DISTINCT lang, doc_id, tok FROM w),"
+            " f AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS df"
+            " FROM d GROUP BY 1, 2),"
+            " r AS (SELECT lang, tok, df, row_number() OVER"
+            " (PARTITION BY lang ORDER BY df DESC, tok) AS rnk FROM f)"
+            " SELECT lang, tok, df, CAST(rnk AS BIGINT) AS rnk"
+            " FROM r WHERE rnk <= 3"
         ),
     }
