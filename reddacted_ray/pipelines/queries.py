@@ -9433,6 +9433,43 @@ def q_top_terms_per_lang(sf_dir: str) -> rd.Dataset:
     return grouped_vectorized(dfs, "lang", top3)
 
 
+def q_weighted_quantiles(sf_dir: str) -> pa.Table:
+    """Weighted quartiles of quantity (each row weighted by its
+    extendedprice cents — the spend-weighted size distribution buyers
+    actually experience): one integer weight-sum reduce per distinct
+    quantity, driver cumsum, pick the smallest value whose scaled
+    cumulative weight reaches q x total (cum * 4 >= q4 * tot, all
+    integer)."""
+    from ..stages.agg import grouped_sums
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "qc": _money_int(t["l_quantity"], 100.0),
+            "wc": _money_int(t["l_extendedprice"], 100.0),
+        })
+
+    g = (grouped_sums(li.map_batches(prep, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["qc"], ["wc"])
+         .to_pandas().sort_values("qc"))
+    w = g["wc"].to_numpy(dtype=np.int64)
+    vals = g["qc"].to_numpy(dtype=np.int64)
+    tot = int(w.sum())
+    cum = np.cumsum(w)
+    out = {}
+    for name, q4 in (("wp25", 1), ("wp50", 2), ("wp75", 3)):
+        idx = int(np.searchsorted(cum * 4, q4 * tot, "left"))
+        out[name] = int(vals[idx])
+    return pa.table({
+        "wp25": pa.array([out["wp25"]], pa.int64()),
+        "wp50": pa.array([out["wp50"]], pa.int64()),
+        "wp75": pa.array([out["wp75"]], pa.int64()),
+    })
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -9688,6 +9725,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "max_drawdown": q_max_drawdown,
         "longest_value_run": q_longest_value_run,
         "top_terms_per_lang": q_top_terms_per_lang,
+        "weighted_quantiles": q_weighted_quantiles,
         # rows-only multimodal resize (binary payloads)
         "resize_images": q_resize_images,
     }
@@ -11842,5 +11880,21 @@ def oracle_sqls() -> dict[str, str]:
             " (PARTITION BY lang ORDER BY df DESC, tok) AS rnk FROM f)"
             " SELECT lang, tok, df, CAST(rnk AS BIGINT) AS rnk"
             " FROM r WHERE rnk <= 3"
+        ),
+        "weighted_quantiles": (
+            "WITH c AS (SELECT CAST(round(l_quantity * 100) AS BIGINT)"
+            " AS qc, CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " AS wc FROM lineitem),"
+            " g AS (SELECT qc, CAST(sum(wc) AS BIGINT) AS w FROM c"
+            " GROUP BY 1),"
+            " t AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM g),"
+            " r AS (SELECT qc, CAST(sum(w) OVER (ORDER BY qc)"
+            " AS BIGINT) AS cum FROM g)"
+            " SELECT (SELECT min(qc) FROM r, t WHERE cum * 4 >= tot)"
+            " AS wp25,"
+            " (SELECT min(qc) FROM r, t WHERE cum * 4 >= 2 * tot)"
+            " AS wp50,"
+            " (SELECT min(qc) FROM r, t WHERE cum * 4 >= 3 * tot)"
+            " AS wp75"
         ),
     }
