@@ -290,6 +290,15 @@ def run_bench() -> dict:
         "winsorize_value",
         "weighted_sample",
         "dedup_keep_best",
+        # round-4 session-2 additions (one per new op family)
+        "decile_price_stats",
+        "rolling_dau_7d",
+        "window_join_counts",
+        "cdc_merge",
+        "grouped_winsorize",
+        "attribution_last_touch",
+        "late_event_filter",
+        "bigram_cond_probs",
     ]:
         timed(name, Q.registry()[name])
 
