@@ -9470,6 +9470,244 @@ def q_weighted_quantiles(sf_dir: str) -> pa.Table:
     })
 
 
+def q_rfm_segments(sf_dir: str) -> rd.Dataset:
+    """RFM customer segmentation: per customer Recency (days since last
+    order), Frequency (order count), Monetary (sum of whole dollars);
+    each dimension scored into quintiles with the tie-stable below-count
+    rule ((rank-1)*5//n — never NTILE); output = customer counts per
+    (r, f, m) cell (<= 125 rows). Scale shape: one customer-level
+    reduce (materialized ONCE — three consumers), then three
+    DOMAIN-bounded value-count exchanges (days / order-count / whole
+    dollars, none SF-proportional) whose driver cumsums become
+    broadcast rank maps; scores attach via searchsorted in the scan."""
+    DAY = 86_400_000_000
+    od = sf_table(sf_dir, "orders",
+                  columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cust": t["o_custkey"],
+            "day": pc.divide(pc.cast(t["o_orderdate"], pa.int64()),
+                             pa.scalar(DAY, pa.int64())),
+            "dollars": pc.divide(_money_int(t["o_totalprice"], 100.0),
+                                 pa.scalar(100, pa.int64())),
+        })
+
+    reduced = (od.map_batches(prep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby("cust")
+               .aggregate(Count(alias_name="freq"),
+                          Sum("dollars", alias_name="mon"),
+                          Max("day", alias_name="last_day"))
+               .materialize())
+    gmax = reduced.max("last_day")
+
+    def rank_map(dim: str, shift: int = 0) -> tuple:
+        cnt = (reduced.groupby(dim).aggregate(Count(alias_name="k"))
+               .to_pandas().sort_values(dim))
+        vals = cnt[dim].to_numpy(dtype=np.int64) + shift
+        if shift:  # recency = gmax - last_day reverses the order
+            vals = -vals[::-1]
+            ks = cnt["k"].to_numpy(dtype=np.int64)[::-1]
+        else:
+            ks = cnt["k"].to_numpy(dtype=np.int64)
+        below = np.r_[0, np.cumsum(ks)[:-1]]
+        return vals, below
+
+    n_cust = reduced.count()
+    rv, rb = rank_map("last_day", shift=-gmax)  # rec = gmax - last_day
+    fv, fb = rank_map("freq")
+    mv, mb = rank_map("mon")
+    ref = ray.put((rv, rb, fv, fb, mv, mb, n_cust))
+
+    def score(t: pa.Table) -> pa.Table:
+        rv, rb, fv, fb, mv, mb, n = ray.get(ref)
+        rec = gmax - t["last_day"].to_numpy()
+        r_b = rb[np.searchsorted(rv, rec)]
+        f_b = fb[np.searchsorted(fv, t["freq"].to_numpy())]
+        m_b = mb[np.searchsorted(mv, t["mon"].to_numpy())]
+        return pa.table({
+            "r_score": pa.array(r_b * 5 // n, pa.int64()),
+            "f_score": pa.array(f_b * 5 // n, pa.int64()),
+            "m_score": pa.array(m_b * 5 // n, pa.int64()),
+        })
+
+    scored = reduced.map_batches(score, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return (scored.groupby(["r_score", "f_score", "m_score"])
+            .aggregate(Count(alias_name="n_customers")))
+
+
+def q_skyline_parts(sf_dir: str) -> rd.Dataset:
+    """2-D skyline (Pareto frontier): parts not dominated on (minimize
+    retail price, maximize size). Shape: ONE domain-bounded (price
+    cents, max size) count exchange (price domain is spec-bounded, not
+    SF-proportional); the driver's running max over ordered prices
+    yields the frontier pairs (keep price iff its best size strictly
+    beats every strictly-cheaper price's best); frontier pairs broadcast
+    back and the scan keeps exactly the member rows. Never an
+    all-pairs dominance join."""
+    pt = sf_table(sf_dir, "part",
+                  columns=["p_partkey", "p_retailprice", "p_size"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": t["p_partkey"],
+            "price_cents": _money_int(t["p_retailprice"], 100.0),
+            "p_size": pc.cast(t["p_size"], pa.int64()),
+        })
+
+    keyed = pt.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    best = (keyed.groupby("price_cents")
+            .aggregate(Max("p_size", alias_name="msame"))
+            .to_pandas().sort_values("price_cents"))
+    prices = best["price_cents"].to_numpy(dtype=np.int64)
+    msame = best["msame"].to_numpy(dtype=np.int64)
+    mprev = np.r_[np.iinfo(np.int64).min,
+                  np.maximum.accumulate(msame)[:-1]]
+    on_front = msame > mprev
+    fp = pa.array(prices[on_front], pa.int64())
+    fs = pa.array(msame[on_front], pa.int64())
+    ref = ray.put((fp, fs))
+
+    def members(t: pa.Table) -> pa.Table:
+        fp, fs = ray.get(ref)
+        idx = pc.index_in(t["price_cents"], value_set=fp)
+        want = pc.if_else(pc.is_valid(idx),
+                          pc.take(fs, pc.fill_null(idx, 0)),
+                          pa.scalar(None, pa.int64()))
+        keep = pc.fill_null(pc.equal(t["p_size"], want), False)
+        return t.filter(keep)
+
+    return keyed.map_batches(members, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def q_calendar_densify(sf_dir: str) -> rd.Dataset:
+    """Calendar densify / gap-fill: the daily event-count series with
+    every missing calendar day between the global min and max day
+    zero-filled, plus the running cumulative count — the series shape
+    chart layers and forecasting featurizers require. One
+    domain-bounded (day, n) exchange; the driver densifies with a
+    numpy arange (days are bounded by the calendar, not SF)."""
+    DAY = 86_400_000_000
+    ev = sf_table(sf_dir, "events", columns=["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.divide(pc.cast(t["ts"], pa.int64()),
+                             pa.scalar(DAY, pa.int64())),
+        })
+
+    cnt = (ev.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("day").aggregate(Count(alias_name="n"))
+           .to_pandas().sort_values("day"))
+    days = cnt["day"].to_numpy(dtype=np.int64)
+    ns = cnt["n"].to_numpy(dtype=np.int64)
+    full = np.arange(days[0], days[-1] + 1, dtype=np.int64)
+    dense = np.zeros(len(full), np.int64)
+    dense[days - days[0]] = ns
+    return rd.from_arrow(pa.table({
+        "day": pa.array(full, pa.int64()),
+        "n": pa.array(dense, pa.int64()),
+        "cum_n": pa.array(np.cumsum(dense), pa.int64()),
+    }))
+
+
+def q_bollinger_flags(sf_dir: str) -> rd.Dataset:
+    """Bollinger-band anomaly flags: events whose value falls outside
+    mean +- 2 sigma of the user's PREVIOUS 5 events (ROWS BETWEEN 5
+    PRECEDING AND 1 PRECEDING) — trailing-window volatility banding in
+    exact integer cents: flag iff (5v - s)^2 > 4(5*s2 - s^2), the
+    cross-multiplied form of |v - mean| > 2 sigma_pop. One co-locating
+    bucket shuffle; per-user sliding sums come from segment-reset
+    cumsums, zero Python row loops."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["event_id", "user_id", "ts", "value"])
+
+    def flags(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy()
+        c = _money_np(g["value"].to_numpy())
+        cs = pd.Series(c).groupby(u, sort=False).cumsum().to_numpy()
+        cs2 = pd.Series(c * c).groupby(u, sort=False).cumsum().to_numpy()
+        pos = pd.Series(np.ones(len(c), np.int64)).groupby(
+            u, sort=False).cumcount().to_numpy()
+        s_prev = np.r_[0, cs[:-1]]
+        s2_prev = np.r_[0, cs2[:-1]]
+        s_cut = np.zeros(len(c), np.int64)
+        s2_cut = np.zeros(len(c), np.int64)
+        s_cut[6:] = cs[:-6]
+        s2_cut[6:] = cs2[:-6]
+        # at pos==5 the window starts at the segment head: cut = 0
+        s_cut[pos == 5] = 0
+        s2_cut[pos == 5] = 0
+        s = s_prev - s_cut
+        s2 = s2_prev - s2_cut
+        ok = pos >= 5
+        d = c * 5 - s
+        out = ok & (d * d > 4 * (5 * s2 - s * s))
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[out],
+            "cents": c[out],
+        })
+
+    return grouped_vectorized(ev, "user_id", flags)
+
+
+def q_minmax_scale(sf_dir: str) -> rd.Dataset:
+    """Per-group min-max normalization (feature scaling): each event's
+    value rescaled to [0, 10000] within its event_type — integer e4 so
+    the oracle bit-matches ((c - min) * 10000 // (max - min); constant
+    groups map to 0). One |types|-bounded Min/Max reduce broadcast
+    back; the rescale is a vectorized scan."""
+    ev = sf_table(sf_dir, "events",
+                  columns=["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "cents": _money_int(t["value"], 100.0),
+        })
+
+    cds = ev.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    mm = (cds.groupby("event_type")
+          .aggregate(Min("cents", alias_name="mn"),
+                     Max("cents", alias_name="mx"))
+          .to_pandas().sort_values("event_type"))
+    types = pa.array(mm["event_type"], pa.string())
+    mns = pa.array(mm["mn"].to_numpy(dtype=np.int64), pa.int64())
+    mxs = pa.array(mm["mx"].to_numpy(dtype=np.int64), pa.int64())
+    ref = ray.put((types, mns, mxs))
+
+    def scale(t: pa.Table) -> pa.Table:
+        types, mns, mxs = ray.get(ref)
+        idx = pc.index_in(t["event_type"], value_set=types)
+        mn = pc.take(mns, idx).to_numpy(zero_copy_only=False)
+        mx = pc.take(mxs, idx).to_numpy(zero_copy_only=False)
+        c = t["cents"].to_numpy()
+        rng = mx - mn
+        scaled = np.where(rng > 0, (c - mn) * 10000 // np.maximum(rng, 1),
+                          0).astype(np.int64)
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "scaled_e4": pa.array(scaled, pa.int64()),
+        })
+
+    return cds.map_batches(scale, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -9726,6 +9964,11 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "longest_value_run": q_longest_value_run,
         "top_terms_per_lang": q_top_terms_per_lang,
         "weighted_quantiles": q_weighted_quantiles,
+        "rfm_segments": q_rfm_segments,
+        "skyline_parts": q_skyline_parts,
+        "calendar_densify": q_calendar_densify,
+        "bollinger_flags": q_bollinger_flags,
+        "minmax_scale": q_minmax_scale,
         # rows-only multimodal resize (binary payloads)
         "resize_images": q_resize_images,
     }
@@ -11896,5 +12139,76 @@ def oracle_sqls() -> dict[str, str]:
             " AS wp50,"
             " (SELECT min(qc) FROM r, t WHERE cum * 4 >= 3 * tot)"
             " AS wp75"
+        ),
+        "rfm_segments": (
+            "WITH o AS (SELECT o_custkey,"
+            " epoch_us(o_orderdate) // 86400000000 AS day,"
+            " CAST(round(o_totalprice * 100) AS BIGINT) // 100"
+            " AS dollars FROM orders),"
+            " c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS freq,"
+            " CAST(sum(dollars) AS BIGINT) AS mon,"
+            " max(day) AS last_day FROM o GROUP BY 1),"
+            " g AS (SELECT max(last_day) AS gmax FROM c),"
+            " s AS (SELECT CAST(count(*) OVER () AS BIGINT) AS n,"
+            " CAST(rank() OVER (ORDER BY"
+            " (SELECT gmax FROM g) - last_day) AS BIGINT) AS rr,"
+            " CAST(rank() OVER (ORDER BY freq) AS BIGINT) AS fr,"
+            " CAST(rank() OVER (ORDER BY mon) AS BIGINT) AS mr"
+            " FROM c)"
+            " SELECT (rr - 1) * 5 // n AS r_score,"
+            " (fr - 1) * 5 // n AS f_score,"
+            " (mr - 1) * 5 // n AS m_score,"
+            " CAST(count(*) AS BIGINT) AS n_customers"
+            " FROM s GROUP BY 1, 2, 3"
+        ),
+        "skyline_parts": (
+            "WITH p AS (SELECT p_partkey,"
+            " CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,"
+            " CAST(p_size AS BIGINT) AS p_size FROM part),"
+            " w AS (SELECT *, max(p_size) OVER (ORDER BY price_cents"
+            " RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+            " AS mprev,"
+            " max(p_size) OVER (PARTITION BY price_cents) AS msame"
+            " FROM p)"
+            " SELECT p_partkey, price_cents, p_size FROM w"
+            " WHERE p_size = msame"
+            " AND (mprev IS NULL OR p_size > mprev)"
+        ),
+        "calendar_densify": (
+            "WITH p AS (SELECT epoch_us(ts) // 86400000000 AS day"
+            " FROM events),"
+            " b AS (SELECT min(day) AS lo, max(day) AS hi FROM p),"
+            " d AS (SELECT unnest(generate_series((SELECT lo FROM b),"
+            " (SELECT hi FROM b))) AS day),"
+            " c AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM p"
+            " GROUP BY 1),"
+            " j AS (SELECT d.day AS day,"
+            " CAST(COALESCE(c.n, 0) AS BIGINT) AS n"
+            " FROM d LEFT JOIN c USING (day))"
+            " SELECT day, n, CAST(sum(n) OVER (ORDER BY day) AS BIGINT)"
+            " AS cum_n FROM j"
+        ),
+        "bollinger_flags": (
+            "WITH w AS (SELECT event_id, user_id, ts,"
+            " CAST(round(value * 100) AS BIGINT) AS c FROM events),"
+            " s AS (SELECT event_id, c,"
+            " CAST(count(*) OVER win AS BIGINT) AS n,"
+            " CAST(COALESCE(sum(c) OVER win, 0) AS BIGINT) AS s,"
+            " CAST(COALESCE(sum(c * c) OVER win, 0) AS BIGINT) AS s2"
+            " FROM w WINDOW win AS (PARTITION BY user_id"
+            " ORDER BY ts, event_id"
+            " ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))"
+            " SELECT event_id, c AS cents FROM s WHERE n = 5"
+            " AND (c * 5 - s) * (c * 5 - s) > 4 * (5 * s2 - s * s)"
+        ),
+        "minmax_scale": (
+            "WITH w AS (SELECT event_id, event_type,"
+            " CAST(round(value * 100) AS BIGINT) AS c FROM events),"
+            " m AS (SELECT *,"
+            " min(c) OVER (PARTITION BY event_type) AS mn,"
+            " max(c) OVER (PARTITION BY event_type) AS mx FROM w)"
+            " SELECT event_id, event_type,"
+            " CASE WHEN mx > mn THEN (c - mn) * 10000 // (mx - mn)"
+            " ELSE CAST(0 AS BIGINT) END AS scaled_e4 FROM m"
         ),
     }
