@@ -9538,52 +9538,6 @@ def q_rfm_segments(sf_dir: str) -> rd.Dataset:
             .aggregate(Count(alias_name="n_customers")))
 
 
-def q_skyline_parts(sf_dir: str) -> rd.Dataset:
-    """2-D skyline (Pareto frontier): parts not dominated on (minimize
-    retail price, maximize size). Shape: ONE domain-bounded (price
-    cents, max size) count exchange (price domain is spec-bounded, not
-    SF-proportional); the driver's running max over ordered prices
-    yields the frontier pairs (keep price iff its best size strictly
-    beats every strictly-cheaper price's best); frontier pairs broadcast
-    back and the scan keeps exactly the member rows. Never an
-    all-pairs dominance join."""
-    pt = sf_table(sf_dir, "part",
-                  columns=["p_partkey", "p_retailprice", "p_size"])
-
-    def prep(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "p_partkey": t["p_partkey"],
-            "price_cents": _money_int(t["p_retailprice"], 100.0),
-            "p_size": pc.cast(t["p_size"], pa.int64()),
-        })
-
-    keyed = pt.map_batches(prep, batch_format="pyarrow",
-                           zero_copy_batch=True).materialize()
-    best = (keyed.groupby("price_cents")
-            .aggregate(Max("p_size", alias_name="msame"))
-            .to_pandas().sort_values("price_cents"))
-    prices = best["price_cents"].to_numpy(dtype=np.int64)
-    msame = best["msame"].to_numpy(dtype=np.int64)
-    mprev = np.r_[np.iinfo(np.int64).min,
-                  np.maximum.accumulate(msame)[:-1]]
-    on_front = msame > mprev
-    fp = pa.array(prices[on_front], pa.int64())
-    fs = pa.array(msame[on_front], pa.int64())
-    ref = ray.put((fp, fs))
-
-    def members(t: pa.Table) -> pa.Table:
-        fp, fs = ray.get(ref)
-        idx = pc.index_in(t["price_cents"], value_set=fp)
-        want = pc.if_else(pc.is_valid(idx),
-                          pc.take(fs, pc.fill_null(idx, 0)),
-                          pa.scalar(None, pa.int64()))
-        keep = pc.fill_null(pc.equal(t["p_size"], want), False)
-        return t.filter(keep)
-
-    return keyed.map_batches(members, batch_format="pyarrow",
-                             zero_copy_batch=True)
-
-
 def q_calendar_densify(sf_dir: str) -> rd.Dataset:
     """Calendar densify / gap-fill: the daily event-count series with
     every missing calendar day between the global min and max day
@@ -9965,7 +9919,6 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "top_terms_per_lang": q_top_terms_per_lang,
         "weighted_quantiles": q_weighted_quantiles,
         "rfm_segments": q_rfm_segments,
-        "skyline_parts": q_skyline_parts,
         "calendar_densify": q_calendar_densify,
         "bollinger_flags": q_bollinger_flags,
         "minmax_scale": q_minmax_scale,
@@ -12160,19 +12113,6 @@ def oracle_sqls() -> dict[str, str]:
             " (mr - 1) * 5 // n AS m_score,"
             " CAST(count(*) AS BIGINT) AS n_customers"
             " FROM s GROUP BY 1, 2, 3"
-        ),
-        "skyline_parts": (
-            "WITH p AS (SELECT p_partkey,"
-            " CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,"
-            " CAST(p_size AS BIGINT) AS p_size FROM part),"
-            " w AS (SELECT *, max(p_size) OVER (ORDER BY price_cents"
-            " RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
-            " AS mprev,"
-            " max(p_size) OVER (PARTITION BY price_cents) AS msame"
-            " FROM p)"
-            " SELECT p_partkey, price_cents, p_size FROM w"
-            " WHERE p_size = msame"
-            " AND (mprev IS NULL OR p_size > mprev)"
         ),
         "calendar_densify": (
             "WITH p AS (SELECT epoch_us(ts) // 86400000000 AS day"
