@@ -9662,6 +9662,233 @@ def q_minmax_scale(sf_dir: str) -> rd.Dataset:
                            zero_copy_batch=True)
 
 
+def q_mannwhitney_u(sf_dir: str) -> pa.Table:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the 'view' and
+    'purchase' value distributions — the nonparametric A/B test a
+    metrics platform runs. Average-rank tie handling kept EXACTLY
+    integer by working in doubled ranks: a row at value v contributes
+    2*avg_rank = 2*below(v) + ties(v) + 1, so 2*U1 = sum - n1(n1+1)
+    is exact. One domain-bounded (type, cents) count exchange; the
+    driver walks the merged histogram."""
+    from ..stages.agg import grouped_sums
+
+    ev = sf_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array(["view", "purchase"]))
+        t = t.filter(keep)
+        return pa.table({
+            "event_type": t["event_type"],
+            "cents": _money_int(t["value"], 100.0),
+            "k": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    g = (grouped_sums(ev.map_batches(prep, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["event_type", "cents"], ["k"])
+         .to_pandas())
+    piv = (g.pivot_table(index="cents", columns="event_type",
+                         values="k", aggfunc="sum", fill_value=0)
+           .sort_index())
+    na = piv["view"].to_numpy(dtype=np.int64)
+    nb = piv["purchase"].to_numpy(dtype=np.int64)
+    tot = na + nb
+    below = np.r_[0, np.cumsum(tot)[:-1]]
+    two_r1 = int(np.sum(na * (2 * below + tot + 1)))
+    n1, n2 = int(na.sum()), int(nb.sum())
+    return pa.table({
+        "n_view": pa.array([n1], pa.int64()),
+        "n_purchase": pa.array([n2], pa.int64()),
+        "two_u_view": pa.array([two_r1 - n1 * (n1 + 1)], pa.int64()),
+    })
+
+
+def q_dedup_token_sorted(sf_dir: str) -> rd.Dataset:
+    """Bag-of-words canonical dedup: documents whose DISTINCT sorted
+    token sets are identical collapse to one cluster (catches shuffled
+    / reordered copies exact dedup misses). Per-batch the signature is
+    built fully vectorized (Arrow split -> flat (doc, token) frame ->
+    drop-dup -> C-level grouped join); clusters exchange md5(signature)
+    keys, never the signatures themselves. Keep-first = Min(doc_id)."""
+    import pandas as pd
+
+    from ..functions.hashing import md5_hex_batch
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def sigs(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        la = pc.split_pattern(txt, " ").combine_chunks()
+        offs = la.offsets.to_numpy(zero_copy_only=False)
+        reps = np.diff(offs)
+        didx = np.repeat(np.arange(t.num_rows, dtype=np.int64), reps)
+        df = pd.DataFrame({
+            "d": didx,
+            "t": la.flatten().to_numpy(zero_copy_only=False),
+        })
+        df = df.drop_duplicates().sort_values(["d", "t"],
+                                              kind="mergesort")
+        agg = df.groupby("d", sort=False)["t"].agg(" ".join)
+        keys = md5_hex_batch(pa.array(agg.to_numpy(), pa.string()))
+        return pa.table({
+            "key": pa.array(keys, pa.string()),
+            "doc_id": t["doc_id"],
+        })
+
+    clusters = (docs.map_batches(sigs, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+                .groupby("key")
+                .aggregate(Min("doc_id", alias_name="keep_id"),
+                           Count(alias_name="n_copies")))
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["keep_id", "n_copies"])
+
+    return clusters.map_batches(project, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
+def q_new_vs_returning(sf_dir: str) -> rd.Dataset:
+    """Growth accounting: monthly revenue split into new-customer cents
+    (order month == that customer's first month) vs returning cents.
+    Calendar months come from integer datetime64[M] math (== DuckDB
+    (year-1970)*12+month-1). One customer-level Min reduce attaches
+    back through the size-policied adaptive lookup (2M cap, hash-join
+    fallback); the monthly rollup is domain-bounded."""
+    from ..stages.agg import grouped_sums
+    from ..stages.joins import attach_via_lookup
+
+    od = sf_table(sf_dir, "orders",
+                  columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        tsu = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        m = (tsu.astype("datetime64[us]").astype("datetime64[M]")
+             .astype(np.int64))
+        return pa.table({
+            "cust": t["o_custkey"],
+            "m": pa.array(m),
+            "cents": _money_int(t["o_totalprice"], 100.0),
+        })
+
+    fact = od.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    firsts = fact.groupby("cust").aggregate(Min("m", alias_name="fm"))
+    joined = attach_via_lookup(fact, "cust", firsts, "cust",
+                               {"fm": "fm"})
+
+    def split(t: pa.Table) -> pa.Table:
+        m = t["m"].to_numpy(zero_copy_only=False)
+        fm = t["fm"].to_numpy(zero_copy_only=False)
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "month": t["m"],
+            "new_cents": pa.array(np.where(m == fm, c, 0), pa.int64()),
+            "ret_cents": pa.array(np.where(m > fm, c, 0), pa.int64()),
+        })
+
+    return grouped_sums(
+        joined.map_batches(split, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["month"], ["new_cents", "ret_cents"])
+
+
+def q_business_hours_overlap(sf_dir: str) -> rd.Dataset:
+    """Interval-intersection via the cumulative-measure trick: total
+    time each user's merged activity windows (interval_coverage's
+    islands) overlap the 09:00-17:00 business-hours grid — WITHOUT
+    expanding intervals into per-day rows. f(t) = full_days*8h +
+    clip(tod - 9h, 0, 8h) is the cumulative business time since epoch;
+    overlap of [st, en) is just f(en) - f(st). One co-locating bucket
+    shuffle, all integer epoch-us."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    GAP = 300_000_000
+    DAY = 86_400_000_000
+    H8 = 28_800_000_000
+    H9 = 32_400_000_000
+    ev = sf_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "tsu": pc.cast(t["ts"], pa.int64()),
+        })
+
+    keyed = ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def fmeasure(t: np.ndarray) -> np.ndarray:
+        return (t // DAY) * H8 + np.clip(t % DAY - H9, 0, H8)
+
+    def biz(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "tsu"], kind="mergesort")
+        fin = g["tsu"] + GAP
+        grp = g.groupby("user_id", sort=False)
+        prevmax = fin.groupby(g["user_id"], sort=False).cummax().shift(1)
+        first = grp.cumcount().to_numpy() == 0
+        brk = first | (g["tsu"].to_numpy() > prevmax.to_numpy())
+        isl = np.cumsum(brk)
+        f = pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(),
+            "isl": isl,
+            "st": g["tsu"].to_numpy(),
+            "en": fin.to_numpy(),
+        })
+        i = f.groupby(["user_id", "isl"], sort=False).agg(
+            st=("st", "min"), en=("en", "max")).reset_index()
+        i["biz"] = (fmeasure(i["en"].to_numpy())
+                    - fmeasure(i["st"].to_numpy()))
+        out = i.groupby("user_id", sort=False)["biz"].sum().reset_index()
+        out.columns = ["user_id", "biz_us"]
+        out["biz_us"] = out["biz_us"].astype(np.int64)
+        return out
+
+    return grouped_vectorized(keyed, "user_id", biz)
+
+
+def q_second_event_gap(sf_dir: str) -> rd.Dataset:
+    """Activation latency (NTH_VALUE shape): per user, microseconds
+    between their first and second events in (ts, event_id) order —
+    the time-to-second-touch onboarding metric. One co-locating
+    shuffle; second rows are picked by a vectorized cumcount == 1 and
+    the gap is the adjacent-row diff (the sorted segment is
+    contiguous)."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["event_id", "user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "tsu": pc.cast(t["ts"], pa.int64()),
+            "event_id": t["event_id"],
+        })
+
+    keyed = ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def second(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "tsu", "event_id"],
+                          kind="mergesort")
+        pos = g.groupby("user_id", sort=False).cumcount().to_numpy()
+        tsu = g["tsu"].to_numpy()
+        idx = np.flatnonzero(pos == 1)
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy()[idx],
+            "gap_us": tsu[idx] - tsu[idx - 1],
+        })
+
+    return grouped_vectorized(keyed, "user_id", second)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -9920,6 +10147,11 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "weighted_quantiles": q_weighted_quantiles,
         "rfm_segments": q_rfm_segments,
         "calendar_densify": q_calendar_densify,
+        "mannwhitney_u": q_mannwhitney_u,
+        "dedup_token_sorted": q_dedup_token_sorted,
+        "new_vs_returning": q_new_vs_returning,
+        "business_hours_overlap": q_business_hours_overlap,
+        "second_event_gap": q_second_event_gap,
         "bollinger_flags": q_bollinger_flags,
         "minmax_scale": q_minmax_scale,
         # rows-only multimodal resize (binary payloads)
@@ -12150,5 +12382,75 @@ def oracle_sqls() -> dict[str, str]:
             " SELECT event_id, event_type,"
             " CASE WHEN mx > mn THEN (c - mn) * 10000 // (mx - mn)"
             " ELSE CAST(0 AS BIGINT) END AS scaled_e4 FROM m"
+        ),
+        "mannwhitney_u": (
+            "WITH w AS (SELECT event_type,"
+            " CAST(round(value * 100) AS BIGINT) AS c FROM events"
+            " WHERE event_type IN ('view', 'purchase')),"
+            " r AS (SELECT event_type,"
+            " CAST(rank() OVER (ORDER BY c) AS BIGINT) AS rk,"
+            " CAST(count(*) OVER (PARTITION BY c) AS BIGINT) AS t"
+            " FROM w),"
+            " a AS (SELECT CAST(sum(CASE WHEN event_type = 'view'"
+            " THEN 2 * rk + t - 1 ELSE 0 END) AS BIGINT) AS two_r1,"
+            " CAST(count(*) FILTER (WHERE event_type = 'view')"
+            " AS BIGINT) AS n_view,"
+            " CAST(count(*) FILTER (WHERE event_type = 'purchase')"
+            " AS BIGINT) AS n_purchase FROM r)"
+            " SELECT n_view, n_purchase,"
+            " two_r1 - n_view * (n_view + 1) AS two_u_view FROM a"
+        ),
+        "dedup_token_sorted": (
+            "WITH s AS (SELECT doc_id, array_to_string(list_sort("
+            "list_distinct(string_split(text, ' '))), ' ') AS sig"
+            " FROM documents)"
+            " SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,"
+            " CAST(count(*) AS BIGINT) AS n_copies FROM s GROUP BY sig"
+        ),
+        "new_vs_returning": (
+            "WITH o AS (SELECT o_custkey,"
+            " CAST((year(o_orderdate) - 1970) * 12"
+            " + month(o_orderdate) - 1 AS BIGINT) AS m,"
+            " CAST(round(o_totalprice * 100) AS BIGINT) AS cents"
+            " FROM orders),"
+            " f AS (SELECT o_custkey, min(m) AS fm FROM o GROUP BY 1)"
+            " SELECT m AS month,"
+            " CAST(sum(CASE WHEN m = fm THEN cents ELSE 0 END)"
+            " AS BIGINT) AS new_cents,"
+            " CAST(sum(CASE WHEN m > fm THEN cents ELSE 0 END)"
+            " AS BIGINT) AS ret_cents"
+            " FROM o JOIN f USING (o_custkey) GROUP BY 1"
+        ),
+        "business_hours_overlap": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),"
+            " w AS (SELECT user_id, tsu, tsu + 300000000 AS fin,"
+            " max(tsu + 300000000) OVER (PARTITION BY user_id"
+            " ORDER BY tsu ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            " 1 PRECEDING) AS prevmax FROM e),"
+            " f AS (SELECT user_id, tsu, fin, CASE WHEN prevmax IS NULL"
+            " OR tsu > prevmax THEN 1 ELSE 0 END AS brk FROM w),"
+            " g AS (SELECT user_id, tsu, fin, sum(brk) OVER"
+            " (PARTITION BY user_id ORDER BY tsu"
+            " ROWS UNBOUNDED PRECEDING) AS isl FROM f),"
+            " i AS (SELECT user_id, isl, min(tsu) AS st, max(fin) AS en"
+            " FROM g GROUP BY 1, 2),"
+            " m AS (SELECT user_id,"
+            " (en // 86400000000) * 28800000000"
+            " + LEAST(GREATEST(en % 86400000000 - 32400000000, 0),"
+            " 28800000000)"
+            " - ((st // 86400000000) * 28800000000"
+            " + LEAST(GREATEST(st % 86400000000 - 32400000000, 0),"
+            " 28800000000)) AS biz FROM i)"
+            " SELECT user_id, CAST(sum(biz) AS BIGINT) AS biz_us"
+            " FROM m GROUP BY 1"
+        ),
+        "second_event_gap": (
+            "WITH w AS (SELECT user_id, epoch_us(ts) AS tsu,"
+            " row_number() OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id) AS rn,"
+            " lag(epoch_us(ts)) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id) AS prev FROM events)"
+            " SELECT user_id, CAST(tsu - prev AS BIGINT) AS gap_us"
+            " FROM w WHERE rn = 2"
         ),
     }
