@@ -9889,6 +9889,185 @@ def q_second_event_gap(sf_dir: str) -> rd.Dataset:
     return grouped_vectorized(keyed, "user_id", second)
 
 
+def q_winnowing_fingerprints(sf_dir: str) -> rd.Dataset:
+    """Winnowing document fingerprints (MOSS shape; the registry face of
+    functions/hashing.py rolling_fingerprints): hash every 8-char gram,
+    select positions whose hash is the minimum of the window of 4 grams
+    ending there, report grams + distinct selected fingerprints per doc.
+    Pure scan map — per batch the grams come from ~max_len vectorized
+    utf8 slice kernels (never a per-gram Python slice), the window min
+    is a 4-column np.where chain, distinct counts a C-level drop-dup.
+    md5 grams keep SQL parity (substr + md5 build the identical key)."""
+    import pandas as pd
+
+    from ..functions.hashing import md5_hex_batch
+
+    K, W = 8, 4
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()),
+                           "").combine_chunks()
+        lens = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+        keep = lens >= K
+        txt = txt.filter(pa.array(keep))
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)[keep]
+        lens = lens[keep]
+        n = len(lens)
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_grams": pa.array([], pa.int64()),
+                             "n_fp": pa.array([], pa.int64())})
+        P = int(lens.max()) - K + 1
+        sent = np.full(n, "~", dtype="<U32")  # '~' > any hex char
+        window: list[np.ndarray] = []
+        sel_doc: list[np.ndarray] = []
+        sel_h: list[np.ndarray] = []
+        for i in range(P):
+            sl = pc.utf8_slice_codeunits(txt, start=i, stop=i + K)
+            h = np.asarray(md5_hex_batch(sl), dtype="<U32")
+            valid = lens >= i + K
+            h = np.where(valid, h, sent)
+            window.append(h)
+            if len(window) > W:
+                window.pop(0)
+            if len(window) == W:
+                m = window[0]
+                for col in window[1:]:
+                    m = np.where(col < m, col, m)
+                hit = valid & (h == m)
+                sel_doc.append(doc_ids[hit])
+                sel_h.append(h[hit])
+        if sel_doc:
+            pairs = pd.DataFrame({
+                "d": np.concatenate(sel_doc),
+                "h": np.concatenate(sel_h),
+            }).drop_duplicates()
+            per = pairs.groupby("d").size()
+            n_fp = per.reindex(doc_ids, fill_value=0).to_numpy()
+        else:
+            n_fp = np.zeros(n, np.int64)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_grams": pa.array(lens - K + 1, pa.int64()),
+            "n_fp": pa.array(n_fp.astype(np.int64), pa.int64()),
+        })
+
+    return docs.map_batches(fp, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def q_comoment_matrix(sf_dir: str) -> pa.Table:
+    """Pairwise co-moment (covariance-numerator) matrix of quantity /
+    price / discount per returnflag — distributed moments generalized to
+    cross terms. Per-block integer partials (n, sums, pair-product
+    sums) reduce map-side; the driver finishes the n*Sxy - Sx*Sy
+    numerators in EXACT arbitrary-precision Python ints (they exceed
+    int64) and emits doubles — bit-identical to DuckDB's HUGEINT ->
+    DOUBLE cast."""
+    from ..stages.agg import grouped_sums
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_returnflag", "l_quantity",
+                           "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        q = _money_int(t["l_quantity"], 100.0).to_numpy()
+        p = _money_int(t["l_extendedprice"], 100.0).to_numpy()
+        d = _money_int(t["l_discount"], 10000.0).to_numpy()
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+            "sq": pa.array(q), "sp": pa.array(p), "sd": pa.array(d),
+            "sqp": pa.array(q * p), "sqd": pa.array(q * d),
+            "spd": pa.array(p * d),
+        })
+
+    g = (grouped_sums(li.map_batches(prep, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["l_returnflag"],
+                      ["n", "sq", "sp", "sd", "sqp", "sqd", "spd"])
+         .to_pandas().sort_values("l_returnflag"))
+    rows = {"l_returnflag": [], "n": [], "cov_qp": [], "cov_qd": [],
+            "cov_pd": []}
+    for r in g.itertuples():
+        n = int(r.n)
+        sq, sp, sd = int(r.sq), int(r.sp), int(r.sd)
+        rows["l_returnflag"].append(r.l_returnflag)
+        rows["n"].append(n)
+        rows["cov_qp"].append(float(n * int(r.sqp) - sq * sp))
+        rows["cov_qd"].append(float(n * int(r.sqd) - sq * sd))
+        rows["cov_pd"].append(float(n * int(r.spd) - sp * sd))
+    return pa.table({
+        "l_returnflag": pa.array(rows["l_returnflag"], pa.string()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "cov_qp": pa.array(rows["cov_qp"], pa.float64()),
+        "cov_qd": pa.array(rows["cov_qd"], pa.float64()),
+        "cov_pd": pa.array(rows["cov_pd"], pa.float64()),
+    })
+
+
+def q_top_dims_per_vec(sf_dir: str) -> rd.Dataset:
+    """Per-row list top-k: the three largest embedding components per
+    vector (1-based dims, float ties broken by smaller dim — numpy's
+    stable argsort == SQL ORDER BY v DESC, d). Pure scan map over the
+    reshaped batch matrix; no exchange at all."""
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def top3(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        d = int(lens[0]) if len(lens) else 0
+        vals = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, d)
+        order = np.argsort(-vals, axis=1, kind="stable")[:, :3] + 1
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "d1": pa.array(order[:, 0].astype(np.int64)),
+            "d2": pa.array(order[:, 1].astype(np.int64)),
+            "d3": pa.array(order[:, 2].astype(np.int64)),
+        })
+
+    return emb.map_batches(top3, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def q_repeat_purchasers(sf_dir: str) -> rd.Dataset:
+    """Same-day repeat purchasers: per day, how many users placed >= 2
+    purchase events — the loyalty pulse metric. Two bounded exchanges:
+    a (user, day) count reduce (map-side combined), then a day-level
+    count of the filtered pairs."""
+    from ..stages.agg import grouped_sums
+
+    DAY = 86_400_000_000
+    ev = sf_table(sf_dir, "events",
+                  columns=["user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], pa.scalar("purchase")))
+        return pa.table({
+            "user_id": t["user_id"],
+            "day": pc.divide(pc.cast(t["ts"], pa.int64()),
+                             pa.scalar(DAY, pa.int64())),
+            "k": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    pairs = grouped_sums(ev.map_batches(prep, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                         ["user_id", "day"], ["k"])
+
+    def repeats(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["k"], pa.scalar(2)))
+        return pa.table({
+            "day": t["day"],
+            "n_repeat": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    return grouped_sums(
+        pairs.map_batches(repeats, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["day"], ["n_repeat"])
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -10152,6 +10331,10 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "new_vs_returning": q_new_vs_returning,
         "business_hours_overlap": q_business_hours_overlap,
         "second_event_gap": q_second_event_gap,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
+        "comoment_matrix": q_comoment_matrix,
+        "top_dims_per_vec": q_top_dims_per_vec,
+        "repeat_purchasers": q_repeat_purchasers,
         "bollinger_flags": q_bollinger_flags,
         "minmax_scale": q_minmax_scale,
         # rows-only multimodal resize (binary payloads)
@@ -12452,5 +12635,55 @@ def oracle_sqls() -> dict[str, str]:
             " ORDER BY ts, event_id) AS prev FROM events)"
             " SELECT user_id, CAST(tsu - prev AS BIGINT) AS gap_us"
             " FROM w WHERE rn = 2"
+        ),
+        "winnowing_fingerprints": (
+            "WITH d AS (SELECT doc_id, text, length(text) AS L"
+            " FROM documents WHERE length(text) >= 8),"
+            " pos AS (SELECT doc_id, text, L,"
+            " unnest(generate_series(1, L - 7)) AS i FROM d),"
+            " h AS (SELECT doc_id, L, i,"
+            " md5(substr(text, CAST(i AS INTEGER), 8)) AS h FROM pos),"
+            " w AS (SELECT doc_id, L, i, h, min(h) OVER"
+            " (PARTITION BY doc_id ORDER BY i"
+            " ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mh FROM h)"
+            " SELECT doc_id, CAST(max(L) - 7 AS BIGINT) AS n_grams,"
+            " CAST(count(DISTINCT CASE WHEN i >= 4 AND h = mh"
+            " THEN h END) AS BIGINT) AS n_fp"
+            " FROM w GROUP BY 1"
+        ),
+        "comoment_matrix": (
+            "WITH b AS (SELECT l_returnflag,"
+            " CAST(round(l_quantity * 100) AS BIGINT) AS q,"
+            " CAST(round(l_extendedprice * 100) AS BIGINT) AS p,"
+            " CAST(round(l_discount * 10000) AS BIGINT) AS d"
+            " FROM lineitem),"
+            " g AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,"
+            " sum(q) AS sq, sum(p) AS sp, sum(d) AS sd,"
+            " sum(q * p) AS sqp, sum(q * d) AS sqd, sum(p * d) AS spd"
+            " FROM b GROUP BY 1)"
+            " SELECT l_returnflag, n,"
+            " CAST(n * sqp - sq * sp AS DOUBLE) AS cov_qp,"
+            " CAST(n * sqd - sq * sd AS DOUBLE) AS cov_qd,"
+            " CAST(n * spd - sp * sd AS DOUBLE) AS cov_pd FROM g"
+        ),
+        "top_dims_per_vec": (
+            "WITH u AS (SELECT vec_id, unnest(embedding) AS v,"
+            " generate_subscripts(embedding, 1) AS d FROM embeddings),"
+            " r AS (SELECT vec_id, d, row_number() OVER"
+            " (PARTITION BY vec_id ORDER BY v DESC, d) AS rn FROM u)"
+            " SELECT vec_id,"
+            " CAST(max(CASE WHEN rn = 1 THEN d END) AS BIGINT) AS d1,"
+            " CAST(max(CASE WHEN rn = 2 THEN d END) AS BIGINT) AS d2,"
+            " CAST(max(CASE WHEN rn = 3 THEN d END) AS BIGINT) AS d3"
+            " FROM r GROUP BY 1"
+        ),
+        "repeat_purchasers": (
+            "WITH p AS (SELECT user_id,"
+            " epoch_us(ts) // 86400000000 AS day FROM events"
+            " WHERE event_type = 'purchase'),"
+            " g AS (SELECT user_id, day, count(*) AS k FROM p"
+            " GROUP BY 1, 2)"
+            " SELECT day, CAST(count(*) AS BIGINT) AS n_repeat"
+            " FROM g WHERE k >= 2 GROUP BY 1"
         ),
     }
