@@ -10964,7 +10964,7 @@ def oracle_sqls() -> dict[str, str]:
         ),
         "source_top_comments": (
             "SELECT doc_id, regexp_replace(replace(trim(regexp_replace(text,"
-            " '\s+', ' ', 'g')), '&amp;#x200B;', ''), '<.*?>', '', 'g') AS text,"
+            " '\\s+', ' ', 'g')), '&amp;#x200B;', ''), '<.*?>', '', 'g') AS text,"
             " n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20"
         ),
         "sliding_events": (
