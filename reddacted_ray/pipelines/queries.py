@@ -10068,6 +10068,105 @@ def q_repeat_purchasers(sf_dir: str) -> rd.Dataset:
         ["day"], ["n_repeat"])
 
 
+def q_events_vs_orders(sf_dir: str) -> rd.Dataset:
+    """CoGroup showcase (stages/windows.cogrouped_vectorized): per
+    shared customer key, event count, order count, and events strictly
+    BEFORE the first order — full-outer per-key logic over two fact
+    streams in ONE co-locating shuffle, no join fanout, no null-key
+    gymnastics. Keys missing on a side report 0."""
+    import pandas as pd
+
+    from ..stages.windows import cogrouped_vectorized
+
+    ev = sf_table(sf_dir, "events", columns=["user_id", "ts"])
+    od = sf_table(sf_dir, "orders",
+                  columns=["o_custkey", "o_orderdate"])
+
+    def eprep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "tsu": pc.cast(t["ts"], pa.int64()),
+        })
+
+    def oprep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "odu": pc.cast(t["o_orderdate"], pa.int64()),
+        })
+
+    def merge(af: pd.DataFrame, bf: pd.DataFrame) -> pd.DataFrame:
+        # padded union makes int columns float-typed; restore int64
+        ak = af["_key"].to_numpy(dtype=np.int64)
+        ats = af["tsu"].to_numpy(dtype=np.int64)
+        bk = bf["_key"].to_numpy(dtype=np.int64)
+        bod = bf["odu"].to_numpy(dtype=np.int64)
+        ne = pd.Series(np.ones(len(ak), np.int64)).groupby(
+            ak, sort=False).sum()
+        ob = pd.DataFrame({"k": bk, "odu": bod}).groupby(
+            "k", sort=False)["odu"].agg(["size", "min"])
+        fo = ob["min"]
+        fo_of = pd.Series(ak).map(fo)
+        before = ats < fo_of.to_numpy()
+        nb = pd.Series(np.where(before, 1, 0)).groupby(
+            ak, sort=False).sum()
+        keys = ne.index.union(ob.index)
+        return pd.DataFrame({
+            "ckey": keys.to_numpy().astype(np.int64),
+            "n_events": ne.reindex(keys, fill_value=0)
+            .to_numpy().astype(np.int64),
+            "n_orders": ob["size"].reindex(keys, fill_value=0)
+            .to_numpy().astype(np.int64),
+            "n_before": nb.reindex(keys, fill_value=0)
+            .to_numpy().astype(np.int64),
+        })
+
+    return cogrouped_vectorized(
+        ev.map_batches(eprep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        od.map_batches(oprep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "user_id", "o_custkey", merge)
+
+
+def q_radius_search(sf_dir: str) -> rd.Dataset:
+    """Radius (threshold) similarity search: every vector with cosine
+    >= 0.2 to the query vector (vec_id 0) — the all-neighbors
+    complement of ann_topk's top-k. The query row broadcasts once; the
+    scan computes per-row sequential-order dot/norm cumsums so the
+    float tree matches SQL list_sum exactly; output streams, nothing
+    fact-sized gathers."""
+    QID, TAU = 0, 0.2
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["vec_id"], pa.scalar(QID)))
+
+    qrow = (emb.map_batches(pick, batch_format="pyarrow",
+                            zero_copy_batch=True).take(1))[0]
+    qv = np.asarray(qrow["embedding"], dtype=np.float64)
+    qnorm = np.sqrt(np.cumsum(qv * qv)[-1])
+    ref = ray.put((qv, qnorm))
+
+    def scan(t: pa.Table) -> pa.Table:
+        qv, qnorm = ray.get(ref)
+        col = t["embedding"].combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        d = int(lens[0]) if len(lens) else len(qv)
+        vals = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, d)
+        dot = np.cumsum(vals * qv, axis=1)[:, -1]
+        na = np.cumsum(vals * vals, axis=1)[:, -1]
+        cos = dot / (np.sqrt(na) * qnorm)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        keep = (cos >= TAU) & (vid != QID)
+        return pa.table({
+            "vec_id": pa.array(vid[keep], pa.int64()),
+            "cos_sim": pa.array(cos[keep], pa.float64()),
+        })
+
+    return emb.map_batches(scan, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -10335,6 +10434,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "comoment_matrix": q_comoment_matrix,
         "top_dims_per_vec": q_top_dims_per_vec,
         "repeat_purchasers": q_repeat_purchasers,
+        "events_vs_orders": q_events_vs_orders,
+        "radius_search": q_radius_search,
         "bollinger_flags": q_bollinger_flags,
         "minmax_scale": q_minmax_scale,
         # rows-only multimodal resize (binary payloads)
@@ -12685,5 +12786,34 @@ def oracle_sqls() -> dict[str, str]:
             " GROUP BY 1, 2)"
             " SELECT day, CAST(count(*) AS BIGINT) AS n_repeat"
             " FROM g WHERE k >= 2 GROUP BY 1"
+        ),
+        "events_vs_orders": (
+            "WITH e AS (SELECT user_id AS ckey, count(*) AS ne"
+            " FROM events GROUP BY 1),"
+            " o AS (SELECT o_custkey AS ckey,"
+            " CAST(count(*) AS BIGINT) AS no,"
+            " min(epoch_us(o_orderdate)) AS fo FROM orders GROUP BY 1),"
+            " b AS (SELECT ev.user_id AS ckey, count(*) AS nb"
+            " FROM events ev JOIN o ON ev.user_id = o.ckey"
+            " AND epoch_us(ev.ts) < o.fo GROUP BY 1),"
+            " k AS (SELECT ckey FROM e UNION SELECT ckey FROM o)"
+            " SELECT k.ckey,"
+            " CAST(COALESCE(e.ne, 0) AS BIGINT) AS n_events,"
+            " CAST(COALESCE(o.no, 0) AS BIGINT) AS n_orders,"
+            " CAST(COALESCE(b.nb, 0) AS BIGINT) AS n_before"
+            " FROM k LEFT JOIN e USING (ckey) LEFT JOIN o USING (ckey)"
+            " LEFT JOIN b USING (ckey)"
+        ),
+        "radius_search": (
+            "WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+            " FROM embeddings),"
+            " q AS (SELECT e AS qe FROM a WHERE vec_id = 0),"
+            " s AS (SELECT a.vec_id,"
+            " list_sum(list_transform(generate_series(1, len(a.e)),"
+            " i -> a.e[i] * q.qe[i]))"
+            " / (sqrt(list_sum(list_transform(a.e, x -> x * x)))"
+            " * sqrt(list_sum(list_transform(q.qe, x -> x * x))))"
+            " AS cos_sim FROM a, q WHERE a.vec_id <> 0)"
+            " SELECT vec_id, cos_sim FROM s WHERE cos_sim >= 0.2"
         ),
     }

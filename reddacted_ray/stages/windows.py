@@ -177,3 +177,70 @@ def _ordered_prefix(
 
     return grouped_vectorized(tagged, "_rng", per_bucket,
                               n_buckets=n_buckets)
+
+
+def cogrouped_vectorized(
+    ds_a: rd.Dataset,
+    ds_b: rd.Dataset,
+    key_a: str,
+    key_b: str,
+    bucket_fn: Callable[[pd.DataFrame, pd.DataFrame], pd.DataFrame],
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """CoGroup two datasets on a shared key domain in ONE co-locating
+    shuffle (Spark's cogroup; Ray Data has no native analog): both
+    sides are typed-null padded to a common schema, side-tagged,
+    unioned, and hash-bucketed by key, so ``bucket_fn(a_frame,
+    b_frame)`` sees every row of BOTH sides for every key hashing to
+    the bucket. Use for per-key logic a join can't express without
+    fanout (stream merges, full-outer per-key aggregation, asymmetric
+    window alignment).
+
+    Partitioning assumptions (custom-operator contract): keys on both
+    sides are hash-compatible (same dtype family — both int or both
+    string); payload column NAMES must be disjoint between the sides
+    (the pad makes them one flat schema); ``bucket_fn`` must compute
+    per-key groups internally (a bucket holds many keys) and gets each
+    side's frame WITHOUT the pad columns, key column named ``_key``."""
+    sa = dict(zip(ds_a.schema().names, ds_a.schema().types))
+    sb = dict(zip(ds_b.schema().names, ds_b.schema().types))
+    a_cols = [n for n in sa if n != key_a]
+    b_cols = [n for n in sb if n != key_b]
+    clash = set(a_cols) & set(b_cols)
+    if clash:
+        raise ValueError(f"cogroup payload columns must be disjoint: {clash}")
+
+    def widen(key_col: str, own: list, other: list, other_t: dict,
+              side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {"_key": t[key_col]}
+            for c in own:
+                cols[c] = t[c]
+            for c in other:
+                cols[c] = pa.nulls(n, other_t[c])
+            cols["_side"] = pa.array(np.full(n, side, np.int8))
+            return pa.table(cols)
+
+        return fn
+
+    wa = ds_a.map_batches(widen(key_a, a_cols, b_cols, sb, 0),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    wb = ds_b.map_batches(widen(key_b, b_cols, a_cols, sa, 1),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    # align column ORDER (union is positional in arrow terms)
+    order = ["_key"] + a_cols + b_cols + ["_side"]
+    wa = wa.map_batches(lambda t: t.select(order),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    wb = wb.map_batches(lambda t: t.select(order),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    unioned = wa.union(wb)
+
+    def split(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["_side"].to_numpy()
+        af = g.loc[side == 0, ["_key"] + a_cols]
+        bf = g.loc[side == 1, ["_key"] + b_cols]
+        return bucket_fn(af, bf)
+
+    return grouped_vectorized(unioned, "_key", split,
+                              n_buckets=n_buckets)

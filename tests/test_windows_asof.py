@@ -334,3 +334,48 @@ def test_ordered_prefix_max_matches_numpy(ray_session):
     exp = np.maximum.accumulate(vals[np.argsort(ids, kind="stable")])
     assert (out["prefix_max"].to_numpy() == exp).all()
     assert len(out) == 40_000
+
+
+def test_cogrouped_vectorized_full_outer_and_clash(ray_session):
+    """cogroup must deliver BOTH sides of every key to one bucket call:
+    keys on only one side still appear (full-outer), payload-name
+    clashes are rejected, and results match a hand-computed merge."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from reddacted_ray.stages.windows import cogrouped_vectorized
+
+    a = rd.from_arrow(pa.table({
+        "ka": pa.array([1, 1, 2, 5], pa.int64()),
+        "av": pa.array([10, 20, 30, 40], pa.int64()),
+    }))
+    b = rd.from_arrow(pa.table({
+        "kb": pa.array([1, 3, 3], pa.int64()),
+        "bv": pa.array([7, 8, 9], pa.int64()),
+    }))
+
+    def merge(af: pd.DataFrame, bf: pd.DataFrame) -> pd.DataFrame:
+        na = pd.Series(np.ones(len(af), np.int64)).groupby(
+            af["_key"].to_numpy(dtype=np.int64), sort=False).sum()
+        nb = pd.Series(np.ones(len(bf), np.int64)).groupby(
+            bf["_key"].to_numpy(dtype=np.int64), sort=False).sum()
+        keys = na.index.union(nb.index)
+        return pd.DataFrame({
+            "k": keys.to_numpy().astype(np.int64),
+            "na": na.reindex(keys, fill_value=0).to_numpy().astype(np.int64),
+            "nb": nb.reindex(keys, fill_value=0).to_numpy().astype(np.int64),
+        })
+
+    out = (cogrouped_vectorized(a, b, "ka", "kb", merge)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = pd.DataFrame({"k": [1, 2, 3, 5], "na": [2, 1, 0, 1],
+                        "nb": [1, 0, 2, 0]})
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+    bad = rd.from_arrow(pa.table({"kb": pa.array([1], pa.int64()),
+                                  "av": pa.array([1], pa.int64())}))
+    with pytest.raises(ValueError, match="disjoint"):
+        cogrouped_vectorized(a, bad, "ka", "kb", merge)
