@@ -10167,6 +10167,73 @@ def q_radius_search(sf_dir: str) -> rd.Dataset:
                            zero_copy_batch=True)
 
 
+def q_snapshot_diff(sf_dir: str) -> rd.Dataset:
+    """Table diff / audit between two snapshots (the dbt snapshot /
+    data-reconciliation shape): rows added, removed, value-changed, and
+    unchanged between version 1 (orderkey % 7 != 0) and version 2
+    (orderkey % 5 != 0, price bumped one dollar when orderkey % 3 == 0
+    — a deterministic derived pair so tests need no external data).
+    The diff is GENERIC over two datasets: each side ships only (key,
+    presence, value) partials into one grouped-sum exchange (a key
+    appears once per side, so Sum reassembles both sides' values);
+    classification and the 4-row status rollup never touch full rows."""
+    from ..stages.agg import grouped_sums
+
+    od = sf_table(sf_dir, "orders",
+                  columns=["o_orderkey", "o_totalprice"])
+
+    def side(version: int):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+            c = _money_int(t["o_totalprice"], 100.0).to_numpy()
+            if version == 1:
+                keep = k % 7 != 0
+                c2 = np.zeros(keep.sum(), np.int64)
+                return pa.table({
+                    "k": pa.array(k[keep]),
+                    "in1": pa.array(np.ones(keep.sum(), np.int64)),
+                    "in2": pa.array(np.zeros(keep.sum(), np.int64)),
+                    "c1": pa.array(c[keep]), "c2": pa.array(c2),
+                })
+            keep = k % 5 != 0
+            cv = c[keep] + np.where(k[keep] % 3 == 0, 100, 0)
+            return pa.table({
+                "k": pa.array(k[keep]),
+                "in1": pa.array(np.zeros(keep.sum(), np.int64)),
+                "in2": pa.array(np.ones(keep.sum(), np.int64)),
+                "c1": pa.array(np.zeros(keep.sum(), np.int64)),
+                "c2": pa.array(cv.astype(np.int64)),
+            })
+
+        return fn
+
+    v1 = od.map_batches(side(1), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    v2 = od.map_batches(side(2), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    merged = grouped_sums(v1.union(v2), ["k"],
+                          ["in1", "in2", "c1", "c2"])
+
+    def classify(t: pa.Table) -> pa.Table:
+        in1 = t["in1"].to_numpy()
+        in2 = t["in2"].to_numpy()
+        c1 = t["c1"].to_numpy()
+        c2 = t["c2"].to_numpy()
+        status = np.where(
+            in1 == 0, "added",
+            np.where(in2 == 0, "removed",
+                     np.where(c1 != c2, "changed", "same")))
+        return pa.table({
+            "status": pa.array(status, pa.string()),
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    return grouped_sums(
+        merged.map_batches(classify, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["status"], ["n"])
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -10436,6 +10503,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "repeat_purchasers": q_repeat_purchasers,
         "events_vs_orders": q_events_vs_orders,
         "radius_search": q_radius_search,
+        "snapshot_diff": q_snapshot_diff,
         "bollinger_flags": q_bollinger_flags,
         "minmax_scale": q_minmax_scale,
         # rows-only multimodal resize (binary payloads)
@@ -12815,5 +12883,22 @@ def oracle_sqls() -> dict[str, str]:
             " * sqrt(list_sum(list_transform(q.qe, x -> x * x))))"
             " AS cos_sim FROM a, q WHERE a.vec_id <> 0)"
             " SELECT vec_id, cos_sim FROM s WHERE cos_sim >= 0.2"
+        ),
+        "snapshot_diff": (
+            "WITH v1 AS (SELECT o_orderkey AS k,"
+            " CAST(round(o_totalprice * 100) AS BIGINT) AS c"
+            " FROM orders WHERE o_orderkey % 7 <> 0),"
+            " v2 AS (SELECT o_orderkey AS k,"
+            " CAST(round(o_totalprice * 100) AS BIGINT)"
+            " + CASE WHEN o_orderkey % 3 = 0 THEN 100 ELSE 0 END AS c"
+            " FROM orders WHERE o_orderkey % 5 <> 0),"
+            " j AS (SELECT COALESCE(v1.k, v2.k) AS k, v1.c AS c1,"
+            " v2.c AS c2 FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k),"
+            " cls AS (SELECT CASE WHEN c1 IS NULL THEN 'added'"
+            " WHEN c2 IS NULL THEN 'removed'"
+            " WHEN c1 <> c2 THEN 'changed' ELSE 'same' END AS status"
+            " FROM j)"
+            " SELECT status, CAST(count(*) AS BIGINT) AS n FROM cls"
+            " GROUP BY 1"
         ),
     }

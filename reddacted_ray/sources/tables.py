@@ -263,3 +263,33 @@ def write_ipc(ds: rd.Dataset, out_dir: str,
 
     res = out.aggregate(Sum("rows", alias_name="rows"))
     return int(res["rows"] or 0)
+
+
+def write_jsonl(ds: rd.Dataset, out_dir: str) -> int:
+    """JSON-lines sink: one ``.jsonl`` file per block, serialized inside
+    the map tasks with pandas' C-level ``to_json`` (the driver never
+    sees data — only per-file row counts). Complements ``read_jsonl``
+    for interchange with line-oriented consumers. The output dir must
+    be empty/absent (same append-hazard rule as write_parquet).
+    Returns rows written."""
+    import pyarrow as pa
+
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        raise ValueError(f"write_jsonl: out_dir {out_dir!r} is non-empty")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(t: pa.Table) -> pa.Table:
+        from uuid import uuid4
+
+        if t.num_rows:
+            t.to_pandas().to_json(
+                os.path.join(out_dir, f"part-{uuid4().hex}.jsonl"),
+                orient="records", lines=True)
+        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+
+    out = ds.map_batches(dump, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    from ray.data.aggregate import Sum
+
+    res = out.aggregate(Sum("rows", alias_name="rows"))
+    return int(res["rows"] or 0)

@@ -644,3 +644,30 @@ def test_write_ipc_roundtrip(ray_session, tmp_path):
            .reset_index(drop=True)[list(exp.columns)])
     assert n == len(exp)
     assert got.equals(exp)
+
+
+def test_write_jsonl_roundtrip(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reddacted_ray.sources.tables import read_jsonl, write_jsonl
+
+    t = pa.table({
+        "id": pa.array([3, 1, 2], pa.int64()),
+        "txt": pa.array(["a", 'b "quoted"', "c\nnewline"], pa.string()),
+        "v": pa.array([1.5, -2.0, 0.0], pa.float64()),
+    })
+    out = str(tmp_path / "jl")
+    n = write_jsonl(rd.from_arrow(t), out)
+    assert n == 3
+    back = (read_jsonl(out).to_pandas()
+            .sort_values("id").reset_index(drop=True))
+    exp = t.to_pandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back[["id", "txt", "v"]], exp,
+                                  check_dtype=False)
+    # append hazard: refuses a non-empty target
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        write_jsonl(rd.from_arrow(t), out)
