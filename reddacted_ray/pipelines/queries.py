@@ -10234,6 +10234,37 @@ def q_snapshot_diff(sf_dir: str) -> rd.Dataset:
         ["status"], ["n"])
 
 
+def q_augment_images(sf_dir: str) -> rd.Dataset:
+    """Training-data augmentation fan-out: every image expands to
+    (orig, hflip, rot90) through the actor-pool Augment stage, streams
+    through decode verification, and reports per-(aug, w, h) counts —
+    the rot90 rows must show swapped dims, every variant must decode.
+    Rows-only (binary payloads); pixel-exactness of flip/rot90 through
+    the codecs is locked in tests/test_imaging_synth.py."""
+    import os
+
+    from ray.data.aggregate import Count
+
+    from ..sources.tables import read_table
+    from ..stages.multimodal import augment, decode_stats
+    from ..synth import write_dataset
+
+    sf = (os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+          or "0.01")
+    img_dir = write_dataset(f"/tmp/graft_images/small_sf{sf}", 2000,
+                            seed=42)
+    ds = augment(read_table(img_dir), ops=("hflip", "rot90"))
+    checked = decode_stats(ds)
+
+    def slim(t: pa.Table) -> pa.Table:
+        return t.select(["aug", "w", "h", "decode_ok"])
+
+    return (checked.map_batches(slim, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .groupby(["aug", "w", "h", "decode_ok"])
+            .aggregate(Count(alias_name="n")))
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -10504,6 +10535,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "events_vs_orders": q_events_vs_orders,
         "radius_search": q_radius_search,
         "snapshot_diff": q_snapshot_diff,
+        # rows-only multimodal augmentation fan-out (binary payloads)
+        "augment_images": q_augment_images,
         "bollinger_flags": q_bollinger_flags,
         "minmax_scale": q_minmax_scale,
         # rows-only multimodal resize (binary payloads)

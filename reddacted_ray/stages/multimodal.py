@@ -313,3 +313,61 @@ def resize(ds: rd.Dataset, out_w: int, out_h: int, batch_size: int = 256,
     return ds.map_batches(Resize, fn_constructor_kwargs=dict(out_w=out_w, out_h=out_h),
                           batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=batch_size, concurrency=concurrency)
+
+
+class Augment:
+    """Deterministic augmentation EXPANSION: each input image row fans
+    out to len(ops)+1 rows — the original plus one per op in
+    ``('hflip', 'rot90', 'vflip')`` subsets — re-encoded in the row's
+    own format, tagged in an ``aug`` column. The training-data
+    augmentation shape: a flat-map over binary payloads where the
+    output is a multiple of the input, so batch_size must be sized for
+    (fanout x payload) in heap. Real pixel ops on the self-contained
+    codecs (np flips/rot90); pixel-exactness locked by tests."""
+
+    OPS = {
+        "hflip": lambda px: px[:, ::-1],
+        "vflip": lambda px: px[::-1],
+        "rot90": lambda px: np.rot90(px, 1),
+    }
+
+    def __init__(self, ops: tuple = ("hflip", "rot90")) -> None:
+        unknown = set(ops) - set(self.OPS)
+        if unknown:
+            raise ValueError(f"unknown augment ops: {unknown}")
+        self.ops = tuple(ops)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, augs, blobs, ws, hs, fmts = [], [], [], [], [], []
+        for iid, blob, fmt in zip(t["image_id"].to_pylist(),
+                                  t["bytes"].to_pylist(),
+                                  t["fmt"].to_pylist()):
+            px = decode(blob, fmt)
+            variants = [("orig", px)]
+            variants += [(op, self.OPS[op](px)) for op in self.ops]
+            for name, v in variants:
+                v = np.ascontiguousarray(v)
+                ids.append(iid)
+                augs.append(name)
+                blobs.append(encode(v, fmt))
+                hs.append(v.shape[0])
+                ws.append(v.shape[1])
+                fmts.append(fmt)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "aug": pa.array(augs, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(fmts, pa.string()),
+        })
+
+
+def augment(ds: rd.Dataset, ops: tuple = ("hflip", "rot90"),
+            batch_size: int = 128, concurrency=(1, 8)) -> rd.Dataset:
+    """Augmentation fan-out stage (see ``Augment``). batch_size defaults
+    smaller than the other image stages because output payload is
+    (len(ops)+1) x input."""
+    return ds.map_batches(Augment, fn_constructor_kwargs=dict(ops=ops),
+                          batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size, concurrency=concurrency)

@@ -102,3 +102,45 @@ def test_parallel_generation_bit_identical(ray_session, tmp_path):
             assert open(os.path.join(par, f), "rb").read() == open(
                 os.path.join(seq, f), "rb"
             ).read(), f
+
+
+def test_augment_stage_pixel_exact_and_fanout(ray_session):
+    """Augment must (a) fan out to exactly len(ops)+1 rows per image,
+    (b) commute with the lossless codec: decode(augmented png blob) ==
+    np-op(decode(original)), (c) swap dims for rot90 on non-square
+    images, and (d) reject unknown ops."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from reddacted_ray.stages.multimodal import Augment, augment
+
+    rng = np.random.RandomState(7)
+    px_a = rng.randint(0, 256, size=(12, 20, 3), dtype=np.uint8)
+    px_b = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    t = pa.table({
+        "image_id": pa.array(["a", "b"]),
+        "bytes": pa.array([encode_png(px_a), encode_png(px_b)],
+                          pa.binary()),
+        "w": pa.array([20, 16], pa.int32()),
+        "h": pa.array([12, 16], pa.int32()),
+        "fmt": pa.array(["png", "png"]),
+    })
+    out = augment(rd.from_arrow(t),
+                  ops=("hflip", "rot90", "vflip")).to_pandas()
+    assert len(out) == 2 * 4
+    by = out.set_index(["image_id", "aug"])
+    for iid, px in (("a", px_a), ("b", px_b)):
+        exp = {
+            "orig": px,
+            "hflip": px[:, ::-1],
+            "vflip": px[::-1],
+            "rot90": np.rot90(px, 1),
+        }
+        for aug, want in exp.items():
+            row = by.loc[(iid, aug)]
+            got = decode_png(row["bytes"])
+            assert np.array_equal(got, want), (iid, aug)
+            assert (row["h"], row["w"]) == want.shape[:2]
+    with pytest.raises(ValueError, match="unknown augment ops"):
+        Augment(ops=("sepia",))
