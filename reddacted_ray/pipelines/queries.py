@@ -10265,6 +10265,158 @@ def q_augment_images(sf_dir: str) -> rd.Dataset:
             .aggregate(Count(alias_name="n")))
 
 
+def q_grouped_weighted_median(sf_dir: str) -> rd.Dataset:
+    """Per-group weighted median: the spend-weighted median quantity
+    WITHIN each returnflag (weighted_median_qty made per-group). One
+    (flag, quantity-cents) weight-sum exchange — bounded by the
+    quantity domain per flag, never fact-sized; the driver walks each
+    flag's cumulative weights and picks the smallest value with
+    cum * 2 >= total."""
+    from ..stages.agg import grouped_sums
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_returnflag", "l_quantity",
+                           "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "flag": t["l_returnflag"],
+            "qc": _money_int(t["l_quantity"], 100.0),
+            "wc": _money_int(t["l_extendedprice"], 100.0),
+        })
+
+    g = (grouped_sums(li.map_batches(prep, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["flag", "qc"], ["wc"])
+         .to_pandas().sort_values(["flag", "qc"]))
+    flags, meds = [], []
+    for flag, sub in g.groupby("flag", sort=True):
+        w = sub["wc"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(w)
+        idx = int(np.searchsorted(cum * 2, int(cum[-1]), "left"))
+        flags.append(flag)
+        meds.append(int(sub["qc"].to_numpy()[idx]))
+    return rd.from_arrow(pa.table({
+        "flag": pa.array(flags, pa.string()),
+        "wmedian": pa.array(meds, pa.int64()),
+    }))
+
+
+def q_bounce_rate_daily(sf_dir: str) -> rd.Dataset:
+    """Daily bounce rate: the share (e4 integer) of 30-min-gap sessions
+    holding EXACTLY one event, keyed by the session's start day — the
+    engagement health metric downstream of sessionize. One co-locating
+    bucket shuffle builds sessions (integer epoch-us gap breaks,
+    tie-safe: a 0-gap can never break); a day-bounded count exchange
+    finishes the ratio."""
+    import pandas as pd
+
+    from ..stages.agg import grouped_sums
+    from ..stages.windows import grouped_vectorized
+
+    GAP = 1_800_000_000
+    DAY = 86_400_000_000
+    ev = sf_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "tsu": pc.cast(t["ts"], pa.int64()),
+        })
+
+    keyed = ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "tsu"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        ts = g["tsu"].to_numpy()
+        new_u = np.r_[True, u[1:] != u[:-1]]
+        gap = np.r_[False, (ts[1:] - ts[:-1]) > GAP]
+        sid = np.cumsum(new_u | (gap & ~new_u))
+        f = pd.DataFrame({"sid": sid, "tsu": ts})
+        agg = f.groupby("sid", sort=False)["tsu"].agg(["size", "min"])
+        day = (agg["min"].to_numpy() // DAY).astype(np.int64)
+        sz = agg["size"].to_numpy()
+        return pd.DataFrame({
+            "day": day,
+            "n_sessions": np.ones(len(day), np.int64),
+            "n_bounce": (sz == 1).astype(np.int64),
+        })
+
+    per_day = grouped_sums(grouped_vectorized(keyed, "user_id", sess),
+                           ["day"], ["n_sessions", "n_bounce"])
+
+    def rate(t: pa.Table) -> pa.Table:
+        s = t["n_sessions"].to_numpy()
+        b = t["n_bounce"].to_numpy()
+        return t.append_column(
+            "bounce_e4", pa.array(b * 10000 // s, pa.int64()))
+
+    return per_day.map_batches(rate, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def q_lang_term_cosine(sf_dir: str) -> rd.Dataset:
+    """Corpus-level vector-space similarity: cosine between languages'
+    document-frequency vectors (which language pairs share vocabulary).
+    Each doc lives in one block, so per-block (lang, doc, token) dedup
+    IS global; one vocabulary-bounded (lang, token) DF reduce feeds a
+    driver pivot (|langs| columns) whose integer dot products are
+    exact — the cosine divides doubles of exact ints, matching SQL's
+    HUGEINT -> DOUBLE tree. Vocabulary-bounded like top_terms/tfidf."""
+    import pandas as pd
+
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def triples(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()),
+                           "").combine_chunks()
+        la = pc.split_pattern(txt, " ")
+        offs = la.offsets.to_numpy(zero_copy_only=False)
+        reps = np.diff(offs)
+        didx = np.repeat(np.arange(t.num_rows, dtype=np.int64), reps)
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "lang": langs[didx],
+            "d": didx,
+            "tok": la.flatten().to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        return pa.table({
+            "lang": pa.array(df["lang"].to_numpy(), pa.string()),
+            "tok": pa.array(df["tok"].to_numpy(), pa.string()),
+            "k": pa.array(np.ones(len(df), np.int64)),
+        })
+
+    df = (grouped_sums(docs.map_batches(triples, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                       ["lang", "tok"], ["k"])
+          .to_pandas())
+    piv = df.pivot_table(index="tok", columns="lang", values="k",
+                         aggfunc="sum", fill_value=0)
+    langs = sorted(piv.columns)
+    mat = piv[langs].to_numpy(dtype=np.int64)
+    la, lb, dots, coss = [], [], [], []
+    for i in range(len(langs)):
+        for j in range(i + 1, len(langs)):
+            dot = int(np.sum(mat[:, i] * mat[:, j]))
+            ni = int(np.sum(mat[:, i] * mat[:, i]))
+            nj = int(np.sum(mat[:, j] * mat[:, j]))
+            la.append(langs[i])
+            lb.append(langs[j])
+            dots.append(dot)
+            coss.append(float(dot)
+                        / (np.sqrt(float(ni)) * np.sqrt(float(nj))))
+    return rd.from_arrow(pa.table({
+        "lang_a": pa.array(la, pa.string()),
+        "lang_b": pa.array(lb, pa.string()),
+        "dot": pa.array(dots, pa.int64()),
+        "cos_sim": pa.array(coss, pa.float64()),
+    }))
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -10535,6 +10687,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "events_vs_orders": q_events_vs_orders,
         "radius_search": q_radius_search,
         "snapshot_diff": q_snapshot_diff,
+        "grouped_weighted_median": q_grouped_weighted_median,
+        "bounce_rate_daily": q_bounce_rate_daily,
+        "lang_term_cosine": q_lang_term_cosine,
         # rows-only multimodal augmentation fan-out (binary payloads)
         "augment_images": q_augment_images,
         "bollinger_flags": q_bollinger_flags,
@@ -12933,5 +13088,57 @@ def oracle_sqls() -> dict[str, str]:
             " FROM j)"
             " SELECT status, CAST(count(*) AS BIGINT) AS n FROM cls"
             " GROUP BY 1"
+        ),
+        "grouped_weighted_median": (
+            "WITH c AS (SELECT l_returnflag AS flag,"
+            " CAST(round(l_quantity * 100) AS BIGINT) AS qc,"
+            " CAST(round(l_extendedprice * 100) AS BIGINT) AS wc"
+            " FROM lineitem),"
+            " g AS (SELECT flag, qc, CAST(sum(wc) AS BIGINT) AS w"
+            " FROM c GROUP BY 1, 2),"
+            " t AS (SELECT flag, CAST(sum(w) AS BIGINT) AS tot FROM g"
+            " GROUP BY 1),"
+            " r AS (SELECT flag, qc, CAST(sum(w) OVER"
+            " (PARTITION BY flag ORDER BY qc) AS BIGINT) AS cum FROM g)"
+            " SELECT r.flag, CAST(min(qc) AS BIGINT) AS wmedian"
+            " FROM r JOIN t USING (flag) WHERE cum * 2 >= tot"
+            " GROUP BY 1"
+        ),
+        "bounce_rate_daily": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS tsu"
+            " FROM events),"
+            " x AS (SELECT user_id, tsu, CASE WHEN lag(tsu) OVER w"
+            " IS NULL OR tsu - lag(tsu) OVER w > 1800000000 THEN 1"
+            " ELSE 0 END AS brk FROM e WINDOW w AS"
+            " (PARTITION BY user_id ORDER BY tsu)),"
+            " y AS (SELECT user_id, tsu, sum(brk) OVER"
+            " (PARTITION BY user_id ORDER BY tsu"
+            " ROWS UNBOUNDED PRECEDING) AS sid FROM x),"
+            " s AS (SELECT user_id, sid, count(*) AS sz,"
+            " min(tsu) // 86400000000 AS day FROM y GROUP BY 1, 2)"
+            " SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,"
+            " CAST(count(*) FILTER (WHERE sz = 1) AS BIGINT)"
+            " AS n_bounce,"
+            " CAST(count(*) FILTER (WHERE sz = 1) * 10000 // count(*)"
+            " AS BIGINT) AS bounce_e4"
+            " FROM s GROUP BY 1"
+        ),
+        "lang_term_cosine": (
+            "WITH w AS (SELECT DISTINCT lang, doc_id, tok FROM"
+            " (SELECT lang, doc_id, unnest(string_split(text, ' '))"
+            " AS tok FROM documents)),"
+            " df AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS df"
+            " FROM w GROUP BY 1, 2),"
+            " n AS (SELECT lang, CAST(sum(df * df) AS BIGINT) AS nn"
+            " FROM df GROUP BY 1),"
+            " p AS (SELECT a.lang AS lang_a, b.lang AS lang_b,"
+            " CAST(sum(a.df * b.df) AS BIGINT) AS dot FROM df a"
+            " JOIN df b ON a.tok = b.tok AND a.lang < b.lang"
+            " GROUP BY 1, 2)"
+            " SELECT lang_a, lang_b, dot, CAST(dot AS DOUBLE)"
+            " / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn"
+            " AS DOUBLE))) AS cos_sim FROM p"
+            " JOIN n na ON na.lang = p.lang_a"
+            " JOIN n nb ON nb.lang = p.lang_b"
         ),
     }
