@@ -10417,6 +10417,330 @@ def q_lang_term_cosine(sf_dir: str) -> rd.Dataset:
     }))
 
 
+def q_benford_digits(sf_dir: str) -> rd.Dataset:
+    """Benford leading-digit audit over order totals (cents): digit,
+    count and e6 share. Digit extraction is an int->string cast + slice
+    (never a float log10 — exact at every magnitude boundary); one
+    9-row count exchange, driver finishes the shares."""
+    from ..stages.agg import grouped_sums
+
+    o = sf_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = _money_int(t["o_totalprice"], 100.0)
+        s = pc.cast(c, pa.string())
+        return pa.table({"digit": pc.utf8_slice_codeunits(s, 0, 1)})
+
+    g = grouped_sums(o.map_batches(prep, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+                     ["digit"], [], count_alias="n").to_pandas()
+    tot = int(g["n"].sum())
+    n = g["n"].to_numpy(dtype=np.int64)
+    return rd.from_arrow(pa.table({
+        "digit": pa.array(g["digit"], pa.string()),
+        "n": pa.array(n, pa.int64()),
+        "share_e6": pa.array(n * 1_000_000 // tot, pa.int64()),
+    }))
+
+
+def q_same_price_orders(sf_dir: str) -> rd.Dataset:
+    """Duplicate-invoice audit: whole-dollar order totals shared by >1
+    order, with the collision-pair count n*(n-1)/2 per price point.
+    One price-bounded count exchange; the fact never self-joins (the
+    pair count is closed-form from the group size)."""
+    from ..stages.agg import grouped_sums
+
+    o = sf_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"price_usd": _money_int(t["o_totalprice"], 1.0)})
+
+    g = grouped_sums(o.map_batches(prep, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+                     ["price_usd"], [], count_alias="n")
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n"], 1))
+        n = pc.cast(t["n"], pa.int64())
+        return pa.table({
+            "price_usd": t["price_usd"],
+            "n": n,
+            "n_pairs": pc.divide(
+                pc.multiply(n, pc.subtract(n, pa.scalar(1, pa.int64()))),
+                pa.scalar(2, pa.int64())),
+        })
+
+    return g.map_batches(pairs, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def q_scd2_intervals(sf_dir: str) -> rd.Dataset:
+    """SCD-2 interval build: collapse each user's event stream into
+    runs of the same event_type with [valid_from, valid_to) epoch-us
+    bounds (-1 = open) — the slowly-changing-dimension shape every
+    warehouse load needs. One co-locating bucket shuffle; runs are
+    found with numpy change-point masks (tie-stable: order is
+    (tsu, event_id), identical to the SQL window order)."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["user_id", "ts", "event_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "tsu": pc.cast(t["ts"], pa.int64()),
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+        })
+
+    keyed = ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def runs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "tsu", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy()
+        ts = g["tsu"].to_numpy()
+        et = g["event_type"].to_numpy()
+        n = len(u)
+        new_u = np.r_[True, u[1:] != u[:-1]]
+        brk = new_u | np.r_[True, et[1:] != et[:-1]]
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], n]
+        new_user_run = new_u[starts]
+        ridx = np.arange(len(starts))
+        firsts = np.maximum.accumulate(np.where(new_user_run, ridx, 0))
+        rid = ridx - firsts + 1
+        vf = ts[starts]
+        same_next = np.r_[~new_user_run[1:], False]
+        vt = np.where(same_next, np.r_[vf[1:], -1], -1)
+        return pd.DataFrame({
+            "user_id": u[starts],
+            "run_id": rid.astype(np.int64),
+            "event_type": et[starts],
+            "valid_from": vf.astype(np.int64),
+            "valid_to": vt.astype(np.int64),
+            "n_events": (ends - starts).astype(np.int64),
+        })
+
+    return grouped_vectorized(keyed, "user_id", runs)
+
+
+def q_word_len_hist(sf_dir: str) -> rd.Dataset:
+    """Corpus word-length histogram: token length -> count over every
+    whitespace token. Pure Arrow kernels (split -> flatten ->
+    utf8_length) with per-block partial counts; the exchange is
+    bounded by the word-length domain (~tens of rows)."""
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["text"])
+
+    def lens(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()),
+                           "").combine_chunks()
+        toks = pc.list_flatten(pc.split_pattern(txt, " "))
+        return pa.table({
+            "wlen": pc.cast(pc.utf8_length(toks), pa.int64())})
+
+    return grouped_sums(docs.map_batches(lens, batch_format="pyarrow",
+                                         zero_copy_batch=True),
+                        ["wlen"], [], count_alias="n")
+
+
+def q_spearman_qty_price(sf_dir: str) -> rd.Dataset:
+    """Spearman rank correlation between quantity and extended price —
+    entirely in integers until ONE final float expression. Average
+    ranks with ties are computed per DISTINCT value (2*rank is the
+    integer 2*cum - cnt + 1), CENTERED to a0 = 2r - (N+1) so the three
+    final sums fit BIGINT (uncentered n*sab - sa*sb needs HUGEINT,
+    whose ->DOUBLE cast in DuckDB rounds 1 ulp off Python's), broadcast
+    as parallel sorted arrays, and attached per batch with searchsorted;
+    per-block integer partials reduce to the driver as Python ints, so
+    no distributed float sum exists. The value-rank tables are bounded
+    by the DISTINCT-cents domain (not fact rows); partials overflow
+    int64 only past ~sf1 (sum a0^2 <= N^3)."""
+    import math
+
+    from ..stages.agg import grouped_sums
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "qv": _money_int(t["l_quantity"], 100.0),
+            "pv": _money_int(t["l_extendedprice"], 100.0),
+        })
+
+    c = li.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True).materialize()
+    n = c.count()
+
+    def rank0_map(col: str):
+        g = (grouped_sums(c, [col], [], count_alias="cnt")
+             .to_pandas().sort_values(col))
+        vals = g[col].to_numpy(dtype=np.int64)
+        cnt = g["cnt"].to_numpy(dtype=np.int64)
+        a0 = 2 * np.cumsum(cnt) - cnt + 1 - (n + 1)
+        return ray.put((vals, a0.astype(np.int64)))
+
+    qref, pref = rank0_map("qv"), rank0_map("pv")
+
+    def partials(t: pa.Table) -> pa.Table:
+        qvals, qa0 = ray.get(qref)
+        pvals, pa0 = ray.get(pref)
+        a = qa0[np.searchsorted(qvals, t["qv"].to_numpy())]
+        b = pa0[np.searchsorted(pvals, t["pv"].to_numpy())]
+        return pa.table({
+            "sab": pa.array([int(np.sum(a * b))], pa.int64()),
+            "saa": pa.array([int(np.sum(a * a))], pa.int64()),
+            "sbb": pa.array([int(np.sum(b * b))], pa.int64()),
+        })
+
+    rows = c.map_batches(partials, batch_format="pyarrow",
+                         zero_copy_batch=True).take_all()
+    sab = sum(r["sab"] for r in rows)
+    saa = sum(r["saa"] for r in rows)
+    sbb = sum(r["sbb"] for r in rows)
+    rho = float(sab) / (math.sqrt(float(saa)) * math.sqrt(float(sbb)))
+    return rd.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "rho": pa.array([rho], pa.float64()),
+    }))
+
+
+def q_bpe_merge_pairs(sf_dir: str) -> rd.Dataset:
+    """BPE first-iteration statistics: the 20 most frequent adjacent
+    character pairs, weighted by word frequency — the count a BPE
+    tokenizer trainer computes before its first merge. The fact-sized
+    pass is the vocabulary count exchange (Arrow split kernels, same
+    shape as top_terms); the pair expansion runs on the driver over
+    the BOUNDED distinct vocabulary only."""
+    from collections import Counter
+
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()),
+                           "").combine_chunks()
+        return pa.table({"tok": pc.list_flatten(pc.split_pattern(txt, " "))})
+
+    wf = grouped_sums(docs.map_batches(toks, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                      ["tok"], [], count_alias="f").to_pandas()
+    counts: Counter = Counter()
+    for tok, f in zip(wf["tok"], wf["f"]):
+        fi = int(f)
+        for i in range(len(tok) - 1):
+            counts[tok[i:i + 2]] += fi
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    return rd.from_arrow(pa.table({
+        "pair": pa.array([p for p, _ in top], pa.string()),
+        "cnt": pa.array([c for _, c in top], pa.int64()),
+    }))
+
+
+def q_dup_gram_share(sf_dir: str) -> rd.Dataset:
+    """Exact substring-duplication rate per document: the share (e6)
+    of a doc's 8-char windows whose gram also appears in ANOTHER doc —
+    the per-doc signal behind substring-level train-data dedup
+    ("Deduplicating Training Data Makes Language Models Better").
+    Window extraction is one numpy sliding_window_view over the
+    concatenated block bytes (no per-doc Python loop); (doc, gram)
+    counts reduce per block (a doc lives in one block, so block-level
+    dedup is global); gram doc-frequencies take one gram-bounded
+    exchange and flow back via the size-policied attach_via_lookup
+    (broadcast under the 2M cap, native join past it)."""
+    from ..stages.agg import grouped_sums
+    from ..stages.joins import attach_via_lookup
+
+    K = 8
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def grams(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        ids = t["doc_id"].to_numpy()
+        s = txt.to_pandas().to_numpy()
+        lens = np.array([len(x) for x in s], np.int64)
+        keep = lens >= K
+        if not keep.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.string()),
+                             "k": pa.array([], pa.int64())})
+        ids, s, lens = ids[keep], s[keep], lens[keep]
+        buf = np.frombuffer("".join(s).encode("ascii"), np.uint8)
+        offs = np.r_[0, np.cumsum(lens)]
+        win = np.lib.stride_tricks.sliding_window_view(buf, K)
+        # windows starting in doc i: [offs[i], offs[i] + len_i - K]
+        nwin = lens - K + 1
+        starts = np.repeat(offs[:-1], nwin) + _ranges(nwin)
+        docix = np.repeat(np.arange(len(s)), nwin)
+        gram_bytes = win[starts].view(f"S{K}").ravel()
+        import pandas as pd
+        f = (pd.DataFrame({"doc_id": ids[docix], "gram": gram_bytes})
+             .groupby(["doc_id", "gram"], sort=False)
+             .size().reset_index(name="k"))
+        return pa.table({
+            "doc_id": pa.array(f["doc_id"].to_numpy(), pa.int64()),
+            "gram": pa.array([g.decode("ascii") for g in f["gram"]],
+                             pa.string()),
+            "k": pa.array(f["k"].to_numpy(dtype=np.int64), pa.int64()),
+        })
+
+    facts = docs.map_batches(grams, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+    nd = grouped_sums(facts, ["gram"], [], count_alias="ndocs")
+
+    def dup_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["ndocs"], 2))
+        return pa.table({
+            "gram": t["gram"],
+            "flag": pa.array(np.ones(t.num_rows, np.int64))})
+
+    dup = nd.map_batches(dup_only, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    tagged = attach_via_lookup(facts, "gram", dup, "gram",
+                               {"flag": "flag"}, inner=False)
+
+    def split_k(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy()
+        flag = pc.fill_null(t["flag"], 0).to_numpy()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "total_windows": pa.array(k, pa.int64()),
+            "dup_windows": pa.array(k * flag, pa.int64()),
+        })
+
+    per_doc = grouped_sums(
+        tagged.map_batches(split_k, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["doc_id"], ["total_windows", "dup_windows"])
+
+    def share(t: pa.Table) -> pa.Table:
+        tw = t["total_windows"].to_numpy()
+        dw = t["dup_windows"].to_numpy()
+        return t.append_column(
+            "dup_share_e6", pa.array(dw * 1_000_000 // tw, pa.int64()))
+
+    return per_doc.map_batches(share, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """[0..c0-1, 0..c1-1, ...] — segmented arange without a Python loop."""
+    total = int(counts.sum())
+    out = np.ones(total, np.int64)
+    out[0] = 0
+    ends = np.cumsum(counts)[:-1]
+    out[ends] = 1 - counts[:-1]
+    return np.cumsum(out)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -10690,6 +11014,13 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "grouped_weighted_median": q_grouped_weighted_median,
         "bounce_rate_daily": q_bounce_rate_daily,
         "lang_term_cosine": q_lang_term_cosine,
+        "benford_digits": q_benford_digits,
+        "same_price_orders": q_same_price_orders,
+        "scd2_intervals": q_scd2_intervals,
+        "word_len_hist": q_word_len_hist,
+        "spearman_qty_price": q_spearman_qty_price,
+        "bpe_merge_pairs": q_bpe_merge_pairs,
+        "dup_gram_share": q_dup_gram_share,
         # rows-only multimodal augmentation fan-out (binary payloads)
         "augment_images": q_augment_images,
         "bollinger_flags": q_bollinger_flags,
@@ -13140,5 +13471,95 @@ def oracle_sqls() -> dict[str, str]:
             " AS DOUBLE))) AS cos_sim FROM p"
             " JOIN n na ON na.lang = p.lang_a"
             " JOIN n nb ON nb.lang = p.lang_b"
+        ),
+        "benford_digits": (
+            "WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)"
+            " AS v FROM orders),"
+            " g AS (SELECT substr(CAST(v AS VARCHAR), 1, 1) AS digit,"
+            " CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1),"
+            " t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g)"
+            " SELECT digit, n, CAST(n * 1000000 // tot AS BIGINT)"
+            " AS share_e6 FROM g, t"
+        ),
+        "same_price_orders": (
+            "WITH g AS (SELECT CAST(round(o_totalprice) AS BIGINT)"
+            " AS price_usd, CAST(count(*) AS BIGINT) AS n FROM orders"
+            " GROUP BY 1 HAVING count(*) > 1)"
+            " SELECT price_usd, n,"
+            " CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs FROM g"
+        ),
+        "scd2_intervals": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,"
+            " event_type FROM events),"
+            " x AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL"
+            " OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END"
+            " AS brk FROM e WINDOW w AS"
+            " (PARTITION BY user_id ORDER BY tsu, event_id)),"
+            " y AS (SELECT user_id, event_type, tsu, sum(brk) OVER"
+            " (PARTITION BY user_id ORDER BY tsu, event_id"
+            " ROWS UNBOUNDED PRECEDING) AS run_id FROM x),"
+            " r AS (SELECT user_id, run_id, min(event_type) AS"
+            " event_type, CAST(min(tsu) AS BIGINT) AS valid_from,"
+            " CAST(count(*) AS BIGINT) AS n_events FROM y GROUP BY 1, 2)"
+            " SELECT user_id, CAST(run_id AS BIGINT) AS run_id,"
+            " event_type, valid_from,"
+            " COALESCE(CAST(lead(valid_from) OVER (PARTITION BY user_id"
+            " ORDER BY run_id) AS BIGINT), -1) AS valid_to, n_events"
+            " FROM r"
+        ),
+        "word_len_hist": (
+            "WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok"
+            " FROM documents)"
+            " SELECT CAST(length(tok) AS BIGINT) AS wlen,"
+            " CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1"
+        ),
+        "spearman_qty_price": (
+            "WITH c AS (SELECT CAST(round(l_quantity * 100) AS BIGINT)"
+            " AS qv, CAST(round(l_extendedprice * 100) AS BIGINT) AS pv"
+            " FROM lineitem),"
+            " nn AS (SELECT count(*) AS n FROM c),"
+            " qg AS (SELECT qv, count(*) AS cnt FROM c GROUP BY 1),"
+            " qr AS (SELECT qv, 2 * sum(cnt) OVER (ORDER BY qv) - cnt"
+            " + 1 - (SELECT n + 1 FROM nn) AS a0 FROM qg),"
+            " pg AS (SELECT pv, count(*) AS cnt FROM c GROUP BY 1),"
+            " pr AS (SELECT pv, 2 * sum(cnt) OVER (ORDER BY pv) - cnt"
+            " + 1 - (SELECT n + 1 FROM nn) AS b0 FROM pg),"
+            " j AS (SELECT a0, b0 FROM c JOIN qr USING (qv)"
+            " JOIN pr USING (pv)),"
+            " s AS (SELECT count(*) AS n,"
+            " CAST(sum(a0 * b0) AS BIGINT) AS sab,"
+            " CAST(sum(a0 * a0) AS BIGINT) AS saa,"
+            " CAST(sum(b0 * b0) AS BIGINT) AS sbb FROM j)"
+            " SELECT CAST(n AS BIGINT) AS n, CAST(sab AS DOUBLE)"
+            " / (sqrt(CAST(saa AS DOUBLE))"
+            " * sqrt(CAST(sbb AS DOUBLE))) AS rho FROM s"
+        ),
+        "bpe_merge_pairs": (
+            "WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok"
+            " FROM documents),"
+            " wf AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM t"
+            " GROUP BY 1),"
+            " p AS (SELECT unnest(list_transform(generate_series(1,"
+            " length(tok) - 1), i -> substr(tok, i, 2))) AS pair, f"
+            " FROM wf WHERE length(tok) >= 2)"
+            " SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM p"
+            " GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20"
+        ),
+        "dup_gram_share": (
+            "WITH d AS (SELECT doc_id, text FROM documents"
+            " WHERE length(text) >= 8),"
+            " g AS (SELECT doc_id, unnest(list_transform("
+            "generate_series(1, length(text) - 7),"
+            " i -> substr(text, i, 8))) AS gram FROM d),"
+            " k AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS k"
+            " FROM g GROUP BY 1, 2),"
+            " nd AS (SELECT gram, count(*) AS ndocs FROM k GROUP BY 1),"
+            " s AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS"
+            " total_windows, CAST(sum(CASE WHEN ndocs >= 2 THEN k"
+            " ELSE 0 END) AS BIGINT) AS dup_windows"
+            " FROM k JOIN nd USING (gram) GROUP BY 1)"
+            " SELECT doc_id, total_windows, dup_windows,"
+            " CAST(dup_windows * 1000000 // total_windows AS BIGINT)"
+            " AS dup_share_e6 FROM s"
         ),
     }

@@ -1,0 +1,145 @@
+"""Adversarial edge-case lock for the session-4 operators: crafted
+tables with rounding-boundary prices (.5 ties), timestamp ties inside a
+user, singleton runs, empty/short/duplicate documents, and a doc whose
+8-gram repeats only WITHIN itself — each query must hash-match its
+DuckDB oracle under the driver's order-insensitive compare."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _value_hash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)]
+    rows = sorted(
+        tuple(repr(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    )
+    h = hashlib.md5()
+    for r in rows:
+        h.update("|".join(r).encode())
+    return h.hexdigest()
+
+
+@pytest.fixture(scope="module")
+def crafted_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s4_sf"))
+    # orders: rounding-boundary totals (.5 ties away from zero), a
+    # sub-dollar total (leading digit of the CENTS amount), and
+    # whole-dollar collisions for the duplicate-invoice audit
+    prices = [100.4, 100.2, 100.5, 99.995, 0.04, 7250.0, 7250.0,
+              7250.0, 812.13, 55.5, 55.49]
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(len(prices)), pa.int64()),
+        "o_custkey": pa.array([1] * len(prices), pa.int64()),
+        "o_totalprice": pa.array(prices, pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    # events: ts TIES inside user 1 (order falls back to event_id),
+    # singleton user 2, a user whose type never changes (one run)
+    base = 1_700_000_000_000_000
+    MIN = 60_000_000
+    ev = [
+        (0, base, 1, "view"),
+        (1, base, 1, "click"),       # tie: same ts, new type
+        (2, base, 1, "click"),       # tie: same ts, same type
+        (3, base + 5 * MIN, 1, "view"),
+        (4, base + 9 * MIN, 2, "purchase"),
+        (5, base + 1 * MIN, 3, "view"),
+        (6, base + 2 * MIN, 3, "view"),
+        (7, base + 3 * MIN, 3, "view"),
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in ev], pa.int64()),
+        "ts": pa.array([r[1] for r in ev], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in ev], pa.int64()),
+        "event_type": pa.array([r[3] for r in ev], pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    # documents: empty text, a 7-char doc (no 8-gram window), exact
+    # duplicates, a doc whose gram repeats only within itself, and a
+    # pair sharing one window
+    texts = [
+        "",
+        "abcdefg",
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",
+        "aaaaaaaaaaaa",
+        "zz the quick zz",
+        "one two two three three three",
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    # lineitem: heavy ties in both rank columns + one .5 cents tie
+    qty = [1.0, 1.0, 1.0, 2.0, 2.0, 3.0]
+    price = [10.0, 10.0, 20.0, 20.0, 10.005, 30.0]
+    pq.write_table(pa.table({
+        "l_quantity": pa.array(qty, pa.float64()),
+        "l_extendedprice": pa.array(price, pa.float64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    return d
+
+
+QUERIES = [
+    "benford_digits",
+    "same_price_orders",
+    "scd2_intervals",
+    "word_len_hist",
+    "spearman_qty_price",
+    "bpe_merge_pairs",
+    "dup_gram_share",
+]
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_session4_match_oracle(ray_session, crafted_dir, name):
+    import __ray_entry__ as e
+    import ray.data as rd
+
+    qs, oq = e.queries(), e.oracle_sql()
+    got = qs[name](crafted_dir)
+    if isinstance(got, rd.Dataset):
+        got = got.to_pandas()
+    elif isinstance(got, pa.Table):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "events", "documents", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM"
+                f" '{crafted_dir}/{t}.parquet'")
+    exp = con.sql(oq[name]).df()
+    assert len(got) == len(exp), (name, len(got), len(exp))
+    if len(exp):
+        assert sorted(got.columns) == sorted(exp.columns), name
+        assert _value_hash(got) == _value_hash(exp), name
+
+
+def test_dup_gram_share_planted(ray_session, crafted_dir):
+    """The exact-duplicate doc pair must score 1e6; the doc whose only
+    repeated gram lives within itself must score 0."""
+    import __ray_entry__ as e
+
+    got = e.queries()["dup_gram_share"](crafted_dir).to_pandas()
+    by_id = got.set_index("doc_id")
+    assert by_id.loc[2, "dup_share_e6"] == 1_000_000
+    assert by_id.loc[3, "dup_share_e6"] == 1_000_000
+    assert by_id.loc[4, "dup_share_e6"] == 0
+    assert 1 not in by_id.index  # 7-char doc has no window
+    assert 0 not in by_id.index  # empty doc has no window
+
+
+def test_ranges_segmented_arange():
+    from reddacted_ray.pipelines.queries import _ranges
+
+    counts = np.array([3, 1, 4, 2], np.int64)
+    expect = np.concatenate([np.arange(c) for c in counts])
+    assert (_ranges(counts) == expect).all()
+    assert (_ranges(np.array([1], np.int64)) == np.array([0])).all()
