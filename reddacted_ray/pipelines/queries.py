@@ -10741,6 +10741,175 @@ def _ranges(counts: np.ndarray) -> np.ndarray:
     return np.cumsum(out)
 
 
+def q_hist2d_qty_price(sf_dir: str) -> rd.Dataset:
+    """2-D histogram heatmap: whole-unit quantity x $10,000 price
+    bucket -> count. All-integer bin math (round to cents, floor-div)
+    so the cells hash-match SQL; the exchange is bounded by the
+    occupied-cell count, never fact rows."""
+    from ..stages.agg import grouped_sums
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        q = _money_int(t["l_quantity"], 1.0)
+        pb = pc.divide(_money_int(t["l_extendedprice"], 100.0),
+                       pa.scalar(1_000_000, pa.int64()))
+        return pa.table({"q": q, "pb": pb})
+
+    return grouped_sums(li.map_batches(prep, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                        ["q", "pb"], [], count_alias="n")
+
+
+def q_triangle_type_graph(sf_dir: str) -> rd.Dataset:
+    """Graph-motif census of the event-type co-occurrence graph: nodes
+    = event types, an edge when some user emitted both types, and the
+    triangle count via trace(A^3)/6 on the driver's boolean adjacency.
+    The fact-sized work is ONE (user, type) distinct-pair exchange;
+    per-user edges come from a vectorized self-merge inside the
+    co-located bucket (no per-user Python loop), and everything after
+    the (ta, tb) dedup is bounded by |types|^2."""
+    import pandas as pd
+
+    from ..stages.agg import grouped_sums
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events", columns=["user_id", "event_type"])
+    ut = grouped_sums(ev, ["user_id", "event_type"], [],
+                      count_alias="_n").select_columns(
+                          ["user_id", "event_type"])
+
+    def edges(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        return (m[["event_type_x", "event_type_y"]]
+                .drop_duplicates()
+                .rename(columns={"event_type_x": "ta",
+                                 "event_type_y": "tb"}))
+
+    e = grouped_sums(grouped_vectorized(ut, "user_id", edges),
+                     ["ta", "tb"], [], count_alias="_n").to_pandas()
+    nodes = sorted(set(e["ta"]) | set(e["tb"])
+                   | set(ut.unique("event_type")))
+    idx = {t: i for i, t in enumerate(nodes)}
+    a = np.zeros((len(nodes), len(nodes)), np.int64)
+    for ta, tb in zip(e["ta"], e["tb"]):
+        a[idx[ta], idx[tb]] = a[idx[tb], idx[ta]] = 1
+    tri = int(np.trace(a @ a @ a)) // 6
+    return rd.from_arrow(pa.table({
+        "n_nodes": pa.array([len(nodes)], pa.int64()),
+        "n_edges": pa.array([len(e)], pa.int64()),
+        "n_triangles": pa.array([tri], pa.int64()),
+    }))
+
+
+def q_pca_top_component(sf_dir: str) -> rd.Dataset:
+    """Top principal component of the embedding corpus (rows-only:
+    iterative power method isn't SQL-expressible). Per-block float64
+    partials (n, sum x, sum x^T x) stream map-side; the driver
+    accumulates each covariance entry with math.fsum (correctly-rounded
+    => block-order independent), then runs 200 deterministic power
+    iterations from the fixed all-ones start and orients the component
+    so its largest-|loading| dim is positive. O(d^2) driver state for
+    d-dim embeddings — never materializes the corpus."""
+    import math
+
+    emb = sf_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        x = np.asarray(t["embedding"].to_pylist(), np.float64)
+        return pa.table({
+            "n": pa.array([x.shape[0]], pa.int64()),
+            "s": pa.array([x.sum(axis=0).tolist()]),
+            "xtx": pa.array([(x.T @ x).ravel().tolist()]),
+        })
+
+    rows = emb.map_batches(partials, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["s"])
+    s = np.array([math.fsum(r["s"][i] for r in rows)
+                  for i in range(d)])
+    xtx = np.array([math.fsum(r["xtx"][k] for r in rows)
+                    for k in range(d * d)]).reshape(d, d)
+    cov = xtx / n - np.outer(s / n, s / n)
+    v = np.ones(d) / math.sqrt(d)
+    for _ in range(200):
+        v = cov @ v
+        v /= np.linalg.norm(v)
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    eig = float(v @ cov @ v)
+    return rd.from_arrow(pa.table({
+        "dim": pa.array(range(d), pa.int64()),
+        "loading": pa.array(v, pa.float64()),
+        "eigenvalue": pa.array([eig] * d, pa.float64()),
+    }))
+
+
+def q_bpe_encode_stats(sf_dir: str) -> rd.Dataset:
+    """Tokenizer-fertility measurement with a REAL in-engine BPE
+    (rows-only: merge training is iterative): learn 50 merges from the
+    corpus vocabulary on the driver (vocabulary-bounded, deterministic
+    tie-break), broadcast the merge table, then measure per-language
+    tokens-per-word after encoding. Each batch encodes only its
+    DISTINCT words (memoized kernel) and attaches counts back with a
+    searchsorted lookup — the per-word Python cost is
+    vocabulary-bounded, not corpus-bounded."""
+    from ..functions.bpe import encoded_lengths, train_merges
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["lang", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()),
+                           "").combine_chunks()
+        return pa.table({
+            "tok": pc.list_flatten(pc.split_pattern(txt, " "))})
+
+    wf = grouped_sums(docs.map_batches(toks, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                      ["tok"], [], count_alias="f").to_pandas()
+    merges = train_merges(
+        {str(w): int(f) for w, f in zip(wf["tok"], wf["f"])}, 50)
+    mref = ray.put(merges)
+
+    def stats(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()),
+                           "").combine_chunks()
+        lists = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(lists).to_pandas().to_numpy()
+        lens = encoded_lengths(flat, ray.get(mref))
+        vocab = np.array(sorted(lens), dtype=object)
+        vlen = np.array([lens[w] for w in vocab], np.int64)
+        ntok = vlen[np.searchsorted(vocab, flat)]
+        nwords = pc.list_value_length(lists).to_numpy()
+        offs = np.r_[0, np.cumsum(nwords)]
+        per_doc = np.add.reduceat(ntok, offs[:-1]) \
+            if len(ntok) else np.zeros(0, np.int64)
+        per_doc = np.where(nwords > 0, per_doc, 0)
+        return pa.table({
+            "lang": t["lang"],
+            "n_words": pa.array(nwords.astype(np.int64)),
+            "n_tokens": pa.array(per_doc.astype(np.int64)),
+        })
+
+    g = grouped_sums(docs.map_batches(stats, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                     ["lang"], ["n_words", "n_tokens"],
+                     count_alias="n_docs")
+
+    def fert(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "tokens_per_word_e6",
+            pa.array(t["n_tokens"].to_numpy() * 1_000_000
+                     // t["n_words"].to_numpy(), pa.int64()))
+
+    return g.map_batches(fert, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -11021,6 +11190,10 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "spearman_qty_price": q_spearman_qty_price,
         "bpe_merge_pairs": q_bpe_merge_pairs,
         "dup_gram_share": q_dup_gram_share,
+        "hist2d_qty_price": q_hist2d_qty_price,
+        "triangle_type_graph": q_triangle_type_graph,
+        "pca_top_component": q_pca_top_component,
+        "bpe_encode_stats": q_bpe_encode_stats,
         # rows-only multimodal augmentation fan-out (binary payloads)
         "augment_images": q_augment_images,
         "bollinger_flags": q_bollinger_flags,
@@ -13561,5 +13734,27 @@ def oracle_sqls() -> dict[str, str]:
             " SELECT doc_id, total_windows, dup_windows,"
             " CAST(dup_windows * 1000000 // total_windows AS BIGINT)"
             " AS dup_share_e6 FROM s"
+        ),
+        "hist2d_qty_price": (
+            "WITH c AS (SELECT CAST(round(l_quantity) AS BIGINT) AS q,"
+            " CAST(round(l_extendedprice * 100) AS BIGINT) // 1000000"
+            " AS pb FROM lineitem)"
+            " SELECT q, pb, CAST(count(*) AS BIGINT) AS n FROM c"
+            " GROUP BY 1, 2"
+        ),
+        "triangle_type_graph": (
+            "WITH ut AS (SELECT DISTINCT user_id, event_type"
+            " FROM events),"
+            " e AS (SELECT DISTINCT a.event_type AS ta, b.event_type"
+            " AS tb FROM ut a JOIN ut b ON a.user_id = b.user_id"
+            " AND a.event_type < b.event_type),"
+            " n AS (SELECT count(DISTINCT event_type) AS n_nodes"
+            " FROM ut),"
+            " tr AS (SELECT count(*) AS n_triangles FROM e e1"
+            " JOIN e e2 ON e1.tb = e2.ta"
+            " JOIN e e3 ON e3.ta = e1.ta AND e3.tb = e2.tb)"
+            " SELECT CAST(n_nodes AS BIGINT) AS n_nodes,"
+            " (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,"
+            " CAST(n_triangles AS BIGINT) AS n_triangles FROM n, tr"
         ),
     }

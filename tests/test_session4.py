@@ -97,6 +97,10 @@ QUERIES = [
     "spearman_qty_price",
     "bpe_merge_pairs",
     "dup_gram_share",
+    "hist2d_qty_price",
+    # crafted graph is SPARSE with an isolated node (purchase): 3 nodes
+    # wired view-click only, zero triangles
+    "triangle_type_graph",
 ]
 
 
@@ -143,3 +147,55 @@ def test_ranges_segmented_arange():
     expect = np.concatenate([np.arange(c) for c in counts])
     assert (_ranges(counts) == expect).all()
     assert (_ranges(np.array([1], np.int64)) == np.array([0])).all()
+
+
+def test_bpe_train_and_encode():
+    from reddacted_ray.functions.bpe import (encode, encoded_lengths,
+                                             train_merges)
+
+    # "abab" x2: pair (a,b) occurs 4x, (b,a) 2x -> merge (a,b) first,
+    # then (ab,ab)
+    merges = train_merges({"abab": 2}, 3)
+    assert merges[:2] == [("a", "b"), ("ab", "ab")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert encode("abab", ranks) == ["abab"]
+    assert encode("aba", ranks) == ["ab", "a"]
+    assert encode("xyz", ranks) == ["x", "y", "z"]
+    # frequency ties break to the lexicographically smallest pair
+    assert train_merges({"ab": 1, "cd": 1}, 2) == [("a", "b"),
+                                                   ("c", "d")]
+    # memoized batch kernel agrees with the scalar encoder
+    lens = encoded_lengths(["abab", "aba", "xyz"], merges)
+    assert lens == {"abab": 1, "aba": 2, "xyz": 3}
+
+
+def test_pca_top_component_matches_eigh(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["pca_top_component"](
+        "/root/testdata/sf0.001").to_pandas()
+    import pyarrow.parquet as pq2
+    x = np.asarray(pq2.read_table(
+        "/root/testdata/sf0.001/embeddings.parquet")
+        ["embedding"].to_pylist(), np.float64)
+    cov = np.cov(x.T, bias=True)
+    w, v = np.linalg.eigh(cov)
+    ref = v[:, -1]
+    g = got.sort_values("dim")["loading"].to_numpy()
+    cos = abs(float(ref @ g)
+              / (np.linalg.norm(ref) * np.linalg.norm(g)))
+    assert cos > 1 - 1e-9
+    assert abs(got["eigenvalue"][0] - w[-1]) < 1e-6 * max(1.0, w[-1])
+
+
+def test_bpe_encode_stats_deterministic(ray_session):
+    import __ray_entry__ as e
+
+    a = (e.queries()["bpe_encode_stats"]("/root/testdata/sf0.001")
+         .to_pandas().sort_values("lang").reset_index(drop=True))
+    b = (e.queries()["bpe_encode_stats"]("/root/testdata/sf0.001")
+         .to_pandas().sort_values("lang").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["n_tokens"] <= a["n_words"] * 64).all()
+    assert (a["n_tokens"] >= a["n_docs"]).all()
+    assert (a["tokens_per_word_e6"] >= 1_000_000).all()
