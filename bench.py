@@ -299,6 +299,12 @@ def run_bench() -> dict:
         "attribution_last_touch",
         "late_event_filter",
         "bigram_cond_probs",
+        # round-4 session-4 additions
+        "dup_gram_share",
+        "bpe_encode_stats",
+        "spearman_qty_price",
+        "scd2_intervals",
+        "triangle_type_graph",
     ]:
         timed(name, Q.registry()[name])
 

@@ -10910,6 +10910,128 @@ def q_bpe_encode_stats(sf_dir: str) -> rd.Dataset:
                          zero_copy_batch=True)
 
 
+def q_rolling_zscore_flags(sf_dir: str) -> rd.Dataset:
+    """Trailing-window anomaly flags: a row is anomalous when its value
+    sits >3 sigma from ITS OWN user's last-11-rows window (n>=5 for
+    mass). Zero floats anywhere — the test is the cross-multiplied
+    (n*v - s)^2 > 9*(n*s2 - s^2), exact in int64 at cents scale — so
+    engine and SQL compare identical integers. One co-locating bucket
+    shuffle; windows come from boundary-clamped prefix sums (no
+    per-row Python)."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["user_id", "event_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "tsu": pc.cast(t["ts"], pa.int64()),
+            "v": _money_int(t["value"], 100.0),
+        })
+
+    keyed = ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def flags(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "tsu", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy()
+        v = g["v"].to_numpy(dtype=np.int64)
+        m = len(u)
+        i = np.arange(m)
+        new_u = np.r_[True, u[1:] != u[:-1]]
+        ustart = np.maximum.accumulate(np.where(new_u, i, 0))
+        start = np.maximum(ustart, i - 10)
+        cs = np.r_[0, np.cumsum(v)]
+        cs2 = np.r_[0, np.cumsum(v * v)]
+        n = i - start + 1
+        s = cs[i + 1] - cs[start]
+        s2 = cs2[i + 1] - cs2[start]
+        d = n * v - s
+        hit = (n >= 5) & (d * d > 9 * (n * s2 - s * s))
+        return pd.DataFrame({
+            "user_id": u[hit],
+            "event_id": g["event_id"].to_numpy()[hit],
+            "v": v[hit],
+        })
+
+    return grouped_vectorized(keyed, "user_id", flags)
+
+
+def q_langid_confusion(sf_dir: str) -> rd.Dataset:
+    """Language-ID confusion matrix: labeled lang x predicted lang ->
+    count, the quality scorecard for the langid heuristic. Shares
+    lang_scores with q_langid (oracle parity by construction); the
+    exchange is bounded by |langs|^2 cells."""
+    from ..stages.agg import grouped_sums
+
+    def lid(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        preds = []
+        for s in texts:
+            sc = lang_scores(s)
+            if sum(sc.values()) == 0:
+                preds.append("und")
+            else:
+                preds.append(max(
+                    LANG_ORDER,
+                    key=lambda l: (sc[l], -LANG_ORDER.index(l))))
+        return pa.table({
+            "lang": t["lang"],
+            "pred_lang": pa.array(preds, pa.string()),
+        })
+
+    scored = _docs(sf_dir, ["lang", "text"]).map_batches(
+        lid, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_sums(scored, ["lang", "pred_lang"], [],
+                        count_alias="n")
+
+
+def q_bag_except_users(sf_dir: str) -> rd.Dataset:
+    """Multiset EXCEPT ALL (bag semantics — the set_classify family's
+    missing sibling): per user, how many even-event_id occurrences
+    survive after cancelling one-for-one against odd-event_id
+    occurrences. One (user, side) count exchange; the subtraction is a
+    vectorized clamp, never a row-level anti-join."""
+    from ..stages.agg import grouped_sums
+
+    ev = sf_table(sf_dir, "events", columns=["user_id", "event_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        even = pc.equal(pc.bit_wise_and(t["event_id"],
+                                        pa.scalar(1, pa.int64())),
+                        pa.scalar(0, pa.int64()))
+        ones = np.ones(t.num_rows, np.int64)
+        z = np.zeros(t.num_rows, np.int64)
+        ev_np = even.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "a": pa.array(np.where(ev_np, ones, z)),
+            "b": pa.array(np.where(ev_np, z, ones)),
+        })
+
+    g = grouped_sums(ev.map_batches(prep, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                     ["user_id"], ["a", "b"])
+
+    def excess(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        n = np.maximum(a - b, 0)
+        keep = n > 0
+        return pa.table({
+            "user_id": t["user_id"].to_numpy()[keep],
+            "n_excess": pa.array(n[keep], pa.int64()),
+        })
+
+    return g.map_batches(excess, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -11194,6 +11316,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "triangle_type_graph": q_triangle_type_graph,
         "pca_top_component": q_pca_top_component,
         "bpe_encode_stats": q_bpe_encode_stats,
+        "rolling_zscore_flags": q_rolling_zscore_flags,
+        "langid_confusion": q_langid_confusion,
+        "bag_except_users": q_bag_except_users,
         # rows-only multimodal augmentation fan-out (binary payloads)
         "augment_images": q_augment_images,
         "bollinger_flags": q_bollinger_flags,
@@ -13756,5 +13881,33 @@ def oracle_sqls() -> dict[str, str]:
             " SELECT CAST(n_nodes AS BIGINT) AS n_nodes,"
             " (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,"
             " CAST(n_triangles AS BIGINT) AS n_triangles FROM n, tr"
+        ),
+        "rolling_zscore_flags": (
+            "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu,"
+            " CAST(round(value * 100) AS BIGINT) AS v FROM events),"
+            " w AS (SELECT user_id, event_id, v,"
+            " count(*) OVER win AS n, sum(v) OVER win AS s,"
+            " sum(v * v) OVER win AS s2 FROM e WINDOW win AS"
+            " (PARTITION BY user_id ORDER BY tsu, event_id"
+            " ROWS BETWEEN 10 PRECEDING AND CURRENT ROW))"
+            " SELECT user_id, event_id, v FROM w WHERE n >= 5"
+            " AND (n * v - s) * (n * v - s) > 9 * (n * s2 - s * s)"
+        ),
+        "langid_confusion": (
+            "WITH c AS (SELECT lang,"
+            + ", ".join(f"{lang_count_sql[l]} AS n_{l}"
+                        for l in LANG_ORDER)
+            + " FROM documents) SELECT lang, " + pred_sql
+            + " AS pred_lang, CAST(count(*) AS BIGINT) AS n FROM c"
+            " GROUP BY 1, 2"
+        ),
+        "bag_except_users": (
+            "WITH a AS (SELECT user_id FROM events"
+            " WHERE event_id % 2 = 0),"
+            " b AS (SELECT user_id FROM events WHERE event_id % 2 = 1),"
+            " x AS (SELECT user_id FROM a EXCEPT ALL"
+            " SELECT user_id FROM b)"
+            " SELECT user_id, CAST(count(*) AS BIGINT) AS n_excess"
+            " FROM x GROUP BY 1"
         ),
     }

@@ -47,20 +47,25 @@ def crafted_dir(tmp_path_factory):
     base = 1_700_000_000_000_000
     MIN = 60_000_000
     ev = [
-        (0, base, 1, "view"),
-        (1, base, 1, "click"),       # tie: same ts, new type
-        (2, base, 1, "click"),       # tie: same ts, same type
-        (3, base + 5 * MIN, 1, "view"),
-        (4, base + 9 * MIN, 2, "purchase"),
-        (5, base + 1 * MIN, 3, "view"),
-        (6, base + 2 * MIN, 3, "view"),
-        (7, base + 3 * MIN, 3, "view"),
+        (0, base, 1, "view", 1.0),
+        (1, base, 1, "click", 1.0),       # tie: same ts, new type
+        (2, base, 1, "click", 1.0),       # tie: same ts, same type
+        (3, base + 5 * MIN, 1, "view", 1.0),
+        (4, base + 9 * MIN, 2, "purchase", 3.5),
+        (5, base + 1 * MIN, 3, "view", 7.0),
+        (6, base + 2 * MIN, 3, "view", 7.0),
+        (7, base + 3 * MIN, 3, "view", 7.0),
     ]
+    # user 6: 13 constant-value events then a spike — crosses the
+    # 11-row window clamp AND the n>=5 mass gate for the z-score flag
+    ev += [(8 + i, base + i * MIN, 6, "view", 2.0) for i in range(13)]
+    ev.append((21, base + 13 * MIN, 6, "view", 99.0))
     pq.write_table(pa.table({
         "event_id": pa.array([r[0] for r in ev], pa.int64()),
         "ts": pa.array([r[1] for r in ev], pa.timestamp("us")),
         "user_id": pa.array([r[2] for r in ev], pa.int64()),
         "event_type": pa.array([r[3] for r in ev], pa.string()),
+        "value": pa.array([r[4] for r in ev], pa.float64()),
     }), os.path.join(d, "events.parquet"))
     # documents: empty text, a 7-char doc (no 8-gram window), exact
     # duplicates, a doc whose gram repeats only within itself, and a
@@ -101,6 +106,9 @@ QUERIES = [
     # crafted graph is SPARSE with an isolated node (purchase): 3 nodes
     # wired view-click only, zero triangles
     "triangle_type_graph",
+    "rolling_zscore_flags",
+    "langid_confusion",
+    "bag_except_users",
 ]
 
 
