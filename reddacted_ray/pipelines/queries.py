@@ -11032,6 +11032,133 @@ def q_bag_except_users(sf_dir: str) -> rd.Dataset:
                          zero_copy_batch=True)
 
 
+def q_doc_jaccard_topk(sf_dir: str) -> rd.Dataset:
+    """Text similarity retrieval: the 10 documents most similar to doc
+    0 by exact 8-gram-set Jaccard. The query doc's gram SET broadcasts
+    once (query-bounded, like decontaminate); each doc's |A|, |A∩Q|
+    come from ONE per-doc reduce over block-deduped (doc, gram) pairs;
+    the final union size is |A| + |Q| - |A∩Q| so no doc-pair join ever
+    forms. Top-10 via distributed sort+limit, never a driver sort of
+    all docs. Gram extraction shares q_dup_gram_share's
+    sliding_window_view kernel shape."""
+    from ..stages.agg import grouped_sums
+
+    K = 8
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def gramset(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        ids = t["doc_id"].to_numpy()
+        s = txt.to_pandas().to_numpy()
+        lens = np.array([len(x) for x in s], np.int64)
+        keep = lens >= K
+        if not keep.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.string())})
+        ids, s, lens = ids[keep], s[keep], lens[keep]
+        buf = np.frombuffer("".join(s).encode("ascii"), np.uint8)
+        offs = np.r_[0, np.cumsum(lens)]
+        win = np.lib.stride_tricks.sliding_window_view(buf, K)
+        nwin = lens - K + 1
+        starts = np.repeat(offs[:-1], nwin) + _ranges(nwin)
+        docix = np.repeat(np.arange(len(s)), nwin)
+        gram_bytes = win[starts].view(f"S{K}").ravel()
+        import pandas as pd
+        f = (pd.DataFrame({"doc_id": ids[docix], "gram": gram_bytes})
+             .drop_duplicates())
+        return pa.table({
+            "doc_id": pa.array(f["doc_id"].to_numpy(), pa.int64()),
+            "gram": pa.array([g.decode("ascii") for g in f["gram"]],
+                             pa.string()),
+        })
+
+    facts = docs.map_batches(gramset, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+    qrows = facts.map_batches(
+        lambda b: b.filter(pc.equal(b["doc_id"],
+                                    pa.scalar(0, pa.int64()))),
+        batch_format="pyarrow", zero_copy_batch=True).take_all()
+    qgrams = {r["gram"] for r in qrows}
+    nq = len(qgrams)
+    qref = ray.put(pa.array(sorted(qgrams), pa.string()))
+
+    def tag(t: pa.Table) -> pa.Table:
+        hit = pc.is_in(t["gram"], value_set=ray.get(qref))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "hit": pc.cast(hit, pa.int64()),
+        })
+
+    per_doc = grouped_sums(
+        facts.map_batches(tag, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["doc_id"], ["one", "hit"])
+
+    def jac(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.not_equal(t["doc_id"],
+                                    pa.scalar(0, pa.int64())),
+                       pc.greater(t["hit"], 0))
+        t = t.filter(keep)
+        n = t["one"].to_numpy()
+        ni = t["hit"].to_numpy()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "ni": pa.array(ni, pa.int64()),
+            "jaccard": pa.array(ni.astype(np.float64)
+                                / (n + nq - ni).astype(np.float64),
+                                pa.float64()),
+        })
+
+    return (per_doc.map_batches(jac, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .sort(key=["jaccard", "doc_id"], descending=[True, False])
+            .limit(10))
+
+
+def q_revenue_autocorr(sf_dir: str) -> rd.Dataset:
+    """Lag-1 autocorrelation of daily revenue — the time-series
+    persistence statistic. One day-bounded rollup exchange; the driver
+    shifts the (calendar-ordered) series by its integer minimum —
+    correlation is EXACTLY shift-invariant in integer arithmetic — and
+    works in $1000 units so every final sum fits BIGINT on both sides
+    (the HUGEINT->DOUBLE cast is 1 ulp off Python; see spearman).
+    Python-int partials, one final float expression."""
+    import math
+
+    from ..stages.agg import grouped_sums
+
+    o = sf_table(sf_dir, "orders",
+                 columns=["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "d": t["o_orderdate"],
+            "cents": _money_int(t["o_totalprice"], 100.0),
+        })
+
+    day = (grouped_sums(o.map_batches(prep, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                        ["d"], ["cents"])
+           .to_pandas().sort_values("d"))
+    k = (day["cents"].to_numpy(dtype=np.int64) // 100_000)
+    x = k - int(k.min())
+    xs = [int(v) for v in x[1:]]
+    ys = [int(v) for v in x[:-1]]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    num = n * sxy - sx * sy
+    ac = float(num) / (math.sqrt(float(n * sxx - sx * sx))
+                       * math.sqrt(float(n * syy - sy * sy)))
+    return rd.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "autocorr": pa.array([ac], pa.float64()),
+    }))
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -11319,6 +11446,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "rolling_zscore_flags": q_rolling_zscore_flags,
         "langid_confusion": q_langid_confusion,
         "bag_except_users": q_bag_except_users,
+        "doc_jaccard_topk": q_doc_jaccard_topk,
+        "revenue_autocorr": q_revenue_autocorr,
         # rows-only multimodal augmentation fan-out (binary payloads)
         "augment_images": q_augment_images,
         "bollinger_flags": q_bollinger_flags,
@@ -13909,5 +14038,42 @@ def oracle_sqls() -> dict[str, str]:
             " SELECT user_id FROM b)"
             " SELECT user_id, CAST(count(*) AS BIGINT) AS n_excess"
             " FROM x GROUP BY 1"
+        ),
+        "doc_jaccard_topk": (
+            "WITH d AS (SELECT doc_id, text FROM documents"
+            " WHERE length(text) >= 8),"
+            " g AS (SELECT DISTINCT doc_id, unnest(list_transform("
+            "generate_series(1, length(text) - 7),"
+            " i -> substr(text, i, 8))) AS gram FROM d),"
+            " sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),"
+            " q AS (SELECT gram FROM g WHERE doc_id = 0),"
+            " qn AS (SELECT count(*) AS nq FROM q),"
+            " inter AS (SELECT g.doc_id, count(*) AS ni FROM g"
+            " JOIN q USING (gram) WHERE g.doc_id <> 0 GROUP BY 1),"
+            " s AS (SELECT i.doc_id, CAST(ni AS BIGINT) AS ni,"
+            " CAST(ni AS DOUBLE) / CAST(sz.n + qn.nq - ni AS DOUBLE)"
+            " AS jaccard FROM inter i JOIN sz USING (doc_id), qn)"
+            " SELECT doc_id, ni, jaccard FROM s"
+            " ORDER BY jaccard DESC, doc_id LIMIT 10"
+        ),
+        "revenue_autocorr": (
+            "WITH day AS (SELECT o_orderdate AS d,"
+            " CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " AS BIGINT) // 100000 AS k FROM orders GROUP BY 1),"
+            " mn AS (SELECT min(k) AS m FROM day),"
+            " lagd AS (SELECT k - (SELECT m FROM mn) AS x,"
+            " lag(k - (SELECT m FROM mn)) OVER (ORDER BY d) AS y"
+            " FROM day),"
+            " p AS (SELECT x, y FROM lagd WHERE y IS NOT NULL),"
+            " s AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,"
+            " CAST(sum(y) AS BIGINT) AS sy,"
+            " CAST(sum(x * y) AS BIGINT) AS sxy,"
+            " CAST(sum(x * x) AS BIGINT) AS sxx,"
+            " CAST(sum(y * y) AS BIGINT) AS syy FROM p)"
+            " SELECT CAST(n AS BIGINT) AS n,"
+            " CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+            " * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr"
+            " FROM s"
         ),
     }

@@ -37,10 +37,15 @@ def crafted_dir(tmp_path_factory):
     # whole-dollar collisions for the duplicate-invoice audit
     prices = [100.4, 100.2, 100.5, 99.995, 0.04, 7250.0, 7250.0,
               7250.0, 812.13, 55.5, 55.49]
+    # 4 calendar days with varying totals (autocorr needs >=2 lag
+    # pairs and nonzero variance on both legs)
+    days = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3]
     pq.write_table(pa.table({
         "o_orderkey": pa.array(range(len(prices)), pa.int64()),
         "o_custkey": pa.array([1] * len(prices), pa.int64()),
         "o_totalprice": pa.array(prices, pa.float64()),
+        "o_orderdate": pa.array([18000 + v for v in days],
+                                pa.date32()),
     }), os.path.join(d, "orders.parquet"))
     # events: ts TIES inside user 1 (order falls back to event_id),
     # singleton user 2, a user whose type never changes (one run)
@@ -109,6 +114,10 @@ QUERIES = [
     "rolling_zscore_flags",
     "langid_confusion",
     "bag_except_users",
+    # doc 0 is the EMPTY doc -> empty query gram set -> zero rows on
+    # both sides (locks the empty-result path)
+    "doc_jaccard_topk",
+    "revenue_autocorr",
 ]
 
 
