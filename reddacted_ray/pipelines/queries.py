@@ -10559,12 +10559,14 @@ def q_spearman_qty_price(sf_dir: str) -> rd.Dataset:
     whose ->DOUBLE cast in DuckDB rounds 1 ulp off Python's), broadcast
     as parallel sorted arrays, and attached per batch with searchsorted;
     per-block integer partials reduce to the driver as Python ints, so
-    no distributed float sum exists. The value-rank tables are bounded
-    by the DISTINCT-cents domain (not fact rows); partials overflow
-    int64 only past ~sf1 (sum a0^2 <= N^3)."""
+    no distributed float sum exists. The value->count tables come from
+    per-block np.unique partials merged ON THE DRIVER — a groupby here
+    would hash-shuffle ~every-row-distinct price keys (the decile_price
+    anti-pattern: measured 18.4 s vs 4.5 s at sf0.1); the driver merge
+    ships only per-block distincts, the same rows the broadcast needs
+    anyway, bounded by the cents domain. Partials overflow int64 only
+    past ~sf1 (sum a0^2 <= N^3)."""
     import math
-
-    from ..stages.agg import grouped_sums
 
     li = sf_table(sf_dir, "lineitem",
                   columns=["l_quantity", "l_extendedprice"])
@@ -10577,17 +10579,33 @@ def q_spearman_qty_price(sf_dir: str) -> rd.Dataset:
 
     c = li.map_batches(prep, batch_format="pyarrow",
                        zero_copy_batch=True).materialize()
-    n = c.count()
 
-    def rank0_map(col: str):
-        g = (grouped_sums(c, [col], [], count_alias="cnt")
-             .to_pandas().sort_values(col))
-        vals = g[col].to_numpy(dtype=np.int64)
-        cnt = g["cnt"].to_numpy(dtype=np.int64)
+    def vcounts(t: pa.Table) -> pa.Table:
+        out = {"col": [], "val": [], "cnt": []}
+        for tag, col in (("q", "qv"), ("p", "pv")):
+            v, k = np.unique(t[col].to_numpy(), return_counts=True)
+            out["col"].append(np.full(len(v), tag, dtype=object))
+            out["val"].append(v.astype(np.int64))
+            out["cnt"].append(k.astype(np.int64))
+        return pa.table({
+            "col": pa.array(np.concatenate(out["col"]), pa.string()),
+            "val": pa.array(np.concatenate(out["val"]), pa.int64()),
+            "cnt": pa.array(np.concatenate(out["cnt"]), pa.int64()),
+        })
+
+    parts = c.map_batches(vcounts, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    n = int(parts.loc[parts["col"] == "q", "cnt"].sum())
+
+    def rank0_map(tag: str):
+        g = (parts[parts["col"] == tag]
+             .groupby("val", sort=True)["cnt"].sum())
+        vals = g.index.to_numpy(dtype=np.int64)
+        cnt = g.to_numpy(dtype=np.int64)
         a0 = 2 * np.cumsum(cnt) - cnt + 1 - (n + 1)
         return ray.put((vals, a0.astype(np.int64)))
 
-    qref, pref = rank0_map("qv"), rank0_map("pv")
+    qref, pref = rank0_map("q"), rank0_map("p")
 
     def partials(t: pa.Table) -> pa.Table:
         qvals, qa0 = ray.get(qref)
@@ -10653,11 +10671,19 @@ def q_dup_gram_share(sf_dir: str) -> rd.Dataset:
     Window extraction is one numpy sliding_window_view over the
     concatenated block bytes (no per-doc Python loop); (doc, gram)
     counts reduce per block (a doc lives in one block, so block-level
-    dedup is global); gram doc-frequencies take one gram-bounded
-    exchange and flow back via the size-policied attach_via_lookup
-    (broadcast under the 2M cap, native join past it)."""
+    dedup is global); then ONE gram-hash bucket shuffle co-locates each
+    gram's rows, so the doc-frequency count AND the dup-flag join-back
+    happen inside the bucket — a gram groupby would hash-exchange
+    ~every-row-distinct keys and an attach join would add two more
+    materializations (measured 24 s vs 5.5 s at sf0.1/32cpu). Grams
+    travel as int64 KEYS (an 8-char ASCII gram IS its 8-byte int —
+    bijective, so every count matches the SQL's substr grouping); a
+    (doc, gram) pair is globally unique, so the in-bucket group size
+    IS the gram's doc frequency."""
+    import pandas as pd
+
     from ..stages.agg import grouped_sums
-    from ..stages.joins import attach_via_lookup
+    from ..stages.windows import grouped_vectorized
 
     K = 8
     docs = _docs(sf_dir, ["doc_id", "text"])
@@ -10670,7 +10696,7 @@ def q_dup_gram_share(sf_dir: str) -> rd.Dataset:
         keep = lens >= K
         if not keep.any():
             return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "gram": pa.array([], pa.string()),
+                             "gram": pa.array([], pa.int64()),
                              "k": pa.array([], pa.int64())})
         ids, s, lens = ids[keep], s[keep], lens[keep]
         buf = np.frombuffer("".join(s).encode("ascii"), np.uint8)
@@ -10680,46 +10706,32 @@ def q_dup_gram_share(sf_dir: str) -> rd.Dataset:
         nwin = lens - K + 1
         starts = np.repeat(offs[:-1], nwin) + _ranges(nwin)
         docix = np.repeat(np.arange(len(s)), nwin)
-        gram_bytes = win[starts].view(f"S{K}").ravel()
+        gram_key = win[starts].view(np.int64).ravel()
         import pandas as pd
-        f = (pd.DataFrame({"doc_id": ids[docix], "gram": gram_bytes})
+        f = (pd.DataFrame({"doc_id": ids[docix], "gram": gram_key})
              .groupby(["doc_id", "gram"], sort=False)
              .size().reset_index(name="k"))
         return pa.table({
             "doc_id": pa.array(f["doc_id"].to_numpy(), pa.int64()),
-            "gram": pa.array([g.decode("ascii") for g in f["gram"]],
-                             pa.string()),
+            "gram": pa.array(f["gram"].to_numpy(), pa.int64()),
             "k": pa.array(f["k"].to_numpy(dtype=np.int64), pa.int64()),
         })
 
     facts = docs.map_batches(grams, batch_format="pyarrow",
-                             zero_copy_batch=True).materialize()
-    nd = grouped_sums(facts, ["gram"], [], count_alias="ndocs")
+                             zero_copy_batch=True)
 
-    def dup_only(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater_equal(t["ndocs"], 2))
-        return pa.table({
-            "gram": t["gram"],
-            "flag": pa.array(np.ones(t.num_rows, np.int64))})
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ndocs = g.groupby("gram", sort=False)["doc_id"].transform("size")
+        dup = (ndocs.to_numpy() >= 2).astype(np.int64)
+        k = g["k"].to_numpy()
+        f = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                          "total_windows": k,
+                          "dup_windows": k * dup})
+        return f.groupby("doc_id", sort=False, as_index=False).sum()
 
-    dup = nd.map_batches(dup_only, batch_format="pyarrow",
-                         zero_copy_batch=True)
-    tagged = attach_via_lookup(facts, "gram", dup, "gram",
-                               {"flag": "flag"}, inner=False)
-
-    def split_k(t: pa.Table) -> pa.Table:
-        k = t["k"].to_numpy()
-        flag = pc.fill_null(t["flag"], 0).to_numpy()
-        return pa.table({
-            "doc_id": t["doc_id"],
-            "total_windows": pa.array(k, pa.int64()),
-            "dup_windows": pa.array(k * flag, pa.int64()),
-        })
-
-    per_doc = grouped_sums(
-        tagged.map_batches(split_k, batch_format="pyarrow",
-                           zero_copy_batch=True),
-        ["doc_id"], ["total_windows", "dup_windows"])
+    per_doc = grouped_sums(grouped_vectorized(facts, "gram", bucket),
+                           ["doc_id"],
+                           ["total_windows", "dup_windows"])
 
     def share(t: pa.Table) -> pa.Table:
         tw = t["total_windows"].to_numpy()
@@ -10766,21 +10778,30 @@ def q_triangle_type_graph(sf_dir: str) -> rd.Dataset:
     """Graph-motif census of the event-type co-occurrence graph: nodes
     = event types, an edge when some user emitted both types, and the
     triangle count via trace(A^3)/6 on the driver's boolean adjacency.
-    The fact-sized work is ONE (user, type) distinct-pair exchange;
-    per-user edges come from a vectorized self-merge inside the
-    co-located bucket (no per-user Python loop), and everything after
-    the (ta, tb) dedup is bounded by |types|^2."""
+    The fact-sized work is ONE co-locating bucket shuffle of
+    block-pre-deduped (user, type) pairs (a (user, type) groupby first
+    would be a second ~user-count-key exchange, and Dataset.unique()
+    for the node census would RE-EXECUTE it — measured 10.9 s vs
+    4.4 s at sf0.1); the node census is its own |types|-key scan.
+    Per-user edges come from a vectorized self-merge inside the
+    bucket; everything after the (ta, tb) dedup is |types|^2-bounded."""
     import pandas as pd
 
     from ..stages.agg import grouped_sums
     from ..stages.windows import grouped_vectorized
 
     ev = sf_table(sf_dir, "events", columns=["user_id", "event_type"])
-    ut = grouped_sums(ev, ["user_id", "event_type"], [],
-                      count_alias="_n").select_columns(
-                          ["user_id", "event_type"])
+    types = grouped_sums(ev, ["event_type"], [],
+                         count_alias="_n").to_pandas()["event_type"]
+
+    def prededup(t: pa.Table) -> pa.Table:
+        return t.group_by(["user_id", "event_type"]).aggregate([])
+
+    pre = ev.map_batches(prededup, batch_format="pyarrow",
+                         zero_copy_batch=True)
 
     def edges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
         m = g.merge(g, on="user_id")
         m = m[m["event_type_x"] < m["event_type_y"]]
         return (m[["event_type_x", "event_type_y"]]
@@ -10788,10 +10809,9 @@ def q_triangle_type_graph(sf_dir: str) -> rd.Dataset:
                 .rename(columns={"event_type_x": "ta",
                                  "event_type_y": "tb"}))
 
-    e = grouped_sums(grouped_vectorized(ut, "user_id", edges),
+    e = grouped_sums(grouped_vectorized(pre, "user_id", edges),
                      ["ta", "tb"], [], count_alias="_n").to_pandas()
-    nodes = sorted(set(e["ta"]) | set(e["tb"])
-                   | set(ut.unique("event_type")))
+    nodes = sorted(set(e["ta"]) | set(e["tb"]) | set(types))
     idx = {t: i for i, t in enumerate(nodes)}
     a = np.zeros((len(nodes), len(nodes)), np.int64)
     for ta, tb in zip(e["ta"], e["tb"]):
@@ -11040,7 +11060,8 @@ def q_doc_jaccard_topk(sf_dir: str) -> rd.Dataset:
     the final union size is |A| + |Q| - |A∩Q| so no doc-pair join ever
     forms. Top-10 via distributed sort+limit, never a driver sort of
     all docs. Gram extraction shares q_dup_gram_share's
-    sliding_window_view kernel shape."""
+    sliding_window_view kernel shape and its int64 gram keys (8 ASCII
+    chars = one int, bijective — no string hashing or decode loops)."""
     from ..stages.agg import grouped_sums
 
     K = 8
@@ -11054,7 +11075,7 @@ def q_doc_jaccard_topk(sf_dir: str) -> rd.Dataset:
         keep = lens >= K
         if not keep.any():
             return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "gram": pa.array([], pa.string())})
+                             "gram": pa.array([], pa.int64())})
         ids, s, lens = ids[keep], s[keep], lens[keep]
         buf = np.frombuffer("".join(s).encode("ascii"), np.uint8)
         offs = np.r_[0, np.cumsum(lens)]
@@ -11062,14 +11083,13 @@ def q_doc_jaccard_topk(sf_dir: str) -> rd.Dataset:
         nwin = lens - K + 1
         starts = np.repeat(offs[:-1], nwin) + _ranges(nwin)
         docix = np.repeat(np.arange(len(s)), nwin)
-        gram_bytes = win[starts].view(f"S{K}").ravel()
+        gram_key = win[starts].view(np.int64).ravel()
         import pandas as pd
-        f = (pd.DataFrame({"doc_id": ids[docix], "gram": gram_bytes})
+        f = (pd.DataFrame({"doc_id": ids[docix], "gram": gram_key})
              .drop_duplicates())
         return pa.table({
             "doc_id": pa.array(f["doc_id"].to_numpy(), pa.int64()),
-            "gram": pa.array([g.decode("ascii") for g in f["gram"]],
-                             pa.string()),
+            "gram": pa.array(f["gram"].to_numpy(), pa.int64()),
         })
 
     facts = docs.map_batches(gramset, batch_format="pyarrow",
@@ -11080,7 +11100,7 @@ def q_doc_jaccard_topk(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow", zero_copy_batch=True).take_all()
     qgrams = {r["gram"] for r in qrows}
     nq = len(qgrams)
-    qref = ray.put(pa.array(sorted(qgrams), pa.string()))
+    qref = ray.put(pa.array(sorted(qgrams), pa.int64()))
 
     def tag(t: pa.Table) -> pa.Table:
         hit = pc.is_in(t["gram"], value_set=ray.get(qref))
