@@ -11179,6 +11179,122 @@ def q_revenue_autocorr(sf_dir: str) -> rd.Dataset:
     }))
 
 
+def q_part_pairs_top(sf_dir: str) -> rd.Dataset:
+    """Market-basket co-occurrence: the 10 part pairs most often bought
+    in the same order. Two-phase exact top-k — pair formation inside an
+    order-key bucket shuffle (an order lives in one bucket, so pairs
+    form locally), then partial pair counts re-shuffle by a composite
+    pa*2^32+pb int64 key where each bucket finalizes counts and keeps
+    its LOCAL top-10 under the global total order (n DESC, pa, pb) —
+    any global top-10 row survives its bucket cut, so the driver merge
+    sees <=64*10 rows. The ~all-distinct pair key set never goes
+    through a hash groupby."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    SHIFT = np.int64(1) << np.int64(32)
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_partkey"])
+
+    def prededup(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+
+    pre = li.map_batches(prededup, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        key = (m["l_partkey_x"].to_numpy(dtype=np.int64) * SHIFT
+               + m["l_partkey_y"].to_numpy(dtype=np.int64))
+        f = pd.DataFrame({"pkey": key})
+        return f.groupby("pkey", sort=False).size().reset_index(name="n")
+
+    partials = grouped_vectorized(pre, "l_orderkey", pairs)
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("pkey", sort=False, as_index=False)["n"].sum()
+        tot["pa"] = tot["pkey"].to_numpy() // SHIFT
+        tot["pb"] = tot["pkey"].to_numpy() % SHIFT
+        return (tot.sort_values(["n", "pa", "pb"],
+                                ascending=[False, True, True])
+                .head(10)[["pa", "pb", "n"]])
+
+    top = (grouped_vectorized(partials, "pkey", local_topk)
+           .to_pandas()
+           .sort_values(["n", "pa", "pb"],
+                        ascending=[False, True, True])
+           .head(10))
+    return rd.from_arrow(pa.table({
+        "pa": pa.array(top["pa"].to_numpy(dtype=np.int64), pa.int64()),
+        "pb": pa.array(top["pb"].to_numpy(dtype=np.int64), pa.int64()),
+        "n": pa.array(top["n"].to_numpy(dtype=np.int64), pa.int64()),
+    }))
+
+
+def q_regex_match_counts(sf_dir: str) -> rd.Dataset:
+    """Per-language regex hit census ('[a-z]*er\\b' agent-noun-ish
+    words): total non-overlapping matches + docs with >=1. Both engines
+    run RE2 (pc.count_substring_regex / DuckDB regexp_extract_all) with
+    identical left-to-right non-overlap semantics; one |langs|-row
+    exchange."""
+    from ..stages.agg import grouped_sums
+
+    PAT = r"[a-z]*er\b"
+    docs = _docs(sf_dir, ["lang", "text"])
+
+    def hits(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        cnt = pc.cast(pc.count_substring_regex(txt, PAT), pa.int64())
+        return pa.table({
+            "lang": t["lang"],
+            "n_matches": cnt,
+            "docs_with_match": pc.cast(
+                pc.greater(cnt, 0), pa.int64()),
+        })
+
+    return grouped_sums(docs.map_batches(hits, batch_format="pyarrow",
+                                         zero_copy_batch=True),
+                        ["lang"], ["n_matches", "docs_with_match"])
+
+
+def q_ann_recall_at_10(sf_dir: str) -> rd.Dataset:
+    """ANN quality evaluation: recall@10 of the IVF-probed index
+    against the exact brute-force baseline for the min-vec_id query
+    (rows-only: both searches are engine ops). Deterministic end to
+    end — hash_head sampling, maximin init and the persisted layout
+    are all rerun-stable — so the recall locks in tests."""
+    import os
+
+    from ..stages.sampling import hash_head
+    from ..stages.similarity import (
+        IVFIndex, brute_force_topk, ivf_assign, ivf_persist,
+        ivf_topk_persisted,
+    )
+
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = np.asarray([_min_id_row(sf_dir)])
+    exact = {i for i, _ in brute_force_topk(emb, q, k=10)[0]}
+    sample = np.asarray(
+        hash_head(emb, "vec_id", 1000).to_pandas()["embedding"].tolist(),
+        dtype=np.float32,
+    )
+    idx = IVFIndex.train(sample, n_lists=8)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    index_dir = f"/tmp/graft_ivf_recall/{tag}.{os.getpid()}"
+    ivf_persist(ivf_assign(emb, ray.put(idx)), index_dir)
+    approx = {i for i, _ in ivf_topk_persisted(
+        index_dir, idx, q, k=10, n_probe=4)[0]}
+    return rd.from_arrow(pa.table({
+        "k": pa.array([10], pa.int64()),
+        "n_hits": pa.array([len(exact & approx)], pa.int64()),
+        "recall_e2": pa.array([len(exact & approx) * 100 // 10],
+                              pa.int64()),
+    }))
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -11468,6 +11584,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "bag_except_users": q_bag_except_users,
         "doc_jaccard_topk": q_doc_jaccard_topk,
         "revenue_autocorr": q_revenue_autocorr,
+        "part_pairs_top": q_part_pairs_top,
+        "regex_match_counts": q_regex_match_counts,
+        "ann_recall_at_10": q_ann_recall_at_10,
         # rows-only multimodal augmentation fan-out (binary payloads)
         "augment_images": q_augment_images,
         "bollinger_flags": q_bollinger_flags,
@@ -14095,5 +14214,21 @@ def oracle_sqls() -> dict[str, str]:
             " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
             " * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr"
             " FROM s"
+        ),
+        "part_pairs_top": (
+            "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey"
+            " FROM lineitem),"
+            " p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb"
+            " FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey"
+            " AND a.l_partkey < b.l_partkey)"
+            " SELECT pa, pb, CAST(count(*) AS BIGINT) AS n FROM p"
+            " GROUP BY 1, 2 ORDER BY n DESC, pa, pb LIMIT 10"
+        ),
+        "regex_match_counts": (
+            "SELECT lang, CAST(sum(len(regexp_extract_all(text,"
+            " '[a-z]*er\\b'))) AS BIGINT) AS n_matches,"
+            " CAST(count(*) FILTER (WHERE len(regexp_extract_all(text,"
+            " '[a-z]*er\\b')) > 0) AS BIGINT) AS docs_with_match"
+            " FROM documents GROUP BY 1"
         ),
     }

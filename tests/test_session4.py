@@ -92,9 +92,15 @@ def crafted_dir(tmp_path_factory):
     # lineitem: heavy ties in both rank columns + one .5 cents tie
     qty = [1.0, 1.0, 1.0, 2.0, 2.0, 3.0]
     price = [10.0, 10.0, 20.0, 20.0, 10.005, 30.0]
+    # basket columns: order 1 holds part 20 TWICE (distinct dedup),
+    # orders 1+2 share the (10, 20) pair, order 3 is a singleton
+    okey = [1, 1, 1, 2, 2, 3]
+    pkey = [10, 20, 20, 10, 20, 10]
     pq.write_table(pa.table({
         "l_quantity": pa.array(qty, pa.float64()),
         "l_extendedprice": pa.array(price, pa.float64()),
+        "l_orderkey": pa.array(okey, pa.int64()),
+        "l_partkey": pa.array(pkey, pa.int64()),
     }), os.path.join(d, "lineitem.parquet"))
     return d
 
@@ -118,7 +124,21 @@ QUERIES = [
     # both sides (locks the empty-result path)
     "doc_jaccard_topk",
     "revenue_autocorr",
+    "part_pairs_top",
+    "regex_match_counts",
 ]
+
+
+def test_ann_recall_deterministic(ray_session):
+    import __ray_entry__ as e
+
+    a = e.queries()["ann_recall_at_10"](
+        "/root/testdata/sf0.001").to_pandas()
+    b = e.queries()["ann_recall_at_10"](
+        "/root/testdata/sf0.001").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert 0 <= a["n_hits"][0] <= 10
+    assert a["recall_e2"][0] == a["n_hits"][0] * 10
 
 
 @pytest.mark.parametrize("name", QUERIES)
