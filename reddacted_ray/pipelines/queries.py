@@ -11295,6 +11295,76 @@ def q_ann_recall_at_10(sf_dir: str) -> rd.Dataset:
     }))
 
 
+def q_cap_per_source(sf_dir: str) -> rd.Dataset:
+    """Per-source document quota (the data-mix cap every web-corpus
+    recipe applies: no source may dominate): keep the 20 lowest-doc_id
+    docs per source with their rank. One co-locating bucket shuffle;
+    ranks are a vectorized groupby-cumcount, the cap a mask."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    docs = _docs(sf_dir, ["doc_id", "source"])
+
+    def cap(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "doc_id"], kind="mergesort")
+        rn = g.groupby("source", sort=False).cumcount() + 1
+        out = g[rn <= 20].copy()
+        out["rn"] = rn[rn <= 20].astype(np.int64)
+        return out
+
+    return grouped_vectorized(docs, "source", cap)
+
+
+def q_cusum_alarms(sf_dir: str) -> rd.Dataset:
+    """One-sided CUSUM change detection on daily revenue (rows-only:
+    the clamped recursion S_t = max(0, S_{t-1} + x_t - k) is not
+    SQL-expressible). Slack k = mean + sigma/2 and threshold h =
+    3*sigma use EXACT integer moments (isqrt variance, cents) so the
+    alarm set is machine-stable; one day-bounded rollup exchange, the
+    recursion runs on the driver over the ~day-count series."""
+    import math
+
+    from ..stages.agg import grouped_sums
+
+    o = sf_table(sf_dir, "orders",
+                 columns=["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "d": t["o_orderdate"],
+            "cents": _money_int(t["o_totalprice"], 100.0),
+        })
+
+    day = (grouped_sums(o.map_batches(prep, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                        ["d"], ["cents"])
+           .to_pandas().sort_values("d"))
+    r = [int(v) for v in day["cents"]]
+    n = len(r)
+    s1, s2 = sum(r), sum(v * v for v in r)
+    mean = s1 // n
+    sigma = math.isqrt(max(n * s2 - s1 * s1, 0)) // n
+    k = mean + sigma // 2
+    h = 3 * sigma
+    s = 0
+    n_alarms, first_alarm, max_s = 0, -1, 0
+    for i, v in enumerate(r):
+        s = max(0, s + v - k)
+        max_s = max(max_s, s)
+        if s > h:
+            n_alarms += 1
+            if first_alarm < 0:
+                first_alarm = i
+            s = 0  # restart after an alarm
+    return rd.from_arrow(pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "n_alarms": pa.array([n_alarms], pa.int64()),
+        "first_alarm_idx": pa.array([first_alarm], pa.int64()),
+        "max_s": pa.array([max_s], pa.int64()),
+    }))
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -11587,6 +11657,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "part_pairs_top": q_part_pairs_top,
         "regex_match_counts": q_regex_match_counts,
         "ann_recall_at_10": q_ann_recall_at_10,
+        "cap_per_source": q_cap_per_source,
+        "cusum_alarms": q_cusum_alarms,
         # rows-only multimodal augmentation fan-out (binary payloads)
         "augment_images": q_augment_images,
         "bollinger_flags": q_bollinger_flags,
@@ -14230,5 +14302,11 @@ def oracle_sqls() -> dict[str, str]:
             " CAST(count(*) FILTER (WHERE len(regexp_extract_all(text,"
             " '[a-z]*er\\b')) > 0) AS BIGINT) AS docs_with_match"
             " FROM documents GROUP BY 1"
+        ),
+        "cap_per_source": (
+            "WITH r AS (SELECT doc_id, source, CAST(row_number() OVER"
+            " (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn"
+            " FROM documents)"
+            " SELECT doc_id, source, rn FROM r WHERE rn <= 20"
         ),
     }

@@ -88,6 +88,8 @@ def crafted_dir(tmp_path_factory):
         "doc_id": pa.array(range(len(texts)), pa.int64()),
         "text": pa.array(texts, pa.string()),
         "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["a", "a", "b", "b", "b", "b", "b"],
+                           pa.string()),
     }), os.path.join(d, "documents.parquet"))
     # lineitem: heavy ties in both rank columns + one .5 cents tie
     qty = [1.0, 1.0, 1.0, 2.0, 2.0, 3.0]
@@ -126,7 +128,44 @@ QUERIES = [
     "revenue_autocorr",
     "part_pairs_top",
     "regex_match_counts",
+    "cap_per_source",
 ]
+
+
+def test_cusum_alarms_recomputation(ray_session, crafted_dir):
+    """The CUSUM summary must equal an independent driver-side replay
+    of the same integer recursion over the crafted 4-day series."""
+    import math
+
+    import duckdb as ddb
+
+    import __ray_entry__ as e
+
+    got = e.queries()["cusum_alarms"](crafted_dir).to_pandas()
+    con = ddb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM"
+            f" '{crafted_dir}/orders.parquet'")
+    day = con.sql(
+        "SELECT o_orderdate d, CAST(sum(CAST(round(o_totalprice*100)"
+        " AS BIGINT)) AS BIGINT) c FROM orders GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    r = [int(x[1]) for x in day]
+    n = len(r)
+    s1, s2 = sum(r), sum(v * v for v in r)
+    mean, sigma = s1 // n, math.isqrt(max(n * s2 - s1 * s1, 0)) // n
+    k, h = mean + sigma // 2, 3 * sigma
+    s = na = ms = 0
+    fa = -1
+    for i, v in enumerate(r):
+        s = max(0, s + v - k)
+        ms = max(ms, s)
+        if s > h:
+            na += 1
+            if fa < 0:
+                fa = i
+            s = 0
+    assert got.iloc[0].to_dict() == {
+        "n_days": n, "n_alarms": na, "first_alarm_idx": fa, "max_s": ms}
 
 
 def test_ann_recall_deterministic(ray_session):
