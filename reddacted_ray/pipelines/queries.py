@@ -11365,6 +11365,56 @@ def q_cusum_alarms(sf_dir: str) -> rd.Dataset:
     }))
 
 
+def q_corpus_assembly(sf_dir: str) -> rd.Dataset:
+    """Marquee composition (rows-only: dedup survivor choice + md5 mix
+    aren't single-SQL): quality gate -> exact dedup -> per-source cap
+    -> temperature mix -> per-(source, lang) manifest. Deterministic
+    end to end; see pipelines/corpus.py for the scale shape."""
+    from ..pipelines.corpus import assemble_corpus, corpus_summary
+
+    return corpus_summary(assemble_corpus(sf_dir))
+
+
+def q_grouped_stddev(sf_dir: str) -> rd.Dataset:
+    """Per-flag sample standard deviation of quantity (whole units)
+    from exact integer moment partials — sqrt((n*s2 - s^2)/(n*(n-1)))
+    computed with the identical tree both sides (DuckDB's own
+    stddev_samp aggregates floats incrementally and would NOT
+    bit-match)."""
+    from ..stages.agg import grouped_sums
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_returnflag", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = _money_int(t["l_quantity"], 1.0)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+            "s": x,
+            "s2": pc.multiply(x, x),
+        })
+
+    g = grouped_sums(li.map_batches(prep, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                     ["l_returnflag"], ["n", "s", "s2"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy()
+        s = t["s"].to_numpy()
+        s2 = t["s2"].to_numpy()
+        num = (n * s2 - s * s).astype(np.float64)
+        den = (n * (n - 1)).astype(np.float64)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n": pa.array(n, pa.int64()),
+            "stddev_qty": pa.array(np.sqrt(num / den), pa.float64()),
+        })
+
+    return g.map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -11659,6 +11709,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "ann_recall_at_10": q_ann_recall_at_10,
         "cap_per_source": q_cap_per_source,
         "cusum_alarms": q_cusum_alarms,
+        "corpus_assembly": q_corpus_assembly,
+        "grouped_stddev": q_grouped_stddev,
         # rows-only multimodal augmentation fan-out (binary payloads)
         "augment_images": q_augment_images,
         "bollinger_flags": q_bollinger_flags,
@@ -14308,5 +14360,15 @@ def oracle_sqls() -> dict[str, str]:
             " (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn"
             " FROM documents)"
             " SELECT doc_id, source, rn FROM r WHERE rn <= 20"
+        ),
+        "grouped_stddev": (
+            "WITH c AS (SELECT l_returnflag,"
+            " CAST(round(l_quantity) AS BIGINT) AS x FROM lineitem),"
+            " g AS (SELECT l_returnflag, count(*) AS n,"
+            " CAST(sum(x) AS BIGINT) AS s,"
+            " CAST(sum(x * x) AS BIGINT) AS s2 FROM c GROUP BY 1)"
+            " SELECT l_returnflag, CAST(n AS BIGINT) AS n,"
+            " sqrt(CAST(n * s2 - s * s AS DOUBLE)"
+            " / CAST(n * (n - 1) AS DOUBLE)) AS stddev_qty FROM g"
         ),
     }

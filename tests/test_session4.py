@@ -168,6 +168,44 @@ def test_cusum_alarms_recomputation(ray_session, crafted_dir):
         "n_days": n, "n_alarms": na, "first_alarm_idx": fa, "max_s": ms}
 
 
+def test_corpus_assembly_planted(ray_session, tmp_path):
+    """Gate, dedup, cap and mix each provably fire: a repetition doc
+    and a 1-word doc are gated, an exact duplicate keeps only the min
+    doc_id, a 5-doc source is capped to 2, and mix_k large keeps all."""
+    import pyarrow.parquet as pq2
+
+    from reddacted_ray.pipelines.corpus import (CorpusConfig,
+                                                assemble_corpus)
+
+    texts = [
+        "one two three four five six",       # 0 survives (src a)
+        "one two three four five six",       # 1 exact dup -> dropped
+        "rep rep rep rep rep rep",           # 2 dup_word_frac 5/6
+        "tiny",                              # 3 under min_words
+        "alpha beta gamma delta eps one",    # 4 src b
+        "alpha beta gamma delta eps two",    # 5 src b
+        "alpha beta gamma delta eps three",  # 6 src b (capped out)
+        "alpha beta gamma delta eps four",   # 7 src b (capped out)
+        "alpha beta gamma delta eps five",   # 8 src b (capped out)
+    ]
+    src = ["a", "a", "a", "a", "b", "b", "b", "b", "b"]
+    d = str(tmp_path)
+    pq2.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(src, pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    cfg = CorpusConfig(min_words=5, max_dup_word_frac=0.5,
+                       cap_per_source=2, mix_k=1000)
+    out = assemble_corpus(d, cfg).to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [0, 4, 5]
+    assert list(out["rn"]) == [1, 1, 2]
+    # deterministic rerun
+    out2 = assemble_corpus(d, cfg).to_pandas().sort_values("doc_id")
+    assert list(out2["doc_id"]) == [0, 4, 5]
+
+
 def test_ann_recall_deterministic(ray_session):
     import __ray_entry__ as e
 
