@@ -11415,6 +11415,37 @@ def q_grouped_stddev(sf_dir: str) -> rd.Dataset:
                          zero_copy_batch=True)
 
 
+def q_diverse_top_docs(sf_dir: str) -> rd.Dataset:
+    """Diversity-constrained ranking (the retrieval staple: global
+    top-10 with AT MOST 2 results per source). Per-source top-2 happens
+    inside the source bucket shuffle under the global total order
+    (n_chars DESC, doc_id) — any globally-chosen row survives its
+    source cut — so the driver merges <=2*|sources| rows, never sorts
+    the corpus."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    docs = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"],
+                          ascending=[False, True], kind="mergesort")
+        return g.groupby("source", sort=False).head(2)
+
+    cand = grouped_vectorized(docs, "source", top2).to_pandas()
+    top = cand.sort_values(["n_chars", "doc_id"],
+                           ascending=[False, True]).head(10)
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(top["doc_id"].to_numpy(dtype=np.int64),
+                           pa.int64()),
+        "source": pa.array(top["source"].astype(str).tolist(),
+                           pa.string()),
+        "n_chars": pa.array(top["n_chars"].to_numpy(dtype=np.int64),
+                            pa.int64()),
+    }))
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -11711,6 +11742,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "cusum_alarms": q_cusum_alarms,
         "corpus_assembly": q_corpus_assembly,
         "grouped_stddev": q_grouped_stddev,
+        "diverse_top_docs": q_diverse_top_docs,
         # rows-only multimodal augmentation fan-out (binary payloads)
         "augment_images": q_augment_images,
         "bollinger_flags": q_bollinger_flags,
@@ -14370,5 +14402,13 @@ def oracle_sqls() -> dict[str, str]:
             " SELECT l_returnflag, CAST(n AS BIGINT) AS n,"
             " sqrt(CAST(n * s2 - s * s AS DOUBLE)"
             " / CAST(n * (n - 1) AS DOUBLE)) AS stddev_qty FROM g"
+        ),
+        "diverse_top_docs": (
+            "WITH r AS (SELECT doc_id, source, n_chars,"
+            " row_number() OVER (PARTITION BY source"
+            " ORDER BY n_chars DESC, doc_id) AS rn FROM documents)"
+            " SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars"
+            " FROM r WHERE rn <= 2"
+            " ORDER BY n_chars DESC, doc_id LIMIT 10"
         ),
     }

@@ -265,6 +265,36 @@ def write_ipc(ds: rd.Dataset, out_dir: str,
     return int(res["rows"] or 0)
 
 
+def write_csv(ds: rd.Dataset, out_dir: str) -> int:
+    """CSV sink: one ``.csv`` file per block (header included),
+    serialized inside the map tasks with Arrow's C++ CSV writer (the
+    driver never sees data — only per-file row counts). Complements
+    ``read_csv``. The output dir must be empty/absent (same
+    append-hazard rule as write_parquet). Returns rows written."""
+    import pyarrow as pa
+
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        raise ValueError(f"write_csv: out_dir {out_dir!r} is non-empty")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(t: pa.Table) -> pa.Table:
+        from uuid import uuid4
+
+        from pyarrow import csv as pacsv
+
+        if t.num_rows:
+            pacsv.write_csv(
+                t, os.path.join(out_dir, f"part-{uuid4().hex}.csv"))
+        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+
+    out = ds.map_batches(dump, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    from ray.data.aggregate import Sum
+
+    res = out.aggregate(Sum("rows", alias_name="rows"))
+    return int(res["rows"] or 0)
+
+
 def write_jsonl(ds: rd.Dataset, out_dir: str) -> int:
     """JSON-lines sink: one ``.jsonl`` file per block, serialized inside
     the map tasks with pandas' C-level ``to_json`` (the driver never

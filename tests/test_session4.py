@@ -90,6 +90,7 @@ def crafted_dir(tmp_path_factory):
         "lang": pa.array(["en"] * len(texts), pa.string()),
         "source": pa.array(["a", "a", "b", "b", "b", "b", "b"],
                            pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     }), os.path.join(d, "documents.parquet"))
     # lineitem: heavy ties in both rank columns + one .5 cents tie
     qty = [1.0, 1.0, 1.0, 2.0, 2.0, 3.0]
@@ -129,7 +130,28 @@ QUERIES = [
     "part_pairs_top",
     "regex_match_counts",
     "cap_per_source",
+    # n_chars TIES across sources exercise the (n_chars, doc_id) order
+    "diverse_top_docs",
 ]
+
+
+def test_write_csv_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from reddacted_ray.sources.tables import read_csv, write_csv
+
+    t = pa.table({
+        "a": pa.array([3, 1, 2], pa.int64()),
+        "s": pa.array(["x", "y,z", "w"], pa.string()),
+    })
+    ds = rd.from_arrow(t)
+    out = str(tmp_path / "csv_out")
+    assert write_csv(ds, out) == 3
+    back = read_csv(out).to_pandas().sort_values("a")
+    assert list(back["a"]) == [1, 2, 3]
+    assert set(back["s"]) == {"x", "y,z", "w"}
+    with pytest.raises(ValueError):
+        write_csv(ds, out)
 
 
 def test_cusum_alarms_recomputation(ray_session, crafted_dir):
