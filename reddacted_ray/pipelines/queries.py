@@ -11446,6 +11446,87 @@ def q_diverse_top_docs(sf_dir: str) -> rd.Dataset:
     }))
 
 
+def q_ship_sla_compliance(sf_dir: str) -> rd.Dataset:
+    """Shipping-SLA scorecard: per order priority, the share (e4) of
+    lineitems shipped within 30 days of the order date. The order dim
+    (date + priority) attaches to the fact through the size-policied
+    attach_via_lookup (broadcast arrays + index_in under the 2M cap,
+    native hash join past it — no uncapped SF-proportional broadcast);
+    day math is pure date32 integer subtraction."""
+    from ..stages.agg import grouped_sums
+    from ..stages.joins import attach_via_lookup
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_shipdate"])
+    o = sf_table(sf_dir, "orders",
+                 columns=["o_orderkey", "o_orderdate",
+                          "o_orderpriority"])
+    j = attach_via_lookup(li, "l_orderkey", o, "o_orderkey",
+                          {"o_orderdate": "odate",
+                           "o_orderpriority": "prio"})
+
+    DAY = 86_400_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t["l_shipdate"], pa.int64()).to_numpy() // DAY
+        od = pc.cast(t["odate"], pa.int64()).to_numpy() // DAY
+        within = ((ship - od) <= 30).astype(np.int64)
+        return pa.table({
+            "o_orderpriority": t["prio"],
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+            "n_within": pa.array(within),
+        })
+
+    g = grouped_sums(j.map_batches(tag, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+                     ["o_orderpriority"], ["n", "n_within"])
+
+    def share(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "share_e4",
+            pa.array(t["n_within"].to_numpy() * 10_000
+                     // t["n"].to_numpy(), pa.int64()))
+
+    return g.map_batches(share, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def q_first_touch_counts(sf_dir: str) -> rd.Dataset:
+    """First-touch attribution (the pair to attribution_last_touch):
+    how many users' FIRST event (by ts, event_id) is each type. One
+    co-locating bucket shuffle; the first row per user falls out of a
+    sorted boundary mask, then a |types|-bounded count exchange."""
+    import pandas as pd
+
+    from ..stages.agg import grouped_sums
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["user_id", "ts", "event_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "tsu": pc.cast(t["ts"], pa.int64()),
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+        })
+
+    keyed = ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def firsts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "tsu", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy()
+        first = np.r_[True, u[1:] != u[:-1]]
+        return pd.DataFrame(
+            {"event_type": g["event_type"].to_numpy()[first]})
+
+    return grouped_sums(grouped_vectorized(keyed, "user_id", firsts),
+                        ["event_type"], [], count_alias="n_users")
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -11743,6 +11824,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "corpus_assembly": q_corpus_assembly,
         "grouped_stddev": q_grouped_stddev,
         "diverse_top_docs": q_diverse_top_docs,
+        "ship_sla_compliance": q_ship_sla_compliance,
+        "first_touch_counts": q_first_touch_counts,
         # rows-only multimodal augmentation fan-out (binary payloads)
         "augment_images": q_augment_images,
         "bollinger_flags": q_bollinger_flags,
@@ -14410,5 +14493,23 @@ def oracle_sqls() -> dict[str, str]:
             " SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars"
             " FROM r WHERE rn <= 2"
             " ORDER BY n_chars DESC, doc_id LIMIT 10"
+        ),
+        "ship_sla_compliance": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,"
+            " CAST(count(*) FILTER (WHERE epoch_us(l_shipdate)"
+            " // 86400000000 - epoch_us(o_orderdate) // 86400000000"
+            " <= 30) AS BIGINT) AS n_within,"
+            " CAST(count(*) FILTER (WHERE epoch_us(l_shipdate)"
+            " // 86400000000 - epoch_us(o_orderdate) // 86400000000"
+            " <= 30) * 10000 // count(*) AS BIGINT) AS share_e4"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " GROUP BY 1"
+        ),
+        "first_touch_counts": (
+            "WITH f AS (SELECT user_id, event_type, row_number() OVER"
+            " (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)"
+            " AS rn FROM events)"
+            " SELECT event_type, CAST(count(*) AS BIGINT) AS n_users"
+            " FROM f WHERE rn = 1 GROUP BY 1"
         ),
     }

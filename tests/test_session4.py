@@ -40,12 +40,17 @@ def crafted_dir(tmp_path_factory):
     # 4 calendar days with varying totals (autocorr needs >=2 lag
     # pairs and nonzero variance on both legs)
     days = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3]
+    DAYUS = 86_400_000_000
     pq.write_table(pa.table({
         "o_orderkey": pa.array(range(len(prices)), pa.int64()),
         "o_custkey": pa.array([1] * len(prices), pa.int64()),
         "o_totalprice": pa.array(prices, pa.float64()),
-        "o_orderdate": pa.array([18000 + v for v in days],
-                                pa.date32()),
+        # midnight-aligned timestamps, matching the real table schema
+        "o_orderdate": pa.array([(18000 + v) * DAYUS for v in days],
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(
+            ["1-URGENT" if i % 2 == 0 else "5-LOW"
+             for i in range(len(prices))], pa.string()),
     }), os.path.join(d, "orders.parquet"))
     # events: ts TIES inside user 1 (order falls back to event_id),
     # singleton user 2, a user whose type never changes (one run)
@@ -99,11 +104,16 @@ def crafted_dir(tmp_path_factory):
     # orders 1+2 share the (10, 20) pair, order 3 is a singleton
     okey = [1, 1, 1, 2, 2, 3]
     pkey = [10, 20, 20, 10, 20, 10]
+    # ship lags: exactly 30d (within), 31d (late), same-day, late, ...
+    lag = [30, 31, 0, 45, 2, 30]
     pq.write_table(pa.table({
         "l_quantity": pa.array(qty, pa.float64()),
         "l_extendedprice": pa.array(price, pa.float64()),
         "l_orderkey": pa.array(okey, pa.int64()),
         "l_partkey": pa.array(pkey, pa.int64()),
+        "l_shipdate": pa.array([(18000 + days[k] + lg) * DAYUS
+                                for k, lg in zip(okey, lag)],
+                               pa.timestamp("us")),
     }), os.path.join(d, "lineitem.parquet"))
     return d
 
@@ -132,6 +142,9 @@ QUERIES = [
     "cap_per_source",
     # n_chars TIES across sources exercise the (n_chars, doc_id) order
     "diverse_top_docs",
+    # 30d boundary is INCLUSIVE; orderkeys here index the orders table
+    "ship_sla_compliance",
+    "first_touch_counts",
 ]
 
 
