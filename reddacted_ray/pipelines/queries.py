@@ -11527,6 +11527,118 @@ def q_first_touch_counts(sf_dir: str) -> rd.Dataset:
                         ["event_type"], [], count_alias="n_users")
 
 
+def q_word_bigram_lift(sf_dir: str) -> rd.Dataset:
+    """Collocation extraction: the 10 adjacent word pairs with the
+    highest lift N*c(ab)/(c(a)*c(b)) among pairs seen >=5 times — the
+    log-free PMI stand-in (a libm log would not bit-match; the single
+    IEEE division of exact integers does). Bigrams string-concat with
+    one Arrow kernel inside doc boundaries; unigram counts broadcast
+    (vocabulary-bounded); top-10 via distributed sort+limit."""
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()),
+                           "").combine_chunks()
+        return pa.table({
+            "tok": pc.list_flatten(pc.split_pattern(txt, " "))})
+
+    wc = grouped_sums(docs.map_batches(toks, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                      ["tok"], [], count_alias="c").to_pandas()
+    nt = int(wc["c"].sum())
+    vocab = np.sort(wc["tok"].to_numpy())
+    order = np.argsort(wc["tok"].to_numpy())
+    counts = wc["c"].to_numpy(dtype=np.int64)[order]
+    wref = ray.put((vocab, counts))
+
+    def bigrams(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()),
+                           "").combine_chunks()
+        lists = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        nwords = pc.list_value_length(lists).to_numpy()
+        m = len(flat)
+        if m <= 1:
+            return pa.table({"ta": pa.array([], pa.string()),
+                             "tb": pa.array([], pa.string())})
+        # adjacent pairs, masked at doc boundaries
+        ends = np.cumsum(nwords) - 1  # last token index per doc
+        mask = np.ones(m - 1, bool)
+        mask[ends[ends < m - 1]] = False
+        a = flat.slice(0, m - 1)
+        b = flat.slice(1, m - 1)
+        keep = pa.array(mask)
+        return pa.table({"ta": pc.filter(a, keep),
+                         "tb": pc.filter(b, keep)})
+
+    bg = grouped_sums(docs.map_batches(bigrams, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                      ["ta", "tb"], [], count_alias="cab")
+
+    def lift(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["cab"], 5))
+        if t.num_rows == 0:
+            return pa.table({"big": pa.array([], pa.string()),
+                             "cab": pa.array([], pa.int64()),
+                             "lift": pa.array([], pa.float64())})
+        voc, cnt = ray.get(wref)
+        ca = cnt[np.searchsorted(voc, t["ta"].to_numpy(
+            zero_copy_only=False).astype(object))]
+        cb = cnt[np.searchsorted(voc, t["tb"].to_numpy(
+            zero_copy_only=False).astype(object))]
+        cab = t["cab"].to_numpy()
+        lv = (nt * cab).astype(np.float64) \
+            / (ca.astype(np.float64) * cb.astype(np.float64))
+        big = pc.binary_join_element_wise(t["ta"], t["tb"], " ")
+        return pa.table({
+            "big": big,
+            "cab": pa.array(cab, pa.int64()),
+            "lift": pa.array(lv, pa.float64()),
+        })
+
+    return (bg.map_batches(lift, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .sort(key=["lift", "big"], descending=[True, False])
+            .limit(10))
+
+
+def q_embedding_dim_stats(sf_dir: str) -> rd.Dataset:
+    """Per-dimension feature statistics of the embedding corpus (mean,
+    biased variance — the normalizer every feature pipeline fits;
+    rows-only: float reductions). Shares q_pca_top_component's partial
+    shape: per-block (n, sum, sum of squares) float64 partials, fsum
+    driver merge (correctly rounded => block-order independent)."""
+    import math
+
+    emb = sf_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        x = np.asarray(t["embedding"].to_pylist(), np.float64)
+        return pa.table({
+            "n": pa.array([x.shape[0]], pa.int64()),
+            "s": pa.array([x.sum(axis=0).tolist()]),
+            "s2": pa.array([(x * x).sum(axis=0).tolist()]),
+        })
+
+    rows = emb.map_batches(partials, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["s"])
+    mean = np.array([math.fsum(r["s"][i] for r in rows)
+                     for i in range(d)]) / n
+    ex2 = np.array([math.fsum(r["s2"][i] for r in rows)
+                    for i in range(d)]) / n
+    return rd.from_arrow(pa.table({
+        "dim": pa.array(range(d), pa.int64()),
+        "mean": pa.array(mean, pa.float64()),
+        "var": pa.array(ex2 - mean * mean, pa.float64()),
+    }))
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -11826,6 +11938,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "diverse_top_docs": q_diverse_top_docs,
         "ship_sla_compliance": q_ship_sla_compliance,
         "first_touch_counts": q_first_touch_counts,
+        "word_bigram_lift": q_word_bigram_lift,
+        "embedding_dim_stats": q_embedding_dim_stats,
         # rows-only multimodal augmentation fan-out (binary payloads)
         "augment_images": q_augment_images,
         "bollinger_flags": q_bollinger_flags,
@@ -14511,5 +14625,26 @@ def oracle_sqls() -> dict[str, str]:
             " AS rn FROM events)"
             " SELECT event_type, CAST(count(*) AS BIGINT) AS n_users"
             " FROM f WHERE rn = 1 GROUP BY 1"
+        ),
+        "word_bigram_lift": (
+            "WITH toks AS (SELECT string_split(text, ' ') AS ts"
+            " FROM documents),"
+            " bg AS (SELECT unnest(list_transform(generate_series(1,"
+            " len(ts) - 1), i -> ts[i])) AS ta,"
+            " unnest(list_transform(generate_series(1, len(ts) - 1),"
+            " i -> ts[i + 1])) AS tb FROM toks WHERE len(ts) >= 2),"
+            " b AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS cab"
+            " FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),"
+            " wc AS (SELECT unnest(string_split(text, ' ')) AS tok"
+            " FROM documents),"
+            " w AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM wc"
+            " GROUP BY 1),"
+            " n AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM wc)"
+            " SELECT ta || ' ' || tb AS big, cab,"
+            " CAST(nt * cab AS DOUBLE)"
+            " / (CAST(wa.c AS DOUBLE) * CAST(wb.c AS DOUBLE)) AS lift"
+            " FROM b JOIN w wa ON wa.tok = ta"
+            " JOIN w wb ON wb.tok = tb, n"
+            " ORDER BY lift DESC, big LIMIT 10"
         ),
     }

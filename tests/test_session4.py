@@ -145,6 +145,8 @@ QUERIES = [
     # 30d boundary is INCLUSIVE; orderkeys here index the orders table
     "ship_sla_compliance",
     "first_touch_counts",
+    # no bigram reaches cab>=5 in the crafted docs: empty both sides
+    "word_bigram_lift",
 ]
 
 
@@ -239,6 +241,22 @@ def test_corpus_assembly_planted(ray_session, tmp_path):
     # deterministic rerun
     out2 = assemble_corpus(d, cfg).to_pandas().sort_values("doc_id")
     assert list(out2["doc_id"]) == [0, 4, 5]
+
+
+def test_embedding_dim_stats_matches_numpy(ray_session):
+    import pyarrow.parquet as pq2
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["embedding_dim_stats"]("/root/testdata/sf0.001")
+           .to_pandas().sort_values("dim"))
+    x = np.asarray(pq2.read_table(
+        "/root/testdata/sf0.001/embeddings.parquet")
+        ["embedding"].to_pylist(), np.float64)
+    np.testing.assert_allclose(got["mean"], x.mean(axis=0),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(got["var"], x.var(axis=0),
+                               rtol=0, atol=1e-10)
 
 
 def test_ann_recall_deterministic(ray_session):
