@@ -238,8 +238,13 @@ def test_corpus_assembly_planted(ray_session, tmp_path):
     out = assemble_corpus(d, cfg).to_pandas().sort_values("doc_id")
     assert list(out["doc_id"]) == [0, 4, 5]
     assert list(out["rn"]) == [1, 1, 2]
-    # deterministic rerun
-    out2 = assemble_corpus(d, cfg).to_pandas().sort_values("doc_id")
+    # deterministic rerun, with the survivor semi-join FORCED onto its
+    # distributed Bloom+left_semi plan (REDD_BCAST_CAP=0): same corpus
+    os.environ["REDD_BCAST_CAP"] = "0"
+    try:
+        out2 = assemble_corpus(d, cfg).to_pandas().sort_values("doc_id")
+    finally:
+        del os.environ["REDD_BCAST_CAP"]
     assert list(out2["doc_id"]) == [0, 4, 5]
 
 
