@@ -11639,6 +11639,81 @@ def q_embedding_dim_stats(sf_dir: str) -> rd.Dataset:
     }))
 
 
+def q_throttle_events(sf_dir: str) -> rd.Dataset:
+    """Notification-throttle / refractory filter: keep an event only
+    when the user's PREVIOUS event of the SAME type is more than 6h
+    older (or absent) — the dedup-with-TTL shape behind alert
+    suppression. One co-locating bucket shuffle; the lag is an
+    integer shift inside (user, type) sorted segments."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    GAP = 21_600_000_000
+    ev = sf_table(sf_dir, "events",
+                  columns=["user_id", "event_type", "event_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "event_id": t["event_id"],
+            "tsu": pc.cast(t["ts"], pa.int64()),
+        })
+
+    keyed = ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def keep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "tsu", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        ts = g["tsu"].to_numpy()
+        new_seg = np.r_[True, (u[1:] != u[:-1]) | (et[1:] != et[:-1])]
+        prev = np.r_[0, ts[:-1]]
+        ok = new_seg | ((ts - prev) > GAP)
+        return pd.DataFrame({
+            "user_id": u[ok],
+            "event_type": et[ok],
+            "event_id": g["event_id"].to_numpy()[ok],
+            "tsu": ts[ok],
+        })
+
+    return grouped_vectorized(keyed, "user_id", keep)
+
+
+def q_char_budget_cut(sf_dir: str) -> rd.Dataset:
+    """Budgeted selection (nucleus-style quota): per language, keep the
+    largest docs whose cumulative chars stay within HALF the language's
+    char budget (cum*2 <= total — all-integer, no float share). One
+    co-locating bucket shuffle; per-lang totals ride the same bucket
+    (segment sums), so no second exchange or broadcast."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "n_chars", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        nc = g["n_chars"].to_numpy(dtype=np.int64)
+        grp = g.groupby("lang", sort=False)
+        cum = grp["n_chars"].cumsum().to_numpy(dtype=np.int64)
+        tot = grp["n_chars"].transform("sum").to_numpy(dtype=np.int64)
+        ok = cum * 2 <= tot
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy()[ok],
+            "lang": g["lang"].to_numpy()[ok],
+            "n_chars": nc[ok],
+            "cum": cum[ok],
+        })
+
+    return grouped_vectorized(docs, "lang", cut)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -11940,6 +12015,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "first_touch_counts": q_first_touch_counts,
         "word_bigram_lift": q_word_bigram_lift,
         "embedding_dim_stats": q_embedding_dim_stats,
+        "throttle_events": q_throttle_events,
+        "char_budget_cut": q_char_budget_cut,
         # rows-only multimodal augmentation fan-out (binary payloads)
         "augment_images": q_augment_images,
         "bollinger_flags": q_bollinger_flags,
@@ -14646,5 +14723,24 @@ def oracle_sqls() -> dict[str, str]:
             " FROM b JOIN w wa ON wa.tok = ta"
             " JOIN w wb ON wb.tok = tb, n"
             " ORDER BY lift DESC, big LIMIT 10"
+        ),
+        "throttle_events": (
+            "WITH e AS (SELECT user_id, event_type, event_id,"
+            " epoch_us(ts) AS tsu FROM events),"
+            " x AS (SELECT *, lag(tsu) OVER (PARTITION BY user_id,"
+            " event_type ORDER BY tsu, event_id) AS prev FROM e)"
+            " SELECT user_id, event_type, event_id, tsu FROM x"
+            " WHERE prev IS NULL OR tsu - prev > 21600000000"
+        ),
+        "char_budget_cut": (
+            "WITH t AS (SELECT lang, CAST(sum(n_chars) AS BIGINT)"
+            " AS tot FROM documents GROUP BY 1),"
+            " r AS (SELECT doc_id, lang,"
+            " CAST(n_chars AS BIGINT) AS n_chars,"
+            " CAST(sum(n_chars) OVER (PARTITION BY lang"
+            " ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum"
+            " FROM documents)"
+            " SELECT doc_id, lang, n_chars, cum FROM r JOIN t"
+            " USING (lang) WHERE cum * 2 <= tot"
         ),
     }

@@ -147,6 +147,10 @@ QUERIES = [
     "first_touch_counts",
     # no bigram reaches cab>=5 in the crafted docs: empty both sides
     "word_bigram_lift",
+    # same-ts ties fall back to event_id order in the lag partition
+    "throttle_events",
+    # exact-half boundary: cum*2 == tot is INCLUSIVE
+    "char_budget_cut",
 ]
 
 
