@@ -11714,6 +11714,57 @@ def q_char_budget_cut(sf_dir: str) -> rd.Dataset:
     return grouped_vectorized(docs, "lang", cut)
 
 
+def q_ship_lag_percentiles(sf_dir: str) -> rd.Dataset:
+    """Exact discrete p50/p90/p99 of the order->ship lag (days) per
+    priority. The order dim attaches through the adaptive lookup; the
+    reduce is a (priority, lag-day) count exchange bounded by the
+    day-lag DOMAIN (never fact rows); the driver walks each priority's
+    cumulative counts with the integer rule cum*100 >= n*p."""
+    import pandas as pd
+
+    from ..stages.agg import grouped_sums
+    from ..stages.joins import attach_via_lookup
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_shipdate"])
+    o = sf_table(sf_dir, "orders",
+                 columns=["o_orderkey", "o_orderdate",
+                          "o_orderpriority"])
+    j = attach_via_lookup(li, "l_orderkey", o, "o_orderkey",
+                          {"o_orderdate": "odate",
+                           "o_orderpriority": "prio"})
+    DAY = 86_400_000_000
+
+    def lag(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t["l_shipdate"], pa.int64()).to_numpy() // DAY
+        od = pc.cast(t["odate"], pa.int64()).to_numpy() // DAY
+        return pa.table({
+            "prio": t["prio"],
+            "lag": pa.array(ship - od, pa.int64()),
+        })
+
+    g = (grouped_sums(j.map_batches(lag, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                      ["prio", "lag"], [], count_alias="c")
+         .to_pandas().sort_values(["prio", "lag"]))
+    out = {"prio": [], "p50": [], "p90": [], "p99": []}
+    for prio, sub in g.groupby("prio", sort=True):
+        c = sub["c"].to_numpy(dtype=np.int64)
+        lags = sub["lag"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        out["prio"].append(prio)
+        for p in (50, 90, 99):
+            idx = int(np.searchsorted(cum * 100, n * p, "left"))
+            out[f"p{p}"].append(int(lags[idx]))
+    return rd.from_arrow(pa.table({
+        "prio": pa.array(out["prio"], pa.string()),
+        "p50": pa.array(out["p50"], pa.int64()),
+        "p90": pa.array(out["p90"], pa.int64()),
+        "p99": pa.array(out["p99"], pa.int64()),
+    }))
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -12017,6 +12068,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": q_embedding_dim_stats,
         "throttle_events": q_throttle_events,
         "char_budget_cut": q_char_budget_cut,
+        "ship_lag_percentiles": q_ship_lag_percentiles,
         # rows-only multimodal augmentation fan-out (binary payloads)
         "augment_images": q_augment_images,
         "bollinger_flags": q_bollinger_flags,
@@ -14742,5 +14794,25 @@ def oracle_sqls() -> dict[str, str]:
             " FROM documents)"
             " SELECT doc_id, lang, n_chars, cum FROM r JOIN t"
             " USING (lang) WHERE cum * 2 <= tot"
+        ),
+        "ship_lag_percentiles": (
+            "WITH j AS (SELECT o_orderpriority AS prio,"
+            " epoch_us(l_shipdate) // 86400000000"
+            " - epoch_us(o_orderdate) // 86400000000 AS lag"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey),"
+            " g AS (SELECT prio, lag, count(*) AS c FROM j"
+            " GROUP BY 1, 2),"
+            " t AS (SELECT prio, CAST(sum(c) AS BIGINT) AS n FROM g"
+            " GROUP BY 1),"
+            " r AS (SELECT prio, lag, CAST(sum(c) OVER (PARTITION BY"
+            " prio ORDER BY lag) AS BIGINT) AS cum FROM g)"
+            " SELECT r.prio,"
+            " CAST(min(CASE WHEN cum * 100 >= n * 50 THEN lag END)"
+            " AS BIGINT) AS p50,"
+            " CAST(min(CASE WHEN cum * 100 >= n * 90 THEN lag END)"
+            " AS BIGINT) AS p90,"
+            " CAST(min(CASE WHEN cum * 100 >= n * 99 THEN lag END)"
+            " AS BIGINT) AS p99"
+            " FROM r JOIN t USING (prio) GROUP BY 1"
         ),
     }

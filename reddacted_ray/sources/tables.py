@@ -265,6 +265,38 @@ def write_ipc(ds: rd.Dataset, out_dir: str,
     return int(res["rows"] or 0)
 
 
+def read_text_docs(path: str) -> rd.Dataset:
+    """Raw-text corpus source: one document per ``.txt`` file ->
+    ``(doc_id, path, text, n_chars)`` rows in the documents-table
+    shape. File bytes decode INSIDE the read tasks (utf-8, surrogate
+    errors replaced); doc_id is the stable 63-bit hash of the file
+    path, so re-ingest is id-stable across runs and machines."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import stable_hash64_batch
+
+    ds = rd.read_binary_files(path, include_paths=True)
+
+    def decode(t: pa.Table) -> pa.Table:
+        raw = t["bytes"]
+        texts = pa.array(
+            [b.as_py().decode("utf-8", errors="replace")
+             for b in raw], pa.string())
+        paths = pc.cast(t["path"], pa.string())
+        ids = stable_hash64_batch(paths).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "path": paths,
+            "text": texts,
+            "n_chars": pc.cast(pc.utf8_length(texts), pa.int64()),
+        })
+
+    return ds.map_batches(decode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def write_csv(ds: rd.Dataset, out_dir: str) -> int:
     """CSV sink: one ``.csv`` file per block (header included),
     serialized inside the map tasks with Arrow's C++ CSV writer (the

@@ -151,7 +151,24 @@ QUERIES = [
     "throttle_events",
     # exact-half boundary: cum*2 == tot is INCLUSIVE
     "char_budget_cut",
+    "ship_lag_percentiles",
 ]
+
+
+def test_read_text_docs(ray_session, tmp_path):
+    from reddacted_ray.sources.tables import read_text_docs
+
+    (tmp_path / "a.txt").write_text("hello world")
+    (tmp_path / "b.txt").write_text("unicode éà")
+    got = read_text_docs(str(tmp_path)).to_pandas()
+    assert len(got) == 2
+    by_text = {r["text"]: r for _, r in got.iterrows()}
+    assert by_text["hello world"]["n_chars"] == 11
+    assert by_text["unicode éà"]["n_chars"] == 10
+    assert got["doc_id"].nunique() == 2
+    # id-stable: re-read yields identical ids
+    again = read_text_docs(str(tmp_path)).to_pandas()
+    assert set(again["doc_id"]) == set(got["doc_id"])
 
 
 def test_write_csv_roundtrip(ray_session, tmp_path):
