@@ -11765,6 +11765,121 @@ def q_ship_lag_percentiles(sf_dir: str) -> rd.Dataset:
     }))
 
 
+def q_return_rate_by_brand(sf_dir: str) -> rd.Dataset:
+    """Return-rate quality matrix per (brand, size band): the defect
+    scorecard shape. Part attributes attach through the adaptive
+    lookup (SF-proportional dim, 2M cap + join fallback); the reduce
+    is bounded by brand x band cells; shares are integer e4."""
+    from ..stages.agg import grouped_sums
+    from ..stages.joins import attach_via_lookup
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_returnflag"])
+    p = sf_table(sf_dir, "part",
+                 columns=["p_partkey", "p_brand", "p_size"])
+    j = attach_via_lookup(li, "l_partkey", p, "p_partkey",
+                          {"p_brand": "p_brand", "p_size": "p_size"})
+
+    def tag(t: pa.Table) -> pa.Table:
+        size = pc.cast(t["p_size"], pa.int64()).to_numpy()
+        ret = pc.equal(t["l_returnflag"], "R").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "p_brand": t["p_brand"],
+            "size_band": pa.array(size // 10, pa.int64()),
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+            "n_returned": pa.array(ret),
+        })
+
+    g = grouped_sums(j.map_batches(tag, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+                     ["p_brand", "size_band"], ["n", "n_returned"])
+
+    def share(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "return_e4",
+            pa.array(t["n_returned"].to_numpy() * 10_000
+                     // t["n"].to_numpy(), pa.int64()))
+
+    return g.map_batches(share, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def q_segment_balance_stats(sf_dir: str) -> rd.Dataset:
+    """Customer account-balance health per market segment: counts,
+    negative-balance share (e4), and the exact cents sum. One
+    |segments|-row exchange; everything integer."""
+    from ..stages.agg import grouped_sums
+
+    c = sf_table(sf_dir, "customer",
+                 columns=["c_mktsegment", "c_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = _money_int(t["c_acctbal"], 100.0)
+        neg = pc.less(t["c_acctbal"], 0.0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "c_mktsegment": t["c_mktsegment"],
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+            "n_negative": pa.array(neg),
+            "sum_cents": cents,
+        })
+
+    g = grouped_sums(c.map_batches(prep, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+                     ["c_mktsegment"], ["n", "n_negative", "sum_cents"])
+
+    def share(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "neg_share_e4",
+            pa.array(t["n_negative"].to_numpy() * 10_000
+                     // t["n"].to_numpy(), pa.int64()))
+
+    return g.map_batches(share, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def q_brand_margin(sf_dir: str) -> rd.Dataset:
+    """Realized-vs-list margin per brand: sold extended price against
+    quantity x retail price, as an e4 integer ratio of exact cents
+    sums. Part attributes attach through the adaptive lookup; brand-
+    bounded reduce."""
+    from ..stages.agg import grouped_sums
+    from ..stages.joins import attach_via_lookup
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_quantity",
+                           "l_extendedprice"])
+    p = sf_table(sf_dir, "part",
+                 columns=["p_partkey", "p_brand", "p_retailprice"])
+    j = attach_via_lookup(li, "l_partkey", p, "p_partkey",
+                          {"p_brand": "p_brand",
+                           "p_retailprice": "retail"})
+
+    def prep(t: pa.Table) -> pa.Table:
+        ext = _money_int(t["l_extendedprice"], 100.0)
+        qty = _money_int(t["l_quantity"], 1.0).to_numpy()
+        rc = _money_int(t["retail"], 100.0).to_numpy()
+        return pa.table({
+            "p_brand": t["p_brand"],
+            "sum_ext": ext,
+            "sum_retail": pa.array(qty * rc, pa.int64()),
+        })
+
+    g = grouped_sums(j.map_batches(prep, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+                     ["p_brand"], ["sum_ext", "sum_retail"])
+
+    def ratio(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "margin_e4",
+            pa.array(t["sum_ext"].to_numpy() * 10_000
+                     // t["sum_retail"].to_numpy(), pa.int64()))
+
+    return g.map_batches(ratio, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -12069,6 +12184,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "throttle_events": q_throttle_events,
         "char_budget_cut": q_char_budget_cut,
         "ship_lag_percentiles": q_ship_lag_percentiles,
+        "return_rate_by_brand": q_return_rate_by_brand,
+        "segment_balance_stats": q_segment_balance_stats,
+        "brand_margin": q_brand_margin,
         # rows-only multimodal augmentation fan-out (binary payloads)
         "augment_images": q_augment_images,
         "bollinger_flags": q_bollinger_flags,
@@ -14814,5 +14932,37 @@ def oracle_sqls() -> dict[str, str]:
             " CAST(min(CASE WHEN cum * 100 >= n * 99 THEN lag END)"
             " AS BIGINT) AS p99"
             " FROM r JOIN t USING (prio) GROUP BY 1"
+        ),
+        "return_rate_by_brand": (
+            "WITH j AS (SELECT p_brand,"
+            " CAST(p_size // 10 AS BIGINT) AS size_band, l_returnflag"
+            " FROM lineitem JOIN part ON l_partkey = p_partkey)"
+            " SELECT p_brand, size_band, CAST(count(*) AS BIGINT) AS n,"
+            " CAST(count(*) FILTER (WHERE l_returnflag = 'R')"
+            " AS BIGINT) AS n_returned,"
+            " CAST(count(*) FILTER (WHERE l_returnflag = 'R') * 10000"
+            " // count(*) AS BIGINT) AS return_e4"
+            " FROM j GROUP BY 1, 2"
+        ),
+        "segment_balance_stats": (
+            "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,"
+            " CAST(count(*) FILTER (WHERE c_acctbal < 0) AS BIGINT)"
+            " AS n_negative,"
+            " CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))"
+            " AS BIGINT) AS sum_cents,"
+            " CAST(count(*) FILTER (WHERE c_acctbal < 0) * 10000"
+            " // count(*) AS BIGINT) AS neg_share_e4"
+            " FROM customer GROUP BY 1"
+        ),
+        "brand_margin": (
+            "WITH j AS (SELECT p_brand,"
+            " CAST(round(l_extendedprice * 100) AS BIGINT) AS ext,"
+            " CAST(round(l_quantity) AS BIGINT)"
+            " * CAST(round(p_retailprice * 100) AS BIGINT) AS retail"
+            " FROM lineitem JOIN part ON l_partkey = p_partkey)"
+            " SELECT p_brand, CAST(sum(ext) AS BIGINT) AS sum_ext,"
+            " CAST(sum(retail) AS BIGINT) AS sum_retail,"
+            " CAST(sum(ext) * 10000 // sum(retail) AS BIGINT)"
+            " AS margin_e4 FROM j GROUP BY 1"
         ),
     }

@@ -114,7 +114,24 @@ def crafted_dir(tmp_path_factory):
         "l_shipdate": pa.array([(18000 + days[k] + lg) * DAYUS
                                 for k, lg in zip(okey, lag)],
                                pa.timestamp("us")),
+        "l_returnflag": pa.array(["R", "N", "R", "N", "N", "A"],
+                                 pa.string()),
     }), os.path.join(d, "lineitem.parquet"))
+    # part: size 9/10 straddles the //10 band edge; retail with .5 tie
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([10, 20], pa.int64()),
+        "p_brand": pa.array(["Brand#1", "Brand#2"], pa.string()),
+        "p_size": pa.array([9, 10], pa.int64()),
+        "p_retailprice": pa.array([10.005, 99.99], pa.float64()),
+    }), os.path.join(d, "part.parquet"))
+    # customer: negative balances + a -0.005 rounding-boundary case
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_mktsegment": pa.array(["AUTO", "AUTO", "AUTO", "HOUSE"],
+                                 pa.string()),
+        "c_acctbal": pa.array([100.0, -5.25, -0.005, 0.0],
+                              pa.float64()),
+    }), os.path.join(d, "customer.parquet"))
     return d
 
 
@@ -152,6 +169,10 @@ QUERIES = [
     # exact-half boundary: cum*2 == tot is INCLUSIVE
     "char_budget_cut",
     "ship_lag_percentiles",
+    "return_rate_by_brand",
+    # -0.005 rounds to -1 cent but c_acctbal < 0 is on the RAW double
+    "segment_balance_stats",
+    "brand_margin",
 ]
 
 
@@ -309,7 +330,8 @@ def test_session4_match_oracle(ray_session, crafted_dir, name):
     elif isinstance(got, pa.Table):
         got = got.to_pandas()
     con = duckdb.connect()
-    for t in ("orders", "events", "documents", "lineitem"):
+    for t in ("orders", "events", "documents", "lineitem", "part",
+              "customer"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM"
                 f" '{crafted_dir}/{t}.parquet'")
     exp = con.sql(oq[name]).df()
