@@ -97,7 +97,8 @@ def load_config(argv=None) -> dict:
                     " reproducible runs)")
     ap.add_argument("--batch-size", dest="batch_size", type=int)
     ap.add_argument("--mode",
-                    choices=["materialize", "decide", "apply", "compact"],
+                    choices=["materialize", "decide", "apply", "compact",
+                             "corpus"],
                     help="materialize: full-row copy incl. bytes (default);"
                     " decide: write the id-keyed decision+scrub table with"
                     " bytes pruned at the scan (the 100 TB analysis shape);"
@@ -105,7 +106,16 @@ def load_config(argv=None) -> dict:
                     " onto the full-byte input and write the kept rows with"
                     " scrubbed captions (decide-mode phase 2);"
                     " compact: merge small parquet files of --input into"
-                    " --output within row-count bounds (maintenance op)")
+                    " --output within row-count bounds (maintenance op);"
+                    " corpus: documents-table assembly — quality gate ->"
+                    " exact dedup -> per-source cap -> temperature mix"
+                    " (pipelines/corpus.py), then a per-(source, lang)"
+                    " manifest printed from ONE scan of the written output")
+    ap.add_argument("--cap-per-source", dest="cap_per_source", type=int,
+                    help="corpus mode: max docs kept per source")
+    ap.add_argument("--mix-k", dest="mix_k", type=int,
+                    help="corpus mode: temperature constant"
+                    " (keep ~k*sqrt(n)/n per source)")
     ap.add_argument("--decisions", help="decision-table dir for --mode apply")
     ap.add_argument("--min-rows-per-file", dest="min_rows_per_file", type=int)
     ap.add_argument("--max-rows-per-file", dest="max_rows_per_file", type=int)
@@ -263,6 +273,34 @@ def main(argv=None) -> int:
         )
         summary["mode"] = "compact"
         summary["wall_s"] = round(time.perf_counter() - t0, 3)
+        print(json.dumps(summary))
+        ray.shutdown()
+        return 0
+
+    if mode == "corpus":
+        from .pipelines.corpus import (CorpusConfig, assemble_corpus,
+                                       corpus_summary)
+
+        t0 = time.perf_counter()
+        ccfg = CorpusConfig(
+            cap_per_source=int(cfg.get("cap_per_source") or 100),
+            mix_k=int(cfg.get("mix_k") or 20),
+        )
+        assemble_corpus(cfg["input"], ccfg).write_parquet(cfg["output"])
+        # manifest from ONE scan of the just-written output (the
+        # decide+report lesson: never rebuild the pipeline to report)
+        import ray.data as rd
+
+        out = rd.read_parquet(cfg["output"], file_extensions=["parquet"])
+        manifest = corpus_summary(out).to_pandas()
+        summary = {
+            "output": cfg["output"],
+            "mode": "corpus",
+            "rows": int(manifest["n_docs"].sum()),
+            "n_sources": int(manifest["source"].nunique()),
+            "n_words": int(manifest["n_words"].sum()),
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }
         print(json.dumps(summary))
         ray.shutdown()
         return 0

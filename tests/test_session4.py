@@ -306,6 +306,34 @@ def test_embedding_dim_stats_matches_numpy(ray_session):
                                rtol=0, atol=1e-10)
 
 
+def test_job_cli_corpus_mode(crafted_dir, tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "corpus_out")
+    proc = subprocess.run(
+        [sys.executable, "-m", "reddacted_ray.job", "--mode", "corpus",
+         "--input", crafted_dir, "--output", out,
+         "--cap-per-source", "2", "--mix-k", "1000",
+         "--num-cpus", "4"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["mode"] == "corpus"
+    # session crafted docs: the empty, 1-word and <5-word docs are
+    # gated; the duplicated fox doc keeps its min id (2); doc 6 sits
+    # exactly AT dup_word_frac 0.5 (inclusive) -> survivors {2, 6}
+    assert summary["rows"] == 2
+    import pyarrow.dataset as pads
+
+    ids = sorted(pads.dataset(out, format="parquet")
+                 .to_table(columns=["doc_id"])["doc_id"].to_pylist())
+    assert ids == [2, 6]
+
+
 def test_ann_recall_deterministic(ray_session):
     import __ray_entry__ as e
 
