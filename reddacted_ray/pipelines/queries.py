@@ -11880,6 +11880,98 @@ def q_brand_margin(sf_dir: str) -> rd.Dataset:
                          zero_copy_batch=True)
 
 
+def q_gram_novelty(sf_dir: str) -> rd.Dataset:
+    """Streaming-novelty curve per document: the share (e6) of a doc's
+    8-char windows whose gram FIRST appears in this doc (min doc_id
+    owns the gram) — the marginal-contribution signal for corpus
+    ordering/pruning. Same shape as dup_gram_share: int64 gram keys,
+    ONE gram-hash bucket shuffle where the min-doc resolution and the
+    flag-back happen co-located, then a doc-bounded reduce."""
+    import pandas as pd
+
+    from ..stages.agg import grouped_sums
+    from ..stages.windows import grouped_vectorized
+
+    K = 8
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def grams(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        ids = t["doc_id"].to_numpy()
+        s = txt.to_pandas().to_numpy()
+        lens = np.array([len(x) for x in s], np.int64)
+        keep = lens >= K
+        if not keep.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.int64()),
+                             "k": pa.array([], pa.int64())})
+        ids, s, lens = ids[keep], s[keep], lens[keep]
+        buf = np.frombuffer("".join(s).encode("ascii"), np.uint8)
+        offs = np.r_[0, np.cumsum(lens)]
+        win = np.lib.stride_tricks.sliding_window_view(buf, K)
+        nwin = lens - K + 1
+        starts = np.repeat(offs[:-1], nwin) + _ranges(nwin)
+        docix = np.repeat(np.arange(len(s)), nwin)
+        gram_key = win[starts].view(np.int64).ravel()
+        f = (pd.DataFrame({"doc_id": ids[docix], "gram": gram_key})
+             .groupby(["doc_id", "gram"], sort=False)
+             .size().reset_index(name="k"))
+        return pa.table({
+            "doc_id": pa.array(f["doc_id"].to_numpy(), pa.int64()),
+            "gram": pa.array(f["gram"].to_numpy(), pa.int64()),
+            "k": pa.array(f["k"].to_numpy(dtype=np.int64), pa.int64()),
+        })
+
+    facts = docs.map_batches(grams, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        mdoc = g.groupby("gram", sort=False)["doc_id"].transform("min")
+        novel = (mdoc.to_numpy() == g["doc_id"].to_numpy()) \
+            .astype(np.int64)
+        k = g["k"].to_numpy()
+        f = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                          "total_windows": k,
+                          "novel_windows": k * novel})
+        return f.groupby("doc_id", sort=False, as_index=False).sum()
+
+    per_doc = grouped_sums(grouped_vectorized(facts, "gram", bucket),
+                           ["doc_id"],
+                           ["total_windows", "novel_windows"])
+
+    def share(t: pa.Table) -> pa.Table:
+        tw = t["total_windows"].to_numpy()
+        nw = t["novel_windows"].to_numpy()
+        return t.append_column(
+            "novelty_e6", pa.array(nw * 1_000_000 // tw, pa.int64()))
+
+    return per_doc.map_batches(share, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def q_priority_weekday_matrix(sf_dir: str) -> rd.Dataset:
+    """Order volume heatmap: priority x weekday (epoch-day + 4 mod 7 ==
+    DuckDB dayofweek for midnight-aligned timestamps). One
+    |priorities x 7|-cell count exchange, all-integer."""
+    from ..stages.agg import grouped_sums
+
+    DAY = 86_400_000_000
+    o = sf_table(sf_dir, "orders",
+                 columns=["o_orderpriority", "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        days = pc.cast(t["o_orderdate"], pa.int64()).to_numpy() // DAY
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "dow": pa.array((days + 4) % 7, pa.int64()),
+        })
+
+    return grouped_sums(o.map_batches(prep, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                        ["o_orderpriority", "dow"], [],
+                        count_alias="n")
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -12187,6 +12279,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "return_rate_by_brand": q_return_rate_by_brand,
         "segment_balance_stats": q_segment_balance_stats,
         "brand_margin": q_brand_margin,
+        "gram_novelty": q_gram_novelty,
+        "priority_weekday_matrix": q_priority_weekday_matrix,
         # rows-only multimodal augmentation fan-out (binary payloads)
         "augment_images": q_augment_images,
         "bollinger_flags": q_bollinger_flags,
@@ -14964,5 +15058,29 @@ def oracle_sqls() -> dict[str, str]:
             " CAST(sum(retail) AS BIGINT) AS sum_retail,"
             " CAST(sum(ext) * 10000 // sum(retail) AS BIGINT)"
             " AS margin_e4 FROM j GROUP BY 1"
+        ),
+        "gram_novelty": (
+            "WITH d AS (SELECT doc_id, text FROM documents"
+            " WHERE length(text) >= 8),"
+            " g AS (SELECT doc_id, unnest(list_transform("
+            "generate_series(1, length(text) - 7),"
+            " i -> substr(text, i, 8))) AS gram FROM d),"
+            " k AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS k"
+            " FROM g GROUP BY 1, 2),"
+            " m AS (SELECT gram, min(doc_id) AS mdoc FROM k"
+            " GROUP BY 1),"
+            " s AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS"
+            " total_windows, CAST(sum(CASE WHEN mdoc = doc_id THEN k"
+            " ELSE 0 END) AS BIGINT) AS novel_windows"
+            " FROM k JOIN m USING (gram) GROUP BY 1)"
+            " SELECT doc_id, total_windows, novel_windows,"
+            " CAST(novel_windows * 1000000 // total_windows AS BIGINT)"
+            " AS novelty_e6 FROM s"
+        ),
+        "priority_weekday_matrix": (
+            "SELECT o_orderpriority,"
+            " CAST((epoch_us(o_orderdate) // 86400000000 + 4) % 7"
+            " AS BIGINT) AS dow, CAST(count(*) AS BIGINT) AS n"
+            " FROM orders GROUP BY 1, 2"
         ),
     }

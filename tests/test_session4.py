@@ -173,6 +173,10 @@ QUERIES = [
     # -0.005 rounds to -1 cent but c_acctbal < 0 is on the RAW double
     "segment_balance_stats",
     "brand_margin",
+    # dup pair: doc 2 owns every shared gram (min doc) -> novelty 1e6,
+    # doc 3 -> 0; the within-doc-repeat doc stays fully novel
+    "gram_novelty",
+    "priority_weekday_matrix",
 ]
 
 
