@@ -11972,6 +11972,43 @@ def q_priority_weekday_matrix(sf_dir: str) -> rd.Dataset:
                         count_alias="n")
 
 
+def q_order_gini(sf_dir: str) -> rd.Dataset:
+    """Exact Gini coefficient of order values (e6 integer — the
+    inequality summary, all-integer so HUGEINT division matches Python
+    bigints bit-for-bit). Per-block np.unique value counts merge on
+    the driver (the spearman pattern — never a ~distinct-key groupby);
+    rank sums come from arithmetic series per distinct value, so the
+    quadratic Sum(i*x) is tie-invariant and never materializes a
+    sorted fact table."""
+    li = sf_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def vcounts(t: pa.Table) -> pa.Table:
+        v, k = np.unique(_money_int(t["o_totalprice"], 100.0)
+                         .to_numpy(), return_counts=True)
+        return pa.table({
+            "val": pa.array(v.astype(np.int64), pa.int64()),
+            "cnt": pa.array(k.astype(np.int64), pa.int64()),
+        })
+
+    parts = (li.map_batches(vcounts, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .to_pandas().groupby("val", sort=True)["cnt"].sum())
+    n = int(parts.sum())
+    six = 0
+    sx = 0
+    a = 0
+    for x, c in zip(parts.index, parts.to_numpy()):
+        x, c = int(x), int(c)
+        six += x * (c * a + c * (c + 1) // 2)
+        sx += x * c
+        a += c
+    gini_e6 = (2 * six - (n + 1) * sx) * 1_000_000 // (n * sx)
+    return rd.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "gini_e6": pa.array([gini_e6], pa.int64()),
+    }))
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -12281,6 +12318,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "brand_margin": q_brand_margin,
         "gram_novelty": q_gram_novelty,
         "priority_weekday_matrix": q_priority_weekday_matrix,
+        "order_gini": q_order_gini,
         # rows-only multimodal augmentation fan-out (binary payloads)
         "augment_images": q_augment_images,
         "bollinger_flags": q_bollinger_flags,
@@ -15082,5 +15120,17 @@ def oracle_sqls() -> dict[str, str]:
             " CAST((epoch_us(o_orderdate) // 86400000000 + 4) % 7"
             " AS BIGINT) AS dow, CAST(count(*) AS BIGINT) AS n"
             " FROM orders GROUP BY 1, 2"
+        ),
+        "order_gini": (
+            "WITH c AS (SELECT CAST(round(o_totalprice * 100)"
+            " AS BIGINT) AS x FROM orders),"
+            " r AS (SELECT x, row_number() OVER (ORDER BY x) AS i"
+            " FROM c),"
+            " s AS (SELECT count(*) AS n,"
+            " sum(CAST(i AS HUGEINT) * x) AS six,"
+            " sum(CAST(x AS HUGEINT)) AS sx FROM r)"
+            " SELECT CAST(n AS BIGINT) AS n,"
+            " CAST((2 * six - (n + 1) * sx) * 1000000 // (n * sx)"
+            " AS BIGINT) AS gini_e6 FROM s"
         ),
     }

@@ -177,6 +177,8 @@ QUERIES = [
     # doc 3 -> 0; the within-doc-repeat doc stays fully novel
     "gram_novelty",
     "priority_weekday_matrix",
+    # heavy value ties (3x 7250.00): Sum(i*x) is tie-invariant
+    "order_gini",
 ]
 
 
