@@ -12009,6 +12009,45 @@ def q_order_gini(sf_dir: str) -> rd.Dataset:
     }))
 
 
+def q_doclen_gini_by_lang(sf_dir: str) -> rd.Dataset:
+    """Per-language Gini of document lengths (e6 integer) — the
+    length-inequality signal a corpus-balance report carries. Grouped
+    clone of q_order_gini: per-block (lang, n_chars) counts (domain-
+    bounded) reduce once; the driver walks each language's sorted
+    value-count runs with exact arithmetic-series rank sums."""
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["lang", "n_chars"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t["lang"],
+            "x": pc.cast(t["n_chars"], pa.int64()),
+        })
+
+    g = (grouped_sums(docs.map_batches(prep, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                      ["lang", "x"], [], count_alias="cnt")
+         .to_pandas().sort_values(["lang", "x"]))
+    langs, ns, ginis = [], [], []
+    for lang, sub in g.groupby("lang", sort=True):
+        n = int(sub["cnt"].sum())
+        six = sx = a = 0
+        for x, c in zip(sub["x"], sub["cnt"]):
+            x, c = int(x), int(c)
+            six += x * (c * a + c * (c + 1) // 2)
+            sx += x * c
+            a += c
+        langs.append(lang)
+        ns.append(n)
+        ginis.append((2 * six - (n + 1) * sx) * 1_000_000 // (n * sx))
+    return rd.from_arrow(pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "n": pa.array(ns, pa.int64()),
+        "gini_e6": pa.array(ginis, pa.int64()),
+    }))
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -12319,6 +12358,7 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "gram_novelty": q_gram_novelty,
         "priority_weekday_matrix": q_priority_weekday_matrix,
         "order_gini": q_order_gini,
+        "doclen_gini_by_lang": q_doclen_gini_by_lang,
         # rows-only multimodal augmentation fan-out (binary payloads)
         "augment_images": q_augment_images,
         "bollinger_flags": q_bollinger_flags,
@@ -15130,6 +15170,17 @@ def oracle_sqls() -> dict[str, str]:
             " sum(CAST(i AS HUGEINT) * x) AS six,"
             " sum(CAST(x AS HUGEINT)) AS sx FROM r)"
             " SELECT CAST(n AS BIGINT) AS n,"
+            " CAST((2 * six - (n + 1) * sx) * 1000000 // (n * sx)"
+            " AS BIGINT) AS gini_e6 FROM s"
+        ),
+        "doclen_gini_by_lang": (
+            "WITH r AS (SELECT lang, n_chars AS x, row_number() OVER"
+            " (PARTITION BY lang ORDER BY n_chars) AS i"
+            " FROM documents),"
+            " s AS (SELECT lang, count(*) AS n,"
+            " sum(CAST(i AS HUGEINT) * x) AS six,"
+            " sum(CAST(x AS HUGEINT)) AS sx FROM r GROUP BY 1)"
+            " SELECT lang, CAST(n AS BIGINT) AS n,"
             " CAST((2 * six - (n + 1) * sx) * 1000000 // (n * sx)"
             " AS BIGINT) AS gini_e6 FROM s"
         ),

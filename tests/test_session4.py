@@ -179,6 +179,7 @@ QUERIES = [
     "priority_weekday_matrix",
     # heavy value ties (3x 7250.00): Sum(i*x) is tie-invariant
     "order_gini",
+    "doclen_gini_by_lang",
 ]
 
 
