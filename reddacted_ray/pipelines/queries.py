@@ -10564,9 +10564,15 @@ def q_spearman_qty_price(sf_dir: str) -> rd.Dataset:
     would hash-shuffle ~every-row-distinct price keys (the decile_price
     anti-pattern: measured 18.4 s vs 4.5 s at sf0.1); the driver merge
     ships only per-block distincts, the same rows the broadcast needs
-    anyway, bounded by the cents domain. Partials overflow int64 only
-    past ~sf1 (sum a0^2 <= N^3)."""
+    anyway, bounded by the cents domain. Partials are EXACT for any N
+    up to 3e9 (r5 VERDICT #1): per-block sums run through
+    exact_prod_sum (hi/lo 32-bit split, Python-int recombination) and
+    travel as (hi, lo) int64 column pairs, so nothing wraps at any
+    block size; past 3e9 rows the centered-rank PRODUCT itself leaves
+    int64 and the helper raises loudly instead of wrapping."""
     import math
+
+    from ..functions.exactmath import combine_i128, exact_prod_sum, split_i128
 
     li = sf_table(sf_dir, "lineitem",
                   columns=["l_quantity", "l_extendedprice"])
@@ -10612,17 +10618,22 @@ def q_spearman_qty_price(sf_dir: str) -> rd.Dataset:
         pvals, pa0 = ray.get(pref)
         a = qa0[np.searchsorted(qvals, t["qv"].to_numpy())]
         b = pa0[np.searchsorted(pvals, t["pv"].to_numpy())]
-        return pa.table({
-            "sab": pa.array([int(np.sum(a * b))], pa.int64()),
-            "saa": pa.array([int(np.sum(a * a))], pa.int64()),
-            "sbb": pa.array([int(np.sum(b * b))], pa.int64()),
-        })
+        cols = {}
+        for name, x, y in (("sab", a, b), ("saa", a, a), ("sbb", b, b)):
+            hi, lo = split_i128(exact_prod_sum(x, y))
+            cols[name + "_hi"] = pa.array([hi], pa.int64())
+            cols[name + "_lo"] = pa.array([lo], pa.int64())
+        return pa.table(cols)
 
     rows = c.map_batches(partials, batch_format="pyarrow",
                          zero_copy_batch=True).take_all()
-    sab = sum(r["sab"] for r in rows)
-    saa = sum(r["saa"] for r in rows)
-    sbb = sum(r["sbb"] for r in rows)
+    # (hi << 32) + lo is linear, so summing halves separately is exact
+    sab = combine_i128(sum(r["sab_hi"] for r in rows),
+                       sum(r["sab_lo"] for r in rows))
+    saa = combine_i128(sum(r["saa_hi"] for r in rows),
+                       sum(r["saa_lo"] for r in rows))
+    sbb = combine_i128(sum(r["sbb_hi"] for r in rows),
+                       sum(r["sbb_lo"] for r in rows))
     rho = float(sab) / (math.sqrt(float(saa)) * math.sqrt(float(sbb)))
     return rd.from_arrow(pa.table({
         "n": pa.array([n], pa.int64()),
@@ -11143,7 +11154,11 @@ def q_revenue_autocorr(sf_dir: str) -> rd.Dataset:
     correlation is EXACTLY shift-invariant in integer arithmetic — and
     works in $1000 units so every final sum fits BIGINT on both sides
     (the HUGEINT->DOUBLE cast is 1 ulp off Python; see spearman).
-    Python-int partials, one final float expression."""
+    Python-int partials, one final float expression. Overflow audit
+    (r5 VERDICT #1): the driver sums run over PYTHON ints for the
+    day-bounded series (~2.4k rows at any sf), so they are exact at
+    every scale; the only numpy arithmetic is the $1000 rescale and
+    min-shift of per-day totals, bounded by daily revenue << 2^63."""
     import math
 
     from ..stages.agg import grouped_sums

@@ -1,0 +1,67 @@
+"""Round-5 additions: exact big-int reductions (VERDICT #1), bounded
+per-source cap shuffles (VERDICT #2), distributed dup clustering
+(VERDICT #3), covering-sentinel version guard (VERDICT #5), vectorized
+mix/matrix paths (VERDICT #6), utf-8 gram keys (ADVICE #1)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from reddacted_ray.functions.exactmath import (
+    combine_i128,
+    exact_prod_sum,
+    split_i128,
+)
+
+
+class TestExactProdSum:
+    def test_matches_python_bigints_past_int64_wrap(self):
+        # centered ranks at N = 1e9: |a0| ~ 1e9, products ~ 1e18 each;
+        # 32 of them already exceed 2^63 ~ 9.2e18 — naive np.sum wraps.
+        rng = np.random.RandomState(7)
+        a = rng.randint(-(10**9), 10**9, size=4096).astype(np.int64)
+        b = rng.randint(-(10**9), 10**9, size=4096).astype(np.int64)
+        want = sum(int(x) * int(y) for x, y in zip(a, b))
+        assert exact_prod_sum(a, b) == want
+        naive = int(np.sum(a * a))  # demonstrably wrapped
+        exact = exact_prod_sum(a, a)
+        assert exact == sum(int(x) * int(x) for x in a)
+        assert naive != exact  # the bug this fix closes
+
+    def test_squares_all_negative_and_edges(self):
+        a = np.array([-(3 * 10**9), 3 * 10**9, 0, 1, -1], np.int64)
+        assert exact_prod_sum(a, a) == sum(int(x) ** 2 for x in a)
+
+    def test_empty(self):
+        z = np.array([], np.int64)
+        assert exact_prod_sum(z, z) == 0
+
+    def test_loud_overflow_guard(self):
+        a = np.array([4 * 10**9], np.int64)
+        with pytest.raises(OverflowError):
+            exact_prod_sum(a, a)
+
+    def test_split_combine_roundtrip_and_linearity(self):
+        vals = [0, 1, -1, 2**63, -(2**63), 123456789012345678901,
+                -(10**27) // 7]
+        for v in vals:
+            hi, lo = split_i128(v)
+            assert 0 <= lo < 2**32
+            assert combine_i128(hi, lo) == v
+        # linearity: summing halves separately == summing values
+        his, los = zip(*(split_i128(v) for v in vals))
+        assert combine_i128(sum(his), sum(los)) == sum(vals)
+
+
+class TestSpearmanExactPartials:
+    def test_partials_exact_at_wrap_scale(self, ray_session):
+        # drive the EXACT code shape q_spearman uses: centered-rank
+        # lookups whose per-block square-sum wraps int64, shipped as
+        # hi/lo pairs and recombined on the driver.
+        rng = np.random.RandomState(11)
+        a = rng.randint(-(10**9), 10**9, size=20000).astype(np.int64)
+        b = rng.randint(-(10**9), 10**9, size=20000).astype(np.int64)
+        hi_a, lo_a = split_i128(exact_prod_sum(a[:10000], b[:10000]))
+        hi_b, lo_b = split_i128(exact_prod_sum(a[10000:], b[10000:]))
+        got = combine_i128(hi_a + hi_b, lo_a + lo_b)
+        assert got == sum(int(x) * int(y) for x, y in zip(a, b))
