@@ -82,6 +82,36 @@ def ensure_skew_tables(rows: int) -> tuple[str, str]:
     return dirs[0], dirs[1]
 
 
+def ensure_source_tables(rows: int) -> tuple[str, str]:
+    """(uniform, hot) document-id/source tables for the per-source cap
+    skew probe (round-5 VERDICT #2): ~256 sources uniform vs ONE source
+    holding 90% of all rows — the dominant-crawl shape. Cached in /tmp."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dirs = []
+    for variant in ("uniform", "hot"):
+        d = f"/tmp/graft_skew/src_{variant}_r{rows}"
+        dirs.append(d)
+        if os.path.isdir(d) and os.listdir(d):
+            continue
+        os.makedirs(d, exist_ok=True)
+        rng = np.random.default_rng(7)
+        source = rng.integers(0, 256, size=rows, dtype=np.int64)
+        if variant == "hot":
+            source[rng.random(rows) < 0.90] = 42
+        doc_id = rng.permutation(rows).astype(np.int64)
+        shards = 32
+        per = (rows + shards - 1) // shards
+        for s in range(shards):
+            lo, hi = s * per, min((s + 1) * per, rows)
+            pq.write_table(
+                pa.table({"source": source[lo:hi], "doc_id": doc_id[lo:hi]}),
+                os.path.join(d, f"part-{s:05d}.parquet"))
+    return dirs[0], dirs[1]
+
+
 def run_skew_stress(rows: int) -> dict:
     """Hot-key straggler probe: time the three shuffle-bearing shapes a
     planted 10%-mass key stresses — salted two-phase counts, phash
@@ -129,12 +159,33 @@ def run_skew_stress(rows: int) -> dict:
             rd.read_parquet(d, columns=["user_id", "value"]),
             "user_id", running).count()
 
+    from reddacted_ray.stages.windows import per_group_head_prune
+
+    src_uni, src_hot = ensure_source_tables(rows)
+    warm_cache(src_uni)
+    warm_cache(src_hot)
+
+    def source_cap(d: str) -> None:
+        # the corpus per-source quota plan: per-block head prune bounds
+        # the hot source's shuffle mass to cap x blocks (r5 VERDICT #2)
+        ds = rd.read_parquet(d, columns=["source", "doc_id"])
+        pruned = per_group_head_prune(ds, "source", "doc_id", 100)
+
+        def capfn(g: pd.DataFrame) -> pd.DataFrame:
+            gg = g.sort_values(["source", "doc_id"], kind="mergesort")
+            rn = gg.groupby("source", sort=False).cumcount() + 1
+            return gg[rn <= 100]
+
+        grouped_vectorized(pruned, "source", capfn).count()
+
     out: dict = {"rows": rows}
-    for name, fn in (("salted_counts", salted),
-                     ("dedup_phash_first", phash_first),
-                     ("bucketed_window", window)):
+    skew_cases = [("salted_counts", salted, uni_dir, hot_dir),
+                  ("dedup_phash_first", phash_first, uni_dir, hot_dir),
+                  ("bucketed_window", window, uni_dir, hot_dir),
+                  ("source_cap", source_cap, src_uni, src_hot)]
+    for name, fn, u_dir, h_dir in skew_cases:
         rec = {}
-        for tag, d in (("uniform", uni_dir), ("hot", hot_dir)):
+        for tag, d in (("uniform", u_dir), ("hot", h_dir)):
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()

@@ -31,7 +31,7 @@ from ..functions.textstats import repetition_batch
 from ..sources.tables import sf_table
 from ..stages.dedup import exact_dedup
 from ..stages.joins import adaptive_semi_join
-from ..stages.windows import grouped_vectorized
+from ..stages.windows import grouped_vectorized, per_group_head_prune
 
 
 @dataclass
@@ -82,32 +82,36 @@ def assemble_corpus(sf_dir: str,
         out["rn"] = rn[rn <= cap].astype(np.int64)
         return out
 
-    capped = grouped_vectorized(deduped, "source", capper).materialize()
+    # per-block head prune bounds one dominant source's shuffle mass to
+    # cap x blocks rows (r5 VERDICT #2); lossless for the global cap
+    pruned = per_group_head_prune(deduped, "source", "doc_id", cap)
+    capped = grouped_vectorized(pruned, "source", capper).materialize()
 
     # temperature mix: per-source keep fraction f = min(1, k*isqrt(n)/n)
     # (integer sqrt -> identical doubles everywhere), row survives iff
-    # md5(doc_id) hex8 < threshold — the split_train_test idiom
+    # md5(doc_id) top-32 < threshold — the split_train_test idiom.
+    # Thresholds are INTEGERS (r5 VERDICT #6): comparing the uint32
+    # hash value against floor(f * 2^32) is exactly the old 8-hex-char
+    # lexicographic compare (md5_top32_batch docstring), with the
+    # t >= 2^32 keep-all case naturally ordered above every hash.
     from ray.data.aggregate import Count as _Cnt
 
     counts = (capped.groupby("source")
               .aggregate(_Cnt(alias_name="n")).to_pandas())
-    thr: dict[str, str] = {}
+    thr: dict[str, int] = {}
     for src, n in zip(counts["source"], counts["n"].astype(int)):
         f = min(1.0, (float(cfg.mix_k) * float(math.isqrt(int(n))))
                 / float(n))
-        t = int(math.floor(f * 4294967296.0))
-        thr[src] = "g" * 8 if t >= 2**32 else format(t, "08x")
+        thr[src] = min(int(math.floor(f * 4294967296.0)), 2**32)
     srcs = pa.array(sorted(thr))
-    bounds = pa.array([thr[s] for s in sorted(thr)])
+    bounds = pa.array([thr[s] for s in sorted(thr)], pa.int64())
 
     def mix(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t
-        h = md5_top32_batch(t["doc_id"])
-        hexes = np.array([format(v, "08x") for v in h])
+        h = md5_top32_batch(t["doc_id"]).astype(np.int64)
         b = pc.take(bounds, pc.index_in(t["source"], value_set=srcs))
-        return t.filter(pa.array(
-            hexes < np.array(b.to_pylist(), dtype=object)))
+        return t.filter(pa.array(h < b.to_numpy(zero_copy_only=False)))
 
     return capped.map_batches(mix, batch_format="pyarrow",
                               zero_copy_batch=True)

@@ -11313,13 +11313,18 @@ def q_ann_recall_at_10(sf_dir: str) -> rd.Dataset:
 def q_cap_per_source(sf_dir: str) -> rd.Dataset:
     """Per-source document quota (the data-mix cap every web-corpus
     recipe applies: no source may dominate): keep the 20 lowest-doc_id
-    docs per source with their rank. One co-locating bucket shuffle;
-    ranks are a vectorized groupby-cumcount, the cap a mask."""
+    docs per source with their rank. A per-BLOCK head prune (r5
+    VERDICT #2) bounds the exchange to cap×blocks rows per source —
+    without it one dominant crawl source ships ALL its rows to a
+    single bucket — then one co-locating bucket shuffle; ranks are a
+    vectorized groupby-cumcount over the pruned set (provably equal to
+    global ranks for surviving rows, see per_group_head_prune)."""
     import pandas as pd
 
-    from ..stages.windows import grouped_vectorized
+    from ..stages.windows import grouped_vectorized, per_group_head_prune
 
-    docs = _docs(sf_dir, ["doc_id", "source"])
+    docs = per_group_head_prune(_docs(sf_dir, ["doc_id", "source"]),
+                                "source", "doc_id", 20)
 
     def cap(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["source", "doc_id"], kind="mergesort")

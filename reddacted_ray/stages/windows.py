@@ -82,6 +82,41 @@ def grouped_vectorized(
     return keyed.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
 
 
+def per_group_head_prune(
+    ds: rd.Dataset,
+    group_col: str,
+    order_col: str,
+    cap: int,
+) -> rd.Dataset:
+    """Per-BLOCK prune to the ``cap`` lowest-``order_col`` rows per
+    group — the exchange bound for a global per-group head cap (r5
+    VERDICT #2). The global first-``cap`` rows of a group are
+    necessarily within every block's local first-``cap`` (a row among
+    the global cap-smallest is among its block's cap-smallest), so
+    pruning before the co-locating shuffle is lossless for the final
+    head/rank cap while bounding what one hot source ships to its
+    bucket from |source| rows to ``cap × blocks``. Downstream ranks
+    over the pruned set equal global ranks for every surviving row:
+    all order-predecessors of a global-top-``cap`` row are themselves
+    global-top-``cap`` and therefore survive the prune."""
+    import pyarrow.compute as pc
+
+    def prune(t: pa.Table) -> pa.Table:
+        if t.num_rows <= cap:
+            return t
+        idx = pc.sort_indices(t, sort_keys=[(group_col, "ascending"),
+                                            (order_col, "ascending")])
+        srt = t.take(idx)
+        g = srt[group_col].to_numpy(zero_copy_only=False)
+        new = np.r_[True, g[1:] != g[:-1]]
+        pos = np.arange(len(g), dtype=np.int64)
+        rn = pos - np.maximum.accumulate(np.where(new, pos, 0))
+        return srt.filter(pa.array(rn < cap))
+
+    return ds.map_batches(prune, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def ordered_prefix_sum(
     ds: rd.Dataset,
     order_col: str,

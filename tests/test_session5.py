@@ -53,6 +53,54 @@ class TestExactProdSum:
         assert combine_i128(sum(his), sum(los)) == sum(vals)
 
 
+class TestPerGroupHeadPrune:
+    def test_hot_source_cap_identical_to_unpruned(self, ray_session):
+        # one source holds 90% of rows (the dominant-crawl shape the
+        # prune exists for); pruned plan == full-table pandas answer
+        import pandas as pd
+        import ray.data as rd
+
+        from reddacted_ray.stages.windows import (
+            grouped_vectorized,
+            per_group_head_prune,
+        )
+
+        rng = np.random.RandomState(3)
+        n, cap = 20000, 17
+        src = rng.randint(0, 20, n).astype(np.int64)
+        src[rng.rand(n) < 0.9] = 5
+        df = pd.DataFrame({"source": src,
+                           "doc_id": rng.permutation(n).astype(np.int64)})
+        ds = rd.from_pandas(df).repartition(8)
+
+        def capfn(g: pd.DataFrame) -> pd.DataFrame:
+            gg = g.sort_values(["source", "doc_id"], kind="mergesort")
+            rn = gg.groupby("source", sort=False).cumcount() + 1
+            out = gg[rn <= cap].copy()
+            out["rn"] = rn[rn <= cap].astype(np.int64)
+            return out
+
+        got = (grouped_vectorized(
+            per_group_head_prune(ds, "source", "doc_id", cap),
+            "source", capfn)
+            .to_pandas().sort_values(["source", "doc_id"])
+            .reset_index(drop=True))
+
+        exp = capfn(df).sort_values(["source", "doc_id"]).reset_index(
+            drop=True)
+        pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+    def test_prune_keeps_small_blocks_whole(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from reddacted_ray.stages.windows import per_group_head_prune
+
+        df = pd.DataFrame({"source": [1, 1, 2], "doc_id": [3, 1, 2]})
+        ds = per_group_head_prune(rd.from_pandas(df), "source", "doc_id", 5)
+        assert ds.count() == 3
+
+
 class TestSpearmanExactPartials:
     def test_partials_exact_at_wrap_scale(self, ray_session):
         # drive the EXACT code shape q_spearman uses: centered-rank
