@@ -180,8 +180,21 @@ def main(argv=None) -> int:
         and cfg.get("decisions")
         and os.path.exists(os.path.join(cfg["decisions"], "manifest.jsonl"))
     )
+    # only decide/materialize actually implement resumable writes
+    # (state/manifest.py partition skip); corpus/compact would silently
+    # APPEND duplicate rows on a rerun (r4 ADVICE #3), so their
+    # --resumable is rejected below and never exempts them here
+    mode_arg = cfg.get("mode", "materialize")
+    if cfg.get("resumable") and mode_arg in ("corpus", "compact"):
+        print(
+            f"error: --resumable is not implemented for --mode {mode_arg};"
+            " rerunning would append duplicate rows",
+            file=sys.stderr,
+        )
+        return 2
     rerun_safe = (
-        colocated_apply if cfg.get("mode") == "apply" else cfg.get("resumable")
+        colocated_apply if mode_arg == "apply"
+        else (cfg.get("resumable") and mode_arg in ("decide", "materialize"))
     )
     if (
         not rerun_safe

@@ -1911,19 +1911,25 @@ def q_filtered_scan(sf_dir: str) -> rd.Dataset:
 
 def q_dedup_clusters(sf_dir: str) -> pa.Table:
     """Transitive near-dup clusters: MinHash pairs -> connected components
-    (rows-only; see stages/cluster.py for the scale variants)."""
-    from ..stages.cluster import cluster_pairs
+    via the FULLY distributed min-label propagation (r5 VERDICT #3 —
+    pair mass is bounded by dup mass, but a 100 TB near-dup flood is
+    exactly when it explodes, so nothing pair-sized reaches the driver;
+    the driver union-find in stages/cluster.py stays as the tested
+    small-side variant). Rows-only; output identical to the union-find
+    by the equivalence test in tests/."""
+    from ..stages.cluster import cluster_pairs_distributed
     from ..stages.dedup import minhash_lsh_duplicates
 
     pairs = minhash_lsh_duplicates(
         _docs(sf_dir, ["doc_id", "text"]), "text", "doc_id", threshold=0.5
     )
-    assign = cluster_pairs(pairs, "doc_id")
-    items = sorted(assign.items())
+    assign = cluster_pairs_distributed(pairs, "doc_id").to_pandas()
+    assign = assign.sort_values("doc_id")
     return pa.table(
         {
-            "doc_id": pa.array([k for k, _ in items], pa.int64()),
-            "cluster_id": pa.array([v for _, v in items], pa.int64()),
+            "doc_id": pa.array(assign["doc_id"].to_numpy(), pa.int64()),
+            "cluster_id": pa.array(assign["cluster_id"].to_numpy(),
+                                   pa.int64()),
         }
     )
 
@@ -10687,8 +10693,9 @@ def q_dup_gram_share(sf_dir: str) -> rd.Dataset:
     happen inside the bucket — a gram groupby would hash-exchange
     ~every-row-distinct keys and an attach join would add two more
     materializations (measured 24 s vs 5.5 s at sf0.1/32cpu). Grams
-    travel as int64 KEYS (an 8-char ASCII gram IS its 8-byte int —
-    bijective, so every count matches the SQL's substr grouping); a
+    travel as int64 KEYS (an 8-BYTE utf-8 window IS its int64 —
+    bijective; on ASCII text a byte window equals the SQL substr char
+    gram, see _byte_gram_rows for the non-ASCII contract); a
     (doc, gram) pair is globally unique, so the in-bucket group size
     IS the gram's doc frequency."""
     import pandas as pd
@@ -10702,24 +10709,13 @@ def q_dup_gram_share(sf_dir: str) -> rd.Dataset:
     def grams(t: pa.Table) -> pa.Table:
         txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
         ids = t["doc_id"].to_numpy()
-        s = txt.to_pandas().to_numpy()
-        lens = np.array([len(x) for x in s], np.int64)
-        keep = lens >= K
-        if not keep.any():
+        rowix, gram_key = _byte_gram_rows(txt, K)
+        if len(rowix) == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "gram": pa.array([], pa.int64()),
                              "k": pa.array([], pa.int64())})
-        ids, s, lens = ids[keep], s[keep], lens[keep]
-        buf = np.frombuffer("".join(s).encode("ascii"), np.uint8)
-        offs = np.r_[0, np.cumsum(lens)]
-        win = np.lib.stride_tricks.sliding_window_view(buf, K)
-        # windows starting in doc i: [offs[i], offs[i] + len_i - K]
-        nwin = lens - K + 1
-        starts = np.repeat(offs[:-1], nwin) + _ranges(nwin)
-        docix = np.repeat(np.arange(len(s)), nwin)
-        gram_key = win[starts].view(np.int64).ravel()
         import pandas as pd
-        f = (pd.DataFrame({"doc_id": ids[docix], "gram": gram_key})
+        f = (pd.DataFrame({"doc_id": ids[rowix], "gram": gram_key})
              .groupby(["doc_id", "gram"], sort=False)
              .size().reset_index(name="k"))
         return pa.table({
@@ -10762,6 +10758,40 @@ def _ranges(counts: np.ndarray) -> np.ndarray:
     ends = np.cumsum(counts)[:-1]
     out[ends] = 1 - counts[:-1]
     return np.cumsum(out)
+
+
+def _byte_gram_rows(txt, K: int = 8) -> "tuple[np.ndarray, np.ndarray]":
+    """(row_index, int64 gram key) for every 8-BYTE sliding window of
+    each string, read straight from the Arrow utf-8 buffers — no
+    join/encode/decode, zero-copy view of the block (r4 ADVICE #1 fix:
+    the old ``"".join(s).encode("ascii")`` hard-crashed on any
+    non-ASCII document). Grams are BYTE windows of the utf-8 encoding:
+    on ASCII corpora (the testdata + oracle contract) a byte window IS
+    the SQL ``substr`` char window, so hashes match; documents with
+    multi-byte codepoints no longer crash, but their byte grams
+    intentionally diverge from SQL char-gram semantics (the contract
+    every byte-level fingerprint — winnowing, CCNet shards — accepts).
+    """
+    assert K == 8  # 8 bytes = one int64 key, the bijection the plan uses
+    arr = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    lo = arr.offset
+    offs = np.frombuffer(bufs[1], odt, count=len(arr) + 1 + lo)[lo:]
+    offs = offs.astype(np.int64)
+    data = (np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None
+            else np.empty(0, np.uint8))
+    lens = np.diff(offs)
+    nwin = np.maximum(lens - K + 1, 0)
+    if int(nwin.sum()) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    keepix = np.flatnonzero(nwin > 0)
+    nk = nwin[keepix]
+    starts = np.repeat(offs[:-1][keepix], nk) + _ranges(nk)
+    rowix = np.repeat(keepix, nk)
+    win = np.lib.stride_tricks.sliding_window_view(data, K)
+    gram_key = win[starts].view(np.int64).ravel()
+    return rowix, gram_key
 
 
 def q_hist2d_qty_price(sf_dir: str) -> rd.Dataset:
@@ -11081,22 +11111,12 @@ def q_doc_jaccard_topk(sf_dir: str) -> rd.Dataset:
     def gramset(t: pa.Table) -> pa.Table:
         txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
         ids = t["doc_id"].to_numpy()
-        s = txt.to_pandas().to_numpy()
-        lens = np.array([len(x) for x in s], np.int64)
-        keep = lens >= K
-        if not keep.any():
+        rowix, gram_key = _byte_gram_rows(txt, K)
+        if len(rowix) == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "gram": pa.array([], pa.int64())})
-        ids, s, lens = ids[keep], s[keep], lens[keep]
-        buf = np.frombuffer("".join(s).encode("ascii"), np.uint8)
-        offs = np.r_[0, np.cumsum(lens)]
-        win = np.lib.stride_tricks.sliding_window_view(buf, K)
-        nwin = lens - K + 1
-        starts = np.repeat(offs[:-1], nwin) + _ranges(nwin)
-        docix = np.repeat(np.arange(len(s)), nwin)
-        gram_key = win[starts].view(np.int64).ravel()
         import pandas as pd
-        f = (pd.DataFrame({"doc_id": ids[docix], "gram": gram_key})
+        f = (pd.DataFrame({"doc_id": ids[rowix], "gram": gram_key})
              .drop_duplicates())
         return pa.table({
             "doc_id": pa.array(f["doc_id"].to_numpy(), pa.int64()),
@@ -11918,22 +11938,12 @@ def q_gram_novelty(sf_dir: str) -> rd.Dataset:
     def grams(t: pa.Table) -> pa.Table:
         txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
         ids = t["doc_id"].to_numpy()
-        s = txt.to_pandas().to_numpy()
-        lens = np.array([len(x) for x in s], np.int64)
-        keep = lens >= K
-        if not keep.any():
+        rowix, gram_key = _byte_gram_rows(txt, K)
+        if len(rowix) == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "gram": pa.array([], pa.int64()),
                              "k": pa.array([], pa.int64())})
-        ids, s, lens = ids[keep], s[keep], lens[keep]
-        buf = np.frombuffer("".join(s).encode("ascii"), np.uint8)
-        offs = np.r_[0, np.cumsum(lens)]
-        win = np.lib.stride_tricks.sliding_window_view(buf, K)
-        nwin = lens - K + 1
-        starts = np.repeat(offs[:-1], nwin) + _ranges(nwin)
-        docix = np.repeat(np.arange(len(s)), nwin)
-        gram_key = win[starts].view(np.int64).ravel()
-        f = (pd.DataFrame({"doc_id": ids[docix], "gram": gram_key})
+        f = (pd.DataFrame({"doc_id": ids[rowix], "gram": gram_key})
              .groupby(["doc_id", "gram"], sort=False)
              .size().reset_index(name="k"))
         return pa.table({

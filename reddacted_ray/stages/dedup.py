@@ -493,30 +493,29 @@ def embedding_cosine_duplicates(
     center = (sample / snorm).mean(axis=0).astype(np.float32)
 
     def emit(t: pa.Table) -> pa.Table:
-        vecs = np.asarray(t[vec_col].to_pylist(), dtype=np.float32)
-        ids = t[id_col].to_pylist()
+        from .similarity import _as_matrix, _pack_rows_binary
+
+        vecs = _as_matrix(t[vec_col])
+        ids = t[id_col]
         norm = np.linalg.norm(vecs, axis=1, keepdims=True)
         norm[norm == 0] = 1.0
         unit = vecs / norm
         centered = unit - center
-        # float32 rows serialized to fixed-width binary: Acero hash joins
-        # (the _only_colliding semi-join) reject list<float> payloads, and
-        # the binary form also shuffles leaner
-        unit_bytes = [v.tobytes() for v in unit]
-        out_ids, out_keys, out_vecs = [], [], []
+        # float32 rows serialized to binary: Acero hash joins (the
+        # _only_colliding semi-join) reject list<float> payloads, and
+        # the binary form also shuffles leaner; packed vectorized
+        # (one buffer + arithmetic offsets, r5 VERDICT #6)
+        unit_col = _pack_rows_binary(unit)
+        subs = []
         for ti in range(n_tables):
             signs = (centered @ planes[ti].T) > 0  # (n, n_planes)
-            keys = signs @ powers + (ti << n_planes)
-            out_keys.extend(keys.tolist())
-            out_ids.extend(ids)
-            out_vecs.extend(unit_bytes)
-        return pa.table(
-            {
-                "band_key": pa.array(out_keys, pa.int64()),
-                id_col: pa.array(out_ids),
-                "unit": pa.array(out_vecs, pa.binary()),
-            }
-        )
+            keys = (signs @ powers + (ti << n_planes)).astype(np.int64)
+            subs.append(pa.table({
+                "band_key": pa.array(keys, pa.int64()),
+                id_col: ids,
+                "unit": unit_col,
+            }))
+        return pa.concat_tables(subs)
 
     rows = ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -24,7 +24,37 @@ import ray.data as rd
 
 
 def _as_matrix(col) -> np.ndarray:
-    return np.asarray(col.to_pylist(), dtype=np.float32)
+    """``list<float>`` column -> (n, dim) float32 matrix WITHOUT a
+    per-row to_pylist (r5 VERDICT #6): flatten the child values buffer
+    (zero-copy from the Arrow block for null-free float children) and
+    reshape — embedding columns are uniform-length by contract, checked
+    via list_value_length; ragged or null-bearing input falls back to
+    the row-wise path."""
+    import pyarrow.compute as pc
+
+    ca = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if ca.null_count == 0 and len(ca):
+        lens = pc.list_value_length(ca).to_numpy(zero_copy_only=False)
+        if len(lens) and (lens == lens[0]).all() and lens[0] > 0:
+            flat = pc.list_flatten(ca).to_numpy(zero_copy_only=False)
+            return flat.astype(np.float32, copy=False).reshape(
+                len(ca), int(lens[0]))
+    return np.asarray(ca.to_pylist(), dtype=np.float32)
+
+
+def _pack_rows_binary(mat: np.ndarray) -> pa.Array:
+    """float32 rows -> a variable-width binary column without per-row
+    ``tobytes`` (r5 VERDICT #6): one contiguous data buffer plus
+    arithmetic offsets. Values are byte-identical to
+    ``[row.tobytes() for row in mat]`` (equivalence-tested); variable
+    (not fixed-size) binary keeps Acero-join compatibility for the
+    dedup semi-join fallback."""
+    m = np.ascontiguousarray(mat, dtype=np.float32)
+    n, d = m.shape
+    offs = np.arange(n + 1, dtype=np.int32) * (d * 4)
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(m.tobytes())])
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:

@@ -101,6 +101,106 @@ class TestPerGroupHeadPrune:
         assert ds.count() == 3
 
 
+class TestCoveringSentinelGuard:
+    @pytest.mark.parametrize("nparts", [16, 64, 256])
+    def test_fallback_matches_ray_hash_partition(self, nparts):
+        # the pure-pyarrow fallback must assign every probe key to the
+        # SAME partition Ray's private hash_partition does, and cover
+        # all partitions (r5 VERDICT #5)
+        from ray.data._internal.arrow_ops.transform_pyarrow import (
+            hash_partition,
+        )
+
+        from reddacted_ray.stages.joins import _fallback_first_keys
+
+        t = pa.table({"k": pa.array(list(range(-4096, 0)), pa.int64())})
+        parts = hash_partition(t, hash_cols=["k"], num_partitions=nparts)
+        ray_assign = {}
+        for p, tab in parts.items():
+            for v in tab["k"].to_pylist():
+                ray_assign.setdefault(v, p)
+        fb = _fallback_first_keys(t, nparts)
+        assert len(fb) == nparts  # covering
+        for p, key in fb.items():
+            assert ray_assign[key] == p
+
+    def test_covering_sentinels_unchanged(self):
+        # the guarded path returns the same sorted keys as before
+        from reddacted_ray.stages.joins import covering_sentinels
+
+        keys = covering_sentinels(16, pa.int64())
+        assert len(keys) == 16
+        assert all(k < 0 for k in keys)
+
+
+class TestVectorizedMatrixPaths:
+    def test_as_matrix_zero_copy_equals_pylist(self):
+        from reddacted_ray.stages.similarity import _as_matrix
+
+        rng = np.random.RandomState(5)
+        m = rng.normal(size=(37, 16)).astype(np.float32)
+        col = pa.chunked_array([pa.array(list(r) for r in m[:20]),
+                                pa.array(list(r) for r in m[20:])])
+        got = _as_matrix(col)
+        assert got.shape == (37, 16)
+        np.testing.assert_array_equal(got, m)
+
+    def test_as_matrix_ragged_fallback(self):
+        from reddacted_ray.stages.similarity import _as_matrix
+
+        col = pa.array([[1.0, 2.0], [3.0, 4.0]])
+        np.testing.assert_array_equal(
+            _as_matrix(col), np.array([[1, 2], [3, 4]], np.float32))
+
+    def test_pack_rows_binary_byte_identical(self):
+        from reddacted_ray.stages.similarity import _pack_rows_binary
+
+        rng = np.random.RandomState(6)
+        m = rng.normal(size=(11, 8)).astype(np.float32)
+        arr = _pack_rows_binary(m)
+        assert arr.to_pylist() == [r.tobytes() for r in m]
+        assert arr.type == pa.binary()
+
+
+class TestByteGramRows:
+    def _grams(self, texts):
+        from reddacted_ray.pipelines.queries import _byte_gram_rows
+
+        return _byte_gram_rows(pa.chunked_array([pa.array(texts)]))
+
+    def test_ascii_matches_char_windows(self):
+        texts = ["abcdefghij", "short", "exactly8!", ""]
+        rowix, keys = self._grams(texts)
+        exp = []
+        for i, s in enumerate(texts):
+            for j in range(max(len(s) - 7, 0)):
+                exp.append((i, int.from_bytes(
+                    s[j:j + 8].encode(), "little")))
+        got = sorted(zip(rowix.tolist(), keys.tolist()))
+        assert got == sorted(exp)
+
+    def test_non_ascii_no_crash_byte_windows(self):
+        # r4 ADVICE #1: lang='zh' docs used to raise UnicodeEncodeError
+        texts = ["中文文档内容测试字符串", "ascii doc here", "é" * 10]
+        rowix, keys = self._grams(texts)
+        assert len(rowix) == len(keys) > 0
+        # byte-window count per doc = utf8_bytes - 7
+        import numpy as np
+        counts = np.bincount(rowix, minlength=3)
+        for i, s in enumerate(texts):
+            assert counts[i] == max(len(s.encode("utf-8")) - 7, 0)
+
+    def test_sliced_chunk_offsets(self):
+        from reddacted_ray.pipelines.queries import _byte_gram_rows
+
+        base = pa.array(["0123456789abcdef", "xxxxxxxxyyyyyyyy", "zz"])
+        sliced = base.slice(1, 2)  # non-zero array offset
+        rowix, keys = _byte_gram_rows(sliced)
+        exp_first = int.from_bytes(b"xxxxxxxx", "little")
+        assert keys[0] == exp_first
+        assert (rowix == 0).sum() == 9  # 16 bytes -> 9 windows
+
+
 class TestSpearmanExactPartials:
     def test_partials_exact_at_wrap_scale(self, ray_session):
         # drive the EXACT code shape q_spearman uses: centered-rank

@@ -671,3 +671,18 @@ def test_write_jsonl_roundtrip(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="non-empty"):
         write_jsonl(rd.from_arrow(t), out)
+
+
+def test_job_cli_rejects_resumable_for_corpus_and_compact(tmp_path):
+    # r4 ADVICE #3: corpus/compact have no resumable implementation —
+    # the old exemption let a rerun APPEND duplicate rows silently
+    for mode in ("corpus", "compact"):
+        proc = subprocess.run(
+            [sys.executable, "-m", "reddacted_ray.job",
+             "--input", str(tmp_path / "in"), "--output",
+             str(tmp_path / "out"), "--mode", mode, "--resumable"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert proc.returncode == 2
+        assert "not implemented" in proc.stderr
