@@ -380,8 +380,23 @@ def char_entropy_batch(texts) -> "object":
 
     Fully batched over an Arrow string column: one zero-copy view of the
     column's flat UTF-8 value buffer plus its offsets, byte counts from a
-    single ``np.unique`` over composite (doc_index * 256 + byte) keys,
-    entropy via segmented sums — zero per-document Python loops."""
+    single ``np.unique`` over composite (doc_index * 256 + byte) keys.
+
+    SQL-pinned expression tree (r5 promotion of the ``char_entropy``
+    registry entry from rows-only to hash-matched): entropy is computed
+    as ``log2(n) - (sum_b k_b*log2(k_b)) / n`` — algebraically equal to
+    ``-sum p*log2(p)`` but with log2 taken only of INTEGERS (counts and
+    lengths), where glibc ``math.log2`` is bit-identical to DuckDB's
+    ``log2`` (numpy's SIMD log2 is NOT — measured ulp divergence); the
+    per-doc sum accumulates left-to-right in ascending byte order,
+    matching the oracle's ``list_sum(list(... ORDER BY byte))``
+    sequential semantics. The alphabet bounds the ordered-accumulation
+    loop at <=256 vectorized steps (total work stays O(pairs));
+    ``np.add.reduceat`` would be pairwise, not sequential. Entropy is
+    over utf-8 BYTES; the SQL oracle explodes CHARS via ascii(), equal
+    on ASCII corpora (the testdata contract)."""
+    import math
+
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -403,8 +418,24 @@ def char_entropy_batch(texts) -> "object":
     key = doc_of * np.int64(256) + flat.astype(np.int64)
     uniq, counts = np.unique(key, return_counts=True)
     udoc = uniq >> np.int64(8)
-    p = counts.astype(np.float64) / lens[udoc].astype(np.float64)
-    contrib = -p * np.log2(p)
+    # glibc log2 over the bounded unique-count domain
+    uc, cinv = np.unique(counts, return_inverse=True)
+    l2c = np.array([math.log2(int(v)) for v in uc], np.float64)
+    contrib = counts.astype(np.float64) * l2c[cinv]
+    # per-doc ordered sum: the key sort already lays each doc's bytes
+    # out ascending; step j adds every doc's j-th distinct byte
+    # (sequential within a doc, vectorized across docs)
+    starts = np.flatnonzero(np.r_[True, udoc[1:] != udoc[:-1]])
+    seg_doc = udoc[starts]
+    seg_len = np.diff(np.r_[starts, len(udoc)])
+    s = np.zeros(n, dtype=np.float64)
+    for j in range(int(seg_len.max()) if len(seg_len) else 0):
+        m = seg_len > j
+        s[seg_doc[m]] += contrib[starts[m] + j]
     out = np.zeros(n, dtype=np.float64)
-    np.add.at(out, udoc, contrib)
+    nz = lens > 0
+    if nz.any():
+        ul, linv = np.unique(lens[nz], return_inverse=True)
+        l2n = np.array([math.log2(int(v)) for v in ul], np.float64)
+        out[nz] = l2n[linv] - s[nz] / lens[nz].astype(np.float64)
     return out

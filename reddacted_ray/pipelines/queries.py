@@ -1805,6 +1805,9 @@ def q_ppl_docs(sf_dir: str) -> rd.Dataset:
 
 
 def q_dedup_minhash(sf_dir: str) -> rd.Dataset:
+    """MinHash-LSH near-dup pairs (rows-only: candidate generation
+    hinges on stable_hash64 shingle signatures SQL cannot recompute;
+    bit-equality is locked by hypothesis tests instead)."""
     from ..stages.dedup import minhash_lsh_duplicates
 
     return minhash_lsh_duplicates(
@@ -1826,6 +1829,9 @@ def q_dedup_ngram(sf_dir: str) -> rd.Dataset:
 
 
 def q_dedup_simhash(sf_dir: str) -> rd.Dataset:
+    """SimHash near-dup pairs (rows-only: the 64-bit token-hash sketch
+    is a custom hash SQL cannot recompute; planted-dup recovery is
+    test-locked)."""
     from ..stages.dedup import simhash_duplicates
 
     return simhash_duplicates(
@@ -1834,6 +1840,10 @@ def q_dedup_simhash(sf_dir: str) -> rd.Dataset:
 
 
 def q_dedup_embedding(sf_dir: str) -> pa.Table:
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH
+    (rows-only: float32 matmul candidate keys + cosine verification
+    have no bit-pinnable SQL analog; planted-dup recovery is
+    test-locked)."""
     from ..stages.dedup import embedding_cosine_duplicates
 
     emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -2583,7 +2593,11 @@ def q_quality_gate_docs(sf_dir: str) -> rd.Dataset:
 def q_quality_filter_images(sf_dir: str) -> rd.Dataset:
     """Full flagship over the synthetic image+caption table (input_hint
     shape), sized to the sf directory; bytes column dropped from the result
-    to keep the driver-side comparison light."""
+    to keep the driver-side comparison light. Rows-only: the input is
+    the generated image table, not a registered sf view, and the score
+    chain includes the trigram-LM perplexity model — the per-row PII /
+    keep semantics are SQL-checked on documents via pii_scrub and
+    byte-equality E2E tests instead."""
     import os
 
     from ..pipelines.quality_filter import build
@@ -5003,10 +5017,12 @@ def q_fill_forward(sf_dir: str) -> rd.Dataset:
 
 def q_ewma_value(sf_dir: str) -> rd.Dataset:
     """Exponentially weighted moving average per user (alpha = 0.5,
-    recursive smoother — the stateful time-series primitive SQL cannot
-    express without recursion, hence a rows-only registry entry with
-    a hand-computed pytest lock). One co-locating shuffle; pandas
-    C-level ``ewm(adjust=False)`` per bucket."""
+    recursive smoother). SQL-hash-matched (r5 VERDICT #4 promotion):
+    DuckDB's recursive CTE computes the same ``y = 0.5*y + 0.5*x``
+    IEEE chain pandas ``ewm(adjust=False)`` does — verified bit-exact
+    (pandas' kernel is old_wt*y + new_wt*x with a divide by 1.0; the
+    ``y + alpha*(x-y)`` form would NOT match). One co-locating
+    shuffle; pandas C-level grouped ewm per bucket."""
     import pandas as pd
 
     from ..stages.windows import grouped_vectorized
@@ -5736,10 +5752,12 @@ def q_dup_pairs(sf_dir: str) -> rd.Dataset:
 
 def q_char_entropy(sf_dir: str) -> rd.Dataset:
     """Per-document byte-level Shannon entropy (CCNet-style gibberish /
-    encoding-noise signal; rows-only — the float sum order is not
-    SQL-pinnable). Fully batched: one flat byte buffer + segment
-    offsets per block, counts via a single np.unique over composite
-    (doc, byte) keys (functions/textstats.py)."""
+    encoding-noise signal). SQL-hash-matched (r5 VERDICT #4 promotion):
+    the kernel pins the float expression tree to the oracle's —
+    log2(n) - ordered-sum(k*log2 k)/n with glibc log2 of integers only
+    (see functions/textstats.py char_entropy_batch). Fully batched:
+    one flat byte buffer + segment offsets per block, counts via a
+    single np.unique over composite (doc, byte) keys."""
     from ..functions.textstats import char_entropy_batch
 
     docs = _docs(sf_dir, ["doc_id", "text"])
@@ -7393,8 +7411,11 @@ def q_dp_counts(sf_dir: str) -> pa.Table:
     """Differentially-private event-type counts (eps=1 Laplace) with
     DETERMINISTIC noise: the uniform draw is md5(event_type) —
     rerun/machine-stable, no RNG state — mapped through the inverse
-    Laplace CDF. Rows-only (libm log is not SQL-bit-pinnable);
-    tests/test_agg_joins_new.py recomputes the exact expected values.
+    Laplace CDF. SQL-hash-matched (r5 VERDICT #4 promotion): glibc
+    math.log IS bit-identical to DuckDB ln, and every other op in the
+    noise chain (md5-top32/2^32, dyadic subtract, abs, copysign) is
+    exact, so the oracle reproduces the noise bit-for-bit.
+    tests/test_agg_joins_new.py additionally recomputes exact values.
     True counts reduce map-side; noise is applied to the driver-tiny
     result, the standard central-DP shape."""
     import math
@@ -11357,9 +11378,12 @@ def q_cap_per_source(sf_dir: str) -> rd.Dataset:
 
 
 def q_cusum_alarms(sf_dir: str) -> rd.Dataset:
-    """One-sided CUSUM change detection on daily revenue (rows-only:
-    the clamped recursion S_t = max(0, S_{t-1} + x_t - k) is not
-    SQL-expressible). Slack k = mean + sigma/2 and threshold h =
+    """One-sided CUSUM change detection on daily revenue.
+    SQL-hash-matched (r5 VERDICT #4 promotion): the clamped recursion
+    S_t = max(0, S_{t-1} + x_t - k) IS expressible as a DuckDB
+    recursive CTE stepping the day index — all-integer state, so the
+    match is exact (the oracle replicates isqrt with a floor-sqrt
+    +-2 correction). Slack k = mean + sigma/2 and threshold h =
     3*sigma use EXACT integer moments (isqrt variance, cents) so the
     alarm set is machine-stable; one day-bounded rollup exchange, the
     recursion runs on the driver over the ~day-count series."""
@@ -11406,10 +11430,13 @@ def q_cusum_alarms(sf_dir: str) -> rd.Dataset:
 
 
 def q_corpus_assembly(sf_dir: str) -> rd.Dataset:
-    """Marquee composition (rows-only: dedup survivor choice + md5 mix
-    aren't single-SQL): quality gate -> exact dedup -> per-source cap
-    -> temperature mix -> per-(source, lang) manifest. Deterministic
-    end to end; see pipelines/corpus.py for the scale shape."""
+    """Marquee composition: quality gate -> exact dedup -> per-source
+    cap -> temperature mix -> per-(source, lang) manifest.
+    SQL-hash-matched (r5 VERDICT #4 promotion): one statement covers
+    the whole chain — min-id survivors, row_number cap, md5-top32 mix
+    against isqrt-derived integer thresholds (floor-sqrt +-2
+    correction). Deterministic end to end; see pipelines/corpus.py
+    for the scale shape."""
     from ..pipelines.corpus import assemble_corpus, corpus_summary
 
     return corpus_summary(assemble_corpus(sf_dir))
@@ -15016,6 +15043,141 @@ def oracle_sqls() -> dict[str, str]:
             " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
             " * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr"
             " FROM s"
+        ),
+        "dp_counts": (
+            # deterministic md5-Laplace noise IS SQL-pinnable: the
+            # uniform is the md5 top-32 integer / 2^32 (exact dyadic
+            # ops) and glibc ln == DuckDB ln bit-for-bit
+            "WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT)"
+            " AS n_true FROM events GROUP BY 1),"
+            " h AS (SELECT event_type, n_true,"
+            " CAST(CAST('0x' || substr(md5(event_type), 1, 8) AS BIGINT)"
+            " AS DOUBLE) / 4294967296.0 - 0.5 AS x FROM g)"
+            " SELECT event_type, n_true, CAST(n_true AS DOUBLE)"
+            " + CASE WHEN x >= 0 THEN -ln(1.0 - 2.0 * abs(x))"
+            " ELSE ln(1.0 - 2.0 * abs(x)) END AS n_dp"
+            " FROM h ORDER BY event_type"
+        ),
+        "corpus_assembly": (
+            # the full gate -> dedup -> cap -> mix composition in one
+            # statement: min-id survivors, row_number cap, md5-top32
+            # mix thresholds from isqrt keep fractions (floor-sqrt +-2
+            # correction = exact isqrt)
+            "WITH g AS (SELECT doc_id, text, lang, source,"
+            " CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,"
+            " CAST(len(list_distinct(string_split(text, ' ')))"
+            " AS BIGINT) AS nd FROM documents),"
+            " gated AS (SELECT * FROM g WHERE nw >= 5 AND"
+            " CAST(nw - nd AS DOUBLE) / CAST(nw AS DOUBLE) <= 0.5),"
+            " surv AS (SELECT min(doc_id) AS doc_id FROM gated"
+            " GROUP BY text),"
+            " ded AS (SELECT gated.* FROM gated JOIN surv USING (doc_id)),"
+            " capped AS (SELECT *, CAST(row_number() OVER"
+            " (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn"
+            " FROM ded QUALIFY rn <= 100),"
+            " cnts AS (SELECT source, CAST(count(*) AS BIGINT) AS n"
+            " FROM capped GROUP BY 1),"
+            " isq AS (SELECT source, n,"
+            " CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS c"
+            " FROM cnts),"
+            " thr AS (SELECT source, LEAST(CAST(floor(LEAST(1.0,"
+            " 20.0 * CAST(c + CASE WHEN (c+2)*(c+2) <= n THEN 2"
+            " WHEN (c+1)*(c+1) <= n THEN 1 WHEN c*c <= n THEN 0"
+            " WHEN (c-1)*(c-1) <= n THEN -1 ELSE -2 END AS DOUBLE)"
+            " / CAST(n AS DOUBLE)) * 4294967296.0) AS BIGINT),"
+            " 4294967296) AS t FROM isq),"
+            " mixed AS (SELECT c.* FROM capped c JOIN thr"
+            " ON c.source = thr.source"
+            " WHERE CAST('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)),"
+            " 1, 8) AS BIGINT) < thr.t)"
+            " SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,"
+            " CAST(sum(nw) AS BIGINT) AS n_words,"
+            " CAST(sum(length(text)) AS BIGINT) AS n_chars"
+            " FROM mixed GROUP BY 1, 2"
+        ),
+        "ewma_value": (
+            # bit-exact with pandas ewm(adjust=False): the kernel chain
+            # is y = 0.5*y + 0.5*x (verified; y + 0.5*(x-y) would NOT
+            # match). Recursive step sees only the previous iteration's
+            # frontier, so rounds = max events per user.
+            "WITH RECURSIVE base AS (SELECT event_id, user_id,"
+            " CAST(round(value * 100) AS BIGINT) AS cents,"
+            " CAST(row_number() OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id) AS BIGINT) AS rn FROM events),"
+            " r AS ("
+            " SELECT event_id, user_id, rn, CAST(cents AS DOUBLE) AS y"
+            " FROM base WHERE rn = 1"
+            " UNION ALL"
+            " SELECT b.event_id, b.user_id, b.rn,"
+            " 0.5 * r.y + 0.5 * CAST(b.cents AS DOUBLE)"
+            " FROM r JOIN base b ON b.user_id = r.user_id"
+            " AND b.rn = r.rn + 1)"
+            " SELECT event_id, user_id, y AS ewma_cents FROM r"
+        ),
+        "cusum_alarms": (
+            # all-integer clamped recursion over the day index; isqrt
+            # replicated with floor-sqrt +-2 correction (exact: double
+            # sqrt of the HUGEINT variance is within 1 of the integer
+            # root)
+            "WITH RECURSIVE day AS (SELECT o_orderdate AS d,"
+            " CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " AS BIGINT) AS cents FROM orders GROUP BY 1),"
+            " seq AS (SELECT CAST(row_number() OVER (ORDER BY d)"
+            " AS BIGINT) AS i, cents FROM day),"
+            " st AS (SELECT CAST(count(*) AS BIGINT) AS n,"
+            " CAST(sum(cents) AS BIGINT) AS s1,"
+            " CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT)"
+            " AS s2 FROM seq),"
+            " var AS (SELECT n, s1 // n AS mean,"
+            " greatest(CAST(n AS HUGEINT) * s2"
+            " - CAST(s1 AS HUGEINT) * s1, 0) AS x FROM st),"
+            " rt AS (SELECT n, mean, x,"
+            " CAST(floor(sqrt(CAST(x AS DOUBLE))) AS HUGEINT) AS c"
+            " FROM var),"
+            " sg AS (SELECT n, mean, CAST((c + CASE"
+            " WHEN (c + 2) * (c + 2) <= x THEN 2"
+            " WHEN (c + 1) * (c + 1) <= x THEN 1"
+            " WHEN c * c <= x THEN 0"
+            " WHEN (c - 1) * (c - 1) <= x THEN -1 ELSE -2 END) // n"
+            " AS BIGINT) AS sigma FROM rt),"
+            " p AS (SELECT n, mean + sigma // 2 AS k, 3 * sigma AS h"
+            " FROM sg),"
+            " rec AS ("
+            " SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS s,"
+            " CAST(0 AS BIGINT) AS n_alarms,"
+            " CAST(-1 AS BIGINT) AS first_alarm,"
+            " CAST(0 AS BIGINT) AS max_s"
+            " UNION ALL"
+            " SELECT q.i,"
+            " CASE WHEN greatest(0, r.s + q.cents - p.k) > p.h THEN 0"
+            " ELSE greatest(0, r.s + q.cents - p.k) END,"
+            " r.n_alarms + CASE WHEN greatest(0, r.s + q.cents - p.k)"
+            " > p.h THEN 1 ELSE 0 END,"
+            " CASE WHEN r.first_alarm >= 0 THEN r.first_alarm"
+            " WHEN greatest(0, r.s + q.cents - p.k) > p.h THEN q.i - 1"
+            " ELSE -1 END,"
+            " greatest(r.max_s, greatest(0, r.s + q.cents - p.k))"
+            " FROM rec r JOIN seq q ON q.i = r.i + 1 CROSS JOIN p)"
+            " SELECT (SELECT n FROM p) AS n_days, n_alarms,"
+            " first_alarm AS first_alarm_idx, max_s FROM rec"
+            " WHERE i = (SELECT n FROM p)"
+        ),
+        "char_entropy": (
+            # entropy = log2(n) - ordered-sum(k*log2 k)/n; log2 only of
+            # integers (glibc == DuckDB), the per-doc sum pinned by
+            # list_sum(list(... ORDER BY byte)) sequential order. Chars
+            # exploded via ascii() == utf-8 bytes on ASCII corpora.
+            "WITH pos AS (SELECT doc_id, text,"
+            " unnest(range(1, length(text) + 1)) AS j FROM documents),"
+            " cnt AS (SELECT doc_id, ascii(substr(text, j, 1)) AS b,"
+            " CAST(count(*) AS BIGINT) AS k FROM pos GROUP BY 1, 2),"
+            " s AS (SELECT doc_id, list_sum(list(CAST(k AS DOUBLE)"
+            " * log2(CAST(k AS DOUBLE)) ORDER BY b)) AS kl"
+            " FROM cnt GROUP BY 1)"
+            " SELECT d.doc_id, CASE WHEN s.kl IS NULL THEN 0.0"
+            " ELSE log2(CAST(length(d.text) AS DOUBLE))"
+            " - s.kl / CAST(length(d.text) AS DOUBLE) END AS entropy"
+            " FROM documents d LEFT JOIN s USING (doc_id)"
         ),
         "part_pairs_top": (
             "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey"
