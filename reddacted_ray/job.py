@@ -348,19 +348,39 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     if cfg.get("resumable"):
-        summary = run_resumable(
-            cfg["input"],
-            cfg["output"],
-            _build,
-            # default: auto — target max(8, cpus // 4) partitions
-            files_per_partition=(
-                int(cfg["files_per_partition"])
-                if cfg.get("files_per_partition") is not None else None),
-            # default: auto — min(cluster CPUs, pending partitions)
-            concurrent_partitions=(
-                int(cfg["concurrent_partitions"])
-                if cfg.get("concurrent_partitions") is not None else None),
-        )
+        # decide-mode plans with no global operator run on the task
+        # runner: per-FILE Ray tasks, no per-partition streaming-executor
+        # startup (r5 VERDICT #7 — measured within ~1.05x of the plain
+        # sink vs 1.25-1.3x for the thread-pool runner). Global plans
+        # (sort/limit/time_filter) keep the Dataset-per-partition path.
+        fpp = (int(cfg["files_per_partition"])
+               if cfg.get("files_per_partition") is not None else None)
+        if (mode == "decide" and cfg.get("sort", "new") == "new"
+                and time_filter == "all" and not lcfg.limit):
+            from .pipelines.quality_filter import make_decide_batch_fn
+            from .state.manifest import run_resumable_tasks
+
+            cols, chain = make_decide_batch_fn(
+                lcfg, qcfg=qcfg, gate_drop=bool(cfg.get("gate_drop", False)))
+            summary = run_resumable_tasks(
+                cfg["input"], cfg["output"], chain,
+                read_columns=cols,
+                files_per_partition=fpp,
+                batch_size=batch_size,
+            )
+        else:
+            summary = run_resumable(
+                cfg["input"],
+                cfg["output"],
+                _build,
+                # default: auto — target max(8, cpus // 4) partitions
+                files_per_partition=fpp,
+                # default: auto — min(cluster CPUs, pending partitions)
+                concurrent_partitions=(
+                    int(cfg["concurrent_partitions"])
+                    if cfg.get("concurrent_partitions") is not None
+                    else None),
+            )
     else:
         ds = _build(cfg["input"])
         ds.write_parquet(cfg["output"])

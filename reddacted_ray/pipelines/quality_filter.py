@@ -162,6 +162,43 @@ def build(
     return ds
 
 
+def make_decide_batch_fn(
+    cfg: Optional[LabelerConfig] = None,
+    qcfg=None,
+    gate_drop: bool = False,
+):
+    """(read_columns, table->table chain) for the DECIDE pipeline — the
+    pure per-batch composition ``build(mode="decide", sort="new")``
+    applies (normalize -> scorer -> column drops -> optional pii_only /
+    quality-gate filters), for runners that bypass the streaming
+    executor (state/manifest.run_resumable_tasks, r5 VERDICT #7).
+    Byte-equality with build() is test-locked. Only valid when the
+    plan has no GLOBAL operator: sort="new", no limit, no time_filter
+    (those need build())."""
+    cfg = cfg or LabelerConfig()
+    norm = make_normalize_fn(skip_text=cfg.skip_text,
+                             text_match=cfg.text_match)
+    score = make_scorer_fn(cfg)
+    if qcfg is not None:
+        from ..stages.quality_gate import quality_mask
+
+    def chain(t):
+        t = score(norm(t))
+        t = t.drop_columns(["caption_clean", "caption"])
+        if cfg.pii_only:
+            t = t.filter(
+                pc.or_(pc.greater(t["pii_risk_score"], 0.0), t["gate_flag"])
+            )
+        if qcfg is not None:
+            mask = quality_mask(t, qcfg)
+            t = t.append_column("keep_quality", mask)
+            if gate_drop:
+                t = t.filter(mask)
+        return t
+
+    return list(DECIDE_READ_COLUMNS), chain
+
+
 def build_docs(
     sf_dir: str,
     cfg: Optional[LabelerConfig] = None,

@@ -139,23 +139,7 @@ def run_resumable(
         target = max(8, cpus // 4)
         files_per_partition = max(1, -(-len(files) // target))
     plan = plan_partitions(files, files_per_partition)
-    # If the input SHRANK since the last run, trailing partition ids fall
-    # out of the plan: their output dirs would otherwise keep serving stale
-    # (duplicated) rows forever. Remove orphan dirs and drop their manifest
-    # records (atomic rewrite) so a later re-grown input recomputes them.
-    plan_pids = {pid for pid, _ in plan}
-    orphans = set(done) - plan_pids
-    if orphans:
-        for pid in orphans:
-            shutil.rmtree(mf.partition_dir(pid), ignore_errors=True)
-            done.pop(pid, None)
-        tmp_path = mf.path + ".tmp"
-        with open(tmp_path, "w") as f:
-            for rec in done.values():
-                f.write(json.dumps(rec) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp_path, mf.path)
+    done = _drop_orphans(mf, done, plan)
     import threading
     from concurrent.futures import ThreadPoolExecutor
 
@@ -258,6 +242,166 @@ def run_resumable(
         "partitions_skipped": skipped,
         "manifest": mf.path,
     }
+
+
+def run_resumable_tasks(
+    input_dir: str,
+    out_dir: str,
+    batch_fn,
+    read_columns: "list[str] | None" = None,
+    files_per_partition: "int | None" = None,
+    max_partitions: "int | None" = None,
+    batch_size: int = 2048,
+) -> dict:
+    """Task-parallel resumable runner (r5 VERDICT #7): one plain Ray
+    task per input FILE — pyarrow record-batch read -> ``batch_fn`` per
+    batch -> one parquet file in the partition's temp dir — instead of
+    one streaming-Dataset execution per partition. The per-partition
+    streaming-executor fixed latency (~0.5-2 s each, the 1.25-1.3x
+    residual of ``run_resumable``'s thread-pool design) disappears:
+    the only fixed cost is Ray's per-task overhead (~ms), and
+    parallelism is per-FILE, so partition granularity no longer trades
+    against throughput. Requires the pipeline to be a pure per-batch
+    chain (decide mode with sort=new, no limit, no time_filter);
+    plans with global operators must keep ``run_resumable``.
+
+    Atomicity and lineage are IDENTICAL to ``run_resumable``: temp dir
+    + rename per partition, per-row ``partition_id`` inside files, the
+    same manifest record shape (rerun-skip and shrink-orphan handling
+    shared via the same helpers), so ``apply_decisions_colocated`` and
+    ``--report`` work unchanged on the output."""
+    import ray
+
+    mf = Manifest(out_dir)
+    done = mf.completed()
+    files = [
+        os.path.join(input_dir, f)
+        for f in os.listdir(input_dir)
+        if f.endswith(".parquet")
+    ]
+    if files_per_partition is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+        target = max(8, cpus // 4)
+        files_per_partition = max(1, -(-len(files) // target))
+    plan = plan_partitions(files, files_per_partition)
+    done = _drop_orphans(mf, done, plan)
+    pending = []
+    skipped = 0
+    for pid, chunk in plan:
+        if pid in done and done[pid].get("input_files") == [
+            os.path.basename(c) for c in chunk
+        ]:
+            skipped += 1
+            continue
+        if max_partitions is not None and len(pending) >= max_partitions:
+            break
+        pending.append((pid, chunk))
+
+    score_task = ray.remote(num_cpus=1)(_score_file_py)
+    fn_ref = ray.put(batch_fn)
+    futs: dict = {}
+    state: dict = {}
+    t_start = time.perf_counter()
+    for pid, chunk in pending:
+        tmp = mf.partition_dir(pid) + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        state[pid] = {"tmp": tmp, "remaining": len(chunk),
+                      "chunk": chunk, "t0": time.perf_counter()}
+        for k, path in enumerate(chunk):
+            ref = score_task.remote(
+                path, os.path.join(tmp, f"part-{k:05d}.parquet"),
+                pid, read_columns, batch_size, fn_ref)
+            futs[ref] = pid
+    refs = list(futs)
+    try:
+        while refs:
+            ready, refs = ray.wait(refs, num_returns=1)
+            for r in ready:
+                pid = futs[r]
+                ray.get(r)  # re-raise the first task failure
+                st = state[pid]
+                st["remaining"] -= 1
+                if st["remaining"] == 0:
+                    stats = _partition_stats(st["tmp"])
+                    final = mf.partition_dir(pid)
+                    if os.path.exists(final):
+                        shutil.rmtree(final)
+                    os.replace(st["tmp"], final)
+                    wall = round(time.perf_counter() - st["t0"], 3)
+                    mf.commit({
+                        "partition_id": pid,
+                        "input_files": [os.path.basename(c)
+                                        for c in st["chunk"]],
+                        "wall_s": wall,
+                        "rows_per_sec": round(
+                            stats.get("rows_out", 0) / wall, 1
+                        ) if wall else 0.0,
+                        **stats,
+                    })
+    finally:
+        # mirror _AtomicDir: discard temp dirs of partitions that never
+        # finished (a failed/interrupted run leaves only committed work)
+        for st in state.values():
+            shutil.rmtree(st["tmp"], ignore_errors=True)
+    return {
+        "partitions_total": len(plan),
+        "partitions_ran": len(pending),
+        "partitions_skipped": skipped,
+        "manifest": mf.path,
+        "runner": "tasks",
+        "wall_s_run": round(time.perf_counter() - t_start, 3),
+    }
+
+
+def _score_file_py(path, out_path, pid, columns, batch_size, fn):
+    """One input parquet file -> one scored output file (streamed in
+    record batches; per-row partition_id lineage appended). Returns the
+    written row count; writes nothing for an empty/fully-filtered file
+    (the partition dir simply carries fewer files)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    writer = None
+    rows = 0
+    try:
+        for rb in pf.iter_batches(batch_size=batch_size, columns=columns):
+            t = pa.Table.from_batches([rb])
+            o = fn(t)
+            o = o.append_column(
+                "partition_id", pa.array([pid] * o.num_rows, pa.string()))
+            if writer is None:
+                writer = pq.ParquetWriter(out_path, o.schema)
+            writer.write_table(o)
+            rows += o.num_rows
+    finally:
+        if writer is not None:
+            writer.close()
+    return rows
+
+
+def _drop_orphans(mf: Manifest, done: dict, plan) -> dict:
+    """If the input SHRANK since the last run, trailing partition ids
+    fall out of the plan: their output dirs would otherwise keep serving
+    stale (duplicated) rows forever. Remove orphan dirs and drop their
+    manifest records (atomic rewrite) so a later re-grown input
+    recomputes them."""
+    plan_pids = {pid for pid, _ in plan}
+    orphans = set(done) - plan_pids
+    if orphans:
+        for pid in orphans:
+            shutil.rmtree(mf.partition_dir(pid), ignore_errors=True)
+            done.pop(pid, None)
+        tmp_path = mf.path + ".tmp"
+        with open(tmp_path, "w") as f:
+            for rec in done.values():
+                f.write(json.dumps(rec) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp_path, mf.path)
+    return done
 
 
 MAX_FAILED_IDS = 100  # cap the per-partition failure list (lineage record)

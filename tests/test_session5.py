@@ -201,6 +201,101 @@ class TestByteGramRows:
         assert (rowix == 0).sum() == 9  # 16 bytes -> 9 windows
 
 
+class TestRunResumableTasks:
+    def _read(self, out):
+        import ray.data as rd
+
+        return (rd.read_parquet(out, file_extensions=["parquet"])
+                .to_pandas().sort_values("image_id").reset_index(drop=True))
+
+    def test_byte_equality_with_dataset_build(self, ray_session, synth_dir,
+                                              tmp_path):
+        import pandas as pd
+
+        from reddacted_ray.oracle import LabelerConfig
+        from reddacted_ray.pipelines.quality_filter import (
+            build,
+            make_decide_batch_fn,
+        )
+        from reddacted_ray.state.manifest import run_resumable_tasks
+
+        cfg = LabelerConfig()
+        cols, chain = make_decide_batch_fn(cfg)
+        out = str(tmp_path / "dec")
+        s = run_resumable_tasks(synth_dir, out, chain, read_columns=cols,
+                                files_per_partition=2)
+        assert s["partitions_ran"] == s["partitions_total"] > 0
+        got = self._read(out)
+        assert "partition_id" in got.columns  # per-row lineage intact
+        exp = (build(synth_dir, cfg=cfg, mode="decide").to_pandas()
+               .sort_values("image_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[exp.columns.tolist()], exp)
+
+    def test_resume_skips_completed_and_finishes_interrupted(
+            self, ray_session, synth_dir, tmp_path):
+        from reddacted_ray.oracle import LabelerConfig
+        from reddacted_ray.pipelines.quality_filter import (
+            make_decide_batch_fn,
+        )
+        from reddacted_ray.state.manifest import run_resumable_tasks
+
+        cols, chain = make_decide_batch_fn(LabelerConfig())
+        out = str(tmp_path / "dec2")
+        # interrupted run: only 1 partition completes
+        s1 = run_resumable_tasks(synth_dir, out, chain, read_columns=cols,
+                                 files_per_partition=2, max_partitions=1)
+        assert s1["partitions_ran"] == 1
+        # resume: finishes the rest, skipping the committed one
+        s2 = run_resumable_tasks(synth_dir, out, chain, read_columns=cols,
+                                 files_per_partition=2)
+        assert s2["partitions_skipped"] == 1
+        assert s2["partitions_ran"] == s2["partitions_total"] - 1
+        # idempotent rerun: everything skips
+        s3 = run_resumable_tasks(synth_dir, out, chain, read_columns=cols,
+                                 files_per_partition=2)
+        assert s3["partitions_ran"] == 0
+        assert s3["partitions_skipped"] == s3["partitions_total"]
+        full = self._read(out)
+        fresh_out = str(tmp_path / "dec3")
+        run_resumable_tasks(synth_dir, fresh_out, chain, read_columns=cols,
+                            files_per_partition=2)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(full, self._read(fresh_out))
+
+
+class TestTaskRunnerColocatedApply:
+    def test_apply_colocated_on_task_runner_output(self, ray_session,
+                                                   synth_dir, tmp_path):
+        # the task runner's layout (partition dirs + manifest + per-row
+        # partition_id) must keep feeding the zero-shuffle apply phase
+        import ray.data as rd
+
+        from reddacted_ray.oracle import LabelerConfig
+        from reddacted_ray.pipelines.quality_filter import (
+            apply_decisions,
+            apply_decisions_colocated,
+            make_decide_batch_fn,
+        )
+        from reddacted_ray.state.manifest import run_resumable_tasks
+
+        cols, chain = make_decide_batch_fn(LabelerConfig())
+        dec = str(tmp_path / "dec")
+        run_resumable_tasks(synth_dir, dec, chain, read_columns=cols,
+                            files_per_partition=2)
+        out = str(tmp_path / "applied")
+        apply_decisions_colocated(synth_dir, dec, out)
+        got = (rd.read_parquet(out, file_extensions=["parquet"])
+               .to_pandas().sort_values("image_id").reset_index(drop=True))
+        exp = (apply_decisions(
+            synth_dir, rd.read_parquet(dec, file_extensions=["parquet"]))
+            .to_pandas().sort_values("image_id").reset_index(drop=True))
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+
+
 class TestSpearmanExactPartials:
     def test_partials_exact_at_wrap_scale(self, ray_session):
         # drive the EXACT code shape q_spearman uses: centered-rank
