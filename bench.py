@@ -445,8 +445,91 @@ def run_scaling() -> dict:
     }
 
 
+def _spill_leg(cap_mb: int) -> dict:
+    """One fresh-session leg of the spill surrogate: decide ->
+    materialize() (pinning every output block, so a store smaller than
+    the output MUST spill) over the bench image table, reporting wall
+    plus the raylet's spill counters."""
+    import glob
+    import re
+
+    import ray
+
+    kwargs = {}
+    if cap_mb > 0:
+        kwargs["object_store_memory"] = cap_mb * 1024 * 1024
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR", log_to_driver=False, **kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from reddacted_ray.pipelines.quality_filter import build
+
+    img_dir, rows = ensure_images()
+    warm_cache(img_dir)
+    t0 = time.perf_counter()
+    m = build(img_dir, mode="decide").materialize()
+    wall = time.perf_counter() - t0
+    n = m.count()
+    sess = max(glob.glob("/tmp/ray/*/session_*"), key=os.path.getmtime)
+    spilled_mib = spilled_objs = 0
+    raylet = os.path.join(sess, "logs", "raylet.out")
+    if os.path.exists(raylet):
+        for line in open(raylet, errors="ignore"):
+            mt = re.search(r"Spilled (\d+) MiB, (\d+) objects", line)
+            if mt:
+                spilled_mib = max(spilled_mib, int(mt.group(1)))
+                spilled_objs = max(spilled_objs, int(mt.group(2)))
+    ray.shutdown()
+    return {
+        "cap_mb": cap_mb,
+        "rows": n,
+        "wall_s": round(wall, 3),
+        "images_per_sec": round(n / wall, 1),
+        "spilled_mib": spilled_mib,
+        "spilled_objects": spilled_objs,
+    }
+
+
+def run_spill() -> dict:
+    """Multi-node proof surrogate (round-5 VERDICT #8): the same
+    decide->materialize job in two fresh sessions — an unconstrained
+    object store vs a cap far below the pinned output size — so blocks
+    must round-trip through Ray's spill path, standing in for the
+    remote-node object-transfer costs a real cluster pays. Reports
+    throughput at both plus the spill volume."""
+    spill_cap = int(os.environ.get("GRAFT_SPILL_CAP_MB", "150"))
+
+    def leg(cap: int) -> dict:
+        env = dict(os.environ, GRAFT_SKIP_QUERIES="1",
+                   GRAFT_SKIP_MATERIALIZE="1", GRAFT_SKIP_SKEW="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--spill-leg", str(cap)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    free = leg(0)
+    capped = leg(spill_cap)
+    return {
+        "metric": "decide throughput under forced object spilling",
+        "unconstrained": free,
+        "capped": capped,
+        "throughput_ratio": round(
+            capped["images_per_sec"] / free["images_per_sec"], 3),
+        "num_cpus": NUM_CPUS,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--spill-leg" in sys.argv:
+        cap = int(sys.argv[sys.argv.index("--spill-leg") + 1])
+        print(json.dumps(_spill_leg(cap)))
+    elif "--spill" in sys.argv:
+        print(json.dumps(run_spill()))
     else:
         print(json.dumps(run_bench()))
