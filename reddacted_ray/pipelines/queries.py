@@ -12105,6 +12105,191 @@ def q_doclen_gini_by_lang(sf_dir: str) -> rd.Dataset:
     }))
 
 
+def q_sample_per_source(sf_dir: str) -> rd.Dataset:
+    """Deterministic uniform sample per source: the 10 docs with the
+    smallest md5(doc_id) per source (stable across reruns/machines —
+    the reservoir-sample analog without RNG state). The md5 rank order
+    makes every block's local top-10 a superset of the global one, so
+    per_group_head_prune bounds the shuffle to 10 x blocks rows per
+    source exactly like cap_per_source; ties (top-32 md5 collisions)
+    break on doc_id via the composite prune order."""
+    import pandas as pd
+
+    from ..functions.hashing import md5_top32_batch
+    from ..stages.windows import grouped_vectorized, per_group_head_prune
+
+    docs = _docs(sf_dir, ["doc_id", "source"])
+
+    def key(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "source": t["source"],
+            "h": pa.array(md5_top32_batch(t["doc_id"]).astype(np.int64)),
+        })
+
+    keyed = per_group_head_prune(
+        docs.map_batches(key, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        "source", ["h", "doc_id"], 10)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.sort_values(["source", "h", "doc_id"], kind="mergesort")
+        rn = gg.groupby("source", sort=False).cumcount() + 1
+        out = gg[rn <= 10][["source", "doc_id"]].copy()
+        out["rn"] = rn[rn <= 10].astype(np.int64)
+        return out
+
+    return grouped_vectorized(keyed, "source", pick)
+
+
+def q_padding_waste(sf_dir: str) -> rd.Dataset:
+    """Dynamic-batching padding audit: docs bucket by the power-of-two
+    sequence length that would hold them (the length-bucketed batching
+    every trainer uses), and each bucket reports its padded-token waste
+    (e6). All integer — the bucket exponent is np.frexp == SQL
+    length(bin(n-1)) (the gap_histogram identity); the exchange is
+    bounded by the ~20 occupied buckets."""
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        n = pc.cast(pc.count_substring_regex(txt, r"\S+"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        # bucket cap L = 2^bit_length(n-1) (L=1 for n<=1): frexp's
+        # exponent of (n-1) IS the integer bit length
+        nm1 = np.maximum(n - 1, 0)
+        _, exp = np.frexp(nm1.astype(np.float64))
+        L = np.where(n <= 1, 1, np.int64(1) << exp.astype(np.int64))
+        return pa.table({
+            "bucket_len": pa.array(L, pa.int64()),
+            "n_tokens": pa.array(n, pa.int64()),
+        })
+
+    g = grouped_sums(docs.map_batches(toks, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                     ["bucket_len"], ["n_tokens"], count_alias="n_docs")
+
+    def waste(t: pa.Table) -> pa.Table:
+        L = t["bucket_len"].to_numpy()
+        nd = t["n_docs"].to_numpy()
+        st = t["n_tokens"].to_numpy()
+        padded = nd * L
+        return pa.table({
+            "bucket_len": t["bucket_len"],
+            "n_docs": t["n_docs"],
+            "n_tokens": t["n_tokens"],
+            "padded_tokens": pa.array(padded, pa.int64()),
+            "waste_e6": pa.array((padded - st) * 1_000_000 // padded,
+                                 pa.int64()),
+        })
+
+    return g.map_batches(waste, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def q_user_event_entropy(sf_dir: str) -> rd.Dataset:
+    """Per-user behavioral entropy over event types — the diversity
+    signal behind bot/spam heuristics. Same SQL-pinned float tree as
+    char_entropy (r5): H = log2(n) - ordered-sum(k*log2 k)/n with
+    glibc log2 of INTEGER counts only and the per-user sum sequential
+    in event_type order (== list_sum(list(... ORDER BY event_type))).
+    Block-level (user, type) pre-counts shrink the exchange; ONE
+    user-bucket shuffle computes the entropy co-located."""
+    import math
+
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def precount(t: pa.Table) -> pa.Table:
+        return t.group_by(["user_id", "event_type"]).aggregate(
+            [([], "count_all")]).rename_columns(
+                ["user_id", "event_type", "k"])
+
+    parts = ev.map_batches(precount, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def ent(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby(["user_id", "event_type"], sort=True)["k"]
+             .sum().reset_index())
+        k = c["k"].to_numpy(dtype=np.int64)
+        uk = np.unique(k)
+        l2 = {int(v): math.log2(int(v)) for v in uk}
+        contrib = k.astype(np.float64) * np.array(
+            [l2[int(v)] for v in k])
+        u = c["user_id"].to_numpy()
+        new = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(new)
+        seg_len = np.diff(np.r_[starts, len(u)])
+        uid = u[starts]
+        n = np.add.reduceat(k, starts)  # integer sums: order-free
+        s = np.zeros(len(starts), np.float64)
+        for j in range(int(seg_len.max()) if len(seg_len) else 0):
+            m = seg_len > j
+            s[m] += contrib[starts[m] + j]
+        un = np.unique(n)
+        l2n = {int(v): math.log2(int(v)) for v in un}
+        ln = np.array([l2n[int(v)] for v in n])
+        return pd.DataFrame({
+            "user_id": uid,
+            "entropy": ln - s / n.astype(np.float64),
+        })
+
+    return grouped_vectorized(parts, "user_id", ent)
+
+
+def q_ann_hard_negatives(sf_dir: str) -> rd.Dataset:
+    """Contrastive-training hard-negative mining: the 10 vectors most
+    cosine-similar to query vec 0 among those with a DIFFERENT label.
+    The query vector broadcasts once; per-row dots and squared norms
+    run as per-row CUMSUMs (strict left-to-right — the embedding_norms
+    idiom, bit-exact with SQL list_sum over list_transform products);
+    per-block top-10 partials feed one tiny sort+limit, never a full
+    sort of the corpus."""
+    emb = sf_table(sf_dir, "embeddings",
+                   columns=["vec_id", "embedding", "label"])
+    qrows = (emb.map_batches(
+        lambda b: b.filter(pc.equal(b["vec_id"], pa.scalar(0, pa.int64()))),
+        batch_format="pyarrow", zero_copy_batch=True).take_all())
+    qvec = np.asarray(qrows[0]["embedding"], dtype=np.float64)
+    qlabel = int(qrows[0]["label"])
+    qnorm = float(np.sqrt(np.cumsum(qvec * qvec)[-1]))
+    qref = ray.put((qvec, qlabel, qnorm))
+
+    def score(t: pa.Table) -> pa.Table:
+        qv, ql, qn = ray.get(qref)
+        t = t.filter(pc.not_equal(t["label"], pa.scalar(ql, pa.int32())))
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        col = t["embedding"].combine_chunks()
+        d = len(qv)
+        vals = np.asarray(
+            pc.list_flatten(col).to_numpy(zero_copy_only=False),
+            dtype=np.float64).reshape(-1, d)
+        dot = np.cumsum(vals * qv, axis=1)[:, -1]
+        nrm = np.sqrt(np.cumsum(vals * vals, axis=1)[:, -1])
+        sim = dot / (nrm * qn)
+        out = pa.table({
+            "vec_id": t["vec_id"],
+            "label": pc.cast(t["label"], pa.int64()),
+            "sim": pa.array(sim, pa.float64()),
+        })
+        # local top-10 under the global order bounds the sort input
+        idx = pc.sort_indices(out, sort_keys=[("sim", "descending"),
+                                              ("vec_id", "ascending")])
+        return out.take(idx[:10])
+
+    return (emb.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+            .sort(["sim", "vec_id"], descending=[True, False]).limit(10))
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -12399,6 +12584,10 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "ann_recall_at_10": q_ann_recall_at_10,
         "cap_per_source": q_cap_per_source,
         "cusum_alarms": q_cusum_alarms,
+        "sample_per_source": q_sample_per_source,
+        "padding_waste": q_padding_waste,
+        "user_event_entropy": q_user_event_entropy,
+        "ann_hard_negatives": q_ann_hard_negatives,
         "corpus_assembly": q_corpus_assembly,
         "grouped_stddev": q_grouped_stddev,
         "diverse_top_docs": q_diverse_top_docs,
@@ -15043,6 +15232,60 @@ def oracle_sqls() -> dict[str, str]:
             " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
             " * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr"
             " FROM s"
+        ),
+        "sample_per_source": (
+            "WITH r AS (SELECT source, doc_id,"
+            " CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+            " AS BIGINT) AS h FROM documents),"
+            " rk AS (SELECT source, doc_id, CAST(row_number() OVER"
+            " (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rn"
+            " FROM r)"
+            " SELECT source, doc_id, rn FROM rk WHERE rn <= 10"
+        ),
+        "padding_waste": (
+            "WITH t AS (SELECT CAST(len(regexp_extract_all("
+            "coalesce(text, ''), '\\S+')) AS BIGINT) AS n"
+            " FROM documents),"
+            " b AS (SELECT CASE WHEN n <= 1 THEN CAST(1 AS BIGINT)"
+            " ELSE CAST(1 << length(bin(n - 1)) AS BIGINT) END"
+            " AS bucket_len, n FROM t)"
+            " SELECT bucket_len, CAST(count(*) AS BIGINT) AS n_docs,"
+            " CAST(sum(n) AS BIGINT) AS n_tokens,"
+            " CAST(count(*) * bucket_len AS BIGINT) AS padded_tokens,"
+            " CAST((count(*) * bucket_len - sum(n)) * 1000000"
+            " // (count(*) * bucket_len) AS BIGINT) AS waste_e6"
+            " FROM b GROUP BY 1"
+        ),
+        "user_event_entropy": (
+            # the char_entropy float tree per user: glibc log2 of
+            # integer counts, sum pinned by list(... ORDER BY type)
+            "WITH c AS (SELECT user_id, event_type,"
+            " CAST(count(*) AS BIGINT) AS k FROM events GROUP BY 1, 2),"
+            " n AS (SELECT user_id, CAST(sum(k) AS BIGINT) AS n"
+            " FROM c GROUP BY 1),"
+            " s AS (SELECT user_id, list_sum(list(CAST(k AS DOUBLE)"
+            " * log2(CAST(k AS DOUBLE)) ORDER BY event_type)) AS kl"
+            " FROM c GROUP BY 1)"
+            " SELECT user_id, log2(CAST(n AS DOUBLE))"
+            " - kl / CAST(n AS DOUBLE) AS entropy"
+            " FROM n JOIN s USING (user_id)"
+        ),
+        "ann_hard_negatives": (
+            # dots/norms as ordered list_sum chains == the kernel's
+            # per-row cumsums; float sim sorts identically
+            "WITH q AS (SELECT embedding AS qe, label AS ql"
+            " FROM embeddings WHERE vec_id = 0),"
+            " s AS (SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,"
+            " list_sum(list_transform(generate_series(1,"
+            " len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE)"
+            " * CAST(q.qe[i] AS DOUBLE))) AS dot,"
+            " sqrt(list_sum(list_transform(CAST(e.embedding"
+            " AS DOUBLE[]), v -> v * v))) AS ne,"
+            " sqrt(list_sum(list_transform(CAST(q.qe AS DOUBLE[]),"
+            " v -> v * v))) AS nq"
+            " FROM embeddings e, q WHERE e.label <> q.ql)"
+            " SELECT vec_id, label, dot / (ne * nq) AS sim FROM s"
+            " ORDER BY sim DESC, vec_id LIMIT 10"
         ),
         "dp_counts": (
             # deterministic md5-Laplace noise IS SQL-pinnable: the

@@ -85,7 +85,7 @@ def grouped_vectorized(
 def per_group_head_prune(
     ds: rd.Dataset,
     group_col: str,
-    order_col: str,
+    order_col,
     cap: int,
 ) -> rd.Dataset:
     """Per-BLOCK prune to the ``cap`` lowest-``order_col`` rows per
@@ -98,14 +98,17 @@ def per_group_head_prune(
     bucket from |source| rows to ``cap × blocks``. Downstream ranks
     over the pruned set equal global ranks for every surviving row:
     all order-predecessors of a global-top-``cap`` row are themselves
-    global-top-``cap`` and therefore survive the prune."""
+    global-top-``cap`` and therefore survive the prune. ``order_col``
+    may be a list for composite (e.g. tie-broken) orders."""
     import pyarrow.compute as pc
+
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
 
     def prune(t: pa.Table) -> pa.Table:
         if t.num_rows <= cap:
             return t
-        idx = pc.sort_indices(t, sort_keys=[(group_col, "ascending"),
-                                            (order_col, "ascending")])
+        idx = pc.sort_indices(t, sort_keys=[(group_col, "ascending")]
+                              + [(c, "ascending") for c in order_cols])
         srt = t.take(idx)
         g = srt[group_col].to_numpy(zero_copy_only=False)
         new = np.r_[True, g[1:] != g[:-1]]
