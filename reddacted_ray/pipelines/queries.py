@@ -12290,6 +12290,192 @@ def q_ann_hard_negatives(sf_dir: str) -> rd.Dataset:
             .sort(["sim", "vec_id"], descending=[True, False]).limit(10))
 
 
+def q_quality_logit_score(sf_dir: str) -> rd.Dataset:
+    """Calibrated quality probability per doc: a fixed logistic over
+    integer lexical features, p = 1/(1+exp(-z)) with z = (3*n_distinct
+    - n_words - 50)/25 — the score-combination head every gate stack
+    ends in. SQL-bit-exact: glibc exp == DuckDB exp (measured), the
+    argument chain is one exact integer cast + one division, and exp
+    is evaluated per UNIQUE feature value (bounded domain) with
+    math.exp, never numpy's SIMD exp."""
+    import math
+
+    from ..functions.textstats import repetition_batch
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        stats = repetition_batch(
+            pa.table({"doc_id": t["doc_id"], "text": txt}))
+        nw = stats["n_words"].to_numpy()
+        nd = stats["n_distinct"].to_numpy()
+        num = 3 * nd - nw - 50
+        uq = np.unique(num)
+        pmap = {int(v): 1.0 / (1.0 + math.exp(-(float(v) / 25.0)))
+                for v in uq}
+        p = np.array([pmap[int(v)] for v in num], np.float64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "quality_p": pa.array(p, pa.float64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def q_mean_gap_by_user(sf_dir: str) -> rd.Dataset:
+    """Per-user mean inter-event gap WITHOUT a window: the sum of
+    consecutive gaps telescopes to max(ts)-min(ts), so three plain
+    aggregates answer what looks like a LAG query — zero co-locating
+    shuffle, just Ray's pre-combining hash aggregate. Integer floor
+    division keeps it hash-exact."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ev = sf_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "tsu": pc.cast(t["ts"], pa.int64()),
+        })
+
+    g = (ev.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True)
+         .groupby("user_id")
+         .aggregate(Count(alias_name="n"),
+                    Min("tsu", alias_name="mn"),
+                    Max("tsu", alias_name="mx")))
+
+    def gap(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = n >= 2
+        mn = t["mn"].to_numpy(zero_copy_only=False)[keep]
+        mx = t["mx"].to_numpy(zero_copy_only=False)[keep]
+        nk = n[keep]
+        return pa.table({
+            "user_id": pc.array_filter(t["user_id"], pa.array(keep)),
+            "n": pa.array(nk, pa.int64()),
+            "mean_gap_us": pa.array((mx - mn) // (nk - 1), pa.int64()),
+        })
+
+    return g.map_batches(gap, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def q_source_lang_mix(sf_dir: str) -> rd.Dataset:
+    """Per-source dominant language + its share (e6) — the corpus-mix
+    report a multilingual crawl is balanced against. (source, lang)
+    counts pre-reduce map-side to a |sources x langs|-bounded table;
+    the argmax (count DESC, lang ASC ties) runs co-located per
+    source."""
+    import pandas as pd
+
+    from ..stages.agg import grouped_sums
+    from ..stages.windows import grouped_vectorized
+
+    docs = _docs(sf_dir, ["source", "lang"])
+    c = grouped_sums(docs, ["source", "lang"], [], count_alias="n")
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("source", sort=False)["n"].transform("sum")
+        gg = g.assign(total=tot).sort_values(
+            ["source", "n", "lang"],
+            ascending=[True, False, True], kind="mergesort")
+        top = gg.groupby("source", sort=False, as_index=False).first()
+        return pd.DataFrame({
+            "source": top["source"],
+            "top_lang": top["lang"],
+            "n_top": top["n"].astype(np.int64),
+            "total": top["total"].astype(np.int64),
+            "share_e6": (top["n"].to_numpy(dtype=np.int64) * 1_000_000
+                         // top["total"].to_numpy(dtype=np.int64)),
+        })
+
+    return grouped_vectorized(c, "source", pick)
+
+
+def q_decayed_revenue(sf_dir: str) -> rd.Dataset:
+    """Exponentially time-decayed total revenue (half-life style, 30-day
+    scale) — the freshness-weighted KPI. One day-bounded rollup
+    exchange; the decay weights use glibc exp over the BOUNDED integer
+    age domain and the weighted terms sum SEQUENTIALLY in calendar
+    order, the exact tree of the oracle's list_sum(list(... ORDER BY
+    d))."""
+    import math
+
+    from ..stages.agg import grouped_sums
+
+    DAY_US = 86_400_000_000
+    o = sf_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "d": pc.divide(pc.cast(t["o_orderdate"], pa.int64()),
+                           pa.scalar(DAY_US, pa.int64())),
+            "cents": _money_int(t["o_totalprice"], 100.0),
+        })
+
+    day = (grouped_sums(o.map_batches(prep, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                        ["d"], ["cents"])
+           .to_pandas().sort_values("d"))
+    dd = day["d"].to_numpy(dtype=np.int64)
+    cents = day["cents"].to_numpy(dtype=np.int64)
+    mx = int(dd.max())
+    total = 0.0
+    wmap = {int(a): math.exp(-(float(a) / 30.0))
+            for a in np.unique(mx - dd)}
+    for di, c in zip(dd, cents):
+        total += float(c) * wmap[mx - int(di)]
+    return rd.from_arrow(pa.table({
+        "n_days": pa.array([len(dd)], pa.int64()),
+        "decayed_cents": pa.array([total], pa.float64()),
+    }))
+
+
+def q_skipgram_pairs_top(sf_dir: str) -> rd.Dataset:
+    """Skip-gram collocations: the 15 most frequent word pairs within
+    forward distance <= 2 (the word2vec-style context-window count).
+    Pairs form with two slice-shifts masked by per-token doc index (no
+    Python token loops); partial (w1, w2) counts pre-reduce map-side;
+    the exact top-15 is a distributed sort+limit over the
+    distinct-pair-bounded aggregate."""
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()),
+                           "").combine_chunks()
+        lists = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        nwords = pc.list_value_length(lists).to_numpy()
+        m = len(flat)
+        docix = np.repeat(np.arange(len(nwords), dtype=np.int64), nwords)
+        outs = []
+        for k in (1, 2):
+            if m <= k:
+                continue
+            keep = pa.array(docix[:-k] == docix[k:])
+            outs.append(pa.table({
+                "w1": pc.filter(flat.slice(0, m - k), keep),
+                "w2": pc.filter(flat.slice(k, m - k), keep),
+            }))
+        if not outs:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string())})
+        return pa.concat_tables(outs)
+
+    g = grouped_sums(docs.map_batches(pairs, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                     ["w1", "w2"], [], count_alias="n")
+    return g.sort(["n", "w1", "w2"],
+                  descending=[True, False, False]).limit(15)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -12585,6 +12771,11 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "cap_per_source": q_cap_per_source,
         "cusum_alarms": q_cusum_alarms,
         "sample_per_source": q_sample_per_source,
+        "quality_logit_score": q_quality_logit_score,
+        "mean_gap_by_user": q_mean_gap_by_user,
+        "source_lang_mix": q_source_lang_mix,
+        "decayed_revenue": q_decayed_revenue,
+        "skipgram_pairs_top": q_skipgram_pairs_top,
         "padding_waste": q_padding_waste,
         "user_event_entropy": q_user_event_entropy,
         "ann_hard_negatives": q_ann_hard_negatives,
@@ -15232,6 +15423,60 @@ def oracle_sqls() -> dict[str, str]:
             " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
             " * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr"
             " FROM s"
+        ),
+        "quality_logit_score": (
+            "WITH g AS (SELECT doc_id,"
+            " CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,"
+            " CAST(len(list_distinct(string_split(text, ' ')))"
+            " AS BIGINT) AS nd FROM documents)"
+            " SELECT doc_id, 1.0 / (1.0 + exp(-(CAST(3 * nd - nw - 50"
+            " AS DOUBLE) / 25.0))) AS quality_p FROM g"
+        ),
+        "mean_gap_by_user": (
+            "WITH g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,"
+            " CAST(min(epoch_us(ts)) AS BIGINT) AS mn,"
+            " CAST(max(epoch_us(ts)) AS BIGINT) AS mx"
+            " FROM events GROUP BY 1)"
+            " SELECT user_id, n, (mx - mn) // (n - 1) AS mean_gap_us"
+            " FROM g WHERE n >= 2"
+        ),
+        "source_lang_mix": (
+            "WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT)"
+            " AS n FROM documents GROUP BY 1, 2),"
+            " t AS (SELECT source, CAST(sum(n) AS BIGINT) AS total"
+            " FROM c GROUP BY 1),"
+            " r AS (SELECT source, lang, n, row_number() OVER"
+            " (PARTITION BY source ORDER BY n DESC, lang) AS rk FROM c)"
+            " SELECT r.source, r.lang AS top_lang, r.n AS n_top,"
+            " t.total, CAST(r.n * 1000000 // t.total AS BIGINT)"
+            " AS share_e6 FROM r JOIN t USING (source) WHERE rk = 1"
+        ),
+        "decayed_revenue": (
+            "WITH day AS (SELECT o_orderdate AS d,"
+            " CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " AS BIGINT) AS cents FROM orders GROUP BY 1),"
+            " mx AS (SELECT max(d) AS m FROM day)"
+            " SELECT CAST(count(*) AS BIGINT) AS n_days,"
+            " list_sum(list(CAST(cents AS DOUBLE)"
+            " * exp(-(CAST(date_diff('day', d, (SELECT m FROM mx))"
+            " AS DOUBLE) / 30.0)) ORDER BY d)) AS decayed_cents"
+            " FROM day"
+        ),
+        "skipgram_pairs_top": (
+            "WITH l AS (SELECT string_split(coalesce(text, ''), ' ')"
+            " AS ws FROM documents),"
+            " p AS ("
+            " SELECT unnest(list_transform(generate_series(1,"
+            " len(ws) - 1), i -> ws[i])) AS w1,"
+            " unnest(list_transform(generate_series(1, len(ws) - 1),"
+            " i -> ws[i + 1])) AS w2 FROM l"
+            " UNION ALL"
+            " SELECT unnest(list_transform(generate_series(1,"
+            " len(ws) - 2), i -> ws[i])),"
+            " unnest(list_transform(generate_series(1, len(ws) - 2),"
+            " i -> ws[i + 2])) FROM l)"
+            " SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM p"
+            " GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT 15"
         ),
         "sample_per_source": (
             "WITH r AS (SELECT source, doc_id,"
