@@ -12476,6 +12476,226 @@ def q_skipgram_pairs_top(sf_dir: str) -> rd.Dataset:
                   descending=[True, False, False]).limit(15)
 
 
+def q_bm25_top_term(sf_dir: str) -> rd.Dataset:
+    """Per-document top BM25 term (k1=1.2, b=0.75) — the retrieval
+    scorer proper, upgrading tfidf_top_term. SQL-bit-exact floats:
+    idf = ln((N-df+0.5)/(df+0.5)) uses glibc ln over the BOUNDED
+    unique-df domain (computed once on the driver, broadcast aligned
+    with the vocabulary); every remaining op is a correctly-rounded
+    elementwise mul/div/add written as the identical expression tree
+    both sides. Two passes like tfidf: vocabulary DF exchange
+    (vocab-bounded), then a zero-shuffle re-stream with the per-doc
+    argmax in-block."""
+    import math
+
+    from ray.data.aggregate import Count
+
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words).combine_chunks()
+        didx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        u = pa.table({"d": didx, "term": flat}).group_by(
+            ["d", "term"]).aggregate([])
+        return pa.table({"term": u["term"]})
+
+    def doc_lens(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        return pa.table({
+            "dl": pc.cast(pc.list_value_length(words), pa.int64())})
+
+    df_tab = (docs.map_batches(distinct_pairs, batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .groupby("term").aggregate(Count(alias_name="df"))
+              .take_all())
+    from ray.data.aggregate import Count as _Cnt
+    from ray.data.aggregate import Sum as _Sum
+
+    tot = (docs.map_batches(doc_lens, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .aggregate(_Sum("dl", alias_name="sdl"),
+                      _Cnt(alias_name="n")))
+    n_docs, sdl = int(tot["n"]), int(tot["sdl"])
+    avgdl = float(sdl) / float(n_docs)
+    terms = pa.array([r["term"] for r in df_tab])
+    dfs = np.array([r["df"] for r in df_tab], dtype=np.int64)
+    idf_of = {int(v): math.log((float(n_docs - v) + 0.5)
+                               / (float(v) + 0.5))
+              for v in np.unique(dfs)}
+    idfs = np.array([idf_of[int(v)] for v in dfs], np.float64)
+    dref = ray.put((terms, idfs, avgdl))
+
+    def top_term(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words).combine_chunks()
+        didx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        tf = pa.table({"d": didx, "term": flat}).group_by(
+            ["d", "term"]).aggregate([("term", "count")])
+        terms_b, idfs_b, avg = ray.get(dref)
+        idx = pc.index_in(tf["term"], value_set=terms_b).to_numpy(
+            zero_copy_only=False)
+        tfv = tf["term_count"].to_numpy().astype(np.float64)
+        dd = tf["d"].to_numpy()
+        dlv = lens.astype(np.float64)[dd]
+        r = dlv / avg
+        s = 0.25 + 0.75 * r
+        den = tfv + 1.2 * s
+        score = idfs_b[idx] * ((tfv * 2.2) / den)
+        tt = np.asarray(tf["term"].to_pylist(), dtype=object)
+        order = np.lexsort((tt, -score, dd))
+        first = order[np.r_[True, dd[order][1:] != dd[order][:-1]]]
+        return pa.table({
+            "doc_id": pc.take(t["doc_id"], pa.array(dd[first])),
+            "top_term": pa.array(list(tt[first]), pa.string()),
+            "score": pa.array(score[first], pa.float64()),
+        })
+
+    return docs.map_batches(top_term, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def q_char_class_profile(sf_dir: str) -> rd.Dataset:
+    """Per-language character-class census (lower/upper/digit/space and
+    total chars) — the script/encoding profile a crawl-quality audit
+    reads. Classification runs on the zero-copy utf-8 byte buffer
+    (one searchsorted over class boundaries, no regex, no row loops);
+    the exchange is |langs| rows. ASCII classes == the oracle's char
+    regex classes on ASCII corpora."""
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["lang", "text"])
+    # byte -> class id: 0 other, 1 digit, 2 upper, 3 lower, 4 space
+    cls = np.zeros(256, np.int64)
+    cls[48:58] = 1
+    cls[65:91] = 2
+    cls[97:123] = 3
+    cls[32] = 4
+
+    def profile(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()),
+                           "").combine_chunks().cast(pa.large_string())
+        n = len(txt)
+        buf = np.frombuffer(txt.buffers()[2], dtype=np.uint8)
+        offs = np.frombuffer(txt.buffers()[1], dtype=np.int64)[
+            txt.offset: txt.offset + n + 1]
+        lens = np.diff(offs)
+        flat = buf[offs[0]: offs[-1]]
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        ulang, linv = np.unique(lang, return_inverse=True)
+        lidx = np.repeat(linv, lens)
+        key = lidx * 5 + cls[flat]
+        counts = np.bincount(key, minlength=len(ulang) * 5).reshape(-1, 5)
+        return pa.table({
+            "lang": pa.array(ulang, pa.string()),
+            "n_digit": pa.array(counts[:, 1], pa.int64()),
+            "n_upper": pa.array(counts[:, 2], pa.int64()),
+            "n_lower": pa.array(counts[:, 3], pa.int64()),
+            "n_space": pa.array(counts[:, 4], pa.int64()),
+            "n_chars": pa.array(counts.sum(axis=1), pa.int64()),
+        })
+
+    return grouped_sums(
+        docs.map_batches(profile, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["lang"], ["n_digit", "n_upper", "n_lower", "n_space", "n_chars"])
+
+
+def q_big_order_share_by_segment(sf_dir: str) -> rd.Dataset:
+    """Share of big-ticket orders (> $150k) per customer market
+    segment — threshold-exceedance rates as exact integer ratios. The
+    customer segment attaches through the size-policied adaptive
+    lookup (broadcast under the cap, distributed fallback past it);
+    the exchange after attach is |segments| rows."""
+    from ..stages.agg import grouped_sums
+    from ..stages.joins import attach_via_lookup
+
+    orders = sf_table(sf_dir, "orders",
+                      columns=["o_custkey", "o_totalprice"])
+    cust = sf_table(sf_dir, "customer",
+                    columns=["c_custkey", "c_mktsegment"])
+    joined = attach_via_lookup(orders, "o_custkey", cust, "c_custkey",
+                               {"c_mktsegment": "__seg"})
+
+    def flag(t: pa.Table) -> pa.Table:
+        cents = _money_int(t["o_totalprice"], 100.0)
+        return pa.table({
+            "segment": pc.cast(t["__seg"], pa.string()),
+            "big": pc.cast(pc.greater(cents,
+                                      pa.scalar(15_000_000, pa.int64())),
+                           pa.int64()),
+        })
+
+    g = grouped_sums(joined.map_batches(flag, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                     ["segment"], ["big"], count_alias="n_orders")
+
+    def share(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "segment": t["segment"],
+            "n_big": t["big"],
+            "n_orders": t["n_orders"],
+            "share_e6": pa.array(t["big"].to_numpy() * 1_000_000
+                                 // t["n_orders"].to_numpy(), pa.int64()),
+        })
+
+    return g.map_batches(share, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def q_first_vs_repeat_spend(sf_dir: str) -> rd.Dataset:
+    """New-vs-returning split per customer: the FIRST order's value
+    (earliest date, orderkey ties) against the floor-average of all
+    later orders — the LTV shape. One co-locating customer bucket
+    shuffle; first-pick and conditional sums are vectorized pandas
+    kernels; integers end to end."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    DAY_US = 86_400_000_000
+    o = sf_table(sf_dir, "orders",
+                 columns=["o_custkey", "o_orderkey", "o_orderdate",
+                          "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cust": t["o_custkey"],
+            "okey": t["o_orderkey"],
+            "day": pc.divide(pc.cast(t["o_orderdate"], pa.int64()),
+                             pa.scalar(DAY_US, pa.int64())),
+            "cents": _money_int(t["o_totalprice"], 100.0),
+        })
+
+    keyed = o.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def split(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.sort_values(["cust", "day", "okey"], kind="mergesort")
+        firsts = ~gg["cust"].duplicated()
+        n = gg.groupby("cust", sort=False)["cents"].transform("size")
+        f = gg[firsts]
+        later_sum = (gg[~firsts].groupby("cust", sort=False)["cents"]
+                     .sum())
+        later_n = gg[~firsts].groupby("cust", sort=False).size()
+        rep = pd.DataFrame({"later_sum": later_sum, "later_n": later_n})
+        out = f[["cust", "cents"]].merge(
+            rep, left_on="cust", right_index=True, how="left")
+        ls = out["later_sum"].fillna(0).to_numpy(dtype=np.int64)
+        ln_ = out["later_n"].fillna(0).to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "o_custkey": out["cust"].to_numpy(),
+            "first_cents": out["cents"].to_numpy(dtype=np.int64),
+            "n_repeat": ln_,
+            "avg_repeat_cents": np.where(ln_ > 0, ls // np.maximum(ln_, 1),
+                                         -1).astype(np.int64),
+        })
+
+    return grouped_vectorized(keyed, "cust", split)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -12772,6 +12992,10 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "cusum_alarms": q_cusum_alarms,
         "sample_per_source": q_sample_per_source,
         "quality_logit_score": q_quality_logit_score,
+        "bm25_top_term": q_bm25_top_term,
+        "char_class_profile": q_char_class_profile,
+        "big_order_share_by_segment": q_big_order_share_by_segment,
+        "first_vs_repeat_spend": q_first_vs_repeat_spend,
         "mean_gap_by_user": q_mean_gap_by_user,
         "source_lang_mix": q_source_lang_mix,
         "decayed_revenue": q_decayed_revenue,
@@ -15423,6 +15647,73 @@ def oracle_sqls() -> dict[str, str]:
             " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
             " * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr"
             " FROM s"
+        ),
+        "bm25_top_term": (
+            "WITH w AS (SELECT doc_id, unnest(string_split(text, ' '))"
+            " AS term FROM documents),"
+            " tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT)"
+            " AS tf FROM w GROUP BY 1, 2),"
+            " df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT)"
+            " AS df FROM w GROUP BY 1),"
+            " dl AS (SELECT doc_id, CAST(len(string_split(text, ' '))"
+            " AS BIGINT) AS dl FROM documents),"
+            " st AS (SELECT CAST(count(*) AS BIGINT) AS n,"
+            " CAST(sum(dl) AS BIGINT) AS sdl FROM dl),"
+            " sc AS (SELECT tf.doc_id, tf.term,"
+            " ln((CAST(n - df AS DOUBLE) + 0.5)"
+            " / (CAST(df AS DOUBLE) + 0.5))"
+            " * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE)"
+            " + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)"
+            " / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))))) AS score"
+            " FROM tf JOIN df USING (term) JOIN dl USING (doc_id)"
+            " CROSS JOIN st),"
+            " r AS (SELECT doc_id, term, score, row_number() OVER"
+            " (PARTITION BY doc_id ORDER BY score DESC, term) AS rk"
+            " FROM sc)"
+            " SELECT doc_id, term AS top_term, score FROM r WHERE rk = 1"
+        ),
+        "char_class_profile": (
+            "SELECT lang,"
+            " CAST(sum(len(regexp_extract_all(coalesce(text, ''),"
+            " '[0-9]'))) AS BIGINT) AS n_digit,"
+            " CAST(sum(len(regexp_extract_all(coalesce(text, ''),"
+            " '[A-Z]'))) AS BIGINT) AS n_upper,"
+            " CAST(sum(len(regexp_extract_all(coalesce(text, ''),"
+            " '[a-z]'))) AS BIGINT) AS n_lower,"
+            " CAST(sum(len(regexp_extract_all(coalesce(text, ''),"
+            " ' '))) AS BIGINT) AS n_space,"
+            " CAST(sum(length(coalesce(text, ''))) AS BIGINT)"
+            " AS n_chars FROM documents GROUP BY 1"
+        ),
+        "big_order_share_by_segment": (
+            "WITH j AS (SELECT c.c_mktsegment AS segment,"
+            " CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents"
+            " FROM orders o JOIN customer c"
+            " ON o.o_custkey = c.c_custkey)"
+            " SELECT segment,"
+            " CAST(sum(CASE WHEN cents > 15000000 THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_big,"
+            " CAST(count(*) AS BIGINT) AS n_orders,"
+            " CAST(sum(CASE WHEN cents > 15000000 THEN 1 ELSE 0 END)"
+            " * 1000000 // count(*) AS BIGINT) AS share_e6"
+            " FROM j GROUP BY 1"
+        ),
+        "first_vs_repeat_spend": (
+            "WITH r AS (SELECT o_custkey,"
+            " CAST(round(o_totalprice * 100) AS BIGINT) AS cents,"
+            " row_number() OVER (PARTITION BY o_custkey"
+            " ORDER BY o_orderdate, o_orderkey) AS rk FROM orders),"
+            " f AS (SELECT o_custkey, cents AS first_cents FROM r"
+            " WHERE rk = 1),"
+            " l AS (SELECT o_custkey, CAST(count(*) AS BIGINT)"
+            " AS n_repeat, CAST(sum(cents) AS BIGINT) AS s FROM r"
+            " WHERE rk > 1 GROUP BY 1)"
+            " SELECT f.o_custkey, f.first_cents,"
+            " CAST(coalesce(l.n_repeat, 0) AS BIGINT) AS n_repeat,"
+            " CAST(CASE WHEN l.n_repeat IS NULL THEN -1"
+            " ELSE l.s // l.n_repeat END AS BIGINT)"
+            " AS avg_repeat_cents"
+            " FROM f LEFT JOIN l USING (o_custkey)"
         ),
         "quality_logit_score": (
             "WITH g AS (SELECT doc_id,"
