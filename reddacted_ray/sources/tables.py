@@ -183,6 +183,68 @@ def read_ipc(
         decode, batch_format="pyarrow", batch_size=1)
 
 
+def read_orc(
+    path, columns: Optional[Sequence[str]] = None
+) -> rd.Dataset:
+    """ORC source (the columnar interchange format of the Hive/Trino
+    world — the handoff a warehouse migration reads from). ``path`` may
+    be a file, a directory of ``.orc`` files, or an explicit list. The
+    driver holds only the PATH list; each file decodes inside a task
+    with column pruning applied at the decode."""
+    import glob as _glob
+
+    import pyarrow as pa
+
+    if isinstance(path, (list, tuple)):
+        files = [str(p) for p in path]
+    elif os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "*.orc")))
+    else:
+        files = [path]
+    if not files:
+        raise ValueError(f"read_orc: no ORC files under {path!r}")
+    cols = list(columns) if columns is not None else None
+
+    def decode(t: pa.Table) -> pa.Table:
+        from pyarrow import orc
+
+        tabs = [orc.ORCFile(p).read(columns=cols)
+                for p in t["item"].to_pylist()]
+        return pa.concat_tables(tabs)
+
+    return rd.from_items(files).map_batches(
+        decode, batch_format="pyarrow", batch_size=1)
+
+
+def write_orc(ds: rd.Dataset, out_dir: str) -> int:
+    """ORC sink: one ``.orc`` file per block, written inside the map
+    tasks (the driver sees only per-file row counts). The output dir
+    must be empty/absent (same append-hazard rule as write_parquet).
+    Returns rows written."""
+    import pyarrow as pa
+
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        raise ValueError(f"write_orc: out_dir {out_dir!r} is non-empty")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(t: pa.Table) -> pa.Table:
+        from uuid import uuid4
+
+        from pyarrow import orc
+
+        if t.num_rows:
+            orc.write_table(
+                t, os.path.join(out_dir, f"part-{uuid4().hex}.orc"))
+        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+
+    out = ds.map_batches(dump, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    from ray.data.aggregate import Sum
+
+    res = out.aggregate(Sum("rows", alias_name="rows"))
+    return int(res["rows"] or 0)
+
+
 def read_table_union(
     paths: Sequence[str], columns: Optional[Sequence[str]] = None
 ) -> rd.Dataset:

@@ -686,3 +686,27 @@ def test_job_cli_rejects_resumable_for_corpus_and_compact(tmp_path):
         )
         assert proc.returncode == 2
         assert "not implemented" in proc.stderr
+
+
+def test_read_write_orc_roundtrip(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reddacted_ray.sources.tables import read_orc, write_orc
+
+    t = pa.table({"k": pa.array(range(500), pa.int64()),
+                  "s": pa.array([f"v{i}" for i in range(500)])})
+    ds = rd.from_arrow(t).repartition(4)
+    out = str(tmp_path / "orc")
+    rows = write_orc(ds, out)
+    assert rows == 500
+    back = read_orc(out).to_pandas().sort_values("k").reset_index(drop=True)
+    assert back["k"].tolist() == list(range(500))
+    # column pruning at the decode
+    pruned = read_orc(out, columns=["k"]).to_pandas()
+    assert list(pruned.columns) == ["k"]
+    # append hazard guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_orc(ds, out)
