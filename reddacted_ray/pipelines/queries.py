@@ -12696,6 +12696,153 @@ def q_first_vs_repeat_spend(sf_dir: str) -> rd.Dataset:
     return grouped_vectorized(keyed, "cust", split)
 
 
+def q_zipf_slope(sf_dir: str) -> rd.Dataset:
+    """Zipf's-law fit: OLS slope of ln(freq) on ln(rank) over the top
+    100 terms — the vocabulary-health diagnostic (natural corpora run
+    near -1). The vocabulary count exchange is the only fact-sized
+    pass; the fit runs on the driver over 100 rows with glibc ln of
+    INTEGER ranks/freqs and all four OLS sums accumulated in rank
+    order — the oracle's list_sum(... ORDER BY rank) tree."""
+    import math
+
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()),
+                           "").combine_chunks()
+        return pa.table({"tok": pc.list_flatten(pc.split_pattern(txt, " "))})
+
+    wc = grouped_sums(docs.map_batches(toks, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                      ["tok"], [], count_alias="c").to_pandas()
+    top = wc.sort_values(["c", "tok"], ascending=[False, True]).head(100)
+    n = len(top)
+    sx = sy = sxy = sxx = 0.0
+    for rank, c in enumerate(top["c"].astype(int), start=1):
+        x = math.log(rank)
+        y = math.log(int(c))
+        sx += x
+        sy += y
+        sxy += x * y
+        sxx += x * x
+    nf = float(n)
+    slope = (nf * sxy - sx * sy) / (nf * sxx - sx * sx)
+    return rd.from_arrow(pa.table({
+        "n_terms": pa.array([n], pa.int64()),
+        "zipf_slope": pa.array([slope], pa.float64()),
+    }))
+
+
+def q_cust_order_count_hist(sf_dir: str) -> rd.Dataset:
+    """Order-frequency histogram: how many customers placed exactly k
+    orders. Two bounded reductions — per-customer counts (the standard
+    fact->dim rollup), then the k-domain histogram."""
+    from ..stages.agg import grouped_sums
+
+    o = sf_table(sf_dir, "orders", columns=["o_custkey"])
+    per_cust = grouped_sums(o, ["o_custkey"], [], count_alias="k")
+
+    def drop_key(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t["k"]})
+
+    return grouped_sums(per_cust.map_batches(drop_key,
+                                             batch_format="pyarrow",
+                                             zero_copy_batch=True),
+                        ["k"], [], count_alias="n_customers")
+
+
+def q_discount_band_revenue(sf_dir: str) -> rd.Dataset:
+    """Revenue and volume per whole-percent discount band — the
+    promo-effectiveness rollup. Integer cents/percent bands, exchange
+    bounded by the ~11-band domain."""
+    from ..stages.agg import grouped_sums
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_discount", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "band_pct": _money_int(t["l_discount"], 100.0),
+            "cents": _money_int(t["l_extendedprice"], 100.0),
+        })
+
+    return grouped_sums(li.map_batches(prep, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                        ["band_pct"], ["cents"], count_alias="n_items")
+
+
+def q_brand_price_spread(sf_dir: str) -> rd.Dataset:
+    """Per-brand extended-price dispersion (min/max/spread cents) —
+    the pricing-consistency audit. Brand attaches through the adaptive
+    part-dimension lookup; min/max pre-combine in Ray's hash
+    aggregate, so the exchange is brand-bounded."""
+    from ray.data.aggregate import Max, Min
+
+    from ..stages.joins import attach_via_lookup
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_extendedprice"])
+    part = sf_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    joined = attach_via_lookup(li, "l_partkey", part, "p_partkey",
+                               {"p_brand": "__brand"})
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "brand": pc.cast(t["__brand"], pa.string()),
+            "cents": _money_int(t["l_extendedprice"], 100.0),
+        })
+
+    g = (joined.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+         .groupby("brand")
+         .aggregate(Min("cents", alias_name="min_cents"),
+                    Max("cents", alias_name="max_cents")))
+
+    def spread(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "spread_cents",
+            pa.array(t["max_cents"].to_numpy()
+                     - t["min_cents"].to_numpy(), pa.int64()))
+
+    return g.map_batches(spread, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def q_month_seasonality(sf_dir: str) -> rd.Dataset:
+    """Seasonality index: each (year, month)'s share (e6) of its year's
+    revenue. Two month-domain-bounded reductions; the share is one
+    integer floor division."""
+    import pandas as pd
+
+    from ..stages.agg import grouped_sums
+
+    o = sf_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].combine_chunks()
+        return pa.table({
+            "y": pc.cast(pc.year(d), pa.int64()),
+            "m": pc.cast(pc.month(d), pa.int64()),
+            "cents": _money_int(t["o_totalprice"], 100.0),
+        })
+
+    ym = grouped_sums(o.map_batches(prep, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                      ["y", "m"], ["cents"]).to_pandas()
+    tot = ym.groupby("y")["cents"].transform("sum")
+    ym = ym.sort_values(["y", "m"])
+    return rd.from_arrow(pa.table({
+        "y": pa.array(ym["y"].to_numpy(), pa.int64()),
+        "m": pa.array(ym["m"].to_numpy(), pa.int64()),
+        "cents": pa.array(ym["cents"].to_numpy(), pa.int64()),
+        "share_e6": pa.array(
+            ym["cents"].to_numpy(dtype=np.int64) * 1_000_000
+            // tot.to_numpy(dtype=np.int64), pa.int64()),
+    }))
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -12993,6 +13140,11 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "sample_per_source": q_sample_per_source,
         "quality_logit_score": q_quality_logit_score,
         "bm25_top_term": q_bm25_top_term,
+        "zipf_slope": q_zipf_slope,
+        "cust_order_count_hist": q_cust_order_count_hist,
+        "discount_band_revenue": q_discount_band_revenue,
+        "brand_price_spread": q_brand_price_spread,
+        "month_seasonality": q_month_seasonality,
         "char_class_profile": q_char_class_profile,
         "big_order_share_by_segment": q_big_order_share_by_segment,
         "first_vs_repeat_spend": q_first_vs_repeat_spend,
@@ -15647,6 +15799,62 @@ def oracle_sqls() -> dict[str, str]:
             " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
             " * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr"
             " FROM s"
+        ),
+        "zipf_slope": (
+            "WITH w AS (SELECT unnest(string_split(text, ' ')) AS tok"
+            " FROM documents),"
+            " c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM w"
+            " GROUP BY 1),"
+            " r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok)"
+            " AS rank FROM c QUALIFY rank <= 100),"
+            " s AS (SELECT CAST(count(*) AS BIGINT) AS n,"
+            " list_sum(list(ln(CAST(rank AS DOUBLE)) ORDER BY rank))"
+            " AS sx,"
+            " list_sum(list(ln(CAST(c AS DOUBLE)) ORDER BY rank)) AS sy,"
+            " list_sum(list(ln(CAST(rank AS DOUBLE))"
+            " * ln(CAST(c AS DOUBLE)) ORDER BY rank)) AS sxy,"
+            " list_sum(list(ln(CAST(rank AS DOUBLE))"
+            " * ln(CAST(rank AS DOUBLE)) ORDER BY rank)) AS sxx FROM r)"
+            " SELECT n AS n_terms,"
+            " (CAST(n AS DOUBLE) * sxy - sx * sy)"
+            " / (CAST(n AS DOUBLE) * sxx - sx * sx) AS zipf_slope"
+            " FROM s"
+        ),
+        "cust_order_count_hist": (
+            "WITH p AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS k"
+            " FROM orders GROUP BY 1)"
+            " SELECT k, CAST(count(*) AS BIGINT) AS n_customers"
+            " FROM p GROUP BY 1"
+        ),
+        "discount_band_revenue": (
+            "SELECT CAST(round(l_discount * 100) AS BIGINT) AS band_pct,"
+            " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+            " AS BIGINT) AS cents,"
+            " CAST(count(*) AS BIGINT) AS n_items"
+            " FROM lineitem GROUP BY 1"
+        ),
+        "brand_price_spread": (
+            "SELECT p.p_brand AS brand,"
+            " CAST(min(CAST(round(l.l_extendedprice * 100) AS BIGINT))"
+            " AS BIGINT) AS min_cents,"
+            " CAST(max(CAST(round(l.l_extendedprice * 100) AS BIGINT))"
+            " AS BIGINT) AS max_cents,"
+            " CAST(max(CAST(round(l.l_extendedprice * 100) AS BIGINT))"
+            " - min(CAST(round(l.l_extendedprice * 100) AS BIGINT))"
+            " AS BIGINT) AS spread_cents"
+            " FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey"
+            " GROUP BY 1"
+        ),
+        "month_seasonality": (
+            "WITH ym AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS y,"
+            " CAST(month(o_orderdate) AS BIGINT) AS m,"
+            " CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " AS BIGINT) AS cents FROM orders GROUP BY 1, 2),"
+            " t AS (SELECT y, CAST(sum(cents) AS BIGINT) AS tot"
+            " FROM ym GROUP BY 1)"
+            " SELECT ym.y, ym.m, ym.cents,"
+            " CAST(ym.cents * 1000000 // t.tot AS BIGINT) AS share_e6"
+            " FROM ym JOIN t USING (y)"
         ),
         "bm25_top_term": (
             "WITH w AS (SELECT doc_id, unnest(string_split(text, ' '))"
