@@ -12843,60 +12843,6 @@ def q_month_seasonality(sf_dir: str) -> rd.Dataset:
     }))
 
 
-def q_rfm_segments(sf_dir: str) -> rd.Dataset:
-    """RFM customer segmentation: tie-stable decile codes for Recency
-    (last order day), Frequency (order count) and Monetary (total
-    cents), combined into the classic 3-digit RFM code. The fact->dim
-    rollup is distributed (orders groupby custkey with map-side
-    combine); the decile ranking runs on the REDUCED dim-sized table
-    under the repo's documented dim-bounded driver assumption (the
-    2M adaptive-cap policy). Deciles use the tie-stable
-    (rank-1)*10//n rule (spend_decile_flow precedent — NTILE is not
-    tie-stable) with custkey tie-breaks, so the codes hash-match."""
-    from ray.data.aggregate import Count, Max, Sum
-
-    DAY_US = 86_400_000_000
-    o = sf_table(sf_dir, "orders",
-                 columns=["o_custkey", "o_orderdate", "o_totalprice"])
-
-    def prep(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "o_custkey": t["o_custkey"],
-            "day": pc.divide(pc.cast(t["o_orderdate"], pa.int64()),
-                             pa.scalar(DAY_US, pa.int64())),
-            "cents": _money_int(t["o_totalprice"], 100.0),
-        })
-
-    p = (o.map_batches(prep, batch_format="pyarrow",
-                       zero_copy_batch=True)
-         .groupby("o_custkey")
-         .aggregate(Max("day", alias_name="rday"),
-                    Count(alias_name="f"),
-                    Sum("cents", alias_name="mon"))
-         .to_pandas())
-    n = len(p)
-    cust = p["o_custkey"].to_numpy(dtype=np.int64)
-
-    def decile(metric: np.ndarray) -> np.ndarray:
-        order = np.lexsort((cust, metric))
-        rank = np.empty(n, np.int64)
-        rank[order] = np.arange(n, dtype=np.int64)
-        return rank * 10 // n
-
-    r_dec = decile(p["rday"].to_numpy(dtype=np.int64))
-    f_dec = decile(p["f"].to_numpy(dtype=np.int64))
-    m_dec = decile(p["mon"].to_numpy(dtype=np.int64))
-    srt = np.argsort(cust)
-    return rd.from_arrow(pa.table({
-        "o_custkey": pa.array(cust[srt], pa.int64()),
-        "r_dec": pa.array(r_dec[srt], pa.int64()),
-        "f_dec": pa.array(f_dec[srt], pa.int64()),
-        "m_dec": pa.array(m_dec[srt], pa.int64()),
-        "rfm_code": pa.array((r_dec * 100 + f_dec * 10 + m_dec)[srt],
-                             pa.int64()),
-    }))
-
-
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -13195,7 +13141,6 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "quality_logit_score": q_quality_logit_score,
         "bm25_top_term": q_bm25_top_term,
         "zipf_slope": q_zipf_slope,
-        "rfm_segments": q_rfm_segments,
         "cust_order_count_hist": q_cust_order_count_hist,
         "discount_band_revenue": q_discount_band_revenue,
         "brand_price_spread": q_brand_price_spread,
@@ -15854,25 +15799,6 @@ def oracle_sqls() -> dict[str, str]:
             " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
             " * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr"
             " FROM s"
-        ),
-        "rfm_segments": (
-            "WITH p AS (SELECT o_custkey,"
-            " CAST(epoch_us(max(o_orderdate)) // 86400000000 AS BIGINT)"
-            " AS rday, CAST(count(*) AS BIGINT) AS f,"
-            " CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
-            " AS BIGINT) AS mon FROM orders GROUP BY 1),"
-            " n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p),"
-            " r AS (SELECT o_custkey,"
-            " CAST((row_number() OVER (ORDER BY rday, o_custkey) - 1)"
-            " * 10 // n.n AS BIGINT) AS r_dec,"
-            " CAST((row_number() OVER (ORDER BY f, o_custkey) - 1)"
-            " * 10 // n.n AS BIGINT) AS f_dec,"
-            " CAST((row_number() OVER (ORDER BY mon, o_custkey) - 1)"
-            " * 10 // n.n AS BIGINT) AS m_dec"
-            " FROM p CROSS JOIN n)"
-            " SELECT o_custkey, r_dec, f_dec, m_dec,"
-            " CAST(r_dec * 100 + f_dec * 10 + m_dec AS BIGINT)"
-            " AS rfm_code FROM r"
         ),
         "zipf_slope": (
             "WITH w AS (SELECT unnest(string_split(text, ' ')) AS tok"
