@@ -251,6 +251,22 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         build(img_dir, cfg=cfg, mode="decide").write_parquet(out_dir)
         headline = min(headline, time.perf_counter() - t0)
+    # the task-parallel resumable runner on the same chain (r5: per-FILE
+    # Ray tasks, no streaming-executor startup) — reported alongside the
+    # Dataset headline (which stays the round-comparable metric)
+    from reddacted_ray.pipelines.quality_filter import make_decide_batch_fn
+    from reddacted_ray.state.manifest import run_resumable_tasks
+
+    cols, chain = make_decide_batch_fn(cfg)
+    tasks_best = float("inf")
+    for rep in range(3):
+        shutil.rmtree(out_dir + ".tasks", ignore_errors=True)
+        os.sync()
+        t0 = time.perf_counter()
+        run_resumable_tasks(img_dir, out_dir + ".tasks", chain,
+                            read_columns=cols)
+        tasks_best = min(tasks_best, time.perf_counter() - t0)
+
     # materialize mode: full-row copy incl. bytes (disk-bandwidth-bound on
     # this single box; reported alongside, not the scaling metric; skipped
     # in scaling legs so its writeback cannot pollute the other leg)
@@ -391,6 +407,9 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "img_rows": img_rows,
         "images_per_sec": round(img_rows / headline, 1),
+        # same chain on the task-parallel resumable runner (r5)
+        "decide_tasks_sec": round(tasks_best, 3),
+        "images_per_sec_tasks": round(img_rows / tasks_best, 1),
         "materialize_sec": materialize_sec,
         "materialize_images_per_sec": (
             round(img_rows / materialize_sec, 1) if materialize_sec else None
