@@ -12843,6 +12843,128 @@ def q_month_seasonality(sf_dir: str) -> rd.Dataset:
     }))
 
 
+def q_stopword_density(sf_dir: str) -> rd.Dataset:
+    """Per-document English stopword density (e6) — the C4/Gopher
+    "has enough function words" quality heuristic. One RE2 scan per
+    block (count_substring_regex == regexp_extract_all len,
+    non-overlapping, the regex_match_counts identity); integer e6
+    ratio, zero shuffle."""
+    from ..functions.textstats import LANG_STOPWORDS
+
+    pat = r"\b(?:" + "|".join(LANG_STOPWORDS["en"]) + r")\b"
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def density(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        low = pc.utf8_lower(txt)
+        nstop = pc.cast(pc.count_substring_regex(low, pat),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        nwords = pc.list_value_length(
+            pc.split_pattern(txt, " ")).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_stop": pa.array(nstop, pa.int64()),
+            "n_words": pa.array(nwords.astype(np.int64), pa.int64()),
+            "density_e6": pa.array(
+                nstop * 1_000_000 // nwords.astype(np.int64), pa.int64()),
+        })
+
+    return docs.map_batches(density, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def q_token_budget_alloc(sf_dir: str) -> rd.Dataset:
+    """Training-mix token budget: apportion 1M tokens across sources
+    proportional to sqrt(source token mass) — the temperature-mix
+    allocator in its exact integer form (largest-remainder over isqrt
+    weights, remainder ties by source name). One source-bounded token
+    count exchange; the apportionment is driver math over |sources|
+    rows; isqrt replicated in SQL by the floor-sqrt +-2 correction."""
+    import math
+
+    from ..stages.agg import grouped_sums
+
+    BUDGET = 1_000_000
+    docs = _docs(sf_dir, ["source", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        return pa.table({
+            "source": t["source"],
+            "toks": pc.cast(pc.list_value_length(
+                pc.split_pattern(txt, " ")), pa.int64()),
+        })
+
+    g = (grouped_sums(docs.map_batches(toks, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                      ["source"], ["toks"])
+         .to_pandas().sort_values("source"))
+    tk = g["toks"].to_numpy(dtype=np.int64)
+    wt = np.array([math.isqrt(int(v)) for v in tk], np.int64)
+    W = int(wt.sum())
+    base = wt * BUDGET // W
+    rem = wt * BUDGET % W
+    extra = BUDGET - int(base.sum())
+    order = np.lexsort((g["source"].to_numpy(), -rem))
+    bonus = np.zeros(len(wt), np.int64)
+    bonus[order[:extra]] = 1
+    return rd.from_arrow(pa.table({
+        "source": pa.array(g["source"], pa.string()),
+        "toks": pa.array(tk, pa.int64()),
+        "weight": pa.array(wt, pa.int64()),
+        "tokens_alloc": pa.array(base + bonus, pa.int64()),
+    }))
+
+
+def q_wilson_keep_rank(sf_dir: str) -> rd.Dataset:
+    """Per-source keep-rate WILSON LOWER BOUND (z=1.96) over the
+    flagship PII gate — the uncertainty-aware ranking that stops a
+    3-doc source from outranking a 10k-doc one. The per-row core is
+    the shared CompiledBank (reference-faithful by construction); keep
+    flags reduce to |sources| rows map-side; the bound's float tree is
+    written identically both sides (mul/div/add/sqrt are all correctly
+    rounded, so doubles are bit-exact — cf. grouped_stddev)."""
+    from ..stages import process_cached
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["doc_id", "source", "text"])
+
+    class _KeepStage:
+        def __init__(self) -> None:
+            self.stage = _PiiQueryStage()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out = self.stage(t.select(["doc_id", "text"]))
+            keep = out["keep"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "source": t["source"],
+                "k": pa.array(keep.astype(np.int64)),
+            })
+
+    g = grouped_sums(
+        docs.map_batches(process_cached(_KeepStage),
+                         batch_format="pyarrow", zero_copy_batch=True),
+        ["source"], ["k"], count_alias="n")
+
+    def wilson(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy().astype(np.float64)
+        n = t["n"].to_numpy().astype(np.float64)
+        z2 = 1.96 * 1.96
+        ph = k / n
+        a = ph + z2 / (2.0 * n)
+        b = 1.96 * np.sqrt((ph * (1.0 - ph) + z2 / (4.0 * n)) / n)
+        w = (a - b) / (1.0 + z2 / n)
+        return pa.table({
+            "source": t["source"],
+            "n": t["n"],
+            "k_keep": t["k"],
+            "wilson_lb": pa.array(w, pa.float64()),
+        })
+
+    return g.map_batches(wilson, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -13141,6 +13263,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "quality_logit_score": q_quality_logit_score,
         "bm25_top_term": q_bm25_top_term,
         "zipf_slope": q_zipf_slope,
+        "stopword_density": q_stopword_density,
+        "token_budget_alloc": q_token_budget_alloc,
+        "wilson_keep_rank": q_wilson_keep_rank,
         "cust_order_count_hist": q_cust_order_count_hist,
         "discount_band_revenue": q_discount_band_revenue,
         "brand_price_spread": q_brand_price_spread,
@@ -15799,6 +15924,56 @@ def oracle_sqls() -> dict[str, str]:
             " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
             " * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr"
             " FROM s"
+        ),
+        "stopword_density": (
+            f"SELECT doc_id, CAST(len(regexp_extract_all(lower(text),"
+            f" '\\b(?:{en_stop})\\b')) AS BIGINT) AS n_stop,"
+            " CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,"
+            f" CAST(len(regexp_extract_all(lower(text),"
+            f" '\\b(?:{en_stop})\\b')) * 1000000"
+            " // len(string_split(text, ' ')) AS BIGINT) AS density_e6"
+            " FROM documents"
+        ),
+        "token_budget_alloc": (
+            "WITH s AS (SELECT source,"
+            " CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks"
+            " FROM documents GROUP BY 1),"
+            " w0 AS (SELECT source, toks,"
+            " CAST(floor(sqrt(CAST(toks AS DOUBLE))) AS BIGINT) AS c"
+            " FROM s),"
+            " w AS (SELECT source, toks, c + CASE"
+            " WHEN (c+2)*(c+2) <= toks THEN 2"
+            " WHEN (c+1)*(c+1) <= toks THEN 1"
+            " WHEN c*c <= toks THEN 0"
+            " WHEN (c-1)*(c-1) <= toks THEN -1 ELSE -2 END AS wt"
+            " FROM w0),"
+            " tw AS (SELECT CAST(sum(wt) AS BIGINT) AS tot FROM w),"
+            " alloc AS (SELECT source, toks, wt,"
+            " wt * 1000000 // tot AS base, wt * 1000000 % tot AS rem"
+            " FROM w CROSS JOIN tw),"
+            " ex AS (SELECT CAST(1000000 - sum(base) AS BIGINT)"
+            " AS extra FROM alloc),"
+            " rk AS (SELECT *, row_number() OVER"
+            " (ORDER BY rem DESC, source) AS r FROM alloc)"
+            " SELECT source, toks, CAST(wt AS BIGINT) AS weight,"
+            " CAST(base + CASE WHEN r <= (SELECT extra FROM ex)"
+            " THEN 1 ELSE 0 END AS BIGINT) AS tokens_alloc FROM rk"
+        ),
+        "wilson_keep_rank": (
+            PII_CTE
+            + ", ws AS (SELECT d.source,"
+            " CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS kk, CAST(count(*) AS BIGINT) AS n"
+            " FROM k JOIN documents d USING (doc_id) GROUP BY 1)"
+            " SELECT source, n, kk AS k_keep,"
+            " ((CAST(kk AS DOUBLE) / CAST(n AS DOUBLE)"
+            " + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))"
+            " - 1.96 * sqrt(((CAST(kk AS DOUBLE) / CAST(n AS DOUBLE))"
+            " * (1.0 - CAST(kk AS DOUBLE) / CAST(n AS DOUBLE))"
+            " + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE)))"
+            " / CAST(n AS DOUBLE)))"
+            " / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)) AS wilson_lb"
+            " FROM ws"
         ),
         "zipf_slope": (
             "WITH w AS (SELECT unnest(string_split(text, ' ')) AS tok"
