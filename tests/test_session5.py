@@ -175,7 +175,7 @@ class TestByteGramRows:
         for i, s in enumerate(texts):
             for j in range(max(len(s) - 7, 0)):
                 exp.append((i, int.from_bytes(
-                    s[j:j + 8].encode(), "little")))
+                    s[j:j + 8].encode(), "little", signed=True)))
         got = sorted(zip(rowix.tolist(), keys.tolist()))
         assert got == sorted(exp)
 
@@ -196,7 +196,7 @@ class TestByteGramRows:
         base = pa.array(["0123456789abcdef", "xxxxxxxxyyyyyyyy", "zz"])
         sliced = base.slice(1, 2)  # non-zero array offset
         rowix, keys = _byte_gram_rows(sliced)
-        exp_first = int.from_bytes(b"xxxxxxxx", "little")
+        exp_first = int.from_bytes(b"xxxxxxxx", "little", signed=True)
         assert keys[0] == exp_first
         assert (rowix == 0).sum() == 9  # 16 bytes -> 9 windows
 
@@ -294,6 +294,82 @@ class TestTaskRunnerColocatedApply:
         import pandas as pd
 
         pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+
+
+class TestRound5Properties:
+    def test_byte_gram_rows_fuzz_vs_python(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from reddacted_ray.pipelines.queries import _byte_gram_rows
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.lists(st.text(max_size=24), max_size=12))
+        def check(texts):
+            rowix, keys = _byte_gram_rows(
+                pa.chunked_array([pa.array(texts, pa.string())]))
+            exp = []
+            for i, s in enumerate(texts):
+                b = s.encode("utf-8")
+                for j in range(max(len(b) - 7, 0)):
+                    exp.append((i, int.from_bytes(b[j:j + 8], "little",
+                                                  signed=True)))
+            assert sorted(zip(rowix.tolist(), keys.tolist())) == sorted(exp)
+
+        check()
+
+    def test_exact_prod_sum_fuzz(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from reddacted_ray.functions.exactmath import exact_prod_sum
+
+        @settings(max_examples=60, deadline=None)
+        @given(st.lists(st.tuples(
+            st.integers(-(3 * 10**9), 3 * 10**9),
+            st.integers(-(3 * 10**9), 3 * 10**9)), max_size=50))
+        def check(pairs):
+            a = np.array([p[0] for p in pairs], np.int64)
+            b = np.array([p[1] for p in pairs], np.int64)
+            assert exact_prod_sum(a, b) == sum(
+                int(x) * int(y) for x, y in pairs)
+
+        check()
+
+    def test_head_prune_fuzz_vs_pandas(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from reddacted_ray.stages.windows import (
+            grouped_vectorized,
+            per_group_head_prune,
+        )
+
+        @settings(max_examples=12, deadline=None)
+        @given(st.lists(st.tuples(st.integers(0, 4),
+                                  st.integers(0, 10**6)),
+                        min_size=1, max_size=120, unique_by=lambda p: p[1]),
+               st.integers(1, 6))
+        def check(rows, cap):
+            df = pd.DataFrame(rows, columns=["g", "o"]).astype(np.int64)
+
+            def capfn(g: pd.DataFrame) -> pd.DataFrame:
+                gg = g.sort_values(["g", "o"], kind="mergesort")
+                rn = gg.groupby("g", sort=False).cumcount() + 1
+                return gg[rn <= cap]
+
+            got = (grouped_vectorized(
+                per_group_head_prune(
+                    rd.from_pandas(df).repartition(3), "g", "o", cap),
+                "g", capfn)
+                .to_pandas().sort_values(["g", "o"])
+                .reset_index(drop=True))
+            exp = capfn(df).sort_values(["g", "o"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(got[["g", "o"]], exp[["g", "o"]])
+
+        check()
 
 
 class TestSpearmanExactPartials:
