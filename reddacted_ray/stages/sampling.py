@@ -20,6 +20,7 @@ Semantics:
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -105,6 +106,66 @@ def write_bucketed(
         out_dir, partition_cols=["bucket"]
     )
     return out_dir
+
+
+def write_partitioned(
+    ds: rd.Dataset, part_col: str, out_dir: str
+) -> dict:
+    """VALUE-partitioned parquet sink that keeps ``part_col`` INSIDE
+    the files (Ray's ``partition_cols=`` hive sink strips it, breaking
+    any lineage contract that wants the column in-row — the r3
+    finding): each map task splits its block by value and appends a
+    uuid-named file under ``out_dir/<col>=<value>/``. Later consumers
+    path-prune by value; a failed downstream run reprocesses only its
+    value dirs. Partition values must be path-safe scalars (str/int) —
+    use ``write_bucketed`` for arbitrary keys. The output dir is
+    cleared first (write_parquet-style appends would duplicate rows).
+    Returns {value: rows_written} from one driver-bounded reduction."""
+    import shutil
+    from uuid import uuid4
+
+    import pyarrow.compute as pc
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        vals, rows = [], []
+        for v in pc.unique(t[part_col].combine_chunks()).to_pylist():
+            sub = t.filter(pc.equal(t[part_col], v))
+            d = os.path.join(out_dir, f"{part_col}={v}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(
+                sub, os.path.join(d, f"part-{uuid4().hex}.parquet"))
+            vals.append(str(v))
+            rows.append(sub.num_rows)
+        return pa.table({"val": pa.array(vals, pa.string()),
+                         "rows": pa.array(rows, pa.int64())})
+
+    from .agg import grouped_sums
+
+    parts = grouped_sums(
+        ds.map_batches(dump, batch_format="pyarrow", zero_copy_batch=True),
+        ["val"], ["rows"]).take_all()
+    return {r["val"]: int(r["rows"]) for r in parts}
+
+
+def read_partition(out_dir: str, part_col: str, value, columns=None
+                   ) -> rd.Dataset:
+    """Read one value dir of a ``write_partitioned`` layout
+    (path-pruned — only that value's files are listed or opened)."""
+    import os
+
+    d = os.path.join(out_dir, f"{part_col}={value}")
+    paths = [
+        os.path.join(d, f) for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ] if os.path.isdir(d) else []
+    if not paths:
+        raise FileNotFoundError(f"no parquet files under {d}")
+    return rd.read_parquet(paths, columns=columns)
 
 
 def read_bucket(out_dir: str, bucket: int, columns=None) -> rd.Dataset:

@@ -71,3 +71,29 @@ def test_zorder_layout_prunes_both_dims(ray_session, tmp_path):
     assert pruned_fraction(lr["x"], 160, 191) >= 0.5
     assert pruned_fraction(lr["y"], 160, 191) == 0.0
     assert pruned_fraction(zr["y"], 160, 191) > 0.0
+
+
+def test_write_partitioned_keeps_column_and_prunes(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from reddacted_ray.stages.sampling import read_partition, write_partitioned
+
+    t = pa.table({"lang": pa.array(["en", "de", "en", "fr", "en", "de"]),
+                  "doc_id": pa.array(range(6), pa.int64())})
+    out = str(tmp_path / "byval")
+    rows = write_partitioned(rd.from_arrow(t).repartition(3), "lang", out)
+    assert rows == {"en": 3, "de": 2, "fr": 1}
+    # the partition column stays INSIDE the files (the lineage contract)
+    import glob
+
+    f = glob.glob(out + "/lang=en/*.parquet")[0]
+    assert "lang" in pq.read_schema(f).names
+    en = read_partition(out, "lang", "en").to_pandas()
+    assert sorted(en["doc_id"]) == [0, 2, 4]
+    assert set(en["lang"]) == {"en"}
+    # rerun overwrites (no silent append)
+    rows2 = write_partitioned(rd.from_arrow(t), "lang", out)
+    assert rows2 == rows
+    assert read_partition(out, "lang", "en").count() == 3
