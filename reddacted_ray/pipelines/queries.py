@@ -12965,6 +12965,208 @@ def q_wilson_keep_rank(sf_dir: str) -> rd.Dataset:
                          zero_copy_batch=True)
 
 
+def q_gap_moments_by_user(sf_dir: str) -> rd.Dataset:
+    """Exact integer moments of per-user inter-event gaps (count, sum,
+    sum of squares in whole MINUTES) — the burstiness/regularity signal
+    mean_gap alone can't give. Minutes, not us: a squared us gap
+    overflows int64 past ~50 days, while sumsq in minutes is bounded
+    by the squared total span (safe to a 4000-year table). One
+    co-locating user bucket shuffle; gaps are a sorted integer diff
+    inside segments; floor division matches SQL's ``//``."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["user_id", "event_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "tsu": pc.cast(t["ts"], pa.int64()),
+        })
+
+    keyed = ev.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def moments(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.sort_values(["user_id", "tsu", "event_id"],
+                           kind="mergesort")
+        u = gg["user_id"].to_numpy()
+        ts = gg["tsu"].to_numpy()
+        same = u[1:] == u[:-1]
+        d = (ts[1:] - ts[:-1])[same] // 60_000_000
+        uu = u[1:][same]
+        f = pd.DataFrame({"user_id": uu, "gap": d, "gap2": d * d})
+        out = f.groupby("user_id", as_index=False).agg(
+            n_gaps=("gap", "size"), sum_gap=("gap", "sum"),
+            sumsq_gap=("gap2", "sum"))
+        out["n_gaps"] = out["n_gaps"].astype(np.int64)
+        return out
+
+    return grouped_vectorized(keyed, "user_id", moments)
+
+
+def q_peak_hour_by_type(sf_dir: str) -> rd.Dataset:
+    """Peak activity hour per event type (ties to the earliest hour) —
+    the scheduling heatmap argmax. (type, hour) counts pre-reduce
+    map-side to a 24x|types| table; the argmax runs co-located."""
+    import pandas as pd
+
+    from ..stages.agg import grouped_sums
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "hour": pc.cast(pc.hour(t["ts"].combine_chunks()), pa.int64()),
+        })
+
+    c = grouped_sums(ev.map_batches(prep, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                     ["event_type", "hour"], [], count_alias="n")
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.sort_values(["event_type", "n", "hour"],
+                           ascending=[True, False, True],
+                           kind="mergesort")
+        top = gg.groupby("event_type", sort=False, as_index=False).first()
+        return pd.DataFrame({
+            "event_type": top["event_type"],
+            "peak_hour": top["hour"].astype(np.int64),
+            "n_peak": top["n"].astype(np.int64),
+        })
+
+    return grouped_vectorized(c, "event_type", pick)
+
+
+def q_repeat_rate_by_segment(sf_dir: str) -> rd.Dataset:
+    """Customer repeat rate per market segment: the share (e6) of
+    customers with >= 2 orders. Per-customer counts roll up
+    distributed; the segment attaches via the adaptive lookup on the
+    REDUCED customer-level table; the final exchange is |segments|."""
+    from ..stages.agg import grouped_sums
+    from ..stages.joins import attach_via_lookup
+
+    o = sf_table(sf_dir, "orders", columns=["o_custkey"])
+    cust = sf_table(sf_dir, "customer",
+                    columns=["c_custkey", "c_mktsegment"])
+    per_cust = grouped_sums(o, ["o_custkey"], [], count_alias="k")
+    seg = attach_via_lookup(per_cust, "o_custkey", cust, "c_custkey",
+                            {"c_mktsegment": "__seg"})
+
+    def flag(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "segment": pc.cast(t["__seg"], pa.string()),
+            "rep": pc.cast(pc.greater_equal(
+                t["k"], pa.scalar(2, pa.int64())), pa.int64()),
+        })
+
+    g = grouped_sums(seg.map_batches(flag, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                     ["segment"], ["rep"], count_alias="n_customers")
+
+    def share(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "segment": t["segment"],
+            "n_repeat": t["rep"],
+            "n_customers": t["n_customers"],
+            "repeat_e6": pa.array(
+                t["rep"].to_numpy() * 1_000_000
+                // t["n_customers"].to_numpy(), pa.int64()),
+        })
+
+    return g.map_batches(share, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def q_vocab_coverage(sf_dir: str) -> rd.Dataset:
+    """Vocabulary coverage curve: the share (e6) of total token mass
+    covered by the top-k most frequent terms, k in {100, 1000, 10000}
+    — the tokenizer-sizing diagnostic. One vocabulary-bounded count
+    exchange; the cumulative walk runs on the driver over the sorted
+    vocab (the top_terms broadcast assumption), all integer."""
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()),
+                           "").combine_chunks()
+        return pa.table({"tok": pc.list_flatten(pc.split_pattern(txt, " "))})
+
+    wc = grouped_sums(docs.map_batches(toks, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                      ["tok"], [], count_alias="c").to_pandas()
+    srt = wc.sort_values(["c", "tok"], ascending=[False, True])
+    counts = srt["c"].to_numpy(dtype=np.int64)
+    total = int(counts.sum())
+    cum = np.cumsum(counts)
+    ks, covs = [], []
+    for k in (100, 1000, 10000):
+        ks.append(k)
+        covered = int(cum[min(k, len(cum)) - 1]) if len(cum) else 0
+        covs.append(covered * 1_000_000 // total if total else 0)
+    return rd.from_arrow(pa.table({
+        "k": pa.array(ks, pa.int64()),
+        "coverage_e6": pa.array(covs, pa.int64()),
+    }))
+
+
+def q_fano_by_type(sf_dir: str) -> rd.Dataset:
+    """Burstiness (Fano factor) of daily event counts per type:
+    variance-to-mean as an exact integer e6 ratio —
+    ((n*s2 - s*s) * 1e6) // (n * s) over the (type, day)-bounded count
+    table, so Poisson-like types sit near 1e6. Two bounded exchanges,
+    zero floats."""
+    from ..stages.agg import grouped_sums
+
+    DAY_US = 86_400_000_000
+    ev = sf_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "day": pc.divide(pc.cast(t["ts"], pa.int64()),
+                             pa.scalar(DAY_US, pa.int64())),
+        })
+
+    daily = grouped_sums(ev.map_batches(prep, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                         ["event_type", "day"], [], count_alias="c")
+
+    def sq(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy()
+        return pa.table({
+            "event_type": t["event_type"],
+            "s": t["c"],
+            "s2": pa.array(c * c, pa.int64()),
+        })
+
+    g = grouped_sums(daily.map_batches(sq, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                     ["event_type"], ["s", "s2"], count_alias="n")
+
+    def fano(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy().astype(object)
+        s = t["s"].to_numpy().astype(object)
+        s2 = t["s2"].to_numpy().astype(object)
+        out = [int((ni * s2i - si * si) * 1_000_000 // (ni * si))
+               for ni, si, s2i in zip(n, s, s2)]
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_days": t["n"],
+            "total": t["s"],
+            "fano_e6": pa.array(out, pa.int64()),
+        })
+
+    return g.map_batches(fano, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -13264,6 +13466,11 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "bm25_top_term": q_bm25_top_term,
         "zipf_slope": q_zipf_slope,
         "stopword_density": q_stopword_density,
+        "gap_moments_by_user": q_gap_moments_by_user,
+        "peak_hour_by_type": q_peak_hour_by_type,
+        "repeat_rate_by_segment": q_repeat_rate_by_segment,
+        "vocab_coverage": q_vocab_coverage,
+        "fano_by_type": q_fano_by_type,
         "token_budget_alloc": q_token_budget_alloc,
         "wilson_keep_rank": q_wilson_keep_rank,
         "cust_order_count_hist": q_cust_order_count_hist,
@@ -15924,6 +16131,63 @@ def oracle_sqls() -> dict[str, str]:
             " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
             " * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr"
             " FROM s"
+        ),
+        "gap_moments_by_user": (
+            "WITH s AS (SELECT user_id, epoch_us(ts) AS tsu,"
+            " lag(epoch_us(ts)) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id) AS prev FROM events),"
+            " d AS (SELECT user_id, (tsu - prev) // 60000000 AS gap"
+            " FROM s WHERE prev IS NOT NULL)"
+            " SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,"
+            " CAST(sum(gap) AS BIGINT) AS sum_gap,"
+            " CAST(sum(gap * gap) AS BIGINT) AS sumsq_gap"
+            " FROM d GROUP BY 1"
+        ),
+        "peak_hour_by_type": (
+            "WITH c AS (SELECT event_type,"
+            " CAST(hour(ts) AS BIGINT) AS hour,"
+            " CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),"
+            " r AS (SELECT *, row_number() OVER (PARTITION BY event_type"
+            " ORDER BY n DESC, hour) AS rk FROM c)"
+            " SELECT event_type, hour AS peak_hour, n AS n_peak"
+            " FROM r WHERE rk = 1"
+        ),
+        "repeat_rate_by_segment": (
+            "WITH p AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS k"
+            " FROM orders GROUP BY 1),"
+            " j AS (SELECT c.c_mktsegment AS segment,"
+            " CASE WHEN p.k >= 2 THEN 1 ELSE 0 END AS rep"
+            " FROM p JOIN customer c ON p.o_custkey = c.c_custkey)"
+            " SELECT segment, CAST(sum(rep) AS BIGINT) AS n_repeat,"
+            " CAST(count(*) AS BIGINT) AS n_customers,"
+            " CAST(sum(rep) * 1000000 // count(*) AS BIGINT)"
+            " AS repeat_e6 FROM j GROUP BY 1"
+        ),
+        "vocab_coverage": (
+            "WITH w AS (SELECT unnest(string_split(text, ' ')) AS tok"
+            " FROM documents),"
+            " c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM w"
+            " GROUP BY 1),"
+            " t AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM c),"
+            " r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok)"
+            " AS rank FROM c),"
+            " ks AS (SELECT unnest([100, 1000, 10000]) AS k)"
+            " SELECT CAST(ks.k AS BIGINT) AS k,"
+            " CAST(CAST(sum(r.c) AS BIGINT) * 1000000"
+            " // (SELECT total FROM t) AS BIGINT) AS coverage_e6"
+            " FROM ks JOIN r ON r.rank <= ks.k GROUP BY 1"
+        ),
+        "fano_by_type": (
+            "WITH daily AS (SELECT event_type,"
+            " epoch_us(ts) // 86400000000 AS day,"
+            " CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),"
+            " g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,"
+            " CAST(sum(c) AS BIGINT) AS s,"
+            " CAST(sum(c * c) AS BIGINT) AS s2 FROM daily GROUP BY 1)"
+            " SELECT event_type, n AS n_days, s AS total,"
+            " CAST((CAST(n AS HUGEINT) * s2 - CAST(s AS HUGEINT) * s)"
+            " * 1000000 // (CAST(n AS HUGEINT) * s) AS BIGINT)"
+            " AS fano_e6 FROM g"
         ),
         "stopword_density": (
             f"SELECT doc_id, CAST(len(regexp_extract_all(lower(text),"
