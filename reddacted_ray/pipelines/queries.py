@@ -13167,6 +13167,128 @@ def q_fano_by_type(sf_dir: str) -> rd.Dataset:
                          zero_copy_batch=True)
 
 
+def q_part_name_terms_top(sf_dir: str) -> rd.Dataset:
+    """Product-catalog vocabulary: the 20 most frequent part-name
+    tokens (count DESC, token ASC) — the catalog-taxonomy seed. Same
+    vocabulary-count shape as top_terms over a different text column;
+    exact top-k via sort+limit on the vocab-bounded aggregate."""
+    from ..stages.agg import grouped_sums
+
+    part = sf_table(sf_dir, "part", columns=["p_name"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["p_name"], pa.string()),
+                           "").combine_chunks()
+        return pa.table({"tok": pc.list_flatten(pc.split_pattern(txt, " "))})
+
+    g = grouped_sums(part.map_batches(toks, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                     ["tok"], [], count_alias="n")
+    return g.sort(["n", "tok"], descending=[True, False]).limit(20)
+
+
+def q_return_rate_by_discount(sf_dir: str) -> rd.Dataset:
+    """Return probability per whole-percent discount band — the
+    promo-abuse / quality-erosion signal. Integer band + flag counts,
+    band-bounded exchange, one e6 floor division."""
+    from ..stages.agg import grouped_sums
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_discount", "l_returnflag"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "band_pct": _money_int(t["l_discount"], 100.0),
+            "ret": pc.cast(pc.equal(t["l_returnflag"],
+                                    pa.scalar("R")), pa.int64()),
+        })
+
+    g = grouped_sums(li.map_batches(prep, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                     ["band_pct"], ["ret"], count_alias="n_items")
+
+    def rate(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "band_pct": t["band_pct"],
+            "n_returned": t["ret"],
+            "n_items": t["n_items"],
+            "return_e6": pa.array(
+                t["ret"].to_numpy() * 1_000_000
+                // t["n_items"].to_numpy(), pa.int64()),
+        })
+
+    return g.map_batches(rate, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def q_supplier_hhi_by_nation(sf_dir: str) -> rd.Dataset:
+    """Supplier revenue concentration per nation (Herfindahl index):
+    HHI_e12 = sum over suppliers of (floor(rev*1e6/total))^2 — floored
+    shares BEFORE squaring keep it integer-exact both sides. Revenue
+    rolls up distributed to the supplier dimension; nation attaches via
+    the adaptive lookup; the HHI reduce is |nations|-bounded."""
+    from ..stages.agg import grouped_sums
+    from ..stages.joins import attach_via_lookup
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_suppkey", "l_extendedprice"])
+    sup = sf_table(sf_dir, "supplier",
+                   columns=["s_suppkey", "s_nationkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_suppkey": t["l_suppkey"],
+            "cents": _money_int(t["l_extendedprice"], 100.0),
+        })
+
+    per_sup = grouped_sums(li.map_batches(prep, batch_format="pyarrow",
+                                          zero_copy_batch=True),
+                           ["l_suppkey"], ["cents"])
+    j = attach_via_lookup(per_sup, "l_suppkey", sup, "s_suppkey",
+                          {"s_nationkey": "__nat"})
+
+    def nk(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "nation": pc.cast(t["__nat"], pa.int64()),
+            "cents": t["cents"],
+        })
+
+    bysup = j.map_batches(nk, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    tot = grouped_sums(bysup, ["nation"], ["cents"]).to_pandas()
+    totmap = dict(zip(tot["nation"].astype(int),
+                      tot["cents"].astype(int)))
+    tref = ray.put(totmap)
+
+    def share_sq(t: pa.Table) -> pa.Table:
+        tm = ray.get(tref)
+        nat = t["nation"].to_numpy()
+        c = t["cents"].to_numpy().astype(object)
+        tots = np.array([tm[int(v)] for v in nat], dtype=object)
+        sh = [int(ci) * 1_000_000 // int(ti) for ci, ti in zip(c, tots)]
+        return pa.table({
+            "nation": t["nation"],
+            "sq": pa.array([s * s for s in sh], pa.int64()),
+        })
+
+    g = grouped_sums(bysup.map_batches(share_sq, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                     ["nation"], ["sq"], count_alias="n_suppliers")
+    return g.rename_columns(["nation", "hhi_e12", "n_suppliers"])
+
+
+def q_nation_segment_matrix(sf_dir: str) -> rd.Dataset:
+    """Customer nation x market-segment contingency counts — the
+    audience-composition matrix. One cell-bounded exchange straight
+    off the customer dimension."""
+    from ..stages.agg import grouped_sums
+
+    cust = sf_table(sf_dir, "customer",
+                    columns=["c_nationkey", "c_mktsegment"])
+    return grouped_sums(cust, ["c_nationkey", "c_mktsegment"], [],
+                        count_alias="n")
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -13467,6 +13589,10 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "zipf_slope": q_zipf_slope,
         "stopword_density": q_stopword_density,
         "gap_moments_by_user": q_gap_moments_by_user,
+        "part_name_terms_top": q_part_name_terms_top,
+        "return_rate_by_discount": q_return_rate_by_discount,
+        "supplier_hhi_by_nation": q_supplier_hhi_by_nation,
+        "nation_segment_matrix": q_nation_segment_matrix,
         "peak_hour_by_type": q_peak_hour_by_type,
         "repeat_rate_by_segment": q_repeat_rate_by_segment,
         "vocab_coverage": q_vocab_coverage,
@@ -16131,6 +16257,41 @@ def oracle_sqls() -> dict[str, str]:
             " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
             " * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr"
             " FROM s"
+        ),
+        "part_name_terms_top": (
+            "WITH w AS (SELECT unnest(string_split(p_name, ' ')) AS tok"
+            " FROM part)"
+            " SELECT tok, CAST(count(*) AS BIGINT) AS n FROM w"
+            " GROUP BY 1 ORDER BY n DESC, tok LIMIT 20"
+        ),
+        "return_rate_by_discount": (
+            "WITH c AS (SELECT CAST(round(l_discount * 100) AS BIGINT)"
+            " AS band_pct, CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0"
+            " END AS ret FROM lineitem)"
+            " SELECT band_pct, CAST(sum(ret) AS BIGINT) AS n_returned,"
+            " CAST(count(*) AS BIGINT) AS n_items,"
+            " CAST(sum(ret) * 1000000 // count(*) AS BIGINT)"
+            " AS return_e6 FROM c GROUP BY 1"
+        ),
+        "supplier_hhi_by_nation": (
+            "WITH ps AS (SELECT l_suppkey,"
+            " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+            " AS BIGINT) AS cents FROM lineitem GROUP BY 1),"
+            " j AS (SELECT s.s_nationkey AS nation, ps.cents"
+            " FROM ps JOIN supplier s ON ps.l_suppkey = s.s_suppkey),"
+            " t AS (SELECT nation, CAST(sum(cents) AS BIGINT) AS tot"
+            " FROM j GROUP BY 1),"
+            " sh AS (SELECT j.nation,"
+            " CAST(j.cents AS HUGEINT) * 1000000 // t.tot AS s"
+            " FROM j JOIN t USING (nation))"
+            " SELECT CAST(nation AS BIGINT) AS nation,"
+            " CAST(sum(s * s) AS BIGINT) AS hhi_e12,"
+            " CAST(count(*) AS BIGINT) AS n_suppliers"
+            " FROM sh GROUP BY 1"
+        ),
+        "nation_segment_matrix": (
+            "SELECT c_nationkey, c_mktsegment,"
+            " CAST(count(*) AS BIGINT) AS n FROM customer GROUP BY 1, 2"
         ),
         "gap_moments_by_user": (
             "WITH s AS (SELECT user_id, epoch_us(ts) AS tsu,"
