@@ -13289,6 +13289,221 @@ def q_nation_segment_matrix(sf_dir: str) -> rd.Dataset:
                         count_alias="n")
 
 
+def q_kendall_tau(sf_dir: str) -> rd.Dataset:
+    """Kendall tau-b rank correlation between quantity and discount —
+    exact pair counts from the BOUNDED joint contingency table (<= 50
+    quantities x 11 discount bands = 550 cells), so no pairwise pass
+    ever touches the fact: one cell-count exchange, then the driver
+    computes concordant/discordant totals with Python ints over 2-D
+    prefix sums (exact for any N; C,D <= n(n-1)/2 fits BIGINT to
+    ~4e9 rows). tau-b's single float expression mirrors the SQL tree
+    (BIGINT->DOUBLE casts are correctly rounded both sides — the
+    HUGEINT 1-ulp hazard never arises because everything is reduced
+    to BIGINT first)."""
+    import math
+
+    from ..stages.agg import grouped_sums
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_quantity", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "q": _money_int(t["l_quantity"], 1.0),
+            "d": _money_int(t["l_discount"], 100.0),
+        })
+
+    cells = grouped_sums(li.map_batches(prep, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                         ["q", "d"], [], count_alias="c").to_pandas()
+    qs = np.sort(cells["q"].unique())
+    dv = np.sort(cells["d"].unique())
+    nr, nc = len(qs), len(dv)
+    m = [[0] * nc for _ in range(nr)]
+    for i, j, c in zip(np.searchsorted(qs, cells["q"].to_numpy()),
+                       np.searchsorted(dv, cells["d"].to_numpy()),
+                       cells["c"].to_numpy()):
+        m[i][j] = int(c)
+    # prefix[i][j] = sum of m[:i][:j], Python ints throughout
+    pre = [[0] * (nc + 1) for _ in range(nr + 1)]
+    for i in range(nr):
+        for j in range(nc):
+            pre[i + 1][j + 1] = (pre[i][j + 1] + pre[i + 1][j]
+                                 - pre[i][j] + m[i][j])
+    n = pre[nr][nc]
+    conc = disc = 0
+    for i in range(nr):
+        for j in range(nc):
+            if not m[i][j]:
+                continue
+            gt = n - pre[i + 1][nc] - pre[nr][j + 1] + pre[i + 1][j + 1]
+            lt = pre[nr][j] - pre[i + 1][j]
+            conc += m[i][j] * gt
+            disc += m[i][j] * lt
+    n0 = n * (n - 1) // 2
+    n1 = sum(r * (r - 1) // 2
+             for r in (pre[i + 1][nc] - pre[i][nc] for i in range(nr)))
+    n2 = sum(c * (c - 1) // 2
+             for c in (pre[nr][j + 1] - pre[nr][j] for j in range(nc)))
+    tau = float(conc - disc) / math.sqrt(
+        float(n0 - n1) * float(n0 - n2))
+    return rd.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "concordant": pa.array([conc], pa.int64()),
+        "discordant": pa.array([disc], pa.int64()),
+        "tau_b": pa.array([tau], pa.float64()),
+    }))
+
+
+def q_welch_priority(sf_dir: str) -> rd.Dataset:
+    """Welch two-sample t statistic between URGENT and LOW order totals
+    (whole dollars) — the A/B significance test over exact integer
+    moment partials (n, sum, sum of squares; sum-of-squares fits BIGINT
+    to ~sf20, documented). One priority-bounded exchange; the float
+    means/variances/t replay the identical IEEE tree as the SQL."""
+    import math
+
+    from ..stages.agg import grouped_sums
+
+    od = sf_table(sf_dir, "orders",
+                  columns=["o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["o_orderpriority"],
+                        value_set=pa.array(["1-URGENT", "5-LOW"]))
+        sel = t.filter(keep)
+        usd = _money_int(sel["o_totalprice"], 1.0)
+        u = usd.to_numpy()
+        return pa.table({
+            "grp": sel["o_orderpriority"],
+            "s": usd,
+            "s2": pa.array(u * u, pa.int64()),
+        })
+
+    g = grouped_sums(od.map_batches(prep, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                     ["grp"], ["s", "s2"], count_alias="n").to_pandas()
+    g = g.set_index("grp")
+
+    def stats(key: str) -> tuple[int, float, float]:
+        n = int(g.loc[key, "n"])
+        s, s2 = int(g.loc[key, "s"]), int(g.loc[key, "s2"])
+        mean = float(s) / float(n)
+        var = ((float(n) * float(s2) - float(s) * float(s))
+               / (float(n) * float(n - 1)))
+        return n, mean, var
+
+    na, ma, va = stats("1-URGENT")
+    nb, mb, vb = stats("5-LOW")
+    t_stat = (ma - mb) / math.sqrt(va / float(na) + vb / float(nb))
+    return rd.from_arrow(pa.table({
+        "n_urgent": pa.array([na], pa.int64()),
+        "n_low": pa.array([nb], pa.int64()),
+        "mean_urgent": pa.array([ma], pa.float64()),
+        "mean_low": pa.array([mb], pa.float64()),
+        "t_welch": pa.array([t_stat], pa.float64()),
+    }))
+
+
+def q_bowley_skew_by_flag(sf_dir: str) -> rd.Dataset:
+    """Bowley (quartile) skewness of extended price per return flag:
+    exact discrete Q1/Q2/Q3 by ceil-rank over the (flag, cents) count
+    exchange (the grouped_percentiles shape), then ONE float division —
+    integer floor-div is avoided because the numerator can be negative
+    and DuckDB ``//`` truncates where Python floors."""
+    import math
+
+    from ..stages.agg import grouped_sums
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_returnflag", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "flag": t["l_returnflag"],
+            "cents": _money_int(t["l_extendedprice"], 100.0),
+        })
+
+    d = (grouped_sums(li.map_batches(prep, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["flag", "cents"], [], count_alias="k")
+         .to_pandas().sort_values(["flag", "cents"]))
+    rows = []
+    for flag, sub in d.groupby("flag", sort=True):
+        cum = sub["k"].cumsum().to_numpy()
+        vals = sub["cents"].to_numpy()
+        n = int(cum[-1])
+        q1, q2, q3 = (int(vals[np.searchsorted(
+            cum, int(math.ceil(q * n)), "left")])
+            for q in (0.25, 0.5, 0.75))
+        # constant-quartile groups have no spread: NULL, matching SQL
+        skew = (None if q3 == q1
+                else float(q1 + q3 - 2 * q2) / float(q3 - q1))
+        rows.append((flag, q1, q2, q3, skew))
+    return rd.from_arrow(pa.table({
+        "flag": pa.array([r[0] for r in rows], pa.string()),
+        "q1": pa.array([r[1] for r in rows], pa.int64()),
+        "q2": pa.array([r[2] for r in rows], pa.int64()),
+        "q3": pa.array([r[3] for r in rows], pa.int64()),
+        "bowley": pa.array([r[4] for r in rows], pa.float64()),
+    }))
+
+
+def q_cluster_sample_orders(sf_dir: str) -> rd.Dataset:
+    """Cluster sampling: keep ALL orders of a deterministic 5% customer
+    sample (md5 top-32-bits < floor(0.05 * 2^32)) — the whole-entity
+    sample that preserves within-customer structure where row sampling
+    destroys it. Pure scan map, zero shuffle, rerun-stable; hex-string
+    comparison in SQL == integer comparison of the hash's top 32 bits."""
+    from ..functions.hashing import md5_top32_batch
+
+    od = sf_table(sf_dir, "orders",
+                  columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    bound = int(0.05 * 2**32)
+
+    def pick(t: pa.Table) -> pa.Table:
+        h = md5_top32_batch(t["o_custkey"])
+        sel = t.filter(pa.array(h < bound))
+        return pa.table({
+            "o_orderkey": sel["o_orderkey"],
+            "o_custkey": sel["o_custkey"],
+            "cents": _money_int(sel["o_totalprice"], 100.0),
+        })
+
+    return od.map_batches(pick, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def q_event_trigrams(sf_dir: str) -> rd.Dataset:
+    """Sequential-pattern mining step 2: counts of consecutive
+    event-type TRIPLES per user (second-order Markov table). Same
+    one-shuffle shape as event_bigrams — per-user ordered shifts inside
+    each co-located bucket, then a |types|^3-bounded count exchange."""
+    import pandas as pd
+
+    from ..stages.agg import grouped_sums
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["event_id", "user_id", "event_type", "ts"])
+
+    def trigrams(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        by = g.groupby("user_id", sort=False)["event_type"]
+        n1 = by.shift(-1)
+        n2 = by.shift(-2)
+        ok = n2.notna().to_numpy()
+        return pd.DataFrame({
+            "t1": g["event_type"].to_numpy()[ok],
+            "t2": n1.to_numpy()[ok],
+            "t3": n2.to_numpy()[ok],
+            "n_triples": np.ones(int(ok.sum()), dtype=np.int64),
+        })
+
+    tri = grouped_vectorized(ev, "user_id", trigrams)
+    return grouped_sums(tri, ["t1", "t2", "t3"], ["n_triples"])
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -13630,6 +13845,11 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "priority_weekday_matrix": q_priority_weekday_matrix,
         "order_gini": q_order_gini,
         "doclen_gini_by_lang": q_doclen_gini_by_lang,
+        "kendall_tau": q_kendall_tau,
+        "welch_priority": q_welch_priority,
+        "bowley_skew_by_flag": q_bowley_skew_by_flag,
+        "cluster_sample_orders": q_cluster_sample_orders,
+        "event_trigrams": q_event_trigrams,
         # rows-only multimodal augmentation fan-out (binary payloads)
         "augment_images": q_augment_images,
         "bollinger_flags": q_bollinger_flags,
@@ -16962,5 +17182,99 @@ def oracle_sqls() -> dict[str, str]:
             " SELECT lang, CAST(n AS BIGINT) AS n,"
             " CAST((2 * six - (n + 1) * sx) * 1000000 // (n * sx)"
             " AS BIGINT) AS gini_e6 FROM s"
+        ),
+        "kendall_tau": (
+            "WITH m AS (SELECT CAST(round(l_quantity) AS BIGINT) AS q,"
+            " CAST(round(l_discount * 100) AS BIGINT) AS d,"
+            " CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1, 2),"
+            " t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM m),"
+            " cc AS (SELECT CAST(coalesce(sum(CAST(a.c AS HUGEINT) * b.c),"
+            " 0) AS BIGINT) AS conc FROM m a JOIN m b"
+            " ON b.q > a.q AND b.d > a.d),"
+            " dd AS (SELECT CAST(coalesce(sum(CAST(a.c AS HUGEINT) * b.c),"
+            " 0) AS BIGINT) AS disc FROM m a JOIN m b"
+            " ON b.q > a.q AND b.d < a.d),"
+            " rt AS (SELECT CAST(sum(CAST(r AS HUGEINT) * (r - 1) // 2)"
+            " AS BIGINT) AS n1 FROM (SELECT CAST(sum(c) AS BIGINT) AS r"
+            " FROM m GROUP BY q)),"
+            " ct AS (SELECT CAST(sum(CAST(r AS HUGEINT) * (r - 1) // 2)"
+            " AS BIGINT) AS n2 FROM (SELECT CAST(sum(c) AS BIGINT) AS r"
+            " FROM m GROUP BY d)),"
+            " z AS (SELECT CAST(CAST(n AS HUGEINT) * (n - 1) // 2"
+            " AS BIGINT) AS n0 FROM t)"
+            " SELECT t.n AS n, cc.conc AS concordant, dd.disc AS"
+            " discordant, CAST(cc.conc - dd.disc AS DOUBLE)"
+            " / sqrt(CAST(z.n0 - rt.n1 AS DOUBLE)"
+            " * CAST(z.n0 - ct.n2 AS DOUBLE)) AS tau_b"
+            " FROM t, cc, dd, rt, ct, z"
+        ),
+        "welch_priority": (
+            "WITH g AS (SELECT o_orderpriority AS grp,"
+            " CAST(count(*) AS BIGINT) AS n,"
+            " CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)"
+            " AS s,"
+            " CAST(sum(CAST(round(o_totalprice) AS BIGINT)"
+            " * CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS s2"
+            " FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')"
+            " GROUP BY 1),"
+            " a AS (SELECT * FROM g WHERE grp = '1-URGENT'),"
+            " b AS (SELECT * FROM g WHERE grp = '5-LOW')"
+            " SELECT a.n AS n_urgent, b.n AS n_low,"
+            " CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) AS mean_urgent,"
+            " CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS mean_low,"
+            " (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)"
+            " - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))"
+            " / sqrt(((CAST(a.n AS DOUBLE) * CAST(a.s2 AS DOUBLE)"
+            " - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE))"
+            " / (CAST(a.n AS DOUBLE) * CAST(a.n - 1 AS DOUBLE)))"
+            " / CAST(a.n AS DOUBLE)"
+            " + ((CAST(b.n AS DOUBLE) * CAST(b.s2 AS DOUBLE)"
+            " - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE))"
+            " / (CAST(b.n AS DOUBLE) * CAST(b.n - 1 AS DOUBLE)))"
+            " / CAST(b.n AS DOUBLE)) AS t_welch"
+            " FROM a, b"
+        ),
+        "bowley_skew_by_flag": (
+            "WITH c AS (SELECT l_returnflag AS flag,"
+            " CAST(round(l_extendedprice * 100) AS BIGINT) AS cents"
+            " FROM lineitem),"
+            " d AS (SELECT flag, cents, count(*) AS k FROM c"
+            " GROUP BY 1, 2),"
+            " n AS (SELECT flag, CAST(sum(k) AS BIGINT) AS cnt"
+            " FROM d GROUP BY 1),"
+            " r AS (SELECT flag, cents, CAST(sum(k) OVER"
+            " (PARTITION BY flag ORDER BY cents) AS BIGINT) AS cum"
+            " FROM d),"
+            " q1 AS (SELECT r.flag, min(cents) AS v FROM r"
+            " JOIN n USING (flag)"
+            " WHERE cum >= CAST(ceil(0.25 * cnt) AS BIGINT) GROUP BY 1),"
+            " q2 AS (SELECT r.flag, min(cents) AS v FROM r"
+            " JOIN n USING (flag)"
+            " WHERE cum >= CAST(ceil(0.5 * cnt) AS BIGINT) GROUP BY 1),"
+            " q3 AS (SELECT r.flag, min(cents) AS v FROM r"
+            " JOIN n USING (flag)"
+            " WHERE cum >= CAST(ceil(0.75 * cnt) AS BIGINT) GROUP BY 1)"
+            " SELECT flag, q1.v AS q1, q2.v AS q2, q3.v AS q3,"
+            " CASE WHEN q3.v = q1.v THEN NULL"
+            " ELSE CAST(q1.v + q3.v - 2 * q2.v AS DOUBLE)"
+            " / CAST(q3.v - q1.v AS DOUBLE) END AS bowley"
+            " FROM q1 JOIN q2 USING (flag) JOIN q3 USING (flag)"
+        ),
+        "cluster_sample_orders": (
+            "SELECT o_orderkey, o_custkey,"
+            " CAST(round(o_totalprice * 100) AS BIGINT) AS cents"
+            " FROM orders"
+            " WHERE substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)"
+            f" < '{int(0.05 * 2**32):08x}'"
+        ),
+        "event_trigrams": (
+            "WITH s AS (SELECT user_id, event_type,"
+            " lead(event_type, 1) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id) AS n1,"
+            " lead(event_type, 2) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id) AS n2 FROM events)"
+            " SELECT event_type AS t1, n1 AS t2, n2 AS t3,"
+            " CAST(count(*) AS BIGINT) AS n_triples FROM s"
+            " WHERE n2 IS NOT NULL GROUP BY 1, 2, 3"
         ),
     }

@@ -384,3 +384,131 @@ class TestSpearmanExactPartials:
         hi_b, lo_b = split_i128(exact_prod_sum(a[10000:], b[10000:]))
         got = combine_i128(hi_a + hi_b, lo_a + lo_b)
         assert got == sum(int(x) * int(y) for x, y in zip(a, b))
+
+
+# ---------------------------------------------------------------------------
+# batch-6 statistics operators: kendall tau-b, Welch t, Bowley skew,
+# cluster sampling, event trigrams — crafted edge-case oracle parity
+# ---------------------------------------------------------------------------
+
+BATCH6 = ["kendall_tau", "welch_priority", "bowley_skew_by_flag",
+          "cluster_sample_orders", "event_trigrams"]
+
+
+def _b6_value_hash(df):
+    import hashlib
+
+    df = df[sorted(df.columns)]
+    rows = sorted(
+        tuple(repr(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    )
+    h = hashlib.md5()
+    for r in rows:
+        h.update("|".join(r).encode())
+    return h.hexdigest()
+
+
+@pytest.fixture(scope="module")
+def batch6_dir(tmp_path_factory):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp("s5_b6"))
+    DAYUS = 86_400_000_000
+    # orders: URGENT/LOW with >=2 rows each (Welch needs n-1 > 0),
+    # rounding .5 ties, plus custkeys 27/59 (inside the 5% md5 sample)
+    # and 1/2 (outside)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(8), pa.int64()),
+        "o_custkey": pa.array([27, 59, 1, 2, 27, 1, 2, 59], pa.int64()),
+        "o_totalprice": pa.array(
+            [100.5, 99.5, 200.0, 50.25, 75.0, 300.5, 10.0, 20.0],
+            pa.float64()),
+        "o_orderdate": pa.array([18000 * DAYUS] * 8, pa.timestamp("us")),
+        "o_orderpriority": pa.array(
+            ["1-URGENT", "5-LOW", "1-URGENT", "5-LOW",
+             "2-HIGH", "1-URGENT", "5-LOW", "3-MEDIUM"], pa.string()),
+    }), os.path.join(d, "orders.parquet"))
+    # lineitem: ties in BOTH kendall dims (duplicate cells), a
+    # tied-on-one-axis pair (neither conc nor disc), a flag group with
+    # zero quartile spread (bowley NULL branch) and one with spread
+    qty = [1.0, 1.0, 2.0, 2.0, 3.0, 1.0, 3.0, 2.0]
+    dsc = [0.00, 0.05, 0.05, 0.00, 0.10, 0.05, 0.00, 0.10]
+    price = [10.0, 10.0, 10.0, 10.0, 10.0, 20.0, 30.0, 40.5]
+    flag = ["A", "A", "A", "N", "N", "N", "N", "R"]
+    pq.write_table(pa.table({
+        "l_quantity": pa.array(qty, pa.float64()),
+        "l_discount": pa.array(dsc, pa.float64()),
+        "l_extendedprice": pa.array(price, pa.float64()),
+        "l_returnflag": pa.array(flag, pa.string()),
+    }), os.path.join(d, "lineitem.parquet"))
+    # events: ts ties (event_id tiebreak), a 2-event user (no triple),
+    # a 3-event user (exactly one triple), a 5-event user
+    base = 1_700_000_000_000_000
+    MIN = 60_000_000
+    ev = [
+        (0, base, 1, "view"), (1, base, 1, "click"),       # tie pair
+        (2, base + MIN, 1, "view"), (3, base + 2 * MIN, 1, "purchase"),
+        (4, base + 3 * MIN, 1, "view"),
+        (5, base, 2, "view"), (6, base + MIN, 2, "click"),
+        (7, base, 3, "view"), (8, base + MIN, 3, "view"),
+        (9, base + 2 * MIN, 3, "view"),
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in ev], pa.int64()),
+        "ts": pa.array([r[1] for r in ev], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in ev], pa.int64()),
+        "event_type": pa.array([r[3] for r in ev], pa.string()),
+        "value": pa.array([1.0] * len(ev), pa.float64()),
+    }), os.path.join(d, "events.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", BATCH6)
+def test_batch6_match_oracle(ray_session, batch6_dir, name):
+    import duckdb
+    import ray.data as rd
+
+    import __ray_entry__ as e
+
+    got = e.queries()[name](batch6_dir)
+    if isinstance(got, rd.Dataset):
+        got = got.to_pandas()
+    elif isinstance(got, pa.Table):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "events", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM"
+                f" '{batch6_dir}/{t}.parquet'")
+    exp = con.sql(e.oracle_sql()[name]).df()
+    assert len(got) == len(exp), (name, len(got), len(exp))
+    assert sorted(got.columns) == sorted(exp.columns), name
+    assert _b6_value_hash(got) == _b6_value_hash(exp), name
+
+
+def test_kendall_crafted_values(ray_session, batch6_dir):
+    """Hand-checkable tau pieces: the all-ties cell pair contributes
+    nothing; the bowley NULL branch fires for the constant-N... (see
+    fixture comments)."""
+    import __ray_entry__ as e
+
+    got = e.queries()["kendall_tau"](batch6_dir).to_pandas()
+    n = int(got["n"][0])
+    assert n == 8
+    c, d = int(got["concordant"][0]), int(got["discordant"][0])
+    n0 = n * (n - 1) // 2
+    assert 0 < c <= n0 and 0 < d <= n0 and c + d <= n0
+    assert -1.0 <= float(got["tau_b"][0]) <= 1.0
+
+
+def test_bowley_null_spread_group(ray_session, batch6_dir):
+    import __ray_entry__ as e
+
+    got = (e.queries()["bowley_skew_by_flag"](batch6_dir)
+           .to_pandas().set_index("flag"))
+    # flag A: cents all 1000 -> q3 == q1 -> NULL skew
+    assert got.loc["A", "q1"] == got.loc["A", "q3"] == 1000
+    assert np.isnan(got.loc["A", "bowley"])
+    assert not np.isnan(got.loc["N", "bowley"])
