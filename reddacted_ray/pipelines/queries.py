@@ -13504,6 +13504,447 @@ def q_event_trigrams(sf_dir: str) -> rd.Dataset:
     return grouped_sums(tri, ["t1", "t2", "t3"], ["n_triples"])
 
 
+def q_cramers_v(sf_dir: str) -> rd.Dataset:
+    """Cramér's V association between return flag and line status —
+    chi-square over the BOUNDED contingency (|flags| x |statuses|
+    cells), one cell-count exchange off the fact. The float chi2 terms
+    are summed SEQUENTIALLY in sorted (flag, status) order on the
+    driver, mirroring SQL ``list_sum(list(term ORDER BY ...))`` (the
+    zipf_slope parity trick), so the double is bit-identical."""
+    import math
+
+    from ..stages.agg import grouped_sums
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_returnflag", "l_linestatus"])
+    cells = (grouped_sums(li, ["l_returnflag", "l_linestatus"], [],
+                          count_alias="c")
+             .to_pandas().sort_values(["l_returnflag", "l_linestatus"]))
+    rt = cells.groupby("l_returnflag")["c"].sum().to_dict()
+    ct = cells.groupby("l_linestatus")["c"].sum().to_dict()
+    n = int(cells["c"].sum())
+    chi2 = 0.0
+    for _, row in cells.iterrows():
+        e = (float(int(rt[row["l_returnflag"]]))
+             * float(int(ct[row["l_linestatus"]])) / float(n))
+        diff = float(int(row["c"])) - e
+        chi2 += diff * diff / e
+    m = min(len(rt), len(ct))
+    v = math.sqrt(chi2 / (float(n) * float(m - 1)))
+    return rd.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "chi2": pa.array([chi2], pa.float64()),
+        "cramers_v": pa.array([v], pa.float64()),
+    }))
+
+
+def q_gk_lambda(sf_dir: str) -> rd.Dataset:
+    """Goodman-Kruskal lambda: how much knowing the customer's nation
+    improves predicting their market segment — ALL-INTEGER proportional
+    reduction in error ((sum of per-nation modal counts - global modal
+    count) over (n - global modal count)). One dimension-bounded cell
+    exchange; ties resolve identically on both sides because max() of
+    counts needs no label tiebreak."""
+    from ..stages.agg import grouped_sums
+
+    cust = sf_table(sf_dir, "customer",
+                    columns=["c_nationkey", "c_mktsegment"])
+    cells = grouped_sums(cust, ["c_nationkey", "c_mktsegment"], [],
+                         count_alias="c").to_pandas()
+    n = int(cells["c"].sum())
+    per_nation_max = int(cells.groupby("c_nationkey")["c"].max().sum())
+    global_max = int(cells.groupby("c_mktsegment")["c"].sum().max())
+    num = per_nation_max - global_max
+    den = n - global_max
+    return rd.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "num": pa.array([num], pa.int64()),
+        "den": pa.array([den], pa.int64()),
+        "lambda_e6": pa.array([num * 1_000_000 // den], pa.int64()),
+    }))
+
+
+def q_hourly_profile_cosine(sf_dir: str) -> rd.Dataset:
+    """Cosine similarity between the 24-hour activity profiles of view
+    and click events — the behavioral-fingerprint comparison. The fact
+    reduces to two 24-dim integer count vectors (one hour-bounded
+    exchange); dot products are exact integers, then ONE mirrored float
+    expression."""
+    import math
+
+    from ..stages.agg import grouped_sums
+
+    ev = sf_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array(["view", "click"]))
+        sel = t.filter(keep)
+        isa = pc.equal(sel["event_type"], "view").to_numpy(
+            zero_copy_only=False)
+        hour = pc.hour(sel["ts"])
+        return pa.table({
+            "hour": pc.cast(hour, pa.int64()),
+            "a": pa.array(isa.astype(np.int64)),
+            "b": pa.array((~isa).astype(np.int64)),
+        })
+
+    g = (grouped_sums(ev.map_batches(prep, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["hour"], ["a", "b"])
+         .to_pandas())
+    av = g["a"].to_numpy(dtype=np.int64)
+    bv = g["b"].to_numpy(dtype=np.int64)
+    dot = sum(int(x) * int(y) for x, y in zip(av, bv))
+    saa = sum(int(x) * int(x) for x in av)
+    sbb = sum(int(y) * int(y) for y in bv)
+    cos = float(dot) / (math.sqrt(float(saa)) * math.sqrt(float(sbb)))
+    return rd.from_arrow(pa.table({
+        "dot": pa.array([dot], pa.int64()),
+        "cosine": pa.array([cos], pa.float64()),
+    }))
+
+
+def q_lorenz_deciles(sf_dir: str) -> rd.Dataset:
+    """Lorenz curve of order values at decile resolution: the share
+    (e6) of total revenue held by the bottom 10%..100% of orders by
+    value — the inequality curve behind the Gini. The fact reduces to
+    per-block (value, count, sum) partials merged ON THE DRIVER (the
+    spearman pattern — a hash groupby on the ~all-distinct cents key is
+    the documented anti-pattern), bounded by the cents domain; decile
+    boundaries that split a tie group take the exact partial
+    (k - cum_below) * value, so everything stays integer."""
+    from ..stages.agg import grouped_sums  # noqa: F401  (pattern ref)
+
+    od = sf_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def vcounts(t: pa.Table) -> pa.Table:
+        v, k = np.unique(_money_int(t["o_totalprice"], 100.0)
+                         .to_numpy(), return_counts=True)
+        return pa.table({
+            "v": pa.array(v, pa.int64()),
+            "k": pa.array(k.astype(np.int64), pa.int64()),
+        })
+
+    parts = (od.map_batches(vcounts, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .to_pandas().groupby("v", sort=True)["k"].sum())
+    vals = parts.index.to_numpy(dtype=np.int64)
+    cnt = parts.to_numpy(dtype=np.int64)
+    cumk = np.cumsum(cnt)
+    # python-int cumulative value sums (v*k can pass int64 at scale)
+    cums = []
+    acc = 0
+    for v, k in zip(vals, cnt):
+        acc += int(v) * int(k)
+        cums.append(acc)
+    n, tot = int(cumk[-1]), acc
+    ds_, shares = [], []
+    for d in range(1, 11):
+        kq = n * d // 10
+        i = int(np.searchsorted(cumk, kq, "right"))  # first cumk > kq
+        below_k = int(cumk[i - 1]) if i > 0 else 0
+        below_s = cums[i - 1] if i > 0 else 0
+        part = (kq - below_k) * int(vals[i]) if i < len(vals) else 0
+        ds_.append(d)
+        shares.append((below_s + part) * 1_000_000 // tot)
+    return rd.from_arrow(pa.table({
+        "decile": pa.array(ds_, pa.int64()),
+        "share_e6": pa.array(shares, pa.int64()),
+    }))
+
+
+def q_l_diversity(sf_dir: str) -> rd.Dataset:
+    """l-diversity audit: for each (nation, segment) quasi-identifier
+    group, the number of DISTINCT order priorities among the group's
+    orders and whether it reaches l=3 — the privacy check k-anonymity
+    misses. The customer dimension attaches through the adaptive
+    broadcast helper (SF-proportional dim policy); per-block distinct
+    triples pre-shrink the cell exchange to the bounded
+    |nations| x |segments| x |priorities| domain."""
+    from ..stages.agg import grouped_sums
+    from ..stages.joins import attach_via_lookup
+
+    od = sf_table(sf_dir, "orders",
+                  columns=["o_custkey", "o_orderpriority"])
+    cust = sf_table(sf_dir, "customer",
+                    columns=["c_custkey", "c_nationkey", "c_mktsegment"])
+    j = attach_via_lookup(
+        od, "o_custkey", cust, "c_custkey",
+        {"c_nationkey": "nation", "c_mktsegment": "segment"})
+
+    def distinct_triples(t: pa.Table) -> pa.Table:
+        return t.select(["nation", "segment", "o_orderpriority"]) \
+            .group_by(["nation", "segment", "o_orderpriority"]) \
+            .aggregate([])
+
+    cells = (j.map_batches(distinct_triples, batch_format="pyarrow",
+                           zero_copy_batch=True)
+             .groupby(["nation", "segment", "o_orderpriority"])
+             .aggregate(Count(alias_name="_k")))
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "nation": t["nation"],
+            "segment": t["segment"],
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    g = grouped_sums(cells.map_batches(ones, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                     ["nation", "segment"], ["one"])
+
+    def flag(t: pa.Table) -> pa.Table:
+        lv = t["one"].to_numpy()
+        return pa.table({
+            "nation": t["nation"],
+            "segment": t["segment"],
+            "l_distinct": t["one"],
+            "diverse": pa.array((lv >= 3).astype(np.int64), pa.int64()),
+        })
+
+    return g.map_batches(flag, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def q_dup_invoices(sf_dir: str) -> rd.Dataset:
+    """Duplicate-invoice audit summary: how many (customer, exact
+    total) groups are billed more than once, how many order rows sit
+    in them, and the worst group size — the double-charge detector.
+    Per-block distinct pre-shrink, one composite-key count exchange,
+    then a 3-integer reduction. ALWAYS returns one row (a clean ledger
+    yields zeros) — a detail-row shape would return a zero-row dataset
+    on clean input, which Ray's to_pandas() strips the schema from
+    (the driver cols-compare quirk)."""
+    from ..stages.agg import grouped_sums
+
+    od = sf_table(sf_dir, "orders",
+                  columns=["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "cents": _money_int(t["o_totalprice"], 100.0),
+        })
+
+    g = grouped_sums(od.map_batches(prep, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                     ["o_custkey", "cents"], [], count_alias="k")
+
+    def summary(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy()
+        dup = k[k >= 2]
+        return pa.table({
+            "groups": pa.array([len(dup)], pa.int64()),
+            "rows": pa.array([int(dup.sum())], pa.int64()),
+            "mx": pa.array([int(dup.max()) if len(dup) else 0],
+                           pa.int64()),
+        })
+
+    parts = g.map_batches(summary, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    return rd.from_arrow(pa.table({
+        "n_dup_groups": pa.array(
+            [sum(r["groups"] for r in parts)], pa.int64()),
+        "n_dup_orders": pa.array(
+            [sum(r["rows"] for r in parts)], pa.int64()),
+        "max_group": pa.array(
+            [max((r["mx"] for r in parts), default=0)], pa.int64()),
+    }))
+
+
+def q_decile_ratio_by_type(sf_dir: str) -> rd.Dataset:
+    """Interdecile spread per event type: exact discrete P10/P90 and
+    the integer e6 ratio P90*1e6//P10 — the tail-spread SLO companion
+    to grouped_percentiles (same one bounded (type, cents) exchange +
+    driver rank walk; values are positive cents so floor division is
+    floor on both sides)."""
+    import math
+
+    from ..stages.agg import grouped_sums
+
+    ev = sf_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "cents": _money_int(t["value"], 100.0),
+        })
+
+    d = (grouped_sums(ev.map_batches(prep, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["event_type", "cents"], [], count_alias="k")
+         .to_pandas().sort_values(["event_type", "cents"]))
+    rows = []
+    for et, sub in d.groupby("event_type", sort=True):
+        cum = sub["k"].cumsum().to_numpy()
+        vals = sub["cents"].to_numpy()
+        n = int(cum[-1])
+        p10, p90 = (int(vals[np.searchsorted(
+            cum, int(math.ceil(q * n)), "left")])
+            for q in (0.1, 0.9))
+        # zero floor: NULL ratio (values are non-negative cents, so
+        # positive p10 keeps // floor == truncation on both sides)
+        ratio = p90 * 1_000_000 // p10 if p10 > 0 else None
+        rows.append((et, p10, p90, ratio))
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "p10": pa.array([r[1] for r in rows], pa.int64()),
+        "p90": pa.array([r[2] for r in rows], pa.int64()),
+        "ratio_e6": pa.array([r[3] for r in rows], pa.int64()),
+    }))
+
+
+def q_cohort_revenue_curve(sf_dir: str) -> rd.Dataset:
+    """Cohort LTV curve: revenue by signup cohort (first-order month)
+    x months-since-signup offset. Two exchanges, both shrinking: the
+    per-customer Min(first day) rollup, then the attach-back of the
+    cohort month via the adaptive broadcast helper (customer-count
+    bounded, distributed fallback past the cap) feeding a
+    cohort x offset cell exchange. Months are exact integer
+    (epoch-day // 30) buckets — no calendar library divergence."""
+    from ..stages.agg import grouped_sums
+    from ..stages.joins import attach_via_lookup
+
+    DAY_US = 86_400_000_000
+    od = sf_table(sf_dir, "orders",
+                  columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["o_orderdate"], pa.int64()),
+                        pa.scalar(DAY_US, pa.int64()))
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "day": day,
+            "cents": _money_int(t["o_totalprice"], 100.0),
+        })
+
+    o = od.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True).materialize()
+    first = o.groupby("o_custkey").aggregate(
+        Min("day", alias_name="first_day"))
+    j = attach_via_lookup(o, "o_custkey", first, "o_custkey",
+                          {"first_day": "first_day"})
+
+    def cells(t: pa.Table) -> pa.Table:
+        fd = t["first_day"].to_numpy()
+        dy = t["day"].to_numpy()
+        return pa.table({
+            "cohort_month": pa.array(fd // 30, pa.int64()),
+            "month_offset": pa.array(dy // 30 - fd // 30, pa.int64()),
+            "cents": t["cents"],
+        })
+
+    return grouped_sums(j.map_batches(cells, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                        ["cohort_month", "month_offset"], ["cents"],
+                        count_alias="n_orders")
+
+
+def q_contamination_by_source(sf_dir: str) -> rd.Dataset:
+    """Per-source eval-contamination rate: for each training source,
+    how many docs share an 8-token shingle with the benchmark set
+    (doc_id < 50) and the e6 share — the per-provider report behind
+    the decontamination gate. Same eval-bounded shingle broadcast as
+    q_decontaminate; the fact pass stays zero-shuffle and reduces to
+    a |sources|-bounded cell exchange."""
+    from ..stages.agg import grouped_sums
+
+    docs = sf_table(sf_dir, "documents",
+                    columns=["doc_id", "text", "source"])
+
+    def bench_shingles(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids < 50))
+        _, sh = _shingles_of(t)
+        return pa.table({"g": pc.unique(sh)})
+
+    bench = (docs.map_batches(bench_shingles, batch_format="pyarrow",
+                              zero_copy_batch=True)
+             .groupby("g").aggregate(Count(alias_name="__n")).take_all())
+    bref = ray.put(pa.array([r["g"] for r in bench], pa.string()))
+
+    def flags(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids >= 50))
+        d, sh = _shingles_of(t)
+        hit = pc.is_in(sh, value_set=ray.get(bref)).to_numpy(
+            zero_copy_only=False)
+        contam = np.zeros(t.num_rows, dtype=np.int64)
+        if len(d):
+            contam[np.unique(d[hit])] = 1
+        return pa.table({
+            "source": t["source"],
+            "contam": pa.array(contam),
+        })
+
+    g = grouped_sums(docs.map_batches(flags, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                     ["source"], ["contam"], count_alias="n_docs")
+
+    def rate(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": t["source"],
+            "n_contam": t["contam"],
+            "n_docs": t["n_docs"],
+            "contam_e6": pa.array(
+                t["contam"].to_numpy() * 1_000_000
+                // t["n_docs"].to_numpy(), pa.int64()),
+        })
+
+    return g.map_batches(rate, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def q_embedding_centroid(sf_dir: str) -> rd.Dataset:
+    """Per-label embedding centroids as EXACT integer e6 sums per
+    dimension (+ counts; the mean is the caller's division) — the
+    class-prototype reduction behind nearest-centroid classifiers and
+    k-means seeding. Vectors reshape zero-copy from the Arrow list
+    buffer; rounding to e6 ints makes the distributed sum
+    order-independent, so the SQL hash-matches (a float sum would
+    not). Exchange = |labels| x dims partial rows per block."""
+    from ..stages.agg import grouped_sums
+
+    emb = sf_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        dims = len(col[0]) if len(col) else 0
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        v = pc.cast(pc.round(
+            pc.multiply(pa.array(flat.astype(np.float64)), 1e6),
+            round_mode="half_towards_infinity"), pa.int64()).to_numpy()
+        m = v.reshape(-1, dims)
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        ulab, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(ulab), dims), dtype=np.int64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=len(ulab))
+        return pa.table({
+            "label": pa.array(np.repeat(ulab, dims).astype(np.int64)),
+            "dim": pa.array(np.tile(np.arange(1, dims + 1), len(ulab)),
+                            pa.int64()),
+            "s": pa.array(sums.reshape(-1), pa.int64()),
+            "c": pa.array(np.repeat(counts, dims).astype(np.int64)),
+        })
+
+    g = grouped_sums(emb.map_batches(partials, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                     ["label", "dim"], ["s", "c"])
+
+    def out(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "label": t["label"],
+            "dim": t["dim"],
+            "n": t["c"],
+            "sum_e6": t["s"],
+        })
+
+    return g.map_batches(out, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -13847,6 +14288,16 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "doclen_gini_by_lang": q_doclen_gini_by_lang,
         "kendall_tau": q_kendall_tau,
         "welch_priority": q_welch_priority,
+        "cramers_v": q_cramers_v,
+        "gk_lambda": q_gk_lambda,
+        "hourly_profile_cosine": q_hourly_profile_cosine,
+        "lorenz_deciles": q_lorenz_deciles,
+        "l_diversity": q_l_diversity,
+        "dup_invoices": q_dup_invoices,
+        "decile_ratio_by_type": q_decile_ratio_by_type,
+        "cohort_revenue_curve": q_cohort_revenue_curve,
+        "contamination_by_source": q_contamination_by_source,
+        "embedding_centroid": q_embedding_centroid,
         "bowley_skew_by_flag": q_bowley_skew_by_flag,
         "cluster_sample_orders": q_cluster_sample_orders,
         "event_trigrams": q_event_trigrams,
@@ -17276,5 +17727,163 @@ def oracle_sqls() -> dict[str, str]:
             " SELECT event_type AS t1, n1 AS t2, n2 AS t3,"
             " CAST(count(*) AS BIGINT) AS n_triples FROM s"
             " WHERE n2 IS NOT NULL GROUP BY 1, 2, 3"
+        ),
+        "cramers_v": (
+            "WITH m AS (SELECT l_returnflag AS f, l_linestatus AS s,"
+            " CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1, 2),"
+            " rt AS (SELECT f, CAST(sum(c) AS BIGINT) AS r FROM m"
+            " GROUP BY 1),"
+            " ct AS (SELECT s, CAST(sum(c) AS BIGINT) AS q FROM m"
+            " GROUP BY 1),"
+            " t AS (SELECT CAST(sum(c) AS BIGINT) AS n,"
+            " CAST(least(count(DISTINCT f), count(DISTINCT s))"
+            " AS BIGINT) AS mm FROM m),"
+            " x AS (SELECT m.f, m.s,"
+            " CAST(m.c AS DOUBLE) - CAST(rt.r AS DOUBLE)"
+            " * CAST(ct.q AS DOUBLE) / CAST(t.n AS DOUBLE) AS diff,"
+            " CAST(rt.r AS DOUBLE) * CAST(ct.q AS DOUBLE)"
+            " / CAST(t.n AS DOUBLE) AS e"
+            " FROM m JOIN rt USING (f) JOIN ct USING (s), t),"
+            " chi AS (SELECT list_sum(list(diff * diff / e"
+            " ORDER BY f, s)) AS chi2 FROM x)"
+            " SELECT t.n AS n, chi.chi2 AS chi2,"
+            " sqrt(chi.chi2 / (CAST(t.n AS DOUBLE)"
+            " * CAST(t.mm - 1 AS DOUBLE))) AS cramers_v FROM t, chi"
+        ),
+        "gk_lambda": (
+            "WITH m AS (SELECT c_nationkey AS nk, c_mktsegment AS seg,"
+            " CAST(count(*) AS BIGINT) AS c FROM customer GROUP BY 1, 2),"
+            " pn AS (SELECT CAST(sum(mx) AS BIGINT) AS pnm FROM"
+            " (SELECT nk, max(c) AS mx FROM m GROUP BY 1)),"
+            " gm AS (SELECT CAST(max(tot) AS BIGINT) AS gmax FROM"
+            " (SELECT seg, CAST(sum(c) AS BIGINT) AS tot FROM m"
+            " GROUP BY 1)),"
+            " t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM m)"
+            " SELECT t.n AS n, CAST(pn.pnm - gm.gmax AS BIGINT) AS num,"
+            " CAST(t.n - gm.gmax AS BIGINT) AS den,"
+            " CAST((pn.pnm - gm.gmax) * 1000000 // (t.n - gm.gmax)"
+            " AS BIGINT) AS lambda_e6 FROM t, pn, gm"
+        ),
+        "hourly_profile_cosine": (
+            "WITH h AS (SELECT CAST(hour(ts) AS BIGINT) AS hour,"
+            " CAST(count(*) FILTER (WHERE event_type = 'view')"
+            " AS BIGINT) AS a,"
+            " CAST(count(*) FILTER (WHERE event_type = 'click')"
+            " AS BIGINT) AS b FROM events"
+            " WHERE event_type IN ('view', 'click') GROUP BY 1),"
+            " s AS (SELECT CAST(sum(a * b) AS BIGINT) AS dot,"
+            " CAST(sum(a * a) AS BIGINT) AS saa,"
+            " CAST(sum(b * b) AS BIGINT) AS sbb FROM h)"
+            " SELECT dot, CAST(dot AS DOUBLE)"
+            " / (sqrt(CAST(saa AS DOUBLE)) * sqrt(CAST(sbb AS DOUBLE)))"
+            " AS cosine FROM s"
+        ),
+        "lorenz_deciles": (
+            "WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)"
+            " AS v FROM orders),"
+            " g AS (SELECT v, CAST(count(*) AS BIGINT) AS k FROM c"
+            " GROUP BY 1),"
+            " w AS (SELECT v, k, CAST(sum(k) OVER (ORDER BY v)"
+            " AS BIGINT) AS cumk,"
+            " sum(CAST(v AS HUGEINT) * k) OVER (ORDER BY v) AS cums"
+            " FROM g),"
+            " t AS (SELECT CAST(count(*) AS BIGINT) AS n,"
+            " sum(CAST(v AS HUGEINT)) AS tot FROM c),"
+            " dd AS (SELECT unnest(generate_series(1, 10)) AS d),"
+            " b AS (SELECT dd.d, CAST(t.n AS HUGEINT) * dd.d // 10"
+            " AS kq FROM dd, t),"
+            " p AS (SELECT b.d, b.kq,"
+            " coalesce((SELECT arg_max(w.cums, w.cumk) FROM w"
+            " WHERE w.cumk <= b.kq), 0) AS s_below,"
+            " coalesce((SELECT max(w.cumk) FROM w WHERE w.cumk <= b.kq),"
+            " 0) AS k_below,"
+            " (SELECT min(w.v) FROM w WHERE w.cumk > b.kq) AS nextv"
+            " FROM b)"
+            " SELECT CAST(p.d AS BIGINT) AS decile,"
+            " CAST((p.s_below + CAST(coalesce(p.nextv, 0) AS HUGEINT)"
+            " * (p.kq - p.k_below)) * 1000000 // t.tot AS BIGINT)"
+            " AS share_e6 FROM p, t"
+        ),
+        "l_diversity": (
+            "SELECT c.c_nationkey AS nation, c.c_mktsegment AS segment,"
+            " CAST(count(DISTINCT o.o_orderpriority) AS BIGINT)"
+            " AS l_distinct,"
+            " CAST(CASE WHEN count(DISTINCT o.o_orderpriority) >= 3"
+            " THEN 1 ELSE 0 END AS BIGINT) AS diverse"
+            " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+            " GROUP BY 1, 2"
+        ),
+        "dup_invoices": (
+            "WITH g AS (SELECT o_custkey,"
+            " CAST(round(o_totalprice * 100) AS BIGINT) AS cents,"
+            " CAST(count(*) AS BIGINT) AS k FROM orders GROUP BY 1, 2),"
+            " d AS (SELECT k FROM g WHERE k >= 2)"
+            " SELECT CAST(count(*) AS BIGINT) AS n_dup_groups,"
+            " CAST(coalesce(sum(k), 0) AS BIGINT) AS n_dup_orders,"
+            " CAST(coalesce(max(k), 0) AS BIGINT) AS max_group FROM d"
+        ),
+        "decile_ratio_by_type": (
+            "WITH c AS (SELECT event_type,"
+            " CAST(round(value * 100) AS BIGINT) AS cents FROM events),"
+            " d AS (SELECT event_type, cents, count(*) AS k FROM c"
+            " GROUP BY 1, 2),"
+            " n AS (SELECT event_type, CAST(sum(k) AS BIGINT) AS cnt"
+            " FROM d GROUP BY 1),"
+            " r AS (SELECT event_type, cents, CAST(sum(k) OVER"
+            " (PARTITION BY event_type ORDER BY cents) AS BIGINT)"
+            " AS cum FROM d),"
+            " q10 AS (SELECT r.event_type, min(cents) AS v FROM r"
+            " JOIN n USING (event_type)"
+            " WHERE cum >= CAST(ceil(0.1 * cnt) AS BIGINT) GROUP BY 1),"
+            " q90 AS (SELECT r.event_type, min(cents) AS v FROM r"
+            " JOIN n USING (event_type)"
+            " WHERE cum >= CAST(ceil(0.9 * cnt) AS BIGINT) GROUP BY 1)"
+            " SELECT event_type, q10.v AS p10, q90.v AS p90,"
+            " CASE WHEN q10.v = 0 THEN NULL"
+            " ELSE CAST(q90.v * 1000000 // q10.v AS BIGINT) END"
+            " AS ratio_e6"
+            " FROM q10 JOIN q90 USING (event_type)"
+        ),
+        "cohort_revenue_curve": (
+            "WITH o AS (SELECT o_custkey,"
+            " epoch_us(o_orderdate) // 86400000000 AS day,"
+            " CAST(round(o_totalprice * 100) AS BIGINT) AS cents"
+            " FROM orders),"
+            " f AS (SELECT o_custkey, CAST(min(day) AS BIGINT) AS fd"
+            " FROM o GROUP BY 1)"
+            " SELECT CAST(f.fd // 30 AS BIGINT) AS cohort_month,"
+            " CAST(o.day // 30 - f.fd // 30 AS BIGINT) AS month_offset,"
+            " CAST(sum(o.cents) AS BIGINT) AS cents,"
+            " CAST(count(*) AS BIGINT) AS n_orders"
+            " FROM o JOIN f USING (o_custkey) GROUP BY 1, 2"
+        ),
+        "contamination_by_source": (
+            "WITH s AS (SELECT doc_id, source, string_split(text, ' ')"
+            " AS ws FROM documents),"
+            " sh AS (SELECT doc_id, unnest(list_transform("
+            " generate_series(1, len(ws) - 7),"
+            " i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||"
+            " ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||"
+            " ws[i+6] || ' ' || ws[i+7])) AS g FROM s),"
+            " bench AS (SELECT DISTINCT g FROM sh WHERE doc_id < 50),"
+            " bad AS (SELECT DISTINCT doc_id FROM sh WHERE doc_id >= 50"
+            " AND g IN (SELECT g FROM bench)),"
+            " t AS (SELECT s.source, CASE WHEN bad.doc_id IS NULL"
+            " THEN 0 ELSE 1 END AS contam FROM s"
+            " LEFT JOIN bad USING (doc_id) WHERE s.doc_id >= 50)"
+            " SELECT source, CAST(sum(contam) AS BIGINT) AS n_contam,"
+            " CAST(count(*) AS BIGINT) AS n_docs,"
+            " CAST(sum(contam) * 1000000 // count(*) AS BIGINT)"
+            " AS contam_e6 FROM t GROUP BY 1"
+        ),
+        "embedding_centroid": (
+            "WITH z AS (SELECT label,"
+            " unnest(generate_series(1, len(embedding))) AS dim,"
+            " CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)"
+            " AS BIGINT) AS v FROM embeddings)"
+            " SELECT CAST(label AS BIGINT) AS label,"
+            " CAST(dim AS BIGINT) AS dim,"
+            " CAST(count(*) AS BIGINT) AS n,"
+            " CAST(sum(v) AS BIGINT) AS sum_e6 FROM z GROUP BY 1, 2"
         ),
     }

@@ -392,7 +392,10 @@ class TestSpearmanExactPartials:
 # ---------------------------------------------------------------------------
 
 BATCH6 = ["kendall_tau", "welch_priority", "bowley_skew_by_flag",
-          "cluster_sample_orders", "event_trigrams"]
+          "cluster_sample_orders", "event_trigrams",
+          "cramers_v", "gk_lambda", "hourly_profile_cosine",
+          "lorenz_deciles", "l_diversity", "dup_invoices",
+          "decile_ratio_by_type", "cohort_revenue_curve"]
 
 
 def _b6_value_hash(df):
@@ -424,7 +427,8 @@ def batch6_dir(tmp_path_factory):
         "o_orderkey": pa.array(range(8), pa.int64()),
         "o_custkey": pa.array([27, 59, 1, 2, 27, 1, 2, 59], pa.int64()),
         "o_totalprice": pa.array(
-            [100.5, 99.5, 200.0, 50.25, 75.0, 300.5, 10.0, 20.0],
+            # orders 3 + 6: same (custkey 2, 50.25) -> dup invoice pair
+            [100.5, 99.5, 200.0, 50.25, 75.0, 300.5, 50.25, 20.0],
             pa.float64()),
         "o_orderdate": pa.array([18000 * DAYUS] * 8, pa.timestamp("us")),
         "o_orderpriority": pa.array(
@@ -438,12 +442,24 @@ def batch6_dir(tmp_path_factory):
     dsc = [0.00, 0.05, 0.05, 0.00, 0.10, 0.05, 0.00, 0.10]
     price = [10.0, 10.0, 10.0, 10.0, 10.0, 20.0, 30.0, 40.5]
     flag = ["A", "A", "A", "N", "N", "N", "N", "R"]
+    status = ["O", "F", "O", "F", "O", "F", "O", "O"]
     pq.write_table(pa.table({
         "l_quantity": pa.array(qty, pa.float64()),
         "l_discount": pa.array(dsc, pa.float64()),
         "l_extendedprice": pa.array(price, pa.float64()),
         "l_returnflag": pa.array(flag, pa.string()),
+        "l_linestatus": pa.array(status, pa.string()),
     }), os.path.join(d, "lineitem.parquet"))
+    # customer: nations with modal-count ties (gk_lambda), a customer
+    # with no orders (l_diversity inner-attach drops it), quasi-groups
+    # below and above l = 3
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([27, 59, 1, 2, 99], pa.int64()),
+        "c_nationkey": pa.array([0, 0, 1, 1, 2], pa.int64()),
+        "c_mktsegment": pa.array(
+            ["BUILDING", "MACHINERY", "BUILDING", "BUILDING",
+             "MACHINERY"], pa.string()),
+    }), os.path.join(d, "customer.parquet"))
     # events: ts ties (event_id tiebreak), a 2-event user (no triple),
     # a 3-event user (exactly one triple), a 5-event user
     base = 1_700_000_000_000_000
@@ -455,6 +471,11 @@ def batch6_dir(tmp_path_factory):
         (5, base, 2, "view"), (6, base + MIN, 2, "click"),
         (7, base, 3, "view"), (8, base + MIN, 3, "view"),
         (9, base + 2 * MIN, 3, "view"),
+        # hour with only views (b = 0) and hour with only clicks
+        # (a = 0) — zero-coordinate cosine cells
+        (10, base + 120 * MIN, 1, "view"),
+        (11, base + 121 * MIN, 1, "view"),
+        (12, base + 180 * MIN, 2, "click"),
     ]
     pq.write_table(pa.table({
         "event_id": pa.array([r[0] for r in ev], pa.int64()),
@@ -479,7 +500,7 @@ def test_batch6_match_oracle(ray_session, batch6_dir, name):
     elif isinstance(got, pa.Table):
         got = got.to_pandas()
     con = duckdb.connect()
-    for t in ("orders", "events", "lineitem"):
+    for t in ("orders", "events", "lineitem", "customer"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM"
                 f" '{batch6_dir}/{t}.parquet'")
     exp = con.sql(e.oracle_sql()[name]).df()
