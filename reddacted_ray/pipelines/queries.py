@@ -13945,6 +13945,171 @@ def q_embedding_centroid(sf_dir: str) -> rd.Dataset:
                          zero_copy_batch=True)
 
 
+def q_prop_ztest_status(sf_dir: str) -> rd.Dataset:
+    """Two-proportion z-test: is the return rate different between open
+    (O) and finished (F) line statuses? Exact integer successes/trials
+    from one 2-cell exchange; the pooled-variance z replays the
+    identical IEEE tree as the SQL. The scale ceiling is count range —
+    exact at any N."""
+    import math
+
+    from ..stages.agg import grouped_sums
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_linestatus", "l_returnflag"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "st": t["l_linestatus"],
+            "ret": pc.cast(pc.equal(t["l_returnflag"],
+                                    pa.scalar("R")), pa.int64()),
+        })
+
+    g = (grouped_sums(li.map_batches(prep, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["st"], ["ret"], count_alias="n")
+         .to_pandas().set_index("st"))
+    n1, k1 = int(g.loc["O", "n"]), int(g.loc["O", "ret"])
+    n2, k2 = int(g.loc["F", "n"]), int(g.loc["F", "ret"])
+    p1 = float(k1) / float(n1)
+    p2 = float(k2) / float(n2)
+    p = float(k1 + k2) / float(n1 + n2)
+    z = (p1 - p2) / math.sqrt(
+        p * (1.0 - p) * (1.0 / float(n1) + 1.0 / float(n2)))
+    return rd.from_arrow(pa.table({
+        "n_open": pa.array([n1], pa.int64()),
+        "n_finished": pa.array([n2], pa.int64()),
+        "k_open": pa.array([k1], pa.int64()),
+        "k_finished": pa.array([k2], pa.int64()),
+        "z_score": pa.array([z], pa.float64()),
+    }))
+
+
+def q_length_hist_overlap(sf_dir: str) -> rd.Dataset:
+    """Histogram-intersection similarity between the doc-length
+    distributions of English and Chinese docs (100-char bins):
+    sum(min(a_bin, b_bin)) * 1e6 // min(|A|, |B|) — the all-integer
+    distribution-shift companion to ks_drift. One bin-bounded
+    exchange."""
+    from ..stages.agg import grouped_sums
+
+    docs = sf_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["lang"], value_set=pa.array(["en", "zh"]))
+        sel = t.filter(keep)
+        isa = pc.equal(sel["lang"], "en").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bin": pc.divide(sel["n_chars"], pa.scalar(100,
+                                                       pa.int64())),
+            "a": pa.array(isa.astype(np.int64)),
+            "b": pa.array((~isa).astype(np.int64)),
+        })
+
+    g = grouped_sums(docs.map_batches(prep, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                     ["bin"], ["a", "b"]).to_pandas()
+    av = g["a"].to_numpy(dtype=np.int64)
+    bv = g["b"].to_numpy(dtype=np.int64)
+    na, nb = int(av.sum()), int(bv.sum())
+    inter = int(np.minimum(av, bv).sum())
+    return rd.from_arrow(pa.table({
+        "n_en": pa.array([na], pa.int64()),
+        "n_zh": pa.array([nb], pa.int64()),
+        "overlap_e6": pa.array([inter * 1_000_000 // min(na, nb)],
+                               pa.int64()),
+    }))
+
+
+def q_vocab_size_by_source(sf_dir: str) -> rd.Dataset:
+    """Distinct-vocabulary size per source — the tokenizer-planning
+    census. Per-block distinct (source, token) pairs shrink the
+    exchange to the vocab x sources domain (the supplier_variety
+    dedup-then-count shape); the final per-source count is a second
+    bounded exchange."""
+    from ..stages.agg import grouped_sums
+
+    docs = sf_table(sf_dir, "documents", columns=["source", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()),
+                           "").combine_chunks()
+        toks = pc.split_pattern(txt, " ")
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pa.table({
+            "source": pc.take(t["source"],
+                              pa.array(np.repeat(np.arange(len(n)), n))),
+            "tok": pc.list_flatten(toks),
+        })
+        return flat.group_by(["source", "tok"]).aggregate([])
+
+    dedup = (docs.map_batches(pairs, batch_format="pyarrow",
+                              zero_copy_batch=True)
+             .groupby(["source", "tok"])
+             .aggregate(Count(alias_name="_k")))
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": t["source"],
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    g = grouped_sums(dedup.map_batches(ones, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                     ["source"], ["one"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": t["source"],
+            "vocab_size": t["one"],
+        })
+
+    return g.map_batches(rename, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def q_qty_price_monotonicity(sf_dir: str) -> rd.Dataset:
+    """Does mean price rise with quantity level? Counts of strictly-up
+    / down / flat steps between consecutive quantity levels, compared
+    by INTEGER cross-multiplication (s_i * n_{i-1} vs s_{i-1} * n_i —
+    no mean division anywhere, so no float and no HUGEINT-cast
+    divergence; the driver compares Python bigints over the <=|levels|
+    table)."""
+    from ..stages.agg import grouped_sums
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "q": _money_int(t["l_quantity"], 1.0),
+            "s": _money_int(t["l_extendedprice"], 100.0),
+        })
+
+    g = (grouped_sums(li.map_batches(prep, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["q"], ["s"], count_alias="n")
+         .to_pandas().sort_values("q"))
+    ns = [int(x) for x in g["n"]]
+    ss = [int(x) for x in g["s"]]
+    up = down = flat = 0
+    for i in range(1, len(ns)):
+        lhs = ss[i] * ns[i - 1]
+        rhs = ss[i - 1] * ns[i]
+        if lhs > rhs:
+            up += 1
+        elif lhs < rhs:
+            down += 1
+        else:
+            flat += 1
+    return rd.from_arrow(pa.table({
+        "n_levels": pa.array([len(ns)], pa.int64()),
+        "n_up": pa.array([up], pa.int64()),
+        "n_down": pa.array([down], pa.int64()),
+        "n_flat": pa.array([flat], pa.int64()),
+    }))
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -14298,6 +14463,10 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "cohort_revenue_curve": q_cohort_revenue_curve,
         "contamination_by_source": q_contamination_by_source,
         "embedding_centroid": q_embedding_centroid,
+        "prop_ztest_status": q_prop_ztest_status,
+        "length_hist_overlap": q_length_hist_overlap,
+        "vocab_size_by_source": q_vocab_size_by_source,
+        "qty_price_monotonicity": q_qty_price_monotonicity,
         "bowley_skew_by_flag": q_bowley_skew_by_flag,
         "cluster_sample_orders": q_cluster_sample_orders,
         "event_trigrams": q_event_trigrams,
@@ -17885,5 +18054,61 @@ def oracle_sqls() -> dict[str, str]:
             " CAST(dim AS BIGINT) AS dim,"
             " CAST(count(*) AS BIGINT) AS n,"
             " CAST(sum(v) AS BIGINT) AS sum_e6 FROM z GROUP BY 1, 2"
+        ),
+        "prop_ztest_status": (
+            "WITH g AS (SELECT l_linestatus AS st,"
+            " CAST(count(*) AS BIGINT) AS n,"
+            " CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS k FROM lineitem GROUP BY 1),"
+            " a AS (SELECT * FROM g WHERE st = 'O'),"
+            " b AS (SELECT * FROM g WHERE st = 'F')"
+            " SELECT a.n AS n_open, b.n AS n_finished,"
+            " a.k AS k_open, b.k AS k_finished,"
+            " (CAST(a.k AS DOUBLE) / CAST(a.n AS DOUBLE)"
+            " - CAST(b.k AS DOUBLE) / CAST(b.n AS DOUBLE))"
+            " / sqrt((CAST(a.k + b.k AS DOUBLE)"
+            " / CAST(a.n + b.n AS DOUBLE))"
+            " * (1.0 - CAST(a.k + b.k AS DOUBLE)"
+            " / CAST(a.n + b.n AS DOUBLE))"
+            " * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE)))"
+            " AS z_score FROM a, b"
+        ),
+        "length_hist_overlap": (
+            "WITH h AS (SELECT n_chars // 100 AS bin,"
+            " CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS a,"
+            " CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS b"
+            " FROM documents WHERE lang IN ('en', 'zh') GROUP BY 1),"
+            " s AS (SELECT CAST(sum(a) AS BIGINT) AS na,"
+            " CAST(sum(b) AS BIGINT) AS nb,"
+            " CAST(sum(least(a, b)) AS BIGINT) AS inter FROM h)"
+            " SELECT na AS n_en, nb AS n_zh,"
+            " CAST(inter * 1000000 // least(na, nb) AS BIGINT)"
+            " AS overlap_e6 FROM s"
+        ),
+        "vocab_size_by_source": (
+            "WITH w AS (SELECT source,"
+            " unnest(string_split(text, ' ')) AS tok FROM documents)"
+            " SELECT source, CAST(count(DISTINCT tok) AS BIGINT)"
+            " AS vocab_size FROM w GROUP BY 1"
+        ),
+        "qty_price_monotonicity": (
+            "WITH g AS (SELECT CAST(round(l_quantity) AS BIGINT) AS q,"
+            " CAST(count(*) AS BIGINT) AS n,"
+            " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+            " AS BIGINT) AS s FROM lineitem GROUP BY 1),"
+            " d AS (SELECT q, n, s,"
+            " lag(n) OVER (ORDER BY q) AS pn,"
+            " lag(s) OVER (ORDER BY q) AS ps FROM g),"
+            " c AS (SELECT CAST(s AS HUGEINT) * pn AS lhs,"
+            " CAST(ps AS HUGEINT) * n AS rhs FROM d"
+            " WHERE pn IS NOT NULL)"
+            " SELECT (SELECT CAST(count(*) AS BIGINT) FROM g)"
+            " AS n_levels,"
+            " CAST(coalesce(sum(CASE WHEN lhs > rhs THEN 1 ELSE 0 END),"
+            " 0) AS BIGINT) AS n_up,"
+            " CAST(coalesce(sum(CASE WHEN lhs < rhs THEN 1 ELSE 0 END),"
+            " 0) AS BIGINT) AS n_down,"
+            " CAST(coalesce(sum(CASE WHEN lhs = rhs THEN 1 ELSE 0 END),"
+            " 0) AS BIGINT) AS n_flat FROM c"
         ),
     }

@@ -395,7 +395,8 @@ BATCH6 = ["kendall_tau", "welch_priority", "bowley_skew_by_flag",
           "cluster_sample_orders", "event_trigrams",
           "cramers_v", "gk_lambda", "hourly_profile_cosine",
           "lorenz_deciles", "l_diversity", "dup_invoices",
-          "decile_ratio_by_type", "cohort_revenue_curve"]
+          "decile_ratio_by_type", "cohort_revenue_curve",
+          "prop_ztest_status", "qty_price_monotonicity"]
 
 
 def _b6_value_hash(df):
