@@ -372,6 +372,13 @@ def run_bench() -> dict:
         "spearman_qty_price",
         "scd2_intervals",
         "triangle_type_graph",
+        # round-5 additions (one per new op family)
+        "kendall_tau",
+        "lorenz_deciles",
+        "cohort_revenue_curve",
+        "contamination_by_source",
+        "embedding_centroid",
+        "vocab_size_by_source",
     ]:
         timed(name, Q.registry()[name])
 

