@@ -1495,12 +1495,15 @@ def q_corr_qty_price(sf_dir: str) -> rd.Dataset:
     )
 
     def finish(t: pa.Table) -> pa.Table:
-        n = pc.cast(t["n"], pa.float64())
-        sx = pc.cast(t["sx"], pa.float64())
-        sy = pc.cast(t["sy"], pa.float64())
-        sxy = pc.cast(t["sxy"], pa.float64())
-        sx2 = pc.cast(t["sx2"], pa.float64())
-        sy2 = pc.cast(t["sy2"], pa.float64())
+        # safe=False: sums past 2^53 round-to-nearest exactly like
+        # DuckDB's CAST(BIGINT AS DOUBLE).
+        f = pa.float64()
+        n = pc.cast(t["n"], f, safe=False)
+        sx = pc.cast(t["sx"], f, safe=False)
+        sy = pc.cast(t["sy"], f, safe=False)
+        sxy = pc.cast(t["sxy"], f, safe=False)
+        sx2 = pc.cast(t["sx2"], f, safe=False)
+        sy2 = pc.cast(t["sy2"], f, safe=False)
         cov_n = pc.subtract(pc.multiply(n, sxy), pc.multiply(sx, sy))
         vx_n = pc.subtract(pc.multiply(n, sx2), pc.multiply(sx, sx))
         vy_n = pc.subtract(pc.multiply(n, sy2), pc.multiply(sy, sy))
@@ -14265,6 +14268,225 @@ def q_peak_minute_rate(sf_dir: str) -> rd.Dataset:
     }))
 
 
+def q_corr_spend_acctbal(sf_dir: str) -> rd.Dataset:
+    """Pearson correlation between an order's total and the ordering
+    customer's account balance — the cross-table bivariate statistic.
+    The acctbal attaches through the adaptive broadcast helper
+    (SF-proportional dim policy, verified distributed fallback); exact
+    integer dollar partials then ONE mirrored float tree (the
+    corr_qty_price shape). Dollar units keep sum-of-squares in int64
+    past sf10."""
+    from ..stages.agg import grouped_sums
+    from ..stages.joins import attach_via_lookup
+
+    od = sf_table(sf_dir, "orders",
+                  columns=["o_custkey", "o_totalprice"])
+    cust = sf_table(sf_dir, "customer",
+                    columns=["c_custkey", "c_acctbal"])
+    j = attach_via_lookup(od, "o_custkey", cust, "c_custkey",
+                          {"c_acctbal": "acctbal"})
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = _money_int(t["o_totalprice"], 1.0)
+        y = _money_int(t["acctbal"], 1.0)
+        return pa.table({
+            "g": pa.array(np.zeros(t.num_rows, np.int64)),
+            "sx": x,
+            "sy": y,
+            "sxy": pc.multiply(x, y),
+            "sx2": pc.multiply(x, x),
+            "sy2": pc.multiply(y, y),
+        })
+
+    sums = grouped_sums(
+        j.map_batches(prep, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        ["g"], ["sx", "sy", "sxy", "sx2", "sy2"], count_alias="n")
+
+    def finish(t: pa.Table) -> pa.Table:
+        # safe=False: sums past 2^53 round-to-nearest exactly like
+        # DuckDB's CAST(BIGINT AS DOUBLE).
+        f = pa.float64()
+        n = pc.cast(t["n"], f, safe=False)
+        sx = pc.cast(t["sx"], f, safe=False)
+        sy = pc.cast(t["sy"], f, safe=False)
+        sxy = pc.cast(t["sxy"], f, safe=False)
+        sx2 = pc.cast(t["sx2"], f, safe=False)
+        sy2 = pc.cast(t["sy2"], f, safe=False)
+        cov_n = pc.subtract(pc.multiply(n, sxy), pc.multiply(sx, sy))
+        vx_n = pc.subtract(pc.multiply(n, sx2), pc.multiply(sx, sx))
+        vy_n = pc.subtract(pc.multiply(n, sy2), pc.multiply(sy, sy))
+        corr = pc.divide(cov_n,
+                         pc.multiply(pc.sqrt(vx_n), pc.sqrt(vy_n)))
+        return pa.table({"n": t["n"], "corr_sa": corr})
+
+    return sums.map_batches(finish, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def q_km_second_order(sf_dir: str) -> rd.Dataset:
+    """Kaplan-Meier life table for time-to-SECOND-order (days):
+    at each gap where a repeat purchase happens, the number of events
+    and the number still at risk — right-censoring single-order
+    customers at the observation horizon (global max order day minus
+    their first day). ALL INTEGER (the survival product is the
+    caller's fold, so no float ever forms). One cheap Max scan fixes
+    the horizon; ONE co-locating customer bucket shuffle emits bounded
+    (gap, event) count partials; the driver scans the day-domain-
+    bounded table once for the at-risk cumsum."""
+    from ..stages.agg import grouped_sums
+    from ..stages.windows import grouped_vectorized
+
+    DAY_US = 86_400_000_000
+    od = sf_table(sf_dir, "orders",
+                  columns=["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "day": pc.divide(pc.cast(t["o_orderdate"], pa.int64()),
+                             pa.scalar(DAY_US, pa.int64())),
+            "o_orderkey": t["o_orderkey"],
+        })
+
+    o = od.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True).materialize()
+    horizon = int(o.max("day"))
+
+    def bucket_obs(g):
+        import pandas as pd
+
+        g = g.sort_values(["o_custkey", "day", "o_orderkey"],
+                          kind="mergesort")
+        by = g.groupby("o_custkey", sort=False)
+        rn = by.cumcount().to_numpy()
+        first = g["day"].to_numpy()[rn == 0]
+        keys = g["o_custkey"].to_numpy()
+        second = pd.Series(g["day"].to_numpy()[rn == 1],
+                           index=keys[rn == 1])
+        firsts = pd.Series(first, index=keys[rn == 0])
+        t_obs = (second.reindex(firsts.index) - firsts)
+        ev = t_obs.notna().to_numpy()
+        t_final = np.where(ev, t_obs.to_numpy(),
+                           horizon - firsts.to_numpy()).astype(np.int64)
+        return (pd.DataFrame({
+            "t": t_final,
+            "ev": ev.astype(np.int64),
+        }).groupby(["t", "ev"], sort=False)
+            .size().rename("m").reset_index())
+
+    part = grouped_vectorized(o, "o_custkey", bucket_obs)
+    g = (grouped_sums(part, ["t", "ev"], ["m"])
+         .to_pandas().sort_values("t"))
+    tot = int(g["m"].sum())
+    # at-risk BEFORE t = tot - (observations ending strictly earlier)
+    ends = g.groupby("t", sort=True)["m"].sum()
+    cum_before = ends.cumsum().shift(1, fill_value=0)
+    evs = (g[g["ev"] == 1].set_index("t")["m"])
+    ts = sorted(evs.index)
+    return rd.from_arrow(pa.table({
+        "t_days": pa.array([int(t) for t in ts], pa.int64()),
+        "n_events": pa.array([int(evs.loc[t]) for t in ts], pa.int64()),
+        "n_risk": pa.array([tot - int(cum_before.loc[t]) for t in ts],
+                           pa.int64()),
+    }))
+
+
+def q_brand_top3_share(sf_dir: str) -> rd.Dataset:
+    """Revenue concentration per brand: the e6 share its top-3 parts
+    hold of brand revenue (count DESC, partkey ASC tiebreak). The fact
+    rolls up to the part grain first (one shrinking exchange), the
+    brand attaches adaptively, then a |brands|-bucket vectorized
+    kernel ranks in-bucket — never a global sort."""
+    from ..stages.agg import grouped_sums
+    from ..stages.joins import attach_via_lookup
+    from ..stages.windows import grouped_vectorized
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_extendedprice"])
+    part = sf_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "cents": _money_int(t["l_extendedprice"], 100.0),
+        })
+
+    pr = grouped_sums(li.map_batches(prep, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["l_partkey"], ["cents"])
+    j = attach_via_lookup(pr, "l_partkey", part, "p_partkey",
+                          {"p_brand": "brand"})
+
+    def per_brand(g):
+        import pandas as pd
+
+        g = g.sort_values(["brand", "cents", "l_partkey"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        by = g.groupby("brand", sort=False)["cents"]
+        top3 = by.apply(lambda s: int(s.head(3).sum()))
+        total = by.sum()
+        return pd.DataFrame({
+            "brand": top3.index,
+            "top3_cents": top3.to_numpy(dtype=np.int64),
+            "total_cents": total.to_numpy(dtype=np.int64),
+            "share_e6": (top3.to_numpy(dtype=object) * 1_000_000
+                         // total.to_numpy(dtype=object))
+            .astype(np.int64),
+        })
+
+    return grouped_vectorized(j, "brand", per_brand)
+
+
+def q_run_stats_by_type(sf_dir: str) -> rd.Dataset:
+    """Streakiness census: per event type, how many RUNS (maximal
+    same-type streaks inside a user's ordered stream) it forms and the
+    mean run length (e6) — the repetition profile behind session-replay
+    anomaly checks. One co-locating user shuffle marks run starts
+    vectorized (type != previous within user); the count exchange is
+    |types|-bounded."""
+    import pandas as pd
+
+    from ..stages.agg import grouped_sums
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["event_id", "user_id", "event_type", "ts"])
+
+    def runs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        et = g["event_type"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        new_run = new_user | np.concatenate(
+            ([True], et[1:] != et[:-1]))
+        return pd.DataFrame({
+            "event_type": et,
+            "starts": new_run.astype(np.int64),
+            "n_events": np.ones(len(g), dtype=np.int64),
+        }).groupby("event_type", sort=False).sum().reset_index()
+
+    part = grouped_vectorized(ev, "user_id", runs)
+    g = grouped_sums(part, ["event_type"], ["starts", "n_events"])
+
+    def rate(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_runs": t["starts"],
+            "n_events": t["n_events"],
+            "mean_len_e6": pa.array(
+                t["n_events"].to_numpy() * 1_000_000
+                // t["starts"].to_numpy(), pa.int64()),
+        })
+
+    return g.map_batches(rate, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -14626,6 +14848,10 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "avg_token_len_by_source": q_avg_token_len_by_source,
         "centroid_distances": q_centroid_distances,
         "peak_minute_rate": q_peak_minute_rate,
+        "corr_spend_acctbal": q_corr_spend_acctbal,
+        "km_second_order": q_km_second_order,
+        "brand_top3_share": q_brand_top3_share,
+        "run_stats_by_type": q_run_stats_by_type,
         "bowley_skew_by_flag": q_bowley_skew_by_flag,
         "cluster_sample_orders": q_cluster_sample_orders,
         "event_trigrams": q_event_trigrams,
@@ -18312,5 +18538,76 @@ def oracle_sqls() -> dict[str, str]:
             " ORDER BY n DESC, minute) AS rk FROM c)"
             " SELECT event_type, CAST(minute AS BIGINT) AS peak_minute,"
             " n AS n_peak FROM r WHERE rk = 1"
+        ),
+        "corr_spend_acctbal": (
+            "WITH j AS (SELECT CAST(round(o_totalprice) AS BIGINT) AS x,"
+            " CAST(round(c_acctbal) AS BIGINT) AS y"
+            " FROM orders o JOIN customer c"
+            " ON o.o_custkey = c.c_custkey),"
+            " s AS (SELECT CAST(sum(x) AS BIGINT) AS sx,"
+            " CAST(sum(y) AS BIGINT) AS sy,"
+            " CAST(sum(x * y) AS BIGINT) AS sxy,"
+            " CAST(sum(x * x) AS BIGINT) AS sx2,"
+            " CAST(sum(y * y) AS BIGINT) AS sy2,"
+            " count(*) AS n FROM j)"
+            " SELECT n,"
+            " (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)"
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_sa"
+            " FROM s"
+        ),
+        "km_second_order": (
+            "WITH o AS (SELECT o_custkey,"
+            " epoch_us(o_orderdate) // 86400000000 AS day, o_orderkey"
+            " FROM orders),"
+            " h AS (SELECT max(day) AS hh FROM o),"
+            " r AS (SELECT o_custkey, day, row_number() OVER"
+            " (PARTITION BY o_custkey ORDER BY day, o_orderkey) AS rn"
+            " FROM o),"
+            " c AS (SELECT r1.o_custkey, r1.day AS d1, r2.day AS d2"
+            " FROM (SELECT o_custkey, day FROM r WHERE rn = 1) r1"
+            " LEFT JOIN (SELECT o_custkey, day FROM r WHERE rn = 2) r2"
+            " USING (o_custkey)),"
+            " obs AS (SELECT CASE WHEN d2 IS NULL"
+            " THEN (SELECT hh FROM h) - d1 ELSE d2 - d1 END AS t,"
+            " CASE WHEN d2 IS NULL THEN 0 ELSE 1 END AS ev FROM c),"
+            " tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM obs),"
+            " g AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,"
+            " CAST(count(*) AS BIGINT) AS m FROM obs GROUP BY 1),"
+            " w AS (SELECT t, d, CAST((SELECT n FROM tot)"
+            " - coalesce(sum(m) OVER (ORDER BY t ROWS BETWEEN"
+            " UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"
+            " AS n_risk FROM g)"
+            " SELECT CAST(t AS BIGINT) AS t_days, d AS n_events,"
+            " n_risk FROM w WHERE d > 0"
+        ),
+        "brand_top3_share": (
+            "WITH pr AS (SELECT l_partkey,"
+            " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+            " AS BIGINT) AS cents FROM lineitem GROUP BY 1),"
+            " j AS (SELECT p.p_brand AS brand, pr.l_partkey, pr.cents"
+            " FROM pr JOIN part p ON pr.l_partkey = p.p_partkey),"
+            " r AS (SELECT *, row_number() OVER (PARTITION BY brand"
+            " ORDER BY cents DESC, l_partkey) AS rk FROM j)"
+            " SELECT brand,"
+            " CAST(sum(CASE WHEN rk <= 3 THEN cents ELSE 0 END)"
+            " AS BIGINT) AS top3_cents,"
+            " CAST(sum(cents) AS BIGINT) AS total_cents,"
+            " CAST(CAST(sum(CASE WHEN rk <= 3 THEN cents ELSE 0 END)"
+            " AS HUGEINT) * 1000000 // sum(cents) AS BIGINT)"
+            " AS share_e6 FROM r GROUP BY 1"
+        ),
+        "run_stats_by_type": (
+            "WITH s AS (SELECT event_type,"
+            " CASE WHEN lag(event_type) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id) IS DISTINCT FROM event_type"
+            " THEN 1 ELSE 0 END AS st FROM events)"
+            " SELECT event_type, CAST(sum(st) AS BIGINT) AS n_runs,"
+            " CAST(count(*) AS BIGINT) AS n_events,"
+            " CAST(count(*) * 1000000 // sum(st) AS BIGINT)"
+            " AS mean_len_e6 FROM s GROUP BY 1"
         ),
     }
