@@ -14487,6 +14487,494 @@ def q_run_stats_by_type(sf_dir: str) -> rd.Dataset:
                          zero_copy_batch=True)
 
 
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+             "MACHINERY"]
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+               "5-LOW"]
+
+
+def _anova_f(g, groups: list[str]) -> tuple[int, float, float, float]:
+    """One-way ANOVA (n, ssb, ssw, F) from a per-group integer-moment
+    frame indexed by group with columns n/s/s2. The between-group float
+    terms add LEFT-ASSOCIATIVELY in the fixed ``groups`` order — the
+    SQL mirrors the identical parenthesization with one scalar subquery
+    per group, so the tree is bit-reproducible (a DuckDB sum() over the
+    group rows would have unspecified order)."""
+    nn = int(g["n"].sum())
+    ss = int(g["s"].sum())
+    sq = int(g["s2"].sum())
+    bsum = 0.0
+    first = True
+    for grp in groups:
+        t = (float(int(g.loc[grp, "s"])) * float(int(g.loc[grp, "s"]))
+             / float(int(g.loc[grp, "n"])))
+        bsum = t if first else bsum + t
+        first = False
+    ssb = bsum - (float(ss) * float(ss) / float(nn))
+    ssw = float(sq) - bsum
+    k = len(groups)
+    f = (ssb / float(k - 1)) / (ssw / float(nn - k))
+    return nn, ssb, ssw, f
+
+
+def _anova_sql_tree(src: str, groups: list[str]) -> str:
+    """The matching SQL F expression over a CTE ``src(grp, n, s, s2)``:
+    explicit left-assoc scalar-subquery chain (see _anova_f)."""
+    terms = " + ".join(
+        f"(SELECT CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+        f" / CAST(n AS DOUBLE) FROM {src} WHERE grp = '{grp}')"
+        for grp in groups)
+    return (
+        f" tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,"
+        f" CAST(sum(s) AS BIGINT) AS ss,"
+        f" CAST(sum(s2) AS BIGINT) AS sq FROM {src}),"
+        f" b AS (SELECT {terms} AS bsum),"
+        f" fin AS (SELECT nn,"
+        f" bsum - (CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)"
+        f" / CAST(nn AS DOUBLE)) AS ssb,"
+        f" CAST(sq AS DOUBLE) - bsum AS ssw FROM tot, b)"
+        f" SELECT nn AS n, ssb, ssw,"
+        f" (ssb / CAST({len(groups) - 1} AS DOUBLE))"
+        f" / (ssw / CAST(nn - {len(groups)} AS DOUBLE)) AS f_stat"
+        f" FROM fin")
+
+
+def q_anova_f_segments(sf_dir: str) -> rd.Dataset:
+    """One-way ANOVA F across the five market segments on customer
+    account balance (whole dollars) — 'does segment explain balance?'.
+    One 5-key exchange of exact integer moments (n, sum, sum-sq; s2
+    fits BIGINT past sf1e6 at |usd| <= 1e4); the between/within float
+    tree adds group terms in fixed segment order, mirrored exactly by
+    the SQL's left-assoc scalar-subquery chain."""
+    from ..stages.agg import grouped_sums
+
+    cu = sf_table(sf_dir, "customer",
+                  columns=["c_mktsegment", "c_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        usd = _money_int(t["c_acctbal"], 1.0)
+        u = usd.to_numpy()
+        return pa.table({
+            "grp": t["c_mktsegment"],
+            "s": usd,
+            "s2": pa.array(u * u, pa.int64()),
+        })
+
+    g = grouped_sums(cu.map_batches(prep, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                     ["grp"], ["s", "s2"], count_alias="n").to_pandas()
+    nn, ssb, ssw, f = _anova_f(g.set_index("grp"), _SEGMENTS)
+    return rd.from_arrow(pa.table({
+        "n": pa.array([nn], pa.int64()),
+        "ssb": pa.array([ssb], pa.float64()),
+        "ssw": pa.array([ssw], pa.float64()),
+        "f_stat": pa.array([f], pa.float64()),
+    }))
+
+
+def q_levene_bf_priority(sf_dir: str) -> rd.Dataset:
+    """Brown-Forsythe homogeneity-of-variance test across order
+    priorities: ANOVA F over |usd - group median| spreads. The fact
+    pass is ONE (priority, dollar) count exchange bounded by the
+    ~600k-distinct price domain x 5 (the decile_price_stats shape — a
+    second fact pass would be wasted since the count table determines
+    every moment); exact discrete medians by ceil-rank, integer z
+    moments weighted by the counts, then the shared fixed-order ANOVA
+    float tree (_anova_f)."""
+    import math
+
+    from ..stages.agg import grouped_sums
+
+    od = sf_table(sf_dir, "orders",
+                  columns=["o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "grp": t["o_orderpriority"],
+            "usd": _money_int(t["o_totalprice"], 1.0),
+        })
+
+    d = (grouped_sums(od.map_batches(prep, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["grp", "usd"], [], count_alias="k")
+         .to_pandas().sort_values(["grp", "usd"]))
+    import pandas as pd
+    rows = {}
+    for grp, sub in d.groupby("grp", sort=True):
+        k = sub["k"].to_numpy()
+        v = sub["usd"].to_numpy()
+        cum = np.cumsum(k)
+        n = int(cum[-1])
+        med = int(v[np.searchsorted(cum, int(math.ceil(0.5 * n)),
+                                    "left")])
+        z = np.abs(v - med)
+        rows[grp] = {"n": n,
+                     "s": int(np.sum(k * z)),
+                     "s2": int(np.sum(k * z * z))}
+    g = pd.DataFrame(rows).T
+    nn, ssb, ssw, f = _anova_f(g, _PRIORITIES)
+    return rd.from_arrow(pa.table({
+        "n": pa.array([nn], pa.int64()),
+        "ssb": pa.array([ssb], pa.float64()),
+        "ssw": pa.array([ssw], pa.float64()),
+        "f_stat": pa.array([f], pa.float64()),
+    }))
+
+
+def q_cohens_d_returns(sf_dir: str) -> rd.Dataset:
+    """Cohen's d effect size between returned (R) and clean (N)
+    lineitems on extended price (whole dollars — dollar units keep the
+    sum-of-squares partials in BIGINT to ~sf10, documented): pooled-
+    variance standardized mean difference, the effect-size companion
+    to welch_priority's significance test. One 2-key integer-moment
+    exchange; a single mirrored float tree."""
+    import math
+
+    from ..stages.agg import grouped_sums
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_returnflag", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["l_returnflag"],
+                        value_set=pa.array(["R", "N"]))
+        sel = t.filter(keep)
+        usd = _money_int(sel["l_extendedprice"], 1.0)
+        u = usd.to_numpy()
+        return pa.table({
+            "grp": sel["l_returnflag"],
+            "s": usd,
+            "s2": pa.array(u * u, pa.int64()),
+        })
+
+    g = grouped_sums(li.map_batches(prep, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                     ["grp"], ["s", "s2"], count_alias="n").to_pandas()
+    g = g.set_index("grp")
+
+    def stats(key: str) -> tuple[int, float, float]:
+        n = int(g.loc[key, "n"])
+        s, s2 = int(g.loc[key, "s"]), int(g.loc[key, "s2"])
+        mean = float(s) / float(n)
+        ssd = float(s2) - float(s) * float(s) / float(n)
+        return n, mean, ssd
+
+    nr, mr, sr = stats("R")
+    nn_, mn_, sn_ = stats("N")
+    pooled = math.sqrt((sr + sn_) / float(nr + nn_ - 2))
+    d_val = (mr - mn_) / pooled
+    return rd.from_arrow(pa.table({
+        "n_returned": pa.array([nr], pa.int64()),
+        "n_clean": pa.array([nn_], pa.int64()),
+        "mean_returned": pa.array([mr], pa.float64()),
+        "mean_clean": pa.array([mn_], pa.float64()),
+        "cohens_d": pa.array([d_val], pa.float64()),
+    }))
+
+
+def _gram3_keys(txt) -> np.ndarray:
+    """int64 BIG-ENDIAN-packed key for every 3-byte sliding window of
+    each utf-8 string, straight off the Arrow buffers (the
+    _byte_gram_rows walk). Big-endian packing makes integer order equal
+    lexicographic byte order, so count-then-gram tiebreaks match the
+    SQL's ORDER BY gram on ASCII corpora."""
+    arr = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    lo = arr.offset
+    offs = np.frombuffer(bufs[1], odt, count=len(arr) + 1 + lo)[lo:]
+    offs = offs.astype(np.int64)
+    data = (np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None
+            else np.empty(0, np.uint8))
+    lens = np.diff(offs)
+    nwin = np.maximum(lens - 2, 0)
+    if int(nwin.sum()) == 0:
+        return np.empty(0, np.int64)
+    keepix = np.flatnonzero(nwin > 0)
+    nk = nwin[keepix]
+    starts = np.repeat(offs[:-1][keepix], nk) + _ranges(nk)
+    win = np.lib.stride_tricks.sliding_window_view(data, 3)[starts]
+    return (win.astype(np.int64)
+            @ np.array([65536, 256, 1], np.int64))
+
+
+def q_trigram_coverage(sf_dir: str) -> rd.Dataset:
+    """Head-heaviness of the character-trigram distribution: what
+    share (e6) of ALL trigram occurrences the top-10 / top-100 /
+    top-1000 grams cover — the Zipf-head census behind tokenizer-vocab
+    and compression-ratio sizing. Gram extraction is one zero-copy
+    sliding window per block (big-endian int64 keys so numeric ties
+    sort like SQL's gram strings); the exchange is the bounded distinct
+    trigram domain; the driver sorts only the count table."""
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["text"])
+
+    def grams(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        return pa.table({"gram": pa.array(_gram3_keys(txt), pa.int64())})
+
+    c = grouped_sums(docs.map_batches(grams, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                     ["gram"], [], count_alias="cnt").to_pandas()
+    c = c.sort_values(["cnt", "gram"], ascending=[False, True])
+    cnt = c["cnt"].to_numpy()
+    total = int(cnt.sum())
+    cum = np.cumsum(cnt)
+    ks, topk, cov = [], [], []
+    for k in (10, 100, 1000):
+        got = int(cum[min(k, len(cum)) - 1]) if len(cum) else 0
+        ks.append(k)
+        topk.append(got)
+        cov.append(got * 1_000_000 // total if total else 0)
+    return rd.from_arrow(pa.table({
+        "k": pa.array(ks, pa.int64()),
+        "topk_cnt": pa.array(topk, pa.int64()),
+        "total_cnt": pa.array([total] * 3, pa.int64()),
+        "coverage_e6": pa.array(cov, pa.int64()),
+    }))
+
+
+def q_sentence_len_stats(sf_dir: str) -> rd.Dataset:
+    """Per-language sentence-length profile: period-delimited segment
+    count and mean segment length (e6) — the readability/quality signal
+    cheap enough to run at corpus scale. All-integer: chars and period
+    counts come from two Arrow kernels per block (utf8_length,
+    count_substring) and reduce through one 5-key exchange; segments
+    per doc = periods + 1, so nothing tokenizes."""
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["lang", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        chars = pc.cast(pc.utf8_length(txt), pa.int64())
+        dots = pc.cast(pc.count_substring(txt, "."), pa.int64())
+        return pa.table({
+            "lang": t["lang"],
+            "periods": dots,
+            "chars_nodot": pc.subtract(chars, dots),
+        })
+
+    g = grouped_sums(docs.map_batches(prep, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                     ["lang"], ["periods", "chars_nodot"],
+                     count_alias="n_docs")
+
+    def finish(t: pa.Table) -> pa.Table:
+        segs = t["periods"].to_numpy() + t["n_docs"].to_numpy()
+        return pa.table({
+            "lang": t["lang"],
+            "n_docs": t["n_docs"],
+            "n_segments": pa.array(segs, pa.int64()),
+            "mean_seg_chars_e6": pa.array(
+                t["chars_nodot"].to_numpy() * 1_000_000 // segs,
+                pa.int64()),
+        })
+
+    return g.map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def _acf_sql(lags: tuple[int, ...]) -> str:
+    """UNION-ALL autocorrelation SQL over the shared daily-revenue CTE,
+    one leg per lag, mirroring q_acf_lags' integer partials."""
+    legs = []
+    for lag in lags:
+        legs.append(
+            f"(SELECT {lag} AS lag_, x,"
+            f" lag(x, {lag}) OVER (ORDER BY d) AS y FROM sx)")
+    body = " UNION ALL ".join(
+        f"SELECT CAST(lag_ AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,"
+        f" CAST(n * sxy - sx * sy AS DOUBLE)"
+        f" / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+        f" * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr FROM"
+        f" (SELECT lag_, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,"
+        f" CAST(sum(y) AS BIGINT) AS sy,"
+        f" CAST(sum(x * y) AS BIGINT) AS sxy,"
+        f" CAST(sum(x * x) AS BIGINT) AS sxx,"
+        f" CAST(sum(y * y) AS BIGINT) AS syy FROM {leg} p"
+        f" WHERE y IS NOT NULL GROUP BY 1) q"
+        for lag, leg in zip(lags, legs))
+    return (
+        "WITH day AS (SELECT o_orderdate AS d,"
+        " CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+        " AS BIGINT) // 100000 AS k FROM orders GROUP BY 1),"
+        " mn AS (SELECT min(k) AS m FROM day),"
+        " sx AS (SELECT k - (SELECT m FROM mn) AS x, d FROM day) "
+        + body)
+
+
+def q_acf_lags(sf_dir: str) -> rd.Dataset:
+    """Autocorrelation function of daily revenue at lags 1/2/3/7 — the
+    multi-lag extension of revenue_autocorr (persistence + weekly
+    seasonality in one pass). The fact pass is ONE day-bounded rollup
+    exchange shared by all lags; the driver pairs row-lagged positions
+    of the calendar-ordered series in $1000 units shifted by the
+    integer minimum (correlation is exactly shift-invariant), sums as
+    Python ints over the ~2.4k-day series, and emits one float per
+    lag."""
+    import math
+
+    from ..stages.agg import grouped_sums
+
+    o = sf_table(sf_dir, "orders",
+                 columns=["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "d": t["o_orderdate"],
+            "cents": _money_int(t["o_totalprice"], 100.0),
+        })
+
+    day = (grouped_sums(o.map_batches(prep, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                        ["d"], ["cents"])
+           .to_pandas().sort_values("d"))
+    k = (day["cents"].to_numpy(dtype=np.int64) // 100_000)
+    x = k - int(k.min())
+    lags, ns, acs = [], [], []
+    for lag in (1, 2, 3, 7):
+        xs = [int(v) for v in x[lag:]]
+        ys = [int(v) for v in x[:-lag]]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        syy = sum(b * b for b in ys)
+        ac = (float(n * sxy - sx * sy)
+              / (math.sqrt(float(n * sxx - sx * sx))
+                 * math.sqrt(float(n * syy - sy * sy))))
+        lags.append(lag)
+        ns.append(n)
+        acs.append(ac)
+    return rd.from_arrow(pa.table({
+        "lag": pa.array(lags, pa.int64()),
+        "n": pa.array(ns, pa.int64()),
+        "autocorr": pa.array(acs, pa.float64()),
+    }))
+
+
+def q_grubbs_total(sf_dir: str) -> rd.Dataset:
+    """Grubbs outlier statistic for the most expensive order:
+    G = (max - mean) / sample-sd over order totals in whole dollars
+    (dollar units keep the sum-of-squares partial in BIGINT to ~sf10,
+    documented at the welch_priority bound). One single-key exchange of
+    exact integer moments + max; one mirrored float tree."""
+    import math
+
+    from ..stages.agg import grouped_sums
+
+    od = sf_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        usd = _money_int(t["o_totalprice"], 1.0)
+        u = usd.to_numpy()
+        return pa.table({
+            "g": pa.array(np.zeros(t.num_rows, np.int64)),
+            "s": usd,
+            "s2": pa.array(u * u, pa.int64()),
+            "mx": usd,
+        })
+
+    g = grouped_sums(od.map_batches(prep, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                     ["g"], ["s", "s2"], count_alias="n",
+                     max_cols=["mx"]).to_pandas()
+    n = int(g.loc[0, "n"])
+    s, s2, mx = (int(g.loc[0, "s"]), int(g.loc[0, "s2"]),
+                 int(g.loc[0, "mx"]))
+    mean = float(s) / float(n)
+    var = ((float(n) * float(s2) - float(s) * float(s))
+           / (float(n) * float(n - 1)))
+    g_stat = (float(mx) - mean) / math.sqrt(var)
+    return rd.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "max_usd": pa.array([mx], pa.int64()),
+        "mean_usd": pa.array([mean], pa.float64()),
+        "g_stat": pa.array([g_stat], pa.float64()),
+    }))
+
+
+def q_hoover_index(sf_dir: str) -> rd.Dataset:
+    """Hoover (Robin Hood) index of order-value inequality — the share
+    of total spend that would have to move to equalize orders —
+    ENTIRELY in integers: hoover_e6 = sum_v k_v*|v*N - S| * 1e6 //
+    (2*N*S) over the bounded (dollar, count) domain, so no float forms
+    on either side (|v*N - S| needs HUGEINT in SQL and Python big ints
+    on the driver loop over the ~600k-value count table — exact at any
+    scale, the same bounded-domain driver pattern as
+    decile_price_stats)."""
+    from ..stages.agg import grouped_sums
+
+    od = sf_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"usd": _money_int(t["o_totalprice"], 1.0)})
+
+    d = (grouped_sums(od.map_batches(prep, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["usd"], [], count_alias="k")
+         .to_pandas())
+    vals = d["usd"].to_numpy()
+    ks = d["k"].to_numpy()
+    n = int(ks.sum())
+    s = int(np.sum(vals.astype(object) * ks.astype(object)))
+    t_abs = int(sum(int(kk) * abs(int(v) * n - s)
+                    for v, kk in zip(vals, ks)))
+    hoover_e6 = t_abs * 1_000_000 // (2 * n * s)
+    return rd.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "total_usd": pa.array([s], pa.int64()),
+        "hoover_e6": pa.array([hoover_e6], pa.int64()),
+    }))
+
+
+def q_cv_by_segment(sf_dir: str) -> rd.Dataset:
+    """Coefficient of variation of customer balance per market segment
+    (relative dispersion — which segment's balances spread widest for
+    their mean). Integer moments through one 5-key exchange; the
+    per-group float tree (mean, sample sd, cv) evaluates independently
+    per row, so no cross-group float-order hazard exists."""
+    from ..stages.agg import grouped_sums
+
+    cu = sf_table(sf_dir, "customer",
+                  columns=["c_mktsegment", "c_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        usd = _money_int(t["c_acctbal"], 1.0)
+        u = usd.to_numpy()
+        return pa.table({
+            "segment": t["c_mktsegment"],
+            "s": usd,
+            "s2": pa.array(u * u, pa.int64()),
+        })
+
+    g = grouped_sums(cu.map_batches(prep, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                     ["segment"], ["s", "s2"], count_alias="n")
+
+    def finish(t: pa.Table) -> pa.Table:
+        f = pa.float64()
+        n = pc.cast(t["n"], f, safe=False)
+        s = pc.cast(t["s"], f, safe=False)
+        s2 = pc.cast(t["s2"], f, safe=False)
+        mean = pc.divide(s, n)
+        var = pc.divide(
+            pc.subtract(pc.multiply(n, s2), pc.multiply(s, s)),
+            pc.multiply(n, pc.subtract(n, pa.scalar(1.0, f))))
+        cv = pc.divide(pc.sqrt(var), mean)
+        return pa.table({
+            "segment": t["segment"],
+            "n": t["n"],
+            "mean_usd": mean,
+            "cv": cv,
+        })
+
+    return g.map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -14852,6 +15340,15 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "km_second_order": q_km_second_order,
         "brand_top3_share": q_brand_top3_share,
         "run_stats_by_type": q_run_stats_by_type,
+        "anova_f_segments": q_anova_f_segments,
+        "levene_bf_priority": q_levene_bf_priority,
+        "cohens_d_returns": q_cohens_d_returns,
+        "trigram_coverage": q_trigram_coverage,
+        "sentence_len_stats": q_sentence_len_stats,
+        "acf_lags": q_acf_lags,
+        "grubbs_total": q_grubbs_total,
+        "hoover_index": q_hoover_index,
+        "cv_by_segment": q_cv_by_segment,
         "bowley_skew_by_flag": q_bowley_skew_by_flag,
         "cluster_sample_orders": q_cluster_sample_orders,
         "event_trigrams": q_event_trigrams,
@@ -18609,5 +19106,138 @@ def oracle_sqls() -> dict[str, str]:
             " CAST(count(*) AS BIGINT) AS n_events,"
             " CAST(count(*) * 1000000 // sum(st) AS BIGINT)"
             " AS mean_len_e6 FROM s GROUP BY 1"
+        ),
+        "anova_f_segments": (
+            "WITH g AS (SELECT c_mktsegment AS grp,"
+            " CAST(count(*) AS BIGINT) AS n,"
+            " CAST(sum(CAST(round(c_acctbal) AS BIGINT)) AS BIGINT)"
+            " AS s,"
+            " CAST(sum(CAST(round(c_acctbal) AS BIGINT)"
+            " * CAST(round(c_acctbal) AS BIGINT)) AS BIGINT) AS s2"
+            " FROM customer GROUP BY 1),"
+            + _anova_sql_tree("g", _SEGMENTS)
+        ),
+        "levene_bf_priority": (
+            "WITH c AS (SELECT o_orderpriority AS grp,"
+            " CAST(round(o_totalprice) AS BIGINT) AS usd FROM orders),"
+            " d AS (SELECT grp, usd, CAST(count(*) AS BIGINT) AS k"
+            " FROM c GROUP BY 1, 2),"
+            " nn0 AS (SELECT grp, CAST(sum(k) AS BIGINT) AS cnt"
+            " FROM d GROUP BY 1),"
+            " r AS (SELECT grp, usd, CAST(sum(k) OVER"
+            " (PARTITION BY grp ORDER BY usd) AS BIGINT) AS cum"
+            " FROM d),"
+            " med AS (SELECT r.grp, min(usd) AS med FROM r"
+            " JOIN nn0 USING (grp)"
+            " WHERE cum >= CAST(ceil(0.5 * cnt) AS BIGINT) GROUP BY 1),"
+            " g AS (SELECT d.grp, CAST(sum(k) AS BIGINT) AS n,"
+            " CAST(sum(k * abs(usd - med)) AS BIGINT) AS s,"
+            " CAST(sum(k * abs(usd - med) * abs(usd - med)) AS BIGINT)"
+            " AS s2 FROM d JOIN med USING (grp) GROUP BY 1),"
+            + _anova_sql_tree("g", _PRIORITIES)
+        ),
+        "cohens_d_returns": (
+            "WITH g AS (SELECT l_returnflag AS grp,"
+            " CAST(count(*) AS BIGINT) AS n,"
+            " CAST(sum(CAST(round(l_extendedprice) AS BIGINT))"
+            " AS BIGINT) AS s,"
+            " CAST(sum(CAST(round(l_extendedprice) AS BIGINT)"
+            " * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT)"
+            " AS s2 FROM lineitem WHERE l_returnflag IN ('R', 'N')"
+            " GROUP BY 1),"
+            " a AS (SELECT * FROM g WHERE grp = 'R'),"
+            " b AS (SELECT * FROM g WHERE grp = 'N')"
+            " SELECT a.n AS n_returned, b.n AS n_clean,"
+            " CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)"
+            " AS mean_returned,"
+            " CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS mean_clean,"
+            " (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)"
+            " - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))"
+            " / sqrt(((CAST(a.s2 AS DOUBLE) - CAST(a.s AS DOUBLE)"
+            " * CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE))"
+            " + (CAST(b.s2 AS DOUBLE) - CAST(b.s AS DOUBLE)"
+            " * CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)))"
+            " / CAST(a.n + b.n - 2 AS DOUBLE)) AS cohens_d"
+            " FROM a, b"
+        ),
+        "trigram_coverage": (
+            "WITH d AS (SELECT text FROM documents"
+            " WHERE length(text) >= 3),"
+            " g AS (SELECT unnest(list_transform("
+            "generate_series(1, length(text) - 2),"
+            " i -> substr(text, i, 3))) AS gram FROM d),"
+            " c AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt"
+            " FROM g GROUP BY 1),"
+            " t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),"
+            " r AS (SELECT cnt, row_number() OVER"
+            " (ORDER BY cnt DESC, gram) AS rk FROM c),"
+            " ks AS (SELECT unnest([10, 100, 1000]) AS k)"
+            " SELECT CAST(ks.k AS BIGINT) AS k,"
+            " CAST(sum(CASE WHEN r.rk <= ks.k THEN r.cnt ELSE 0 END)"
+            " AS BIGINT) AS topk_cnt,"
+            " (SELECT total FROM t) AS total_cnt,"
+            " CAST(CAST(sum(CASE WHEN r.rk <= ks.k THEN r.cnt"
+            " ELSE 0 END) AS HUGEINT) * 1000000"
+            " // (SELECT total FROM t) AS BIGINT) AS coverage_e6"
+            " FROM ks, r GROUP BY ks.k"
+        ),
+        "sentence_len_stats": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,"
+            " CAST(sum(length(text) - length(replace(text, '.', '')))"
+            " + count(*) AS BIGINT) AS n_segments,"
+            " CAST(CAST(sum(length(replace(text, '.', ''))) AS HUGEINT)"
+            " * 1000000 // (sum(length(text)"
+            " - length(replace(text, '.', ''))) + count(*)) AS BIGINT)"
+            " AS mean_seg_chars_e6 FROM documents GROUP BY 1"
+        ),
+        "acf_lags": _acf_sql((1, 2, 3, 7)),
+        "grubbs_total": (
+            "WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n,"
+            " CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)"
+            " AS s,"
+            " CAST(sum(CAST(round(o_totalprice) AS BIGINT)"
+            " * CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS s2,"
+            " CAST(max(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)"
+            " AS mx FROM orders)"
+            " SELECT n, mx AS max_usd,"
+            " CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_usd,"
+            " (CAST(mx AS DOUBLE)"
+            " - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+            " / sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)"
+            " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"
+            " AS g_stat FROM s"
+        ),
+        "hoover_index": (
+            "WITH c AS (SELECT CAST(round(o_totalprice) AS BIGINT)"
+            " AS usd FROM orders),"
+            " d AS (SELECT usd AS v, CAST(count(*) AS BIGINT) AS k"
+            " FROM c GROUP BY 1),"
+            " t AS (SELECT CAST(sum(v * k) AS BIGINT) AS s,"
+            " CAST(sum(k) AS BIGINT) AS n FROM d),"
+            " a AS (SELECT sum(CAST(k AS HUGEINT)"
+            " * abs(CAST(v AS HUGEINT) * (SELECT n FROM t)"
+            " - (SELECT s FROM t))) AS tabs FROM d)"
+            " SELECT (SELECT n FROM t) AS n,"
+            " (SELECT s FROM t) AS total_usd,"
+            " CAST(tabs * 1000000 // (2 * CAST((SELECT n FROM t)"
+            " AS HUGEINT) * (SELECT s FROM t)) AS BIGINT)"
+            " AS hoover_e6 FROM a"
+        ),
+        "cv_by_segment": (
+            "WITH g AS (SELECT c_mktsegment AS segment,"
+            " CAST(count(*) AS BIGINT) AS n,"
+            " CAST(sum(CAST(round(c_acctbal) AS BIGINT)) AS BIGINT)"
+            " AS s,"
+            " CAST(sum(CAST(round(c_acctbal) AS BIGINT)"
+            " * CAST(round(c_acctbal) AS BIGINT)) AS BIGINT) AS s2"
+            " FROM customer GROUP BY 1)"
+            " SELECT segment, n,"
+            " CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_usd,"
+            " sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)"
+            " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))"
+            " / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS cv"
+            " FROM g"
         ),
     }

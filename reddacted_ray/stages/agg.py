@@ -15,7 +15,7 @@ from typing import Sequence
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Max, Sum
 
 
 def grouped_sums(
@@ -23,14 +23,18 @@ def grouped_sums(
     keys: Sequence[str],
     sum_cols: Sequence[str],
     count_alias: str | None = None,
+    max_cols: Sequence[str] = (),
 ) -> rd.Dataset:
     """groupby(keys) computing Sum for each of ``sum_cols`` (same output
-    names) and optionally a row count, with map-side partial aggregation."""
+    names), optionally a row count and per-group Max columns, with
+    map-side partial aggregation (max re-aggregates exactly like sum)."""
     keys = list(keys)
     sum_cols = list(sum_cols)
+    max_cols = list(max_cols)
 
     def partial(t: pa.Table) -> pa.Table:
         aggs = [(c, "sum") for c in sum_cols]
+        aggs += [(c, "max") for c in max_cols]
         if count_alias:
             t = t.append_column(
                 "__ones", pa.array(np.ones(t.num_rows, dtype=np.int64))
@@ -38,12 +42,14 @@ def grouped_sums(
             aggs.append(("__ones", "sum"))
         g = t.group_by(keys).aggregate(aggs)
         renames = {f"{c}_sum": c for c in sum_cols}
+        renames.update({f"{c}_max": c for c in max_cols})
         if count_alias:
             renames["__ones_sum"] = count_alias
         return g.rename_columns([renames.get(n, n) for n in g.schema.names])
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     final_aggs = [Sum(c, alias_name=c) for c in sum_cols]
+    final_aggs += [Max(c, alias_name=c) for c in max_cols]
     if count_alias:
         final_aggs.append(Sum(count_alias, alias_name=count_alias))
     return partials.groupby(keys).aggregate(*final_aggs)

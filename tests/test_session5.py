@@ -534,3 +534,69 @@ def test_bowley_null_spread_group(ray_session, batch6_dir):
     assert got.loc["A", "q1"] == got.loc["A", "q3"] == 1000
     assert np.isnan(got.loc["A", "bowley"])
     assert not np.isnan(got.loc["N", "bowley"])
+
+
+class TestSession3Kernels:
+    def test_grouped_sums_max_cols(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from reddacted_ray.stages.agg import grouped_sums
+
+        rng = np.random.RandomState(3)
+        df = pd.DataFrame({
+            "g": rng.randint(0, 7, 5000),
+            "v": rng.randint(-1000, 1000, 5000).astype(np.int64),
+        })
+        got = grouped_sums(
+            rd.from_pandas(df.assign(v2=df["v"])),
+            ["g"], ["v"], count_alias="n", max_cols=["v2"])
+        got = got.to_pandas().set_index("g").sort_index()
+        exp = (df.assign(v2=df["v"]).groupby("g")
+               .agg(v=("v", "sum"), v2=("v2", "max"), n=("v", "size")))
+        for g in exp.index:
+            assert int(got.loc[g, "v"]) == int(exp.loc[g, "v"])
+            assert int(got.loc[g, "v2"]) == int(exp.loc[g, "v2"])
+            assert int(got.loc[g, "n"]) == int(exp.loc[g, "n"])
+
+    def test_gram3_keys_reference_and_order(self):
+        import pyarrow as pa
+
+        from reddacted_ray.pipelines.queries import _gram3_keys
+
+        texts = ["hello world", "ab", "", "abcabc", "zzz", None]
+        arr = pa.array([t if t is not None else "" for t in texts],
+                       pa.string())
+        keys = _gram3_keys(arr)
+        ref = []
+        for t in texts:
+            t = t or ""
+            b = t.encode("utf-8")
+            for i in range(max(len(b) - 2, 0)):
+                w = b[i:i + 3]
+                ref.append((w[0] << 16) | (w[1] << 8) | w[2])
+        assert list(keys) == ref
+        # big-endian packing: integer order == lexicographic byte order
+        grams = sorted({t[i:i + 3] for t in texts if t
+                        for i in range(len(t) - 2)})
+        packed = [(ord(g[0]) << 16) | (ord(g[1]) << 8) | ord(g[2])
+                  for g in grams]
+        assert packed == sorted(packed)
+
+    def test_anova_f_fixed_order_tree(self):
+        import pandas as pd
+
+        from reddacted_ray.pipelines.queries import _anova_f
+
+        g = pd.DataFrame(
+            {"n": [3, 4, 5], "s": [30, 20, 100], "s2": [400, 150, 2200]},
+            index=["a", "b", "c"])
+        nn, ssb, ssw, f = _anova_f(g, ["a", "b", "c"])
+        assert nn == 12
+        # mirror by hand with explicit left-assoc order
+        t = (30.0 * 30.0 / 3.0 + 20.0 * 20.0 / 4.0)
+        t = t + 100.0 * 100.0 / 5.0
+        exp_ssb = t - (150.0 * 150.0 / 12.0)
+        exp_ssw = 2750.0 - t
+        assert ssb == exp_ssb and ssw == exp_ssw
+        assert f == (exp_ssb / 2.0) / (exp_ssw / 9.0)
