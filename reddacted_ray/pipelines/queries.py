@@ -14975,6 +14975,216 @@ def q_cv_by_segment(sf_dir: str) -> rd.Dataset:
                          zero_copy_batch=True)
 
 
+def q_degree_assortativity(sf_dir: str) -> rd.Dataset:
+    """Degree assortativity of the supplier-part bipartite graph (an
+    edge per distinct (suppkey, partkey) ever shipped together) — do
+    high-fanout suppliers stock high-fanout parts? Pearson over BOTH
+    orientations of every edge's endpoint degrees, computed with NO
+    sqrt and NO float sum: symmetry makes sxx == syy, so r reduces to
+    ONE integer ratio (2m*2P - (Sa+Sb)^2) / (2m*(X+Y) - (Sa+Sb)^2).
+    Degrees enter MEAN-CENTERED by integer floor-means (Pearson is
+    exactly shift-invariant; |residual sums| <= m, keeping every
+    partial in BIGINT to ~sf100 — the spearman centering trick).
+    Plan: block-pre-deduped pair exchange -> materialized edge list
+    reused three ways; degree tables are groupby counts; floor-means
+    come from dim-bounded single-key sums (sum deg^2 over a side ==
+    sum deg over edges); degree attach is the adaptive broadcast
+    helper; per-block products travel as exact hi/lo int64 pairs
+    (functions/exactmath)."""
+    from ..functions.exactmath import combine_i128, exact_prod_sum, split_i128
+    from ..stages.agg import grouped_sums
+    from ..stages.joins import attach_via_lookup
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_suppkey", "l_partkey"])
+
+    def prededup(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_suppkey", "l_partkey"]).aggregate([])
+
+    e = grouped_sums(li.map_batches(prededup, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                     ["l_suppkey", "l_partkey"], [],
+                     count_alias="_n").materialize()
+    ds_t = grouped_sums(e, ["l_suppkey"], [],
+                        count_alias="d").materialize()
+    dp_t = grouped_sums(e, ["l_partkey"], [],
+                        count_alias="d").materialize()
+
+    def side_sums(t: pa.Table) -> pa.Table:
+        d = t["d"].to_numpy()
+        return pa.table({
+            "m": pa.array([int(d.sum())], pa.int64()),
+            "dsq": pa.array([exact_prod_sum(d, d)], pa.int64()),
+        })
+
+    def tot(tbl: rd.Dataset) -> tuple[int, int]:
+        p = tbl.map_batches(side_sums, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+        return (sum(r["m"] for r in p), sum(r["dsq"] for r in p))
+
+    m, a_sq = tot(ds_t)
+    _, b_sq = tot(dp_t)
+    cx, cy = a_sq // m, b_sq // m
+
+    j = attach_via_lookup(
+        attach_via_lookup(e, "l_suppkey", ds_t, "l_suppkey",
+                          {"d": "dx"}),
+        "l_partkey", dp_t, "l_partkey", {"d": "dy"})
+
+    def partials(t: pa.Table) -> pa.Table:
+        a = t["dx"].to_numpy() - cx
+        b = t["dy"].to_numpy() - cy
+        cols = {"sa": pa.array([int(a.sum())], pa.int64()),
+                "sb": pa.array([int(b.sum())], pa.int64())}
+        for name, x, y in (("pxy", a, b), ("xx", a, a), ("yy", b, b)):
+            hi, lo = split_i128(exact_prod_sum(x, y))
+            cols[name + "_hi"] = pa.array([hi], pa.int64())
+            cols[name + "_lo"] = pa.array([lo], pa.int64())
+        return pa.table(cols)
+
+    rows = j.map_batches(partials, batch_format="pyarrow",
+                         zero_copy_batch=True).take_all()
+    sa = sum(r["sa"] for r in rows)
+    sb = sum(r["sb"] for r in rows)
+    pxy = combine_i128(sum(r["pxy_hi"] for r in rows),
+                       sum(r["pxy_lo"] for r in rows))
+    xx = combine_i128(sum(r["xx_hi"] for r in rows),
+                      sum(r["xx_lo"] for r in rows))
+    yy = combine_i128(sum(r["yy_hi"] for r in rows),
+                      sum(r["yy_lo"] for r in rows))
+    r_num = 2 * m * 2 * pxy - (sa + sb) * (sa + sb)
+    r_den = 2 * m * (xx + yy) - (sa + sb) * (sa + sb)
+    r = None if r_den == 0 else float(r_num) / float(r_den)
+    return rd.from_arrow(pa.table({
+        "n_edges": pa.array([m], pa.int64()),
+        "assortativity": pa.array([r], pa.float64()),
+    }))
+
+
+_LCM50 = 3099044504245996706400  # math.lcm(1..50); checked in tests
+
+
+def q_harmonic_mean_qty(sf_dir: str) -> rd.Dataset:
+    """EXACT harmonic mean of lineitem quantity (e6) — no float ever
+    forms: with quantities q in 1..50, hm = n / sum(1/q) rescales to
+    the all-integer n * L * 1e6 // sum(k_q * (L // q)) where
+    L = lcm(1..50) (so L // q is exact for every q). The fact pass is
+    ONE 50-key count exchange; the driver loop runs over 50 Python big
+    ints; the SQL mirrors with HUGEINT arithmetic (the ~3.1e21 L
+    literal auto-promotes)."""
+    from ..stages.agg import grouped_sums
+
+    li = sf_table(sf_dir, "lineitem", columns=["l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"q": _money_int(t["l_quantity"], 1.0)})
+
+    d = (grouped_sums(li.map_batches(prep, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["q"], [], count_alias="k").to_pandas())
+    n = int(d["k"].sum())
+    s = sum(int(k) * (_LCM50 // int(q))
+            for q, k in zip(d["q"], d["k"]))
+    hm_e6 = n * _LCM50 * 1_000_000 // s
+    return rd.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "hm_e6": pa.array([hm_e6], pa.int64()),
+    }))
+
+
+def q_top_customer_per_nation(sf_dir: str) -> rd.Dataset:
+    """Biggest spender per nation (ties to the lowest custkey). The
+    order rollup shrinks the fact table to customer grain once; nation
+    attaches through the adaptive broadcast helper; then each block
+    emits at most 25 partial winners (per-block argmax — the global
+    winner necessarily survives its block cut), so the final reduce
+    reads 25 x blocks rows, never a global sort."""
+    import pandas as pd
+
+    from ..stages.agg import grouped_sums
+    from ..stages.joins import attach_via_lookup
+
+    od = sf_table(sf_dir, "orders",
+                  columns=["o_custkey", "o_totalprice"])
+    cust = sf_table(sf_dir, "customer",
+                    columns=["c_custkey", "c_nationkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "custkey": t["o_custkey"],
+            "cents": _money_int(t["o_totalprice"], 100.0),
+        })
+
+    pc_ = grouped_sums(od.map_batches(prep, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                       ["custkey"], ["cents"])
+    j = attach_via_lookup(pc_, "custkey", cust, "c_custkey",
+                          {"c_nationkey": "nation"})
+
+    def block_winners(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["nation", "cents", "custkey"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        w = df.groupby("nation", sort=False).head(1)
+        return pa.table({
+            "nation": pa.array(w["nation"].to_numpy().astype(np.int64),
+                               pa.int64()),
+            "custkey": pa.array(w["custkey"].to_numpy(), pa.int64()),
+            "cents": pa.array(w["cents"].to_numpy(), pa.int64()),
+        })
+
+    parts = (j.map_batches(block_winners, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas())
+    parts = parts.sort_values(["nation", "cents", "custkey"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+    w = parts.groupby("nation", sort=True).head(1)
+    return rd.from_arrow(pa.table({
+        "nation": pa.array(w["nation"].to_numpy(), pa.int64()),
+        "custkey": pa.array(w["custkey"].to_numpy(), pa.int64()),
+        "cents": pa.array(w["cents"].to_numpy(), pa.int64()),
+    }))
+
+
+def q_weekend_share_by_type(sf_dir: str) -> rd.Dataset:
+    """Weekend activity share per event type (e6) — the
+    behavioral-rhythm split. Day-of-week from pure integer epoch math
+    ((days + 4) % 7 == DuckDB dayofweek, Sunday = 0); one |types|-key
+    exchange."""
+    from ..stages.agg import grouped_sums
+
+    DAY_US = 86_400_000_000
+    ev = sf_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        days = pc.divide(pc.cast(t["ts"], pa.int64()),
+                         pa.scalar(DAY_US, pa.int64())).to_numpy()
+        dow = (days + 4) % 7
+        wk = ((dow == 0) | (dow == 6)).astype(np.int64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "wk": pa.array(wk, pa.int64()),
+        })
+
+    g = grouped_sums(ev.map_batches(prep, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                     ["event_type"], ["wk"], count_alias="n")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_weekend": t["wk"],
+            "n_events": t["n"],
+            "weekend_e6": pa.array(
+                t["wk"].to_numpy() * 1_000_000 // t["n"].to_numpy(),
+                pa.int64()),
+        })
+
+    return g.map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -15349,6 +15559,10 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "grubbs_total": q_grubbs_total,
         "hoover_index": q_hoover_index,
         "cv_by_segment": q_cv_by_segment,
+        "degree_assortativity": q_degree_assortativity,
+        "harmonic_mean_qty": q_harmonic_mean_qty,
+        "top_customer_per_nation": q_top_customer_per_nation,
+        "weekend_share_by_type": q_weekend_share_by_type,
         "bowley_skew_by_flag": q_bowley_skew_by_flag,
         "cluster_sample_orders": q_cluster_sample_orders,
         "event_trigrams": q_event_trigrams,
@@ -19239,5 +19453,64 @@ def oracle_sqls() -> dict[str, str]:
             " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))"
             " / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS cv"
             " FROM g"
+        ),
+        "degree_assortativity": (
+            "WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey"
+            " AS p FROM lineitem),"
+            " ds AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM e"
+            " GROUP BY 1),"
+            " dp AS (SELECT p, CAST(count(*) AS BIGINT) AS d FROM e"
+            " GROUP BY 1),"
+            " mm AS (SELECT CAST(sum(d) AS BIGINT) AS m,"
+            " CAST(sum(d * d) AS BIGINT) AS asq FROM ds),"
+            " bb AS (SELECT CAST(sum(d * d) AS BIGINT) AS bsq FROM dp),"
+            " cc AS (SELECT m, asq // m AS cx,"
+            " (SELECT bsq FROM bb) // m AS cy FROM mm),"
+            " j AS (SELECT ds.d - (SELECT cx FROM cc) AS x,"
+            " dp.d - (SELECT cy FROM cc) AS y FROM e"
+            " JOIN ds ON e.s = ds.s JOIN dp ON e.p = dp.p),"
+            " st AS (SELECT CAST(sum(x) AS BIGINT) AS sa,"
+            " CAST(sum(y) AS BIGINT) AS sb,"
+            " CAST(sum(x * y) AS BIGINT) AS pxy,"
+            " CAST(sum(x * x) AS BIGINT) AS xx,"
+            " CAST(sum(y * y) AS BIGINT) AS yy FROM j)"
+            " SELECT (SELECT m FROM cc) AS n_edges,"
+            " CAST(CAST(2 * (SELECT m FROM cc) * 2 * pxy"
+            " - (sa + sb) * (sa + sb) AS BIGINT) AS DOUBLE)"
+            " / CAST(CAST(2 * (SELECT m FROM cc) * (xx + yy)"
+            " - (sa + sb) * (sa + sb) AS BIGINT) AS DOUBLE)"
+            " AS assortativity FROM st"
+        ),
+        "harmonic_mean_qty": (
+            f"WITH c AS (SELECT CAST(round(l_quantity) AS BIGINT) AS q"
+            f" FROM lineitem),"
+            f" d AS (SELECT q, CAST(count(*) AS BIGINT) AS k FROM c"
+            f" GROUP BY 1),"
+            f" s AS (SELECT CAST(sum(k) AS BIGINT) AS n,"
+            f" sum(CAST(k AS HUGEINT)"
+            f" * (CAST({_LCM50} AS HUGEINT) // q)) AS den FROM d)"
+            f" SELECT n, CAST(CAST(n AS HUGEINT)"
+            f" * CAST({_LCM50} AS HUGEINT) * 1000000 // den AS BIGINT)"
+            f" AS hm_e6 FROM s"
+        ),
+        "top_customer_per_nation": (
+            "WITH pc AS (SELECT o_custkey AS custkey,"
+            " CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " AS BIGINT) AS cents FROM orders GROUP BY 1),"
+            " j AS (SELECT CAST(c.c_nationkey AS BIGINT) AS nation,"
+            " pc.custkey, pc.cents FROM pc JOIN customer c"
+            " ON pc.custkey = c.c_custkey),"
+            " r AS (SELECT *, row_number() OVER (PARTITION BY nation"
+            " ORDER BY cents DESC, custkey) AS rk FROM j)"
+            " SELECT nation, custkey, cents FROM r WHERE rk = 1"
+        ),
+        "weekend_share_by_type": (
+            "WITH c AS (SELECT event_type,"
+            " CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END"
+            " AS wk FROM events)"
+            " SELECT event_type, CAST(sum(wk) AS BIGINT) AS n_weekend,"
+            " CAST(count(*) AS BIGINT) AS n_events,"
+            " CAST(sum(wk) * 1000000 // count(*) AS BIGINT)"
+            " AS weekend_e6 FROM c GROUP BY 1"
         ),
     }

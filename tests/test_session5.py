@@ -600,3 +600,10 @@ class TestSession3Kernels:
         exp_ssw = 2750.0 - t
         assert ssb == exp_ssb and ssw == exp_ssw
         assert f == (exp_ssb / 2.0) / (exp_ssw / 9.0)
+
+    def test_lcm50_constant(self):
+        import math
+
+        from reddacted_ray.pipelines.queries import _LCM50
+
+        assert _LCM50 == math.lcm(*range(1, 51))
