@@ -15185,6 +15185,182 @@ def q_weekend_share_by_type(sf_dir: str) -> rd.Dataset:
                          zero_copy_batch=True)
 
 
+def q_nth_order_latency(sf_dir: str) -> rd.Dataset:
+    """Ramp-up speed histogram: days from a customer's FIRST order to
+    their FIFTH, counted per latency — the activation-velocity curve.
+    One co-locating customer bucket shuffle (the reorder_gaps shape)
+    emits at most one latency per customer; the exchange after it is
+    the tiny day-domain count table."""
+    import pandas as pd
+
+    from ..stages.agg import grouped_sums
+    from ..stages.windows import grouped_vectorized
+
+    DAY = 86_400_000_000
+    K = 5
+    orders = sf_table(sf_dir, "orders",
+                      columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def lat(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort")
+        rn = g.groupby("o_custkey", sort=False).cumcount().to_numpy()
+        d = (g["o_orderdate"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64) // DAY)
+        u = g["o_custkey"].to_numpy()
+        first = pd.Series(d[rn == 0], index=u[rn == 0])
+        kth = pd.Series(d[rn == K - 1], index=u[rn == K - 1])
+        latency = (kth - first.reindex(kth.index)).to_numpy()
+        return pd.DataFrame({
+            "latency_days": latency.astype(np.int64),
+            "n": np.ones(len(latency), np.int64),
+        })
+
+    return grouped_sums(
+        grouped_vectorized(orders, "o_custkey", lat),
+        ["latency_days"], ["n"])
+
+
+def q_order_gap_median(sf_dir: str) -> rd.Dataset:
+    """Global median of days between a customer's consecutive orders —
+    the one-number repurchase cadence. The per-customer lag runs in the
+    reorder_gaps bucket shuffle; the median is EXACT by ceil-rank over
+    the bounded gap-day count table (never a fact-scale sort)."""
+    import math
+
+    import pandas as pd
+
+    from ..stages.agg import grouped_sums
+    from ..stages.windows import grouped_vectorized
+
+    DAY = 86_400_000_000
+    orders = sf_table(sf_dir, "orders",
+                      columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort")
+        u = g["o_custkey"].to_numpy()
+        d = (g["o_orderdate"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64) // DAY)
+        same = np.r_[False, u[1:] == u[:-1]]
+        gap = np.empty(len(u), np.int64)
+        gap[1:] = d[1:] - d[:-1]
+        return pd.DataFrame({
+            "gap_days": gap[same],
+            "n": np.ones(int(same.sum()), np.int64),
+        })
+
+    d = (grouped_sums(grouped_vectorized(orders, "o_custkey", gaps),
+                      ["gap_days"], ["n"])
+         .to_pandas().sort_values("gap_days"))
+    cum = d["n"].cumsum().to_numpy()
+    n = int(cum[-1])
+    med = int(d["gap_days"].to_numpy()[
+        np.searchsorted(cum, int(math.ceil(0.5 * n)), "left")])
+    return rd.from_arrow(pa.table({
+        "n_gaps": pa.array([n], pa.int64()),
+        "median_gap_days": pa.array([med], pa.int64()),
+    }))
+
+
+def q_basket_size_by_weekday(sf_dir: str) -> rd.Dataset:
+    """Mean lineitems per order by order weekday (e6) — does basket
+    size swing across the week? The fact table rolls up to order grain
+    once (8-byte keys); the weekday attaches via the adaptive broadcast
+    helper from a slim (orderkey, dow) dim; the final exchange is
+    7 keys."""
+    from ..stages.agg import grouped_sums
+    from ..stages.joins import attach_via_lookup
+
+    DAY = 86_400_000_000
+    li = sf_table(sf_dir, "lineitem", columns=["l_orderkey"])
+    od = sf_table(sf_dir, "orders",
+                  columns=["o_orderkey", "o_orderdate"])
+
+    po = grouped_sums(li, ["l_orderkey"], [], count_alias="items")
+
+    def dim(t: pa.Table) -> pa.Table:
+        days = pc.divide(pc.cast(t["o_orderdate"], pa.int64()),
+                         pa.scalar(DAY, pa.int64())).to_numpy()
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "dow": pa.array((days + 4) % 7, pa.int64()),
+        })
+
+    dows = od.map_batches(dim, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    j = attach_via_lookup(po, "l_orderkey", dows, "o_orderkey",
+                          {"dow": "dow"})
+    g = grouped_sums(j, ["dow"], ["items"], count_alias="n_orders")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "dow": t["dow"],
+            "n_orders": t["n_orders"],
+            "n_items": t["items"],
+            "mean_items_e6": pa.array(
+                t["items"].to_numpy() * 1_000_000
+                // t["n_orders"].to_numpy(), pa.int64()),
+        })
+
+    return g.map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def q_t_closeness_audit(sf_dir: str) -> rd.Dataset:
+    """t-closeness audit for the (nation, segment) quasi-identifier on
+    the $1000 account-balance band: per group, the Earth Mover's
+    Distance (e6) between its band distribution and the global one —
+    the privacy-family companion to k_anonymize / l_diversity. EMD over
+    an ordered attribute is the prefix-CDF L1 gap, which scales to the
+    ALL-INTEGER sum |cum_g*N - cum*n_g| (no float CDF ever forms;
+    SQL mirrors in HUGEINT). The exchange is the bounded
+    (group x band) count grid; bands shift by +$1000 before the
+    floor-div so Python floor == DuckDB truncation on the negative
+    balances."""
+    from ..stages.agg import grouped_sums
+
+    cu = sf_table(sf_dir, "customer",
+                  columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        usd = _money_int(t["c_acctbal"], 1.0).to_numpy()
+        return pa.table({
+            "nation": pc.cast(t["c_nationkey"], pa.int64()),
+            "segment": t["c_mktsegment"],
+            "band": pa.array((usd + 1000) // 1000, pa.int64()),
+        })
+
+    k = (grouped_sums(cu.map_batches(prep, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["nation", "segment", "band"], [],
+                      count_alias="k").to_pandas())
+    bands = np.sort(k["band"].unique())
+    b = len(bands)
+    gband = (k.groupby("band", sort=True)["k"].sum()
+             .reindex(bands, fill_value=0))
+    cumall = gband.cumsum().to_numpy()
+    n_tot = int(cumall[-1])
+    out = []
+    for (nation, segment), sub in k.groupby(["nation", "segment"],
+                                            sort=True):
+        kv = (sub.set_index("band")["k"].reindex(bands, fill_value=0)
+              .to_numpy())
+        cumg = np.cumsum(kv)
+        ng = int(cumg[-1])
+        t_abs = int(sum(abs(int(cg) * n_tot - int(ca) * ng)
+                        for cg, ca in zip(cumg, cumall)))
+        emd_e6 = t_abs * 1_000_000 // (ng * n_tot * (b - 1))
+        out.append((int(nation), segment, ng, emd_e6))
+    return rd.from_arrow(pa.table({
+        "nation": pa.array([r[0] for r in out], pa.int64()),
+        "segment": pa.array([r[1] for r in out], pa.string()),
+        "n": pa.array([r[2] for r in out], pa.int64()),
+        "emd_e6": pa.array([r[3] for r in out], pa.int64()),
+    }))
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -15563,6 +15739,10 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "harmonic_mean_qty": q_harmonic_mean_qty,
         "top_customer_per_nation": q_top_customer_per_nation,
         "weekend_share_by_type": q_weekend_share_by_type,
+        "nth_order_latency": q_nth_order_latency,
+        "order_gap_median": q_order_gap_median,
+        "basket_size_by_weekday": q_basket_size_by_weekday,
+        "t_closeness_audit": q_t_closeness_audit,
         "bowley_skew_by_flag": q_bowley_skew_by_flag,
         "cluster_sample_orders": q_cluster_sample_orders,
         "event_trigrams": q_event_trigrams,
@@ -19512,5 +19692,84 @@ def oracle_sqls() -> dict[str, str]:
             " CAST(count(*) AS BIGINT) AS n_events,"
             " CAST(sum(wk) * 1000000 // count(*) AS BIGINT)"
             " AS weekend_e6 FROM c GROUP BY 1"
+        ),
+        "nth_order_latency": (
+            "WITH r AS (SELECT o_custkey,"
+            " epoch_us(o_orderdate) // 86400000000 AS day,"
+            " row_number() OVER (PARTITION BY o_custkey"
+            " ORDER BY o_orderdate, o_orderkey) AS rn FROM orders),"
+            " f AS (SELECT o_custkey, day AS d1 FROM r WHERE rn = 1),"
+            " k AS (SELECT o_custkey, day AS dk FROM r WHERE rn = 5),"
+            " lat AS (SELECT CAST(dk - d1 AS BIGINT) AS latency_days"
+            " FROM f JOIN k USING (o_custkey))"
+            " SELECT latency_days, CAST(count(*) AS BIGINT) AS n"
+            " FROM lat GROUP BY 1"
+        ),
+        "order_gap_median": (
+            "WITH s AS (SELECT o_custkey,"
+            " epoch_us(o_orderdate) // 86400000000 AS day,"
+            " lag(epoch_us(o_orderdate) // 86400000000) OVER"
+            " (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+            " AS prev FROM orders),"
+            " g AS (SELECT CAST(day - prev AS BIGINT) AS gap FROM s"
+            " WHERE prev IS NOT NULL),"
+            " d AS (SELECT gap, CAST(count(*) AS BIGINT) AS k FROM g"
+            " GROUP BY 1),"
+            " n AS (SELECT CAST(sum(k) AS BIGINT) AS cnt FROM d),"
+            " r AS (SELECT gap, CAST(sum(k) OVER (ORDER BY gap)"
+            " AS BIGINT) AS cum FROM d)"
+            " SELECT (SELECT cnt FROM n) AS n_gaps,"
+            " CAST(min(gap) AS BIGINT) AS median_gap_days FROM r"
+            " WHERE cum >= CAST(ceil(0.5 * (SELECT cnt FROM n))"
+            " AS BIGINT)"
+        ),
+        "basket_size_by_weekday": (
+            "WITH po AS (SELECT l_orderkey,"
+            " CAST(count(*) AS BIGINT) AS items FROM lineitem"
+            " GROUP BY 1),"
+            " j AS (SELECT CAST(dayofweek(o.o_orderdate) AS BIGINT)"
+            " AS dow, po.items FROM po JOIN orders o"
+            " ON po.l_orderkey = o.o_orderkey)"
+            " SELECT dow, CAST(count(*) AS BIGINT) AS n_orders,"
+            " CAST(sum(items) AS BIGINT) AS n_items,"
+            " CAST(sum(items) * 1000000 // count(*) AS BIGINT)"
+            " AS mean_items_e6 FROM j GROUP BY 1"
+        ),
+        "t_closeness_audit": (
+            "WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,"
+            " c_mktsegment AS segment,"
+            " (CAST(round(c_acctbal) AS BIGINT) + 1000) // 1000 AS band"
+            " FROM customer),"
+            " k AS (SELECT nation, segment, band,"
+            " CAST(count(*) AS BIGINT) AS k FROM c GROUP BY 1, 2, 3),"
+            " gs AS (SELECT nation, segment, CAST(sum(k) AS BIGINT)"
+            " AS ng FROM k GROUP BY 1, 2),"
+            " bands AS (SELECT DISTINCT band FROM c),"
+            " nb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bands),"
+            " tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),"
+            " gb AS (SELECT band, CAST(count(*) AS BIGINT) AS kg"
+            " FROM c GROUP BY 1),"
+            " gcum AS (SELECT band, CAST(sum(kg) OVER (ORDER BY band)"
+            " AS BIGINT) AS cumall FROM gb),"
+            " grid AS (SELECT g.nation, g.segment, b.band"
+            " FROM gs g CROSS JOIN bands b),"
+            " fill AS (SELECT grid.nation, grid.segment, grid.band,"
+            " coalesce(k.k, 0) AS kv FROM grid"
+            " LEFT JOIN k USING (nation, segment, band)),"
+            " cumg AS (SELECT nation, segment, band,"
+            " CAST(sum(kv) OVER (PARTITION BY nation, segment"
+            " ORDER BY band) AS BIGINT) AS cumg FROM fill),"
+            " diffs AS (SELECT cg.nation, cg.segment,"
+            " abs(CAST(cg.cumg AS HUGEINT) * (SELECT n FROM tot)"
+            " - CAST(gc.cumall AS HUGEINT) * gs.ng) AS dv"
+            " FROM cumg cg JOIN gcum gc USING (band)"
+            " JOIN gs ON cg.nation = gs.nation"
+            " AND cg.segment = gs.segment)"
+            " SELECT d.nation, d.segment, gs.ng AS n,"
+            " CAST(sum(d.dv) * 1000000 // (gs.ng"
+            " * (SELECT n FROM tot) * ((SELECT b FROM nb) - 1))"
+            " AS BIGINT) AS emd_e6"
+            " FROM diffs d JOIN gs ON d.nation = gs.nation"
+            " AND d.segment = gs.segment GROUP BY 1, 2, 3"
         ),
     }
