@@ -15361,6 +15361,112 @@ def q_t_closeness_audit(sf_dir: str) -> rd.Dataset:
     }))
 
 
+def q_feature_hash_signature(sf_dir: str) -> rd.Dataset:
+    """Hashing-trick bag-of-words signature (Weinberger et al.): token
+    occurrences per (lang, 64-bucket md5 hash) — the fixed-width
+    feature vector a downstream linear model trains on without a vocab
+    dictionary. The fact pass is the vocabulary count exchange (Arrow
+    split kernels, the top_terms shape); md5 runs ONLY on the reduced
+    distinct-(lang, token) table, so the per-token Python digest loop
+    is vocab-bounded, never fact-bounded. Bucket = last two hex chars
+    mod 64, mirrored by SQL strpos arithmetic."""
+    import hashlib
+
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["lang", "text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()),
+                           "").combine_chunks()
+        parts = pc.split_pattern(txt, " ")
+        reps = pc.list_value_length(parts).to_numpy()
+        return pa.table({
+            "lang": pa.array(np.repeat(t["lang"].to_numpy(
+                zero_copy_only=False), reps)),
+            "tok": pc.list_flatten(parts),
+        })
+
+    c = grouped_sums(docs.map_batches(toks, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                     ["lang", "tok"], [], count_alias="k")
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        toks_py = t["tok"].to_pylist()  # reduced vocab table only
+        b = np.fromiter(
+            (int(hashlib.md5(s.encode("utf-8")).hexdigest()[14:16],
+                 16) % 64 for s in toks_py),
+            np.int64, len(toks_py))
+        return pa.table({
+            "lang": t["lang"],
+            "bucket": pa.array(b, pa.int64()),
+            "k": t["k"],
+        })
+
+    g = grouped_sums(
+        c.map_batches(bucketize, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        ["lang", "bucket"], ["k"])
+
+    def out(t: pa.Table) -> pa.Table:
+        return pa.table({"lang": t["lang"], "bucket": t["bucket"],
+                         "n": t["k"]})
+
+    return g.map_batches(out, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def q_mann_kendall_trend(sf_dir: str) -> rd.Dataset:
+    """Mann-Kendall monotonic-trend test over daily revenue: the exact
+    pair-sign statistic S, its tie-corrected variance, and the
+    normal-approximation z. The fact pass is the shared day-bounded
+    rollup; S and var come from the ~2.4k-day series as Python big
+    ints (pairwise sign sum is O(n log n) via rank math on the driver —
+    the SQL mirrors with a bounded self-join); z is ONE mirrored float
+    expression."""
+    import math
+
+    from ..stages.agg import grouped_sums
+
+    o = sf_table(sf_dir, "orders",
+                 columns=["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "d": t["o_orderdate"],
+            "cents": _money_int(t["o_totalprice"], 100.0),
+        })
+
+    day = (grouped_sums(o.map_batches(prep, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                        ["d"], ["cents"])
+           .to_pandas().sort_values("d"))
+    v = day["cents"].to_numpy(dtype=np.int64)
+    n = len(v)
+    # S = sum_{i<j} sign(v_j - v_i); exact via pairwise loop over the
+    # bounded day domain (n ~ 2.4k at any sf — this is driver-tiny)
+    s_stat = 0
+    for i in range(n):
+        s_stat += int(np.sum(v[i + 1:] > v[i])) - int(
+            np.sum(v[i + 1:] < v[i]))
+    _, tie_counts = np.unique(v, return_counts=True)
+    var_s = (n * (n - 1) * (2 * n + 5)
+             - int(sum(int(t_) * (t_ - 1) * (2 * t_ + 5)
+                       for t_ in tie_counts))) // 18
+    if s_stat > 0:
+        z = float(s_stat - 1) / math.sqrt(float(var_s))
+    elif s_stat < 0:
+        z = float(s_stat + 1) / math.sqrt(float(var_s))
+    else:
+        z = 0.0
+    return rd.from_arrow(pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "s_stat": pa.array([s_stat], pa.int64()),
+        "var_s": pa.array([var_s], pa.int64()),
+        "z_mk": pa.array([z], pa.float64()),
+    }))
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -15743,6 +15849,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "order_gap_median": q_order_gap_median,
         "basket_size_by_weekday": q_basket_size_by_weekday,
         "t_closeness_audit": q_t_closeness_audit,
+        "feature_hash_signature": q_feature_hash_signature,
+        "mann_kendall_trend": q_mann_kendall_trend,
         "bowley_skew_by_flag": q_bowley_skew_by_flag,
         "cluster_sample_orders": q_cluster_sample_orders,
         "event_trigrams": q_event_trigrams,
@@ -19771,5 +19879,46 @@ def oracle_sqls() -> dict[str, str]:
             " AS BIGINT) AS emd_e6"
             " FROM diffs d JOIN gs ON d.nation = gs.nation"
             " AND d.segment = gs.segment GROUP BY 1, 2, 3"
+        ),
+        "feature_hash_signature": (
+            "WITH w AS (SELECT lang,"
+            " unnest(string_split(text, ' ')) AS tok FROM documents),"
+            " c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS k"
+            " FROM w GROUP BY 1, 2),"
+            " h AS (SELECT lang, k, md5(tok) AS hx FROM c),"
+            " b AS (SELECT lang,"
+            " ((strpos('0123456789abcdef', substr(hx, 15, 1)) - 1)"
+            " * 16 + (strpos('0123456789abcdef', substr(hx, 16, 1))"
+            " - 1)) % 64 AS bucket, k FROM h)"
+            " SELECT lang, CAST(bucket AS BIGINT) AS bucket,"
+            " CAST(sum(k) AS BIGINT) AS n FROM b GROUP BY 1, 2"
+        ),
+        "mann_kendall_trend": (
+            "WITH day AS (SELECT o_orderdate AS d,"
+            " CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " AS BIGINT) AS v FROM orders GROUP BY 1),"
+            " p AS (SELECT CASE WHEN b.v > a.v THEN 1"
+            " WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn"
+            " FROM day a JOIN day b ON b.d > a.d),"
+            " s AS (SELECT CAST(coalesce(sum(sgn), 0) AS BIGINT)"
+            " AS s_stat FROM p),"
+            " nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM day),"
+            " ties AS (SELECT v, CAST(count(*) AS BIGINT) AS t"
+            " FROM day GROUP BY 1),"
+            " tv AS (SELECT CAST(coalesce(sum(t * (t - 1)"
+            " * (2 * t + 5)), 0) AS BIGINT) AS tt FROM ties),"
+            " vv AS (SELECT CAST(((SELECT n FROM nn)"
+            " * ((SELECT n FROM nn) - 1) * (2 * (SELECT n FROM nn)"
+            " + 5) - (SELECT tt FROM tv)) // 18 AS BIGINT) AS var_s)"
+            " SELECT (SELECT n FROM nn) AS n_days,"
+            " (SELECT s_stat FROM s) AS s_stat,"
+            " (SELECT var_s FROM vv) AS var_s,"
+            " CASE WHEN (SELECT s_stat FROM s) > 0"
+            " THEN CAST((SELECT s_stat FROM s) - 1 AS DOUBLE)"
+            " / sqrt(CAST((SELECT var_s FROM vv) AS DOUBLE))"
+            " WHEN (SELECT s_stat FROM s) < 0"
+            " THEN CAST((SELECT s_stat FROM s) + 1 AS DOUBLE)"
+            " / sqrt(CAST((SELECT var_s FROM vv) AS DOUBLE))"
+            " ELSE 0.0 END AS z_mk"
         ),
     }
