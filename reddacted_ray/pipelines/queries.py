@@ -14330,10 +14330,15 @@ def q_km_second_order(sf_dir: str) -> rd.Dataset:
     and the number still at risk — right-censoring single-order
     customers at the observation horizon (global max order day minus
     their first day). ALL INTEGER (the survival product is the
-    caller's fold, so no float ever forms). One cheap Max scan fixes
-    the horizon; ONE co-locating customer bucket shuffle emits bounded
-    (gap, event) count partials; the driver scans the day-domain-
-    bounded table once for the at-risk cumsum."""
+    caller's fold, so no float ever forms). ONE co-locating customer
+    bucket shuffle total (was two full passes): each bucket emits
+    event-gap counts (kind 1), censored FIRST-DAY counts (kind 0 —
+    day-bounded, so the horizon subtraction can move to the driver)
+    and its max-day partial (kind 2), so the horizon never needs its
+    own scan; the driver scans the day-domain-bounded table once for
+    the at-risk cumsum."""
+    import pandas as pd
+
     from ..stages.agg import grouped_sums
     from ..stages.windows import grouped_vectorized
 
@@ -14350,12 +14355,9 @@ def q_km_second_order(sf_dir: str) -> rd.Dataset:
         })
 
     o = od.map_batches(prep, batch_format="pyarrow",
-                       zero_copy_batch=True).materialize()
-    horizon = int(o.max("day"))
+                       zero_copy_batch=True)
 
     def bucket_obs(g):
-        import pandas as pd
-
         g = g.sort_values(["o_custkey", "day", "o_orderkey"],
                           kind="mergesort")
         by = g.groupby("o_custkey", sort=False)
@@ -14367,17 +14369,28 @@ def q_km_second_order(sf_dir: str) -> rd.Dataset:
         firsts = pd.Series(first, index=keys[rn == 0])
         t_obs = (second.reindex(firsts.index) - firsts)
         ev = t_obs.notna().to_numpy()
-        t_final = np.where(ev, t_obs.to_numpy(),
-                           horizon - firsts.to_numpy()).astype(np.int64)
-        return (pd.DataFrame({
-            "t": t_final,
-            "ev": ev.astype(np.int64),
-        }).groupby(["t", "ev"], sort=False)
-            .size().rename("m").reset_index())
+        key = np.where(ev, t_obs.to_numpy(),
+                       firsts.to_numpy()).astype(np.int64)
+        f = (pd.DataFrame({"key": key, "kind": ev.astype(np.int64)})
+             .groupby(["kind", "key"], sort=False)
+             .size().rename("m").reset_index())
+        mx = pd.DataFrame({"kind": [2],
+                           "key": [int(g["day"].max())], "m": [1]})
+        return pd.concat([f, mx], ignore_index=True)
 
     part = grouped_vectorized(o, "o_custkey", bucket_obs)
-    g = (grouped_sums(part, ["t", "ev"], ["m"])
-         .to_pandas().sort_values("t"))
+    raw = (grouped_sums(part, ["kind", "key"], ["m"]).to_pandas())
+    horizon = int(raw.loc[raw["kind"] == 2, "key"].max())
+    obs = raw[raw["kind"] != 2].copy()
+    # censored rows carried their FIRST day; finish t on the driver
+    t_final = np.where(obs["kind"].to_numpy() == 1,
+                       obs["key"].to_numpy(),
+                       horizon - obs["key"].to_numpy())
+    g = (pd.DataFrame({"t": t_final.astype(np.int64),
+                       "ev": obs["kind"].to_numpy(),
+                       "m": obs["m"].to_numpy()})
+         .groupby(["t", "ev"], as_index=False)["m"].sum()
+         .sort_values("t"))
     tot = int(g["m"].sum())
     # at-risk BEFORE t = tot - (observations ending strictly earlier)
     ends = g.groupby("t", sort=True)["m"].sum()
@@ -15265,11 +15278,15 @@ def q_order_gap_median(sf_dir: str) -> rd.Dataset:
 
 
 def q_basket_size_by_weekday(sf_dir: str) -> rd.Dataset:
-    """Mean lineitems per order by order weekday (e6) — does basket
-    size swing across the week? The fact table rolls up to order grain
-    once (8-byte keys); the weekday attaches via the adaptive broadcast
-    helper from a slim (orderkey, dow) dim; the final exchange is
-    7 keys."""
+    """Mean lineitems per order by order weekday (e6, over ALL orders
+    placed that weekday) — does basket size swing across the week?
+    NO fact-key groupby anywhere: the weekday attaches onto lineitem
+    ROWS via the adaptive broadcast helper (a per-order rollup first
+    would hash-exchange ~1.5M distinct orderkeys — measured 8.1 s vs
+    3.4 s at sf0.1), then both sides reduce straight to 7 keys and the
+    driver divides."""
+    import pandas as pd
+
     from ..stages.agg import grouped_sums
     from ..stages.joins import attach_via_lookup
 
@@ -15277,8 +15294,6 @@ def q_basket_size_by_weekday(sf_dir: str) -> rd.Dataset:
     li = sf_table(sf_dir, "lineitem", columns=["l_orderkey"])
     od = sf_table(sf_dir, "orders",
                   columns=["o_orderkey", "o_orderdate"])
-
-    po = grouped_sums(li, ["l_orderkey"], [], count_alias="items")
 
     def dim(t: pa.Table) -> pa.Table:
         days = pc.divide(pc.cast(t["o_orderdate"], pa.int64()),
@@ -15289,23 +15304,23 @@ def q_basket_size_by_weekday(sf_dir: str) -> rd.Dataset:
         })
 
     dows = od.map_batches(dim, batch_format="pyarrow",
-                          zero_copy_batch=True)
-    j = attach_via_lookup(po, "l_orderkey", dows, "o_orderkey",
+                          zero_copy_batch=True).materialize()
+    j = attach_via_lookup(li, "l_orderkey", dows, "o_orderkey",
                           {"dow": "dow"})
-    g = grouped_sums(j, ["dow"], ["items"], count_alias="n_orders")
-
-    def finish(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "dow": t["dow"],
-            "n_orders": t["n_orders"],
-            "n_items": t["items"],
-            "mean_items_e6": pa.array(
-                t["items"].to_numpy() * 1_000_000
-                // t["n_orders"].to_numpy(), pa.int64()),
-        })
-
-    return g.map_batches(finish, batch_format="pyarrow",
-                         zero_copy_batch=True)
+    items = (grouped_sums(j, ["dow"], [], count_alias="n_items")
+             .to_pandas())
+    orders_ = (grouped_sums(dows, ["dow"], [], count_alias="n_orders")
+               .to_pandas())
+    m = (items.merge(orders_, on="dow").sort_values("dow")
+         .reset_index(drop=True))
+    return rd.from_arrow(pa.table({
+        "dow": pa.array(m["dow"].to_numpy(), pa.int64()),
+        "n_orders": pa.array(m["n_orders"].to_numpy(), pa.int64()),
+        "n_items": pa.array(m["n_items"].to_numpy(), pa.int64()),
+        "mean_items_e6": pa.array(
+            m["n_items"].to_numpy() * 1_000_000
+            // m["n_orders"].to_numpy(), pa.int64()),
+    }))
 
 
 def q_t_closeness_audit(sf_dir: str) -> rd.Dataset:
@@ -19832,16 +19847,16 @@ def oracle_sqls() -> dict[str, str]:
             " AS BIGINT)"
         ),
         "basket_size_by_weekday": (
-            "WITH po AS (SELECT l_orderkey,"
-            " CAST(count(*) AS BIGINT) AS items FROM lineitem"
+            "WITH d AS (SELECT CAST(dayofweek(o_orderdate) AS BIGINT)"
+            " AS dow, o_orderkey FROM orders),"
+            " it AS (SELECT d.dow, CAST(count(*) AS BIGINT) AS n_items"
+            " FROM lineitem l JOIN d ON l.l_orderkey = d.o_orderkey"
             " GROUP BY 1),"
-            " j AS (SELECT CAST(dayofweek(o.o_orderdate) AS BIGINT)"
-            " AS dow, po.items FROM po JOIN orders o"
-            " ON po.l_orderkey = o.o_orderkey)"
-            " SELECT dow, CAST(count(*) AS BIGINT) AS n_orders,"
-            " CAST(sum(items) AS BIGINT) AS n_items,"
-            " CAST(sum(items) * 1000000 // count(*) AS BIGINT)"
-            " AS mean_items_e6 FROM j GROUP BY 1"
+            " oc AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_orders"
+            " FROM d GROUP BY 1)"
+            " SELECT dow, n_orders, n_items,"
+            " CAST(n_items * 1000000 // n_orders AS BIGINT)"
+            " AS mean_items_e6 FROM it JOIN oc USING (dow)"
         ),
         "t_closeness_audit": (
             "WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,"
