@@ -15482,6 +15482,287 @@ def q_mann_kendall_trend(sf_dir: str) -> rd.Dataset:
     }))
 
 
+def q_theil_sen_slope(sf_dir: str) -> rd.Dataset:
+    """Theil-Sen robust trend estimator over monthly revenue: the
+    median of all pairwise slopes (r_j - r_i)/(m_j - m_i). The fact
+    pass is one month-bounded rollup (grouped_sums partials); the ~84
+    monthly rows make the O(n^2) pairwise slope set driver-tiny (3.5k
+    floats at any sf). Slopes are exact-int differences divided once
+    in float64, so they bit-match DuckDB's DOUBLE division; the median
+    is spelled as the explicit (lo + hi) / 2 of the two middle order
+    stats on BOTH sides (never a library median whose interpolation
+    rule could differ)."""
+    from ..stages.agg import grouped_sums
+
+    o = sf_table(sf_dir, "orders",
+                 columns=["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"]
+        return pa.table({
+            "m": pc.add(pc.multiply(pc.cast(pc.year(d), pa.int64()),
+                                    12),
+                        pc.cast(pc.month(d), pa.int64())),
+            "cents": _money_int(t["o_totalprice"], 100.0),
+        })
+
+    mon = (grouped_sums(o.map_batches(prep, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                        ["m"], ["cents"])
+           .to_pandas().sort_values("m"))
+    m = mon["m"].to_numpy(dtype=np.int64)
+    v = mon["cents"].to_numpy(dtype=np.int64)
+    i, j = np.triu_indices(len(m), k=1)
+    slopes = (v[j] - v[i]).astype(np.float64) / (
+        m[j] - m[i]).astype(np.float64)
+    slopes.sort()
+    np_ = len(slopes)
+    lo = float(slopes[(np_ - 1) // 2])
+    hi = float(slopes[np_ // 2])
+    return rd.from_arrow(pa.table({
+        "n_months": pa.array([len(m)], pa.int64()),
+        "n_pairs": pa.array([np_], pa.int64()),
+        "theil_sen": pa.array([(lo + hi) / 2.0], pa.float64()),
+    }))
+
+
+def q_runs_test_daily(sf_dir: str) -> rd.Dataset:
+    """Wald-Wolfowitz runs test on daily revenue vs its median:
+    above/below signs (median-equal days dropped, the standard rule),
+    run count R, and the normal z. The doubled-median trick (compare
+    2v against the SUM of the two middle order stats) keeps the
+    classification integer-exact for even day counts; R / n1 / n2 are
+    integers and z is one mirrored float expression."""
+    import math
+
+    from ..stages.agg import grouped_sums
+
+    o = sf_table(sf_dir, "orders",
+                 columns=["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "d": t["o_orderdate"],
+            "cents": _money_int(t["o_totalprice"], 100.0),
+        })
+
+    day = (grouped_sums(o.map_batches(prep, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                        ["d"], ["cents"])
+           .to_pandas().sort_values("d"))
+    v = day["cents"].to_numpy(dtype=np.int64)
+    n = len(v)
+    s = np.sort(v)
+    med2 = int(s[(n - 1) // 2]) + int(s[n // 2])
+    sgn = np.sign(2 * v - med2)
+    sgn = sgn[sgn != 0]
+    n1 = int(np.sum(sgn > 0))
+    n2 = int(np.sum(sgn < 0))
+    runs = int(1 + np.sum(sgn[1:] != sgn[:-1])) if len(sgn) else 0
+    nn = n1 + n2
+    two = 2 * n1 * n2
+    if nn > 1 and two > 0:
+        mu = 1.0 + float(two) / float(nn)
+        var = float(two * (two - nn)) / float(nn * nn * (nn - 1))
+        z = (float(runs) - mu) / math.sqrt(var)
+    else:
+        z = 0.0
+    return rd.from_arrow(pa.table({
+        "n1": pa.array([n1], pa.int64()),
+        "n2": pa.array([n2], pa.int64()),
+        "runs": pa.array([runs], pa.int64()),
+        "z_runs": pa.array([z], pa.float64()),
+    }))
+
+
+def q_ordinal_patterns(sf_dir: str) -> rd.Dataset:
+    """Ordinal-pattern census (permutation-entropy support, order 3):
+    each consecutive day-revenue triple maps to the 3-bit comparison
+    code (v1>v0) + 2*(v2>v0) + 4*(v2>v1); counts per code. Integer
+    only — the series is the shared day rollup, the coding is two
+    shifts on the driver-tiny day table."""
+    from ..stages.agg import grouped_sums
+
+    o = sf_table(sf_dir, "orders",
+                 columns=["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "d": t["o_orderdate"],
+            "cents": _money_int(t["o_totalprice"], 100.0),
+        })
+
+    day = (grouped_sums(o.map_batches(prep, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                        ["d"], ["cents"])
+           .to_pandas().sort_values("d"))
+    v = day["cents"].to_numpy(dtype=np.int64)
+    v0, v1, v2 = v[:-2], v[1:-1], v[2:]
+    code = ((v1 > v0).astype(np.int64)
+            + 2 * (v2 > v0).astype(np.int64)
+            + 4 * (v2 > v1).astype(np.int64))
+    vals, cnt = np.unique(code, return_counts=True)
+    return rd.from_arrow(pa.table({
+        "code": pa.array(vals.astype(np.int64), pa.int64()),
+        "n": pa.array(cnt.astype(np.int64), pa.int64()),
+    }))
+
+
+def q_gmd_by_segment(sf_dir: str) -> rd.Dataset:
+    """Gini mean difference (mean |x_i - x_j| over pairs) of customer
+    account balances per market segment, exact to e2 integer units.
+    The rank-sum identity sum|xi-xj| = 2*(2*SUM(i*x_(i)) - (n+1)*SUMx)
+    needs only per-(segment, cents) value counts — one domain-bounded
+    exchange — and a per-segment arithmetic-series walk on the driver
+    (tie-invariant, never a sorted fact table). Numerator stays a
+    Python bigint; the e2 quotient is floor division, safe because the
+    GMD numerator is provably non-negative."""
+    from ..stages.agg import grouped_sums
+
+    c = sf_table(sf_dir, "customer",
+                 columns=["c_mktsegment", "c_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "seg": t["c_mktsegment"],
+            "x": _money_int(t["c_acctbal"], 100.0),
+        })
+
+    g = (grouped_sums(c.map_batches(prep, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                      ["seg", "x"], [], count_alias="cnt")
+         .to_pandas().sort_values(["seg", "x"]))
+    segs, ns, gmds = [], [], []
+    for seg, sub in g.groupby("seg", sort=True):
+        n = int(sub["cnt"].sum())
+        if n < 2:  # GMD undefined on singletons (mirrors SQL HAVING)
+            continue
+        six = sx = a = 0
+        for x, cn in zip(sub["x"], sub["cnt"]):
+            x, cn = int(x), int(cn)
+            six += x * (cn * a + cn * (cn + 1) // 2)
+            sx += x * cn
+            a += cn
+        segs.append(seg)
+        ns.append(n)
+        gmds.append(2 * (2 * six - (n + 1) * sx) * 100
+                    // (n * (n - 1)))
+    return rd.from_arrow(pa.table({
+        "seg": pa.array(segs, pa.string()),
+        "n": pa.array(ns, pa.int64()),
+        "gmd_e2": pa.array(gmds, pa.int64()),
+    }))
+
+
+def q_mcnemar_years(sf_dir: str) -> rd.Dataset:
+    """McNemar paired test: customers active (ordered) in 1994 vs
+    1995. Discordant counts b (1994 only) and c (1995 only) come from
+    one customer-bounded grouped-sum (year flags sum per customer —
+    presence is sum>0, so no per-block dedup is even needed), then a
+    tiny flag-pair census; the continuity-corrected chi2
+    (|b-c|-1)^2/(b+c) is one mirrored float expression."""
+    from ..stages.agg import grouped_sums
+
+    o = sf_table(sf_dir, "orders",
+                 columns=["o_custkey", "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        y = pc.year(t["o_orderdate"])
+        m94 = pc.cast(pc.equal(y, 1994), pa.int64())
+        m95 = pc.cast(pc.equal(y, 1995), pa.int64())
+        return pa.table({
+            "c": t["o_custkey"],
+            "f94": m94,
+            "f95": m95,
+        })
+
+    per_cust = grouped_sums(
+        o.map_batches(prep, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        ["c"], ["f94", "f95"])
+
+    def census(t: pa.Table) -> pa.Table:
+        a94 = pc.greater(t["f94"], 0)
+        a95 = pc.greater(t["f95"], 0)
+        b = pc.sum(pc.cast(pc.and_(a94, pc.invert(a95)),
+                           pa.int64())).as_py() or 0
+        cc = pc.sum(pc.cast(pc.and_(a95, pc.invert(a94)),
+                            pa.int64())).as_py() or 0
+        both = pc.sum(pc.cast(pc.and_(a94, a95),
+                              pa.int64())).as_py() or 0
+        return pa.table({
+            "b": pa.array([b], pa.int64()),
+            "c": pa.array([cc], pa.int64()),
+            "n_both": pa.array([both], pa.int64()),
+        })
+
+    rows = per_cust.map_batches(census, batch_format="pyarrow",
+                                zero_copy_batch=True).take_all()
+    b = sum(r["b"] for r in rows)
+    c = sum(r["c"] for r in rows)
+    both = sum(r["n_both"] for r in rows)
+    if b + c > 0:
+        chi2 = float((abs(b - c) - 1) ** 2) / float(b + c)
+    else:
+        chi2 = 0.0
+    return rd.from_arrow(pa.table({
+        "b": pa.array([b], pa.int64()),
+        "c": pa.array([c], pa.int64()),
+        "n_both": pa.array([both], pa.int64()),
+        "chi2_cc": pa.array([chi2], pa.float64()),
+    }))
+
+
+def q_readability_by_lang(sf_dir: str) -> rd.Dataset:
+    """Per-language readability ingredients: words, sentence
+    terminators, vowel groups (the syllable stand-in) — all RE2
+    non-overlapping match counts (Arrow count_substring_regex ==
+    DuckDB len(regexp_extract_all), both RE2) summed as integers per
+    language, plus the two mirrored float ratios (words/sentence,
+    vowel-groups/word)."""
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["lang", "text"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()),
+                           "").combine_chunks()
+        return pa.table({
+            "lang": t["lang"],
+            "words": pc.cast(pc.count_substring_regex(txt, "[^ ]+"),
+                             pa.int64()),
+            "sents": pc.cast(pc.count_substring_regex(txt, "[.!?]+"),
+                             pa.int64()),
+            "vgroups": pc.cast(
+                pc.count_substring_regex(txt, "[aeiouAEIOU]+"),
+                pa.int64()),
+        })
+
+    g = grouped_sums(docs.map_batches(feats, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                     ["lang"], ["words", "sents", "vgroups"],
+                     count_alias="n_docs")
+
+    def ratios(t: pa.Table) -> pa.Table:
+        w = t["words"].to_numpy().astype(np.float64)
+        s = t["sents"].to_numpy().astype(np.float64)
+        vg = t["vgroups"].to_numpy().astype(np.float64)
+        wps = np.where(s > 0, w / np.where(s > 0, s, 1.0), 0.0)
+        vpw = np.where(w > 0, vg / np.where(w > 0, w, 1.0), 0.0)
+        return pa.table({
+            "lang": t["lang"],
+            "n_docs": t["n_docs"],
+            "words": t["words"],
+            "sents": t["sents"],
+            "vgroups": t["vgroups"],
+            "words_per_sent": pa.array(wps, pa.float64()),
+            "vgroups_per_word": pa.array(vpw, pa.float64()),
+        })
+
+    return g.map_batches(ratios, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -15875,6 +16156,12 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "minmax_scale": q_minmax_scale,
         # rows-only multimodal resize (binary payloads)
         "resize_images": q_resize_images,
+        "theil_sen_slope": q_theil_sen_slope,
+        "runs_test_daily": q_runs_test_daily,
+        "ordinal_patterns": q_ordinal_patterns,
+        "gmd_by_segment": q_gmd_by_segment,
+        "mcnemar_years": q_mcnemar_years,
+        "readability_by_lang": q_readability_by_lang,
     }
 
 
@@ -19935,5 +20222,113 @@ def oracle_sqls() -> dict[str, str]:
             " THEN CAST((SELECT s_stat FROM s) + 1 AS DOUBLE)"
             " / sqrt(CAST((SELECT var_s FROM vv) AS DOUBLE))"
             " ELSE 0.0 END AS z_mk"
+        ),
+        "theil_sen_slope": (
+            "WITH mon AS (SELECT year(o_orderdate) * 12"
+            " + month(o_orderdate) AS m,"
+            " CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " AS BIGINT) AS v FROM orders GROUP BY 1),"
+            " p AS (SELECT CAST(b.v - a.v AS DOUBLE)"
+            " / CAST(b.m - a.m AS DOUBLE) AS slope"
+            " FROM mon a JOIN mon b ON b.m > a.m),"
+            " r AS (SELECT slope, row_number() OVER (ORDER BY slope)"
+            " AS rn, count(*) OVER () AS np FROM p)"
+            " SELECT (SELECT CAST(count(*) AS BIGINT) FROM mon)"
+            " AS n_months,"
+            " (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_pairs,"
+            " ((SELECT slope FROM r WHERE rn = (np - 1) // 2 + 1)"
+            " + (SELECT slope FROM r WHERE rn = np // 2 + 1)) / 2"
+            " AS theil_sen"
+        ),
+        "runs_test_daily": (
+            "WITH day AS (SELECT o_orderdate AS d,"
+            " CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " AS BIGINT) AS v FROM orders GROUP BY 1),"
+            " r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,"
+            " count(*) OVER () AS n FROM day),"
+            " m AS (SELECT (SELECT v FROM r"
+            " WHERE rn = (n - 1) // 2 + 1)"
+            " + (SELECT v FROM r WHERE rn = n // 2 + 1) AS med2),"
+            " sg AS (SELECT d, CASE WHEN 2 * v > (SELECT med2 FROM m)"
+            " THEN 1 ELSE -1 END AS sgn FROM day"
+            " WHERE 2 * v <> (SELECT med2 FROM m)),"
+            " tr AS (SELECT sgn, lag(sgn) OVER (ORDER BY d) AS prev"
+            " FROM sg),"
+            " agg AS (SELECT CAST(coalesce(sum(CASE WHEN sgn = 1"
+            " THEN 1 ELSE 0 END), 0) AS BIGINT) AS n1,"
+            " CAST(coalesce(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0"
+            " END), 0) AS BIGINT) AS n2,"
+            " CAST(CASE WHEN count(*) = 0 THEN 0 ELSE"
+            " sum(CASE WHEN prev IS NOT NULL AND sgn <> prev"
+            " THEN 1 ELSE 0 END) + 1 END AS BIGINT) AS runs FROM tr)"
+            " SELECT n1, n2, runs,"
+            " CASE WHEN n1 + n2 > 1 AND 2 * n1 * n2 > 0 THEN"
+            " (CAST(runs AS DOUBLE) - (1 + CAST(2 * n1 * n2"
+            " AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)))"
+            " / sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)"
+            " AS DOUBLE) / CAST((n1 + n2) * (n1 + n2)"
+            " * (n1 + n2 - 1) AS DOUBLE)) ELSE 0.0 END AS z_runs"
+            " FROM agg"
+        ),
+        "ordinal_patterns": (
+            "WITH day AS (SELECT o_orderdate AS d,"
+            " CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " AS BIGINT) AS v FROM orders GROUP BY 1),"
+            " l AS (SELECT d, v, lag(v, 1) OVER (ORDER BY d) AS v1,"
+            " lag(v, 2) OVER (ORDER BY d) AS v0 FROM day)"
+            " SELECT CAST((CASE WHEN v1 > v0 THEN 1 ELSE 0 END)"
+            " + 2 * (CASE WHEN v > v0 THEN 1 ELSE 0 END)"
+            " + 4 * (CASE WHEN v > v1 THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS code, CAST(count(*) AS BIGINT) AS n"
+            " FROM l WHERE v0 IS NOT NULL GROUP BY 1"
+        ),
+        "gmd_by_segment": (
+            "WITH x AS (SELECT c_mktsegment AS seg,"
+            " CAST(round(c_acctbal * 100) AS BIGINT) AS x"
+            " FROM customer),"
+            " r AS (SELECT seg, x, row_number() OVER"
+            " (PARTITION BY seg ORDER BY x) AS i FROM x),"
+            " a AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,"
+            " sum(i * x) AS six, sum(x) AS sx FROM r"
+            " GROUP BY 1 HAVING count(*) > 1)"
+            " SELECT seg, n, CAST(2 * (2 * six - (n + 1) * sx) * 100"
+            " // (n * (n - 1)) AS BIGINT) AS gmd_e2 FROM a"
+        ),
+        "mcnemar_years": (
+            "WITH f AS (SELECT o_custkey AS c,"
+            " CAST(sum(CASE WHEN year(o_orderdate) = 1994 THEN 1"
+            " ELSE 0 END) AS BIGINT) AS f94,"
+            " CAST(sum(CASE WHEN year(o_orderdate) = 1995 THEN 1"
+            " ELSE 0 END) AS BIGINT) AS f95 FROM orders GROUP BY 1),"
+            " agg AS (SELECT CAST(coalesce(sum(CASE WHEN f94 > 0"
+            " AND f95 = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS b,"
+            " CAST(coalesce(sum(CASE WHEN f95 > 0 AND f94 = 0"
+            " THEN 1 ELSE 0 END), 0) AS BIGINT) AS c,"
+            " CAST(coalesce(sum(CASE WHEN f94 > 0 AND f95 > 0"
+            " THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_both FROM f)"
+            " SELECT b, c, n_both,"
+            " CASE WHEN b + c > 0 THEN CAST((abs(b - c) - 1)"
+            " * (abs(b - c) - 1) AS DOUBLE) / CAST(b + c AS DOUBLE)"
+            " ELSE 0.0 END AS chi2_cc FROM agg"
+        ),
+        "readability_by_lang": (
+            "WITH f AS (SELECT lang,"
+            " CAST(len(regexp_extract_all(text, '[^ ]+'))"
+            " AS BIGINT) AS words,"
+            " CAST(len(regexp_extract_all(text, '[.!?]+'))"
+            " AS BIGINT) AS sents,"
+            " CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+'))"
+            " AS BIGINT) AS vgroups FROM documents),"
+            " g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,"
+            " CAST(sum(words) AS BIGINT) AS words,"
+            " CAST(sum(sents) AS BIGINT) AS sents,"
+            " CAST(sum(vgroups) AS BIGINT) AS vgroups"
+            " FROM f GROUP BY 1)"
+            " SELECT lang, n_docs, words, sents, vgroups,"
+            " CASE WHEN sents > 0 THEN CAST(words AS DOUBLE)"
+            " / CAST(sents AS DOUBLE) ELSE 0.0 END AS words_per_sent,"
+            " CASE WHEN words > 0 THEN CAST(vgroups AS DOUBLE)"
+            " / CAST(words AS DOUBLE) ELSE 0.0 END AS vgroups_per_word"
+            " FROM g"
         ),
     }

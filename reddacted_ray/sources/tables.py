@@ -417,3 +417,162 @@ def write_jsonl(ds: rd.Dataset, out_dir: str) -> int:
 
     res = out.aggregate(Sum("rows", alias_name="rows"))
     return int(res["rows"] or 0)
+
+
+_SQLITE_ARROW_TYPES = {
+    "INTEGER": "int64",
+    "INT": "int64",
+    "BIGINT": "int64",
+    "SMALLINT": "int64",
+    "TINYINT": "int64",
+    "REAL": "float64",
+    "FLOAT": "float64",
+    "DOUBLE": "float64",
+    "NUMERIC": "float64",
+    "TEXT": "string",
+    "VARCHAR": "string",
+    "CHAR": "string",
+    "CLOB": "string",
+    "BLOB": "binary",
+}
+
+
+def _sqlite_schema(db_path: str, table: str):
+    """Arrow schema for a SQLite table from its declared column types
+    (SQLite affinity rules; unknown decltypes map to string)."""
+    import pyarrow as pa
+    import sqlite3
+
+    con = sqlite3.connect(f"file:{db_path}?mode=ro", uri=True)
+    try:
+        info = con.execute(
+            f'PRAGMA table_info("{table}")').fetchall()
+    finally:
+        con.close()
+    if not info:
+        raise ValueError(
+            f"read_sqlite: no such table {table!r} in {db_path!r}")
+    fields = []
+    for _, name, decl, *_rest in info:
+        base = (decl or "").split("(")[0].strip().upper()
+        fields.append(pa.field(
+            name, getattr(pa, _SQLITE_ARROW_TYPES.get(base, "string"))()))
+    return pa.schema(fields)
+
+
+def read_sqlite(
+    db_path: str,
+    table: str,
+    columns: Optional[Sequence[str]] = None,
+    partitions: int = 16,
+) -> rd.Dataset:
+    """SQLite source: parallel rowid-range scans over one table. The
+    driver probes only metadata (PRAGMA schema + min/max rowid); each
+    range decodes inside a Ray task through the stdlib ``sqlite3``
+    module opened read-only, so N tasks share the file without writer
+    locks (the multi-node story is a file-per-shard layout — this
+    reader takes one file and splits it by rowid, the unit SQLite can
+    seek). Declared column types map to a STABLE Arrow schema so empty
+    ranges stay typed (requires a rowid table — WITHOUT ROWID tables
+    are rejected). Column pruning happens in the SQL projection."""
+    import sqlite3
+
+    import numpy as np
+    import pyarrow as pa
+
+    schema = _sqlite_schema(db_path, table)
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    cols = list(schema.names)
+
+    con = sqlite3.connect(f"file:{db_path}?mode=ro", uri=True)
+    try:
+        try:
+            lo, hi = con.execute(
+                f'SELECT min(rowid), max(rowid) FROM "{table}"'
+            ).fetchone()
+        except sqlite3.OperationalError as exc:
+            raise ValueError(
+                f"read_sqlite: {table!r} has no rowid "
+                f"(WITHOUT ROWID table?): {exc}") from exc
+    finally:
+        con.close()
+    if lo is None:
+        return rd.from_arrow(schema.empty_table())
+    bounds = np.unique(
+        np.linspace(lo, hi + 1, num=min(partitions, hi - lo + 1) + 1,
+                    dtype=np.int64))
+    ranges = [(int(a), int(b)) for a, b in zip(bounds[:-1], bounds[1:])]
+    proj = ", ".join(f'"{c}"' for c in cols)
+
+    def scan(t: pa.Table) -> pa.Table:
+        tabs = []
+        for a, b in zip(t["lo"].to_pylist(), t["hi"].to_pylist()):
+            c2 = sqlite3.connect(f"file:{db_path}?mode=ro", uri=True)
+            try:
+                rows = c2.execute(
+                    f'SELECT {proj} FROM "{table}" '
+                    f"WHERE rowid >= ? AND rowid < ?", (a, b)
+                ).fetchall()
+            finally:
+                c2.close()
+            arrays = [
+                pa.array([r_[i] for r_ in rows], schema.field(i).type)
+                for i in range(len(cols))
+            ]
+            tabs.append(pa.table(dict(zip(cols, arrays)), schema=schema))
+        return pa.concat_tables(tabs) if tabs else schema.empty_table()
+
+    return rd.from_items(
+        [{"lo": a, "hi": b} for a, b in ranges]
+    ).map_batches(scan, batch_format="pyarrow", batch_size=1)
+
+
+def write_sqlite(ds: rd.Dataset, db_path: str, table: str) -> int:
+    """SQLite sink. SQLite is single-writer by design, so the faithful
+    shape is: blocks stream to the driver (``iter_batches`` — bounded
+    memory, no full materialization) and land in ONE transaction via
+    executemany. Refuses to append into an existing table (same
+    append-hazard rule as the parquet sinks). Returns rows written.
+    For parallel writes at scale use the file-per-shard layout
+    (one .db per partition) and this sink per shard."""
+    import sqlite3
+
+    import pyarrow as pa
+
+    con = sqlite3.connect(db_path)
+    try:
+        exists = con.execute(
+            "SELECT name FROM sqlite_master WHERE type='table' "
+            "AND name = ?", (table,)).fetchone()
+        if exists:
+            raise ValueError(
+                f"write_sqlite: table {table!r} already exists in "
+                f"{db_path!r}")
+        schema = ds.schema()
+        decls = []
+        for name, typ in zip(schema.names, schema.types):
+            if pa.types.is_integer(typ) or pa.types.is_boolean(typ):
+                d = "INTEGER"
+            elif pa.types.is_floating(typ):
+                d = "REAL"
+            elif pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+                d = "BLOB"
+            else:
+                d = "TEXT"
+            decls.append(f'"{name}" {d}')
+        con.execute(f'CREATE TABLE "{table}" ({", ".join(decls)})')
+        marks = ", ".join("?" for _ in schema.names)
+        ins = f'INSERT INTO "{table}" VALUES ({marks})'
+        n = 0
+        with con:
+            for batch in ds.iter_batches(batch_format="pyarrow"):
+                cols = [
+                    batch.column(i).to_pylist()
+                    for i in range(batch.num_columns)
+                ]
+                con.executemany(ins, list(zip(*cols)))
+                n += batch.num_rows
+        return n
+    finally:
+        con.close()

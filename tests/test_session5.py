@@ -607,3 +607,118 @@ class TestSession3Kernels:
         from reddacted_ray.pipelines.queries import _LCM50
 
         assert _LCM50 == math.lcm(*range(1, 51))
+
+
+BATCH7 = ["theil_sen_slope", "runs_test_daily", "ordinal_patterns",
+          "gmd_by_segment", "mcnemar_years", "readability_by_lang"]
+
+
+@pytest.fixture(scope="module")
+def batch7_dir(tmp_path_factory):
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp("b7"))
+    # orders: 8 days over 3 months; one day's doubled value EQUALS the
+    # doubled median (runs-test drop branch), consecutive EQUAL days
+    # (ordinal code 0), a 1994-only / 1995-only / both / 1996-only
+    # customer split for McNemar (zero-both is avoided; b=c exercises
+    # the |b-c|-1 = -1 square)
+    rows = [
+        ("1994-01-03", 100.00, 1), ("1994-01-04", 100.00, 1),
+        ("1994-02-05", 50.00, 2), ("1994-02-17", 150.00, 2),
+        ("1994-03-02", 300.00, 3), ("1995-01-09", 40.00, 3),
+        ("1995-02-11", 260.00, 4), ("1996-03-14", 120.00, 5),
+    ]
+    import datetime as dt
+
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(
+            [dt.datetime.strptime(r[0], "%Y-%m-%d") for r in rows],
+            pa.timestamp("us")),
+        "o_totalprice": pa.array([r[1] for r in rows], pa.float64()),
+        "o_custkey": pa.array([r[2] for r in rows], pa.int64()),
+    }), os.path.join(d, "orders.parquet"))
+    # customer: negative balances, exact ties, a singleton segment
+    # (GMD undefined -> dropped by the n>1 guard on both sides)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "c_mktsegment": pa.array(
+            ["AUTO", "AUTO", "AUTO", "HOUSE", "HOUSE", "SOLO"],
+            pa.string()),
+        "c_acctbal": pa.array(
+            [-999.99, 0.00, 0.00, 123.45, 678.90, 5.00], pa.float64()),
+    }), os.path.join(d, "customer.parquet"))
+    # documents: empty text, no terminators (sents = 0 branch),
+    # multi-punct runs, uppercase vowels
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "lang": pa.array(["en", "en", "de", "xx"], pa.string()),
+        "text": pa.array([
+            "One two three. Four five!! Six?",
+            "no terminators here just words",
+            "AEIOU aeiou bcd xyz.",
+            "",
+        ], pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", BATCH7)
+def test_batch7_match_oracle(ray_session, batch7_dir, name):
+    import duckdb
+    import ray.data as rd
+
+    import __ray_entry__ as e
+
+    got = e.queries()[name](batch7_dir)
+    if isinstance(got, (rd.Dataset,)):
+        got = got.to_pandas()
+    elif isinstance(got, pa.Table):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "customer", "documents"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM"
+                f" '{batch7_dir}/{t}.parquet'")
+    exp = con.sql(e.oracle_sql()[name]).df()
+    assert len(got) == len(exp), (name, len(got), len(exp))
+    assert sorted(got.columns) == sorted(exp.columns), name
+    assert _b6_value_hash(got) == _b6_value_hash(exp), name
+
+
+def test_gmd_matches_bruteforce_pairs(ray_session, batch7_dir):
+    """Rank-sum identity == literal mean |xi - xj| over all pairs."""
+    import itertools
+
+    import __ray_entry__ as e
+
+    got = e.queries()["gmd_by_segment"](batch7_dir).to_pandas()
+    bal = {"AUTO": [-99999, 0, 0], "HOUSE": [12345, 67890]}
+    for seg, xs in bal.items():
+        pairs = list(itertools.combinations(xs, 2))
+        want = sum(abs(a - b) for a, b in pairs) * 2 * 100 // (
+            len(xs) * (len(xs) - 1))
+        row = got[got["seg"] == seg]
+        assert int(row["gmd_e2"].iloc[0]) == want, seg
+    assert "SOLO" not in set(got["seg"])  # singleton dropped
+
+
+def test_theil_sen_matches_bruteforce(ray_session, batch7_dir):
+    import itertools
+
+    import __ray_entry__ as e
+
+    got = e.queries()["theil_sen_slope"](batch7_dir).to_pandas()
+    # month cents series from the fixture
+    mon = {1994 * 12 + 1: 20000, 1994 * 12 + 2: 20000,
+           1994 * 12 + 3: 30000, 1995 * 12 + 1: 4000,
+           1995 * 12 + 2: 26000, 1996 * 12 + 3: 12000}
+    ms = sorted(mon)
+    slopes = sorted(
+        (mon[b] - mon[a]) / (b - a)
+        for a, b in itertools.combinations(ms, 2))
+    n = len(slopes)
+    want = (slopes[(n - 1) // 2] + slopes[n // 2]) / 2
+    assert float(got["theil_sen"].iloc[0]) == want
+    assert int(got["n_pairs"].iloc[0]) == n

@@ -710,3 +710,43 @@ def test_read_write_orc_roundtrip(ray_session, tmp_path):
 
     with _pytest.raises(ValueError):
         write_orc(ds, out)
+
+
+def test_read_write_sqlite_roundtrip(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from reddacted_ray.sources.tables import read_sqlite, write_sqlite
+
+    t = pa.table({
+        "k": pa.array(range(1000), pa.int64()),
+        "s": pa.array([f"v{i}" for i in range(1000)]),
+        "x": pa.array(np.arange(1000) * 0.5, pa.float64()),
+        "b": pa.array([bytes([i % 256, 7]) for i in range(1000)],
+                      pa.binary()),
+    })
+    db = str(tmp_path / "t.db")
+    rows = write_sqlite(rd.from_arrow(t).repartition(4), db, "tbl")
+    assert rows == 1000
+    back = (read_sqlite(db, "tbl").to_pandas()
+            .sort_values("k").reset_index(drop=True))
+    assert back["k"].tolist() == list(range(1000))
+    assert back["s"].tolist() == [f"v{i}" for i in range(1000)]
+    assert back["x"].tolist() == (np.arange(1000) * 0.5).tolist()
+    assert back["b"].tolist() == [bytes([i % 256, 7])
+                                  for i in range(1000)]
+    # column pruning in the SQL projection + stable dtypes
+    pruned = read_sqlite(db, "tbl", columns=["x", "k"])
+    assert pruned.schema().names == ["x", "k"]
+    assert pruned.count() == 1000
+    # rowid ranges really partition (no dup/loss at partition seams)
+    many = read_sqlite(db, "tbl", partitions=7).to_pandas()
+    assert sorted(many["k"].tolist()) == list(range(1000))
+    # append hazard guard
+    with _pytest.raises(ValueError):
+        write_sqlite(rd.from_arrow(t), db, "tbl")
+    # missing table
+    with _pytest.raises(ValueError):
+        read_sqlite(db, "nope")
