@@ -6397,7 +6397,10 @@ def q_transition_probs(sf_dir: str) -> rd.Dataset:
     driver, with the division left as the identical two-int IEEE
     divide the SQL performs, so doubles bit-match."""
     pairs = q_event_bigrams(sf_dir).to_arrow_refs()
-    t = pa.concat_tables([ray.get(r) for r in pairs])
+    # zero-row shuffle blocks may come back schema-degraded (the Ray
+    # 2.49 empty-block quirk) — drop them before the concat
+    tabs = [tt for tt in (ray.get(r) for r in pairs) if tt.num_rows]
+    t = pa.concat_tables(tabs, promote_options="default")
     prev = t["prev_type"].to_numpy(zero_copy_only=False)
     n = t["n_pairs"].to_numpy(zero_copy_only=False).astype(np.int64)
     import pandas as pd
@@ -15763,6 +15766,219 @@ def q_readability_by_lang(sf_dir: str) -> rd.Dataset:
                          zero_copy_batch=True)
 
 
+def q_chao1_vocab(sf_dir: str) -> pa.Table:
+    """Chao1 species-richness estimate of the corpus vocabulary —
+    how many tokens the corpus WOULD show with unbounded sampling,
+    from the observed vocab plus the hapax/doubleton tail (the
+    coverage planning number for tokenizer training). Space-split
+    tokens (string_split parity, empties kept) reduce to corpus term
+    frequencies; D, f1, f2 are integers and the estimator is one
+    mirrored float expression (bias-corrected form when f2 = 0)."""
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()),
+                           "").combine_chunks()
+        flat = pc.list_flatten(pc.split_pattern(txt, " "))
+        return pa.table({
+            "tok": flat,
+            "tf": pa.array(np.ones(len(flat), np.int64)),
+        })
+
+    tf = grouped_sums(docs.map_batches(explode, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                      ["tok"], ["tf"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vocab": pa.array([t.num_rows], pa.int64()),
+            "f1": pa.array([int(pc.sum(pc.cast(pc.equal(t["tf"], 1),
+                                               pa.int64())).as_py()
+                                or 0)], pa.int64()),
+            "f2": pa.array([int(pc.sum(pc.cast(pc.equal(t["tf"], 2),
+                                               pa.int64())).as_py()
+                                or 0)], pa.int64()),
+        })
+
+    agg = (tf.map_batches(flags, batch_format="pyarrow")
+           .aggregate(Sum("vocab", alias_name="vocab"),
+                      Sum("f1", alias_name="f1"),
+                      Sum("f2", alias_name="f2")))
+    vocab = int(agg["vocab"] or 0)
+    f1 = int(agg["f1"] or 0)
+    f2 = int(agg["f2"] or 0)
+    if f2 > 0:
+        chao1 = float(vocab) + float(f1 * f1) / float(2 * f2)
+    else:
+        chao1 = float(vocab) + float(f1 * (f1 - 1)) / 2.0
+    return pa.table({
+        "vocab": pa.array([vocab], pa.int64()),
+        "f1": pa.array([f1], pa.int64()),
+        "f2": pa.array([f2], pa.int64()),
+        "chao1": pa.array([chao1], pa.float64()),
+    })
+
+
+def q_simpson_diversity_by_lang(sf_dir: str) -> rd.Dataset:
+    """Simpson diversity index of the token distribution per language
+    (probability two random tokens differ — the concentration-free
+    twin of the HHI family). Per-(lang, token) counts reduce once
+    (vocabulary-bounded exchange); sum n(n-1) stays integer; the index
+    is ONE mirrored float division per language."""
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["lang", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()),
+                           "").combine_chunks()
+        sp = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(sp)
+        offs = np.asarray(sp.offsets)
+        langs = pa.array(
+            np.repeat(np.asarray(t["lang"].to_numpy(
+                zero_copy_only=False), dtype=object),
+                      np.diff(offs)), pa.string())
+        return pa.table({
+            "lang": langs,
+            "tok": flat,
+            "n": pa.array(np.ones(len(flat), np.int64)),
+        })
+
+    tf = grouped_sums(docs.map_batches(explode, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                      ["lang", "tok"], ["n"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        n = t["n"]
+        return pa.table({
+            "lang": t["lang"],
+            "n_tokens": n,
+            "vocab": pa.array(np.ones(t.num_rows, np.int64)),
+            "s2": pc.multiply(n, pc.subtract(n, 1)),
+        })
+
+    g = (grouped_sums(tf.map_batches(pairs, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["lang"], ["n_tokens", "vocab", "s2"])
+         .to_pandas().sort_values("lang"))
+    g = g[g["n_tokens"] > 1]
+    simpson = 1.0 - g["s2"].to_numpy().astype(np.float64) / (
+        g["n_tokens"].to_numpy().astype(np.float64)
+        * (g["n_tokens"] - 1).to_numpy().astype(np.float64))
+    return rd.from_arrow(pa.table({
+        "lang": pa.array(g["lang"].tolist(), pa.string()),
+        "n_tokens": pa.array(g["n_tokens"].tolist(), pa.int64()),
+        "vocab": pa.array(g["vocab"].tolist(), pa.int64()),
+        "simpson": pa.array(simpson, pa.float64()),
+    }))
+
+
+def q_langid_prf(sf_dir: str) -> rd.Dataset:
+    """Per-class precision / recall / F1 of the langid heuristic
+    against the labeled language — the scorecard row a model-quality
+    gate reads. Shares the lid kernel with q_langid_confusion (oracle
+    parity by construction); the confusion matrix is |langs|^2 cells,
+    so the P/R/F1 arithmetic is driver-trivial with every ratio a
+    mirrored float expression."""
+    from ..stages.agg import grouped_sums
+
+    def lid(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        preds = []
+        for s in texts:
+            sc = lang_scores(s)
+            if sum(sc.values()) == 0:
+                preds.append("und")
+            else:
+                preds.append(max(
+                    LANG_ORDER,
+                    key=lambda l: (sc[l], -LANG_ORDER.index(l))))
+        return pa.table({
+            "lang": t["lang"],
+            "pred_lang": pa.array(preds, pa.string()),
+        })
+
+    scored = _docs(sf_dir, ["lang", "text"]).map_batches(
+        lid, batch_format="pyarrow", zero_copy_batch=True)
+    conf = grouped_sums(scored, ["lang", "pred_lang"], [],
+                        count_alias="n").to_pandas()
+    out = {"lang": [], "tp": [], "fp": [], "fn": [],
+           "prec": [], "rec": [], "f1": []}
+    for lang in sorted(conf["lang"].unique()):
+        tp = int(conf.loc[(conf["lang"] == lang)
+                          & (conf["pred_lang"] == lang), "n"].sum())
+        fp = int(conf.loc[(conf["lang"] != lang)
+                          & (conf["pred_lang"] == lang), "n"].sum())
+        fn = int(conf.loc[(conf["lang"] == lang)
+                          & (conf["pred_lang"] != lang), "n"].sum())
+        p = float(tp) / float(tp + fp) if tp + fp > 0 else 0.0
+        r = float(tp) / float(tp + fn) if tp + fn > 0 else 0.0
+        f1 = 2 * p * r / (p + r) if p + r > 0 else 0.0
+        out["lang"].append(lang)
+        out["tp"].append(tp)
+        out["fp"].append(fp)
+        out["fn"].append(fn)
+        out["prec"].append(p)
+        out["rec"].append(r)
+        out["f1"].append(f1)
+    return rd.from_arrow(pa.table({
+        "lang": pa.array(out["lang"], pa.string()),
+        "tp": pa.array(out["tp"], pa.int64()),
+        "fp": pa.array(out["fp"], pa.int64()),
+        "fn": pa.array(out["fn"], pa.int64()),
+        "prec": pa.array(out["prec"], pa.float64()),
+        "rec": pa.array(out["rec"], pa.float64()),
+        "f1": pa.array(out["f1"], pa.float64()),
+    }))
+
+
+def q_monetary_unit_sample(sf_dir: str) -> rd.Dataset:
+    """Monetary-unit (dollar-unit) audit sampling: the orders whose
+    cumulative value crosses a sampling-interval boundary (step =
+    total/100), in global o_orderkey order — selection probability
+    proportional to value, the audit-sampling standard. Rides the
+    ordered_prefix_sum primitive (range-partitioned scan, NO sort
+    shuffle); the crossing test is integer floor division."""
+    from ..stages.windows import ordered_prefix_sum
+
+    o = sf_table(sf_dir, "orders",
+                 columns=["o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t["o_orderkey"],
+            "v": _money_int(t["o_totalprice"], 100.0),
+        })
+
+    keyed = o.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    total = int(keyed.aggregate(Sum("v", alias_name="v"))["v"] or 0)
+    step = total // 100
+    cum = ordered_prefix_sum(keyed, "k", "v", out_col="cum")
+
+    def crossings(t: pa.Table) -> pa.Table:
+        if step <= 0:
+            return pa.table({
+                "o_orderkey": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+                "cum": pa.array([], pa.int64()),
+            })
+        c = t["cum"].to_numpy()
+        v = t["v"].to_numpy()
+        keep = (c // step) > ((c - v) // step)
+        return pa.table({
+            "o_orderkey": t["k"].to_numpy()[keep],
+            "cents": v[keep],
+            "cum": c[keep],
+        })
+
+    return cum.map_batches(crossings, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -16162,6 +16378,10 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "gmd_by_segment": q_gmd_by_segment,
         "mcnemar_years": q_mcnemar_years,
         "readability_by_lang": q_readability_by_lang,
+        "chao1_vocab": q_chao1_vocab,
+        "simpson_diversity_by_lang": q_simpson_diversity_by_lang,
+        "langid_prf": q_langid_prf,
+        "monetary_unit_sample": q_monetary_unit_sample,
     }
 
 
@@ -20330,5 +20550,73 @@ def oracle_sqls() -> dict[str, str]:
             " CASE WHEN words > 0 THEN CAST(vgroups AS DOUBLE)"
             " / CAST(words AS DOUBLE) ELSE 0.0 END AS vgroups_per_word"
             " FROM g"
+        ),
+        "chao1_vocab": (
+            "WITH w AS (SELECT unnest(string_split(text, ' ')) AS tok"
+            " FROM documents),"
+            " tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM w"
+            " GROUP BY 1),"
+            " s AS (SELECT CAST(count(*) AS BIGINT) AS vocab,"
+            " CAST(count(*) FILTER (WHERE tf = 1) AS BIGINT) AS f1,"
+            " CAST(count(*) FILTER (WHERE tf = 2) AS BIGINT) AS f2"
+            " FROM tf)"
+            " SELECT vocab, f1, f2, CAST(vocab AS DOUBLE)"
+            " + CASE WHEN f2 > 0 THEN CAST(f1 * f1 AS DOUBLE)"
+            " / CAST(2 * f2 AS DOUBLE)"
+            " ELSE CAST(f1 * (f1 - 1) AS DOUBLE) / 2 END AS chao1"
+            " FROM s"
+        ),
+        "simpson_diversity_by_lang": (
+            "WITH w AS (SELECT lang,"
+            " unnest(string_split(text, ' ')) AS tok FROM documents),"
+            " tf AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS n"
+            " FROM w GROUP BY 1, 2),"
+            " g AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens,"
+            " CAST(count(*) AS BIGINT) AS vocab,"
+            " CAST(sum(n * (n - 1)) AS BIGINT) AS s2 FROM tf"
+            " GROUP BY 1 HAVING sum(n) > 1)"
+            " SELECT lang, n_tokens, vocab,"
+            " 1 - CAST(s2 AS DOUBLE)"
+            " / CAST(n_tokens * (n_tokens - 1) AS DOUBLE) AS simpson"
+            " FROM g"
+        ),
+        "langid_prf": (
+            "WITH c AS (SELECT lang,"
+            + ", ".join(f"{lang_count_sql[l]} AS n_{l}"
+                        for l in LANG_ORDER)
+            + " FROM documents),"
+            " conf AS (SELECT lang, " + pred_sql
+            + " AS pred_lang, CAST(count(*) AS BIGINT) AS n FROM c"
+            " GROUP BY 1, 2),"
+            " cls AS (SELECT DISTINCT lang FROM conf),"
+            " s AS (SELECT cls.lang,"
+            " CAST(coalesce((SELECT sum(n) FROM conf WHERE"
+            " conf.lang = cls.lang AND conf.pred_lang = cls.lang), 0)"
+            " AS BIGINT) AS tp,"
+            " CAST(coalesce((SELECT sum(n) FROM conf WHERE"
+            " conf.lang <> cls.lang AND conf.pred_lang = cls.lang), 0)"
+            " AS BIGINT) AS fp,"
+            " CAST(coalesce((SELECT sum(n) FROM conf WHERE"
+            " conf.lang = cls.lang AND conf.pred_lang <> cls.lang), 0)"
+            " AS BIGINT) AS fn FROM cls),"
+            " pr AS (SELECT lang, tp, fp, fn,"
+            " CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE)"
+            " / CAST(tp + fp AS DOUBLE) ELSE 0.0 END AS prec,"
+            " CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE)"
+            " / CAST(tp + fn AS DOUBLE) ELSE 0.0 END AS rec FROM s)"
+            " SELECT lang, tp, fp, fn, prec, rec,"
+            " CASE WHEN prec + rec > 0 THEN 2 * prec * rec"
+            " / (prec + rec) ELSE 0.0 END AS f1 FROM pr"
+        ),
+        "monetary_unit_sample": (
+            "WITH o AS (SELECT o_orderkey AS k,"
+            " CAST(round(o_totalprice * 100) AS BIGINT) AS v"
+            " FROM orders),"
+            " t AS (SELECT CAST(sum(v) AS BIGINT) // 100 AS step"
+            " FROM o),"
+            " c AS (SELECT k, v, CAST(sum(v) OVER (ORDER BY k"
+            " ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM o)"
+            " SELECT k AS o_orderkey, v AS cents, cum FROM c, t"
+            " WHERE step > 0 AND cum // step > (cum - v) // step"
         ),
     }

@@ -610,7 +610,9 @@ class TestSession3Kernels:
 
 
 BATCH7 = ["theil_sen_slope", "runs_test_daily", "ordinal_patterns",
-          "gmd_by_segment", "mcnemar_years", "readability_by_lang"]
+          "gmd_by_segment", "mcnemar_years", "readability_by_lang",
+          "chao1_vocab", "simpson_diversity_by_lang", "langid_prf",
+          "monetary_unit_sample"]
 
 
 @pytest.fixture(scope="module")
@@ -634,6 +636,8 @@ def batch7_dir(tmp_path_factory):
     import datetime as dt
 
     pq.write_table(pa.table({
+        "o_orderkey": pa.array(
+            [7 * i + 3 for i in range(len(rows))], pa.int64()),
         "o_orderdate": pa.array(
             [dt.datetime.strptime(r[0], "%Y-%m-%d") for r in rows],
             pa.timestamp("us")),
@@ -653,13 +657,16 @@ def batch7_dir(tmp_path_factory):
     # documents: empty text, no terminators (sents = 0 branch),
     # multi-punct runs, uppercase vowels
     pq.write_table(pa.table({
-        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
-        "lang": pa.array(["en", "en", "de", "xx"], pa.string()),
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "lang": pa.array(["en", "en", "de", "xx", "en", "de"],
+                         pa.string()),
         "text": pa.array([
             "One two three. Four five!! Six?",
             "no terminators here just words",
             "AEIOU aeiou bcd xyz.",
             "",
+            "alpha beta alpha gamma beta alpha.",  # tf 2 hits f2
+            "delta delta  doppel",  # double space: empty token kept
         ], pa.string()),
     }), os.path.join(d, "documents.parquet"))
     return d
