@@ -15979,6 +15979,334 @@ def q_monetary_unit_sample(sf_dir: str) -> rd.Dataset:
                            zero_copy_batch=True)
 
 
+def q_cochran_q_years(sf_dir: str) -> rd.Dataset:
+    """Cochran's Q test over three matched binary treatments: was each
+    customer active in 1994 / 1995 / 1996. Expanding the definition
+    clears every fraction: Q = (k-1)*(k*SUM G_j^2 - (SUM G)^2) /
+    (k*SUM L_i - SUM L_i^2) — numerator and denominator are exact
+    integers from ONE customer-bounded grouped sum, Q is one mirrored
+    float division."""
+    from ..stages.agg import grouped_sums
+
+    o = sf_table(sf_dir, "orders",
+                 columns=["o_custkey", "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        y = pc.year(t["o_orderdate"])
+        return pa.table({
+            "c": t["o_custkey"],
+            "f94": pc.cast(pc.equal(y, 1994), pa.int64()),
+            "f95": pc.cast(pc.equal(y, 1995), pa.int64()),
+            "f96": pc.cast(pc.equal(y, 1996), pa.int64()),
+        })
+
+    per_cust = grouped_sums(
+        o.map_batches(prep, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        ["c"], ["f94", "f95", "f96"])
+
+    def census(t: pa.Table) -> pa.Table:
+        a = pc.cast(pc.greater(t["f94"], 0), pa.int64()).to_numpy()
+        b = pc.cast(pc.greater(t["f95"], 0), pa.int64()).to_numpy()
+        c = pc.cast(pc.greater(t["f96"], 0), pa.int64()).to_numpy()
+        li = a + b + c
+        return pa.table({
+            "n_subj": pa.array([len(li)], pa.int64()),
+            "g94": pa.array([int(a.sum())], pa.int64()),
+            "g95": pa.array([int(b.sum())], pa.int64()),
+            "g96": pa.array([int(c.sum())], pa.int64()),
+            "sl": pa.array([int(li.sum())], pa.int64()),
+            "sl2": pa.array([int((li * li).sum())], pa.int64()),
+        })
+
+    rows = per_cust.map_batches(census, batch_format="pyarrow",
+                                zero_copy_batch=True).take_all()
+    n = sum(r["n_subj"] for r in rows)
+    g94 = sum(r["g94"] for r in rows)
+    g95 = sum(r["g95"] for r in rows)
+    g96 = sum(r["g96"] for r in rows)
+    sl = sum(r["sl"] for r in rows)
+    sl2 = sum(r["sl2"] for r in rows)
+    k = 3
+    den = k * sl - sl2
+    num = (k - 1) * (k * (g94 * g94 + g95 * g95 + g96 * g96)
+                     - (g94 + g95 + g96) ** 2)
+    q = float(num) / float(den) if den > 0 else 0.0
+    return rd.from_arrow(pa.table({
+        "n_subjects": pa.array([n], pa.int64()),
+        "g94": pa.array([g94], pa.int64()),
+        "g95": pa.array([g95], pa.int64()),
+        "g96": pa.array([g96], pa.int64()),
+        "q_stat": pa.array([q], pa.float64()),
+    }))
+
+
+def q_langid_kappa(sf_dir: str) -> rd.Dataset:
+    """Cohen's kappa between the langid prediction and the labeled
+    language — chance-corrected agreement from the same confusion
+    cells as q_langid_prf (shared lid kernel). Cross-multiplied form
+    kappa = (N*agree - SUM row_l*col_l) / (N^2 - SUM row_l*col_l)
+    keeps everything integer until ONE float division."""
+    from ..stages.agg import grouped_sums
+
+    def lid(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        preds = []
+        for s in texts:
+            sc = lang_scores(s)
+            if sum(sc.values()) == 0:
+                preds.append("und")
+            else:
+                preds.append(max(
+                    LANG_ORDER,
+                    key=lambda l: (sc[l], -LANG_ORDER.index(l))))
+        return pa.table({
+            "lang": t["lang"],
+            "pred_lang": pa.array(preds, pa.string()),
+        })
+
+    scored = _docs(sf_dir, ["lang", "text"]).map_batches(
+        lid, batch_format="pyarrow", zero_copy_batch=True)
+    conf = grouped_sums(scored, ["lang", "pred_lang"], [],
+                        count_alias="n").to_pandas()
+    n_tot = int(conf["n"].sum())
+    agree = int(conf.loc[conf["lang"] == conf["pred_lang"], "n"].sum())
+    labels = sorted(set(conf["lang"]) | set(conf["pred_lang"]))
+    pe_num = 0
+    for l in labels:
+        r = int(conf.loc[conf["lang"] == l, "n"].sum())
+        c = int(conf.loc[conf["pred_lang"] == l, "n"].sum())
+        pe_num += r * c
+    den = n_tot * n_tot - pe_num
+    kappa = (float(n_tot * agree - pe_num) / float(den)
+             if den != 0 else 0.0)
+    return rd.from_arrow(pa.table({
+        "n": pa.array([n_tot], pa.int64()),
+        "agree": pa.array([agree], pa.int64()),
+        "pe_num": pa.array([pe_num], pa.int64()),
+        "kappa": pa.array([kappa], pa.float64()),
+    }))
+
+
+def q_iqr_outliers_by_flag(sf_dir: str) -> rd.Dataset:
+    """Tukey-fence outlier census per return flag: quantities outside
+    [Q1 - 1.5*IQR, Q3 + 1.5*IQR] with percentile_cont quartiles. The
+    linear-interpolation quartile over positions (n-1)/4 is a QUARTER-
+    integer, so 4*Q1 = (4-r)*s[k] + r*s[k+1] is exact; the fences
+    clear denominators to eighths (8v < 5A-3B), keeping the entire
+    test integer. Per-(flag, qty) counts are the only exchange (domain
+    ~3x50); the quartile walk runs on the driver."""
+    from ..stages.agg import grouped_sums
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_returnflag", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "flag": t["l_returnflag"],
+            "q": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+        })
+
+    g = (grouped_sums(li.map_batches(prep, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["flag", "q"], [], count_alias="cnt")
+         .to_pandas().sort_values(["flag", "q"]))
+    out = {"flag": [], "n": [], "q1_x4": [], "q3_x4": [],
+           "n_outliers": []}
+
+    def order_stat(vals, cnts, cum, idx):
+        # value at 0-based sorted position idx, via the cum-count walk
+        # (idx clamps: a zero-coefficient s[k+1] term may point past
+        # the end when the interpolation remainder is 0)
+        j = int(np.searchsorted(cum, min(idx, cum[-1] - 1) + 1))
+        return int(vals[j])
+
+    for flag, sub in g.groupby("flag", sort=True):
+        vals = sub["q"].to_numpy(dtype=np.int64)
+        cnts = sub["cnt"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        if n < 4:
+            continue
+        k1, r1 = divmod(n - 1, 4)
+        k3, r3 = divmod(3 * (n - 1), 4)
+        a = ((4 - r1) * order_stat(vals, cnts, cum, k1)
+             + r1 * order_stat(vals, cnts, cum, k1 + 1))
+        b = ((4 - r3) * order_stat(vals, cnts, cum, k3)
+             + r3 * order_stat(vals, cnts, cum, k3 + 1))
+        lo8, hi8 = 5 * a - 3 * b, 5 * b - 3 * a
+        mask = (8 * vals < lo8) | (8 * vals > hi8)
+        out["flag"].append(flag)
+        out["n"].append(n)
+        out["q1_x4"].append(a)
+        out["q3_x4"].append(b)
+        out["n_outliers"].append(int(cnts[mask].sum()))
+    return rd.from_arrow(pa.table({
+        "flag": pa.array(out["flag"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "q1_x4": pa.array(out["q1_x4"], pa.int64()),
+        "q3_x4": pa.array(out["q3_x4"], pa.int64()),
+        "n_outliers": pa.array(out["n_outliers"], pa.int64()),
+    }))
+
+
+def q_effective_sources_e4(sf_dir: str) -> pa.Table:
+    """Effective source count of the corpus mix (inverse Simpson,
+    N^2 / SUM n_i^2) — the 'how many sources is this really' number a
+    mixture report leads with, as an exact e4 integer. One source-
+    bounded count exchange; the quotient is bigint floor division."""
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["source"])
+    g = grouped_sums(docs, ["source"], [],
+                     count_alias="n").to_pandas()
+    n_tot = int(g["n"].sum())
+    s2 = sum(int(v) * int(v) for v in g["n"])
+    eff = n_tot * n_tot * 10_000 // s2 if s2 > 0 else 0
+    return pa.table({
+        "n_docs": pa.array([n_tot], pa.int64()),
+        "n_sources": pa.array([len(g)], pa.int64()),
+        "eff_sources_e4": pa.array([eff], pa.int64()),
+    })
+
+
+def q_span_corruption_stats(sf_dir: str) -> rd.Dataset:
+    """T5-style span-corruption plan statistics, fully deterministic
+    (no RNG state — the reproducible-augmentation contract): token i
+    of doc d STARTS a mask span iff the top-32 md5 of "d:i" clears a
+    15% threshold, span length is 1 + (9th hex nibble mod 3), and a
+    token is masked if any span covers it (a 2-lag window, never
+    crossing doc bounds). Per-language totals are the only exchange;
+    the per-batch kernel is one buffer-level md5 pass + numpy shifts.
+    mask_rate is ONE mirrored float division."""
+    from ..functions.hashing import md5_hex_batch
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "text"])
+    THRESH = b"26666666"  # 0.15 * 2^32 in hex; hex8 < cmp == numeric
+    lut = np.zeros(256, np.int64)
+    for j, ch in enumerate(b"0123456789abcdef"):
+        lut[ch] = j
+
+    def stats(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()),
+                           "").combine_chunks()
+        sp = pc.split_pattern(txt, " ")
+        lens = np.diff(np.asarray(sp.offsets))
+        doc_rep = np.repeat(
+            t["doc_id"].to_numpy(zero_copy_only=False), lens)
+        lang_rep = np.repeat(np.asarray(
+            t["lang"].to_numpy(zero_copy_only=False), dtype=object),
+            lens)
+        pos = _np_segment_pos(lens) + 1  # 1-based token position
+        keys = (pd.Series(doc_rep).astype(str) + ":"
+                + pd.Series(pos).astype(str))
+        hexes = md5_hex_batch(pa.array(keys, pa.string()))
+        hm = np.frombuffer("".join(hexes).encode(), np.uint8)
+        hm = hm.reshape(-1, 32) if len(hexes) else hm.reshape(0, 32)
+        h8 = np.ascontiguousarray(hm[:, :8]).view("S8").ravel()
+        st = h8 < THRESH
+        ln = 1 + lut[hm[:, 8]] % 3
+        m = len(st)
+        st1 = np.zeros(m, bool)
+        st2 = np.zeros(m, bool)
+        ln1 = np.zeros(m, np.int64)
+        ln2 = np.zeros(m, np.int64)
+        if m > 1:
+            st1[1:] = st[:-1] & (doc_rep[1:] == doc_rep[:-1])
+            ln1[1:] = ln[:-1]
+        if m > 2:
+            st2[2:] = st[:-2] & (doc_rep[2:] == doc_rep[:-2])
+            ln2[2:] = ln[:-2]
+        masked = st | (st1 & (ln1 >= 2)) | (st2 & (ln2 >= 3))
+        return pa.table({
+            "lang": pa.array(lang_rep, pa.string()),
+            "n_tokens": pa.array(np.ones(len(st), np.int64)),
+            "n_masked": pa.array(masked.astype(np.int64)),
+            "n_spans": pa.array(st.astype(np.int64)),
+        })
+
+    g = grouped_sums(docs.map_batches(stats, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                     ["lang"], ["n_tokens", "n_masked", "n_spans"])
+
+    def rate(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t["lang"],
+            "n_tokens": t["n_tokens"],
+            "n_masked": t["n_masked"],
+            "n_spans": t["n_spans"],
+            "mask_rate": pc.divide(
+                pc.cast(t["n_masked"], pa.float64()),
+                pc.cast(t["n_tokens"], pa.float64())),
+        })
+
+    return g.map_batches(rate, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def _np_segment_pos(lens: np.ndarray) -> np.ndarray:
+    """0-based position within each segment, concatenated."""
+    tot = int(lens.sum())
+    if tot == 0:
+        return np.empty(0, np.int64)
+    base = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    return np.arange(tot, dtype=np.int64) - np.repeat(base, lens)
+
+
+def q_grouped_regr_by_flag(sf_dir: str) -> rd.Dataset:
+    """Per-returnflag least-squares line of extendedprice on quantity
+    (dollar units). One pass of mergeable integer partials per group;
+    slope and intercept derive from the exact sums with per-sum
+    CAST-to-DOUBLE (the corr_qty_price parity rule: cast each BIGINT
+    sum FIRST, multiply as doubles — DuckDB bit order)."""
+    from ..stages.agg import grouped_sums
+
+    li = sf_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = _money_int(t["l_quantity"], 1.0)
+        y = _money_int(t["l_extendedprice"], 1.0)
+        return pa.table({
+            "flag": t["l_returnflag"],
+            "sx": x,
+            "sy": y,
+            "sxy": pc.multiply(x, y),
+            "sxx": pc.multiply(x, x),
+        })
+
+    sums = grouped_sums(
+        li.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["flag"], ["sx", "sy", "sxy", "sxx"], count_alias="n")
+
+    def finish(t: pa.Table) -> pa.Table:
+        f = pa.float64()
+        n = pc.cast(t["n"], f, safe=False)
+        sx = pc.cast(t["sx"], f, safe=False)
+        sy = pc.cast(t["sy"], f, safe=False)
+        sxy = pc.cast(t["sxy"], f, safe=False)
+        sxx = pc.cast(t["sxx"], f, safe=False)
+        slope = pc.divide(
+            pc.subtract(pc.multiply(n, sxy), pc.multiply(sx, sy)),
+            pc.subtract(pc.multiply(n, sxx), pc.multiply(sx, sx)))
+        intercept = pc.divide(
+            pc.subtract(sy, pc.multiply(slope, sx)), n)
+        return pa.table({
+            "flag": t["flag"],
+            "n": t["n"],
+            "slope": slope,
+            "intercept": intercept,
+        })
+
+    return sums.map_batches(finish, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -16382,6 +16710,12 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "simpson_diversity_by_lang": q_simpson_diversity_by_lang,
         "langid_prf": q_langid_prf,
         "monetary_unit_sample": q_monetary_unit_sample,
+        "cochran_q_years": q_cochran_q_years,
+        "langid_kappa": q_langid_kappa,
+        "iqr_outliers_by_flag": q_iqr_outliers_by_flag,
+        "effective_sources_e4": q_effective_sources_e4,
+        "span_corruption_stats": q_span_corruption_stats,
+        "grouped_regr_by_flag": q_grouped_regr_by_flag,
     }
 
 
@@ -20618,5 +20952,138 @@ def oracle_sqls() -> dict[str, str]:
             " ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM o)"
             " SELECT k AS o_orderkey, v AS cents, cum FROM c, t"
             " WHERE step > 0 AND cum // step > (cum - v) // step"
+        ),
+        "cochran_q_years": (
+            "WITH f AS (SELECT o_custkey,"
+            " CAST(max(CASE WHEN year(o_orderdate) = 1994 THEN 1"
+            " ELSE 0 END) AS BIGINT) AS a,"
+            " CAST(max(CASE WHEN year(o_orderdate) = 1995 THEN 1"
+            " ELSE 0 END) AS BIGINT) AS b,"
+            " CAST(max(CASE WHEN year(o_orderdate) = 1996 THEN 1"
+            " ELSE 0 END) AS BIGINT) AS c FROM orders GROUP BY 1),"
+            " s AS (SELECT CAST(count(*) AS BIGINT) AS n,"
+            " CAST(sum(a) AS BIGINT) AS g94,"
+            " CAST(sum(b) AS BIGINT) AS g95,"
+            " CAST(sum(c) AS BIGINT) AS g96,"
+            " CAST(sum(a + b + c) AS BIGINT) AS sl,"
+            " CAST(sum((a + b + c) * (a + b + c)) AS BIGINT) AS sl2"
+            " FROM f)"
+            " SELECT n AS n_subjects, g94, g95, g96,"
+            " CASE WHEN 3 * sl - sl2 > 0 THEN"
+            " CAST(2 * (3 * (g94 * g94 + g95 * g95 + g96 * g96)"
+            " - (g94 + g95 + g96) * (g94 + g95 + g96)) AS DOUBLE)"
+            " / CAST(3 * sl - sl2 AS DOUBLE) ELSE 0.0 END AS q_stat"
+            " FROM s"
+        ),
+        "langid_kappa": (
+            "WITH c AS (SELECT lang,"
+            + ", ".join(f"{lang_count_sql[l]} AS n_{l}"
+                        for l in LANG_ORDER)
+            + " FROM documents),"
+            " conf AS (SELECT lang, " + pred_sql
+            + " AS pred_lang, CAST(count(*) AS BIGINT) AS n FROM c"
+            " GROUP BY 1, 2),"
+            " lab AS (SELECT lang AS l FROM conf"
+            " UNION SELECT pred_lang FROM conf),"
+            " rc AS (SELECT l,"
+            " CAST(coalesce((SELECT sum(n) FROM conf"
+            " WHERE lang = l), 0) AS BIGINT) AS r,"
+            " CAST(coalesce((SELECT sum(n) FROM conf"
+            " WHERE pred_lang = l), 0) AS BIGINT) AS cc FROM lab),"
+            " s AS (SELECT"
+            " (SELECT CAST(sum(n) AS BIGINT) FROM conf) AS n,"
+            " (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM conf"
+            " WHERE lang = pred_lang) AS agree,"
+            " (SELECT CAST(sum(r * cc) AS BIGINT) FROM rc)"
+            " AS pe_num)"
+            " SELECT n, agree, pe_num,"
+            " CASE WHEN n * n - pe_num <> 0 THEN"
+            " CAST(n * agree - pe_num AS DOUBLE)"
+            " / CAST(n * n - pe_num AS DOUBLE) ELSE 0.0 END AS kappa"
+            " FROM s"
+        ),
+        "iqr_outliers_by_flag": (
+            "WITH x AS (SELECT l_returnflag AS flag,"
+            " CAST(round(l_quantity) AS BIGINT) AS q FROM lineitem),"
+            " r AS (SELECT flag, q, row_number() OVER"
+            " (PARTITION BY flag ORDER BY q) AS i,"
+            " count(*) OVER (PARTITION BY flag) AS n FROM x),"
+            " st AS (SELECT flag, CAST(max(n) AS BIGINT) AS n,"
+            " CAST(sum(CASE WHEN i = (n - 1) // 4 + 1"
+            " THEN (4 - (n - 1) % 4) * q"
+            " WHEN i = (n - 1) // 4 + 2 THEN ((n - 1) % 4) * q"
+            " ELSE 0 END) AS BIGINT) AS a,"
+            " CAST(sum(CASE WHEN i = (3 * (n - 1)) // 4 + 1"
+            " THEN (4 - (3 * (n - 1)) % 4) * q"
+            " WHEN i = (3 * (n - 1)) // 4 + 2"
+            " THEN ((3 * (n - 1)) % 4) * q"
+            " ELSE 0 END) AS BIGINT) AS b"
+            " FROM r GROUP BY flag)"
+            " SELECT st.flag AS flag, st.n AS n, st.a AS q1_x4,"
+            " st.b AS q3_x4,"
+            " CAST(count(*) FILTER (WHERE 8 * x.q < 5 * st.a"
+            " - 3 * st.b OR 8 * x.q > 5 * st.b - 3 * st.a)"
+            " AS BIGINT) AS n_outliers"
+            " FROM x JOIN st ON x.flag = st.flag WHERE st.n >= 4"
+            " GROUP BY 1, 2, 3, 4"
+        ),
+        "effective_sources_e4": (
+            "WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n"
+            " FROM documents GROUP BY 1),"
+            " s AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,"
+            " CAST(count(*) AS BIGINT) AS n_sources,"
+            " sum(n * n) AS s2 FROM g)"
+            " SELECT n_docs, n_sources,"
+            " CASE WHEN s2 > 0 THEN CAST(CAST(n_docs AS HUGEINT)"
+            " * n_docs * 10000 // s2 AS BIGINT) ELSE 0 END"
+            " AS eff_sources_e4 FROM s"
+        ),
+        "span_corruption_stats": (
+            "WITH t AS (SELECT doc_id, lang,"
+            " unnest(generate_series(1,"
+            " len(string_split(text, ' ')))) AS i FROM documents),"
+            " h AS (SELECT doc_id, lang, i,"
+            " md5(CAST(doc_id AS VARCHAR) || ':'"
+            " || CAST(i AS VARCHAR)) AS hx FROM t),"
+            " s AS (SELECT doc_id, lang, i,"
+            " substr(hx, 1, 8) < '26666666' AS st,"
+            " 1 + (strpos('0123456789abcdef', substr(hx, 9, 1)) - 1)"
+            " % 3 AS ln FROM h),"
+            " m AS (SELECT lang, st,"
+            " CASE WHEN st OR (lag(st, 1) OVER w"
+            " AND lag(ln, 1) OVER w >= 2)"
+            " OR (lag(st, 2) OVER w AND lag(ln, 2) OVER w >= 3)"
+            " THEN 1 ELSE 0 END AS msk FROM s"
+            " WINDOW w AS (PARTITION BY doc_id ORDER BY i)),"
+            " g AS (SELECT lang, CAST(count(*) AS BIGINT)"
+            " AS n_tokens, CAST(sum(msk) AS BIGINT) AS n_masked,"
+            " CAST(count(*) FILTER (WHERE st) AS BIGINT) AS n_spans"
+            " FROM m GROUP BY 1)"
+            " SELECT lang, n_tokens, n_masked, n_spans,"
+            " CAST(n_masked AS DOUBLE) / CAST(n_tokens AS DOUBLE)"
+            " AS mask_rate FROM g"
+        ),
+        "grouped_regr_by_flag": (
+            "WITH s AS (SELECT l_returnflag AS flag,"
+            " CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)"
+            " AS sx,"
+            " CAST(sum(CAST(round(l_extendedprice) AS BIGINT))"
+            " AS BIGINT) AS sy,"
+            " CAST(sum(CAST(round(l_quantity) AS BIGINT)"
+            " * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT)"
+            " AS sxy,"
+            " CAST(sum(CAST(round(l_quantity) AS BIGINT)"
+            " * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sxx,"
+            " CAST(count(*) AS BIGINT) AS n FROM lineitem"
+            " GROUP BY 1),"
+            " b AS (SELECT flag, n, sx, sy,"
+            " (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope"
+            " FROM s)"
+            " SELECT flag, n, slope,"
+            " (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))"
+            " / CAST(n AS DOUBLE) AS intercept FROM b"
         ),
     }

@@ -612,7 +612,9 @@ class TestSession3Kernels:
 BATCH7 = ["theil_sen_slope", "runs_test_daily", "ordinal_patterns",
           "gmd_by_segment", "mcnemar_years", "readability_by_lang",
           "chao1_vocab", "simpson_diversity_by_lang", "langid_prf",
-          "monetary_unit_sample"]
+          "monetary_unit_sample", "cochran_q_years", "langid_kappa",
+          "iqr_outliers_by_flag", "effective_sources_e4",
+          "span_corruption_stats", "grouped_regr_by_flag"]
 
 
 @pytest.fixture(scope="module")
@@ -656,8 +658,22 @@ def batch7_dir(tmp_path_factory):
     }), os.path.join(d, "customer.parquet"))
     # documents: empty text, no terminators (sents = 0 branch),
     # multi-punct runs, uppercase vowels
+    # lineitem: flag A rich enough for quartiles + two extreme
+    # outliers; flag Z has n < 4 (dropped by the IQR n>=4 guard)
+    qty_a = [10, 11, 11, 12, 12, 12, 13, 13, 14, 15, 1, 50]
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array(["A"] * len(qty_a) + ["Z"] * 3,
+                                 pa.string()),
+        "l_quantity": pa.array([float(q) for q in qty_a]
+                               + [5.0, 6.0, 7.0], pa.float64()),
+        "l_extendedprice": pa.array(
+            [float(100 * q + 13 * (i % 5)) for i, q in
+             enumerate(qty_a + [5, 6, 7])], pa.float64()),
+    }), os.path.join(d, "lineitem.parquet"))
     pq.write_table(pa.table({
         "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "source": pa.array(["web", "web", "web", "cc", "cc",
+                            "books"], pa.string()),
         "lang": pa.array(["en", "en", "de", "xx", "en", "de"],
                          pa.string()),
         "text": pa.array([
@@ -685,7 +701,7 @@ def test_batch7_match_oracle(ray_session, batch7_dir, name):
     elif isinstance(got, pa.Table):
         got = got.to_pandas()
     con = duckdb.connect()
-    for t in ("orders", "customer", "documents"):
+    for t in ("orders", "customer", "documents", "lineitem"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM"
                 f" '{batch7_dir}/{t}.parquet'")
     exp = con.sql(e.oracle_sql()[name]).df()
