@@ -15520,12 +15520,16 @@ def q_theil_sen_slope(sf_dir: str) -> rd.Dataset:
         m[j] - m[i]).astype(np.float64)
     slopes.sort()
     np_ = len(slopes)
-    lo = float(slopes[(np_ - 1) // 2])
-    hi = float(slopes[np_ // 2])
+    if np_:
+        lo = float(slopes[(np_ - 1) // 2])
+        hi = float(slopes[np_ // 2])
+        ts = (lo + hi) / 2.0
+    else:  # single month: SQL's scalar subqueries go NULL
+        ts = None
     return rd.from_arrow(pa.table({
         "n_months": pa.array([len(m)], pa.int64()),
         "n_pairs": pa.array([np_], pa.int64()),
-        "theil_sen": pa.array([(lo + hi) / 2.0], pa.float64()),
+        "theil_sen": pa.array([ts], pa.float64()),
     }))
 
 
