@@ -379,6 +379,12 @@ def run_bench() -> dict:
         "contamination_by_source",
         "embedding_centroid",
         "vocab_size_by_source",
+        # round-5 session-3 additions (one per new op family)
+        "gmd_by_segment",
+        "span_corruption_stats",
+        "dup_rate_by_source",
+        "tokenizer_oov_rate",
+        "bootstrap_means",
     ]:
         timed(name, Q.registry()[name])
 

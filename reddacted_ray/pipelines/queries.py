@@ -16311,6 +16311,179 @@ def q_grouped_regr_by_flag(sf_dir: str) -> rd.Dataset:
                             zero_copy_batch=True)
 
 
+def q_tokenizer_oov_rate(sf_dir: str) -> pa.Table:
+    """Out-of-vocabulary rate against a corpus-derived top-100 token
+    vocabulary — the tokenizer-coverage number a vocab-size decision
+    reads. Two passes, the real tokenizer shape: a vocabulary-bounded
+    tf census picks the top-100 under the deterministic (tf DESC, tok)
+    total order, broadcast as a membership set; the second scan counts
+    misses vectorized (Arrow is_in). Integers until ONE mirrored float
+    division."""
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()),
+                           "").combine_chunks()
+        return pa.table({
+            "tok": pc.list_flatten(pc.split_pattern(txt, " ")),
+        })
+
+    # two SOURCE scans, nothing corpus-sized pinned: materializing the
+    # token stream between the passes would pin O(corpus) in the object
+    # store — re-tokenizing on the second scan is the 100 TB shape
+    toks = docs.map_batches(explode, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    tf = (grouped_sums(toks, ["tok"], [], count_alias="tf")
+          .to_pandas()
+          .sort_values(["tf", "tok"], ascending=[False, True])
+          .head(100))
+    vocab = ray.put(pa.array(tf["tok"].tolist(), pa.string()))
+
+    def count_oov(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()),
+                           "").combine_chunks()
+        tok = pc.list_flatten(pc.split_pattern(txt, " "))
+        v = ray.get(vocab)
+        inv = pc.is_in(tok, value_set=v)
+        n = len(tok)
+        oov = n - int(pc.sum(pc.cast(inv, pa.int64())).as_py() or 0)
+        return pa.table({
+            "n_tokens": pa.array([n], pa.int64()),
+            "n_oov": pa.array([oov], pa.int64()),
+        })
+
+    agg = (docs.map_batches(count_oov, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                      Sum("n_oov", alias_name="n_oov")))
+    n_tokens = int(agg["n_tokens"] or 0)
+    n_oov = int(agg["n_oov"] or 0)
+    return pa.table({
+        "n_tokens": pa.array([n_tokens], pa.int64()),
+        "n_oov": pa.array([n_oov], pa.int64()),
+        "oov_rate": pa.array(
+            [float(n_oov) / float(n_tokens) if n_tokens else 0.0],
+            pa.float64()),
+    })
+
+
+def q_dup_rate_by_source(sf_dir: str) -> rd.Dataset:
+    """Exact-duplicate rate per source (md5 of the raw text, dups
+    counted WITHIN a source) — the corpus-health headline per crawl.
+    One (source, md5) count exchange (8+16-byte keys, the dedup_exact
+    shape), then a source-bounded rollup; dup_rate is one mirrored
+    float division."""
+    from ..functions.hashing import md5_hex_batch
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["source", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": t["source"],
+            "h": pa.array(md5_hex_batch(
+                pc.fill_null(pc.cast(t["text"], pa.string()), "")
+                .combine_chunks()), pa.string()),
+        })
+
+    g = grouped_sums(docs.map_batches(keyed, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                     ["source", "h"], [], count_alias="c")
+
+    def rollup(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy()
+        dup = np.where(c > 1, c, 0)
+        return pa.table({
+            "source": t["source"],
+            "n_docs": t["c"],
+            "n_duped": pa.array(dup.astype(np.int64)),
+            "n_excess": pa.array(np.where(c > 1, c - 1, 0)
+                                 .astype(np.int64)),
+        })
+
+    s = grouped_sums(g.map_batches(rollup, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+                     ["source"], ["n_docs", "n_duped", "n_excess"])
+
+    def rate(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": t["source"],
+            "n_docs": t["n_docs"],
+            "n_duped": t["n_duped"],
+            "n_excess": t["n_excess"],
+            "dup_rate": pc.divide(
+                pc.cast(t["n_duped"], pa.float64()),
+                pc.cast(t["n_docs"], pa.float64())),
+        })
+
+    return s.map_batches(rate, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+# Poisson(1) CDF cut points scaled to 2^32 (floor(cum * 2^32) for
+# k = 0..5; replicate count = searchsorted rank, capped at 6) — the
+# SQL mirror compares the md5 hex8 against the same values in hex.
+_POIS1_THRESH = np.array([1580030168, 3160060337, 3950075421,
+                          4213413783, 4279248373, 4292415291],
+                         np.uint64)
+
+
+def q_bootstrap_means(sf_dir: str) -> rd.Dataset:
+    """Deterministic Poisson bootstrap of the mean order value: 32
+    replicates whose per-row multiplicities come from inverting the
+    Poisson(1) CDF at u = md5_top32("orderkey:b")/2^32 — reproducible
+    on any cluster layout, no RNG state (the dp_counts/md5-Laplace
+    pattern). Per-block partials carry 32 (count, weighted-sum) cells;
+    each replicate mean is ONE mirrored float division. The SQL mirror
+    is a 32-way cross join with the same hex8 threshold ladder."""
+    import pandas as pd
+
+    from ..functions.hashing import md5_top32_batch
+    from ..stages.agg import grouped_sums
+
+    B = 32
+    o = sf_table(sf_dir, "orders",
+                 columns=["o_orderkey", "o_totalprice"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy()
+        v = _money_int(t["o_totalprice"], 100.0).to_numpy()
+        ks = pd.Series(k).astype(str)
+        out_b, out_c, out_cv = [], [], []
+        for b in range(B):
+            u = md5_top32_batch(
+                pa.array(ks + f":{b}", pa.string()))
+            c = np.searchsorted(_POIS1_THRESH, u,
+                                side="right").astype(np.int64)
+            out_b.append(b)
+            out_c.append(int(c.sum()))
+            out_cv.append(int((c * v).sum()))
+        return pa.table({
+            "b": pa.array(out_b, pa.int64()),
+            "sc": pa.array(out_c, pa.int64()),
+            "scv": pa.array(out_cv, pa.int64()),
+        })
+
+    g = grouped_sums(o.map_batches(partials, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+                     ["b"], ["sc", "scv"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        sc = t["sc"].to_numpy().astype(np.float64)
+        scv = t["scv"].to_numpy().astype(np.float64)
+        mean = np.where(sc > 0, scv / np.where(sc > 0, sc, 1.0), 0.0)
+        return pa.table({
+            "b": t["b"],
+            "n_eff": t["sc"],
+            "mean_cents": pa.array(mean, pa.float64()),
+        })
+
+    return g.map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -16720,6 +16893,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "effective_sources_e4": q_effective_sources_e4,
         "span_corruption_stats": q_span_corruption_stats,
         "grouped_regr_by_flag": q_grouped_regr_by_flag,
+        "tokenizer_oov_rate": q_tokenizer_oov_rate,
+        "dup_rate_by_source": q_dup_rate_by_source,
+        "bootstrap_means": q_bootstrap_means,
     }
 
 
@@ -21089,5 +21265,54 @@ def oracle_sqls() -> dict[str, str]:
             " SELECT flag, n, slope,"
             " (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))"
             " / CAST(n AS DOUBLE) AS intercept FROM b"
+        ),
+        "tokenizer_oov_rate": (
+            "WITH w AS (SELECT unnest(string_split(text, ' ')) AS tok"
+            " FROM documents),"
+            " tf AS (SELECT tok, count(*) AS tf FROM w GROUP BY 1),"
+            " v AS (SELECT tok FROM tf ORDER BY tf DESC, tok"
+            " LIMIT 100),"
+            " s AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens,"
+            " CAST(count(*) FILTER (WHERE tok NOT IN"
+            " (SELECT tok FROM v)) AS BIGINT) AS n_oov FROM w)"
+            " SELECT n_tokens, n_oov,"
+            " CASE WHEN n_tokens > 0 THEN CAST(n_oov AS DOUBLE)"
+            " / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS oov_rate"
+            " FROM s"
+        ),
+        "dup_rate_by_source": (
+            "WITH h AS (SELECT source, md5(text) AS h"
+            " FROM documents),"
+            " g AS (SELECT source, h, CAST(count(*) AS BIGINT) AS c"
+            " FROM h GROUP BY 1, 2),"
+            " s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,"
+            " CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)"
+            " AS n_duped,"
+            " CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END)"
+            " AS BIGINT) AS n_excess FROM g GROUP BY 1)"
+            " SELECT source, n_docs, n_duped, n_excess,"
+            " CAST(n_duped AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+            " AS dup_rate FROM s"
+        ),
+        "bootstrap_means": (
+            "WITH e AS (SELECT o_orderkey AS k,"
+            " CAST(round(o_totalprice * 100) AS BIGINT) AS v"
+            " FROM orders),"
+            " r AS (SELECT k, v, unnest(generate_series(0, 31)) AS b"
+            " FROM e),"
+            " h AS (SELECT b, v, substr(md5(CAST(k AS VARCHAR)"
+            " || ':' || CAST(b AS VARCHAR)), 1, 8) AS h8 FROM r),"
+            " c AS (SELECT b, v, CASE"
+            " WHEN h8 < '5e2d58d8' THEN 0"
+            " WHEN h8 < 'bc5ab1b1' THEN 1"
+            " WHEN h8 < 'eb715e1d' THEN 2"
+            " WHEN h8 < 'fb239797' THEN 3"
+            " WHEN h8 < 'ff1025f5' THEN 4"
+            " WHEN h8 < 'ffd90f3b' THEN 5 ELSE 6 END AS cnt FROM h),"
+            " g AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS sc,"
+            " CAST(sum(cnt * v) AS BIGINT) AS scv FROM c GROUP BY 1)"
+            " SELECT b, sc AS n_eff,"
+            " CASE WHEN sc > 0 THEN CAST(scv AS DOUBLE)"
+            " / CAST(sc AS DOUBLE) ELSE 0.0 END AS mean_cents FROM g"
         ),
     }

@@ -56,7 +56,7 @@ def orders_tables(draw):
 
 ORDER_OPS = ["runs_test_daily", "ordinal_patterns", "theil_sen_slope",
              "mcnemar_years", "cochran_q_years",
-             "monetary_unit_sample"]
+             "monetary_unit_sample", "bootstrap_means"]
 
 
 @pytest.mark.parametrize("name", ORDER_OPS)
@@ -116,7 +116,8 @@ def documents_tables(draw):
 
 DOC_OPS = ["readability_by_lang", "chao1_vocab",
            "simpson_diversity_by_lang", "effective_sources_e4",
-           "span_corruption_stats"]
+           "span_corruption_stats", "tokenizer_oov_rate",
+           "dup_rate_by_source"]
 
 
 @pytest.mark.parametrize("name", DOC_OPS)

@@ -614,7 +614,9 @@ BATCH7 = ["theil_sen_slope", "runs_test_daily", "ordinal_patterns",
           "chao1_vocab", "simpson_diversity_by_lang", "langid_prf",
           "monetary_unit_sample", "cochran_q_years", "langid_kappa",
           "iqr_outliers_by_flag", "effective_sources_e4",
-          "span_corruption_stats", "grouped_regr_by_flag"]
+          "span_corruption_stats", "grouped_regr_by_flag",
+          "tokenizer_oov_rate", "dup_rate_by_source",
+          "bootstrap_means"]
 
 
 @pytest.fixture(scope="module")
