@@ -16484,6 +16484,261 @@ def q_bootstrap_means(sf_dir: str) -> rd.Dataset:
                          zero_copy_batch=True)
 
 
+def q_kruskal_wallis_priority(sf_dir: str) -> rd.Dataset:
+    """Kruskal-Wallis one-way rank test of o_totalprice across the five
+    order priorities. Pooled average ranks stay integer via doubled
+    ranks (2*avg_rank = 2*below + ties + 1, the mannwhitney trick); the
+    value->count histogram comes from per-block np.unique partials
+    merged on the driver (a groupby on ~every-row-distinct cents is the
+    decile_price anti-pattern). Output is one row per priority with the
+    integer doubled-rank sum plus its H contribution as ONE double
+    expression (trs*trs)/(4*n) — per-group rows, so no order-dependent
+    float sum exists anywhere."""
+    ords = sf_table(sf_dir, "orders",
+                    columns=["o_orderpriority", "o_totalprice"])
+
+    def vcounts(t: pa.Table) -> pa.Table:
+        prio = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        cents = _money_int(t["o_totalprice"], 100.0).to_numpy()
+        up, codes = np.unique(prio, return_inverse=True)
+        # cents < 2^40 for any conceivable price; codes fit 5 values
+        key = codes.astype(np.int64) * (1 << 40) + cents
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "prio": pa.array(up[(uk >> 40)], pa.string()),
+            "val": pa.array(uk & ((1 << 40) - 1), pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    parts = (ords.map_batches(vcounts, batch_format="pyarrow",
+                              zero_copy_batch=True)
+             .to_pandas()
+             .groupby(["prio", "val"], sort=True)["cnt"].sum()
+             .reset_index())
+    pooled = parts.groupby("val", sort=True)["cnt"].sum()
+    vals = pooled.index.to_numpy(dtype=np.int64)
+    tot = pooled.to_numpy(dtype=np.int64)
+    below = np.r_[0, np.cumsum(tot)[:-1]]
+    two_r = 2 * below + tot + 1  # doubled average rank per distinct val
+    tr_of = dict(zip(vals.tolist(), two_r.tolist()))
+    out_p, out_n, out_trs, out_h = [], [], [], []
+    for prio, g in parts.groupby("prio", sort=True):
+        n_j = int(g["cnt"].sum())
+        trs = sum(int(c) * tr_of[int(v)]
+                  for v, c in zip(g["val"], g["cnt"]))
+        out_p.append(prio)
+        out_n.append(n_j)
+        out_trs.append(trs)
+        out_h.append(float(trs) * float(trs) / (4.0 * float(n_j)))
+    return rd.from_arrow(pa.table({
+        "o_orderpriority": pa.array(out_p, pa.string()),
+        "n_rows": pa.array(out_n, pa.int64()),
+        "two_rank_sum": pa.array(out_trs, pa.int64()),
+        "h_contrib": pa.array(out_h, pa.float64()),
+    }))
+
+
+def q_wilcoxon_signed_rank(sf_dir: str) -> rd.Dataset:
+    """Wilcoxon signed-rank test of per-user spend: even calendar
+    months vs odd months (paired by user). The fact-sized pass is one
+    bounded grouped-sums exchange (user -> even/odd cents); differences
+    d are exact integers, zero-d users drop per the classic test, and
+    |d| average ranks stay integer as doubled ranks. Per-block
+    np.unique partials ship the (d, count) histogram to the driver —
+    bounded by the user count, the same table the rank map needs."""
+    from ..stages.agg import grouped_sums
+
+    ev = sf_table(sf_dir, "events", columns=["ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy()
+        day = us // 86_400_000_000
+        dt = (day.astype("datetime64[D]"))
+        m = (dt.astype("datetime64[M]").astype(np.int64))  # months since 1970
+        par = m % 2
+        c = _money_int(t["value"], 100.0).to_numpy()
+        return pa.table({
+            "user_id": t["user_id"],
+            "ce": pa.array(np.where(par == 0, c, 0).astype(np.int64)),
+            "co": pa.array(np.where(par == 1, c, 0).astype(np.int64)),
+        })
+
+    per_user = grouped_sums(
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], ["ce", "co"])
+
+    def dcounts(t: pa.Table) -> pa.Table:
+        d = t["ce"].to_numpy() - t["co"].to_numpy()
+        d = d[d != 0]
+        uv, cnt = np.unique(d, return_counts=True)
+        return pa.table({
+            "d": pa.array(uv, pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    parts = (per_user.map_batches(dcounts, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+             .to_pandas().groupby("d", sort=True)["cnt"].sum())
+    d_vals = parts.index.to_numpy(dtype=np.int64)
+    d_cnt = parts.to_numpy(dtype=np.int64)
+    order = np.argsort(np.abs(d_vals), kind="stable")
+    ad = np.abs(d_vals)[order]
+    cn = d_cnt[order]
+    # pool ties on |d| across signs
+    uad, inv = np.unique(ad, return_inverse=True)
+    ties = np.zeros(len(uad), dtype=np.int64)
+    np.add.at(ties, inv, cn)
+    below = np.r_[0, np.cumsum(ties)[:-1]]
+    two_r = 2 * below + ties + 1
+    sgn = np.sign(d_vals)[order]
+    trs_pos = int(np.sum(np.where(sgn > 0, cn * two_r[inv], 0)))
+    n_pos = int(d_cnt[d_vals > 0].sum())
+    n_neg = int(d_cnt[d_vals < 0].sum())
+    return rd.from_arrow(pa.table({
+        "n_pos": pa.array([n_pos], pa.int64()),
+        "n_neg": pa.array([n_neg], pa.int64()),
+        "two_w_pos": pa.array([trs_pos], pa.int64()),
+    }))
+
+
+def q_durbin_watson_counts(sf_dir: str) -> rd.Dataset:
+    """Durbin-Watson autocorrelation statistic over the daily order-
+    count series. Mean residuals cancel in first differences, so
+    DW = sum((v_t - v_{t-1})^2) / sum((v - mean)^2) is a ratio of two
+    EXACT integers (denominator scaled by n: n*sum(v^2) - S^2); the
+    one float is a single BIGINT/BIGINT division identical on both
+    sides. The only exchange is a day-bounded grouped count."""
+    from ..stages.agg import grouped_sums
+
+    ords = sf_table(sf_dir, "orders", columns=["o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.int64()).to_numpy()
+        return pa.table({
+            "day": pa.array(us // 86_400_000_000, pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    daily = (grouped_sums(
+        ords.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True), ["day"], ["one"])
+        .to_pandas().sort_values("day"))
+    v = daily["one"].to_numpy(dtype=np.int64)
+    n = len(v)
+    num = int(np.sum(np.diff(v).astype(object) ** 2))
+    s = int(v.sum())
+    s2 = int(np.sum(v.astype(object) * v.astype(object)))
+    den = n * s2 - s * s
+    if den == 0:
+        raise ValueError(
+            "durbin_watson_counts: constant daily-count series "
+            "(zero variance) — DW undefined")
+    return rd.from_arrow(pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "dw_num": pa.array([num], pa.int64()),
+        "dw_den": pa.array([den], pa.int64()),
+        "dw": pa.array([float(num * n) / float(den)], pa.float64()),
+    }))
+
+
+def q_gk_gamma_qty_discount(sf_dir: str) -> rd.Dataset:
+    """Goodman-Kruskal gamma between the two ordinal lineitem columns
+    quantity (1..50) and discount (0..10 percent): concordant-minus-
+    discordant over concordant-plus-discordant pairs. The exchange is
+    one domain-bounded (qty, disc) contingency count; pair counts come
+    from 2D suffix sums over the ~550-cell table as exact Python ints
+    (closed form, never an all-pairs pass). The one float is a single
+    division of two < 2^53 integers."""
+    from ..stages.agg import grouped_sums
+
+    li = sf_table(sf_dir, "lineitem", columns=["l_quantity", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "q": _money_int(t["l_quantity"], 1.0),
+            "d": _money_int(t["l_discount"], 100.0),
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    g = (grouped_sums(
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["q", "d"], ["one"]).to_pandas())
+    qs = np.sort(g["q"].unique())
+    ds = np.sort(g["d"].unique())
+    qi = {int(x): i for i, x in enumerate(qs)}
+    di = {int(x): i for i, x in enumerate(ds)}
+    M = np.zeros((len(qs), len(ds)), dtype=object)
+    for q, d, c in zip(g["q"], g["d"], g["one"]):
+        M[qi[int(q)], di[int(d)]] = int(c)
+    # suffix[i][j] = count strictly greater in both = sum M[i+1:, j+1:]
+    c_pairs = 0
+    d_pairs = 0
+    nq, nd = M.shape
+    for i in range(nq):
+        for j in range(nd):
+            cell = M[i, j]
+            if not cell:
+                continue
+            c_pairs += cell * int(M[i + 1:, j + 1:].sum())
+            d_pairs += cell * int(M[i + 1:, :j].sum())
+    if c_pairs + d_pairs == 0:
+        raise ValueError(
+            "gk_gamma_qty_discount: no concordant or discordant pairs "
+            "— gamma undefined")
+    gamma = float(c_pairs - d_pairs) / float(c_pairs + d_pairs)
+    return rd.from_arrow(pa.table({
+        "c_pairs": pa.array([c_pairs], pa.int64()),
+        "d_pairs": pa.array([d_pairs], pa.int64()),
+        "gamma": pa.array([gamma], pa.float64()),
+    }))
+
+
+def q_friedman_event_types(sf_dir: str) -> rd.Dataset:
+    """Friedman rank test: blocks are the 7 weekdays, treatments the
+    event types, measure is the total value cents in each (block,
+    treatment) cell. Missing cells coalesce to 0 on both sides so every
+    block ranks the full treatment domain; within-block average ranks
+    stay integer as doubled ranks. One 35-cell grouped-sums exchange;
+    output is the integer doubled-rank sum per treatment (the Friedman
+    chi-square assembles from these and the block/treatment counts)."""
+    from ..stages.agg import grouped_sums
+
+    ev = sf_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy()
+        wd = (us // 86_400_000_000 + 4) % 7
+        return pa.table({
+            "wd": pa.array(wd, pa.int64()),
+            "event_type": t["event_type"],
+            "c": _money_int(t["value"], 100.0),
+        })
+
+    g = (grouped_sums(
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["wd", "event_type"], ["c"]).to_pandas())
+    types = np.sort(g["event_type"].unique())
+    wds = np.sort(g["wd"].unique())
+    cell = {(int(w), t): int(c)
+            for w, t, c in zip(g["wd"], g["event_type"], g["c"])}
+    trs = {t: 0 for t in types}
+    for w in wds:
+        vals = np.array([cell.get((int(w), t), 0) for t in types],
+                        dtype=np.int64)
+        order = np.argsort(vals, kind="stable")
+        sv = vals[order]
+        uv, inv = np.unique(sv, return_inverse=True)
+        ties = np.bincount(inv).astype(np.int64)
+        below = np.r_[0, np.cumsum(ties)[:-1]]
+        two_r = 2 * below + ties + 1
+        for pos, idx in enumerate(order):
+            trs[types[idx]] += int(two_r[inv[pos]])
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(list(types), pa.string()),
+        "two_rank_sum": pa.array([trs[t] for t in types], pa.int64()),
+    }))
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -16896,6 +17151,11 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "tokenizer_oov_rate": q_tokenizer_oov_rate,
         "dup_rate_by_source": q_dup_rate_by_source,
         "bootstrap_means": q_bootstrap_means,
+        "kruskal_wallis_priority": q_kruskal_wallis_priority,
+        "wilcoxon_signed_rank": q_wilcoxon_signed_rank,
+        "durbin_watson_counts": q_durbin_watson_counts,
+        "gk_gamma_qty_discount": q_gk_gamma_qty_discount,
+        "friedman_event_types": q_friedman_event_types,
     }
 
 
@@ -21314,5 +21574,85 @@ def oracle_sqls() -> dict[str, str]:
             " SELECT b, sc AS n_eff,"
             " CASE WHEN sc > 0 THEN CAST(scv AS DOUBLE)"
             " / CAST(sc AS DOUBLE) ELSE 0.0 END AS mean_cents FROM g"
+        ),
+        "kruskal_wallis_priority": (
+            "WITH w AS (SELECT o_orderpriority AS prio,"
+            " CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),"
+            " r AS (SELECT prio,"
+            " 2 * CAST(rank() OVER (ORDER BY c) AS BIGINT)"
+            " + CAST(count(*) OVER (PARTITION BY c) AS BIGINT) - 1 AS tr"
+            " FROM w),"
+            " g AS (SELECT prio AS o_orderpriority,"
+            " CAST(count(*) AS BIGINT) AS n_rows,"
+            " CAST(sum(tr) AS BIGINT) AS two_rank_sum FROM r GROUP BY 1)"
+            " SELECT o_orderpriority, n_rows, two_rank_sum,"
+            " CAST(two_rank_sum AS DOUBLE) * CAST(two_rank_sum AS DOUBLE)"
+            " / (4.0 * CAST(n_rows AS DOUBLE)) AS h_contrib FROM g"
+        ),
+        "wilcoxon_signed_rank": (
+            "WITH e AS (SELECT user_id,"
+            " CAST((year(ts) - 1970) * 12 + month(ts) - 1 AS BIGINT) % 2"
+            " AS par, CAST(round(value * 100) AS BIGINT) AS c FROM events),"
+            " u AS (SELECT user_id,"
+            " CAST(sum(CASE WHEN par = 0 THEN c ELSE 0 END)"
+            " - sum(CASE WHEN par = 1 THEN c ELSE 0 END) AS BIGINT) AS d"
+            " FROM e GROUP BY 1),"
+            " w AS (SELECT d, abs(d) AS ad FROM u WHERE d <> 0),"
+            " r AS (SELECT d,"
+            " 2 * CAST(rank() OVER (ORDER BY ad) AS BIGINT)"
+            " + CAST(count(*) OVER (PARTITION BY ad) AS BIGINT) - 1 AS tr"
+            " FROM w)"
+            " SELECT CAST(count(*) FILTER (WHERE d > 0) AS BIGINT) AS n_pos,"
+            " CAST(count(*) FILTER (WHERE d < 0) AS BIGINT) AS n_neg,"
+            " CAST(sum(CASE WHEN d > 0 THEN tr ELSE 0 END) AS BIGINT)"
+            " AS two_w_pos FROM r"
+        ),
+        "durbin_watson_counts": (
+            "WITH d AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000"
+            " AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS v"
+            " FROM orders GROUP BY 1),"
+            " l AS (SELECT v, lag(v) OVER (ORDER BY day) AS pv FROM d),"
+            " a AS (SELECT CAST(count(*) AS BIGINT) AS n,"
+            " CAST(sum(v) AS BIGINT) AS s,"
+            " CAST(sum(v * v) AS BIGINT) AS s2,"
+            " CAST(sum((v - pv) * (v - pv)) FILTER (WHERE pv IS NOT NULL)"
+            " AS BIGINT) AS num FROM l)"
+            " SELECT n AS n_days, num AS dw_num,"
+            " CAST(n * s2 - s * s AS BIGINT) AS dw_den,"
+            " CAST(num * n AS DOUBLE) / CAST(n * s2 - s * s AS DOUBLE)"
+            " AS dw FROM a"
+        ),
+        "gk_gamma_qty_discount": (
+            "WITH g AS (SELECT CAST(l_quantity AS BIGINT) AS q,"
+            " CAST(round(l_discount * 100) AS BIGINT) AS d,"
+            " CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2),"
+            " p AS (SELECT"
+            " CAST(COALESCE(sum(a.n * b.n)"
+            " FILTER (WHERE b.q > a.q AND b.d > a.d), 0) AS BIGINT)"
+            " AS c_pairs,"
+            " CAST(COALESCE(sum(a.n * b.n)"
+            " FILTER (WHERE b.q > a.q AND b.d < a.d), 0) AS BIGINT)"
+            " AS d_pairs FROM g a, g b)"
+            " SELECT c_pairs, d_pairs,"
+            " CAST(c_pairs - d_pairs AS DOUBLE)"
+            " / CAST(c_pairs + d_pairs AS DOUBLE) AS gamma FROM p"
+        ),
+        "friedman_event_types": (
+            "WITH e AS (SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7"
+            " AS BIGINT) AS wd, event_type,"
+            " CAST(round(value * 100) AS BIGINT) AS c FROM events),"
+            " dom AS (SELECT wd, event_type FROM"
+            " (SELECT DISTINCT wd FROM e),"
+            " (SELECT DISTINCT event_type FROM e)),"
+            " s AS (SELECT d.wd, d.event_type,"
+            " CAST(COALESCE(sum(e.c), 0) AS BIGINT) AS v FROM dom d"
+            " LEFT JOIN e ON e.wd = d.wd AND e.event_type = d.event_type"
+            " GROUP BY 1, 2),"
+            " r AS (SELECT event_type,"
+            " 2 * CAST(rank() OVER (PARTITION BY wd ORDER BY v) AS BIGINT)"
+            " + CAST(count(*) OVER (PARTITION BY wd, v) AS BIGINT) - 1"
+            " AS tr FROM s)"
+            " SELECT event_type, CAST(sum(tr) AS BIGINT) AS two_rank_sum"
+            " FROM r GROUP BY 1"
         ),
     }

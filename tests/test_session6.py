@@ -1,0 +1,159 @@
+"""Round-5 session-4 operators: rank-test family (Kruskal-Wallis,
+Wilcoxon signed-rank, Friedman), Durbin-Watson, Goodman-Kruskal gamma.
+
+Each op is verified against its DuckDB oracle on an ADVERSARIAL
+fixture: cross-group rank ties, users whose even/odd-month spends
+cancel exactly (d = 0 drops), weekday cells with a missing treatment
+(coalesce-0 rank path), tied daily counts, and ordinal cells tied on
+one axis (neither concordant nor discordant)."""
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+BATCH8 = [
+    "kruskal_wallis_priority",
+    "wilcoxon_signed_rank",
+    "durbin_watson_counts",
+    "gk_gamma_qty_discount",
+    "friedman_event_types",
+]
+
+
+def _vhash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns), kind="mergesort")
+    body = "|".join(
+        ",".join(repr(x) for x in df[c].tolist()) for c in df.columns
+    )
+    return hashlib.md5(body.encode()).hexdigest()
+
+
+@pytest.fixture(scope="module")
+def batch8_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("batch8"))
+    # orders: rank ties ACROSS priorities (same totalprice in 1-URGENT
+    # and 2-HIGH), a singleton priority group, tied daily counts plus
+    # one heavy day (DW denominator nonzero, numerator mixes 0 and big
+    # first differences)
+    DAY = 86_400_000_000
+    base = 1_600_000_000_000_000
+    prio = ["1-URGENT", "2-HIGH", "1-URGENT", "2-HIGH", "3-MEDIUM",
+            "3-MEDIUM", "4-LOW", "4-LOW", "5-LOW", "1-URGENT"]
+    price = [100.00, 100.00, 250.50, 99.99, 100.00,
+             300.25, 42.42, 42.42, 7.77, 100.00]
+    day_of = [0, 0, 0, 1, 1, 2, 2, 2, 2, 3]
+    pq.write_table(pa.table({
+        "o_orderpriority": pa.array(prio, pa.string()),
+        "o_totalprice": pa.array(price, pa.float64()),
+        "o_orderdate": pa.array([base + DAY * k for k in day_of],
+                                pa.timestamp("us")),
+    }), os.path.join(d, "orders.parquet"))
+    # events: user 1 cancels exactly (d = 0, must drop); users 2/3 tie
+    # on |d| with opposite signs (pooled-tie doubled ranks); user 4 has
+    # only even-month events; weekday x type grid leaves one type
+    # absent on one weekday (coalesce-0 Friedman cell) and plants a
+    # within-block tie of cell sums
+    JAN = 1_704_067_200_000_000   # 2024-01-01 (even month idx 648)
+    FEB = 1_706_745_600_000_000   # 2024-02-01 (odd month idx 649)
+    ev = [
+        (JAN, 1, "view", 5.00), (FEB, 1, "click", 5.00),
+        (JAN, 2, "view", 9.00), (FEB, 2, "click", 2.00),
+        (JAN, 3, "click", 2.00), (FEB, 3, "view", 9.00),
+        (JAN, 4, "purchase", 1.23),
+        (JAN + DAY, 5, "view", 3.00), (FEB + DAY, 5, "view", 4.00),
+        # same weekday, two types with EQUAL cell sums (in-block tie)
+        (JAN + 2 * DAY, 6, "view", 7.00),
+        (JAN + 2 * DAY, 6, "click", 7.00),
+    ]
+    pq.write_table(pa.table({
+        "ts": pa.array([r[0] for r in ev], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in ev], pa.int64()),
+        "event_type": pa.array([r[2] for r in ev], pa.string()),
+        "value": pa.array([r[3] for r in ev], pa.float64()),
+    }), os.path.join(d, "events.parquet"))
+    # lineitem: ties on one axis only (same qty, different discount and
+    # vice versa), plus a fully concordant and a fully discordant pair
+    qty = [1.0, 1.0, 2.0, 2.0, 3.0, 5.0, 5.0, 4.0]
+    dsc = [0.00, 0.05, 0.05, 0.05, 0.10, 0.00, 0.08, 0.02]
+    pq.write_table(pa.table({
+        "l_quantity": pa.array(qty, pa.float64()),
+        "l_discount": pa.array(dsc, pa.float64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", BATCH8)
+def test_batch8_match_oracle(ray_session, batch8_dir, name):
+    import duckdb
+    import ray.data as rd
+
+    import __ray_entry__ as e
+
+    got = e.queries()[name](batch8_dir)
+    if isinstance(got, (rd.Dataset,)):
+        got = got.to_pandas()
+    elif isinstance(got, pa.Table):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "events", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM"
+                f" '{batch8_dir}/{t}.parquet'")
+    exp = con.sql(e.oracle_sql()[name]).df()
+    assert len(got) == len(exp), (name, len(got), len(exp))
+    assert sorted(got.columns) == sorted(exp.columns), name
+    assert _vhash(got) == _vhash(exp), name
+
+
+def test_wilcoxon_drops_zero_diff(ray_session, batch8_dir):
+    import __ray_entry__ as e
+
+    out = e.queries()["wilcoxon_signed_rank"](batch8_dir).to_pandas()
+    # hand-computed cent diffs: u1 = 500-500 = 0 (drops), u2 = +700,
+    # u3 = -700, u4 = +123, u5 = 300-400 = -100, u6 = +1400
+    assert int(out["n_pos"][0]) == 3
+    assert int(out["n_neg"][0]) == 2
+
+
+def test_kruskal_doubled_ranks_are_integers(ray_session, batch8_dir):
+    import __ray_entry__ as e
+
+    out = (e.queries()["kruskal_wallis_priority"](batch8_dir)
+           .to_pandas().sort_values("o_orderpriority"))
+    n = int(out["n_rows"].sum())
+    # sum of doubled ranks over ALL rows = 2 * (1 + ... + n) = n(n+1)
+    assert int(out["two_rank_sum"].sum()) == n * (n + 1)
+
+
+def test_friedman_block_rank_sums(ray_session, batch8_dir):
+    import __ray_entry__ as e
+
+    out = e.queries()["friedman_event_types"](batch8_dir).to_pandas()
+    k = len(out)  # treatments
+    # each block contributes k(k+1) doubled rank mass; blocks = distinct
+    # weekdays in the fixture
+    ev = pq.read_table(os.path.join(batch8_dir, "events.parquet"))
+    us = ev["ts"].cast(pa.int64()).to_numpy()
+    blocks = len(np.unique((us // 86_400_000_000 + 4) % 7))
+    assert int(out["two_rank_sum"].sum()) == blocks * k * (k + 1)
+
+
+def test_durbin_watson_constant_series_raises(ray_session, tmp_path):
+    import __ray_entry__ as e
+
+    d = str(tmp_path)
+    DAY = 86_400_000_000
+    base = 1_600_000_000_000_000
+    pq.write_table(pa.table({
+        "o_orderpriority": pa.array(["1-URGENT"] * 4, pa.string()),
+        "o_totalprice": pa.array([1.0] * 4, pa.float64()),
+        "o_orderdate": pa.array(
+            [base, base, base + DAY, base + DAY], pa.timestamp("us")),
+    }), os.path.join(d, "orders.parquet"))
+    with pytest.raises(ValueError, match="constant daily-count"):
+        e.queries()["durbin_watson_counts"](d)
