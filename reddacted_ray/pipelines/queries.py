@@ -16739,6 +16739,224 @@ def q_friedman_event_types(sf_dir: str) -> rd.Dataset:
     }))
 
 
+def q_partial_corr_qty_price(sf_dir: str) -> rd.Dataset:
+    """Partial Pearson correlation of quantity and extended price
+    CONTROLLING for discount, per return flag — the confounder-adjusted
+    association a pricing analysis wants. One bounded grouped-sums
+    exchange carries nine exact integer partials (dollar/percent units;
+    per-block Arrow int64 sums are exact up to ~1e9 rows per flag at
+    these magnitudes — far past sf100); the three pairwise r's and the
+    partial are ONE double expression tree mirrored in the SQL, sqrt
+    included (IEEE sqrt is correctly rounded, so it bit-matches).
+    corr_qty_price (queries.py) is the single-pair precedent."""
+    import math
+
+    from ..stages.agg import grouped_sums
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_returnflag", "l_quantity",
+                           "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = _money_int(t["l_quantity"], 1.0).to_numpy()
+        y = _money_int(t["l_extendedprice"], 1.0).to_numpy()
+        z = _money_int(t["l_discount"], 100.0).to_numpy()
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "sx": pa.array(x), "sy": pa.array(y), "sz": pa.array(z),
+            "sxy": pa.array(x * y), "sxz": pa.array(x * z),
+            "syz": pa.array(y * z),
+            "sx2": pa.array(x * x), "sy2": pa.array(y * y),
+            "sz2": pa.array(z * z),
+            "one": pa.array(np.ones(len(x), np.int64)),
+        })
+
+    g = (grouped_sums(
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag"],
+        ["sx", "sy", "sz", "sxy", "sxz", "syz", "sx2", "sy2", "sz2",
+         "one"]).to_pandas().sort_values("l_returnflag"))
+
+    def r_of(n, sa, sb, sab, sa2, sb2):
+        return ((float(n) * float(sab) - float(sa) * float(sb))
+                / (math.sqrt(float(n) * float(sa2)
+                             - float(sa) * float(sa))
+                   * math.sqrt(float(n) * float(sb2)
+                               - float(sb) * float(sb))))
+
+    flags, ns, rxys, rxzs, ryzs, pcs = [], [], [], [], [], []
+    for row in g.itertuples(index=False):
+        n = int(row.one)
+        rxy = r_of(n, row.sx, row.sy, row.sxy, row.sx2, row.sy2)
+        rxz = r_of(n, row.sx, row.sz, row.sxz, row.sx2, row.sz2)
+        ryz = r_of(n, row.sy, row.sz, row.syz, row.sy2, row.sz2)
+        pcv = ((rxy - rxz * ryz)
+               / (math.sqrt(1.0 - rxz * rxz)
+                  * math.sqrt(1.0 - ryz * ryz)))
+        flags.append(row.l_returnflag)
+        ns.append(n)
+        rxys.append(rxy)
+        rxzs.append(rxz)
+        ryzs.append(ryz)
+        pcs.append(pcv)
+    return rd.from_arrow(pa.table({
+        "l_returnflag": pa.array(flags, pa.string()),
+        "n": pa.array(ns, pa.int64()),
+        "r_xy": pa.array(rxys, pa.float64()),
+        "r_xz": pa.array(rxzs, pa.float64()),
+        "r_yz": pa.array(ryzs, pa.float64()),
+        "partial_corr": pa.array(pcs, pa.float64()),
+    }))
+
+
+def q_hampel_outliers(sf_dir: str) -> rd.Dataset:
+    """Hampel filter: flag events whose value deviates from the
+    CENTERED rolling median (+-2 rows per user, ts order) by more than
+    3x the global MAD — the robust despiker for sensor-style series.
+    Entirely integer: the 5-window median doubles to lo+hi (the
+    centered_median gather), the global median/MAD come from ONE
+    driver-merged value histogram (value domain is bounded cents), and
+    the flag compares 2*|2c - (lo+hi)| > 3*mad4 in 4x-cents units.
+    Output is per-user flag counts (users with at least one flag)."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["user_id", "event_id", "ts", "value"])
+
+    def vcounts(t: pa.Table) -> pa.Table:
+        v, k = np.unique(_money_int(t["value"], 100.0).to_numpy(),
+                         return_counts=True)
+        return pa.table({"val": pa.array(v, pa.int64()),
+                         "cnt": pa.array(k.astype(np.int64))})
+
+    hist = (ev.map_batches(vcounts, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .to_pandas().groupby("val", sort=True)["cnt"].sum())
+    vals = hist.index.to_numpy(dtype=np.int64)
+    cnt = hist.to_numpy(dtype=np.int64)
+
+    def hist_median2(v: np.ndarray, c: np.ndarray) -> int:
+        """2x the median of the expanded multiset (exact integer)."""
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        lo = int(v[np.searchsorted(cum, (n + 1) // 2)])
+        hi = int(v[np.searchsorted(cum, n // 2 + 1)])
+        return lo + hi
+
+    m2 = hist_median2(vals, cnt)
+    dev2 = np.abs(2 * vals - m2)
+    order = np.argsort(dev2, kind="stable")
+    mad4 = hist_median2(dev2[order], cnt[order])
+
+    def flags(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        c = _money_np(g["value"].to_numpy())
+        n = len(u)
+        if n == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "n_flags": pd.Series([], dtype="int64"),
+            })
+        new = np.r_[True, u[1:] != u[:-1]]
+        seg_id = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.r_[starts, n])
+        seg_start = starts[seg_id]
+        seg_end = seg_start + sizes[seg_id]
+        pos = np.arange(n)
+        idx = pos[:, None] + np.arange(-2, 3)
+        valid = (idx >= seg_start[:, None]) & (idx < seg_end[:, None])
+        w = c[np.clip(idx, 0, n - 1)]
+        w[~valid] = np.iinfo(np.int64).max
+        w.sort(axis=1)
+        k = valid.sum(axis=1)
+        med2 = w[pos, (k - 1) // 2] + w[pos, k // 2]  # 2*median
+        flag = 2 * np.abs(2 * c - med2) > 3 * mad4
+        df = pd.DataFrame({"user_id": u, "f": flag.astype(np.int64)})
+        out = df.groupby("user_id", sort=False).agg(
+            n_events=("f", "size"), n_flags=("f", "sum")).reset_index()
+        out = out[out["n_flags"] > 0]
+        return pd.DataFrame({
+            "user_id": out["user_id"].astype("int64"),
+            "n_events": out["n_events"].astype("int64"),
+            "n_flags": out["n_flags"].astype("int64"),
+        })
+
+    return grouped_vectorized(ev, "user_id", flags)
+
+
+def q_window_funnel_1h(sf_dir: str) -> rd.Dataset:
+    """ClickHouse-style windowFunnel: count users whose view -> click
+    -> purchase chain completes with strictly increasing timestamps
+    inside ONE HOUR of the opening view. Per-user the chain test is
+    two vectorized searchsorted passes (min click after each view is
+    optimal, so no pair enumeration); one co-locating bucket shuffle,
+    integer microsecond math throughout. Output: distinct users
+    reaching level 1 (view), 2 (+click<=1h), 3 (+purchase<=1h)."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    W = 3_600_000_000  # 1h in us
+    ev = sf_table(sf_dir, "events",
+                  columns=["user_id", "ts", "event_type"])
+
+    def levels(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"].to_numpy()
+        keep = np.isin(et, ("view", "click", "purchase"))
+        et = et[keep]
+        u = g["user_id"].to_numpy()[keep]
+        ts = (g["ts"].to_numpy()[keep]
+              .astype("datetime64[us]").astype(np.int64))
+        if len(u) == 0:
+            return pd.DataFrame({"l1": [0], "l2": [0], "l3": [0]})
+        # bucket-local user codes keep the composite (user, ts) key
+        # far inside int64 (code * span, span = ts range + W + 1)
+        uu, code = np.unique(u, return_inverse=True)
+        rel = ts - ts.min()
+        span = int(rel.max()) + W + 1
+        assert len(uu) * span < (1 << 62), "composite funnel key overflow"
+        key = code.astype(np.int64) * span + rel
+        vk = np.sort(key[et == "view"])
+        ck = np.sort(key[et == "click"])
+        pk = np.sort(key[et == "purchase"])
+        n_users = len(uu)
+        l1 = np.zeros(n_users, bool)
+        np.logical_or.at(l1, (vk // span), True)
+        # min click strictly after each view; same user iff <= view + W
+        ci = np.searchsorted(ck, vk, side="right")
+        cstar = ck[np.clip(ci, 0, max(len(ck) - 1, 0))] if len(ck) \
+            else np.zeros(0, np.int64)
+        ok2 = (ci < len(ck)) & (cstar <= vk + W) if len(ck) \
+            else np.zeros(len(vk), bool)
+        l2 = np.zeros(n_users, bool)
+        if ok2.any():
+            np.logical_or.at(l2, (vk[ok2] // span), True)
+        ok3 = np.zeros(len(vk), bool)
+        if len(pk) and ok2.any():
+            pi = np.searchsorted(pk, cstar, side="right")
+            pstar = pk[np.clip(pi, 0, len(pk) - 1)]
+            ok3 = ok2 & (pi < len(pk)) & (pstar <= vk + W)
+        l3 = np.zeros(n_users, bool)
+        if ok3.any():
+            np.logical_or.at(l3, (vk[ok3] // span), True)
+        return pd.DataFrame({
+            "l1": [int(l1.sum())], "l2": [int(l2.sum())],
+            "l3": [int(l3.sum())],
+        })
+
+    parts = grouped_vectorized(ev, "user_id", levels).to_pandas()
+    return rd.from_arrow(pa.table({
+        "n_level1": pa.array([int(parts["l1"].sum())], pa.int64()),
+        "n_level2": pa.array([int(parts["l2"].sum())], pa.int64()),
+        "n_level3": pa.array([int(parts["l3"].sum())], pa.int64()),
+    }))
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -17156,6 +17374,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "durbin_watson_counts": q_durbin_watson_counts,
         "gk_gamma_qty_discount": q_gk_gamma_qty_discount,
         "friedman_event_types": q_friedman_event_types,
+        "partial_corr_qty_price": q_partial_corr_qty_price,
+        "hampel_outliers": q_hampel_outliers,
+        "window_funnel_1h": q_window_funnel_1h,
     }
 
 
@@ -21654,5 +21875,87 @@ def oracle_sqls() -> dict[str, str]:
             " AS tr FROM s)"
             " SELECT event_type, CAST(sum(tr) AS BIGINT) AS two_rank_sum"
             " FROM r GROUP BY 1"
+        ),
+        "partial_corr_qty_price": (
+            "WITH s AS (SELECT l_returnflag,"
+            " CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sx,"
+            " CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT)"
+            " AS sy,"
+            " CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)"
+            " AS sz,"
+            " CAST(sum(CAST(round(l_quantity) AS BIGINT)"
+            " * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy,"
+            " CAST(sum(CAST(round(l_quantity) AS BIGINT)"
+            " * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sxz,"
+            " CAST(sum(CAST(round(l_extendedprice) AS BIGINT)"
+            " * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS syz,"
+            " CAST(sum(CAST(round(l_quantity) AS BIGINT)"
+            " * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sx2,"
+            " CAST(sum(CAST(round(l_extendedprice) AS BIGINT)"
+            " * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy2,"
+            " CAST(sum(CAST(round(l_discount * 100) AS BIGINT)"
+            " * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sz2,"
+            " CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1),"
+            " r AS (SELECT l_returnflag, n,"
+            " (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)"
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r_xy,"
+            " (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))"
+            " / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " * sqrt(CAST(n AS DOUBLE) * CAST(sz2 AS DOUBLE)"
+            " - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS r_xz,"
+            " (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)"
+            " - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))"
+            " / (sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)"
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " * sqrt(CAST(n AS DOUBLE) * CAST(sz2 AS DOUBLE)"
+            " - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS r_yz FROM s)"
+            " SELECT l_returnflag, n, r_xy, r_xz, r_yz,"
+            " (r_xy - r_xz * r_yz) / (sqrt(1.0 - r_xz * r_xz)"
+            " * sqrt(1.0 - r_yz * r_yz)) AS partial_corr FROM r"
+        ),
+        "hampel_outliers": (
+            "WITH w AS (SELECT user_id, event_id, epoch_us(ts) AS t,"
+            " CAST(round(value * 100) AS BIGINT) AS c FROM events),"
+            " gm AS (SELECT 2 * median(c) AS m2 FROM w),"
+            " d AS (SELECT c, abs(2 * c - (SELECT m2 FROM gm)) AS dev2"
+            " FROM w),"
+            " md AS (SELECT 2 * median(dev2) AS mad4 FROM d),"
+            " r AS (SELECT user_id, c,"
+            " 2 * median(c) OVER (PARTITION BY user_id ORDER BY t, event_id"
+            " ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS med2 FROM w),"
+            " f AS (SELECT user_id,"
+            " CASE WHEN 2 * abs(2 * c - med2) > 3 * (SELECT mad4 FROM md)"
+            " THEN 1 ELSE 0 END AS fl FROM r)"
+            " SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,"
+            " CAST(sum(fl) AS BIGINT) AS n_flags FROM f GROUP BY 1"
+            " HAVING sum(fl) > 0"
+        ),
+        "window_funnel_1h": (
+            "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t"
+            " FROM events"
+            " WHERE event_type IN ('view', 'click', 'purchase')),"
+            " v AS (SELECT user_id, t FROM e WHERE event_type = 'view'),"
+            " c AS (SELECT user_id, t FROM e WHERE event_type = 'click'),"
+            " p AS (SELECT user_id, t FROM e"
+            " WHERE event_type = 'purchase'),"
+            " u1 AS (SELECT DISTINCT user_id FROM v),"
+            " u2 AS (SELECT DISTINCT v.user_id FROM v JOIN c"
+            " ON c.user_id = v.user_id AND c.t > v.t"
+            " AND c.t <= v.t + 3600000000),"
+            " u3 AS (SELECT DISTINCT v.user_id FROM v JOIN c"
+            " ON c.user_id = v.user_id AND c.t > v.t"
+            " AND c.t <= v.t + 3600000000 JOIN p"
+            " ON p.user_id = v.user_id AND p.t > c.t"
+            " AND p.t <= v.t + 3600000000)"
+            " SELECT (SELECT CAST(count(*) AS BIGINT) FROM u1)"
+            " AS n_level1,"
+            " (SELECT CAST(count(*) AS BIGINT) FROM u2) AS n_level2,"
+            " (SELECT CAST(count(*) AS BIGINT) FROM u3) AS n_level3"
         ),
     }

@@ -22,6 +22,9 @@ BATCH8 = [
     "durbin_watson_counts",
     "gk_gamma_qty_discount",
     "friedman_event_types",
+    "partial_corr_qty_price",
+    "hampel_outliers",
+    "window_funnel_1h",
 ]
 
 
@@ -61,6 +64,7 @@ def batch8_dir(tmp_path_factory):
     # within-block tie of cell sums
     JAN = 1_704_067_200_000_000   # 2024-01-01 (even month idx 648)
     FEB = 1_706_745_600_000_000   # 2024-02-01 (odd month idx 649)
+    HOUR = 3_600_000_000
     ev = [
         (JAN, 1, "view", 5.00), (FEB, 1, "click", 5.00),
         (JAN, 2, "view", 9.00), (FEB, 2, "click", 2.00),
@@ -70,20 +74,44 @@ def batch8_dir(tmp_path_factory):
         # same weekday, two types with EQUAL cell sums (in-block tie)
         (JAN + 2 * DAY, 6, "view", 7.00),
         (JAN + 2 * DAY, 6, "click", 7.00),
+        # funnel edges: user 7 click at the EXACT +1h boundary
+        # (included) but purchase 1us past it (level 2 only); user 8
+        # click at the SAME ts as its view (strict > excludes it, a
+        # later in-window click rescues) then purchase in-window
+        # (level 3); user 9 has a huge value spike (Hampel flag)
+        (JAN + 3 * DAY, 7, "view", 1.00),
+        (JAN + 3 * DAY + HOUR, 7, "click", 1.00),
+        (JAN + 3 * DAY + HOUR + 1, 7, "purchase", 1.00),
+        (JAN + 4 * DAY, 8, "view", 1.00),
+        (JAN + 4 * DAY, 8, "click", 1.00),
+        (JAN + 4 * DAY + 50, 8, "click", 1.00),
+        (JAN + 4 * DAY + 100, 8, "purchase", 1.00),
+        (JAN + 5 * DAY, 9, "view", 1.00),
+        (JAN + 5 * DAY + 1, 9, "view", 480.00),
+        (JAN + 5 * DAY + 2, 9, "view", 1.00),
+        (JAN + 5 * DAY + 3, 9, "view", 1.00),
+        (JAN + 5 * DAY + 4, 9, "view", 1.00),
     ]
     pq.write_table(pa.table({
+        "event_id": pa.array(list(range(len(ev))), pa.int64()),
         "ts": pa.array([r[0] for r in ev], pa.timestamp("us")),
         "user_id": pa.array([r[1] for r in ev], pa.int64()),
         "event_type": pa.array([r[2] for r in ev], pa.string()),
         "value": pa.array([r[3] for r in ev], pa.float64()),
     }), os.path.join(d, "events.parquet"))
     # lineitem: ties on one axis only (same qty, different discount and
-    # vice versa), plus a fully concordant and a fully discordant pair
+    # vice versa), a fully concordant and a fully discordant pair; two
+    # return flags, each with variance in qty/price/discount (partial
+    # correlation denominators nonzero)
     qty = [1.0, 1.0, 2.0, 2.0, 3.0, 5.0, 5.0, 4.0]
     dsc = [0.00, 0.05, 0.05, 0.05, 0.10, 0.00, 0.08, 0.02]
+    prc = [10.0, 25.5, 14.0, 99.9, 55.0, 120.0, 80.0, 33.3]
+    flg = ["A", "A", "A", "A", "R", "R", "R", "R"]
     pq.write_table(pa.table({
         "l_quantity": pa.array(qty, pa.float64()),
         "l_discount": pa.array(dsc, pa.float64()),
+        "l_extendedprice": pa.array(prc, pa.float64()),
+        "l_returnflag": pa.array(flg, pa.string()),
     }), os.path.join(d, "lineitem.parquet"))
     return d
 
@@ -115,8 +143,9 @@ def test_wilcoxon_drops_zero_diff(ray_session, batch8_dir):
 
     out = e.queries()["wilcoxon_signed_rank"](batch8_dir).to_pandas()
     # hand-computed cent diffs: u1 = 500-500 = 0 (drops), u2 = +700,
-    # u3 = -700, u4 = +123, u5 = 300-400 = -100, u6 = +1400
-    assert int(out["n_pos"][0]) == 3
+    # u3 = -700, u4 = +123, u5 = 300-400 = -100, u6 = +1400,
+    # u7 = +300, u8 = +400, u9 = +48400 (all-January users)
+    assert int(out["n_pos"][0]) == 6
     assert int(out["n_neg"][0]) == 2
 
 
@@ -141,6 +170,26 @@ def test_friedman_block_rank_sums(ray_session, batch8_dir):
     us = ev["ts"].cast(pa.int64()).to_numpy()
     blocks = len(np.unique((us // 86_400_000_000 + 4) % 7))
     assert int(out["two_rank_sum"].sum()) == blocks * k * (k + 1)
+
+
+def test_window_funnel_levels(ray_session, batch8_dir):
+    import __ray_entry__ as e
+
+    out = e.queries()["window_funnel_1h"](batch8_dir).to_pandas()
+    # l1: users 1,2,3,5,6,7,8,9 have a view; l2: only 7 (click at the
+    # exact +1h boundary) and 8 (same-ts click excluded, +50us click
+    # rescues); l3: only 8 (7's purchase is 1us past the window)
+    assert int(out["n_level1"][0]) == 8
+    assert int(out["n_level2"][0]) == 2
+    assert int(out["n_level3"][0]) == 1
+
+
+def test_hampel_flags_planted_spike(ray_session, batch8_dir):
+    import __ray_entry__ as e
+
+    out = e.queries()["hampel_outliers"](batch8_dir).to_pandas()
+    # user 9's 480.00 spike sits amid 1.00s -> flagged
+    assert 9 in set(out["user_id"].tolist())
 
 
 def test_durbin_watson_constant_series_raises(ray_session, tmp_path):
