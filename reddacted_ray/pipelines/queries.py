@@ -16957,6 +16957,229 @@ def q_window_funnel_1h(sf_dir: str) -> rd.Dataset:
     }))
 
 
+def q_length_gate_by_lang(sf_dir: str) -> rd.Dataset:
+    """Per-language document-length gate: the exact discrete p05/p95
+    n_chars bounds and how many docs survive them — the first filter a
+    corpus-quality pass applies per language. ONE domain-bounded
+    (lang, n_chars) count exchange; bounds AND kept counts both come
+    from the same driver-side histogram (no second data pass)."""
+    import math
+
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["lang", "n_chars"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": t["lang"],
+            "v": t["n_chars"],
+            "k": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    d = (grouped_sums(docs.map_batches(prep, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                      ["lang", "v"], ["k"])
+         .to_pandas().sort_values(["lang", "v"]))
+    langs, nds, los, his, keeps = [], [], [], [], []
+    for lang, sub in d.groupby("lang", sort=True):
+        vals = sub["v"].to_numpy(dtype=np.int64)
+        cnt = sub["k"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        lo = int(vals[np.searchsorted(cum, int(math.ceil(0.05 * n)),
+                                      "left")])
+        hi = int(vals[np.searchsorted(cum, int(math.ceil(0.95 * n)),
+                                      "left")])
+        kept = int(cnt[(vals >= lo) & (vals <= hi)].sum())
+        langs.append(lang)
+        nds.append(n)
+        los.append(lo)
+        his.append(hi)
+        keeps.append(kept)
+    return rd.from_arrow(pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "n_docs": pa.array(nds, pa.int64()),
+        "lo_chars": pa.array(los, pa.int64()),
+        "hi_chars": pa.array(his, pa.int64()),
+        "n_kept": pa.array(keeps, pa.int64()),
+    }))
+
+
+def q_cross_source_dup_matrix(sf_dir: str) -> rd.Dataset:
+    """Duplicate co-occurrence matrix: for every unordered source pair,
+    how many distinct prefix-40 keys (the dedup_prefix near-dup
+    contract) are duplicated across (or, for the diagonal src_a ==
+    src_b, within) the pair — the contamination audit a corpus merge
+    runs before mixing crawls. Keys exchange as md5 content hashes of
+    the prefix, ONE co-locating bucket shuffle; per-bucket the pair
+    expansion is a pandas self-merge bounded by duplicate mass, and
+    the 20x20 partial matrices reduce on the driver."""
+    import pandas as pd
+
+    from ..functions.hashing import content_hash_batch
+    from ..stages.windows import grouped_vectorized
+
+    docs = _docs(sf_dir, ["text", "source"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        pref = pc.utf8_slice_codeunits(
+            pc.fill_null(pc.cast(t["text"], pa.string()), ""), 0, 40)
+        return pa.table({
+            "key": pa.array(content_hash_batch(pref)),
+            "source": t["source"],
+        })
+
+    keyed = docs.map_batches(keys, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby(["key", "source"], sort=False)
+             .size().rename("k").reset_index())
+        multi = c.groupby("key", sort=False)["source"].transform("size")
+        sub = c[multi > 1]
+        cross = sub.merge(sub, on="key", suffixes=("_a", "_b"))
+        cross = cross[cross["source_a"] < cross["source_b"]]
+        diag = c[c["k"] >= 2]
+        parts = pd.concat([
+            cross[["source_a", "source_b"]],
+            pd.DataFrame({"source_a": diag["source"],
+                          "source_b": diag["source"]}),
+        ])
+        out = (parts.groupby(["source_a", "source_b"], sort=False)
+               .size().rename("n").reset_index())
+        return pd.DataFrame({
+            "src_a": out["source_a"].astype(str),
+            "src_b": out["source_b"].astype(str),
+            "n": out["n"].astype("int64"),
+        })
+
+    parts = grouped_vectorized(keyed, "key", pair_counts).to_pandas()
+    fin = (parts.groupby(["src_a", "src_b"], sort=True)["n"].sum()
+           .reset_index())
+    return rd.from_arrow(pa.table({
+        "src_a": pa.array(fin["src_a"], pa.string()),
+        "src_b": pa.array(fin["src_b"], pa.string()),
+        "n_shared": pa.array(fin["n"].to_numpy(dtype=np.int64)),
+    }))
+
+
+def q_rolling_corr_30d(sf_dir: str) -> rd.Dataset:
+    """30-observed-day rolling Pearson correlation between daily
+    revenue (whole dollars) and daily order count — the co-movement
+    monitor a metrics platform draws. One day-bounded grouped exchange;
+    the rolling sums are prefix-sum differences over the tiny daily
+    table computed in Python ints (a full int64 cumsum of x^2 would
+    wrap past ~sf1 even though every 30-day window sum fits), and each
+    day's r is ONE double expression mirrored in the SQL window form.
+    Integer partials stay exact through sf1; past that DuckDB raises on
+    BIGINT overflow rather than ever returning a wrapped sum."""
+    import math
+
+    from ..stages.agg import grouped_sums
+
+    ords = sf_table(sf_dir, "orders",
+                    columns=["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.int64()).to_numpy()
+        return pa.table({
+            "day": pa.array(us // 86_400_000_000, pa.int64()),
+            "x": _money_int(t["o_totalprice"], 1.0),
+            "y": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    d = (grouped_sums(ords.map_batches(prep, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                      ["day"], ["x", "y"])
+         .to_pandas().sort_values("day"))
+    days = d["day"].to_numpy(dtype=np.int64)
+    x = [int(v) for v in d["x"]]
+    y = [int(v) for v in d["y"]]
+
+    def prefix(vals):
+        out = [0]
+        for v in vals:
+            out.append(out[-1] + v)
+        return out
+
+    px = prefix(x)
+    py = prefix(y)
+    pxy = prefix([a * b for a, b in zip(x, y)])
+    px2 = prefix([a * a for a in x])
+    py2 = prefix([b * b for b in y])
+    out_day, out_r = [], []
+    W = 30
+    for i in range(W - 1, len(x)):
+        lo = i - W + 1
+        sx = px[i + 1] - px[lo]
+        sy = py[i + 1] - py[lo]
+        sxy = pxy[i + 1] - pxy[lo]
+        sx2 = px2[i + 1] - px2[lo]
+        sy2 = py2[i + 1] - py2[lo]
+        r = ((30.0 * float(sxy) - float(sx) * float(sy))
+             / (math.sqrt(30.0 * float(sx2) - float(sx) * float(sx))
+                * math.sqrt(30.0 * float(sy2) - float(sy) * float(sy))))
+        out_day.append(int(days[i]))
+        out_r.append(r)
+    return rd.from_arrow(pa.table({
+        "day": pa.array(out_day, pa.int64()),
+        "r30": pa.array(out_r, pa.float64()),
+    }))
+
+
+def q_stickiness_by_week(sf_dir: str) -> rd.Dataset:
+    """Weekly stickiness (avg DAU / WAU): the engagement ratio product
+    teams track. The (user, day) presence pairs dedup in ONE grouped
+    pass (the rolling_dau pattern — dedup BEFORE any fan-out), the
+    deduped pair table materializes once and feeds three tiny grouped
+    reductions (pair counts, observed days, weekly actives); the final
+    ratio is two chained divisions of exact BIGINTs."""
+    from ..stages.agg import grouped_sums
+
+    ev = sf_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy()
+        return pa.table({
+            "user_id": t["user_id"],
+            "day": pa.array(us // 86_400_000_000, pa.int64()),
+            "k": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    pairs = grouped_sums(
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "day"], ["k"]).materialize()
+
+    def wk(t: pa.Table) -> pa.Table:
+        day = t["day"].to_numpy()
+        return pa.table({
+            "week": pa.array(day // 7, pa.int64()),
+            "user_id": t["user_id"],
+            "day": t["day"],
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    wpairs = pairs.map_batches(wk, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    dau = (grouped_sums(wpairs, ["week"], ["one"])
+           .to_pandas().set_index("week")["one"])
+    wdays = (grouped_sums(wpairs, ["week", "day"], ["one"])
+             .to_pandas().groupby("week").size())
+    wau = (grouped_sums(wpairs, ["week", "user_id"], ["one"])
+           .to_pandas().groupby("week").size())
+    weeks = sorted(dau.index)
+    rows = {
+        "week": pa.array([int(w) for w in weeks], pa.int64()),
+        "dau_sum": pa.array([int(dau[w]) for w in weeks], pa.int64()),
+        "days_obs": pa.array([int(wdays[w]) for w in weeks], pa.int64()),
+        "wau": pa.array([int(wau[w]) for w in weeks], pa.int64()),
+        "stickiness": pa.array(
+            [float(dau[w]) / float(wdays[w]) / float(wau[w])
+             for w in weeks], pa.float64()),
+    }
+    return rd.from_arrow(pa.table(rows))
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -17377,6 +17600,10 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "partial_corr_qty_price": q_partial_corr_qty_price,
         "hampel_outliers": q_hampel_outliers,
         "window_funnel_1h": q_window_funnel_1h,
+        "length_gate_by_lang": q_length_gate_by_lang,
+        "cross_source_dup_matrix": q_cross_source_dup_matrix,
+        "rolling_corr_30d": q_rolling_corr_30d,
+        "stickiness_by_week": q_stickiness_by_week,
     }
 
 
@@ -21957,5 +22184,72 @@ def oracle_sqls() -> dict[str, str]:
             " AS n_level1,"
             " (SELECT CAST(count(*) AS BIGINT) FROM u2) AS n_level2,"
             " (SELECT CAST(count(*) AS BIGINT) FROM u3) AS n_level3"
+        ),
+        "length_gate_by_lang": (
+            "WITH d AS (SELECT lang, n_chars AS v, count(*) AS k"
+            " FROM documents GROUP BY 1, 2),"
+            " n AS (SELECT lang, CAST(sum(k) AS BIGINT) AS cnt FROM d"
+            " GROUP BY 1),"
+            " r AS (SELECT lang, v, k, CAST(sum(k) OVER"
+            " (PARTITION BY lang ORDER BY v) AS BIGINT) AS cum FROM d),"
+            " lo AS (SELECT r.lang, CAST(min(v) AS BIGINT) AS lo_chars"
+            " FROM r JOIN n USING (lang)"
+            " WHERE cum >= CAST(ceil(0.05 * cnt) AS BIGINT) GROUP BY 1),"
+            " hi AS (SELECT r.lang, CAST(min(v) AS BIGINT) AS hi_chars"
+            " FROM r JOIN n USING (lang)"
+            " WHERE cum >= CAST(ceil(0.95 * cnt) AS BIGINT) GROUP BY 1)"
+            " SELECT r.lang, max(n.cnt) AS n_docs,"
+            " max(lo.lo_chars) AS lo_chars, max(hi.hi_chars) AS hi_chars,"
+            " CAST(sum(CASE WHEN v >= lo.lo_chars AND v <= hi.hi_chars"
+            " THEN k ELSE 0 END) AS BIGINT) AS n_kept"
+            " FROM r JOIN n USING (lang)"
+            " JOIN lo ON lo.lang = r.lang JOIN hi ON hi.lang = r.lang"
+            " GROUP BY 1"
+        ),
+        "cross_source_dup_matrix": (
+            "WITH c AS (SELECT substr(text, 1, 40) AS text, source,"
+            " count(*) AS k FROM documents GROUP BY 1, 2),"
+            " p AS (SELECT a.source AS src_a, b.source AS src_b"
+            " FROM c a JOIN c b ON a.text = b.text"
+            " AND a.source < b.source"
+            " UNION ALL SELECT source, source FROM c WHERE k >= 2)"
+            " SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared"
+            " FROM p GROUP BY 1, 2"
+        ),
+        "rolling_corr_30d": (
+            "WITH d AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000"
+            " AS BIGINT) AS day,"
+            " CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)"
+            " AS x, CAST(count(*) AS BIGINT) AS y FROM orders GROUP BY 1),"
+            " w AS (SELECT day,"
+            " CAST(sum(x * y) OVER win AS BIGINT) AS sxy,"
+            " CAST(sum(x) OVER win AS BIGINT) AS sx,"
+            " CAST(sum(y) OVER win AS BIGINT) AS sy,"
+            " CAST(sum(x * x) OVER win AS BIGINT) AS sx2,"
+            " CAST(sum(y * y) OVER win AS BIGINT) AS sy2,"
+            " row_number() OVER (ORDER BY day) AS rn FROM d"
+            " WINDOW win AS (ORDER BY day"
+            " ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))"
+            " SELECT day,"
+            " (30.0 * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / (sqrt(30.0 * CAST(sx2 AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " * sqrt(30.0 * CAST(sy2 AS DOUBLE)"
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r30"
+            " FROM w WHERE rn >= 30"
+        ),
+        "stickiness_by_week": (
+            "WITH p AS (SELECT DISTINCT user_id,"
+            " CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day"
+            " FROM events),"
+            " a AS (SELECT day // 7 AS week,"
+            " CAST(count(*) AS BIGINT) AS dau_sum,"
+            " CAST(count(DISTINCT day) AS BIGINT) AS days_obs,"
+            " CAST(count(DISTINCT user_id) AS BIGINT) AS wau"
+            " FROM p GROUP BY 1)"
+            " SELECT week, dau_sum, days_obs, wau,"
+            " CAST(dau_sum AS DOUBLE) / CAST(days_obs AS DOUBLE)"
+            " / CAST(wau AS DOUBLE) AS stickiness FROM a"
         ),
     }

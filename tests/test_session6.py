@@ -172,6 +172,111 @@ def test_friedman_block_rank_sums(ray_session, batch8_dir):
     assert int(out["two_rank_sum"].sum()) == blocks * k * (k + 1)
 
 
+BATCH9 = [
+    "length_gate_by_lang",
+    "cross_source_dup_matrix",
+    "rolling_corr_30d",
+    "stickiness_by_week",
+]
+
+
+@pytest.fixture(scope="module")
+def batch9_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("batch9"))
+    # documents: a singleton lang (lo == hi == v, kept == 1), a lang
+    # whose p05 rank lands exactly on a tie run; prefix-40 dups within
+    # one source, across two sources, and a triple spanning three
+    pad = "x" * 45
+    docs = [
+        (1, pad + " alpha", "en", "s1"),
+        (2, pad + " beta", "en", "s1"),      # same prefix as doc 1 (s1,s1)
+        (3, pad + " gamma", "en", "s2"),     # and cross (s1,s2)
+        (4, "y" * 50, "en", "s2"),
+        (5, "z" * 44 + " one", "en", "s1"),
+        (6, "z" * 44 + " two", "en", "s3"),  # (s1,s3)
+        (7, "unique doc seven", "en", "s3"),
+        (8, "short", "fr", "s1"),            # singleton lang
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+        "text": pa.array([r[1] for r in docs], pa.string()),
+        "lang": pa.array([r[2] for r in docs], pa.string()),
+        "source": pa.array([r[3] for r in docs], pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in docs], pa.int64()),
+    }), os.path.join(d, "documents.parquet"))
+    # orders: 32 consecutive days with varying counts and prices so
+    # rolling_corr_30d emits 3 full windows with nonzero variances
+    DAY = 86_400_000_000
+    base = 1_500_000_000_000_000
+    rows_t, rows_p = [], []
+    for day in range(32):
+        for j in range((day % 5) + 1):
+            rows_t.append(base + DAY * day)
+            rows_p.append(100.0 + 7.0 * ((day * 3 + j) % 11))
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(rows_t, pa.timestamp("us")),
+        "o_totalprice": pa.array(rows_p, pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    # events: two epoch-weeks; user 1 active 3 days in week A, users
+    # 1+2 active same single day in week B (dau 2, days 1, wau 2)
+    wk_base = (base // (7 * DAY)) * (7 * DAY)  # week-aligned
+    ev_ts = [wk_base, wk_base + DAY, wk_base + 2 * DAY,
+             wk_base + DAY,                       # dup (user,day) pair
+             wk_base + 8 * DAY, wk_base + 8 * DAY]
+    ev_u = [1, 1, 1, 1, 1, 2]
+    pq.write_table(pa.table({
+        "ts": pa.array(ev_ts, pa.timestamp("us")),
+        "user_id": pa.array(ev_u, pa.int64()),
+    }), os.path.join(d, "events.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", BATCH9)
+def test_batch9_match_oracle(ray_session, batch9_dir, name):
+    import duckdb
+    import ray.data as rd
+
+    import __ray_entry__ as e
+
+    got = e.queries()[name](batch9_dir)
+    if isinstance(got, rd.Dataset):
+        got = got.to_pandas()
+    elif isinstance(got, pa.Table):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "events", "documents"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM"
+                f" '{batch9_dir}/{t}.parquet'")
+    exp = con.sql(e.oracle_sql()[name]).df()
+    assert len(got) == len(exp), (name, len(got), len(exp))
+    assert sorted(got.columns) == sorted(exp.columns), name
+    assert _vhash(got) == _vhash(exp), name
+
+
+def test_dup_matrix_planted_pairs(ray_session, batch9_dir):
+    import __ray_entry__ as e
+
+    out = e.queries()["cross_source_dup_matrix"](batch9_dir).to_pandas()
+    m = {(a, b): n for a, b, n in
+         zip(out["src_a"], out["src_b"], out["n_shared"])}
+    assert m == {("s1", "s1"): 1, ("s1", "s2"): 1, ("s1", "s3"): 1}
+
+
+def test_stickiness_hand_check(ray_session, batch9_dir):
+    import __ray_entry__ as e
+
+    out = (e.queries()["stickiness_by_week"](batch9_dir)
+           .to_pandas().sort_values("week").reset_index(drop=True))
+    assert len(out) == 2
+    # week A: user 1 on 3 distinct days -> dau 3, days 3, wau 1
+    assert (int(out["dau_sum"][0]), int(out["days_obs"][0]),
+            int(out["wau"][0])) == (3, 3, 1)
+    # week B: two users one day -> dau 2, days 1, wau 2
+    assert (int(out["dau_sum"][1]), int(out["days_obs"][1]),
+            int(out["wau"][1])) == (2, 1, 2)
+    assert out["stickiness"][1] == pytest.approx(1.0)
+
+
 def test_window_funnel_levels(ray_session, batch8_dir):
     import __ray_entry__ as e
 
