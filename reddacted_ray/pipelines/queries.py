@@ -17180,6 +17180,133 @@ def q_stickiness_by_week(sf_dir: str) -> rd.Dataset:
     return rd.from_arrow(pa.table(rows))
 
 
+def q_energy_distance_drift(sf_dir: str) -> rd.Dataset:
+    """Two-sample energy distance between the 'view' and 'purchase'
+    value distributions — the metric-space drift test that sees shape
+    changes KS misses. All three pairwise |x-y| sums are EXACT
+    integers via the Gini rank identity (sum_{i<j}|v_i-v_j| =
+    2*sum(i*v_(i)) - (n+1)*sum(v), computed from ONE domain-bounded
+    value histogram; the cross term is (ALL - XX - YY)/2, exactly
+    even). The only float is the final three-term double tree. The
+    SQL's sum(i*v) leaves BIGINT around sf10 and errors loudly there
+    rather than wrapping."""
+    from ..stages.agg import grouped_sums
+
+    ev = sf_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array(["view", "purchase"]))
+        t = t.filter(keep)
+        return pa.table({
+            "g": t["event_type"],
+            "v": _money_int(t["value"], 100.0),
+            "k": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    h = (grouped_sums(ev.map_batches(prep, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["g", "v"], ["k"]).to_pandas())
+
+    def pairsum(sub: "list[tuple[int, int]]") -> tuple[int, int]:
+        """(n, sum_{i<j}|v_i - v_j|) from sorted (value, count)."""
+        n = 0
+        sv = 0
+        siv = 0  # sum of rank*value with ranks 1..n (any tie order)
+        for v, c in sub:
+            v, c = int(v), int(c)
+            # ranks n+1 .. n+c all get value v
+            siv += v * (c * n + c * (c + 1) // 2)
+            sv += v * c
+            n += c
+        return n, 2 * siv - (n + 1) * sv
+
+    hx = sorted((int(v), int(k)) for g, v, k
+                in zip(h["g"], h["v"], h["k"]) if g == "view")
+    hy = sorted((int(v), int(k)) for g, v, k
+                in zip(h["g"], h["v"], h["k"]) if g == "purchase")
+    hm: dict[int, int] = {}
+    for v, c in hx + hy:
+        hm[v] = hm.get(v, 0) + c
+    n, xx = pairsum(hx)
+    m, yy = pairsum(hy)
+    _, allp = pairsum(sorted(hm.items()))
+    xy = (allp - xx - yy) // 2
+    e_stat = (2.0 * float(xy) / float(n * m)
+              - 2.0 * float(xx) / float(n * n)
+              - 2.0 * float(yy) / float(m * m))
+    return rd.from_arrow(pa.table({
+        "n_view": pa.array([n], pa.int64()),
+        "n_purchase": pa.array([m], pa.int64()),
+        "sum_xy": pa.array([xy], pa.int64()),
+        "sum_xx": pa.array([xx], pa.int64()),
+        "sum_yy": pa.array([yy], pa.int64()),
+        "e_stat": pa.array([e_stat], pa.float64()),
+    }))
+
+
+ROUTER_RULES: "list[tuple[str, str]]" = [
+    ("spark", r"\bspark\b"),
+    ("windowing", r"\bwindow\b"),
+    ("relational", r"\b(?:join|agg)\b"),
+    ("perf", r"\b(?:fast|slow)\b"),
+]
+
+
+def q_rule_router_counts(sf_dir: str) -> rd.Dataset:
+    """First-match rule router: each document lands in the FIRST rule
+    whose regex hits (the content-routing stage of an ingest pipeline),
+    else 'default'. Per batch all rules evaluate as Arrow RE2 masks and
+    np.select picks the winner — no per-row Python, and RE2 semantics
+    match DuckDB's regexp_matches exactly. One rule-bounded grouped
+    count exchange."""
+    from ..stages.agg import grouped_sums
+
+    docs = _docs(sf_dir, ["text"])
+
+    def route(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        masks = [pc.match_substring_regex(txt, pat).to_numpy(
+            zero_copy_only=False) for _, pat in ROUTER_RULES]
+        lab = np.select(masks, [name for name, _ in ROUTER_RULES],
+                        default="default")
+        return pa.table({
+            "rule": pa.array(lab, pa.string()),
+            "k": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    return grouped_sums(docs.map_batches(route, batch_format="pyarrow",
+                                         zero_copy_batch=True),
+                        ["rule"], ["k"], count_alias=None).map_batches(
+        lambda t: pa.table({"rule": t["rule"], "n_docs": t["k"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+KWIC_PATTERN = r"(?:\S+ ){0,2}window(?: \S+){0,2}"
+
+
+def q_kwic_window(sf_dir: str) -> rd.Dataset:
+    """Keyword-in-context: the FIRST 'window' occurrence per document
+    with up to two words of context either side — the concordance view
+    a corpus linguist pulls. Arrow's RE2 extract_regex per batch (first
+    match, same greedy semantics as DuckDB regexp_extract); rows
+    without the keyword drop in the same map."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def kwic(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        ex = pc.extract_regex(txt, "(?P<ctx>" + KWIC_PATTERN + ")")
+        ctx = pc.struct_field(ex, "ctx")
+        mask = pc.is_valid(ctx)
+        return pa.table({
+            "doc_id": t["doc_id"].filter(mask),
+            "context": ctx.filter(mask),
+        })
+
+    return docs.map_batches(kwic, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -17604,6 +17731,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "cross_source_dup_matrix": q_cross_source_dup_matrix,
         "rolling_corr_30d": q_rolling_corr_30d,
         "stickiness_by_week": q_stickiness_by_week,
+        "energy_distance_drift": q_energy_distance_drift,
+        "rule_router_counts": q_rule_router_counts,
+        "kwic_window": q_kwic_window,
     }
 
 
@@ -22251,5 +22381,51 @@ def oracle_sqls() -> dict[str, str]:
             " SELECT week, dau_sum, days_obs, wau,"
             " CAST(dau_sum AS DOUBLE) / CAST(days_obs AS DOUBLE)"
             " / CAST(wau AS DOUBLE) AS stickiness FROM a"
+        ),
+        "energy_distance_drift": (
+            "WITH w AS (SELECT event_type AS g,"
+            " CAST(round(value * 100) AS BIGINT) AS v FROM events"
+            " WHERE event_type IN ('view', 'purchase')),"
+            " rm AS (SELECT v, row_number() OVER (ORDER BY v) AS i"
+            " FROM w),"
+            " am AS (SELECT CAST(count(*) AS BIGINT) AS k,"
+            " CAST(sum(i * v) AS BIGINT) AS siv,"
+            " CAST(sum(v) AS BIGINT) AS sv FROM rm),"
+            " rx AS (SELECT v, row_number() OVER (ORDER BY v) AS i"
+            " FROM w WHERE g = 'view'),"
+            " ax AS (SELECT CAST(count(*) AS BIGINT) AS n,"
+            " CAST(sum(i * v) AS BIGINT) AS siv,"
+            " CAST(sum(v) AS BIGINT) AS sv FROM rx),"
+            " ry AS (SELECT v, row_number() OVER (ORDER BY v) AS i"
+            " FROM w WHERE g = 'purchase'),"
+            " ay AS (SELECT CAST(count(*) AS BIGINT) AS m,"
+            " CAST(sum(i * v) AS BIGINT) AS siv,"
+            " CAST(sum(v) AS BIGINT) AS sv FROM ry),"
+            " t AS (SELECT ax.n AS n, ay.m AS m,"
+            " 2 * ax.siv - (ax.n + 1) * ax.sv AS xx,"
+            " 2 * ay.siv - (ay.m + 1) * ay.sv AS yy,"
+            " 2 * am.siv - (am.k + 1) * am.sv AS allp FROM am, ax, ay)"
+            " SELECT n AS n_view, m AS n_purchase,"
+            " CAST((allp - xx - yy) // 2 AS BIGINT) AS sum_xy,"
+            " CAST(xx AS BIGINT) AS sum_xx, CAST(yy AS BIGINT) AS sum_yy,"
+            " 2.0 * CAST((allp - xx - yy) // 2 AS DOUBLE)"
+            " / CAST(n * m AS DOUBLE)"
+            " - 2.0 * CAST(xx AS DOUBLE) / CAST(n * n AS DOUBLE)"
+            " - 2.0 * CAST(yy AS DOUBLE) / CAST(m * m AS DOUBLE)"
+            " AS e_stat FROM t"
+        ),
+        "rule_router_counts": (
+            "WITH r AS (SELECT CASE "
+            + " ".join(
+                f"WHEN regexp_matches(text, '{_sq(pat)}')"
+                f" THEN '{name}'" for name, pat in ROUTER_RULES)
+            + " ELSE 'default' END AS rule FROM documents)"
+            " SELECT rule, CAST(count(*) AS BIGINT) AS n_docs FROM r"
+            " GROUP BY 1"
+        ),
+        "kwic_window": (
+            f"SELECT doc_id, regexp_extract(text, '{_sq(KWIC_PATTERN)}')"
+            " AS context FROM documents"
+            f" WHERE regexp_matches(text, '{_sq(KWIC_PATTERN)}')"
         ),
     }

@@ -25,6 +25,7 @@ BATCH8 = [
     "partial_corr_qty_price",
     "hampel_outliers",
     "window_funnel_1h",
+    "energy_distance_drift",
 ]
 
 
@@ -177,6 +178,8 @@ BATCH9 = [
     "cross_source_dup_matrix",
     "rolling_corr_30d",
     "stickiness_by_week",
+    "rule_router_counts",
+    "kwic_window",
 ]
 
 
@@ -196,6 +199,14 @@ def batch9_dir(tmp_path_factory):
         (6, "z" * 44 + " two", "en", "s3"),  # (s1,s3)
         (7, "unique doc seven", "en", "s3"),
         (8, "short", "fr", "s1"),            # singleton lang
+        # router/kwic probes: doc 9 matches kwic with full 2+2 context,
+        # doc 10 hits the 'relational' rule, doc 11 matches BOTH spark
+        # and window (first-match precedence -> spark), doc 12 has the
+        # keyword at text start (0-word left context)
+        (9, "aa bb window cc dd ee", "en", "s2"),
+        (10, "agg join heavy lifting", "en", "s3"),
+        (11, "spark and window both", "en", "s1"),
+        (12, "window leads here", "fr", "s2"),
     ]
     pq.write_table(pa.table({
         "doc_id": pa.array([r[0] for r in docs], pa.int64()),
