@@ -17307,6 +17307,131 @@ def q_kwic_window(sf_dir: str) -> rd.Dataset:
                             zero_copy_batch=True)
 
 
+def q_pii_joint_counts(sf_dir: str) -> rd.Dataset:
+    """Joint distribution of the PII detector's four decision inputs
+    (email hit, name hit, FP veto, quality-gate flag) — the audit cube
+    a privacy review reads before tuning thresholds. Rides the shared
+    flagship scorer columns (reference pii_detector.py semantics, cf.
+    functions/pii.py) and ONE 16-cell grouped count."""
+    from ..stages.agg import grouped_sums
+
+    def flags(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "has_email": pc.greater(t["n_email"], 0),
+            "has_name": pc.greater(t["n_name"], 0),
+            "veto": t["veto"],
+            "gate_flag": t["gate_flag"],
+            "k": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    g = grouped_sums(
+        _pii_ds(sf_dir).map_batches(flags, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+        ["has_email", "has_name", "veto", "gate_flag"], ["k"])
+    return g.map_batches(
+        lambda t: pa.table({
+            "has_email": t["has_email"], "has_name": t["has_name"],
+            "veto": t["veto"], "gate_flag": t["gate_flag"],
+            "n_docs": t["k"],
+        }), batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_peer_group_window_sum(sf_dir: str) -> rd.Dataset:
+    """SQL:2011 GROUPS-frame window (GROUPS BETWEEN 1 PRECEDING AND
+    CURRENT ROW): per user, each event's sum over its value-peer group
+    plus the previous peer group — a frame mode DuckDB itself cannot
+    parse yet (the oracle rewrites it as peer-group sums + LAG). One
+    co-locating bucket shuffle; peer groups reduce via np.add.reduceat
+    over (user, cents) boundaries, zero per-row Python."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["user_id", "event_id", "value"])
+
+    def gsum(g: pd.DataFrame) -> pd.DataFrame:
+        c = _money_np(g["value"].to_numpy())
+        u = g["user_id"].to_numpy()
+        order = np.lexsort((c, u))
+        us, cs = u[order], c[order]
+        n = len(us)
+        if n == 0:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "gsum": pd.Series([], dtype="int64"),
+            })
+        newg = np.r_[True, (us[1:] != us[:-1]) | (cs[1:] != cs[:-1])]
+        gid = np.cumsum(newg) - 1
+        starts = np.flatnonzero(newg)
+        gs = np.add.reduceat(cs, starts)
+        newu = np.r_[True, us[1:] != us[:-1]]
+        first_of_user = newu[starts]  # group is user's first peer group
+        prev = np.r_[0, gs[:-1]]
+        prev[first_of_user] = 0
+        total = gs + prev
+        out = np.empty(n, np.int64)
+        out[order] = total[gid]
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "gsum": out,
+        })
+
+    return grouped_vectorized(ev, "user_id", gsum)
+
+
+def q_brand_triples_top(sf_dir: str) -> rd.Dataset:
+    """Top-10 brand triples co-purchased in one order (the 3-itemset
+    step of a market-basket pass). Brand attaches via the bounded
+    dimension lookup, (order, brand) pairs pre-dedup per block before
+    ONE orderkey bucket shuffle, and the triple expansion is a pandas
+    double self-merge bounded by per-order basket size cubed; partial
+    triple counts (domain <= C(25,3)) reduce on the driver."""
+    import pandas as pd
+
+    from ..stages.joins import attach_via_lookup
+    from ..stages.windows import grouped_vectorized
+
+    li = sf_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    part = sf_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    ob = attach_via_lookup(li, "l_partkey", part, "p_partkey",
+                           {"p_brand": "b"})
+
+    def dedup(t: pa.Table) -> pa.Table:
+        return (pa.table({"o": t["l_orderkey"], "b": t["b"]})
+                .group_by(["o", "b"]).aggregate([]))
+
+    pairs = ob.map_batches(dedup, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def triples(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.drop_duplicates()
+        two = df.merge(df, on="o", suffixes=("1", "2"))
+        two = two[two["b1"] < two["b2"]]
+        three = two.merge(df.rename(columns={"b": "b3"}), on="o")
+        three = three[three["b3"] > three["b2"]]
+        out = (three.groupby(["b1", "b2", "b3"], sort=False)
+               .size().rename("n").reset_index())
+        return pd.DataFrame({
+            "b1": out["b1"].astype(str), "b2": out["b2"].astype(str),
+            "b3": out["b3"].astype(str), "n": out["n"].astype("int64"),
+        })
+
+    parts = grouped_vectorized(pairs, "o", triples).to_pandas()
+    fin = (parts.groupby(["b1", "b2", "b3"], sort=False)["n"].sum()
+           .reset_index()
+           .sort_values(["n", "b1", "b2", "b3"],
+                        ascending=[False, True, True, True],
+                        kind="mergesort")
+           .head(10))
+    return rd.from_arrow(pa.table({
+        "b1": pa.array(fin["b1"], pa.string()),
+        "b2": pa.array(fin["b2"], pa.string()),
+        "b3": pa.array(fin["b3"], pa.string()),
+        "n": pa.array(fin["n"].to_numpy(dtype=np.int64)),
+    }))
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -17734,6 +17859,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "energy_distance_drift": q_energy_distance_drift,
         "rule_router_counts": q_rule_router_counts,
         "kwic_window": q_kwic_window,
+        "pii_joint_counts": q_pii_joint_counts,
+        "peer_group_window_sum": q_peer_group_window_sum,
+        "brand_triples_top": q_brand_triples_top,
     }
 
 
@@ -22427,5 +22555,31 @@ def oracle_sqls() -> dict[str, str]:
             f"SELECT doc_id, regexp_extract(text, '{_sq(KWIC_PATTERN)}')"
             " AS context FROM documents"
             f" WHERE regexp_matches(text, '{_sq(KWIC_PATTERN)}')"
+        ),
+        "pii_joint_counts": (
+            PII_CTE
+            + "SELECT n_email > 0 AS has_email, n_name > 0 AS has_name,"
+            " veto, gate_flag, CAST(count(*) AS BIGINT) AS n_docs"
+            " FROM k GROUP BY 1, 2, 3, 4"
+        ),
+        "peer_group_window_sum": (
+            "WITH w AS (SELECT event_id, user_id,"
+            " CAST(round(value * 100) AS BIGINT) AS c FROM events),"
+            " g AS (SELECT user_id, c, CAST(sum(c) AS BIGINT) AS gs"
+            " FROM w GROUP BY 1, 2),"
+            " l AS (SELECT user_id, c, gs + coalesce(lag(gs) OVER"
+            " (PARTITION BY user_id ORDER BY c), 0) AS gsum FROM g)"
+            " SELECT w.event_id, CAST(l.gsum AS BIGINT) AS gsum"
+            " FROM w JOIN l ON l.user_id = w.user_id AND l.c = w.c"
+        ),
+        "brand_triples_top": (
+            "WITH ob AS (SELECT DISTINCT l.l_orderkey AS o,"
+            " p.p_brand AS b FROM lineitem l"
+            " JOIN part p ON p.p_partkey = l.l_partkey)"
+            " SELECT a.b AS b1, x.b AS b2, y.b AS b3,"
+            " CAST(count(*) AS BIGINT) AS n FROM ob a"
+            " JOIN ob x ON x.o = a.o AND x.b > a.b"
+            " JOIN ob y ON y.o = a.o AND y.b > x.b"
+            " GROUP BY 1, 2, 3 ORDER BY n DESC, b1, b2, b3 LIMIT 10"
         ),
     }

@@ -26,6 +26,7 @@ BATCH8 = [
     "hampel_outliers",
     "window_funnel_1h",
     "energy_distance_drift",
+    "peer_group_window_sum",
 ]
 
 
@@ -180,6 +181,8 @@ BATCH9 = [
     "stickiness_by_week",
     "rule_router_counts",
     "kwic_window",
+    "pii_joint_counts",
+    "brand_triples_top",
 ]
 
 
@@ -239,6 +242,20 @@ def batch9_dir(tmp_path_factory):
         "ts": pa.array(ev_ts, pa.timestamp("us")),
         "user_id": pa.array(ev_u, pa.int64()),
     }), os.path.join(d, "events.parquet"))
+    # baskets: order 1 spans brands B1..B4 across two line rows of the
+    # same part (distinct dedup), order 2 repeats {B1,B2,B3} (the
+    # winning triple, count 2), order 3 has only two brands (no triple)
+    lp = [(1, 11), (1, 11), (1, 12), (1, 13), (1, 14),
+          (2, 11), (2, 12), (2, 13),
+          (3, 11), (3, 14)]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in lp], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in lp], pa.int64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([11, 12, 13, 14], pa.int64()),
+        "p_brand": pa.array(["B1", "B2", "B3", "B4"], pa.string()),
+    }), os.path.join(d, "part.parquet"))
     return d
 
 
@@ -255,7 +272,7 @@ def test_batch9_match_oracle(ray_session, batch9_dir, name):
     elif isinstance(got, pa.Table):
         got = got.to_pandas()
     con = duckdb.connect()
-    for t in ("orders", "events", "documents"):
+    for t in ("orders", "events", "documents", "lineitem", "part"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM"
                 f" '{batch9_dir}/{t}.parquet'")
     exp = con.sql(e.oracle_sql()[name]).df()
@@ -286,6 +303,19 @@ def test_stickiness_hand_check(ray_session, batch9_dir):
     assert (int(out["dau_sum"][1]), int(out["days_obs"][1]),
             int(out["wau"][1])) == (2, 1, 2)
     assert out["stickiness"][1] == pytest.approx(1.0)
+
+
+def test_brand_triples_hand_check(ray_session, batch9_dir):
+    import __ray_entry__ as e
+
+    out = (e.queries()["brand_triples_top"](batch9_dir)
+           .to_pandas().sort_values("n", ascending=False)
+           .reset_index(drop=True))
+    # (B1,B2,B3) appears in orders 1 and 2; the other three triples of
+    # order 1 appear once
+    assert (out["b1"][0], out["b2"][0], out["b3"][0], int(out["n"][0])) \
+        == ("B1", "B2", "B3", 2)
+    assert len(out) == 4
 
 
 def test_window_funnel_levels(ray_session, batch8_dir):
