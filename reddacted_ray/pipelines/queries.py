@@ -17432,6 +17432,130 @@ def q_brand_triples_top(sf_dir: str) -> rd.Dataset:
     }))
 
 
+def q_rolling_distinct_types_7d(sf_dir: str) -> rd.Dataset:
+    """Per event: how many DISTINCT event types the user produced in
+    the trailing 7 days (RANGE frame, ties included) — the sliding
+    engagement-breadth feature a churn model eats. Distinct-over-window
+    is normally expensive; here the type domain is small, so each type
+    is ONE presence probe: two vectorized searchsorted calls over that
+    type's composite (user, ts) key array per bucket, and the distinct
+    count is the sum of presence bits. One co-locating bucket shuffle,
+    zero per-row Python."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    W = 7 * 86_400_000_000
+    ev = sf_table(sf_dir, "events",
+                  columns=["user_id", "event_id", "ts", "event_type"])
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        n = len(u)
+        if n == 0:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "n_types_7d": pd.Series([], dtype="int64"),
+            })
+        uu, code = np.unique(u, return_inverse=True)
+        rel = ts - ts.min()
+        span = int(rel.max()) + W + 1
+        assert len(uu) * span < (1 << 62), "composite window key overflow"
+        key = code.astype(np.int64) * span + rel
+        lo_key = key - W  # same user iff within [t-W, t]
+        cnt = np.zeros(n, np.int64)
+        for t_name in np.unique(et):
+            tk = np.sort(key[et == t_name])
+            hi = np.searchsorted(tk, key, side="right")
+            lo = np.searchsorted(tk, lo_key, side="left")
+            cnt += (hi > lo).astype(np.int64)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "n_types_7d": cnt,
+        })
+
+    return grouped_vectorized(ev, "user_id", probe)
+
+
+def q_jonckheere_priority(sf_dir: str) -> rd.Dataset:
+    """Jonckheere-Terpstra ordered-alternative rank test: is order
+    value stochastically increasing along the 1-URGENT..5-LOW priority
+    order? 2*JT = sum over ordered group pairs (i < j) and values v of
+    c_i(v) * (2*below_j(v) + c_j(v)) — EXACT integers from the same
+    per-block (priority, cents) np.unique partials Kruskal-Wallis
+    ships; the driver walks the merged grid with per-group cumsums.
+    The SQL mirrors it with a grid window, never a row-pair join."""
+    ords = sf_table(sf_dir, "orders",
+                    columns=["o_orderpriority", "o_totalprice"])
+
+    def vcounts(t: pa.Table) -> pa.Table:
+        prio = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        cents = _money_int(t["o_totalprice"], 100.0).to_numpy()
+        up, codes = np.unique(prio, return_inverse=True)
+        key = codes.astype(np.int64) * (1 << 40) + cents
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "prio": pa.array(up[(uk >> 40)], pa.string()),
+            "val": pa.array(uk & ((1 << 40) - 1), pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    parts = (ords.map_batches(vcounts, batch_format="pyarrow",
+                              zero_copy_batch=True)
+             .to_pandas()
+             .groupby(["prio", "val"], sort=True)["cnt"].sum()
+             .reset_index())
+    groups = sorted(parts["prio"].unique())
+    grid = np.sort(parts["val"].unique())
+    G = len(groups)
+    C = np.zeros((G, len(grid)), dtype=np.int64)
+    for gi, g in enumerate(groups):
+        sub = parts[parts["prio"] == g]
+        idx = np.searchsorted(grid, sub["val"].to_numpy())
+        C[gi, idx] = sub["cnt"].to_numpy()
+    below = np.cumsum(C, axis=1) - C
+    two_u = 0
+    for i in range(G):
+        for j in range(i + 1, G):
+            two_u += int(np.sum(C[i].astype(object)
+                                * (2 * below[j].astype(object) + C[j])))
+    n = int(C.sum())
+    return rd.from_arrow(pa.table({
+        "two_u": pa.array([two_u], pa.int64()),
+        "n": pa.array([n], pa.int64()),
+    }))
+
+
+def q_langid_margin_hist(sf_dir: str) -> rd.Dataset:
+    """Classifier-confidence histogram for the langid heuristic: the
+    integer margin between the best and second-best stopword score per
+    document (0 = coin flip or no evidence) and how many docs land on
+    each margin. Shares the lid kernel with langid_confusion/prf; one
+    margin-bounded grouped count."""
+    from ..stages.agg import grouped_sums
+
+    def margins(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        m = np.empty(len(texts), np.int64)
+        for i, s in enumerate(texts):
+            sc = sorted(lang_scores(s).values())
+            m[i] = sc[-1] - sc[-2]
+        return pa.table({
+            "margin": pa.array(m),
+            "k": pa.array(np.ones(len(texts), np.int64)),
+        })
+
+    g = grouped_sums(
+        _docs(sf_dir, ["text"]).map_batches(
+            margins, batch_format="pyarrow", zero_copy_batch=True),
+        ["margin"], ["k"])
+    return g.map_batches(
+        lambda t: pa.table({"margin": t["margin"], "n_docs": t["k"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -17862,6 +17986,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "pii_joint_counts": q_pii_joint_counts,
         "peer_group_window_sum": q_peer_group_window_sum,
         "brand_triples_top": q_brand_triples_top,
+        "rolling_distinct_types_7d": q_rolling_distinct_types_7d,
+        "jonckheere_priority": q_jonckheere_priority,
+        "langid_margin_hist": q_langid_margin_hist,
     }
 
 
@@ -22581,5 +22708,41 @@ def oracle_sqls() -> dict[str, str]:
             " JOIN ob x ON x.o = a.o AND x.b > a.b"
             " JOIN ob y ON y.o = a.o AND y.b > x.b"
             " GROUP BY 1, 2, 3 ORDER BY n DESC, b1, b2, b3 LIMIT 10"
+        ),
+        "rolling_distinct_types_7d": (
+            "SELECT event_id, CAST(count(DISTINCT event_type) OVER"
+            " (PARTITION BY user_id ORDER BY ts RANGE BETWEEN"
+            " INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS BIGINT)"
+            " AS n_types_7d FROM events"
+        ),
+        "jonckheere_priority": (
+            "WITH w AS (SELECT o_orderpriority AS g,"
+            " CAST(round(o_totalprice * 100) AS BIGINT) AS v"
+            " FROM orders),"
+            " h AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM w"
+            " GROUP BY 1, 2),"
+            " grid AS (SELECT DISTINCT v FROM h),"
+            " gg AS (SELECT DISTINCT g FROM h),"
+            " f AS (SELECT gg.g, grid.v, CAST(coalesce(h.c, 0)"
+            " AS BIGINT) AS c FROM gg CROSS JOIN grid"
+            " LEFT JOIN h ON h.g = gg.g AND h.v = grid.v),"
+            " cum AS (SELECT g, v, c, CAST(sum(c) OVER"
+            " (PARTITION BY g ORDER BY v) AS BIGINT) - c AS below"
+            " FROM f),"
+            " p AS (SELECT CAST(sum(a.c * (2 * b.below + b.c))"
+            " AS BIGINT) AS two_u FROM cum a JOIN cum b"
+            " ON a.v = b.v AND a.g < b.g WHERE a.c > 0)"
+            " SELECT two_u,"
+            " (SELECT CAST(count(*) AS BIGINT) FROM w) AS n FROM p"
+        ),
+        "langid_margin_hist": (
+            "WITH c AS (SELECT "
+            + ", ".join(f"{expr} AS n_{l}"
+                        for l, expr in lang_count_sql.items())
+            + " FROM documents),"
+            " m AS (SELECT list_sort(list_value(n_en, n_de, n_fr,"
+            " n_es, n_zh)) AS l FROM c)"
+            " SELECT CAST(l[5] - l[4] AS BIGINT) AS margin,"
+            " CAST(count(*) AS BIGINT) AS n_docs FROM m GROUP BY 1"
         ),
     }

@@ -27,6 +27,8 @@ BATCH8 = [
     "window_funnel_1h",
     "energy_distance_drift",
     "peer_group_window_sum",
+    "rolling_distinct_types_7d",
+    "jonckheere_priority",
 ]
 
 
@@ -93,6 +95,12 @@ def batch8_dir(tmp_path_factory):
         (JAN + 5 * DAY + 2, 9, "view", 1.00),
         (JAN + 5 * DAY + 3, 9, "view", 1.00),
         (JAN + 5 * DAY + 4, 9, "view", 1.00),
+        # 7d RANGE boundary probes (non-funnel types): user 10's view2
+        # at exactly +7d still sees the error (inclusive bound); the
+        # scroll 1us later drops it
+        (JAN + 6 * DAY, 10, "error", 1.00),
+        (JAN + 13 * DAY, 10, "scroll", 1.00),
+        (JAN + 13 * DAY + 1, 10, "scroll", 1.00),
     ]
     pq.write_table(pa.table({
         "event_id": pa.array(list(range(len(ev))), pa.int64()),
@@ -146,8 +154,8 @@ def test_wilcoxon_drops_zero_diff(ray_session, batch8_dir):
     out = e.queries()["wilcoxon_signed_rank"](batch8_dir).to_pandas()
     # hand-computed cent diffs: u1 = 500-500 = 0 (drops), u2 = +700,
     # u3 = -700, u4 = +123, u5 = 300-400 = -100, u6 = +1400,
-    # u7 = +300, u8 = +400, u9 = +48400 (all-January users)
-    assert int(out["n_pos"][0]) == 6
+    # u7 = +300, u8 = +400, u9 = +48400, u10 = +300 (all-January)
+    assert int(out["n_pos"][0]) == 7
     assert int(out["n_neg"][0]) == 2
 
 
@@ -183,6 +191,7 @@ BATCH9 = [
     "kwic_window",
     "pii_joint_counts",
     "brand_triples_top",
+    "langid_margin_hist",
 ]
 
 
@@ -336,6 +345,20 @@ def test_hampel_flags_planted_spike(ray_session, batch8_dir):
     out = e.queries()["hampel_outliers"](batch8_dir).to_pandas()
     # user 9's 480.00 spike sits amid 1.00s -> flagged
     assert 9 in set(out["user_id"].tolist())
+
+
+def test_rolling_distinct_range_boundary(ray_session, batch8_dir):
+    import __ray_entry__ as e
+
+    out = e.queries()["rolling_distinct_types_7d"](batch8_dir).to_pandas()
+    ev = pq.read_table(os.path.join(batch8_dir, "events.parquet")
+                       ).to_pandas()
+    u10 = ev[ev["user_id"] == 10].sort_values("ts")
+    ids = u10["event_id"].tolist()
+    got = out.set_index("event_id")["n_types_7d"]
+    # error alone; scroll at exactly +7d sees error (inclusive RANGE);
+    # scroll at +7d+1us no longer does
+    assert [int(got[i]) for i in ids] == [1, 2, 1]
 
 
 def test_durbin_watson_constant_series_raises(ray_session, tmp_path):
