@@ -385,6 +385,14 @@ def run_bench() -> dict:
         "dup_rate_by_source",
         "tokenizer_oov_rate",
         "bootstrap_means",
+        # round-5 session-4 additions (one per new op family)
+        "kruskal_wallis_priority",
+        "hampel_outliers",
+        "window_funnel_1h",
+        "rolling_distinct_types_7d",
+        "cross_source_dup_matrix",
+        "energy_distance_drift",
+        "peer_group_window_sum",
     ]:
         timed(name, Q.registry()[name])
 

@@ -17556,6 +17556,126 @@ def q_langid_margin_hist(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_moods_median_priority(sf_dir: str) -> rd.Dataset:
+    """Mood's median test across order priorities: per group, counts
+    above vs at-or-below the POOLED median of o_totalprice, with the
+    per-cell chi-square contributions (chi2_cells convention — no
+    order-dependent float sum). The pooled median doubles to lo+hi so
+    even counts stay integer; everything reduces from ONE per-block
+    (priority, cents) np.unique partial merge (the Kruskal exchange)."""
+    ords = sf_table(sf_dir, "orders",
+                    columns=["o_orderpriority", "o_totalprice"])
+
+    def vcounts(t: pa.Table) -> pa.Table:
+        prio = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        cents = _money_int(t["o_totalprice"], 100.0).to_numpy()
+        up, codes = np.unique(prio, return_inverse=True)
+        key = codes.astype(np.int64) * (1 << 40) + cents
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "prio": pa.array(up[(uk >> 40)], pa.string()),
+            "val": pa.array(uk & ((1 << 40) - 1), pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    parts = (ords.map_batches(vcounts, batch_format="pyarrow",
+                              zero_copy_batch=True)
+             .to_pandas()
+             .groupby(["prio", "val"], sort=True)["cnt"].sum()
+             .reset_index())
+    pooled = parts.groupby("val", sort=True)["cnt"].sum()
+    vals = pooled.index.to_numpy(dtype=np.int64)
+    cnt = pooled.to_numpy(dtype=np.int64)
+    cum = np.cumsum(cnt)
+    n = int(cum[-1])
+    lo = int(vals[np.searchsorted(cum, (n + 1) // 2)])
+    hi = int(vals[np.searchsorted(cum, n // 2 + 1)])
+    m2 = lo + hi  # 2 * pooled median, exact
+    rows = []
+    for prio, sub in parts.groupby("prio", sort=True):
+        v = sub["val"].to_numpy(dtype=np.int64)
+        c = sub["cnt"].to_numpy(dtype=np.int64)
+        above = int(c[2 * v > m2].sum())
+        le = int(c[2 * v <= m2].sum())
+        rows.append((prio, above, le))
+    tot_above = sum(r[1] for r in rows)
+    tot_le = sum(r[2] for r in rows)
+
+    def contrib(o: int, rt: int, ct: int) -> float:
+        e = float(rt) * float(ct) / float(n)
+        return (float(o) - e) * (float(o) - e) / e
+
+    return rd.from_arrow(pa.table({
+        "o_orderpriority": pa.array([r[0] for r in rows], pa.string()),
+        "n_above": pa.array([r[1] for r in rows], pa.int64()),
+        "n_le": pa.array([r[2] for r in rows], pa.int64()),
+        "chi2_above": pa.array(
+            [contrib(r[1], r[1] + r[2], tot_above) for r in rows],
+            pa.float64()),
+        "chi2_le": pa.array(
+            [contrib(r[2], r[1] + r[2], tot_le) for r in rows],
+            pa.float64()),
+    }))
+
+
+def q_grouped_top3_values(sf_dir: str) -> rd.Dataset:
+    """Top-3 most frequent value points per event type (count DESC,
+    value ASC ties) — the per-segment mode table a data profiler
+    prints. One domain-bounded (type, cents) count exchange; the
+    3-row-per-group pick happens on the driver histogram."""
+    from ..stages.agg import grouped_sums
+
+    ev = sf_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "c": _money_int(t["value"], 100.0),
+            "k": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    d = (grouped_sums(ev.map_batches(prep, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["event_type", "c"], ["k"]).to_pandas())
+    out_t, out_r, out_c, out_n = [], [], [], []
+    for et, sub in d.groupby("event_type", sort=True):
+        sub = sub.sort_values(["k", "c"], ascending=[False, True],
+                              kind="mergesort").head(3)
+        for rnk, row in enumerate(sub.itertuples(index=False), 1):
+            out_t.append(et)
+            out_r.append(rnk)
+            out_c.append(int(row.c))
+            out_n.append(int(row.k))
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(out_t, pa.string()),
+        "rnk": pa.array(out_r, pa.int64()),
+        "cents": pa.array(out_c, pa.int64()),
+        "n": pa.array(out_n, pa.int64()),
+    }))
+
+
+def q_dedup_suffix(sf_dir: str) -> rd.Dataset:
+    """Suffix-40 near-dup dedup — the mirror of dedup_prefix for
+    boilerplate TAILS (signatures, footers). Same 8-byte-bounded
+    exchange shape: suffix key -> Min(doc_id) survivor + copy count;
+    Arrow's negative-start slice matches DuckDB substr(text, -40)
+    exactly (verified incl. short and empty strings)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def key(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        return pa.table({
+            "k": pc.utf8_slice_codeunits(txt, start=-40),
+            "doc_id": t["doc_id"],
+        })
+
+    return (docs.map_batches(key, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("k")
+            .aggregate(Min("doc_id", alias_name="doc_id"),
+                       Count(alias_name="n_copies")))
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -17989,6 +18109,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "rolling_distinct_types_7d": q_rolling_distinct_types_7d,
         "jonckheere_priority": q_jonckheere_priority,
         "langid_margin_hist": q_langid_margin_hist,
+        "moods_median_priority": q_moods_median_priority,
+        "grouped_top3_values": q_grouped_top3_values,
+        "dedup_suffix": q_dedup_suffix,
     }
 
 
@@ -22744,5 +22867,45 @@ def oracle_sqls() -> dict[str, str]:
             " n_es, n_zh)) AS l FROM c)"
             " SELECT CAST(l[5] - l[4] AS BIGINT) AS margin,"
             " CAST(count(*) AS BIGINT) AS n_docs FROM m GROUP BY 1"
+        ),
+        "moods_median_priority": (
+            "WITH w AS (SELECT o_orderpriority AS p,"
+            " CAST(round(o_totalprice * 100) AS BIGINT) AS c"
+            " FROM orders),"
+            " gm AS (SELECT 2 * median(c) AS m2,"
+            " CAST(count(*) AS BIGINT) AS n FROM w),"
+            " g AS (SELECT p,"
+            " CAST(sum(CASE WHEN 2 * c > (SELECT m2 FROM gm)"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS n_above,"
+            " CAST(sum(CASE WHEN 2 * c <= (SELECT m2 FROM gm)"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS n_le FROM w GROUP BY 1),"
+            " t AS (SELECT CAST(sum(n_above) AS BIGINT) AS ta,"
+            " CAST(sum(n_le) AS BIGINT) AS tl FROM g),"
+            " x AS (SELECT p, n_above, n_le,"
+            " CAST(n_above + n_le AS DOUBLE) * CAST(t.ta AS DOUBLE)"
+            " / CAST(gm.n AS DOUBLE) AS ea,"
+            " CAST(n_above + n_le AS DOUBLE) * CAST(t.tl AS DOUBLE)"
+            " / CAST(gm.n AS DOUBLE) AS el FROM g, t, gm)"
+            " SELECT p AS o_orderpriority, n_above, n_le,"
+            " (CAST(n_above AS DOUBLE) - ea) * (CAST(n_above AS DOUBLE)"
+            " - ea) / ea AS chi2_above,"
+            " (CAST(n_le AS DOUBLE) - el) * (CAST(n_le AS DOUBLE) - el)"
+            " / el AS chi2_le FROM x"
+        ),
+        "grouped_top3_values": (
+            "WITH d AS (SELECT event_type,"
+            " CAST(round(value * 100) AS BIGINT) AS c,"
+            " CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),"
+            " r AS (SELECT event_type, c, n, row_number() OVER"
+            " (PARTITION BY event_type ORDER BY n DESC, c) AS rnk"
+            " FROM d)"
+            " SELECT event_type, CAST(rnk AS BIGINT) AS rnk,"
+            " c AS cents, n FROM r WHERE rnk <= 3"
+        ),
+        "dedup_suffix": (
+            "SELECT substr(text, -40) AS k,"
+            " CAST(min(doc_id) AS BIGINT) AS doc_id,"
+            " CAST(count(*) AS BIGINT) AS n_copies"
+            " FROM documents GROUP BY 1"
         ),
     }

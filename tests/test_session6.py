@@ -29,6 +29,8 @@ BATCH8 = [
     "peer_group_window_sum",
     "rolling_distinct_types_7d",
     "jonckheere_priority",
+    "moods_median_priority",
+    "grouped_top3_values",
 ]
 
 
@@ -192,6 +194,7 @@ BATCH9 = [
     "pii_joint_counts",
     "brand_triples_top",
     "langid_margin_hist",
+    "dedup_suffix",
 ]
 
 
