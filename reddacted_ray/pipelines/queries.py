@@ -17676,6 +17676,161 @@ def q_dedup_suffix(sf_dir: str) -> rd.Dataset:
                        Count(alias_name="n_copies")))
 
 
+def q_median_norm_by_label(sf_dir: str) -> rd.Dataset:
+    """Per-label exact DISCRETE median of squared embedding norms (the
+    rank-ceil(n/2) order statistic — selection, not interpolation, so
+    float values stay bit-exact). Norm2 per row is the sequential
+    cumsum that matches SQL list_sum left-fold order (embedding_norms
+    parity); the label median comes from per-block np.unique float64
+    value counts merged on the driver."""
+    import math
+
+    emb = sf_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def n2counts(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        d = int(lens[0])
+        assert (lens == d).all(), "ragged embedding column"
+        vals = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, d)
+        n2 = np.cumsum(vals * vals, axis=1)[:, -1]
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = {"label": [], "v": [], "c": []}
+        for lb in np.unique(lab):
+            uv, uc = np.unique(n2[lab == lb], return_counts=True)
+            df["label"].append(np.full(len(uv), lb, np.int64))
+            df["v"].append(uv)
+            df["c"].append(uc.astype(np.int64))
+        return pa.table({
+            "label": pa.array(np.concatenate(df["label"])),
+            "v": pa.array(np.concatenate(df["v"]), pa.float64()),
+            "c": pa.array(np.concatenate(df["c"])),
+        })
+
+    parts = (emb.map_batches(n2counts, batch_format="pyarrow",
+                             zero_copy_batch=True)
+             .to_pandas()
+             .groupby(["label", "v"], sort=True)["c"].sum()
+             .reset_index())
+    labs, ns, meds = [], [], []
+    for lb, sub in parts.groupby("label", sort=True):
+        cum = sub["c"].cumsum().to_numpy()
+        n = int(cum[-1])
+        rank = int(math.ceil(0.5 * n))
+        med = float(sub["v"].to_numpy()[np.searchsorted(cum, rank,
+                                                        "left")])
+        labs.append(int(lb))
+        ns.append(n)
+        meds.append(med)
+    return rd.from_arrow(pa.table({
+        "label": pa.array(labs, pa.int64()),
+        "n": pa.array(ns, pa.int64()),
+        "med_norm2": pa.array(meds, pa.float64()),
+    }))
+
+
+def q_qn_quantity(sf_dir: str) -> rd.Dataset:
+    """Rousseeuw-Croux Qn robust scale estimator of lineitem quantity:
+    the k-th smallest of ALL pairwise |differences| (k = C(n//2+1, 2))
+    — computed EXACTLY from the 50-value histogram (pair counts per
+    distinct diff, never an O(n^2) pass): within-value pairs are
+    C(c,2), cross-value pairs c_a*c_b, then one cumulative walk."""
+    from ..stages.agg import grouped_sums
+
+    li = sf_table(sf_dir, "lineitem", columns=["l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": _money_int(t["l_quantity"], 1.0),
+            "k": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    h = (grouped_sums(li.map_batches(prep, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      ["v"], ["k"]).to_pandas().sort_values("v"))
+    vals = h["v"].to_numpy(dtype=np.int64)
+    cnt = [int(x) for x in h["k"]]
+    n = sum(cnt)
+    pairs: dict[int, int] = {}
+    for i in range(len(vals)):
+        pairs[0] = pairs.get(0, 0) + cnt[i] * (cnt[i] - 1) // 2
+        for j in range(i + 1, len(vals)):
+            dd = int(vals[j] - vals[i])
+            pairs[dd] = pairs.get(dd, 0) + cnt[i] * cnt[j]
+    kk = (n // 2 + 1) * (n // 2) // 2
+    cum = 0
+    qn = 0
+    for dd in sorted(pairs):
+        cum += pairs[dd]
+        if cum >= kk:
+            qn = dd
+            break
+    return rd.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "k_rank": pa.array([kk], pa.int64()),
+        "qn": pa.array([qn], pa.int64()),
+    }))
+
+
+def q_top1pct_share_by_year(sf_dir: str) -> rd.Dataset:
+    """Revenue concentration: the share of each year's order revenue
+    held by its top ceil(1%) orders. Per-year (year, cents) histogram
+    partials merge on the driver; the top-k sum walks the histogram
+    descending and splits the boundary tie-run exactly (value ties make
+    any row_number tie order sum-identical, which is why the SQL's
+    arbitrary-tie row_number is deterministic here)."""
+    import math
+
+    ords = sf_table(sf_dir, "orders",
+                    columns=["o_orderdate", "o_totalprice"])
+
+    def vcounts(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.int64()).to_numpy()
+        yr = (us // 86_400_000_000).astype("datetime64[D]") \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        cents = _money_int(t["o_totalprice"], 100.0).to_numpy()
+        key = yr * (1 << 40) + cents
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table({
+            "y": pa.array(uk >> 40, pa.int64()),
+            "v": pa.array(uk & ((1 << 40) - 1), pa.int64()),
+            "c": pa.array(c.astype(np.int64)),
+        })
+
+    parts = (ords.map_batches(vcounts, batch_format="pyarrow",
+                              zero_copy_batch=True)
+             .to_pandas()
+             .groupby(["y", "v"], sort=True)["c"].sum()
+             .reset_index())
+    ys, nos, tots, tops, shares = [], [], [], [], []
+    for y, sub in parts.groupby("y", sort=True):
+        v = sub["v"].to_numpy(dtype=np.int64)[::-1]
+        c = sub["c"].to_numpy(dtype=np.int64)[::-1]
+        n = int(c.sum())
+        k = int(math.ceil(0.01 * n))
+        total = int(np.sum(v.astype(object) * c.astype(object)))
+        taken = 0
+        top = 0
+        for vi, ci in zip(v, c):
+            take = min(int(ci), k - taken)
+            top += int(vi) * take
+            taken += take
+            if taken >= k:
+                break
+        ys.append(int(y))
+        nos.append(n)
+        tots.append(total)
+        tops.append(top)
+        shares.append(float(top) / float(total))
+    return rd.from_arrow(pa.table({
+        "year": pa.array(ys, pa.int64()),
+        "n_orders": pa.array(nos, pa.int64()),
+        "total_cents": pa.array(tots, pa.int64()),
+        "top_cents": pa.array(tops, pa.int64()),
+        "share": pa.array(shares, pa.float64()),
+    }))
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -18112,6 +18267,9 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "moods_median_priority": q_moods_median_priority,
         "grouped_top3_values": q_grouped_top3_values,
         "dedup_suffix": q_dedup_suffix,
+        "median_norm_by_label": q_median_norm_by_label,
+        "qn_quantity": q_qn_quantity,
+        "top1pct_share_by_year": q_top1pct_share_by_year,
     }
 
 
@@ -22907,5 +23065,50 @@ def oracle_sqls() -> dict[str, str]:
             " CAST(min(doc_id) AS BIGINT) AS doc_id,"
             " CAST(count(*) AS BIGINT) AS n_copies"
             " FROM documents GROUP BY 1"
+        ),
+        "median_norm_by_label": (
+            "WITH w AS (SELECT CAST(label AS BIGINT) AS label,"
+            " list_sum(list_transform(CAST(embedding AS DOUBLE[]),"
+            " v -> v * v)) AS n2 FROM embeddings),"
+            " r AS (SELECT label, n2, row_number() OVER"
+            " (PARTITION BY label ORDER BY n2) AS rn,"
+            " count(*) OVER (PARTITION BY label) AS n FROM w)"
+            " SELECT label, CAST(max(n) AS BIGINT) AS n,"
+            " min(n2) AS med_norm2 FROM r"
+            " WHERE rn >= CAST(ceil(0.5 * n) AS BIGINT) GROUP BY 1"
+        ),
+        "qn_quantity": (
+            "WITH w AS (SELECT CAST(l_quantity AS BIGINT) AS v"
+            " FROM lineitem),"
+            " h AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM w"
+            " GROUP BY 1),"
+            " nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),"
+            " d AS (SELECT b.v - a.v AS diff,"
+            " CAST(sum(CASE WHEN a.v = b.v THEN a.c * (a.c - 1) // 2"
+            " ELSE a.c * b.c END) AS BIGINT) AS pairs"
+            " FROM h a JOIN h b ON a.v <= b.v GROUP BY 1),"
+            " r AS (SELECT diff, CAST(sum(pairs) OVER (ORDER BY diff)"
+            " AS BIGINT) AS cum FROM d),"
+            " k AS (SELECT (n // 2 + 1) * (n // 2) // 2 AS kk, n"
+            " FROM nn)"
+            " SELECT k.n AS n, CAST(k.kk AS BIGINT) AS k_rank,"
+            " CAST(min(diff) AS BIGINT) AS qn FROM r, k"
+            " WHERE cum >= k.kk GROUP BY 1, 2"
+        ),
+        "top1pct_share_by_year": (
+            "WITH w AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS y,"
+            " CAST(round(o_totalprice * 100) AS BIGINT) AS c"
+            " FROM orders),"
+            " r AS (SELECT y, c, row_number() OVER (PARTITION BY y"
+            " ORDER BY c DESC) AS rn,"
+            " count(*) OVER (PARTITION BY y) AS n FROM w),"
+            " a AS (SELECT y, CAST(max(n) AS BIGINT) AS n_orders,"
+            " CAST(sum(c) AS BIGINT) AS total_cents,"
+            " CAST(sum(CASE WHEN rn <= CAST(ceil(0.01 * n) AS BIGINT)"
+            " THEN c ELSE 0 END) AS BIGINT) AS top_cents FROM r"
+            " GROUP BY 1)"
+            " SELECT y AS year, n_orders, total_cents, top_cents,"
+            " CAST(top_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)"
+            " AS share FROM a"
         ),
     }

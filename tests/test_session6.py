@@ -31,6 +31,8 @@ BATCH8 = [
     "jonckheere_priority",
     "moods_median_priority",
     "grouped_top3_values",
+    "qn_quantity",
+    "top1pct_share_by_year",
 ]
 
 
@@ -195,6 +197,7 @@ BATCH9 = [
     "brand_triples_top",
     "langid_margin_hist",
     "dedup_suffix",
+    "median_norm_by_label",
 ]
 
 
@@ -268,6 +271,19 @@ def batch9_dir(tmp_path_factory):
         "p_partkey": pa.array([11, 12, 13, 14], pa.int64()),
         "p_brand": pa.array(["B1", "B2", "B3", "B4"], pa.string()),
     }), os.path.join(d, "part.parquet"))
+    # embeddings: label 0 has an EVEN count (discrete lower-median
+    # selection), label 1 odd; float32 values whose double squares sum
+    # non-trivially (sequential-order parity probe)
+    vecs = [([0.5, 1.25, -0.75], 0), ([1.0, 0.0, 2.0], 0),
+            ([0.1, 0.2, 0.3], 0), ([2.5, -1.5, 0.5], 0),
+            ([1.1, 1.2, 1.3], 1), ([0.0, 0.0, 0.0], 1),
+            ([3.0, 4.0, 0.0], 1)]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([v for v, _ in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([l for _, l in vecs], pa.int32()),
+    }), os.path.join(d, "embeddings.parquet"))
     return d
 
 
@@ -284,7 +300,8 @@ def test_batch9_match_oracle(ray_session, batch9_dir, name):
     elif isinstance(got, pa.Table):
         got = got.to_pandas()
     con = duckdb.connect()
-    for t in ("orders", "events", "documents", "lineitem", "part"):
+    for t in ("orders", "events", "documents", "lineitem", "part",
+              "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM"
                 f" '{batch9_dir}/{t}.parquet'")
     exp = con.sql(e.oracle_sql()[name]).df()
