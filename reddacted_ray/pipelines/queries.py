@@ -17831,6 +17831,87 @@ def q_top1pct_share_by_year(sf_dir: str) -> rd.Dataset:
     }))
 
 
+def q_rrf_customers(sf_dir: str) -> rd.Dataset:
+    """Reciprocal-rank fusion of two customer rankings (total spend and
+    order count, the search-style ensemble): rrf = 1/(60+r_a) +
+    1/(60+r_b), top-20. One bounded per-customer grouped exchange; the
+    rank fusion runs on the driver over the per-entity aggregate table
+    (the wilcoxon/user-table pattern — bounded by the customer count,
+    the same rows any ranker needs)."""
+    from ..stages.agg import grouped_sums
+
+    ords = sf_table(sf_dir, "orders",
+                    columns=["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "cents": _money_int(t["o_totalprice"], 100.0),
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    a = (grouped_sums(ords.map_batches(prep, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                      ["o_custkey"], ["cents", "n"]).to_pandas())
+    cust = a["o_custkey"].to_numpy(dtype=np.int64)
+    cents = a["cents"].to_numpy(dtype=np.int64)
+    n = a["n"].to_numpy(dtype=np.int64)
+    ra = np.empty(len(a), np.int64)
+    ra[np.lexsort((cust, -cents))] = np.arange(1, len(a) + 1)
+    rb = np.empty(len(a), np.int64)
+    rb[np.lexsort((cust, -n))] = np.arange(1, len(a) + 1)
+    rrf = (1.0 / (60.0 + ra.astype(np.float64))
+           + 1.0 / (60.0 + rb.astype(np.float64)))
+    order = np.lexsort((cust, -rrf))[:20]
+    return rd.from_arrow(pa.table({
+        "o_custkey": pa.array(cust[order], pa.int64()),
+        "spend_rank": pa.array(ra[order], pa.int64()),
+        "count_rank": pa.array(rb[order], pa.int64()),
+        "rrf": pa.array(rrf[order], pa.float64()),
+    }))
+
+
+def q_consecutive_dup_events(sf_dir: str) -> rd.Dataset:
+    """Adjacent-duplicate burst detector: per user, how many events
+    repeat the previous event's TYPE in ts order — the double-fire /
+    retry audit an ingest pipeline runs (value-level exact repeats are
+    dedup_exact's job; type-level repeats are the burst signal). One
+    co-locating bucket shuffle; the lag compare is a shifted-array
+    equality over the sorted bucket, zero per-row Python."""
+    import pandas as pd
+
+    from ..stages.windows import grouped_vectorized
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["user_id", "event_id", "ts", "event_type"])
+
+    def dups(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        n = len(u)
+        if n == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "n_dup_adjacent": pd.Series([], dtype="int64"),
+            })
+        same = np.r_[False, (u[1:] == u[:-1]) & (et[1:] == et[:-1])]
+        df = pd.DataFrame({"user_id": u, "d": same.astype(np.int64)})
+        out = df.groupby("user_id", sort=False).agg(
+            n_events=("d", "size"),
+            n_dup_adjacent=("d", "sum")).reset_index()
+        out = out[out["n_dup_adjacent"] > 0]
+        return pd.DataFrame({
+            "user_id": out["user_id"].astype("int64"),
+            "n_events": out["n_events"].astype("int64"),
+            "n_dup_adjacent": out["n_dup_adjacent"].astype("int64"),
+        })
+
+    return grouped_vectorized(ev, "user_id", dups)
+
+
 # registry + SQL oracles
 # ---------------------------------------------------------------------------
 
@@ -18270,6 +18351,8 @@ def registry() -> dict[str, Callable[[str], Any]]:
         "median_norm_by_label": q_median_norm_by_label,
         "qn_quantity": q_qn_quantity,
         "top1pct_share_by_year": q_top1pct_share_by_year,
+        "rrf_customers": q_rrf_customers,
+        "consecutive_dup_events": q_consecutive_dup_events,
     }
 
 
@@ -23110,5 +23193,32 @@ def oracle_sqls() -> dict[str, str]:
             " SELECT y AS year, n_orders, total_cents, top_cents,"
             " CAST(top_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)"
             " AS share FROM a"
+        ),
+        "rrf_customers": (
+            "WITH a AS (SELECT o_custkey,"
+            " CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " AS BIGINT) AS cents, CAST(count(*) AS BIGINT) AS n"
+            " FROM orders GROUP BY 1),"
+            " r AS (SELECT o_custkey,"
+            " CAST(row_number() OVER (ORDER BY cents DESC, o_custkey)"
+            " AS BIGINT) AS ra,"
+            " CAST(row_number() OVER (ORDER BY n DESC, o_custkey)"
+            " AS BIGINT) AS rb FROM a)"
+            " SELECT o_custkey, ra AS spend_rank, rb AS count_rank,"
+            " 1.0 / (60.0 + CAST(ra AS DOUBLE))"
+            " + 1.0 / (60.0 + CAST(rb AS DOUBLE)) AS rrf FROM r"
+            " ORDER BY rrf DESC, o_custkey LIMIT 20"
+        ),
+        "consecutive_dup_events": (
+            "WITH w AS (SELECT user_id, event_id, ts, event_type"
+            " FROM events),"
+            " l AS (SELECT user_id,"
+            " CASE WHEN lag(event_type) OVER win = event_type"
+            " THEN 1 ELSE 0 END AS d FROM w"
+            " WINDOW win AS (PARTITION BY user_id ORDER BY ts,"
+            " event_id))"
+            " SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,"
+            " CAST(sum(d) AS BIGINT) AS n_dup_adjacent FROM l"
+            " GROUP BY 1 HAVING sum(d) > 0"
         ),
     }

@@ -419,6 +419,35 @@ def write_jsonl(ds: rd.Dataset, out_dir: str) -> int:
     return int(res["rows"] or 0)
 
 
+def write_ipc(ds: rd.Dataset, out_dir: str) -> int:
+    """Arrow IPC/Feather sink: one ``.arrow`` file per block written
+    inside the map tasks (zstd-framed IPC stream the ``read_ipc``
+    source round-trips) — the driver only sees per-file row counts.
+    The output dir must be empty/absent (same append-hazard rule as
+    write_parquet). Returns rows written."""
+    import pyarrow as pa
+    import pyarrow.feather as paf
+
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        raise ValueError(f"write_ipc: out_dir {out_dir!r} is non-empty")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(t: pa.Table) -> pa.Table:
+        from uuid import uuid4
+
+        if t.num_rows:
+            paf.write_feather(
+                t, os.path.join(out_dir, f"part-{uuid4().hex}.arrow"))
+        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+
+    out = ds.map_batches(dump, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    from ray.data.aggregate import Sum
+
+    res = out.aggregate(Sum("rows", alias_name="rows"))
+    return int(res["rows"] or 0)
+
+
 _SQLITE_ARROW_TYPES = {
     "INTEGER": "int64",
     "INT": "int64",

@@ -33,6 +33,8 @@ BATCH8 = [
     "grouped_top3_values",
     "qn_quantity",
     "top1pct_share_by_year",
+    "rrf_customers",
+    "consecutive_dup_events",
 ]
 
 
@@ -64,6 +66,10 @@ def batch8_dir(tmp_path_factory):
         "o_totalprice": pa.array(price, pa.float64()),
         "o_orderdate": pa.array([base + DAY * k for k in day_of],
                                 pa.timestamp("us")),
+        # custkey 7 ranks 1st by count (4 orders) but mid by spend;
+        # 5 ranks 1st by spend on one order (rrf fusion disagreement)
+        "o_custkey": pa.array([7, 7, 3, 3, 7, 5, 2, 2, 9, 7],
+                              pa.int64()),
     }), os.path.join(d, "orders.parquet"))
     # events: user 1 cancels exactly (d = 0, must drop); users 2/3 tie
     # on |d| with opposite signs (pooled-tie doubled ranks); user 4 has
@@ -379,6 +385,36 @@ def test_rolling_distinct_range_boundary(ray_session, batch8_dir):
     # error alone; scroll at exactly +7d sees error (inclusive RANGE);
     # scroll at +7d+1us no longer does
     assert [int(got[i]) for i in ids] == [1, 2, 1]
+
+
+def test_consecutive_dups_hand_check(ray_session, batch8_dir):
+    import __ray_entry__ as e
+
+    out = (e.queries()["consecutive_dup_events"](batch8_dir)
+           .to_pandas().set_index("user_id"))
+    # user 9: five views in a row -> 4 adjacent repeats; user 8's two
+    # consecutive clicks -> 1
+    assert int(out.loc[9, "n_dup_adjacent"]) == 4
+    assert int(out.loc[8, "n_dup_adjacent"]) == 1
+
+
+def test_write_ipc_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from reddacted_ray.sources.tables import read_ipc, write_ipc
+
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array([1, 2, 3], pa.int64()),
+        "b": pa.array(["x", "y", "z"], pa.string()),
+    }))
+    out = str(tmp_path / "ipc")
+    n = write_ipc(ds, out)
+    assert n == 3
+    back = read_ipc(out).to_pandas().sort_values("a").reset_index(drop=True)
+    assert back["b"].tolist() == ["x", "y", "z"]
+    # append hazard: refuse a non-empty dir
+    with pytest.raises(ValueError, match="non-empty"):
+        write_ipc(ds, out)
 
 
 def test_durbin_watson_constant_series_raises(ray_session, tmp_path):
