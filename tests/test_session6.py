@@ -35,6 +35,9 @@ BATCH8 = [
     "top1pct_share_by_year",
     "rrf_customers",
     "consecutive_dup_events",
+    "cvar_daily_revenue",
+    "spearman_footrule",
+    "dau_jaccard_adjacent",
 ]
 
 
