@@ -38,6 +38,7 @@ BATCH8 = [
     "cvar_daily_revenue",
     "spearman_footrule",
     "dau_jaccard_adjacent",
+    "cusum_changepoint_day",
 ]
 
 
@@ -207,6 +208,8 @@ BATCH9 = [
     "langid_margin_hist",
     "dedup_suffix",
     "median_norm_by_label",
+    "lang_half_consistency",
+    "linenumber_gap_audit",
 ]
 
 
@@ -272,9 +275,13 @@ def batch9_dir(tmp_path_factory):
     lp = [(1, 11), (1, 11), (1, 12), (1, 13), (1, 14),
           (2, 11), (2, 12), (2, 13),
           (3, 11), (3, 14)]
+    # linenumbers: order 1 contiguous 1..5; order 2 has a GAP (1,2,4);
+    # order 3 duplicates-with-hole (1,1) — spoof-proof exact check
+    lns = [1, 2, 3, 4, 5, 1, 2, 4, 1, 1]
     pq.write_table(pa.table({
         "l_orderkey": pa.array([r[0] for r in lp], pa.int64()),
         "l_partkey": pa.array([r[1] for r in lp], pa.int64()),
+        "l_linenumber": pa.array(lns, pa.int32()),
     }), os.path.join(d, "lineitem.parquet"))
     pq.write_table(pa.table({
         "p_partkey": pa.array([11, 12, 13, 14], pa.int64()),
@@ -418,6 +425,15 @@ def test_write_ipc_roundtrip(ray_session, tmp_path):
     # append hazard: refuse a non-empty dir
     with pytest.raises(ValueError, match="non-empty"):
         write_ipc(ds, out)
+
+
+def test_linenumber_audit_hand_check(ray_session, batch9_dir):
+    import __ray_entry__ as e
+
+    out = e.queries()["linenumber_gap_audit"](batch9_dir).to_pandas()
+    # order 1 clean; order 2 gap; order 3 duplicate-with-hole
+    assert int(out["n_orders"][0]) == 3
+    assert int(out["n_violations"][0]) == 2
 
 
 def test_durbin_watson_constant_series_raises(ray_session, tmp_path):
