@@ -86,7 +86,8 @@ def events_tables(draw):
     })
 
 
-EVENT_OPS = ["friedman_event_types", "window_funnel_1h",
+EVENT_OPS = ["session_count_sensitivity",
+             "friedman_event_types", "window_funnel_1h",
              "rolling_distinct_types_7d", "peer_group_window_sum",
              "consecutive_dup_events", "grouped_top3_values",
              "hampel_outliers", "stickiness_by_week",
@@ -307,7 +308,8 @@ def documents_tables(draw):
 
 DOC_OPS = ["length_gate_by_lang", "cross_source_dup_matrix",
            "rule_router_counts", "kwic_window", "dedup_suffix",
-           "langid_margin_hist", "lang_half_consistency"]
+           "langid_margin_hist", "lang_half_consistency",
+           "source_common_prefix", "dedup_normalized"]
 
 
 @pytest.mark.parametrize("name", DOC_OPS)

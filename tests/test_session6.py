@@ -39,6 +39,7 @@ BATCH8 = [
     "spearman_footrule",
     "dau_jaccard_adjacent",
     "cusum_changepoint_day",
+    "session_count_sensitivity",
 ]
 
 
@@ -210,6 +211,8 @@ BATCH9 = [
     "median_norm_by_label",
     "lang_half_consistency",
     "linenumber_gap_audit",
+    "source_common_prefix",
+    "dedup_normalized",
 ]
 
 
