@@ -87,6 +87,7 @@ def events_tables(draw):
 
 
 EVENT_OPS = ["session_count_sensitivity", "load_factor_by_type",
+             "peak_hour_window",
              "friedman_event_types", "window_funnel_1h",
              "rolling_distinct_types_7d", "peer_group_window_sum",
              "consecutive_dup_events", "grouped_top3_values",
@@ -310,7 +311,7 @@ DOC_OPS = ["length_gate_by_lang", "cross_source_dup_matrix",
            "rule_router_counts", "kwic_window", "dedup_suffix",
            "langid_margin_hist", "lang_half_consistency",
            "source_common_prefix", "dedup_normalized",
-           "lang_tv_distance_pairs"]
+           "lang_tv_distance_pairs", "split_leakage_audit"]
 
 
 @pytest.mark.parametrize("name", DOC_OPS)
