@@ -98,7 +98,7 @@ def load_config(argv=None) -> dict:
     ap.add_argument("--batch-size", dest="batch_size", type=int)
     ap.add_argument("--mode",
                     choices=["materialize", "decide", "apply", "compact",
-                             "corpus"],
+                             "corpus", "audit"],
                     help="materialize: full-row copy incl. bytes (default);"
                     " decide: write the id-keyed decision+scrub table with"
                     " bytes pruned at the scan (the 100 TB analysis shape);"
@@ -110,7 +110,12 @@ def load_config(argv=None) -> dict:
                     " corpus: documents-table assembly — quality gate ->"
                     " exact dedup -> per-source cap -> temperature mix"
                     " (pipelines/corpus.py), then a per-(source, lang)"
-                    " manifest printed from ONE scan of the written output")
+                    " manifest printed from ONE scan of the written output;"
+                    " audit: read-only corpus health report over a"
+                    " documents table (per-lang length gate bounds, dup"
+                    " co-occurrence matrix, train/holdout leakage, top"
+                    " source-pair language drift) written as ONE json"
+                    " file at --output")
     ap.add_argument("--cap-per-source", dest="cap_per_source", type=int,
                     help="corpus mode: max docs kept per source")
     ap.add_argument("--mix-k", dest="mix_k", type=int,
@@ -189,6 +194,12 @@ def main(argv=None) -> int:
         print(
             f"error: --resumable is not implemented for --mode {mode_arg};"
             " rerunning would append duplicate rows",
+            file=sys.stderr,
+        )
+        return 2
+    if mode_arg == "audit" and os.path.exists(cfg["output"]):
+        print(
+            f"error: audit output file {cfg['output']!r} already exists",
             file=sys.stderr,
         )
         return 2
@@ -315,6 +326,44 @@ def main(argv=None) -> int:
             "wall_s": round(time.perf_counter() - t0, 3),
         }
         print(json.dumps(summary))
+        ray.shutdown()
+        return 0
+
+    if mode == "audit":
+        # read-only corpus health report: the audit query family over
+        # the documents table, one json file out (no data written)
+        from .pipelines import queries as Q
+
+        t0 = time.perf_counter()
+        reg = Q.registry()
+
+        def _df(name):
+            res = reg[name](cfg["input"])
+            return res.to_pandas() if hasattr(res, "to_pandas") else res
+
+        gate = _df("length_gate_by_lang")
+        dupmx = _df("cross_source_dup_matrix")
+        leak = _df("split_leakage_audit")
+        tv = (_df("lang_tv_distance_pairs")
+              .sort_values(["tv", "src_a", "src_b"],
+                           ascending=[False, True, True]).head(5))
+        report = {
+            "mode": "audit",
+            "input": cfg["input"],
+            "length_gate": gate.to_dict("records"),
+            "dup_matrix_cells": int(len(dupmx)),
+            "dup_matrix_top": (
+                dupmx.sort_values(["n_shared", "src_a", "src_b"],
+                                  ascending=[False, True, True])
+                .head(10).to_dict("records")),
+            "split_leakage": leak.to_dict("records")[0],
+            "lang_drift_top_pairs": tv.to_dict("records"),
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }
+        with open(cfg["output"], "w") as f:
+            json.dump(report, f, indent=1, default=str)
+        print(json.dumps({"mode": "audit", "output": cfg["output"],
+                          "wall_s": report["wall_s"]}))
         ray.shutdown()
         return 0
 

@@ -750,3 +750,37 @@ def test_read_write_sqlite_roundtrip(ray_session, tmp_path):
     # missing table
     with _pytest.raises(ValueError):
         read_sqlite(db, "nope")
+
+
+def test_job_cli_audit_mode(tmp_path):
+    """--mode audit: read-only corpus health report over a documents
+    table written as one json file; a rerun into the same file refuses."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    texts = (["x" * 45 + " alpha", "x" * 45 + " beta", "short one",
+              "y" * 60] * 3)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array((["en", "en", "de", "de"] * 3), pa.string()),
+        "source": pa.array((["s1", "s2"] * 6), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), os.path.join(d, "documents.parquet"))
+    out = str(tmp_path / "audit.json")
+    args = [sys.executable, "-m", "reddacted_ray.job", "--mode", "audit",
+            "--input", d, "--output", out, "--num-cpus", "4"]
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(args, capture_output=True, text=True, cwd=cwd)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rep = json.load(open(out))
+    assert {r["lang"] for r in rep["length_gate"]} == {"en", "de"}
+    assert rep["dup_matrix_cells"] >= 1  # planted prefix-40 dups
+    assert set(rep["split_leakage"]) == {
+        "n_multi_clusters", "n_leaky_clusters", "n_holdout_leaked"}
+    assert len(rep["lang_drift_top_pairs"]) >= 1
+    # overwrite refusal
+    p2 = subprocess.run(args, capture_output=True, text=True, cwd=cwd)
+    assert p2.returncode == 2 and "already exists" in p2.stderr
