@@ -240,13 +240,16 @@ def lineitem_tables(draw):
         "l_linenumber": pa.array(lns, pa.int32()),
         "l_quantity": pa.array([float(q) for q in qty], pa.float64()),
         "l_discount": pa.array([d / 100.0 for d in disc], pa.float64()),
+        "l_tax": pa.array([d / 100.0 for d in disc], pa.float64()),
+        "l_linestatus": pa.array(flags, pa.string()),
         "l_extendedprice": pa.array([p / 1.0 for p in price],
                                     pa.float64()),
         "l_returnflag": pa.array(flags, pa.string()),
     })
 
 
-LINE_OPS = ["qn_quantity", "spearman_footrule", "linenumber_gap_audit"]
+LINE_OPS = ["qn_quantity", "spearman_footrule", "linenumber_gap_audit",
+            "hodges_lehmann_quantity", "effective_tax_by_status"]
 
 
 @pytest.mark.parametrize("name", LINE_OPS)
@@ -269,6 +272,20 @@ def test_random_gk_gamma_match_oracle(ray_session, tmp_path_factory, t):
     assume(conc)
     _run_and_compare("gk_gamma_qty_discount", tmp_path_factory,
                      {"lineitem": t})
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(t=lineitem_tables())
+def test_hl_matches_bruteforce(ray_session, tmp_path_factory, t):
+    got = _run_and_compare("hodges_lehmann_quantity", tmp_path_factory,
+                           {"lineitem": t})
+    v = np.round(np.array(t["l_quantity"])).astype(np.int64)
+    n = len(v)
+    sums = sorted(int(v[i]) + int(v[j])
+                  for i in range(n) for j in range(i + 1, n))
+    kk = (len(sums) + 1) // 2
+    assert int(got["hl_x2"][0]) == sums[kk - 1]
 
 
 @settings(max_examples=4, deadline=None,
