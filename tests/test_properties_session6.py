@@ -87,7 +87,7 @@ def events_tables(draw):
 
 
 EVENT_OPS = ["session_count_sensitivity", "load_factor_by_type",
-             "peak_hour_window",
+             "peak_hour_window", "velocity_flags",
              "friedman_event_types", "window_funnel_1h",
              "rolling_distinct_types_7d", "peer_group_window_sum",
              "consecutive_dup_events", "grouped_top3_values",
