@@ -88,6 +88,7 @@ def events_tables(draw):
 
 EVENT_OPS = ["session_count_sensitivity", "load_factor_by_type",
              "peak_hour_window", "velocity_flags",
+             "week_overlap_matrix",
              "friedman_event_types", "window_funnel_1h",
              "rolling_distinct_types_7d", "peer_group_window_sum",
              "consecutive_dup_events", "grouped_top3_values",
@@ -249,7 +250,8 @@ def lineitem_tables(draw):
 
 
 LINE_OPS = ["qn_quantity", "spearman_footrule", "linenumber_gap_audit",
-            "hodges_lehmann_quantity", "effective_tax_by_status"]
+            "hodges_lehmann_quantity", "effective_tax_by_status",
+            "qn_by_flag"]
 
 
 @pytest.mark.parametrize("name", LINE_OPS)
