@@ -266,6 +266,20 @@ def test_random_lineitem_match_oracle(ray_session, tmp_path_factory,
 @settings(max_examples=5, deadline=None,
           suppress_health_check=list(HealthCheck))
 @given(t=lineitem_tables())
+def test_random_spearman_by_flag_match_oracle(ray_session,
+                                              tmp_path_factory, t):
+    df = t.to_pandas()
+    q = np.round(df["l_quantity"] * 100)
+    p = np.round(df["l_extendedprice"] * 100)
+    for _, sub in df.assign(q=q, p=p).groupby("l_returnflag"):
+        assume(sub["q"].nunique() > 1 and sub["p"].nunique() > 1)
+    _run_and_compare("spearman_by_flag", tmp_path_factory,
+                     {"lineitem": t})
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(t=lineitem_tables())
 def test_random_gk_gamma_match_oracle(ray_session, tmp_path_factory, t):
     q = np.array(t["l_quantity"])
     d = np.round(np.array(t["l_discount"]) * 100).astype(int)

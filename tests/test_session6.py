@@ -453,3 +453,18 @@ def test_durbin_watson_constant_series_raises(ray_session, tmp_path):
     }), os.path.join(d, "orders.parquet"))
     with pytest.raises(ValueError, match="constant daily-count"):
         e.queries()["durbin_watson_counts"](d)
+
+
+def test_write_ipc_empty_dataset(ray_session, tmp_path):
+    """All-empty input: the sink returns 0, creates no part files, and
+    the dir stays reusable (no stale append hazard)."""
+    import ray.data as rd
+
+    from reddacted_ray.sources.tables import write_ipc
+
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array([], pa.int64()),
+    }))
+    out = str(tmp_path / "ipc_empty")
+    assert write_ipc(ds, out) == 0
+    assert os.listdir(out) == []
