@@ -186,7 +186,8 @@ def orders_tables(draw):
     })
 
 
-ORDER_OPS = ["kruskal_wallis_priority", "jonckheere_priority",
+ORDER_OPS = ["seasonal_mann_kendall",
+             "kruskal_wallis_priority", "jonckheere_priority",
              "cusum_changepoint_day", "top1pct_share_by_year",
              "cvar_daily_revenue", "rrf_customers"]
 
@@ -344,7 +345,8 @@ DOC_OPS = ["length_gate_by_lang", "cross_source_dup_matrix",
            "rule_router_counts", "kwic_window", "dedup_suffix",
            "langid_margin_hist", "lang_half_consistency",
            "source_common_prefix", "dedup_normalized",
-           "lang_tv_distance_pairs", "split_leakage_audit"]
+           "lang_tv_distance_pairs", "split_leakage_audit",
+           "heaps_law_points"]
 
 
 @pytest.mark.parametrize("name", DOC_OPS)
