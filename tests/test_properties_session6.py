@@ -186,7 +186,7 @@ def orders_tables(draw):
     })
 
 
-ORDER_OPS = ["seasonal_mann_kendall",
+ORDER_OPS = ["seasonal_mann_kendall", "gini_by_year",
              "kruskal_wallis_priority", "jonckheere_priority",
              "cusum_changepoint_day", "top1pct_share_by_year",
              "cvar_daily_revenue", "rrf_customers"]
@@ -288,6 +288,20 @@ def test_random_gk_gamma_match_oracle(ray_session, tmp_path_factory, t):
                for i in range(len(q)) for j in range(len(q)))
     assume(conc)
     _run_and_compare("gk_gamma_qty_discount", tmp_path_factory,
+                     {"lineitem": t})
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(t=lineitem_tables())
+def test_random_kendall_by_flag_match_oracle(ray_session,
+                                             tmp_path_factory, t):
+    df = t.to_pandas()
+    for _, sub in df.groupby("l_returnflag"):
+        # tau-b denominator needs variety on both axes within EVERY flag
+        assume(sub["l_quantity"].round().nunique() > 1)
+        assume((sub["l_discount"] * 100).round().nunique() > 1)
+    _run_and_compare("kendall_by_flag", tmp_path_factory,
                      {"lineitem": t})
 
 
