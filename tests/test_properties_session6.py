@@ -88,7 +88,7 @@ def events_tables(draw):
 
 EVENT_OPS = ["session_count_sensitivity", "load_factor_by_type",
              "peak_hour_window", "velocity_flags",
-             "week_overlap_matrix",
+             "week_overlap_matrix", "user_count_five_num",
              "friedman_event_types", "window_funnel_1h",
              "rolling_distinct_types_7d", "peer_group_window_sum",
              "consecutive_dup_events", "grouped_top3_values",
@@ -187,6 +187,7 @@ def orders_tables(draw):
 
 
 ORDER_OPS = ["seasonal_mann_kendall", "gini_by_year",
+             "priority_drift_by_year",
              "kruskal_wallis_priority", "jonckheere_priority",
              "cusum_changepoint_day", "top1pct_share_by_year",
              "cvar_daily_revenue", "rrf_customers"]
