@@ -124,6 +124,125 @@ def test_yoy_inner_match_only(ray_session, batch10_dir):
     assert int(r.loc[(2025, 1), "yoy_diff"]) == 9999 - 3125
 
 
+BATCH11 = [
+    "lagged_crosscorr",
+    "sorted_neighborhood_pairs",
+    "run_length_hist",
+]
+
+
+@pytest.fixture(scope="module")
+def batch11_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("batch11"))
+    # lineitem: runs that STRADDLE the 65536-wide key ranges
+    # (key = orderkey*8 + linenumber). orderkey 8191 ends range 0 at
+    # keys 65529/65535; orderkey 8192 starts range 1. One flag-A run
+    # crosses the boundary; orderkeys 16384..16390 are ALL flag R so
+    # range 2 is single-run and must chain into range 3's leading R.
+    rows = []
+    rows += [(8191, 1, "N"), (8191, 2, "A"), (8191, 7, "A")]
+    rows += [(8192, 1, "A"), (8192, 2, "R")]          # A-run len 3
+    rows += [(16384 + i, 1, "R") for i in range(7)]   # range 2 all R
+    rows += [(24576, 1, "R"), (24576, 2, "N")]        # R continues
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_linenumber": pa.array([r[1] for r in rows], pa.int32()),
+        "l_returnflag": pa.array([r[2] for r in rows], pa.string()),
+    }), os.path.join(d, "lineitem.parquet"))
+    # orders: 5 consecutive days + a gap day (lag pairing must skip
+    # missing days), constant-count days (x variance still > 0 via
+    # day 3's double order)
+    DAY = 86_400_000_000
+    base = 1_600_000_000_000_000
+    day_of = [0, 1, 2, 3, 3, 4, 7]
+    price = [10.0, 20.0, 15.0, 12.0, 30.0, 25.0, 50.0]
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array([base + DAY * k for k in day_of],
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array(price, pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    # documents: two near-dups sharing lang+prefix4 (distance 2 on the
+    # 40-char prefix), one same-block far doc (distance > 8), one doc
+    # alone in its block, and an identical-text pair (distance 0,
+    # doc_id breaks the sort tie)
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zetQ eta theta",
+        "alphQQQQWWWWEEEERRRRTTTTYYYYUUUUIIIIOOOO done",
+        "solo block nothing matches this one",
+        "twin text exactly equal",
+        "twin text exactly equal",
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(1, len(texts) + 1)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", BATCH11)
+def test_batch11_match_oracle(ray_session, batch11_dir, name):
+    import duckdb
+    import ray.data as rd
+
+    import __ray_entry__ as e
+
+    got = e.queries()[name](batch11_dir)
+    if isinstance(got, (rd.Dataset, pa.Table)):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "documents"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM"
+                f" '{batch11_dir}/{t}.parquet'")
+    exp = con.sql(e.oracle_sql()[name]).df()
+    assert len(got) == len(exp), (name, len(got), len(exp))
+    assert sorted(got.columns) == sorted(exp.columns), name
+    assert _vhash(got) == _vhash(exp), name
+
+
+def test_run_length_boundary_stitch(ray_session, batch11_dir):
+    import __ray_entry__ as e
+
+    out = (e.queries()["run_length_hist"](batch11_dir).to_pandas()
+           .set_index(["flag", "run_len"]))
+    # A-run of 3 crosses ranges 0->1; R-run of 9 spans ranges 1->2->3
+    # (single-run range 2 chains through); two N singletons
+    assert int(out.loc[("A", 3), "n_runs"]) == 1
+    assert int(out.loc[("R", 9), "n_runs"]) == 1
+    assert int(out.loc[("N", 1), "n_runs"]) == 2
+    assert int(out["n_runs"].sum()) == 4
+
+
+def test_sorted_neighborhood_hand_check(ray_session, batch11_dir):
+    import __ray_entry__ as e
+
+    out = e.queries()["sorted_neighborhood_pairs"](batch11_dir) \
+        .to_pandas()
+    pairs = {(int(a), int(b)): int(dd) for a, b, dd in
+             zip(out["doc_a"], out["doc_b"], out["dist"])}
+    # near-dup pair found at prefix-40 distance 1 (doc 2's 'zetQ'
+    # sorts before doc 1's 'zeta'); identical twins at 0; the far doc
+    # in the same block exceeds the threshold
+    assert pairs[(2, 1)] == 1
+    assert pairs[(5, 6)] == 0
+    assert len(pairs) == 2
+
+
+def test_lagged_crosscorr_gap_days(ray_session, batch11_dir):
+    import __ray_entry__ as e
+
+    out = (e.queries()["lagged_crosscorr"](batch11_dir).to_pandas()
+           .set_index("lag"))
+    # days 0..4 and 7 exist; lag 3 pairs: (0,3),(1,4),(4,7) -> 3
+    assert int(out.loc[3, "n_pairs"]) == 3
+    # lag 5 pairs: (2,7) only
+    assert int(out.loc[5, "n_pairs"]) == 1
+    # lag 6 has none: (1,7)? day 1 + 6 = 7 exists -> 1 pair
+    assert int(out.loc[6, "n_pairs"]) == 1
+    assert int(out.loc[0, "n_pairs"]) == 6
+
+
 def test_runs_test_zero_variance_is_null(ray_session, tmp_path):
     """n1 = n2 = 1: variance is 0; the z must be NULL (DuckDB
     x / sqrt(0.0) semantics), not a ZeroDivisionError."""
