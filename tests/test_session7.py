@@ -243,6 +243,111 @@ def test_lagged_crosscorr_gap_days(ray_session, batch11_dir):
     assert int(out.loc[0, "n_pairs"]) == 6
 
 
+BATCH12 = [
+    "page_trend_priority",
+    "fano_factor_by_type",
+    "supplier_part_assortativity",
+]
+
+
+@pytest.fixture(scope="module")
+def batch12_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("batch12"))
+    # orders: 2023 has all 3 priorities with a TIE between 1-URGENT
+    # and 2-HIGH (midrank path); 2024 is MISSING 3-MEDIUM entirely
+    # (coalesce-0 cell, which also ties nothing)
+    DAY = 86_400_000_000
+    y23 = 1_672_531_200_000_000   # 2023-01-01
+    y24 = 1_704_067_200_000_000   # 2024-01-01
+    rows = [
+        (y23, "1-URGENT", 50.00), (y23 + DAY, "2-HIGH", 50.00),
+        (y23 + 2 * DAY, "3-MEDIUM", 10.00),
+        (y24, "1-URGENT", 30.00), (y24 + DAY, "2-HIGH", 70.00),
+    ]
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array([r[0] for r in rows],
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array([r[1] for r in rows], pa.string()),
+        "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    # events: 'view' over 3 days with counts 1/1/4 (bursty), 'click'
+    # on a single day (n = 1 -> fano NULL)
+    ev_days = [0, 1, 2, 2, 2, 2, 5]
+    ev_type = ["view", "view", "view", "view", "view", "view", "click"]
+    pq.write_table(pa.table({
+        "ts": pa.array([y23 + DAY * k for k in ev_days],
+                       pa.timestamp("us")),
+        "event_type": pa.array(ev_type, pa.string()),
+        "user_id": pa.array([1] * len(ev_days), pa.int64()),
+    }), os.path.join(d, "events.parquet"))
+    # lineitem: edges with duplicates (must dedup); part 1 uses supps
+    # {1,2}, part 2 supps {1}, part 3 supps {2,3}: degrees p:(2,1,2),
+    # s:(2,2,1)
+    ek = [(1, 1), (1, 1), (1, 2), (2, 1), (3, 2), (3, 3), (3, 3)]
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([a for a, _ in ek], pa.int64()),
+        "l_suppkey": pa.array([b for _, b in ek], pa.int64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", BATCH12)
+def test_batch12_match_oracle(ray_session, batch12_dir, name):
+    import duckdb
+    import ray.data as rd
+
+    import __ray_entry__ as e
+
+    got = e.queries()[name](batch12_dir)
+    if isinstance(got, (rd.Dataset, pa.Table)):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "events", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM"
+                f" '{batch12_dir}/{t}.parquet'")
+    exp = con.sql(e.oracle_sql()[name]).df()
+    assert len(got) == len(exp), (name, len(got), len(exp))
+    assert sorted(got.columns) == sorted(exp.columns), name
+    assert _vhash(got) == _vhash(exp), name
+
+
+def test_page_trend_hand_check(ray_session, batch12_dir):
+    import __ray_entry__ as e
+
+    out = e.queries()["page_trend_priority"](batch12_dir).to_pandas()
+    # 2023 cents (5000, 5000, 1000): doubled midranks (5, 5, 2) ->
+    # contribution 1*5 + 2*5 + 3*2 = 21
+    # 2024 cents (3000, 7000, 0): doubled ranks (4, 6, 2) ->
+    # contribution 1*4 + 2*6 + 3*2 = 22
+    assert int(out["l2"][0]) == 43
+    assert int(out["n_blocks"][0]) == 2 and int(out["k"][0]) == 3
+    # EL2 = n*k*(k+1)^2/2 = 2*3*16/2 = 48
+    assert int(out["el2"][0]) == 48
+
+
+def test_fano_hand_check(ray_session, batch12_dir):
+    import __ray_entry__ as e
+
+    out = (e.queries()["fano_factor_by_type"](batch12_dir).to_pandas()
+           .set_index("event_type"))
+    # view daily counts (1, 1, 4): n=3 s=6 ss=18; fano = (3*18-36)/(2*6)
+    assert int(out.loc["view", "ss"]) == 18
+    assert out.loc["view", "fano"] == pytest.approx(18.0 / 12.0)
+    assert pd.isna(out.loc["click", "fano"])
+
+
+def test_assortativity_hand_check(ray_session, batch12_dir):
+    import __ray_entry__ as e
+
+    out = e.queries()["supplier_part_assortativity"](batch12_dir) \
+        .to_pandas()
+    # 5 distinct edges; x = dp(part) per edge, y = ds(supp) per edge:
+    # (1,1):(2,2) (1,2):(2,2) (2,1):(1,2) (3,2):(2,2) (3,3):(2,1)
+    assert int(out["n_edges"][0]) == 5
+    assert int(out["sxy"][0]) == 4 + 4 + 2 + 4 + 2
+    assert int(out["sx"][0]) == 9 and int(out["sy"][0]) == 9
+
+
 def test_runs_test_zero_variance_is_null(ray_session, tmp_path):
     """n1 = n2 = 1: variance is 0; the z must be NULL (DuckDB
     x / sqrt(0.0) semantics), not a ZeroDivisionError."""
