@@ -1,0 +1,134 @@
+"""Round-5 session-8 operators: ABC part classification, order-gap
+coefficient-of-variation histogram, hour-of-day uniformity chi-square.
+
+Fixtures are adversarial: a part landing EXACTLY on the 70% cumulative
+boundary (inclusive-A contract), revenue ties broken by partkey,
+all-same-day customers (s = 0 -> bucket -1), a two-order customer
+(excluded by the >= 3 orders gate), perfectly regular cadence
+(cv = 0), and a single-hour event type (maximal chi2 = 23n)."""
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+BATCH1 = [
+    "abc_parts",
+    "order_gap_cv",
+    "hour_uniformity",
+]
+
+
+def _vhash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns), kind="mergesort")
+    body = "|".join(
+        ",".join(repr(x) for x in df[c].tolist()) for c in df.columns
+    )
+    return hashlib.md5(body.encode()).hexdigest()
+
+
+def _us(dates):
+    return [int(np.datetime64(x).astype("datetime64[us]")
+                .astype(np.int64)) for x in dates]
+
+
+@pytest.fixture(scope="module")
+def batch1_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s8batch1"))
+    # lineitem: part revenues (e4 after *10000): p1 7000, p2 2000,
+    # p3 1000 -> total 10000. Sorted desc: p1 cum 7000 (10*7000 ==
+    # 7*10000 -> A inclusive), p2 cum 9000 (== 9*tot -> B inclusive),
+    # p3 cum 10000 -> C. p4/p5 tie at 0.1, partkey breaks the order.
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 2, 3], pa.int64()),
+        "l_extendedprice": pa.array([0.7, 0.2, 0.1], pa.float64()),
+        "l_discount": pa.array([0.0, 0.0, 0.0], pa.float64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    # orders:
+    #  cust 1: days 0, 10, 20, 35 -> gaps 10,10,15; s=35, s2=425,
+    #    g=3: cv2*100 = 100*(3*425-1225)//1225 = 100*50//1225 = 4
+    #  cust 2: 3 orders SAME day -> gaps 0,0 -> s=0 -> bucket -1
+    #  cust 3: only 2 orders -> 1 gap -> excluded
+    #  cust 4: days 0, 7, 14 -> constant gap -> bucket 0
+    dates = (["2024-01-01", "2024-01-11", "2024-01-21", "2024-02-05"]
+             + ["2024-03-01"] * 3
+             + ["2024-04-01", "2024-04-05"]
+             + ["2024-05-01", "2024-05-08", "2024-05-15"])
+    cust = [1, 1, 1, 1, 2, 2, 2, 3, 3, 4, 4, 4]
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(cust, pa.int64()),
+        "o_orderdate": pa.array(_us(dates), pa.timestamp("us")),
+    }), os.path.join(d, "orders.parquet"))
+    # events: type 'burst' all in hour 3 (n=4 -> chi2 = (24*16-16)/4
+    # = 92 = 23n); type 'flat' one event in each of 4 distinct hours
+    # (n=4, ss=4 -> chi2 = (96-16)/4 = 20)
+    ts = _us(["2024-01-01T03:10", "2024-01-02T03:20",
+              "2024-01-03T03:30", "2024-01-04T03:59",
+              "2024-01-01T00:05", "2024-01-01T06:05",
+              "2024-01-01T12:05", "2024-01-01T18:05"])
+    pq.write_table(pa.table({
+        "event_type": pa.array(["burst"] * 4 + ["flat"] * 4),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    }), os.path.join(d, "events.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", BATCH1)
+def test_batch1_match_oracle(ray_session, batch1_dir, name):
+    import duckdb
+    import ray.data as rd
+
+    import __ray_entry__ as e
+
+    got = e.queries()[name](batch1_dir)
+    if isinstance(got, (rd.Dataset, pa.Table)):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "events"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM"
+                f" '{batch1_dir}/{t}.parquet'")
+    exp = con.sql(e.oracle_sql()[name]).df()
+    assert len(got) == len(exp), (name, len(got), len(exp))
+    assert sorted(got.columns) == sorted(exp.columns), name
+    assert _vhash(got) == _vhash(exp), name
+
+
+def test_abc_boundary_inclusive(ray_session, batch1_dir):
+    import __ray_entry__ as e
+
+    out = (e.queries()["abc_parts"](batch1_dir).to_pandas()
+           .set_index("abc_class"))
+    # p1 sits EXACTLY at 70% -> A; p2 exactly at 90% -> B; p3 -> C
+    assert int(out.loc["A", "n_parts"]) == 1
+    assert int(out.loc["A", "revenue_e4"]) == 7000
+    assert int(out.loc["B", "n_parts"]) == 1
+    assert int(out.loc["B", "revenue_e4"]) == 2000
+    assert int(out.loc["C", "n_parts"]) == 1
+
+
+def test_order_gap_cv_edges(ray_session, batch1_dir):
+    import __ray_entry__ as e
+
+    out = (e.queries()["order_gap_cv"](batch1_dir).to_pandas()
+           .set_index("bucket"))
+    # cust 2 (all same day) -> bucket -1; cust 4 (constant gap) ->
+    # bucket 0; cust 1 -> bucket 4; cust 3 excluded (only one gap)
+    assert int(out.loc[-1, "n_customers"]) == 1
+    assert int(out.loc[0, "n_customers"]) == 1
+    assert int(out.loc[4, "n_customers"]) == 1
+    assert int(out["n_customers"].sum()) == 3
+
+
+def test_hour_uniformity_extremes(ray_session, batch1_dir):
+    import __ray_entry__ as e
+
+    out = (e.queries()["hour_uniformity"](batch1_dir).to_pandas()
+           .set_index("event_type"))
+    # single-hour burst hits the chi2 maximum 23 * n
+    assert out.loc["burst", "chi2"] == pytest.approx(23.0 * 4)
+    assert out.loc["flat", "chi2"] == pytest.approx(20.0)
