@@ -132,3 +132,111 @@ def test_hour_uniformity_extremes(ray_session, batch1_dir):
     # single-hour burst hits the chi2 maximum 23 * n
     assert out.loc["burst", "chi2"] == pytest.approx(23.0 * 4)
     assert out.loc["flat", "chi2"] == pytest.approx(20.0)
+
+
+BATCH2 = [
+    "cvm_flags",
+    "quade_priority",
+]
+
+
+@pytest.fixture(scope="module")
+def batch2_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s8batch2"))
+    # flags: X and Y identical multisets (T = 0 exactly); Z disjoint
+    # and far away (T near its maximum); ties inside and across flags
+    qty = [1.0, 2.0, 2.0, 5.0,   1.0, 2.0, 2.0, 5.0,   40.0, 41.0, 41.0]
+    flg = ["X"] * 4 + ["Y"] * 4 + ["Z"] * 3
+    pq.write_table(pa.table({
+        "l_quantity": pa.array(qty, pa.float64()),
+        "l_returnflag": pa.array(flg, pa.string()),
+    }), os.path.join(d, "lineitem.parquet"))
+    # orders: 3 years x 3 priorities with one missing cell (2025 has
+    # no LOW order -> v = 0 by the domain-completion contract) and two
+    # years with IDENTICAL ranges (tied block weights -> midranks)
+    rows = [
+        ("2023-01-05", "HIGH", 30.00), ("2023-02-05", "MED", 20.00),
+        ("2023-03-05", "LOW", 10.00),
+        ("2024-01-05", "HIGH", 35.00), ("2024-02-05", "MED", 25.00),
+        ("2024-03-05", "LOW", 15.00),  # range 2000 == 2023's range
+        ("2025-01-05", "HIGH", 90.00), ("2025-02-05", "MED", 1.00),
+    ]
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(_us([r[0] for r in rows]),
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array([r[1] for r in rows]),
+        "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", BATCH2)
+def test_batch2_match_oracle(ray_session, batch2_dir, name):
+    import duckdb
+    import ray.data as rd
+
+    import __ray_entry__ as e
+
+    got = e.queries()[name](batch2_dir)
+    if isinstance(got, (rd.Dataset, pa.Table)):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM"
+                f" '{batch2_dir}/{t}.parquet'")
+    exp = con.sql(e.oracle_sql()[name]).df()
+    assert len(got) == len(exp), (name, len(got), len(exp))
+    assert sorted(got.columns) == sorted(exp.columns), name
+    assert _vhash(got) == _vhash(exp), name
+
+
+def _cvm_bruteforce(xs, ys):
+    """Exact rational T over the combined grid via fractions."""
+    from fractions import Fraction
+    n, m = len(xs), len(ys)
+    grid = sorted(set(xs) | set(ys))
+    t = Fraction(0)
+    for v in grid:
+        w = xs.count(v) + ys.count(v)
+        fx = Fraction(sum(1 for x in xs if x <= v), n)
+        gy = Fraction(sum(1 for y in ys if y <= v), m)
+        t += Fraction(w, n + m) * (fx - gy) ** 2
+    return t * Fraction(n * m, (n + m) ** 2)
+
+
+def test_cvm_identical_and_brute(ray_session, batch2_dir):
+    import __ray_entry__ as e
+
+    out = (e.queries()["cvm_flags"](batch2_dir).to_pandas()
+           .set_index(["flag_a", "flag_b"]))
+    # identical samples -> every cumulative difference is 0
+    assert int(out.loc[("X", "Y"), "t_e6"]) == 0
+    # brute-force rational reference for the other pairs
+    xs = [1, 2, 2, 5]
+    zs = [40, 41, 41]
+    ref = _cvm_bruteforce(xs, zs)
+    got = int(out.loc[("X", "Z"), "t_e6"])
+    assert got == (ref.numerator * 1_000_000) // ref.denominator
+
+
+def test_quade_matches_scipy_form(ray_session, batch2_dir):
+    """Hand-computed Quade on the 3x3 fixture (with the 2025 LOW cell
+    completed as 0 and tied block ranges midranked)."""
+    import __ray_entry__ as e
+
+    out = (e.queries()["quade_priority"](batch2_dir).to_pandas()
+           .set_index("priority"))
+    # blocks: 2023 (1000,2000,3000) rg 2000; 2024 (1500,2500,3500) rg
+    # 2000; 2025 (0,100,9000) rg 9000. q2 doubled midranks of ranges
+    # (2000,2000,9000) -> (3,3,6). within-block doubled ranks are
+    # (LOW,MED,HIGH) = (2,4,6) in every block; centered = (-2,0,2).
+    # S4: LOW = 3*-2 + 3*-2 + 6*-2 = -24; MED = 0; HIGH = +24
+    assert int(out.loc["LOW", "s4"]) == -24
+    assert int(out.loc["MED", "s4"]) == 0
+    assert int(out.loc["HIGH", "s4"]) == 24
+    # A16 = sum q2^2 * 4 over cells with centered != 0:
+    # per block: q2^2*(4+0+4) = 8*q2^2 -> 8*(9+9+36) = 432
+    assert int(out["a16"].iloc[0]) == 432
+    n, sb = 3, 24 * 24 * 2
+    assert int(out["num"].iloc[0]) == (n - 1) * sb
+    assert int(out["den"].iloc[0]) == n * 432 - sb
