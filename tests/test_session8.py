@@ -240,3 +240,121 @@ def test_quade_matches_scipy_form(ray_session, batch2_dir):
     n, sb = 3, 24 * 24 * 2
     assert int(out["num"].iloc[0]) == (n - 1) * sb
     assert int(out["den"].iloc[0]) == n * 432 - sb
+
+
+BATCH3 = [
+    "km_risk_table",
+    "rapid_users",
+    "char_trigram_top",
+]
+
+
+@pytest.fixture(scope="module")
+def batch3_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s8batch3"))
+    # events (global max day = day of u9's last event, 2024-03-01):
+    #  u1: view d0, purchase d3        -> event t=3
+    #  u2: purchase d1 BEFORE view d2  -> that purchase ignored,
+    #      censored at max day (t = maxday - d2)
+    #  u3: view d0, no purchase        -> censored
+    #  u4: same-us view+purchase       -> event t=0
+    #  u5: only purchases              -> excluded (no view)
+    #  u9: view at the global max day  -> censored t=0
+    ev_rows = [
+        (1, "view", "2024-01-01"), (1, "purchase", "2024-01-04"),
+        (2, "purchase", "2024-01-02"), (2, "view", "2024-01-03"),
+        (3, "view", "2024-01-01"),
+        (4, "view", "2024-01-10T08:00"),
+        (4, "purchase", "2024-01-10T08:00"),
+        (5, "purchase", "2024-01-05"),
+        (9, "view", "2024-03-01"),
+    ]
+    # u6: 5 events with tiny gaps (rapid); u7: 5 events, huge gaps
+    # (not rapid); u8: 4 events tiny gaps (below the >= 5 gate).
+    # u6 gaps: 1s,1s,2s,10h -> sorted [1s,1s,2s,10h], lower median
+    # idx ceil(4/2)-1 = 1 -> 1s < 6h -> rapid
+    ev_rows += [(6, "click", f"2024-02-01T00:00:0{i}")
+                for i in (0, 1, 2, 4)]
+    ev_rows += [(6, "click", "2024-02-01T10:00:04")]
+    ev_rows += [(7, "click", f"2024-02-{dd:02d}") for dd in
+                (1, 5, 9, 13, 17)]
+    ev_rows += [(8, "click", f"2024-02-02T00:00:0{i}")
+                for i in (0, 1, 2, 3)]
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in ev_rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in ev_rows]),
+        "ts": pa.array(_us([r[2] for r in ev_rows]), pa.timestamp("us")),
+    }), os.path.join(d, "events.parquet"))
+    # documents: en has 'abc' x2 (from "abcabc": abc,bca,cab,abc) vs
+    # others x1 -> top (abc,2); fr is "zzzz" -> overlapping zzz x2;
+    # de doc shorter than 3 chars contributes nothing, second de doc
+    # ties "aab" and "aba" at 1 -> lexicographic 'aab' wins
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["abcabc", "zzzz", "hi", "aab aba"]),
+        "lang": pa.array(["en", "fr", "de", "de"]),
+    }), os.path.join(d, "documents.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", BATCH3)
+def test_batch3_match_oracle(ray_session, batch3_dir, name):
+    import duckdb
+    import ray.data as rd
+
+    import __ray_entry__ as e
+
+    got = e.queries()[name](batch3_dir)
+    if isinstance(got, (rd.Dataset, pa.Table)):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM"
+                f" '{batch3_dir}/{t}.parquet'")
+    exp = con.sql(e.oracle_sql()[name]).df()
+    assert len(got) == len(exp), (name, len(got), len(exp))
+    assert sorted(got.columns) == sorted(exp.columns), name
+    assert _vhash(got) == _vhash(exp), name
+
+
+def test_km_semantics(ray_session, batch3_dir):
+    import __ray_entry__ as e
+
+    out = (e.queries()["km_risk_table"](batch3_dir).to_pandas()
+           .set_index("t"))
+    # event times: t=0 (u4 same-instant) and t=3 (u1). u5 excluded;
+    # u2's pre-view purchase does NOT count as an event.
+    assert set(out.index) == {0, 3}
+    # at t=0 every view-user is still at risk (u1,u2,u3,u4,u9 = 5)
+    assert int(out.loc[0, "n_risk"]) == 5
+    assert int(out.loc[0, "d_events"]) == 1
+    # u9 censored at duration 0 -> counted in c_censored at t=0
+    assert int(out.loc[0, "c_censored"]) == 1
+    assert int(out.loc[3, "d_events"]) == 1
+
+
+def test_rapid_users_gates(ray_session, batch3_dir):
+    import __ray_entry__ as e
+
+    out = e.queries()["rapid_users"](batch3_dir).to_pandas()
+    # only u6 qualifies: u7 slow, u8 below the 5-event gate
+    assert out["user_id"].tolist() == [6]
+    assert int(out["n_events"].iloc[0]) == 5
+    # lower median of sorted [1s,1s,2s,36004s] -> 1s
+    assert int(out["med_gap_us"].iloc[0]) == 1_000_000
+
+
+def test_trigram_ties_and_overlap(ray_session, batch3_dir):
+    import __ray_entry__ as e
+
+    out = (e.queries()["char_trigram_top"](batch3_dir).to_pandas()
+           .set_index("lang"))
+    assert out.loc["en", "trigram"] == "abc"
+    assert int(out.loc["en", "n"]) == 2
+    # overlapping windows of "zzzz" -> two "zzz"
+    assert out.loc["fr", "trigram"] == "zzz"
+    assert int(out.loc["fr", "n"]) == 2
+    # de: "hi" contributes nothing; tie between 'aab'/'ab '/' ab'...
+    # lexicographic smallest with count 1 among {'aab','ab ','b a',
+    # ' ab','aba'} is ' ab' (space < letters)
+    assert out.loc["de", "trigram"] == " ab"
