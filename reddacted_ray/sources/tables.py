@@ -292,41 +292,6 @@ def read_table_union(
     return out.union(*branches[1:]) if len(branches) > 1 else out
 
 
-def write_ipc(ds: rd.Dataset, out_dir: str,
-              compression: Optional[str] = None) -> int:
-    """Arrow IPC / Feather-v2 sink: one ``.arrow`` file per block,
-    written inside the map tasks (the driver never sees data — only the
-    returned per-file row counts). Complements ``read_ipc`` for
-    engine-interchange handoffs. The output dir must be empty/absent
-    (same append-hazard rule as write_parquet). Returns rows written."""
-    import pyarrow as pa
-
-    if os.path.isdir(out_dir) and os.listdir(out_dir):
-        raise ValueError(f"write_ipc: out_dir {out_dir!r} is non-empty")
-    os.makedirs(out_dir, exist_ok=True)
-    comp = compression
-
-    def dump(t: pa.Table) -> pa.Table:
-        from uuid import uuid4
-
-        from pyarrow import feather
-
-        if t.num_rows:
-            feather.write_feather(
-                t, os.path.join(out_dir, f"part-{uuid4().hex}.arrow"),
-                compression=comp or "uncompressed")
-        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
-
-    import ray.data as rd  # noqa: F811
-
-    out = ds.map_batches(dump, batch_format="pyarrow",
-                         zero_copy_batch=True)
-    from ray.data.aggregate import Sum
-
-    res = out.aggregate(Sum("rows", alias_name="rows"))
-    return int(res["rows"] or 0)
-
-
 def read_text_docs(path: str) -> rd.Dataset:
     """Raw-text corpus source: one document per ``.txt`` file ->
     ``(doc_id, path, text, n_chars)`` rows in the documents-table
@@ -419,25 +384,30 @@ def write_jsonl(ds: rd.Dataset, out_dir: str) -> int:
     return int(res["rows"] or 0)
 
 
-def write_ipc(ds: rd.Dataset, out_dir: str) -> int:
+def write_ipc(ds: rd.Dataset, out_dir: str,
+              compression: Optional[str] = None) -> int:
     """Arrow IPC/Feather sink: one ``.arrow`` file per block written
     inside the map tasks (zstd-framed IPC stream the ``read_ipc``
     source round-trips) — the driver only sees per-file row counts.
-    The output dir must be empty/absent (same append-hazard rule as
-    write_parquet). Returns rows written."""
+    ``compression`` passes through to feather (None = pyarrow's
+    default codec). The output dir must be empty/absent (same
+    append-hazard rule as write_parquet). Returns rows written."""
     import pyarrow as pa
     import pyarrow.feather as paf
 
     if os.path.isdir(out_dir) and os.listdir(out_dir):
         raise ValueError(f"write_ipc: out_dir {out_dir!r} is non-empty")
     os.makedirs(out_dir, exist_ok=True)
+    comp = compression
 
     def dump(t: pa.Table) -> pa.Table:
         from uuid import uuid4
 
         if t.num_rows:
+            kw = {"compression": comp} if comp else {}
             paf.write_feather(
-                t, os.path.join(out_dir, f"part-{uuid4().hex}.arrow"))
+                t, os.path.join(out_dir, f"part-{uuid4().hex}.arrow"),
+                **kw)
         return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
 
     out = ds.map_batches(dump, batch_format="pyarrow",

@@ -358,3 +358,96 @@ def test_trigram_ties_and_overlap(ray_session, batch3_dir):
     # lexicographic smallest with count 1 among {'aab','ab ','b a',
     # ' ab','aba'} is ' ab' (space < letters)
     assert out.loc["de", "trigram"] == " ab"
+
+
+BATCH4 = [
+    "odds_ratio_flags",
+    "kendalls_w_priorities",
+]
+
+
+@pytest.fixture(scope="module")
+def batch4_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s8batch4"))
+    # 2x2: a=2 (R, >=25), b=1 (R, <25), c=1 (not R, >=25), d=3 ->
+    # OR = 2*3/(1*1) = 6.0; boundary qty exactly 25 counts as bulk
+    qty = [25.0, 30.0, 10.0, 40.0, 5.0, 6.0, 7.0]
+    flg = ["R", "R", "R", "N", "N", "A", "A"]
+    pq.write_table(pa.table({
+        "l_quantity": pa.array(qty, pa.float64()),
+        "l_returnflag": pa.array(flg, pa.string()),
+    }), os.path.join(d, "lineitem.parquet"))
+    # kendall W: 2 years fully agreeing on 3 priorities (perfect
+    # concordance, no ties) -> W = 1 exactly
+    rows = [
+        ("2023-01-05", "HIGH", 30.00), ("2023-02-05", "MED", 20.00),
+        ("2023-03-05", "LOW", 10.00),
+        ("2024-01-05", "HIGH", 35.00), ("2024-02-05", "MED", 25.00),
+        ("2024-03-05", "LOW", 15.00),
+    ]
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(_us([r[0] for r in rows]),
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array([r[1] for r in rows]),
+        "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", BATCH4)
+def test_batch4_match_oracle(ray_session, batch4_dir, name):
+    import duckdb
+    import ray.data as rd
+
+    import __ray_entry__ as e
+
+    got = e.queries()[name](batch4_dir)
+    if isinstance(got, (rd.Dataset, pa.Table)):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM"
+                f" '{batch4_dir}/{t}.parquet'")
+    exp = con.sql(e.oracle_sql()[name]).df()
+    assert len(got) == len(exp), (name, len(got), len(exp))
+    assert sorted(got.columns) == sorted(exp.columns), name
+    assert _vhash(got) == _vhash(exp), name
+
+
+def test_odds_ratio_cells(ray_session, batch4_dir):
+    import __ray_entry__ as e
+
+    out = e.queries()["odds_ratio_flags"](batch4_dir).to_pandas()
+    assert (int(out["a"][0]), int(out["b"][0]),
+            int(out["c"][0]), int(out["d"][0])) == (2, 1, 1, 3)
+    assert int(out["or_e6"][0]) == 6_000_000
+
+
+def test_kendalls_w_perfect_concordance(ray_session, batch4_dir):
+    import __ray_entry__ as e
+
+    out = e.queries()["kendalls_w_priorities"](batch4_dir).to_pandas()
+    assert out["w"][0] == pytest.approx(1.0)
+    assert int(out["tie_t"][0]) == 0
+
+
+def test_kendalls_w_all_tied_is_null(ray_session, tmp_path):
+    """Every year fully tied -> denominator 0 -> NULL, not a crash."""
+    import __ray_entry__ as e
+
+    d = str(tmp_path)
+    rows = [("2023-01-05", "HIGH", 10.00), ("2023-02-05", "LOW", 10.00),
+            ("2024-01-05", "HIGH", 20.00), ("2024-02-05", "LOW", 20.00)]
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(_us([r[0] for r in rows]),
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array([r[1] for r in rows]),
+        "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    out = e.queries()["kendalls_w_priorities"](d).to_pandas()
+    assert pd.isna(out["w"][0])
+    import duckdb
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM '{d}/orders.parquet'")
+    exp = con.sql(e.oracle_sql()["kendalls_w_priorities"]).df()
+    assert _vhash(out) == _vhash(exp)
