@@ -393,6 +393,14 @@ def run_bench() -> dict:
         "cross_source_dup_matrix",
         "energy_distance_drift",
         "peer_group_window_sum",
+        # round-5 sessions 6-8 additions (one per new op family)
+        "gini_by_year",
+        "lagged_crosscorr",
+        "run_length_hist",
+        "char_trigram_top",
+        "order_gap_cv",
+        "km_risk_table",
+        "abc_parts",
     ]:
         timed(name, Q.registry()[name])
 

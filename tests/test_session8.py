@@ -451,3 +451,101 @@ def test_kendalls_w_all_tied_is_null(ray_session, tmp_path):
     con.sql(f"CREATE VIEW orders AS SELECT * FROM '{d}/orders.parquet'")
     exp = con.sql(e.oracle_sql()["kendalls_w_priorities"]).df()
     assert _vhash(out) == _vhash(exp)
+
+
+BATCH5 = [
+    "dwell_time_percentiles",
+    "longest_alt_run_hist",
+    "stopword_ratio_hist",
+    "bigram_diversity_hist",
+]
+
+
+@pytest.fixture(scope="module")
+def batch5_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s8batch5"))
+    # events: u1 has 10 gaps of exactly 1..10 minutes (order-stat
+    # probes: p50 -> 5, p90 -> 9, p99 -> 10); u2 has a ts TIE broken
+    # by event_id (alternation depends on the total order: types
+    # a,b,a at the same us — eid order makes the run length 3)
+    base = int(np.datetime64("2024-01-01T00:00").astype(
+        "datetime64[us]").astype(np.int64))
+    u1_ts = [base]
+    for gap_min in range(1, 11):
+        u1_ts.append(u1_ts[-1] + gap_min * 60_000_000)
+    rows = [(1, "view", ts, i) for i, ts in enumerate(u1_ts)]
+    # u1 types: view,view,... -> longest alt run 1
+    tie = base + 10**9
+    rows += [(2, "a", tie, 100), (2, "b", tie, 101), (2, "a", tie, 102),
+             (2, "a", tie + 60_000_000, 103)]
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_id": pa.array([r[3] for r in rows], pa.int64()),
+    }), os.path.join(d, "events.parquet"))
+    # documents: en doc "the and xyz qrs" -> 2 stopwords of 4 tokens
+    # -> bucket 50; zh doc (no bank) -> bucket 0; "aaaa" -> 1 distinct
+    # bigram / 3 positions -> bucket 33; "abab" -> 2/3 -> 66
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["the and xyz qrs", "mao zedong", "aaaa",
+                          "abab"]),
+        "lang": pa.array(["en", "zh", "fr", "fr"]),
+    }), os.path.join(d, "documents.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", BATCH5)
+def test_batch5_match_oracle(ray_session, batch5_dir, name):
+    import duckdb
+    import ray.data as rd
+
+    import __ray_entry__ as e
+
+    got = e.queries()[name](batch5_dir)
+    if isinstance(got, (rd.Dataset, pa.Table)):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM"
+                f" '{batch5_dir}/{t}.parquet'")
+    exp = con.sql(e.oracle_sql()[name]).df()
+    assert len(got) == len(exp), (name, len(got), len(exp))
+    assert sorted(got.columns) == sorted(exp.columns), name
+    assert _vhash(got) == _vhash(exp), name
+
+
+def test_dwell_order_stats(ray_session, batch5_dir):
+    import __ray_entry__ as e
+
+    out = e.queries()["dwell_time_percentiles"](batch5_dir).to_pandas()
+    # 13 gaps total: u1's 1..10 plus u2's 0,0,1 -> sorted
+    # [0,0,1,1,2,3,4,5,6,7,8,9,10]; p50 idx ceil(6.5)-1=6 -> 4
+    assert int(out["n_gaps"][0]) == 13
+    assert int(out["p50"][0]) == 4
+    assert int(out["p99"][0]) == 10
+
+
+def test_alt_run_tie_break(ray_session, batch5_dir):
+    import __ray_entry__ as e
+
+    out = (e.queries()["longest_alt_run_hist"](batch5_dir).to_pandas()
+           .set_index("run_len"))
+    # u1: 11 identical types -> run 1; u2: a,b,a (eid order), then a
+    # repeats -> longest run 3
+    assert int(out.loc[1, "n_users"]) == 1
+    assert int(out.loc[3, "n_users"]) == 1
+
+
+def test_stopword_and_bigram_buckets(ray_session, batch5_dir):
+    import __ray_entry__ as e
+
+    sw = (e.queries()["stopword_ratio_hist"](batch5_dir).to_pandas()
+          .set_index(["lang", "bucket"]))
+    assert int(sw.loc[("en", 50), "n_docs"]) == 1
+    assert int(sw.loc[("zh", 0), "n_docs"]) == 1
+    bg = (e.queries()["bigram_diversity_hist"](batch5_dir).to_pandas()
+          .set_index(["lang", "bucket"]))
+    assert int(bg.loc[("fr", 33), "n_docs"]) == 1
+    assert int(bg.loc[("fr", 66), "n_docs"]) == 1
