@@ -124,3 +124,67 @@ def test_peak_concurrency_values(ray_session, batch1_dir):
     assert int(out.loc["b", "peak"]) == 1
     assert int(out.loc["c", "peak"]) == 2  # across the hour boundary
     assert int(out.loc["d", "peak"]) == 1  # exact touch: half-open
+
+
+BATCH2 = ["cucconi_flags", "lmoments_by_flag"]
+
+
+@pytest.fixture(scope="module")
+def batch2_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s9batch2"))
+    # flags: A = [2,2,5] (tie run), R = [1,2,3], N = [9,9] (excluded
+    # from cucconi; excluded from lmoments by the n>=3 gate).
+    # Hand L-moments: A -> b0=9 b1=12 b2=10: l2=1 (l2_e2=100),
+    # t3 = 6/6 = 1 (t3_abs_e6=1000000); R -> b0=6 b1=8 b2=6:
+    # l1=2 (l1_e2=200), l2num=4, lcv_e6 = 4e6 // 12 = 333333,
+    # t3num = 0 -> sign 1, abs 0.
+    flags = ["A", "A", "A", "R", "R", "R", "N", "N"]
+    qty = [2.0, 2.0, 5.0, 1.0, 2.0, 3.0, 9.0, 9.0]
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array(flags),
+        "l_quantity": pa.array(qty, pa.float64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", BATCH2)
+def test_batch2_match_oracle(ray_session, batch2_dir, name):
+    import duckdb
+    import ray.data as rd
+
+    import __ray_entry__ as e
+
+    got = e.queries()[name](batch2_dir)
+    if isinstance(got, (rd.Dataset, pa.Table)):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM"
+            f" '{batch2_dir}/lineitem.parquet'")
+    exp = con.sql(e.oracle_sql()[name]).df()
+    assert len(got) == len(exp), (name, len(got), len(exp))
+    assert sorted(got.columns) == sorted(exp.columns), name
+    assert _vhash(got) == _vhash(exp), name
+
+
+def test_lmoments_hand_values(ray_session, batch2_dir):
+    import __ray_entry__ as e
+
+    out = (e.queries()["lmoments_by_flag"](batch2_dir)
+           .to_pandas().set_index("flag"))
+    assert "N" not in out.index  # n=2 < 3 gate
+    assert int(out.loc["A", "l2_e2"]) == 100
+    assert int(out.loc["A", "t3_abs_e6"]) == 1000000
+    assert int(out.loc["R", "l1_e2"]) == 200
+    assert int(out.loc["R", "lcv_e6"]) == 333333
+    assert int(out.loc["R", "t3_abs_e6"]) == 0
+
+
+def test_cucconi_finite(ray_session, batch2_dir):
+    import math
+
+    import __ray_entry__ as e
+
+    out = e.queries()["cucconi_flags"](batch2_dir).to_pandas()
+    assert int(out.loc[0, "m"]) == 3 and int(out.loc[0, "n"]) == 3
+    c = float(out.loc[0, "c"])
+    assert math.isfinite(c) and c >= 0.0
