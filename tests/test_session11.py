@@ -1,0 +1,210 @@
+"""Round-5 session-5 operators, batch 1: Bartels rank von Neumann
+randomness test, Cox-Stuart trend sign test, daily technical
+indicators (RSI-14 / stochastic %K / OBV as exact integers), Aroon-25
+via composite integer window extremes, Moors octile kurtosis.
+
+Fixtures are adversarial: heavy value ties (doubled mid-ranks,
+Cox-Stuart tie census), a day with two orders (day-sum + OBV volume),
+flat stochastic windows, Aroon high/low ties that must resolve to the
+LATEST day, an octile set with zero interpolation remainder (n=9) and
+one with every remainder nonzero (n=10), an all-equal flag (den8=0),
+an n<8 flag (excluded), and single-day series (empty result on both
+sides)."""
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+DAILY_A = ["bartels_rank_test", "cox_stuart_trend",
+           "tech_indicators_daily"]
+
+
+def _vhash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns), kind="mergesort")
+    body = "|".join(
+        ",".join(repr(x) for x in df[c].tolist()) for c in df.columns
+    )
+    return hashlib.md5(body.encode()).hexdigest()
+
+
+def _us(dates):
+    return [int(np.datetime64(x).astype("datetime64[us]")
+                .astype(np.int64)) for x in dates]
+
+
+def _write_orders(d, days, vals):
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(_us(days), pa.timestamp("us")),
+        "o_totalprice": pa.array(vals, pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+
+
+def _match_oracle(name, fix_dir):
+    import duckdb
+    import ray.data as rd
+
+    import __ray_entry__ as e
+
+    got = e.queries()[name](fix_dir)
+    if isinstance(got, (rd.Dataset, pa.Table)):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        p = os.path.join(fix_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    exp = con.sql(e.oracle_sql()[name]).df()
+    assert len(got) == len(exp), (name, len(got), len(exp))
+    assert sorted(got.columns) == sorted(exp.columns), name
+    assert _vhash(got) == _vhash(exp), name
+    return got
+
+
+@pytest.fixture(scope="module")
+def daily16_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s11daily16"))
+    # 16 days; day 1 split into two orders (2.0 + 3.0 = 5.0) to
+    # exercise the day-sum and the v=2 OBV volume (never used: OBV
+    # weights start at day 2).
+    days = (["2023-01-01", "2023-01-01"]
+            + ["2023-01-%02d" % i for i in range(2, 17)])
+    vals = [2.0, 3.0, 3.0, 3.0, 8.0, 2.0, 9.0, 1.0, 4.0, 4.0,
+            7.0, 6.0, 10.0, 2.0, 5.0, 5.0, 12.0]
+    _write_orders(d, days, vals)
+    return d
+
+
+@pytest.fixture(scope="module")
+def daily30_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s11daily30"))
+    # 30 days, constant 7 except two tied highs (9 at idx 10 and 20)
+    # and two tied lows (1 at idx 5 and 28) — Aroon must pick the
+    # LATEST on both sides.
+    vals = [7.0] * 30
+    vals[10] = 9.0
+    vals[20] = 9.0
+    vals[5] = 1.0
+    vals[28] = 1.0
+    days = ["2023-02-%02d" % i for i in range(1, 29)] + \
+           ["2023-03-01", "2023-03-02"]
+    _write_orders(d, days, vals)
+    return d
+
+
+@pytest.fixture(scope="module")
+def moors_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s11moors"))
+    qty = ([1, 2, 3, 4, 5, 6, 7, 8, 100]          # A: n=9, rem==0
+           + [1, 1, 2, 3, 5, 8, 13, 21, 34, 55]   # C: n=10, rem>0
+           + [5] * 8                               # D: all equal
+           + [1, 2, 3, 4, 5, 6, 7])                # B: n=7 excluded
+    flag = ["A"] * 9 + ["C"] * 10 + ["D"] * 8 + ["B"] * 7
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array(flag, pa.string()),
+        "l_quantity": pa.array([float(x) for x in qty], pa.float64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", DAILY_A)
+def test_daily16_match_oracle(ray_session, daily16_dir, name):
+    _match_oracle(name, daily16_dir)
+
+
+@pytest.mark.parametrize("name",
+                         DAILY_A + ["aroon_25"])
+def test_daily30_match_oracle(ray_session, daily30_dir, name):
+    _match_oracle(name, daily30_dir)
+
+
+def test_moors_match_oracle(ray_session, moors_dir):
+    _match_oracle("moors_kurtosis_by_flag", moors_dir)
+
+
+def test_bartels_hand_values(ray_session, daily16_dir):
+    import __ray_entry__ as e
+
+    out = e.queries()["bartels_rank_test"](daily16_dir).to_pandas()
+    assert int(out.loc[0, "n_days"]) == 16
+    assert int(out.loc[0, "num4"]) == 3316
+    assert int(out.loc[0, "den4"]) == 1346
+    assert int(out.loc[0, "rvn_e6"]) == 3316_000_000 // 1346
+
+
+def test_cox_stuart_hand_values(ray_session, daily16_dir):
+    import __ray_entry__ as e
+
+    out = e.queries()["cox_stuart_trend"](daily16_dir).to_pandas()
+    # a = [5,3,3,8,2,9,1,4], b = [4,7,6,10,2,5,5,12]
+    assert int(out.loc[0, "n_pairs"]) == 8
+    assert int(out.loc[0, "n_pos"]) == 5
+    assert int(out.loc[0, "n_neg"]) == 2
+    assert int(out.loc[0, "n_tie"]) == 1
+
+
+def test_tech_indicators_hand_values(ray_session, daily16_dir):
+    import __ray_entry__ as e
+
+    out = (e.queries()["tech_indicators_daily"](daily16_dir)
+           .to_pandas().sort_values("day").reset_index(drop=True))
+    assert len(out) == 2
+    assert int(out.loc[0, "close_v"]) == 500
+    assert int(out.loc[0, "gain14"]) == 2500
+    assert int(out.loc[0, "loss14"]) == 2500
+    assert int(out.loc[0, "stoch_num"]) == 400
+    assert int(out.loc[0, "stoch_den"]) == 900
+    assert list(out["obv"]) == [1, 2]
+    assert int(out.loc[1, "stoch_num"]) == 1100
+    assert int(out.loc[1, "stoch_den"]) == 1100
+
+
+def test_aroon_latest_tie_rule(ray_session, daily30_dir):
+    import __ray_entry__ as e
+
+    out = (e.queries()["aroon_25"](daily30_dir)
+           .to_pandas().sort_values("day").reset_index(drop=True))
+    assert len(out) == 6          # idx 24..29
+    last = out.iloc[-1]           # idx 29: highs at 10,20 -> 20
+    assert int(last["days_since_high"]) == 9
+    assert int(last["days_since_low"]) == 1   # lows at 5,28 -> 28
+    first = out.iloc[0]           # idx 24: high 20, low 5
+    assert int(first["days_since_high"]) == 4
+    assert int(first["days_since_low"]) == 19
+
+
+def test_moors_hand_values(ray_session, moors_dir):
+    import __ray_entry__ as e
+
+    out = (e.queries()["moors_kurtosis_by_flag"](moors_dir)
+           .to_pandas().set_index("flag"))
+    assert sorted(out.index) == ["A", "C", "D"]   # B (n=7) excluded
+    assert int(out.loc["A", "num8"]) == 32
+    assert int(out.loc["A", "den8"]) == 32
+    assert int(out.loc["A", "moors_e6"]) == 1_000_000
+    assert int(out.loc["C", "num8"]) == 191
+    assert int(out.loc["C", "den8"]) == 134
+    assert int(out.loc["C", "moors_e6"]) == 191_000_000 // 134
+    assert int(out.loc["D", "den8"]) == 0
+    assert int(out.loc["D", "moors_e6"]) == 0
+
+
+def test_single_day_empty_both_sides(ray_session, tmp_path):
+    import duckdb
+
+    import __ray_entry__ as e
+
+    d = str(tmp_path)
+    _write_orders(d, ["2023-01-01"], [5.0])
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM"
+            f" '{os.path.join(d, 'orders.parquet')}'")
+    for name in ("bartels_rank_test", "cox_stuart_trend"):
+        got = e.queries()[name](d).to_pandas()
+        exp = con.sql(e.oracle_sql()[name]).df()
+        assert len(got) == 0 and len(exp) == 0, name
