@@ -208,3 +208,127 @@ def test_single_day_empty_both_sides(ray_session, tmp_path):
         got = e.queries()[name](d).to_pandas()
         exp = con.sql(e.oracle_sql()[name]).df()
         assert len(got) == 0 and len(exp) == 0, name
+
+
+# ---------------------------------------------------------------------------
+# batch 2: sequential basket, FD audit, vocab richness, rolling med/MAD
+# ---------------------------------------------------------------------------
+
+
+def _match_oracle2(name, fix_dir, tables):
+    import duckdb
+    import ray.data as rd
+
+    import __ray_entry__ as e
+
+    got = e.queries()[name](fix_dir)
+    if isinstance(got, (rd.Dataset, pa.Table)):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    for t in tables:
+        p = os.path.join(fix_dir, f"{t}.parquet")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    exp = con.sql(e.oracle_sql()[name]).df()
+    assert len(got) == len(exp), (name, len(got), len(exp))
+    assert sorted(got.columns) == sorted(exp.columns), name
+    assert _vhash(got) == _vhash(exp), name
+    return got
+
+
+@pytest.fixture(scope="module")
+def basket_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s11basket"))
+    # cust 1: o1(d1: parts 10,10,11) -> o2(d2: 20) -> o3(d3: 10)
+    # cust 2: single order (no link); cust 3: same-date pair, the
+    # orderkey tiebreak must order o40 before o41.
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 9, 40, 41], pa.int64()),
+        "o_custkey": pa.array([1, 1, 1, 2, 3, 3], pa.int64()),
+        "o_orderdate": pa.array(_us(
+            ["2023-01-01", "2023-01-05", "2023-01-09",
+             "2023-01-02", "2023-02-01", "2023-02-01"]),
+            pa.timestamp("us")),
+    }), os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 2, 3, 9, 40, 41], pa.int64()),
+        "l_partkey": pa.array([10, 10, 11, 20, 10, 99, 5, 6],
+                              pa.int64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    return d
+
+
+def test_next_order_part_pairs(ray_session, basket_dir):
+    got = _match_oracle2("next_order_part_pairs", basket_dir,
+                         ["orders", "lineitem"])
+    got = got.sort_values(["n", "part_a", "part_b"],
+                          ascending=[False, True, True])
+    rows = [tuple(map(int, r)) for r in
+            got[["part_a", "part_b", "n"]].itertuples(index=False)]
+    # (10,20) twice via the duplicated part-10 lineitem row
+    assert rows == [(10, 20, 2), (5, 6, 1), (11, 20, 1), (20, 10, 1)]
+
+
+@pytest.fixture(scope="module")
+def fd_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s11fd"))
+    pq.write_table(pa.table({
+        "p_brand": pa.array(["A", "A", "B", "B", "B"], pa.string()),
+        "p_type": pa.array(["t1", "t1", "t1", "t2", "t2"],
+                           pa.string()),
+        "p_size": pa.array([1, 2, 1, 3, 3], pa.int32()),
+    }), os.path.join(d, "part.parquet"))
+    return d
+
+
+def test_fd_audit_hand_values(ray_session, fd_dir):
+    got = _match_oracle2("fd_audit_parts", fd_dir, ["part"])
+    g = got.set_index("fd")
+    # brand->type: A ok, B viol; type->size: t1 viol, t2 ok;
+    # size->brand: 1 viol, 2 ok, 3 ok
+    assert (int(g.loc["brand->type", "n_groups"]),
+            int(g.loc["brand->type", "n_violating"])) == (2, 1)
+    assert (int(g.loc["type->size", "n_groups"]),
+            int(g.loc["type->size", "n_violating"])) == (2, 1)
+    assert (int(g.loc["size->brand", "n_groups"]),
+            int(g.loc["size->brand", "n_violating"])) == (3, 1)
+
+
+@pytest.fixture(scope="module")
+def vocab_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s11vocab"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "lang": pa.array(["en", "en", "fr"], pa.string()),
+        "text": pa.array(["a a b b c", "a d", "x y"], pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_vocab_richness_hand_values(ray_session, vocab_dir):
+    got = _match_oracle2("vocab_richness_by_lang", vocab_dir,
+                         ["documents"])
+    en = got.set_index("lang").loc["en"]
+    # a:3 b:2 c:1 d:1 -> N=7 V=4 s2=15 v2=1
+    assert int(en["n_tokens"]) == 7
+    assert int(en["vocab"]) == 4
+    assert int(en["s2"]) == 15
+    assert int(en["v2"]) == 1
+    assert int(en["yule_k_e4"]) == (15 - 7) * 100_000_000 // 49
+    assert int(en["sichel_e6"]) == 250_000
+    assert int(en["guiraud_r2_e6"]) == 16 * 1_000_000 // 7
+
+
+@pytest.fixture(scope="module")
+def med9_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s11med9"))
+    days = ["2023-01-%02d" % i for i in range(1, 10)]
+    _write_orders(d, days, [5.0, 3.0, 8.0, 2.0, 9.0, 1.0, 4.0,
+                            7.0, 6.0])
+    return d
+
+
+def test_rolling_median7_mad_hand_values(ray_session, med9_dir):
+    got = _match_oracle2("rolling_median7_mad", med9_dir, ["orders"])
+    got = got.sort_values("day").reset_index(drop=True)
+    assert list(got["med7"]) == [400, 400, 600]
+    assert list(got["mad7"]) == [200, 300, 200]
