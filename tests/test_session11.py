@@ -332,3 +332,95 @@ def test_rolling_median7_mad_hand_values(ray_session, med9_dir):
     got = got.sort_values("day").reset_index(drop=True)
     assert list(got["med7"]) == [400, 400, 600]
     assert list(got["mad7"]) == [200, 300, 200]
+
+
+# ---------------------------------------------------------------------------
+# batch 3: PACF lag-2, candidate keys, Ansari-Bradley, expanding median
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pacf_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s11pacf"))
+    # x (k$ units) = [1,3,2,5,4]: a0=250, a1=0, a2=25
+    _write_orders(d, ["2023-01-%02d" % i for i in range(1, 6)],
+                  [1000.0, 3000.0, 2000.0, 5000.0, 4000.0])
+    return d
+
+
+@pytest.fixture(scope="module")
+def pacf_neg_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s11pacfneg"))
+    # x = [1,2,1,2,1]: a0=30, a1=-24, a2=17 ->
+    # pacf2 = -66e6 / 324 = -203703.7 -> TRUNCATES to -203703
+    # (floor would give -203704 — locks the DuckDB // parity rule)
+    _write_orders(d, ["2023-01-%02d" % i for i in range(1, 6)],
+                  [1000.0, 2000.0, 1000.0, 2000.0, 1000.0])
+    return d
+
+
+def test_pacf_hand_values(ray_session, pacf_dir):
+    got = _match_oracle("pacf_lag2", pacf_dir)
+    assert int(got.loc[0, "rho1_e6"]) == 0
+    assert int(got.loc[0, "rho2_e6"]) == 25_000_000 // 250
+    assert int(got.loc[0, "pacf2_e6"]) == 6_250_000_000 // 62_500
+
+
+def test_pacf_negative_truncation(ray_session, pacf_neg_dir):
+    got = _match_oracle("pacf_lag2", pacf_neg_dir)
+    assert int(got.loc[0, "rho1_e6"]) == -800_000
+    assert int(got.loc[0, "pacf2_e6"]) == -203_703   # NOT -203704
+
+
+@pytest.fixture(scope="module")
+def keyaudit_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s11keys"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([5, 5, 6], pa.int64()),
+        "o_orderdate": pa.array(
+            _us(["2023-01-01", "2023-01-01", "2023-01-02"]),
+            pa.timestamp("us")),
+    }), os.path.join(d, "orders.parquet"))
+    return d
+
+
+def test_candidate_key_hand_values(ray_session, keyaudit_dir):
+    got = _match_oracle("candidate_key_audit", keyaudit_dir)
+    g = got.set_index("combo")
+    assert int(g.loc["orderkey", "is_key"]) == 1
+    assert int(g.loc["custkey", "n_distinct"]) == 2
+    assert int(g.loc["custkey", "is_key"]) == 0
+    assert int(g.loc["custkey|orderdate", "n_distinct"]) == 2
+    assert int(g.loc["custkey|orderdate", "is_key"]) == 0
+
+
+@pytest.fixture(scope="module")
+def ansari_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s11ansari"))
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array(["A", "A", "A", "R", "R", "N"],
+                                 pa.string()),
+        "l_quantity": pa.array([1.0, 2.0, 2.0, 2.0, 9.0, 50.0],
+                               pa.float64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    return d
+
+
+def test_ansari_hand_values(ray_session, ansari_dir):
+    got = _match_oracle("ansari_bradley_flags", ansari_dir)
+    # pooled A=[1,2,2] R=[2,9] (the N row excluded): d=[2,6,6,6,10],
+    # s2=min(d,12-d) -> 1:2, 2:6, 9:2
+    assert int(got.loc[0, "n_a"]) == 3
+    assert int(got.loc[0, "n_r"]) == 2
+    assert int(got.loc[0, "ab2_a"]) == 14
+    assert int(got.loc[0, "ab2_r"]) == 8
+
+
+def test_expanding_median_hand_values(ray_session, tmp_path):
+    d = str(tmp_path)
+    _write_orders(d, ["2023-01-%02d" % i for i in range(1, 5)],
+                  [5.0, 3.0, 8.0, 2.0])
+    got = (_match_oracle("expanding_median_x4", d)
+           .sort_values("day").reset_index(drop=True))
+    assert list(got["med_x4"]) == [2000, 1600, 2000, 1600]
