@@ -424,3 +424,87 @@ def test_expanding_median_hand_values(ray_session, tmp_path):
     got = (_match_oracle("expanding_median_x4", d)
            .sort_values("day").reset_index(drop=True))
     assert list(got["med_x4"]) == [2000, 1600, 2000, 1600]
+
+
+# ---------------------------------------------------------------------------
+# batch 4: above-own-avg orders, AMS F2 sketch, priority transitions
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def aboveavg_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s11above"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "o_custkey": pa.array([1, 1, 1, 2, 3, 3], pa.int64()),
+        "o_totalprice": pa.array([10.0, 20.0, 30.0, 5.0, 4.0, 4.0],
+                                 pa.float64()),
+        "o_orderdate": pa.array(_us(
+            ["2023-01-01", "2023-01-02", "2023-01-03",
+             "2023-01-01", "2023-01-05", "2023-01-05"]),
+            pa.timestamp("us")),
+        "o_orderpriority": pa.array(
+            ["1-URGENT", "2-HIGH", "2-HIGH", "5-LOW",
+             "3-MEDIUM", "4-NOT SPECIFIED"], pa.string()),
+    }), os.path.join(d, "orders.parquet"))
+    return d
+
+
+def test_above_avg_hand_values(ray_session, aboveavg_dir):
+    # cust1 [10,20,30]: only 30 STRICTLY above mean 20 -> 1
+    # cust2 [5] -> 0; cust3 [4,4] -> 0 (equal, not strict)
+    got = _match_oracle("above_avg_orders", aboveavg_dir)
+    g = got.set_index("n_above")
+    assert int(g.loc[0, "n_customers"]) == 2
+    assert int(g.loc[1, "n_customers"]) == 1
+
+
+def test_priority_transitions_hand_values(ray_session, aboveavg_dir):
+    got = _match_oracle("priority_transition_matrix", aboveavg_dir)
+    cells = {(r.prev_priority, r.priority): int(r.n)
+             for r in got.itertuples(index=False)}
+    # cust1: URGENT->HIGH, HIGH->HIGH; cust3 same-date orderkey
+    # tiebreak: key5 (MEDIUM) before key6 (NOT SPECIFIED)
+    assert cells == {("1-URGENT", "2-HIGH"): 1,
+                     ("2-HIGH", "2-HIGH"): 1,
+                     ("3-MEDIUM", "4-NOT SPECIFIED"): 1}
+
+
+@pytest.fixture(scope="module")
+def ams_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s11ams"))
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "event_type": pa.array(["a", "a", "a", "b"], pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_ams_f2_hand_values(ray_session, ams_dir):
+    import duckdb
+    import hashlib
+
+    import __ray_entry__ as e
+
+    got = e.queries()["ams_f2_sketch"](ams_dir).to_pandas()
+    assert int(got.loc[0, "exact_f2"]) == 10     # 3^2 + 1^2
+    # recompute the deterministic estimator independently
+    groups = []
+    for gi in range(5):
+        tot = 0
+        for j in range(4 * gi, 4 * gi + 4):
+            z = 0
+            for t_, f_ in (("a", 3), ("b", 1)):
+                hx = hashlib.md5(
+                    f"{t_}:{j}".encode()).hexdigest()[:8]
+                z += f_ if hx < "80000000" else -f_
+            tot += z * z
+        groups.append(tot)
+    est4 = sorted(groups)[2]
+    assert int(got.loc[0, "est4"]) == est4
+    assert int(got.loc[0, "ratio_e4"]) == est4 * 10_000 // 40
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM"
+            f" '{os.path.join(ams_dir, 'events.parquet')}'")
+    exp = con.sql(e.oracle_sql()["ams_f2_sketch"]).df()
+    assert _vhash(got) == _vhash(exp)
