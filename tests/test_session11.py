@@ -508,3 +508,90 @@ def test_ams_f2_hand_values(ray_session, ams_dir):
             f" '{os.path.join(ams_dir, 'events.parquet')}'")
     exp = con.sql(e.oracle_sql()["ams_f2_sketch"]).df()
     assert _vhash(got) == _vhash(exp)
+
+
+# ---------------------------------------------------------------------------
+# batch 5: Chatterjee xi, KMV Jaccard audit, parquet footer audit
+# ---------------------------------------------------------------------------
+
+
+def test_chatterjee_hand_values(ray_session, tmp_path):
+    d = str(tmp_path)
+    # y=[5,3,8,8,2]: r=[3,2,5,5,1], l=[3,4,2,2,5], S=8, T=22
+    _write_orders(d, ["2023-01-%02d" % i for i in range(1, 6)],
+                  [5.0, 3.0, 8.0, 8.0, 2.0])
+    got = _match_oracle("chatterjee_xi_daily", d)
+    assert int(got.loc[0, "s_abs"]) == 8
+    assert int(got.loc[0, "t_sum"]) == 22
+    assert int(got.loc[0, "xi_e6"]) == 4_000_000 // 44
+
+
+def test_chatterjee_negative_truncation(ray_session, tmp_path):
+    d = str(tmp_path)
+    # alternating y: xi = -16/24 -> -666666 TRUNCATED (not -666667)
+    _write_orders(d, ["2023-01-%02d" % i for i in range(1, 6)],
+                  [1.0, 2.0, 1.0, 2.0, 1.0])
+    got = _match_oracle("chatterjee_xi_daily", d)
+    assert int(got.loc[0, "xi_e6"]) == -666_666
+
+
+def test_chatterjee_constant_series(ray_session, tmp_path):
+    d = str(tmp_path)
+    _write_orders(d, ["2023-01-%02d" % i for i in range(1, 4)],
+                  [5.0, 5.0, 5.0])
+    got = _match_oracle("chatterjee_xi_daily", d)
+    assert int(got.loc[0, "t_sum"]) == 0
+    assert int(got.loc[0, "xi_e6"]) == 0
+
+
+@pytest.fixture(scope="module")
+def kmv_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s11kmv"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "lang": pa.array(["en", "de", "fr"], pa.string()),
+        "text": pa.array(["a b c d", "c d e", "z z z"], pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_kmv_hand_values(ray_session, kmv_dir):
+    got = _match_oracle2("kmv_jaccard_audit", kmv_dir, ["documents"])
+    # union {a,b,c,d,e}=5, inter {c,d}=2; k>=union so the KMV sample
+    # IS the union -> estimate == exact (fr tokens excluded)
+    assert int(got.loc[0, "exact_union"]) == 5
+    assert int(got.loc[0, "exact_inter"]) == 2
+    assert int(got.loc[0, "kmv_k"]) == 5
+    assert int(got.loc[0, "kmv_inter"]) == 2
+    assert int(got.loc[0, "kmv_jac_e6"]) == 400_000
+    assert int(got.loc[0, "exact_jac_e6"]) == 400_000
+
+
+def test_parquet_footer_audit_parity(ray_session, kmv_dir):
+    import duckdb
+
+    import __ray_entry__ as e
+
+    got = (e.queries()["parquet_footer_audit"](kmv_dir)
+           .to_pandas().set_index("file"))
+    exp = duckdb.sql(
+        "SELECT regexp_extract(file_name, '[^/]+$') AS file,"
+        " CAST(sum(total_compressed_size) AS BIGINT) AS comp,"
+        " CAST(sum(total_uncompressed_size) AS BIGINT) AS unc"
+        f" FROM parquet_metadata('{kmv_dir}/*.parquet')"
+        " GROUP BY 1").df().set_index("file")
+    fexp = duckdb.sql(
+        "SELECT regexp_extract(file_name, '[^/]+$') AS file,"
+        " num_rows, num_row_groups"
+        f" FROM parquet_file_metadata('{kmv_dir}/*.parquet')"
+        ).df().set_index("file")
+    assert set(got.index) == {"documents.parquet"}
+    r = got.loc["documents.parquet"]
+    assert int(r["compressed_bytes"]) == int(
+        exp.loc["documents.parquet", "comp"])
+    assert int(r["uncompressed_bytes"]) == int(
+        exp.loc["documents.parquet", "unc"])
+    assert int(r["n_rows"]) == int(
+        fexp.loc["documents.parquet", "num_rows"])
+    assert int(r["n_row_groups"]) == int(
+        fexp.loc["documents.parquet", "num_row_groups"])
