@@ -595,3 +595,94 @@ def test_parquet_footer_audit_parity(ray_session, kmv_dir):
         fexp.loc["documents.parquet", "num_rows"])
     assert int(r["n_row_groups"]) == int(
         fexp.loc["documents.parquet", "num_row_groups"])
+
+
+# ---------------------------------------------------------------------------
+# batch 6: chunk overlap, rare-token mass, hash16 collisions, batch padding
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def chunk_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s11chunk"))
+    # token counts 64 (k=1, ct=64), 65 (k=2, ct=64+17=81), 3 (k=1)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "lang": pa.array(["en", "en", "en"], pa.string()),
+        "text": pa.array(["w " * 64, "w " * 65, "a b c"],
+                         pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_chunk_overlap_hand_values(ray_session, chunk_dir):
+    got = _match_oracle2("chunk_overlap_stats", chunk_dir,
+                         ["documents"])
+    assert int(got.loc[0, "doc_tokens"]) == 132
+    assert int(got.loc[0, "n_chunks"]) == 4
+    assert int(got.loc[0, "chunk_tokens"]) == 148
+    assert int(got.loc[0, "dup_e6"]) == 148_000_000 // 132
+
+
+@pytest.fixture(scope="module")
+def rare_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s11rare"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "lang": pa.array(["en", "en"], pa.string()),
+        "text": pa.array(["a a a a a a a a a a a a b", "b c"],
+                         pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_rare_token_mass_hand_values(ray_session, rare_dir):
+    got = _match_oracle2("rare_token_mass_by_lang", rare_dir,
+                         ["documents"])
+    # a:12 (common), b:2, c:1 (rare): mass 3/15, types 2/3
+    assert int(got.loc[0, "n_tokens"]) == 15
+    assert int(got.loc[0, "vocab"]) == 3
+    assert int(got.loc[0, "rare_types"]) == 2
+    assert int(got.loc[0, "rare_mass"]) == 3
+    assert int(got.loc[0, "rare_mass_e6"]) == 200_000
+    assert int(got.loc[0, "rare_type_e6"]) == 666_666
+
+
+def test_hash16_collision_planted(ray_session, tmp_path):
+    import hashlib
+
+    d = str(tmp_path)
+    # find a doc_id whose 16-bit md5 prefix collides with doc_id 1
+    target = hashlib.md5(b"1").hexdigest()[:4]
+    twin = next(i for i in range(2, 200_000)
+                if hashlib.md5(str(i).encode()).hexdigest()[:4]
+                == target)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, twin, twin + 1], pa.int64()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "text": pa.array(["x"] * 3, pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    got = _match_oracle2("hash16_collision_audit", d, ["documents"])
+    assert int(got.loc[0, "n_ids"]) == 3
+    assert int(got.loc[0, "n_hash_values"]) == 2
+    assert int(got.loc[0, "n_colliding_ids"]) == 2
+    assert int(got.loc[0, "max_bucket"]) == 2
+
+
+def test_batch_padding_hand_values(ray_session, tmp_path):
+    d = str(tmp_path)
+    # 64 docs alternating 1-token / 100-token: arrival batches mix
+    # (max 100 both), sorted batches separate (max 1 then 100)
+    ids = list(range(1, 65))
+    texts = ["x" if i % 2 == 1 else "x " * 100 for i in ids]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "lang": pa.array(["en"] * 64, pa.string()),
+        "text": pa.array(texts, pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    got = _match_oracle2("batch_padding_compare", d, ["documents"])
+    assert int(got.loc[0, "n_docs"]) == 64
+    assert int(got.loc[0, "n_tokens"]) == 3232
+    assert int(got.loc[0, "pad_arrival"]) == 6400
+    assert int(got.loc[0, "pad_sorted"]) == 3232
+    assert int(got.loc[0, "saving_e6"]) == 3168 * 1_000_000 // 6400
