@@ -686,3 +686,114 @@ def test_batch_padding_hand_values(ray_session, tmp_path):
     assert int(got.loc[0, "pad_arrival"]) == 6400
     assert int(got.loc[0, "pad_sorted"]) == 3232
     assert int(got.loc[0, "saving_e6"]) == 3168 * 1_000_000 // 6400
+
+
+# ---------------------------------------------------------------------------
+# batch 7: Haar details, isotonic PAVA, nation seasonality, YoY sign test
+# ---------------------------------------------------------------------------
+
+
+def test_haar_hand_values(ray_session, tmp_path):
+    d = str(tmp_path)
+    _write_orders(d, ["2023-01-%02d" % i for i in range(1, 6)],
+                  [1.0, 2.0, 3.0, 4.0, 5.0])
+    got = _match_oracle("haar_details_daily", d)
+    got = got.sort_values(["level", "block"]).reset_index(drop=True)
+    # L1: (100-200), (300-400); day 5 dropped. L2: (100+200)-(300+400)
+    assert [tuple(map(int, r)) for r in
+            got[["level", "block", "detail"]].itertuples(index=False)
+            ] == [(1, 0, -100), (1, 1, -100), (2, 0, -400)]
+
+
+def _brute_pava(vals):
+    # vals: list of (q, sum, cnt); returns per-block pooled (sum, cnt)
+    out = []
+    for q, s, c in vals:
+        out.append([q, s, c])
+        while len(out) >= 2 and \
+                out[-2][1] * out[-1][2] > out[-1][1] * out[-2][2]:
+            s2, c2 = out[-1][1], out[-1][2]
+            out.pop()
+            out[-1][1] += s2
+            out[-1][2] += c2
+    return out
+
+
+def test_isotonic_pools_violators(ray_session, tmp_path):
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "l_quantity": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+        "l_extendedprice": pa.array([10.0, 4.0, 6.0, 9.0],
+                                    pa.float64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    import __ray_entry__ as e
+
+    got = (e.queries()["isotonic_qty_revenue"](d)
+           .to_pandas().sort_values("q").reset_index(drop=True))
+    # 1000 > 400 pools; 1400/2 > 600 pools -> block(1..3) = 2000/3;
+    # then 900 >= 2000/3 stays separate
+    assert list(got["block_start"]) == [1, 1, 1, 4]
+    assert list(got["fit_num"]) == [2000, 2000, 2000, 900]
+    assert list(got["fit_den"]) == [3, 3, 3, 1]
+    # property: fitted means nondecreasing; totals preserved per block
+    means = [n / dnm for n, dnm in zip(got["fit_num"],
+                                      got["fit_den"])]
+    assert all(means[i] <= means[i + 1] + 1e-12
+               for i in range(len(means) - 1))
+
+
+def test_isotonic_monotone_input_unpooled(ray_session, tmp_path):
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "l_quantity": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "l_extendedprice": pa.array([1.0, 2.0, 3.0], pa.float64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    import __ray_entry__ as e
+
+    got = (e.queries()["isotonic_qty_revenue"](d)
+           .to_pandas().sort_values("q").reset_index(drop=True))
+    assert list(got["block_start"]) == [1, 2, 3]
+    assert list(got["fit_den"]) == [1, 1, 1]
+
+
+@pytest.fixture(scope="module")
+def nation_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s11nation"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_nationkey": pa.array([7, 8], pa.int64()),
+    }), os.path.join(d, "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([1, 1, 1, 2], pa.int64()),
+        "o_orderdate": pa.array(_us(
+            ["2023-01-05", "2023-01-20", "2023-02-01",
+             "2023-06-15"]), pa.timestamp("us")),
+        "o_totalprice": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    return d
+
+
+def test_nation_seasonality_hand_values(ray_session, nation_dir):
+    got = _match_oracle2("nation_seasonality_amplitude", nation_dir,
+                         ["orders", "customer"])
+    g = got.set_index("nk")
+    # nation 7: months [2,1,0,...] -> amp (2-0)/3
+    assert int(g.loc[7, "max_month_n"]) == 2
+    assert int(g.loc[7, "min_month_n"]) == 0
+    assert int(g.loc[7, "amplitude_e6"]) == 2_000_000 // 3
+    assert int(g.loc[8, "n_orders"]) == 1
+
+
+def test_yoy_sign_hand_values(ray_session, tmp_path):
+    d = str(tmp_path)
+    _write_orders(d, ["1995-01-10", "1995-02-10", "1995-03-10",
+                      "1997-01-10", "1997-02-10"],
+                  [1.0, 2.0, 9.0, 5.0, 2.0])
+    got = _match_oracle("yoy_month_sign_test", d)
+    assert int(got.loc[0, "year_a"]) == 1995
+    assert int(got.loc[0, "year_b"]) == 1997
+    assert int(got.loc[0, "n_pairs"]) == 2   # March unpaired
+    assert int(got.loc[0, "n_pos"]) == 1
+    assert int(got.loc[0, "n_neg"]) == 0
+    assert int(got.loc[0, "n_tie"]) == 1
