@@ -797,3 +797,58 @@ def test_yoy_sign_hand_values(ray_session, tmp_path):
     assert int(got.loc[0, "n_pos"]) == 1
     assert int(got.loc[0, "n_neg"]) == 0
     assert int(got.loc[0, "n_tie"]) == 1
+
+
+# ---------------------------------------------------------------------------
+# batch 8: weekly ANOVA folding, MMD poly2, winsorized corr, rank-biserial
+# ---------------------------------------------------------------------------
+
+
+def test_weekly_folding_matches_oracle(ray_session, tmp_path):
+    d = str(tmp_path)
+    days = ["2023-01-%02d" % i for i in range(1, 15)]
+    vals = [5000.0, 8000.0, 3000.0, 9000.0, 2000.0, 7000.0, 4000.0,
+            6000.0, 8000.0, 2000.0, 9000.0, 3000.0, 7000.0, 5000.0]
+    _write_orders(d, days, vals)
+    got = _match_oracle("weekly_folding_anova", d)
+    assert int(got.loc[0, "n"]) == 14
+    x = np.array([5, 8, 3, 9, 2, 7, 4, 6, 8, 2, 9, 3, 7, 5],
+                 dtype=float)
+    tot_ss = float(np.sum(x * x) - x.sum() ** 2 / 14)
+    assert abs(float(got.loc[0, "ssb"]) + float(got.loc[0, "ssw"])
+               - tot_ss) < 1e-9
+
+
+def test_mmd_poly2_hand_values(ray_session, ansari_dir):
+    # reuse ansari fixture: A=[1,2,2], R=[2,9] -> recompute directly
+    got = _match_oracle("mmd_poly2_flags", ansari_dir)
+    na, s1a, s2a = 3, 5, 9
+    nr, s1r, s2r = 2, 11, 85
+    kaa = s2a * s2a + 2 * s1a * s1a + na * na
+    krr = s2r * s2r + 2 * s1r * s1r + nr * nr
+    kar = s2a * s2r + 2 * s1a * s1r + na * nr
+    num = kaa * nr * nr + krr * na * na - 2 * kar * na * nr
+    den = na * na * nr * nr
+    assert int(got.loc[0, "n_a"]) == 3
+    assert int(got.loc[0, "n_r"]) == 2
+    assert int(got.loc[0, "mmd_e6"]) == num * 1_000_000 // den
+
+
+def test_winsorized_corr_identity(ray_session, tmp_path):
+    d = str(tmp_path)
+    q = list(range(1, 21)) + [100]
+    pq.write_table(pa.table({
+        "l_quantity": pa.array([float(x) for x in q], pa.float64()),
+        "l_discount": pa.array([x / 100.0 for x in q], pa.float64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    got = _match_oracle("winsorized_corr_qty_disc", d)
+    # dd == q exactly, same clipping both margins -> corr == 1
+    assert abs(float(got.loc[0, "corr_w"]) - 1.0) < 1e-12
+
+
+def test_rank_biserial_hand_values(ray_session, ansari_dir):
+    got = _match_oracle("rank_biserial_flags", ansari_dir)
+    # A=[1,2,2], R=[2,9]: sum_A d2 = 14, u2 = 2,
+    # rbc = (2-6)/6 -> -666666 TRUNCATED
+    assert int(got.loc[0, "u2"]) == 2
+    assert int(got.loc[0, "rbc_e6"]) == -666_666
