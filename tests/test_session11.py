@@ -852,3 +852,75 @@ def test_rank_biserial_hand_values(ray_session, ansari_dir):
     # rbc = (2-6)/6 -> -666666 TRUNCATED
     assert int(got.loc[0, "u2"]) == 2
     assert int(got.loc[0, "rbc_e6"]) == -666_666
+
+
+# ---------------------------------------------------------------------------
+# batch 9: copula density grid, matrix profile, LIS
+# ---------------------------------------------------------------------------
+
+
+def test_copula_antidiagonal(ray_session, tmp_path):
+    d = str(tmp_path)
+    q = list(range(1, 11))
+    pq.write_table(pa.table({
+        "l_quantity": pa.array([float(x) for x in q], pa.float64()),
+        "l_discount": pa.array([(11 - x) / 100.0 for x in q],
+                               pa.float64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    got = _match_oracle("copula_density_qty_disc", d)
+    cells = {(int(r.cell_q), int(r.cell_d)): int(r.n)
+             for r in got.itertuples(index=False)}
+    # anti-monotone margins -> pure anti-diagonal, 2 rows per cell
+    assert cells == {(0, 4): 2, (1, 3): 2, (2, 2): 2,
+                     (3, 1): 2, (4, 0): 2}
+
+
+def test_matrix_profile_planted_motif(ray_session, tmp_path):
+    d = str(tmp_path)
+    pat = [5.0, 9.0, 2.0, 7.0, 3.0, 8.0, 4.0]
+    vals = pat + pat + [20.0, 1.0]
+    days = ["2023-03-%02d" % i for i in range(1, 17)]
+    _write_orders(d, days, vals)
+    got = _match_oracle("matrix_profile_7day", d)
+    g = got.set_index("kind")
+    day0 = _us(["2023-03-01"])[0] // (86_400 * 1_000_000)
+    # identical windows at idx 0 and 7 -> motif distance 0
+    assert int(g.loc["motif", "l1"]) == 0
+    assert int(g.loc["motif", "day_a"]) == day0
+    assert int(g.loc["motif", "day_b"]) == day0 + 7
+    # discord: brute-force reference
+    r = np.array([int(round(v * 100)) for v in vals], dtype=np.int64)
+    m = len(r) - 6
+    W = np.stack([r[i:i + 7] for i in range(m)])
+    D = np.abs(W[:, None, :] - W[None, :, :]).sum(axis=2)
+    for i in range(m):
+        for j in range(m):
+            if abs(i - j) < 7:
+                D[i, j] = 1 << 62
+    nnd = D.min(axis=1)
+    valid = np.flatnonzero(nnd < (1 << 62))
+    da = int(valid[np.argmax(nnd[valid])])
+    assert int(g.loc["discord", "day_a"]) == day0 + da
+    assert int(g.loc["discord", "l1"]) == int(nnd[da])
+
+
+def test_lis_hand_and_brute(ray_session, tmp_path):
+    d = str(tmp_path)
+    vals = [1.0, 3.0, 2.0, 4.0, 2.5, 0.5]
+    _write_orders(d, ["2023-01-%02d" % i for i in range(1, 7)], vals)
+    import __ray_entry__ as e
+
+    got = e.queries()["lis_daily"](d).to_pandas()
+
+    def brute(seq):
+        n = len(seq)
+        dp = [1] * n
+        for i in range(n):
+            for j in range(i):
+                if seq[j] < seq[i]:
+                    dp[i] = max(dp[i], dp[j] + 1)
+        return max(dp)
+
+    r = [int(round(v * 100)) for v in vals]
+    assert int(got.loc[0, "lis_len"]) == brute(r) == 3
+    assert int(got.loc[0, "lds_len"]) == brute([-v for v in r]) == 3
