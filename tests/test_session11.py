@@ -924,3 +924,69 @@ def test_lis_hand_and_brute(ray_session, tmp_path):
     r = [int(round(v * 100)) for v in vals]
     assert int(got.loc[0, "lis_len"]) == brute(r) == 3
     assert int(got.loc[0, "lds_len"]) == brute([-v for v in r]) == 3
+
+
+# ---------------------------------------------------------------------------
+# batch 10: two-way ANOVA, weekday chi2 drift cells, LPT shard plan
+# ---------------------------------------------------------------------------
+
+
+def test_twoway_anova_decomposition(ray_session, tmp_path):
+    d = str(tmp_path)
+    flags = ["A", "A", "N", "N", "R", "R", "A", "N", "R", "A", "N",
+             "R"]
+    sts = ["F", "O"] * 6
+    qty = [1.0, 5.0, 2.0, 7.0, 3.0, 9.0, 4.0, 6.0, 8.0, 2.0, 3.0,
+           1.0]
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array(flags, pa.string()),
+        "l_linestatus": pa.array(sts, pa.string()),
+        "l_quantity": pa.array(qty, pa.float64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    got = _match_oracle("twoway_anova_flag_status", d)
+    q = np.array([round(v) for v in qty], dtype=float)
+    tot_ss = float(np.sum(q * q) - q.sum() ** 2 / len(q))
+    assert abs(float(got.loc[0, "ss_cells"])
+               + float(got.loc[0, "ss_resid"]) - tot_ss) < 1e-9
+    assert float(got.loc[0, "ss_cells"]) >= \
+        float(got.loc[0, "ss_flag"]) - 1e-9
+    assert float(got.loc[0, "ss_cells"]) >= \
+        float(got.loc[0, "ss_status"]) - 1e-9
+
+
+def test_dow_chi2_hand_values(ray_session, tmp_path):
+    d = str(tmp_path)
+    # 2023-01-02 Mon x3, 01-03 Tue x1; 2024-01-01 Mon x1, 01-02 Tue x3
+    days = (["2023-01-02"] * 3 + ["2023-01-03"]
+            + ["2024-01-01"] + ["2024-01-02"] * 3)
+    _write_orders(d, days, [1.0] * 8)
+    got = _match_oracle("dow_chi2_drift", d)
+    assert len(got) == 4
+    # every cell: e=2, (o*8-16)^2 = 64 -> 64e6 // 128 = 500000
+    assert set(got["contrib_e6"]) == {500_000}
+    assert sorted(got["o"]) == [1, 1, 3, 3]
+
+
+def test_lpt_shard_plan_planted(ray_session, tmp_path):
+    d = str(tmp_path)
+    masses = [8, 7, 6, 5, 4, 3, 2, 1, 1]
+    langs = [f"l{i}" for i in range(9)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(9)), pa.int64()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(["s"] * 9, pa.string()),
+        "text": pa.array(["w " * m for m in masses], pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    import __ray_entry__ as e
+
+    got = e.queries()["lpt_shard_plan"](d).to_pandas()
+    assert len(got) == 9
+    loads = got.groupby("shard")["mass"].sum()
+    total, mx = sum(masses), max(masses)
+    assert loads.max() == 8            # LPT optimum here
+    assert loads.min() == 2            # 1+1 packed together
+    assert loads.max() <= total / 8 + mx   # LPT bound
+    # deterministic: rerun identical
+    again = e.queries()["lpt_shard_plan"](d).to_pandas()
+    assert got.sort_values(["lang"]).reset_index(drop=True).equals(
+        again.sort_values(["lang"]).reset_index(drop=True))
