@@ -990,3 +990,102 @@ def test_lpt_shard_plan_planted(ray_session, tmp_path):
     again = e.queries()["lpt_shard_plan"](d).to_pandas()
     assert got.sort_values(["lang"]).reset_index(drop=True).equals(
         again.sort_values(["lang"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# batch 11: brand dispersion, German tank, capture-recapture, up/down runs
+# ---------------------------------------------------------------------------
+
+
+def test_brand_dispersion_hand_values(ray_session, tmp_path):
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_brand": pa.array(["X", "Y"], pa.string()),
+    }), os.path.join(d, "part.parquet"))
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 1, 1, 2, 2, 2, 2], pa.int64()),
+        "l_returnflag": pa.array(["R", "R", "N", "A",
+                                  "N", "N", "A", "A"], pa.string()),
+    }), os.path.join(d, "lineitem.parquet"))
+    got = _match_oracle2("brand_return_dispersion", d,
+                         ["lineitem", "part"])
+    g = got.set_index("brand")
+    # N=8 R=2: X (4,2): (16-8)^2/(4*2*6); Y (4,0): (0-8)^2/(48)
+    assert int(g.loc["X", "contrib_e6"]) == 64_000_000 // 48
+    assert int(g.loc["Y", "contrib_e6"]) == 64_000_000 // 48
+
+
+def test_german_tank_recompute(ray_session, tmp_path):
+    import hashlib
+
+    d = str(tmp_path)
+    keys = list(range(1, 201))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(keys, pa.int64()),
+    }), os.path.join(d, "orders.parquet"))
+    got = _match_oracle("german_tank_audit", d)
+    samp = [k for k in keys
+            if hashlib.md5(str(k).encode()).hexdigest()[:2] < "10"]
+    assert int(got.loc[0, "sample_k"]) == len(samp)
+    assert int(got.loc[0, "sample_max"]) == max(samp)
+    assert int(got.loc[0, "est_e2"]) == \
+        max(samp) * (len(samp) + 1) * 100 // len(samp) - 100
+    assert int(got.loc[0, "true_max"]) == 200
+
+
+def test_capture_recapture_recompute(ray_session, tmp_path):
+    import hashlib
+
+    d = str(tmp_path)
+    uids = list(range(1, 101))
+    pq.write_table(pa.table({
+        "event_id": pa.array(uids, pa.int64()),
+        "user_id": pa.array(uids, pa.int64()),
+    }), os.path.join(d, "events.parquet"))
+    import duckdb
+
+    import __ray_entry__ as e
+
+    got = e.queries()["capture_recapture_users"](d).to_pandas()
+    a = [u for u in uids if hashlib.md5(
+        f"{u}:A".encode()).hexdigest()[:2] < "40"]
+    b = [u for u in uids if hashlib.md5(
+        f"{u}:B".encode()).hexdigest()[:2] < "40"]
+    m = len(set(a) & set(b))
+    assert int(got.loc[0, "true_users"]) == 100
+    assert int(got.loc[0, "cap_a"]) == len(a)
+    assert int(got.loc[0, "recaptured"]) == m
+    assert int(got.loc[0, "est_e2"]) == len(a) * len(b) * 100 // m
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM"
+            f" '{os.path.join(d, 'events.parquet')}'")
+    exp = con.sql(e.oracle_sql()["capture_recapture_users"]).df()
+    assert _vhash(got) == _vhash(exp)
+
+
+def test_runs_up_down_hand_values(ray_session, tmp_path):
+    d = str(tmp_path)
+    _write_orders(d, ["2023-01-%02d" % i for i in range(1, 6)],
+                  [5.0, 3.0, 3.0, 8.0, 2.0])
+    got = _match_oracle("runs_up_down_daily", d)
+    # deltas -2, 0(dropped), +5, -6 -> runs: [-],[+],[-]
+    assert int(got.loc[0, "n_moves"]) == 3
+    assert int(got.loc[0, "n_up"]) == 1
+    assert int(got.loc[0, "n_down"]) == 2
+    assert int(got.loc[0, "n_runs"]) == 3
+
+
+def test_runs_up_down_flat_empty(ray_session, tmp_path):
+    import duckdb
+
+    import __ray_entry__ as e
+
+    d = str(tmp_path)
+    _write_orders(d, ["2023-01-01", "2023-01-02"], [5.0, 5.0])
+    got = e.queries()["runs_up_down_daily"](d).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM"
+            f" '{os.path.join(d, 'orders.parquet')}'")
+    exp = con.sql(e.oracle_sql()["runs_up_down_daily"]).df()
+    assert len(got) == 0 and len(exp) == 0
