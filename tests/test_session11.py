@@ -1089,3 +1089,71 @@ def test_runs_up_down_flat_empty(ray_session, tmp_path):
             f" '{os.path.join(d, 'orders.parquet')}'")
     exp = con.sql(e.oracle_sql()["runs_up_down_daily"]).df()
     assert len(got) == 0 and len(exp) == 0
+
+
+# ---------------------------------------------------------------------------
+# batch 12: orders-before-event, A/B balance, dow-adjusted outliers
+# ---------------------------------------------------------------------------
+
+
+def test_orders_before_event_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([1, 1], pa.int64()),
+        "o_orderdate": pa.array(_us(["2023-01-02", "2023-01-06"]),
+                                pa.timestamp("us")),
+    }), os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2, 3], pa.int64()),
+        "ts": pa.array(_us(["2023-01-01", "2023-01-02",
+                            "2023-01-10", "2023-01-05",
+                            "2023-01-05"]), pa.timestamp("us")),
+        "event_type": pa.array(["purchase", "purchase", "purchase",
+                                "view", "purchase"], pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    got = _match_oracle2("orders_before_event", d,
+                         ["events", "orders"])
+    h = {int(r.n_orders_before): int(r.n_events)
+         for r in got.itertuples(index=False)}
+    # user1: 0 before d1, 1 at d2 (inclusive), 2 at d10;
+    # user3 purchase with no orders -> 0; user2 view excluded
+    assert h == {0: 2, 1: 1, 2: 1}
+
+
+def test_ab_balance_recompute(ray_session, tmp_path):
+    import hashlib
+
+    d = str(tmp_path)
+    uids = [1, 2, 3, 4, 1, 2]
+    ts = _us(["2023-01-01T10:00"] * 4 + ["2023-01-02T10:00"] * 2)
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(6)), pa.int64()),
+        "user_id": pa.array(uids, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    }), os.path.join(d, "events.parquet"))
+    got = (_match_oracle2("ab_balance_daily", d, ["events"])
+           .sort_values("day").reset_index(drop=True))
+    va = {u: hashlib.md5(str(u).encode()).hexdigest()[:8]
+          < "80000000" for u in set(uids)}
+    d1 = [va[u] for u in uids[:4]]
+    d2 = [va[u] for u in uids[4:]]
+    assert int(got.loc[0, "n_a"]) == sum(d1)
+    assert int(got.loc[1, "n_a"]) == sum(d2)
+    exp_cum = (2 * sum(d1) - 4) + (2 * sum(d2) - 2)
+    assert int(got.loc[1, "cum_diff"]) == exp_cum
+
+
+def test_dow_outliers_spike(ray_session, tmp_path):
+    d = str(tmp_path)
+    days = ["2023-01-%02d" % i for i in range(2, 16)]   # 14 days
+    vals = [5.0] * 14
+    vals[7] = 50.0            # same weekday as day 0 (Mondays)
+    _write_orders(d, days, vals)
+    got = (_match_oracle("dow_adjusted_outliers", d)
+           .sort_values("day").reset_index(drop=True))
+    # Monday group [500, 5000]: med_x4 = 11000; residuals +-9000;
+    # all other residuals 0 -> MAD 0 -> flag the two Mondays
+    assert len(got) == 2
+    assert sorted(got["resid_x4"]) == [-9000, 9000]
