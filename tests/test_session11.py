@@ -1157,3 +1157,70 @@ def test_dow_outliers_spike(ray_session, tmp_path):
     # all other residuals 0 -> MAD 0 -> flag the two Mondays
     assert len(got) == 2
     assert sorted(got["resid_x4"]) == [-9000, 9000]
+
+
+# ---------------------------------------------------------------------------
+# batch 13: supplier p-chart, Lindley backlog, brand unit-price drift
+# ---------------------------------------------------------------------------
+
+
+def test_supplier_pchart_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    n_per = 10
+    sks, oks, ships = [], [], []
+    dates = []
+    ok = 0
+    for sk, lates in ((1, 10), (2, 0), (3, 5)):
+        for i in range(n_per):
+            ok += 1
+            sks.append(sk)
+            oks.append(ok)
+            dates.append("2023-01-01")
+            ships.append("2023-04-01" if i < lates else "2023-01-05")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(oks, pa.int64()),
+        "o_orderdate": pa.array(_us(dates), pa.timestamp("us")),
+    }), os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(oks, pa.int64()),
+        "l_suppkey": pa.array(sks, pa.int64()),
+        "l_shipdate": pa.array(_us(ships), pa.timestamp("us")),
+    }), os.path.join(d, "lineitem.parquet"))
+    got = _match_oracle("supplier_late_pchart", d).set_index("sk")
+    # N=30 L=15: s1 (10 late): 150^2 > 9*10*15*15 -> ooc;
+    # s2 (0): same; s3 (5): 0 -> in control
+    assert int(got.loc[1, "ooc"]) == 1
+    assert int(got.loc[2, "ooc"]) == 1
+    assert int(got.loc[3, "ooc"]) == 0
+
+
+def test_lindley_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    days = ["2023-01-01"] * 3 + ["2023-01-04"]
+    _write_orders(d, days, [1.0] * 4)
+    got = (_match_oracle("daily_backlog_lindley", d)
+           .sort_values("day").reset_index(drop=True))
+    # counts [3,0,0,1], cap 2 -> W = [1,0,0,0]
+    assert list(got["n_orders"]) == [3, 0, 0, 1]
+    assert list(got["backlog"]) == [1, 0, 0, 0]
+
+
+def test_brand_unit_drift_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1], pa.int64()),
+        "p_brand": pa.array(["B1"], pa.string()),
+    }), os.path.join(d, "part.parquet"))
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 1], pa.int64()),
+        "l_shipdate": pa.array(_us(["1995-06-01", "1995-07-01",
+                                    "1996-06-01"]),
+                               pa.timestamp("us")),
+        "l_quantity": pa.array([1.0, 1.0, 4.0], pa.float64()),
+        "l_extendedprice": pa.array([4.0, 6.0, 30.0], pa.float64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    got = _match_oracle2("brand_unit_price_drift", d,
+                         ["lineitem", "part"]).set_index("y")
+    # 1995: 1000c / 2 -> 5000000 e4; 1996: 3000c / 4 -> 7500000 e4
+    assert int(got.loc[1995, "unit_e4"]) == 1000 * 10_000 // 2
+    assert int(got.loc[1996, "unit_e4"]) == 3000 * 10_000 // 4
