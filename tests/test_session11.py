@@ -1224,3 +1224,60 @@ def test_brand_unit_drift_hand(ray_session, tmp_path):
     # 1995: 1000c / 2 -> 5000000 e4; 1996: 3000c / 4 -> 7500000 e4
     assert int(got.loc[1995, "unit_e4"]) == 1000 * 10_000 // 2
     assert int(got.loc[1996, "unit_e4"]) == 3000 * 10_000 // 4
+
+
+# ---------------------------------------------------------------------------
+# batch 14: part intro cohorts, MASE ratio, atomic shipment share
+# ---------------------------------------------------------------------------
+
+
+def test_part_intro_cohorts_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    # part 1 intro 1995 (ages 0,1); part 2 intro 1996 (age 0)
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 1, 2], pa.int64()),
+        "l_shipdate": pa.array(_us(["1995-03-01", "1995-08-01",
+                                    "1996-02-01", "1996-05-01"]),
+                               pa.timestamp("us")),
+        "l_extendedprice": pa.array([1.0, 2.0, 4.0, 8.0],
+                                    pa.float64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    got = _match_oracle("part_intro_cohorts", d)
+    cells = {(int(r.intro_year), int(r.age)): int(r.cents)
+             for r in got.itertuples(index=False)}
+    assert cells == {(1995, 0): 300, (1995, 1): 400, (1996, 0): 800}
+
+
+def test_mase_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    vals = [1.0, 2.0, 1.0, 2.0, 1.0, 2.0, 1.0, 2.0, 1.0]
+    _write_orders(d, ["2023-01-%02d" % i for i in range(1, 10)],
+                  vals)
+    got = _match_oracle("mase_seasonal_naive", d)
+    # perfect weekly-7 alternation offset: lag7 diffs: |2-1|,|1-2|
+    # = 200; lag1 diffs: 8*100 = 800
+    assert int(got.loc[0, "s7"]) == 200
+    assert int(got.loc[0, "s1"]) == 800
+    assert int(got.loc[0, "mase_e6"]) == \
+        200 * 8 * 1_000_000 // (800 * 2)
+
+
+def test_atomic_shipment_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT"],
+                                    pa.string()),
+    }), os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2], pa.int64()),
+        "l_shipdate": pa.array(_us(["1995-03-01", "1995-03-28",
+                                    "1995-03-30", "1995-04-02"]),
+                               pa.timestamp("us")),
+    }), os.path.join(d, "lineitem.parquet"))
+    got = _match_oracle2("atomic_shipment_share", d,
+                         ["lineitem", "orders"])
+    # order 1 same month, order 2 crosses March->April
+    assert int(got.loc[0, "n_orders"]) == 2
+    assert int(got.loc[0, "n_atomic"]) == 1
+    assert int(got.loc[0, "share_e4"]) == 5000
