@@ -401,6 +401,15 @@ def run_bench() -> dict:
         "order_gap_cv",
         "km_risk_table",
         "abc_parts",
+        # round-5 session-5 additions (one per new op family)
+        "next_order_part_pairs",
+        "vocab_richness_by_lang",
+        "batch_padding_compare",
+        "matrix_profile_7day",
+        "orders_before_event",
+        "supplier_late_pchart",
+        "kmv_jaccard_audit",
+        "aroon_25",
     ]:
         timed(name, Q.registry()[name])
 

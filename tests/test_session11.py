@@ -1281,3 +1281,78 @@ def test_atomic_shipment_hand(ray_session, tmp_path):
     assert int(got.loc[0, "n_orders"]) == 2
     assert int(got.loc[0, "n_atomic"]) == 1
     assert int(got.loc[0, "share_e4"]) == 5000
+
+
+# ---------------------------------------------------------------------------
+# batch 15: delta-encoding audit, DiD, bigram independence
+# ---------------------------------------------------------------------------
+
+
+def test_delta_encoding_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    # user 1: ts 0, 1s, 1s (zero gap), 9s; user 2: single event
+    base = _us(["2023-01-01T00:00:00"])[0]
+    ts = [base, base + 1_000_000, base + 1_000_000,
+          base + 9_000_000, base]
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    }), os.path.join(d, "events.parquet"))
+    got = _match_oracle2("delta_encoding_audit", d, ["events"])
+    # gaps: 1e6 (20 bits), 0 (1 bit), 8e6 (23 bits); heads 2*64
+    assert int(got.loc[0, "n_gaps"]) == 3
+    assert int(got.loc[0, "delta_bits"]) == 20 + 1 + 23 + 128
+    assert int(got.loc[0, "raw_bits"]) == 320
+
+
+def test_did_counts_hand(ray_session, tmp_path):
+    import hashlib
+
+    d = str(tmp_path)
+    uids = [1, 2, 1, 2, 1, 1]
+    days = ["2023-01-01", "2023-01-02", "2023-01-09", "2023-01-10",
+            "2023-01-10", "2023-01-01"]
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(6)), pa.int64()),
+        "user_id": pa.array(uids, pa.int64()),
+        "ts": pa.array(_us(days), pa.timestamp("us")),
+    }), os.path.join(d, "events.parquet"))
+    got = _match_oracle2("did_counts", d, ["events"])
+    va = {u: hashlib.md5(str(u).encode()).hexdigest()[:8]
+          < "80000000" for u in (1, 2)}
+    # mid = (d0+d1)//2 -> period 2 = later half
+    a1 = sum(1 for u, dy in zip(uids, days)
+             if va[u] and dy < "2023-01-06")
+    a2 = sum(1 for u, dy in zip(uids, days)
+             if va[u] and dy > "2023-01-05")
+    assert int(got.loc[0, "a_before"]) == a1
+    assert int(got.loc[0, "a_after"]) == a2
+    assert int(got.loc[0, "did"]) == (
+        int(got.loc[0, "a_after"]) - int(got.loc[0, "a_before"])
+        - int(got.loc[0, "b_after"]) + int(got.loc[0, "b_before"]))
+
+
+def test_bigram_independence_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    # user 1: a->b->a->b ; user 2: a->a
+    types = ["a", "b", "a", "b", "a", "a"]
+    uids = [1, 1, 1, 1, 2, 2]
+    ts = _us(["2023-01-01T00:00:0%d" % i for i in range(6)])
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(6)), pa.int64()),
+        "user_id": pa.array(uids, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "event_type": pa.array(types, pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    got = _match_oracle2("bigram_independence_cells", d, ["events"])
+    cells = {(r.prev, r.cur): (int(r.o), int(r.contrib_e6))
+             for r in got.itertuples(index=False)}
+    # pairs: (a,b)x2, (b,a)x1, (a,a)x1 -> N=4, r_a=3, r_b=1,
+    # c_a=2, c_b=2
+    assert cells[("a", "b")][0] == 2
+    # contrib(a,b) = (2*4 - 3*2)^2 e6 / (3*2*4) = 4e6/24
+    assert cells[("a", "b")][1] == 4_000_000 // 24
+    assert cells[("b", "a")][0] == 1
+    # contrib(b,a) = (4 - 2)^2 e6 / (1*2*4) = 4e6/8
+    assert cells[("b", "a")][1] == 4_000_000 // 8
