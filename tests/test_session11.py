@@ -1356,3 +1356,60 @@ def test_bigram_independence_hand(ray_session, tmp_path):
     assert cells[("b", "a")][0] == 1
     # contrib(b,a) = (4 - 2)^2 e6 / (1*2*4) = 4e6/8
     assert cells[("b", "a")][1] == 4_000_000 // 8
+
+
+# ---------------------------------------------------------------------------
+# batch 16: holiday lift, split-half reliability, prefix granularity
+# ---------------------------------------------------------------------------
+
+
+def test_holiday_effect_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    days = (["2023-12-25"] * 6 + ["2023-12-24"] * 2
+            + ["2023-12-27"] + ["2023-12-28"])
+    _write_orders(d, days, [1.0] * 10)
+    got = _match_oracle("holiday_effect", d)
+    # holiday: 2 days / 8 orders; other: 2 days / 2 orders
+    assert int(got.loc[0, "h_days"]) == 2
+    assert int(got.loc[0, "h_orders"]) == 8
+    assert int(got.loc[0, "lift_e4"]) == 8 * 2 * 10_000 // (2 * 2)
+
+
+def test_split_half_reliability_match(ray_session, tmp_path):
+    d = str(tmp_path)
+    # users with varying even/odd-day splits
+    uids = [1, 1, 1, 2, 2, 3, 3, 3, 3]
+    days = ["2023-01-02", "2023-01-02", "2023-01-03",
+            "2023-01-02", "2023-01-03",
+            "2023-01-02", "2023-01-03", "2023-01-03", "2023-01-04"]
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(9)), pa.int64()),
+        "user_id": pa.array(uids, pa.int64()),
+        "ts": pa.array(_us(days), pa.timestamp("us")),
+    }), os.path.join(d, "events.parquet"))
+    got = _match_oracle2("split_half_reliability", d, ["events"])
+    assert int(got.loc[0, "n_users"]) == 3
+    r = float(got.loc[0, "corr_half"])
+    assert abs(float(got.loc[0, "spearman_brown"])
+               - (2 * r) / (1 + r)) < 1e-15
+
+
+def test_prefix_granularity_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    texts = [
+        "aaaaaaaaaaaaaaaaaaaa" + "X" * 20 + " tail one",
+        "aaaaaaaaaaaaaaaaaaaa" + "X" * 20 + " tail two",
+        "aaaaaaaaaaaaaaaaaaaa" + "Y" * 20 + " other",
+        "bbbbbbbbbbbbbbbbbbbb" + "Z" * 20,
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    got = _match_oracle2("prefix_granularity_audit", d,
+                         ["documents"])
+    # 20-prefix groups: {a*: 3, b*: 1} -> 3 pairs;
+    # 40-prefix groups: {aX: 2, aY: 1, bZ: 1} -> 1 pair
+    assert int(got.loc[0, "pairs_20"]) == 3
+    assert int(got.loc[0, "pairs_40"]) == 1
+    assert int(got.loc[0, "precision_e6"]) == 1_000_000 // 3
