@@ -1413,3 +1413,57 @@ def test_prefix_granularity_hand(ray_session, tmp_path):
     assert int(got.loc[0, "pairs_20"]) == 3
     assert int(got.loc[0, "pairs_40"]) == 1
     assert int(got.loc[0, "precision_e6"]) == 1_000_000 // 3
+
+
+# ---------------------------------------------------------------------------
+# batch 17: consistent-hash balance, session entry conversion
+# ---------------------------------------------------------------------------
+
+
+def test_consistent_hash_recompute(ray_session, tmp_path):
+    import hashlib
+
+    d = str(tmp_path)
+    ids = list(range(1, 101))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(["x"] * 100, pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    got = _match_oracle2("consistent_hash_balance", d,
+                         ["documents"])
+    ring = sorted((hashlib.md5(f"{n}:{v}".encode()).hexdigest(), n)
+                  for n in range(8) for v in range(16))
+    pos = [h for h, _ in ring]
+    import bisect
+    loads = {}
+    for i in ids:
+        hx = hashlib.md5(str(i).encode()).hexdigest()
+        j = bisect.bisect_left(pos, hx)
+        node = ring[j % len(ring)][1]
+        loads[node] = loads.get(node, 0) + 1
+    g = got.set_index("node")["n_docs"].to_dict()
+    assert {int(k): int(v) for k, v in g.items()} == loads
+    assert int(got["n_docs"].sum()) == 100
+
+
+def test_session_entry_conversion_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    base = _us(["2023-01-01T00:00:00"])[0]
+    MIN = 60 * 1_000_000
+    # user 1: session A view->purchase (converted), 40min gap,
+    #   session B click only
+    # user 2: session C purchase entry (converted, entry=purchase)
+    ts = [base, base + 5 * MIN, base + 50 * MIN, base]
+    uids = [1, 1, 1, 2]
+    types = ["view", "purchase", "click", "purchase"]
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array(uids, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "event_type": pa.array(types, pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    got = _match_oracle2("session_entry_conversion", d, ["events"])
+    g = {r.entry: (int(r.n_sessions), int(r.n_converted))
+         for r in got.itertuples(index=False)}
+    assert g == {"view": (1, 1), "click": (1, 0),
+                 "purchase": (1, 1)}
