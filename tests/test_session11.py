@@ -1467,3 +1467,31 @@ def test_session_entry_conversion_hand(ray_session, tmp_path):
          for r in got.itertuples(index=False)}
     assert g == {"view": (1, 1), "click": (1, 0),
                  "purchase": (1, 1)}
+
+
+# ---------------------------------------------------------------------------
+# batch 18: learned-index audit, sMAPE naive
+# ---------------------------------------------------------------------------
+
+
+def test_learned_index_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    # keys 10,20,30,50: linear approx rank = 1 + (k-10)*3//40
+    # -> [1,1,2,4]; true [1,2,3,4]; errs [0,1,1,0]
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 20, 30, 50], pa.int64()),
+    }), os.path.join(d, "orders.parquet"))
+    got = _match_oracle("learned_index_audit", d)
+    assert int(got.loc[0, "n"]) == 4
+    assert int(got.loc[0, "max_err"]) == 1
+    assert int(got.loc[0, "mean_err_e2"]) == 2 * 100 // 4
+
+
+def test_smape_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    _write_orders(d, ["2023-01-01", "2023-01-02", "2023-01-03"],
+                  [1.0, 3.0, 3.0])
+    got = _match_oracle("smape_naive_daily", d)
+    # sm1 = 200e6 // 400 = 500000; sm2 = 0
+    assert int(got.loc[0, "max_smape_e6"]) == 500_000
+    assert int(got.loc[0, "mean_smape_e6"]) == 500_000 // 2
