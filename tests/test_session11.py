@@ -1495,3 +1495,65 @@ def test_smape_hand(ray_session, tmp_path):
     # sm1 = 200e6 // 400 = 500000; sm2 = 0
     assert int(got.loc[0, "max_smape_e6"]) == 500_000
     assert int(got.loc[0, "mean_smape_e6"]) == 500_000 // 2
+
+
+# ---------------------------------------------------------------------------
+# batch 19: Gwet AC1, term burstiness, fold stability
+# ---------------------------------------------------------------------------
+
+
+def test_gwets_ac1_perfect_agreement(ray_session, tmp_path):
+    d = str(tmp_path)
+    # one clean English + one clean German doc, both classified
+    # correctly -> K=2, pa=1, AC1 = 1 exactly
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "lang": pa.array(["en", "de"], pa.string()),
+        "text": pa.array(["the cat and the dog is here",
+                          "der hund und die katze ist nicht da"],
+                         pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    got = _match_oracle2("gwets_ac1_langid", d, ["documents"])
+    assert int(got.loc[0, "agree"]) == 2
+    assert int(got.loc[0, "k_labels"]) == 2
+    assert int(got.loc[0, "ac1_e6"]) == 1_000_000
+
+
+def test_term_burstiness_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    # 'a': counts [3,0,0] bursty; 'b': [1,1,1] uniform
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a a a b", "b c", "b d"], pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    got = _match_oracle2("term_burstiness_top", d, ["documents"])
+    g = got.set_index("tok")
+    # b: S=3 S2=3 N=3 -> vmr = (9-9)/(2*3) = 0
+    assert int(g.loc["b", "vmr_e6"]) == 0
+    # a: S=3 S2=9 -> (27-9)e6 // (2*3) = 3e6
+    assert int(g.loc["a", "vmr_e6"]) == 3_000_000
+    assert int(g.loc["a", "df"]) == 1
+
+
+def test_fold_stability_recompute(ray_session, tmp_path):
+    import hashlib
+
+    d = str(tmp_path)
+    keys = list(range(1, 51))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(keys, pa.int64()),
+        "o_totalprice": pa.array([float(k) for k in keys],
+                                 pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    got = _match_oracle("fold_stability_audit", d)
+    ths = ["33333333", "66666666", "99999999", "cccccccc"]
+    folds = {}
+    for k in keys:
+        h8 = hashlib.md5(str(k).encode()).hexdigest()[:8]
+        f = sum(h8 >= t for t in ths)
+        n, sm = folds.get(f, (0, 0))
+        folds[f] = (n + 1, sm + k * 100)
+    g = got.set_index("fold")
+    for f, (n, sm) in folds.items():
+        assert int(g.loc[f, "n"]) == n
+        assert int(g.loc[f, "s"]) == sm
