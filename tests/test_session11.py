@@ -1557,3 +1557,80 @@ def test_fold_stability_recompute(ray_session, tmp_path):
     for f, (n, sm) in folds.items():
         assert int(g.loc[f, "n"]) == n
         assert int(g.loc[f, "s"]) == sm
+
+
+# ---------------------------------------------------------------------------
+# batch 20: Markov order-2 audit, Chebyshev audit, result cache
+# ---------------------------------------------------------------------------
+
+
+def test_markov_order2_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    # user 1: a b a b a  -> trigrams aba x2, bab x1;
+    # bigrams ab x2, ba x2
+    types = ["a", "b", "a", "b", "a"]
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(5)), pa.int64()),
+        "user_id": pa.array([1] * 5, pa.int64()),
+        "ts": pa.array(_us(["2023-01-01T00:00:0%d" % i
+                            for i in range(5)]),
+                       pa.timestamp("us")),
+        "event_type": pa.array(types, pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    got = _match_oracle2("markov_order2_audit", d, ["events"])
+    cells = {(r.a, r.b, r.c): (int(r.o), int(r.contrib_e6))
+             for r in got.itertuples(index=False)}
+    # (a,b,a): o=2, n_ab=2, n_ba=2, nb(b->)=2:
+    # (2*2 - 2*2)^2 = 0
+    assert cells[("a", "b", "a")] == (2, 0)
+    # (b,a,b): o=1, n_ba=2, n_ab=2, na(a->)=2:
+    # (1*2 - 4)^2 e6 // (2*2*2) = 4e6 // 8
+    assert cells[("b", "a", "b")] == (1, 500_000)
+
+
+def test_chebyshev_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    # k$ values [1,1,1,1,10]: mean 2.8, only the 10 is beyond 2s
+    vals = [1000.0, 1000.0, 1000.0, 1000.0, 10000.0]
+    _write_orders(d, ["2023-01-%02d" % i for i in range(1, 6)],
+                  vals)
+    got = _match_oracle("chebyshev_audit_daily", d).set_index("k")
+    x = np.array([1, 1, 1, 1, 10])
+    n, s1, s2 = 5, int(x.sum()), int((x * x).sum())
+    for k in (2, 3, 4):
+        exp = int(np.sum((n * x - s1) ** 2
+                         > k * k * (n * s2 - s1 * s1)))
+        assert int(got.loc[k, "n_beyond"]) == exp
+        assert int(got.loc[k, "bound_n"]) == 5 // (k * k)
+
+
+def test_result_cache_hit_and_invalidate(ray_session, tmp_path):
+    import time
+
+    from reddacted_ray.state.result_cache import cached_query
+
+    d = str(tmp_path / "data")
+    os.makedirs(d)
+    cache = str(tmp_path / "cache")
+    _write_orders(d, ["2023-01-01", "2023-01-02"], [1.0, 2.0])
+    calls = {"n": 0}
+
+    import __ray_entry__ as e
+
+    def fn(sf):
+        calls["n"] += 1
+        return e.queries()["runs_up_down_daily"](sf)
+
+    t1, hit1 = cached_query("runs", fn, d, cache)
+    t2, hit2 = cached_query("runs", fn, d, cache)
+    assert (hit1, hit2) == (False, True)
+    assert calls["n"] == 1
+    assert t1.equals(t2)
+    # mutate input -> invalidation + stale-entry cleanup
+    time.sleep(0.01)
+    _write_orders(d, ["2023-01-01", "2023-01-02", "2023-01-03"],
+                  [1.0, 2.0, 5.0])
+    t3, hit3 = cached_query("runs", fn, d, cache)
+    assert not hit3 and calls["n"] == 2
+    assert len([f for f in os.listdir(cache)
+                if f.startswith("runs-")]) == 1
