@@ -1634,3 +1634,46 @@ def test_result_cache_hit_and_invalidate(ray_session, tmp_path):
     assert not hit3 and calls["n"] == 2
     assert len([f for f in os.listdir(cache)
                 if f.startswith("runs-")]) == 1
+
+
+# ---------------------------------------------------------------------------
+# batch 21: cents last-digit cells, ABC-XYZ matrix
+# ---------------------------------------------------------------------------
+
+
+def test_cents_lastdigit_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    # cents endings: 01 x3, 50 x1 -> N=4
+    _write_orders(d, ["2023-01-0%d" % i for i in range(1, 5)],
+                  [1.01, 2.01, 3.01, 9.50])
+    got = _match_oracle("cents_lastdigit_cells", d).set_index("d2")
+    assert int(got.loc[1, "o"]) == 3
+    # (300-4)^2 e6 // 400
+    assert int(got.loc[1, "contrib_e6"]) == 296 ** 2 * 1_000_000 // 400
+    assert int(got.loc[50, "contrib_e6"]) == 96 ** 2 * 1_000_000 // 400
+
+
+def test_abc_xyz_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    # revenues 70/10/10/10: inclusive-cum bands -> A, B, B, C;
+    # part 1 steady (X), parts 2-4 single-month spikes (Z)
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 1, 2, 3, 4], pa.int64()),
+        "l_shipdate": pa.array(_us(["1995-01-05", "1995-02-05",
+                                    "1995-03-05", "1995-02-20",
+                                    "1995-02-21", "1995-02-22"]),
+                               pa.timestamp("us")),
+        "l_quantity": pa.array([5.0, 5.0, 5.0, 9.0, 4.0, 2.0],
+                               pa.float64()),
+        "l_extendedprice": pa.array([20.0, 25.0, 25.0, 10.0, 10.0,
+                                     10.0], pa.float64()),
+        "l_discount": pa.array([0.0] * 6, pa.float64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    got = _match_oracle("abc_xyz_matrix", d)
+    cells = {(r.abc_class, r.xyz_class): int(r.n_parts)
+             for r in got.itertuples(index=False)}
+    assert sum(cells.values()) == 4
+    # part1: n=3, s=15, s2=75: var_n2 = 0 -> X; 10*70 <= 7*100 -> A
+    assert cells[("A", "X")] == 1
+    assert cells[("B", "Z")] == 2
+    assert cells[("C", "Z")] == 1
