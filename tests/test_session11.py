@@ -1677,3 +1677,48 @@ def test_abc_xyz_hand(ray_session, tmp_path):
     assert cells[("A", "X")] == 1
     assert cells[("B", "Z")] == 2
     assert cells[("C", "Z")] == 1
+
+
+# ---------------------------------------------------------------------------
+# batch 22: Talagrand histogram, discount consistency, Ruzicka
+# ---------------------------------------------------------------------------
+
+
+def test_talagrand_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    # 9 increasing days: days 8,9 rank 7 (above all predecessors)
+    _write_orders(d, ["2023-01-%02d" % i for i in range(1, 10)],
+                  [float(i) for i in range(1, 10)])
+    got = (_match_oracle("talagrand_rank_hist", d)
+           .set_index("rank"))
+    assert int(got.loc[7, "n_days"]) == 2
+    assert int(got["n_days"].sum()) == 2
+
+
+def test_discount_consistency_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "l_partkey": pa.array([10, 10, 11, 10, 10], pa.int64()),
+        "l_discount": pa.array([0.05, 0.10, 0.05, 0.05, 0.05],
+                               pa.float64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    got = _match_oracle("discount_consistency_audit", d)
+    # pairs: (1,10) two discounts VIOLATES, (1,11), (2,10) ok
+    assert int(got.loc[0, "n_pairs"]) == 3
+    assert int(got.loc[0, "n_violating"]) == 1
+    assert int(got.loc[0, "rate_e6"]) == 1_000_000 // 3
+
+
+def test_ruzicka_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "source": pa.array(["src0", "src1", "src9"], pa.string()),
+        "text": pa.array(["a a b", "a b b c", "z z"], pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    got = _match_oracle2("source_ruzicka", d, ["documents"])
+    # src0: a2 b1; src1: a1 b2 c1 -> min 1+1+0=2, max 2+2+1=5
+    assert int(got.loc[0, "sum_min"]) == 2
+    assert int(got.loc[0, "sum_max"]) == 5
+    assert int(got.loc[0, "ruzicka_e6"]) == 400_000
