@@ -1722,3 +1722,72 @@ def test_ruzicka_hand(ray_session, tmp_path):
     assert int(got.loc[0, "sum_min"]) == 2
     assert int(got.loc[0, "sum_max"]) == 5
     assert int(got.loc[0, "ruzicka_e6"]) == 400_000
+
+
+# ---------------------------------------------------------------------------
+# batch 23: DiD placebo rank, Shapley 2ch, seasonal rank stability
+# ---------------------------------------------------------------------------
+
+
+def test_did_placebo_recompute(ray_session, tmp_path):
+    import hashlib
+
+    d = str(tmp_path)
+    uids = [1, 2, 3, 4] * 3
+    days = (["2023-01-01"] * 4 + ["2023-01-05"] * 4
+            + ["2023-01-09"] * 4)
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(12)), pa.int64()),
+        "user_id": pa.array(uids, pa.int64()),
+        "ts": pa.array(_us(days), pa.timestamp("us")),
+    }), os.path.join(d, "events.parquet"))
+    got = _match_oracle2("did_placebo_rank", d, ["events"])
+    # independently recompute the actual DiD
+    mid = (0 + 8) // 2   # day offsets 0,4,8 -> mid = day0+4
+    base = _us(["2023-01-01"])[0] // (86_400 * 1_000_000)
+    did = 0
+    for u, dy in zip(uids, days):
+        late = (_us([dy])[0] // (86_400 * 1_000_000)) > base + mid
+        isa = hashlib.md5(str(u).encode()).hexdigest()[:8] \
+            < "80000000"
+        sign = 1 if late else -1
+        did += sign if isa else -sign
+    assert int(got.loc[0, "did_actual"]) == did
+    assert 0 <= int(got.loc[0, "n_more_extreme"]) <= 20
+
+
+def test_shapley_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    base = _us(["2023-01-01T00:00:00"])[0]
+    MIN = 60 * 1_000_000
+    # s1: view+click+purchase -> 1/2 each (credit2 1,1)
+    # s2 (40min later): view+purchase -> view full (credit2 2)
+    # s3 user2: click only, no purchase -> nothing
+    ts = [base, base + MIN, base + 2 * MIN,
+          base + 45 * MIN, base + 46 * MIN, base]
+    uids = [1, 1, 1, 1, 1, 2]
+    types = ["view", "click", "purchase", "view", "purchase",
+             "click"]
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(6)), pa.int64()),
+        "user_id": pa.array(uids, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "event_type": pa.array(types, pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    got = _match_oracle2("shapley_attribution_2ch", d, ["events"])
+    assert int(got.loc[0, "n_conv"]) == 2
+    assert int(got.loc[0, "credit2_view"]) == 3
+    assert int(got.loc[0, "credit2_click"]) == 1
+
+
+def test_seasonal_rank_stability_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    # 1995: Jan 1, Feb 5; 1996: Jan 10, Feb 2 -> ordering flips
+    _write_orders(d, ["1995-01-10", "1995-02-10",
+                      "1996-01-10", "1996-02-10"],
+                  [1.0, 5.0, 10.0, 2.0])
+    got = _match_oracle("seasonal_rank_stability", d)
+    assert len(got) == 1
+    assert int(got.loc[0, "n_months"]) == 2
+    assert int(got.loc[0, "conc"]) == 0
+    assert int(got.loc[0, "disc"]) == 1
