@@ -245,6 +245,74 @@ def write_orc(ds: rd.Dataset, out_dir: str) -> int:
     return int(res["rows"] or 0)
 
 
+def read_hive(
+    root: str, columns: Optional[Sequence[str]] = None
+) -> rd.Dataset:
+    """Hive-layout parquet source: walks ``root`` for
+    ``key=value/.../part.parquet`` files and APPENDS the partition
+    keys parsed from each file's directory path as typed columns
+    (int64 when every value of a key parses as an integer, else
+    string). The driver holds only the file list + parsed keys; each
+    file decodes in its own task with ``columns`` pruned at the read
+    (partition columns come from the PATH, never from data pages).
+    Values are URL-ish unescaped only for the common ``%3D``/``%2F``
+    cases. A file with no ``key=value`` segments simply contributes
+    no partition columns (missing keys -> null)."""
+    import glob as _glob
+
+    import numpy as np
+    import pyarrow as pa
+
+    files = sorted(_glob.glob(os.path.join(root, "**", "*.parquet"),
+                              recursive=True))
+    if not files:
+        raise ValueError(f"read_hive: no parquet under {root!r}")
+
+    def keys_of(path: str) -> dict:
+        out = {}
+        rel = os.path.relpath(os.path.dirname(path), root)
+        for seg in rel.split(os.sep):
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                v = v.replace("%3D", "=").replace("%2F", "/")
+                out[k] = v
+        return out
+
+    metas = [keys_of(f) for f in files]
+    all_keys = sorted({k for m in metas for k in m})
+    int_keys = {
+        k for k in all_keys
+        if all(m[k].lstrip("-").isdigit()
+               for m in metas if k in m)
+    }
+    cols = list(columns) if columns is not None else None
+
+    def decode(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as _pq
+
+        tabs = []
+        for i in t["item"].to_pylist():
+            p = files[i]
+            tab = _pq.read_table(p, columns=cols)
+            for k in all_keys:
+                v = metas[i].get(k)
+                if k in int_keys:
+                    arr = pa.array(
+                        np.full(tab.num_rows,
+                                int(v) if v is not None else 0,
+                                np.int64),
+                        pa.int64()) if v is not None else pa.nulls(
+                        tab.num_rows, pa.int64())
+                else:
+                    arr = pa.array([v] * tab.num_rows, pa.string())
+                tab = tab.append_column(k, arr)
+            tabs.append(tab)
+        return pa.concat_tables(tabs, promote_options="default")
+
+    return rd.from_items(list(range(len(files)))).map_batches(
+        decode, batch_format="pyarrow", batch_size=1)
+
+
 def read_table_union(
     paths: Sequence[str], columns: Optional[Sequence[str]] = None
 ) -> rd.Dataset:

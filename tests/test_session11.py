@@ -1791,3 +1791,67 @@ def test_seasonal_rank_stability_hand(ray_session, tmp_path):
     assert int(got.loc[0, "n_months"]) == 2
     assert int(got.loc[0, "conc"]) == 0
     assert int(got.loc[0, "disc"]) == 1
+
+
+# ---------------------------------------------------------------------------
+# batch 24: nation-segment chi2 cells, type clustering, read_hive
+# ---------------------------------------------------------------------------
+
+
+def test_nation_segment_chi2_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_nationkey": pa.array([1, 1, 2, 2], pa.int64()),
+        "c_mktsegment": pa.array(["S1", "S2", "S1", "S1"],
+                                 pa.string()),
+    }), os.path.join(d, "customer.parquet"))
+    got = _match_oracle2("nation_segment_chi2_cells", d,
+                         ["customer"])
+    cells = {(int(r.nk), r.seg): int(r.contrib_e6)
+             for r in got.itertuples(index=False)}
+    # N=4; cell (1,S1): o=1, r=2, c=3: (4-6)^2 e6 // 24
+    assert cells[(1, "S1")] == 4_000_000 // 24
+    # cell (2,S1): o=2: (8-6)^2 e6 // 24
+    assert cells[(2, "S1")] == 4_000_000 // 24
+
+
+def test_type_clustering_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    # user1 {a,b,c} -> triangle; user2 {c,d} -> edge c-d
+    uids = [1, 1, 1, 2, 2]
+    types = ["a", "b", "c", "c", "d"]
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(5)), pa.int64()),
+        "user_id": pa.array(uids, pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    got = (_match_oracle2("type_local_clustering", d, ["events"])
+           .set_index("et"))
+    assert int(got.loc["a", "deg"]) == 2
+    assert int(got.loc["a", "cc_e6"]) == 1_000_000
+    assert int(got.loc["c", "deg"]) == 3
+    # c's neighborhood {a,b,d}: one closed pair (a,b) of 3
+    assert int(got.loc["c", "n_triangles"]) == 1
+    assert int(got.loc["c", "cc_e6"]) == 2 * 1_000_000 // 6
+    assert int(got.loc["d", "deg"]) == 1
+    assert int(got.loc["d", "cc_e6"]) == 0
+
+
+def test_read_hive_roundtrip(ray_session, tmp_path):
+    from reddacted_ray.sources.tables import read_hive
+
+    root = str(tmp_path)
+    for y, src, vals in ((1995, "web", [1, 2]), (1996, "app", [3])):
+        d = os.path.join(root, f"year={y}", f"source={src}")
+        os.makedirs(d)
+        pq.write_table(pa.table({"v": pa.array(vals, pa.int64())}),
+                       os.path.join(d, "part-0.parquet"))
+    ds = read_hive(root)
+    df = ds.to_pandas().sort_values("v").reset_index(drop=True)
+    assert list(df["v"]) == [1, 2, 3]
+    assert list(df["year"]) == [1995, 1995, 1996]   # int-typed
+    assert list(df["source"]) == ["web", "web", "app"]
+    # column pruning still attaches partition keys
+    df2 = read_hive(root, columns=["v"]).to_pandas()
+    assert sorted(df2.columns) == ["source", "v", "year"]
