@@ -1855,3 +1855,57 @@ def test_read_hive_roundtrip(ray_session, tmp_path):
     # column pruning still attaches partition keys
     df2 = read_hive(root, columns=["v"]).to_pandas()
     assert sorted(df2.columns) == ["source", "v", "year"]
+
+
+# ---------------------------------------------------------------------------
+# batch 25: LTV curve, prefix pair curve, acceleration extremes
+# ---------------------------------------------------------------------------
+
+
+def test_ltv_by_order_index_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([1, 1, 2, 2], pa.int64()),
+        "o_orderdate": pa.array(_us(["2023-01-01", "2023-02-01",
+                                     "2023-01-15", "2023-03-01"]),
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([10.0, 30.0, 20.0, 50.0],
+                                 pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    got = (_match_oracle("ltv_by_order_index", d)
+           .set_index("order_idx"))
+    # idx1: (1000+2000)/2; idx2: (3000+5000)/2
+    assert int(got.loc[1, "mean_cents"]) == 1500
+    assert int(got.loc[2, "mean_cents"]) == 4000
+    assert int(got.loc[1, "n_customers"]) == 2
+
+
+def test_prefix_pair_curve_monotone(ray_session, tmp_path):
+    d = str(tmp_path)
+    texts = ["aaaaaaaaaaAAAAAAAAAAxxxx one",
+             "aaaaaaaaaaAAAAAAAAAAxxxx two",
+             "aaaaaaaaaaBBBBBBBBBB other",
+             "zzzzzzzzzz tail"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    got = (_match_oracle2("prefix_pair_curve", d, ["documents"])
+           .set_index("prefix_len"))
+    # len10: {a*:3} -> 3 pairs; len20: {aA:2} -> 1; len30/40: 1
+    assert int(got.loc[10, "n_pairs"]) == 3
+    assert int(got.loc[20, "n_pairs"]) == 1
+    # coarser keys can only merge more: curve non-increasing
+    vals = [int(got.loc[k, "n_pairs"]) for k in (10, 20, 30, 40)]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_revenue_acceleration_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    _write_orders(d, ["2023-01-0%d" % i for i in range(1, 6)],
+                  [1.0, 1.0, 10.0, 1.0, 1.0])
+    got = _match_oracle("revenue_acceleration_top", d)
+    g = got.sort_values("accel").reset_index(drop=True)
+    # accel at day3 = +900, day4 = -1800, day5 = +900
+    assert list(g["accel"]) == [-1800, 900, 900]
