@@ -1909,3 +1909,56 @@ def test_revenue_acceleration_hand(ray_session, tmp_path):
     g = got.sort_values("accel").reset_index(drop=True)
     # accel at day3 = +900, day4 = -1800, day5 = +900
     assert list(g["accel"]) == [-1800, 900, 900]
+
+
+# ---------------------------------------------------------------------------
+# batch 26: return-experience effect, supplier co-late pairs
+# ---------------------------------------------------------------------------
+
+
+def test_return_experience_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    # cust1: o1(R, 100) -> o2(50) SHRANK after return;
+    #        o2(no R) -> o3(80) grew after ok
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([1, 1, 1], pa.int64()),
+        "o_orderdate": pa.array(_us(["2023-01-01", "2023-02-01",
+                                     "2023-03-01"]),
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([100.0, 50.0, 80.0], pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "l_returnflag": pa.array(["R", "N", "N", "A"], pa.string()),
+    }), os.path.join(d, "lineitem.parquet"))
+    got = _match_oracle("return_experience_effect", d)
+    assert int(got.loc[0, "after_r_shrank"]) == 1
+    assert int(got.loc[0, "after_r_grew"]) == 0
+    assert int(got.loc[0, "after_ok_shrank"]) == 0
+    assert int(got.loc[0, "after_ok_grew"]) == 1
+    assert int(got.loc[0, "rate_diff_e6"]) == 1_000_000
+
+
+def test_supplier_colate_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    # orders 1,2 both have suppliers 5 and 6 late -> pair (5,6) x2;
+    # order 2 also supplier 7 late -> (5,7),(6,7) x1
+    oks = [1, 1, 2, 2, 2, 3]
+    sks = [5, 6, 5, 6, 7, 5]
+    ships = ["2023-04-01"] * 5 + ["2023-01-03"]   # last on time
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderdate": pa.array(_us(["2023-01-01"] * 3),
+                                pa.timestamp("us")),
+    }), os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(oks, pa.int64()),
+        "l_suppkey": pa.array(sks, pa.int64()),
+        "l_shipdate": pa.array(_us(ships), pa.timestamp("us")),
+    }), os.path.join(d, "lineitem.parquet"))
+    got = _match_oracle("supplier_colate_top", d)
+    rows = [tuple(map(int, r)) for r in
+            got[["sk_a", "sk_b", "n"]].itertuples(index=False)]
+    assert rows[0] == (5, 6, 2)
+    assert set(rows[1:]) == {(5, 7, 1), (6, 7, 1)}
