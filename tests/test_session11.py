@@ -1962,3 +1962,40 @@ def test_supplier_colate_hand(ray_session, tmp_path):
             got[["sk_a", "sk_b", "n"]].itertuples(index=False)]
     assert rows[0] == (5, 6, 2)
     assert set(rows[1:]) == {(5, 7, 1), (6, 7, 1)}
+
+
+# ---------------------------------------------------------------------------
+# batch 27: SAX words, catalog audit
+# ---------------------------------------------------------------------------
+
+
+def test_sax_words_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    # 16 days -> 2 words. Days: low block then high block repeated
+    vals = [1.0, 1.0, 2.0, 2.0, 8.0, 8.0, 9.0, 9.0] * 2
+    _write_orders(d, ["2023-01-%02d" % i for i in range(1, 17)],
+                  vals)
+    got = _match_oracle("sax_words_daily", d)
+    # segments x8: [200,400,1600,1800] x2; quartiles over 8 sums;
+    # both windows identical -> one word with count 2
+    assert len(got) == 1
+    assert int(got.loc[0, "n"]) == 2
+    w = got.loc[0, "word"]
+    assert len(w) == 4 and w[0] < w[2]   # low letters then high
+
+
+def test_catalog_audit_match(ray_session):
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    got = e.queries()["catalog_audit"](sf).to_pandas()
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem"
+              " events documents embeddings").split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM"
+                f" '{sf}/{t}.parquet'")
+    exp = con.sql(e.oracle_sql()["catalog_audit"]).df()
+    assert _vhash(got) == _vhash(exp)
+    assert len(got) == 10
