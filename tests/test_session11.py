@@ -1999,3 +1999,35 @@ def test_catalog_audit_match(ray_session):
     exp = con.sql(e.oracle_sql()["catalog_audit"]).df()
     assert _vhash(got) == _vhash(exp)
     assert len(got) == 10
+
+
+# ---------------------------------------------------------------------------
+# batch 28: Poincare SD ratio, quantizer RD curve
+# ---------------------------------------------------------------------------
+
+
+def test_poincare_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    # k$ x = [1, 3, 1, 3]: u = [2,-2,2], v = [4,4,4]
+    _write_orders(d, ["2023-01-0%d" % i for i in range(1, 5)],
+                  [1000.0, 3000.0, 1000.0, 3000.0])
+    got = _match_oracle("poincare_sd_daily", d)
+    # VU = 3*12 - 2^2 = 32; VV = 3*48 - 144 = 0
+    assert int(got.loc[0, "vu_n2"]) == 32
+    assert int(got.loc[0, "vv_n2"]) == 0
+    assert int(got.loc[0, "ratio_e6"]) == 0
+
+
+def test_quantizer_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    # x = [0..3] k$: range 3; b=2 (k=4): cells exact thirds
+    _write_orders(d, ["2023-01-0%d" % i for i in range(1, 5)],
+                  [0.0, 1000.0, 2000.0, 3000.0])
+    got = (_match_oracle("quantizer_rd_curve", d)
+           .set_index("bits"))
+    x = np.array([0, 1, 2, 3])
+    for b in (2, 3, 4, 5):
+        k = 1 << b
+        cell = np.minimum((x - 0) * k // 3, k - 1)
+        e = 2 * k * x - (2 * cell + 1) * 3
+        assert int(got.loc[b, "sse_scaled"]) == int((e * e).sum())
