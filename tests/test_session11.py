@@ -2031,3 +2031,47 @@ def test_quantizer_hand(ray_session, tmp_path):
         cell = np.minimum((x - 0) * k // 3, k - 1)
         e = 2 * k * x - (2 * cell + 1) * 3
         assert int(got.loc[b, "sse_scaled"]) == int((e * e).sum())
+
+
+# ---------------------------------------------------------------------------
+# batch 29: reorder hazard, price stickiness
+# ---------------------------------------------------------------------------
+
+
+def test_reorder_hazard_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    # cust1 gaps: 3d (w0), 10d (w1); cust2 single order (no gap)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([1, 1, 1, 2], pa.int64()),
+        "o_orderdate": pa.array(_us(["2023-01-01", "2023-01-04",
+                                     "2023-01-14", "2023-06-01"]),
+                                pa.timestamp("us")),
+    }), os.path.join(d, "orders.parquet"))
+    got = (_match_oracle("reorder_hazard_weekly", d)
+           .set_index("week"))
+    assert int(got.loc[0, "n_reordered"]) == 1
+    assert int(got.loc[0, "n_at_risk"]) == 2
+    assert int(got.loc[0, "hazard_e6"]) == 500_000
+    assert int(got.loc[1, "n_at_risk"]) == 1
+    assert int(got.loc[1, "hazard_e6"]) == 1_000_000
+    assert int(got.loc[2, "n_at_risk"]) == 0
+
+
+def test_price_stickiness_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    # part 1: unit prices 100, 100, 200 -> pairs (same, diff)
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 1], pa.int64()),
+        "l_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "l_linenumber": pa.array([1, 1, 1], pa.int64()),
+        "l_shipdate": pa.array(_us(["2023-01-01", "2023-02-01",
+                                    "2023-03-01"]),
+                               pa.timestamp("us")),
+        "l_quantity": pa.array([2.0, 4.0, 2.0], pa.float64()),
+        "l_extendedprice": pa.array([2.0, 4.0, 4.0], pa.float64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    got = _match_oracle("price_stickiness", d)
+    assert int(got.loc[0, "n_pairs"]) == 2
+    assert int(got.loc[0, "n_same"]) == 1
+    assert int(got.loc[0, "sticky_e6"]) == 500_000
