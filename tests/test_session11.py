@@ -2075,3 +2075,35 @@ def test_price_stickiness_hand(ray_session, tmp_path):
     assert int(got.loc[0, "n_pairs"]) == 2
     assert int(got.loc[0, "n_same"]) == 1
     assert int(got.loc[0, "sticky_e6"]) == 500_000
+
+
+# ---------------------------------------------------------------------------
+# batch 30: seasonal diff variance ratio, acctbal gap splits
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_diff_ratio_perfect_weekly(ray_session, tmp_path):
+    d = str(tmp_path)
+    # exact 7-day periodic series: lag-7 diffs all zero -> ratio 0
+    pat = [1000.0, 2000.0, 3000.0, 1000.0, 5000.0, 2000.0, 4000.0]
+    _write_orders(d, ["2023-01-%02d" % i for i in range(1, 15)],
+                  pat + pat)
+    got = _match_oracle("seasonal_diff_variance_ratio", d)
+    assert int(got.loc[0, "vd_n2"]) == 0
+    assert int(got.loc[0, "ratio_e6"]) == 0
+    assert int(got.loc[0, "vy_n2"]) > 0
+
+
+def test_acctbal_gap_splits_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "c_acctbal": pa.array([1.00, 1.10, 5.00, 5.05, 20.00],
+                              pa.float64()),
+    }), os.path.join(d, "customer.parquet"))
+    got = _match_oracle2("acctbal_gap_splits", d, ["customer"])
+    rows = [tuple(map(int, r)) for r in
+            got[["lo", "hi", "width"]].itertuples(index=False)]
+    assert rows[0] == (505, 2000, 1495)
+    assert rows[1] == (110, 500, 390)
+    assert rows[2] == (100, 110, 10)
