@@ -2107,3 +2107,54 @@ def test_acctbal_gap_splits_hand(ray_session, tmp_path):
     assert rows[0] == (505, 2000, 1495)
     assert rows[1] == (110, 500, 390)
     assert rows[2] == (100, 110, 10)
+
+
+# ---------------------------------------------------------------------------
+# batch 31: popularity hit-rate, part rebuy rate
+# ---------------------------------------------------------------------------
+
+
+def test_popularity_hitrate_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    # part 7 dominates popularity; cust1 last order has it (hit),
+    # cust2 last order doesn't (miss)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([1, 1, 2, 2], pa.int64()),
+        "o_orderdate": pa.array(_us(["2023-01-01", "2023-02-01",
+                                     "2023-01-01", "2023-02-01"]),
+                                pa.timestamp("us")),
+    }), os.path.join(d, "orders.parquet"))
+    # make >10 distinct parts so top-10 excludes the rare one (99)
+    oks = [1] * 3 + [2, 2] + [3] + [4]
+    pks = [7, 7, 7, 7, 5, 7, 99]
+    extra_ok = [1] * 12
+    extra_pk = list(range(20, 32))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(oks + extra_ok, pa.int64()),
+        "l_partkey": pa.array(pks + extra_pk, pa.int64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    got = _match_oracle("popularity_hitrate", d)
+    assert int(got.loc[0, "n_customers"]) == 2
+    # cust1 last order (ok=2) has part 7 (top) -> hit;
+    # cust2 last order (ok=4) only part 99 (13 distinct parts,
+    # 99 is count-1 tie but pk ordering keeps it out of top10)
+    assert int(got.loc[0, "n_hit"]) == 1
+    assert int(got.loc[0, "rate_e6"]) == 500_000
+
+
+def test_part_rebuy_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([1, 1], pa.int64()),
+    }), os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2, 2], pa.int64()),
+        "l_partkey": pa.array([5, 5, 6], pa.int64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    got = _match_oracle("part_rebuy_rate", d)
+    # (1,5) bought twice -> 1 rebuy of 3 lines
+    assert int(got.loc[0, "n_lines"]) == 3
+    assert int(got.loc[0, "n_rebuys"]) == 1
+    assert int(got.loc[0, "rate_e6"]) == 1_000_000 // 3
