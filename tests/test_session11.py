@@ -2158,3 +2158,44 @@ def test_part_rebuy_hand(ray_session, tmp_path):
     assert int(got.loc[0, "n_lines"]) == 3
     assert int(got.loc[0, "n_rebuys"]) == 1
     assert int(got.loc[0, "rate_e6"]) == 1_000_000 // 3
+
+
+# ---------------------------------------------------------------------------
+# batch 32: extremal index, VaR backtest
+# ---------------------------------------------------------------------------
+
+
+def test_extremal_index_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    # 20 days: spikes at days 10,11 (adjacent cluster) and day 18
+    vals = [1.0] * 20
+    vals[9] = vals[10] = 100.0
+    vals[17] = 100.0
+    _write_orders(d, ["2023-01-%02d" % i for i in range(1, 21)],
+                  vals)
+    got = _match_oracle("extremal_index_daily", d)
+    # q95 over 20 points: k,rem = divmod(361, 20) = (18, 1):
+    # q95x20 = 19*s[18] + s[19] -> above 1.0 rows; 3 exceedances
+    assert int(got.loc[0, "n_exceed"]) == 3
+    assert int(got.loc[0, "n_clusters"]) == 2
+    assert int(got.loc[0, "theta_e6"]) == 2_000_000 // 3
+
+
+def test_var_backtest_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    # train: 20 days at 100 with two dips to 10; test: 20 days with
+    # three dips BELOW the train q05
+    vals = [100.0] * 40
+    vals[3] = vals[7] = 10.0
+    vals[25] = vals[30] = vals[35] = 1.0
+    _write_orders(d, ["2023-01-%02d" % i for i in range(1, 32)]
+                  + ["2023-02-%02d" % i for i in range(1, 10)],
+                  vals)
+    got = _match_oracle("var_backtest_daily", d)
+    assert int(got.loc[0, "n_train"]) == 20
+    assert int(got.loc[0, "n_test"]) == 20
+    # train q05: k,rem = divmod(19,20) = (0,19):
+    # x20 = 1*1000 + 19*1000 = 20000 -> threshold 10.0
+    assert int(got.loc[0, "var_x20"]) == 20_000
+    assert int(got.loc[0, "n_violations"]) == 3
+    assert int(got.loc[0, "expected_n"]) == 1
