@@ -2167,18 +2167,20 @@ def test_part_rebuy_hand(ray_session, tmp_path):
 
 def test_extremal_index_hand(ray_session, tmp_path):
     d = str(tmp_path)
-    # 20 days: spikes at days 10,11 (adjacent cluster) and day 18
-    vals = [1.0] * 20
-    vals[9] = vals[10] = 100.0
-    vals[17] = 100.0
-    _write_orders(d, ["2023-01-%02d" % i for i in range(1, 21)],
+    # 40 days at 1.0 with spikes 60,70 adjacent and 50 isolated:
+    # q95_x20 = 19*5000 + 6000 -> strict threshold 5050 cents, so
+    # only the 60 and 70 days exceed — ONE adjacent cluster
+    vals = [1.0] * 40
+    vals[10] = 60.0
+    vals[11] = 70.0
+    vals[30] = 50.0
+    _write_orders(d, ["2023-01-%02d" % i for i in range(1, 32)]
+                  + ["2023-02-%02d" % i for i in range(1, 10)],
                   vals)
     got = _match_oracle("extremal_index_daily", d)
-    # q95 over 20 points: k,rem = divmod(361, 20) = (18, 1):
-    # q95x20 = 19*s[18] + s[19] -> above 1.0 rows; 3 exceedances
-    assert int(got.loc[0, "n_exceed"]) == 3
-    assert int(got.loc[0, "n_clusters"]) == 2
-    assert int(got.loc[0, "theta_e6"]) == 2_000_000 // 3
+    assert int(got.loc[0, "n_exceed"]) == 2
+    assert int(got.loc[0, "n_clusters"]) == 1
+    assert int(got.loc[0, "theta_e6"]) == 500_000
 
 
 def test_var_backtest_hand(ray_session, tmp_path):
