@@ -2201,3 +2201,15 @@ def test_var_backtest_hand(ray_session, tmp_path):
     assert int(got.loc[0, "var_x20"]) == 20_000
     assert int(got.loc[0, "n_violations"]) == 3
     assert int(got.loc[0, "expected_n"]) == 1
+
+
+def test_payday_effect_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    days = (["2023-01-02"] * 6 + ["2023-01-05"] * 2
+            + ["2023-01-20"] + ["2023-01-25"])
+    _write_orders(d, days, [1.0] * 10)
+    got = _match_oracle("payday_effect", d)
+    # payday band: 2 days / 8 orders; other: 2 days / 2 orders
+    assert int(got.loc[0, "p_days"]) == 2
+    assert int(got.loc[0, "p_orders"]) == 8
+    assert int(got.loc[0, "lift_e4"]) == 8 * 2 * 10_000 // (2 * 2)
