@@ -98,7 +98,7 @@ def load_config(argv=None) -> dict:
     ap.add_argument("--batch-size", dest="batch_size", type=int)
     ap.add_argument("--mode",
                     choices=["materialize", "decide", "apply", "compact",
-                             "corpus", "audit"],
+                             "corpus", "audit", "catalog"],
                     help="materialize: full-row copy incl. bytes (default);"
                     " decide: write the id-keyed decision+scrub table with"
                     " bytes pruned at the scan (the 100 TB analysis shape);"
@@ -197,7 +197,7 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
         return 2
-    if mode_arg == "audit" and os.path.exists(cfg["output"]):
+    if mode_arg in ("audit", "catalog") and os.path.exists(cfg["output"]):
         print(
             f"error: audit output file {cfg['output']!r} already exists",
             file=sys.stderr,
@@ -363,6 +363,40 @@ def main(argv=None) -> int:
         with open(cfg["output"], "w") as f:
             json.dump(report, f, indent=1, default=str)
         print(json.dumps({"mode": "audit", "output": cfg["output"],
+                          "wall_s": report["wall_s"]}))
+        ray.shutdown()
+        return 0
+
+    if mode == "catalog":
+        # metadata-only lakehouse catalog report: schemas, row counts,
+        # footer byte accounting and key-integrity audit — no data
+        # pages read beyond the candidate-key scan
+        from .pipelines import queries as Q
+
+        t0 = time.perf_counter()
+        reg = Q.registry()
+
+        def _df(name):
+            res = reg[name](cfg["input"])
+            return res.to_pandas() if hasattr(res, "to_pandas") else res
+
+        cat = _df("catalog_audit")
+        foot = _df("parquet_footer_audit")
+        keys = _df("candidate_key_audit")
+        report = {
+            "mode": "catalog",
+            "input": cfg["input"],
+            "tables": cat.to_dict("records"),
+            "footers": foot.to_dict("records"),
+            "order_keys": keys.to_dict("records"),
+            "total_rows": int(cat["n_rows"].sum()),
+            "total_compressed_bytes": int(
+                foot["compressed_bytes"].sum()),
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }
+        with open(cfg["output"], "w") as f:
+            json.dump(report, f, indent=1, default=str)
+        print(json.dumps({"mode": "catalog", "output": cfg["output"],
                           "wall_s": report["wall_s"]}))
         ray.shutdown()
         return 0

@@ -784,3 +784,37 @@ def test_job_cli_audit_mode(tmp_path):
     # overwrite refusal
     p2 = subprocess.run(args, capture_output=True, text=True, cwd=cwd)
     assert p2.returncode == 2 and "already exists" in p2.stderr
+
+
+def test_job_cli_catalog_mode(tmp_path):
+    """--mode catalog: metadata-only catalog report (schemas, rows,
+    footer bytes, candidate keys) into one json file; rerun refuses."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path / "snap")
+    os.makedirs(d)
+    for t in ("region nation customer supplier part orders lineitem"
+              " events documents embeddings").split():
+        shutil.copy(os.path.join(src, f"{t}.parquet"),
+                    os.path.join(d, f"{t}.parquet"))
+    out = str(tmp_path / "catalog.json")
+    args = [sys.executable, "-m", "reddacted_ray.job", "--mode",
+            "catalog", "--input", d, "--output", out,
+            "--num-cpus", "4"]
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(args, capture_output=True, text=True,
+                          cwd=cwd)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rep = json.load(open(out))
+    assert len(rep["tables"]) == 10
+    assert rep["total_rows"] > 0
+    assert rep["total_compressed_bytes"] > 0
+    keys = {r["combo"]: r["is_key"] for r in rep["order_keys"]}
+    assert keys["orderkey"] == 1
+    p2 = subprocess.run(args, capture_output=True, text=True,
+                        cwd=cwd)
+    assert p2.returncode == 2 and "already exists" in p2.stderr
