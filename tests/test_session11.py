@@ -2213,3 +2213,44 @@ def test_payday_effect_hand(ray_session, tmp_path):
     assert int(got.loc[0, "p_days"]) == 2
     assert int(got.loc[0, "p_orders"]) == 8
     assert int(got.loc[0, "lift_e4"]) == 8 * 2 * 10_000 // (2 * 2)
+
+
+# ---------------------------------------------------------------------------
+# batch 34: name-key consistency, week-hour peak
+# ---------------------------------------------------------------------------
+
+
+def test_name_key_consistency_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([0, 1, 2, 3], pa.int64()),
+        "c_name": pa.array(["Customer#000000000",
+                            "Customer#000000009",   # wrong key
+                            "Cust#2",               # bad format
+                            "Customer#000000003"], pa.string()),
+    }), os.path.join(d, "customer.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([5], pa.int64()),
+        "s_name": pa.array(["Supplier#000000005"], pa.string()),
+    }), os.path.join(d, "supplier.parquet"))
+    got = _match_oracle2("name_key_consistency", d,
+                         ["customer", "supplier"]).set_index("tbl")
+    assert int(got.loc["customer", "n"]) == 4
+    assert int(got.loc["customer", "fmt_ok"]) == 3
+    assert int(got.loc["customer", "key_match"]) == 2
+    assert int(got.loc["supplier", "key_match"]) == 1
+
+
+def test_week_hour_peak_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    # Monday 2023-01-02 10:00 x3, Tuesday 11:00 x1
+    ts = _us(["2023-01-02T10:05", "2023-01-02T10:20",
+              "2023-01-02T10:50", "2023-01-03T11:00"])
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    }), os.path.join(d, "events.parquet"))
+    got = _match_oracle2("week_hour_peak", d, ["events"])
+    top = got.iloc[0]
+    assert (int(top["dow"]), int(top["hour"]), int(top["n"])) \
+        == (1, 10, 3)
