@@ -2254,3 +2254,43 @@ def test_week_hour_peak_hand(ray_session, tmp_path):
     top = got.iloc[0]
     assert (int(top["dow"]), int(top["hour"]), int(top["n"])) \
         == (1, 10, 3)
+
+
+# ---------------------------------------------------------------------------
+# batch 35: QTE deciles, dedup survivor bias
+# ---------------------------------------------------------------------------
+
+
+def test_qte_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array(["A"] * 11 + ["R"] * 11,
+                                 pa.string()),
+        "l_quantity": pa.array(
+            [float(i) for i in range(1, 12)]
+            + [float(10 * i) for i in range(1, 12)], pa.float64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    got = (_match_oracle("qte_flags", d).set_index("decile"))
+    # n=11 each: positions j exactly integer -> qa = j+1, qr = 10j+10
+    for j in range(1, 10):
+        assert int(got.loc[j, "qa_x10"]) == 10 * (j + 1)
+        assert int(got.loc[j, "qr_x10"]) == 100 * (j + 1)
+        assert int(got.loc[j, "diff_x10"]) == -90 * (j + 1)
+
+
+def test_dedup_survivor_bias_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    base = "z" * 40
+    texts = [base + " a", base + " b", base + " c", "unique " * 8]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([4, 2, 9, 1], pa.int64()),
+        "source": pa.array(["s1", "s2", "s1", "s3"], pa.string()),
+        "text": pa.array(texts, pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    got = (_match_oracle2("dedup_survivor_bias", d, ["documents"])
+           .set_index("source"))
+    # cluster of 3 (ids 4,2,9): survivor id 2 (s2)
+    assert int(got.loc["s1", "members"]) == 2
+    assert int(got.loc["s1", "survivors"]) == 0
+    assert int(got.loc["s2", "survivors"]) == 1
+    assert "s3" not in got.index      # singleton excluded
