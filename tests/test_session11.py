@@ -2294,3 +2294,46 @@ def test_dedup_survivor_bias_hand(ray_session, tmp_path):
     assert int(got.loc["s1", "survivors"]) == 0
     assert int(got.loc["s2", "survivors"]) == 1
     assert "s3" not in got.index      # singleton excluded
+
+
+# ---------------------------------------------------------------------------
+# batch 36: weekly TV peak, type MST
+# ---------------------------------------------------------------------------
+
+
+def test_weekly_tv_peak_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    # week A: all 'a' x4; week B: 2a 2b -> global 6a 2b (N=8)
+    ts = _us(["2023-01-02T10:00"] * 4 + ["2023-01-09T10:00"] * 4)
+    types = ["a"] * 4 + ["a", "a", "b", "b"]
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(8)), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "event_type": pa.array(types, pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    got = _match_oracle2("weekly_type_tv_peak", d, ["events"])
+    # week A: |4*8-4*6| + |0*8-4*2| = 8+8 = 16, den 64 -> 0.25
+    # week B: |2*8-4*6| + |2*8-4*2| = 8+8 = 16, den 64 -> tie;
+    # earliest week wins
+    assert int(got.loc[0, "tv_num"]) == 16
+    assert int(got.loc[0, "tv_e6"]) == 250_000
+
+
+def test_type_mst_properties(ray_session, tmp_path):
+    d = str(tmp_path)
+    # users: {a,b}, {b,c}, {a,b} again -> weights ab=2, bc=1
+    uids = [1, 1, 2, 2, 3, 3]
+    types = ["a", "b", "b", "c", "a", "b"]
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(6)), pa.int64()),
+        "user_id": pa.array(uids, pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    import __ray_entry__ as e
+
+    got = e.queries()["type_mst_edges"](d).to_pandas()
+    rows = {(r.a, r.b): int(r.w) for r in got.itertuples(index=False)}
+    # spanning tree over {a,b,c}: 2 edges, must include ab (w=2)
+    assert len(got) == 2
+    assert rows[("a", "b")] == 2
+    assert rows[("b", "c")] == 1
