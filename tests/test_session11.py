@@ -2337,3 +2337,21 @@ def test_type_mst_properties(ray_session, tmp_path):
     assert len(got) == 2
     assert rows[("a", "b")] == 2
     assert rows[("b", "c")] == 1
+
+
+def test_blomqvist_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    # (q, dd): (1,1),(2,2),(3,3),(4,4),(5,1) -> med_q=3, med_d=2:
+    # quadrants (ties on either median drop): (1,1) conc, (2,2) q-tie
+    # on nothing... q=2<3 dd=2 ON median -> drop; (3,3) q on median
+    # -> drop; (4,4) conc; (5,1) disc
+    pq.write_table(pa.table({
+        "l_quantity": pa.array([1.0, 2.0, 3.0, 4.0, 5.0],
+                               pa.float64()),
+        "l_discount": pa.array([0.01, 0.02, 0.03, 0.04, 0.01],
+                               pa.float64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    got = _match_oracle("blomqvist_beta_qty_disc", d)
+    assert int(got.loc[0, "n_conc"]) == 2
+    assert int(got.loc[0, "n_disc"]) == 1
+    assert int(got.loc[0, "beta_e6"]) == 1_000_000 // 3
