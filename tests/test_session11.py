@@ -2355,3 +2355,41 @@ def test_blomqvist_hand(ray_session, tmp_path):
     assert int(got.loc[0, "n_conc"]) == 2
     assert int(got.loc[0, "n_disc"]) == 1
     assert int(got.loc[0, "beta_e6"]) == 1_000_000 // 3
+
+
+# ---------------------------------------------------------------------------
+# batch 38: same-day reorders, hourly rhythm ACF-24
+# ---------------------------------------------------------------------------
+
+
+def test_same_day_reorders_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    days = ["2023-01-01", "2023-01-01", "2023-01-01",
+            "2023-01-02", "2023-02-01", "2023-02-01"]
+    cks = [1, 1, 1, 1, 2, 3]
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(list(range(6)), pa.int64()),
+        "o_custkey": pa.array(cks, pa.int64()),
+        "o_orderdate": pa.array(_us(days), pa.timestamp("us")),
+    }), os.path.join(d, "orders.parquet"))
+    got = _match_oracle("same_day_reorders", d)
+    # (1,d1)x3, (1,d2), (2,f1), (3,f1) -> 4 pairs, 1 multi, burst 3
+    assert int(got.loc[0, "n_cust_days"]) == 4
+    assert int(got.loc[0, "n_multi_days"]) == 1
+    assert int(got.loc[0, "n_multi_customers"]) == 1
+    assert int(got.loc[0, "max_burst"]) == 3
+
+
+def test_hourly_rhythm_perfect_cycle(ray_session, tmp_path):
+    d = str(tmp_path)
+    # 49 hours: events only at hours 0, 24, 48 -> perfect 24h cycle
+    base = _us(["2023-01-01T00:30"])[0]
+    H = 3_600 * 1_000_000
+    ts = [base, base + 24 * H, base + 48 * H]
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    }), os.path.join(d, "events.parquet"))
+    got = _match_oracle2("hourly_rhythm_acf24", d, ["events"])
+    # x and lag-24 series identical -> num == den -> 1e6 exactly
+    assert int(got.loc[0, "acf24_e6"]) == 1_000_000
