@@ -2393,3 +2393,14 @@ def test_hourly_rhythm_perfect_cycle(ray_session, tmp_path):
     got = _match_oracle2("hourly_rhythm_acf24", d, ["events"])
     # x and lag-24 series identical -> num == den -> 1e6 exactly
     assert int(got.loc[0, "acf24_e6"]) == 1_000_000
+
+
+def test_pietra_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    # user counts [3, 1]: n=2 S=4; |6-4|+|2-4| = 4 -> 4/(2*2*4)
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+    }), os.path.join(d, "events.parquet"))
+    got = _match_oracle2("pietra_user_activity", d, ["events"])
+    assert int(got.loc[0, "pietra_e6"]) == 4 * 1_000_000 // 16
