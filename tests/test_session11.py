@@ -2404,3 +2404,31 @@ def test_pietra_hand(ray_session, tmp_path):
     }), os.path.join(d, "events.parquet"))
     got = _match_oracle2("pietra_user_activity", d, ["events"])
     assert int(got.loc[0, "pietra_e6"]) == 4 * 1_000_000 // 16
+
+
+def test_best_leadlag_planted(ray_session, tmp_path):
+    d = str(tmp_path)
+    # 14 days; view spikes day 3 & 8; purchase spikes day 5 & 10
+    # -> purchases trail views by exactly 2 days
+    rows_ts, rows_ty = [], []
+    base = _us(["2023-01-01T12:00"])[0]
+    DAY = 86_400 * 1_000_000
+    for day in range(14):
+        rows_ts.append(base + day * DAY)
+        rows_ty.append("error")          # background, ignored type
+    for day in (3, 8):
+        for _ in range(5):
+            rows_ts.append(base + day * DAY)
+            rows_ty.append("view")
+    for day in (5, 10):
+        for _ in range(5):
+            rows_ts.append(base + day * DAY)
+            rows_ty.append("purchase")
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(len(rows_ts))), pa.int64()),
+        "ts": pa.array(rows_ts, pa.timestamp("us")),
+        "event_type": pa.array(rows_ty, pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    got = _match_oracle2("best_leadlag_view_purchase", d, ["events"])
+    assert int(got.loc[0, "best_lag"]) == 2
+    assert int(got.loc[0, "xc_e6"]) > 900_000
