@@ -2415,7 +2415,7 @@ def test_best_leadlag_planted(ray_session, tmp_path):
     DAY = 86_400 * 1_000_000
     for day in range(14):
         rows_ts.append(base + day * DAY)
-        rows_ty.append("error")          # background, ignored type
+        rows_ty.append("view")           # 1/day baseline spans grid
     for day in (3, 8):
         for _ in range(5):
             rows_ts.append(base + day * DAY)
