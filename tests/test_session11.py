@@ -2432,3 +2432,48 @@ def test_best_leadlag_planted(ray_session, tmp_path):
     got = _match_oracle2("best_leadlag_view_purchase", d, ["events"])
     assert int(got.loc[0, "best_lag"]) == 2
     assert int(got.loc[0, "xc_e6"]) > 900_000
+
+
+# ---------------------------------------------------------------------------
+# batch 41: doc gate funnel, first purchase position
+# ---------------------------------------------------------------------------
+
+
+def test_doc_gate_funnel_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    long_rich = " ".join(f"w{i}" for i in range(30))      # passes all
+    long_dull = " ".join(["dup"] * 40)                    # fails TTR
+    short = "tiny text"                                    # fails len
+    long_few = "x" * 120                                   # 1 token
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([long_rich, long_dull, short, long_few],
+                         pa.string()),
+    }), os.path.join(d, "documents.parquet"))
+    got = _match_oracle2("doc_gate_funnel", d, ["documents"])
+    assert int(got.loc[0, "n_docs"]) == 4
+    assert int(got.loc[0, "pass_len"]) == 3
+    assert int(got.loc[0, "pass_tok"]) == 2
+    assert int(got.loc[0, "pass_ttr"]) == 1
+    assert int(got.loc[0, "rate_e4"]) == 2500
+
+
+def test_first_purchase_position_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    base = _us(["2023-01-01T00:00:00"])[0]
+    MIN = 60 * 1_000_000
+    # session: view, click, purchase, purchase -> first at pos 3
+    # session2 (user 2): purchase at pos 1
+    ts = [base, base + MIN, base + 2 * MIN, base + 3 * MIN, base]
+    uids = [1, 1, 1, 1, 2]
+    types = ["view", "click", "purchase", "purchase", "purchase"]
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(5)), pa.int64()),
+        "user_id": pa.array(uids, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "event_type": pa.array(types, pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    got = (_match_oracle2("first_purchase_position_hist", d,
+                          ["events"]).set_index("pos"))
+    assert int(got.loc[3, "n"]) == 1
+    assert int(got.loc[1, "n"]) == 1
