@@ -2477,3 +2477,41 @@ def test_first_purchase_position_hand(ray_session, tmp_path):
                           ["events"]).set_index("pos"))
     assert int(got.loc[3, "n"]) == 1
     assert int(got.loc[1, "n"]) == 1
+
+
+# ---------------------------------------------------------------------------
+# batch 42: part gap medians, pair confidence asymmetry
+# ---------------------------------------------------------------------------
+
+
+def test_part_gap_median_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    # part 1 ships on days 1, 4, 10 -> gaps [3, 6] -> med_x4 = 18
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 1, 2], pa.int64()),
+        "l_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "l_shipdate": pa.array(_us(["2023-01-01", "2023-01-04",
+                                    "2023-01-10", "2023-05-01"]),
+                               pa.timestamp("us")),
+    }), os.path.join(d, "lineitem.parquet"))
+    got = (_match_oracle("part_order_gap_median", d)
+           .set_index("pk"))
+    assert int(got.loc[1, "n_ship"]) == 3
+    assert int(got.loc[1, "med_gap_x4"]) == 2 * 3 + 2 * 6
+    assert 2 not in got.index          # single shipment, no gaps
+
+
+def test_pair_confidence_asym_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    # pair (1,2) in orders 1,2 (c=2); part 1 in 4 orders, part 2 in 2
+    oks = [1, 1, 2, 2, 3, 4]
+    pks = [1, 2, 1, 2, 1, 1]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(oks, pa.int64()),
+        "l_partkey": pa.array(pks, pa.int64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    got = _match_oracle("pair_confidence_asym", d)
+    r = got.iloc[0]
+    assert (int(r["pa"]), int(r["pb"]), int(r["c"])) == (1, 2, 2)
+    # |2/4 - 2/2| = 1/2 -> 2*|2-4|*1e6 // (4*2)
+    assert int(r["asym_e6"]) == 2 * 2 * 1_000_000 // 8
