@@ -2515,3 +2515,44 @@ def test_pair_confidence_asym_hand(ray_session, tmp_path):
     assert (int(r["pa"]), int(r["pb"]), int(r["c"])) == (1, 2, 2)
     # |2/4 - 2/2| = 1/2 -> 2*|2-4|*1e6 // (4*2)
     assert int(r["asym_e6"]) == 2 * 2 * 1_000_000 // 8
+
+
+# ---------------------------------------------------------------------------
+# batch 43: supplier balance-late corr, weekly momentum
+# ---------------------------------------------------------------------------
+
+
+def test_supplier_balance_late_corr_sign(ray_session, tmp_path):
+    d = str(tmp_path)
+    # poor supplier 1 always late, rich supplier 2 never ->
+    # negative correlation
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_orderdate": pa.array(_us(["2023-01-01"] * 4),
+                                pa.timestamp("us")),
+    }), os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "l_suppkey": pa.array([1, 1, 2, 2], pa.int64()),
+        "l_shipdate": pa.array(_us(["2023-04-01", "2023-04-02",
+                                    "2023-01-05", "2023-01-06"]),
+                               pa.timestamp("us")),
+    }), os.path.join(d, "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2], pa.int64()),
+        "s_acctbal": pa.array([10.0, 9000.0], pa.float64()),
+    }), os.path.join(d, "supplier.parquet"))
+    got = _match_oracle2("supplier_balance_late_corr", d,
+                         ["lineitem", "orders", "supplier"])
+    assert float(got.loc[0, "corr_bl"]) < -0.99
+
+
+def test_weekly_momentum_hand(ray_session, tmp_path):
+    d = str(tmp_path)
+    # three consecutive epoch weeks with rev 1, 3, 2 -> ups: 1 of 2
+    _write_orders(d, ["2023-01-02", "2023-01-09", "2023-01-16"],
+                  [1.0, 3.0, 2.0])
+    got = _match_oracle("weekly_momentum_share", d)
+    assert int(got.loc[0, "n_pairs"]) == 2
+    assert int(got.loc[0, "n_up"]) == 1
+    assert int(got.loc[0, "share_e4"]) == 5000
