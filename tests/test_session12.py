@@ -194,3 +194,146 @@ def test_kuiper_matches_oracle_and_direct(kuiper_dir):
     vstat = float(np.max(f1 - f2) if np.max(f1 - f2) > 0 else 0.0) \
         + float(np.max(f2 - f1) if np.max(f2 - f1) > 0 else 0.0)
     assert abs(got["v_e6"][0] / 1e6 - vstat) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# batch 2: daily-series stats + event-gap dynamics
+# ---------------------------------------------------------------------------
+
+DAILY_B = ["kpss_level_daily", "ljung_box_daily",
+           "variance_ratio_daily", "rescaled_range_daily"]
+
+
+def _us(dates):
+    return [int(np.datetime64(x).astype("datetime64[us]")
+                .astype(np.int64)) for x in dates]
+
+
+@pytest.fixture(scope="module")
+def daily12_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12daily"))
+    # 12 observed days with a CALENDAR GAP (index-based lags must
+    # ignore it) and one day split across two orders; revenues in k$
+    # multiples plus sub-k$ noise that the //100000 floor must eat.
+    days = (["2023-01-01", "2023-01-01"]
+            + ["2023-01-%02d" % i for i in range(2, 9)]
+            + ["2023-02-%02d" % i for i in range(1, 5)])
+    vals = [1000.0, 1000.5, 3000.0, 1500.25, 4000.0, 2000.0, 5000.0,
+            2500.0, 6000.0, 1000.0, 7000.0, 3500.75, 2000.0]
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(_us(days), pa.timestamp("us")),
+        "o_totalprice": pa.array(vals, pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    return d
+
+
+def test_daily_batch_matches_oracle(daily12_dir):
+    for name in DAILY_B:
+        _match_oracle(name, daily12_dir)
+
+
+def test_kpss_vs_direct(daily12_dir):
+    import __ray_entry__ as e
+
+    got = e.queries()["kpss_level_daily"](daily12_dir).to_pandas()
+    # rebuild the k$ series the same way and compute eta directly
+    r = np.array([2, 3, 1, 4, 2, 5, 2, 6,
+                  1, 7, 3, 2])  # floor k$ per day
+    n = len(r)
+    ee = r - r.mean()
+    s = np.cumsum(ee)
+    eta = float(np.sum(s * s)) / (n * n * np.var(r) * n) * n
+    # eta = sum(S_t^2) / (n^2 * sigma2) with sigma2 = sum(e^2)/n
+    eta = float(np.sum(s * s)) / (n * n * (np.sum(ee * ee) / n))
+    assert abs(got["kpss_e4"][0] / 1e4 - eta) < 2e-4
+    assert int(got["n_days"][0]) == n
+
+
+def test_variance_ratio_vs_direct(daily12_dir):
+    import __ray_entry__ as e
+
+    got = e.queries()["variance_ratio_daily"](daily12_dir).to_pandas()
+    r = np.array([2, 3, 1, 4, 2, 5, 2, 6,
+                  1, 7, 3, 2], dtype=float)
+    w = np.convolve(r, np.ones(5), "valid")
+    vr = np.var(w) / (5 * np.var(r))
+    assert abs(got["vr_e4"][0] / 1e4 - vr) < 2e-4
+
+
+def test_rescaled_range_vs_direct(daily12_dir):
+    import __ray_entry__ as e
+
+    got = e.queries()["rescaled_range_daily"](daily12_dir).to_pandas()
+    r = np.array([2, 3, 1, 4, 2, 5, 2, 6,
+                  1, 7, 3, 2], dtype=float)
+    c = np.cumsum(r - r.mean())
+    rng = max(c.max(), 0) - min(c.min(), 0)
+    rs = rng / np.sqrt(np.mean((r - r.mean()) ** 2))
+    assert abs(got["rs_stat"][0] - rs) < 1e-9
+
+
+def test_ljung_box_vs_direct(daily12_dir):
+    import __ray_entry__ as e
+
+    got = e.queries()["ljung_box_daily"](daily12_dir).to_pandas()
+    r = np.array([2, 3, 1, 4, 2, 5, 2, 6,
+                  1, 7, 3, 2], dtype=float)
+    n = len(r)
+    ee = r - r.mean()
+    c0 = float(np.sum(ee * ee))
+    q = 0.0
+    for k in range(1, 6):
+        rk = float(np.sum(ee[:-k] * ee[k:])) / c0
+        q += rk * rk / (n - k)
+    q *= n * (n + 2)
+    assert abs(got["q_lb"][0] - q) < 1e-8
+
+
+@pytest.fixture(scope="module")
+def gaps_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12gaps"))
+    # user 1: four events -> two consecutive-gap pairs, with a ts TIE
+    # broken by event_id; user 2: two events (no pair); user 3: one.
+    base = int(np.datetime64("2023-01-01T00:00:00")
+               .astype("datetime64[us]").astype(np.int64))
+    H = 3_600_000_000
+    rows = [
+        (1, base, 10), (1, base + 2 * H, 11),
+        (1, base + 2 * H, 12),           # tie: event_id orders it
+        (1, base + 7 * H, 13),
+        (2, base, 20), (2, base + 5 * H, 21),
+        (3, base, 30),
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[2] for r in rows], pa.int64()),
+        "ts": pa.array([np.datetime64(r[1], "us") for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array(["view", "click", "view", "purchase",
+                                "view", "view", "click"]),
+        "value": pa.array([1.0] * 7, pa.float64()),
+    }), os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_gap_memory_matches_oracle_and_direct(gaps_dir):
+    got = _match_oracle("gap_memory_coeff", gaps_dir)
+    # user1 gaps (hours): 2, 0, 5 -> pairs (2,0),(0,5); user2: single
+    # gap, no pair. corr of x=[2,0], y=[0,5]
+    x, y = np.array([2.0, 0.0]), np.array([0.0, 5.0])
+    ref = np.corrcoef(x, y)[0, 1]
+    assert int(got["n_pairs"][0]) == 2
+    assert abs(got["memory_coeff"][0] - ref) < 1e-12
+
+
+def test_burstiness_matches_oracle(gaps_dir):
+    got = _match_oracle("burstiness_by_type", gaps_dir)
+    # global per-type stream ordered by (ts, event_id): views are
+    # ids 10(t0), 20(t0), 12(t+2h), 21(t+5h) -> gaps 0, 7200, 10800 s
+    # (the t0 tie resolved by event_id); clicks have ONE gap (n<2,
+    # excluded); purchase has none. Only 'view' survives.
+    assert list(got["event_type"]) == ["view"]
+    g = np.array([0, 7200, 10800], dtype=float)
+    mu, sd = g.mean(), g.std()
+    assert int(got["n_gaps"][0]) == 3
+    assert abs(got["b_stat"][0] - (sd - mu) / (sd + mu)) < 1e-12
