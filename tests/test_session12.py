@@ -337,3 +337,170 @@ def test_burstiness_matches_oracle(gaps_dir):
     mu, sd = g.mean(), g.std()
     assert int(got["n_gaps"][0]) == 3
     assert abs(got["b_stat"][0] - (sd - mu) / (sd + mu)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# batch 3: transitions / sessions / business
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def trans_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12trans"))
+    base = int(np.datetime64("2023-01-01T00:00:00")
+               .astype("datetime64[us]").astype(np.int64))
+    M = 60_000_000
+    # user 1: view -> click(30m exactly: same session) -> view(31m gap:
+    # breaks session) -> click; user 2: view -> view at SAME ts (order
+    # by event_id), then purchase at exactly 600s (self-excite edge
+    # is <= so purchase->purchase n/a, view->view 0s gap).
+    rows = [
+        (1, 0, 1, "view"), (1, 30 * M, 2, "click"),
+        (1, 61 * M, 3, "view"), (1, 62 * M, 4, "click"),
+        (2, 0, 5, "view"), (2, 0, 6, "view"),
+        (2, 600 * 1_000_000, 7, "view"),
+        (3, 0, 8, "purchase"),
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[2] for r in rows], pa.int64()),
+        "ts": pa.array([np.datetime64(base + r[1], "us")
+                        for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+    }), os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_transition_gap_median_oracle(trans_dir):
+    got = _match_oracle("transition_gap_median", trans_dir)
+    gm = {(r["from_type"], r["to_type"]): r
+          for _, r in got.iterrows()}
+    # view->click gaps: u1 (1800s, 60s) -> even n: g_lo=60, g_hi=1800
+    vc = gm[("view", "click")]
+    assert (vc["n_trans"], vc["g_lo"], vc["g_hi"]) == (2, 60, 1800)
+    # view->view: u2 gaps 0 (tie) and 600
+    vv = gm[("view", "view")]
+    assert (vv["n_trans"], vv["g_lo"], vv["g_hi"]) == (2, 0, 600)
+
+
+def test_self_excitation_boundary(trans_dir):
+    got = _match_oracle("self_excitation_10min", trans_dir)
+    m = {r["event_type"]: r for _, r in got.iterrows()}
+    # views: u1 has 2 views 61min apart (no hit from first, last no
+    # next); u2 views at 0,0,600s: gaps 0s (hit) and 600s (hit, <=
+    # boundary). n=5 views total, hits=2.
+    assert (m["view"]["n_events"], m["view"]["n_hits"]) == (5, 2)
+    assert m["view"]["share_e4"] == 2 * 10_000 // 5
+    assert m["purchase"]["n_hits"] == 0
+
+
+def test_session_depth_survival_boundary(trans_dir):
+    got = _match_oracle("session_depth_survival", trans_dir)
+    # sessions: u1 {view,click} (30m gap NOT > 30m), {view,click};
+    # u2 {view,view} then 600s later view -> all within 30m: one
+    # session of 3; u3 {purchase}. Depths: 2,2,3,1.
+    n_ge = dict(zip(got["k"], got["n_ge"]))
+    assert (n_ge[1], n_ge[2], n_ge[3], n_ge[4]) == (4, 3, 1, 0)
+    r = dict(zip(got["k"], got["ratio_e4"]))
+    assert r[1] == 10000 and r[2] == 3 * 10000 // 4
+    assert r[3] == 10000 // 3 and r[4] == 0
+
+
+@pytest.fixture(scope="module")
+def decile_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12decile"))
+    # years 2020, 2021, 2023 (2021->2023 NOT adjacent: excluded).
+    # 2020: custs 1..10 spends equal (ties -> decile by custkey);
+    # 2021: reversed spends.
+    days, cks, vals = [], [], []
+    for ck in range(1, 11):
+        days.append("2020-06-01"); cks.append(ck); vals.append(100.0)
+        days.append("2021-06-01"); cks.append(ck)
+        vals.append(float(100 + (10 - ck)))
+        days.append("2023-06-01"); cks.append(ck); vals.append(50.0)
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(_us(days), pa.timestamp("us")),
+        "o_custkey": pa.array(cks, pa.int64()),
+        "o_totalprice": pa.array(vals, pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    return d
+
+
+def test_decile_migration_oracle(decile_dir):
+    got = _match_oracle("decile_migration_yoy", decile_dir)
+    assert set(got["from_year"]) == {2020}
+    # 2020 all-tied spends -> decile = rank by custkey - 1; 2021
+    # reversed -> cust k decile = 10 - k. Each cell n=1, anti-diagonal.
+    assert len(got) == 10 and got["n"].sum() == 10
+    for _, r in got.iterrows():
+        assert r["d_from"] + r["d_to"] == 9
+
+
+@pytest.fixture(scope="module")
+def basket_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12basket"))
+    # parts: 1 and 2 ALWAYS together (conf=1 both ways -> excluded);
+    # 3 -> 4 in 2 of 3 orders containing 3; part 4 also alone.
+    ok = [10, 10, 11, 11, 20, 20, 21, 21, 22, 23,
+          30, 30, 31]
+    pk = [1, 2, 1, 2, 3, 4, 3, 4, 3, 4,
+          5, 6, 5]
+    sk = list(range(1, len(ok) + 1))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(ok, pa.int64()),
+        "l_partkey": pa.array(pk, pa.int64()),
+        "l_suppkey": pa.array(sk, pa.int64()),
+        "l_quantity": pa.array([1.0] * len(ok), pa.float64()),
+        "l_extendedprice": pa.array([10.0] * len(ok), pa.float64()),
+        "l_returnflag": pa.array(["N"] * len(ok)),
+        "l_shipdate": pa.array(
+            _us(["2023-01-05"] * len(ok)), pa.timestamp("us")),
+    }), os.path.join(d, "lineitem.parquet"))
+    return d
+
+
+def test_pair_conviction_oracle(basket_dir):
+    got = _match_oracle("pair_conviction_top", basket_dir)
+    # rule 1->2 and 2->1 have conf=1 (na == c) -> EXCLUDED.
+    pairs = set(zip(got["pa"], got["pb"]))
+    assert (1, 2) not in pairs and (2, 1) not in pairs
+    # rule 4->3: n=8 orders, n3=3, n4=3, c=2: conv = (8-3)*3*1e4 //
+    # (8*(3-2)) = 150000 // 8... = 18750
+    row = got[(got["pa"] == 4) & (got["pb"] == 3)]
+    assert len(row) == 1 and int(row["conv_e4"].iloc[0]) == \
+        (8 - 3) * 3 * 10000 // (8 * 1)
+
+
+def test_supplier_leadtime_cv_filters(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12slcv"))
+    # supplier 1: 25 shipments alternating 10/20-day lag (kept);
+    # supplier 2: 25 shipments all ZERO lag (s1=0 -> excluded);
+    # supplier 3: 5 shipments (n<20 -> excluded).
+    ok, sk, ship, odate = [], [], [], []
+    k = 0
+    for i in range(25):
+        k += 1; ok.append(k); sk.append(1)
+        odate.append("2023-01-01")
+        ship.append("2023-01-%02d" % (11 if i % 2 == 0 else 21))
+    for i in range(25):
+        k += 1; ok.append(k); sk.append(2)
+        odate.append("2023-02-01"); ship.append("2023-02-01")
+    for i in range(5):
+        k += 1; ok.append(k); sk.append(3)
+        odate.append("2023-03-01"); ship.append("2023-03-05")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(ok, pa.int64()),
+        "l_suppkey": pa.array(sk, pa.int64()),
+        "l_shipdate": pa.array(_us(ship), pa.timestamp("us")),
+    }), os.path.join(d, "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(ok, pa.int64()),
+        "o_orderdate": pa.array(_us(odate), pa.timestamp("us")),
+    }), os.path.join(d, "orders.parquet"))
+    got = _match_oracle("supplier_leadtime_cv", d)
+    assert list(got["sk"]) == [1]
+    g = np.array([10, 20] * 13)[:25]
+    n, s1, sq = 25, int(g.sum()), int((g * g).sum())
+    assert int(got["cv2_e6"][0]) == (n * sq - s1 * s1) * 10**6 \
+        // (s1 * s1)
