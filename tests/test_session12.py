@@ -504,3 +504,114 @@ def test_supplier_leadtime_cv_filters(tmp_path_factory):
     n, s1, sq = 25, int(g.sum()), int((g * g).sum())
     assert int(got["cv2_e6"][0]) == (n * sq - s1 * s1) * 10**6 \
         // (s1 * s1)
+
+
+# ---------------------------------------------------------------------------
+# batch 4: dependence tests + corpus character stats
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dep_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12dep"))
+    # quantity/discount grid with heavy ties and a non-monotone
+    # (V-shaped) relation hoeffding should flag; flags R on the
+    # high-qty arm for somers.
+    q = [1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 1, 6, 3, 4]
+    dc = [0.05, 0.05, 0.03, 0.03, 0.01, 0.01, 0.01, 0.02,
+          0.03, 0.04, 0.05, 0.05, 0.04, 0.04, 0.02, 0.01]
+    rf = ["R" if x >= 4 else "N" for x in q]
+    rf[0] = "R"  # one low-qty return: discordant pairs exist
+    pq.write_table(pa.table({
+        "l_quantity": pa.array([float(x) for x in q], pa.float64()),
+        "l_discount": pa.array(dc, pa.float64()),
+        "l_returnflag": pa.array(rf),
+        "l_extendedprice": pa.array([10.0] * len(q), pa.float64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    return d, np.array(q), np.array([round(x * 100) for x in dc]), rf
+
+
+def test_hoeffding_vs_brute(dep_dir):
+    d, q, dc, _ = dep_dir
+    got = _match_oracle("hoeffding_d_qty_disc", d)
+    n = len(q)
+    # brute per-point with the SAME convention: doubled midranks,
+    # strictly-less-in-both c_i
+    d1 = d2x16 = d3x4 = 0
+    for i in range(n):
+        r2 = 2 * int(np.sum(q < q[i])) + int(np.sum(q == q[i])) + 1
+        s2 = 2 * int(np.sum(dc < dc[i])) + int(np.sum(dc == dc[i])) + 1
+        c = int(np.sum((q < q[i]) & (dc < dc[i])))
+        d1 += c * (c - 1)
+        d2x16 += (r2 - 2) * (r2 - 4) * (s2 - 2) * (s2 - 4)
+        d3x4 += (r2 - 4) * (s2 - 4) * c
+    num = 30 * (16 * (n - 2) * (n - 3) * d1 + d2x16
+                - 8 * (n - 2) * d3x4) * 10**6
+    den = 16 * n * (n - 1) * (n - 2) * (n - 3) * (n - 4)
+    ref = abs(num) // abs(den) * (1 if (num >= 0) == (den > 0) else -1)
+    assert int(got["d_e6"][0]) == ref
+    assert int(got["n_rows"][0]) == n
+
+
+def test_somers_vs_brute(dep_dir):
+    d, q, _, rf = dep_dir
+    got = _match_oracle("somers_d_qty_return", d)
+    y = np.array([1 if f == "R" else 0 for f in rf])
+    nc = nd = 0
+    n = len(q)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if q[i] == q[j] or y[i] == y[j]:
+                continue
+            conc = (q[i] < q[j]) == (y[i] < y[j])
+            nc += conc
+            nd += not conc
+    t = pd.Series(q).value_counts().to_numpy()
+    w = n * (n - 1) // 2 - int(np.sum(t * (t - 1) // 2))
+    assert int(got["n_conc"][0]) == nc
+    assert int(got["n_disc"][0]) == nd
+    num = (nc - nd) * 10**6
+    ref = abs(num) // w * (1 if num >= 0 else -1)
+    assert int(got["d_e6"][0]) == ref
+
+
+@pytest.fixture(scope="module")
+def chardocs_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12chars"))
+    # doc_ids exercising every t2 branch: 105 (%7,%3,%5 all), 7, 3,
+    # 5, 1 (none); an empty doc and a 1-char doc for the bigram
+    # boundary; duplicate bigrams across docs of the same lang.
+    pq.write_table(pa.table({
+        "doc_id": pa.array([105, 7, 3, 5, 1, 2, 4], pa.int64()),
+        "text": pa.array(["ab ab", "cd", "ab", "x", "", "a", "abab"]),
+        "lang": pa.array(["en", "en", "en", "de", "de", "de", "fr"]),
+        "source": pa.array(["s"] * 7),
+        "n_chars": pa.array([5, 2, 2, 1, 0, 1, 4], pa.int64()),
+    }), os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_charclass_mix_oracle(chardocs_dir):
+    got = _match_oracle("charclass_mix_by_lang", chardocs_dir,
+                        tables=("documents",))
+    m = {r["lang"]: r for _, r in got.iterrows()}
+    # de doc 5 ("x"): t2 = "x by dr. alice smith" -> 2 dots? no:
+    # " by dr. alice smith" has one '.'; doc 1 ("") %nothing -> "";
+    # doc 2 ("a") -> "a". digits: none in de.
+    assert m["de"]["n_digit"] == 0
+    assert m["de"]["n_punct"] == 1
+    # en doc 105: all three suffixes (digits from '105' twice + email)
+    assert m["en"]["n_digit"] > 0
+
+
+def test_char_bigram_diversity_boundaries(chardocs_dir):
+    got = _match_oracle("char_bigram_diversity", chardocs_dir,
+                        tables=("documents",))
+    m = {r["lang"]: r for _, r in got.iterrows()}
+    # fr "abab": pairs ab, ba, ab -> total 3, distinct 2
+    assert (m["fr"]["n_total"], m["fr"]["n_distinct"]) == (3, 2)
+    # de: "x"(len1) + ""(len0) + "a"(len1) -> NO pairs; lang absent
+    assert "de" not in m
+    # en: "ab ab" -> ab,'b ',' a',ab ; "cd" -> cd ; "ab" -> ab
+    # total 6, distinct: ab,'b ',' a',cd -> 4 (no cross-doc 'bc'/'da')
+    assert (m["en"]["n_total"], m["en"]["n_distinct"]) == (6, 4)
