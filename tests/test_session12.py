@@ -615,3 +615,97 @@ def test_char_bigram_diversity_boundaries(chardocs_dir):
     # en: "ab ab" -> ab,'b ',' a',ab ; "cd" -> cd ; "ab" -> ab
     # total 6, distinct: ab,'b ',' a',cd -> 4 (no cross-doc 'bc'/'da')
     assert (m["en"]["n_total"], m["en"]["n_distinct"]) == (6, 4)
+
+
+# ---------------------------------------------------------------------------
+# batch 5: variance/outlier screens + corpus letters + overlap
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_dixon_small(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12cusum"))
+    # k$ series 1,1,9,1 (day 3 split into 0.5+0.5 -> floor 1k$? no:
+    # 500.0+500.0 = 1000.0 dollars = 1 k$). min tie: days 1,2,4 all
+    # 1 -> dixon q_low = (x2-x1)/(xn-x1) = 0.
+    days = ["2023-01-01", "2023-01-02", "2023-01-03",
+            "2023-01-04", "2023-01-04"]
+    vals = [1000.0, 1000.0, 9000.0, 500.0, 500.0]
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(_us(days), pa.timestamp("us")),
+        "o_totalprice": pa.array(vals, pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    got = _match_oracle("dixon_q_daily", d)
+    assert (int(got["q_low_e6"][0]), int(got["q_high_e6"][0])) == \
+        (0, 10**6)
+    got2 = _match_oracle("cusum_squares_daily", d)
+    r = np.array([1, 1, 9, 1], dtype=object)
+    w = r * r
+    sn = int(w.sum())
+    sk = np.cumsum(w)
+    best = max(abs(int(s) * 4 - (k + 1) * sn)
+               for k, s in enumerate(sk))
+    assert int(got2["d_e6"][0]) == best * 10**6 // (4 * sn)
+
+
+def test_cochran_c_excludes_singletons(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12coch"))
+    # URGENT: var > 0 (n=3); HIGH: n=1 (excluded); LOW: zero-var.
+    pri = ["1-URGENT"] * 3 + ["2-HIGH"] + ["5-LOW"] * 2
+    vals = [100.0, 200.0, 600.0, 999.0, 50.0, 50.0]
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(
+            _us(["2023-01-01"] * 6), pa.timestamp("us")),
+        "o_orderpriority": pa.array(pri),
+        "o_totalprice": pa.array(vals, pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    got = _match_oracle("cochran_c_priority", d)
+    # only URGENT has positive variance -> C = 1, n_groups = 1
+    assert int(got["n_groups"][0]) == 1
+    assert abs(got["c_stat"][0] - 1.0) < 1e-15
+
+
+def test_letter_freq_and_overlap(chardocs_dir, flags_dir):
+    got = _match_oracle("letter_freq_by_lang", chardocs_dir,
+                        tables=("documents",))
+    fr = got[got["lang"] == "fr"]
+    # fr "abab": a x2, b x2, share 500000 each; spaces never counted
+    assert sorted(zip(fr["letter"], fr["n"])) == [("a", 2), ("b", 2)]
+    assert set(fr["share_e6"]) == {500000}
+
+    d, r, a = flags_dir
+    got2 = _match_oracle("overlap_coeff_flags", d)
+    n, m = len(r), len(a)
+    ref = sum(min(int(np.sum(r == v)) * m, int(np.sum(a == v)) * n)
+              for v in np.unique(np.r_[r, a]))
+    assert int(got2["overlap_e6"][0]) == ref * 10**6 // (n * m)
+
+
+def test_basket_size_by_segment(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12bask"))
+    # seg X: 2 orders with 3+1 items; seg Y: 1 order, 2 items;
+    # customer 3 (seg Z) has NO orders -> absent.
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_name": pa.array(["a", "b", "c"]),
+        "c_nationkey": pa.array([0, 0, 0], pa.int32()),
+        "c_acctbal": pa.array([0.0, 0.0, 0.0], pa.float64()),
+        "c_mktsegment": pa.array(["X", "Y", "Z"]),
+    }), os.path.join(d, "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 11, 20], pa.int64()),
+        "o_custkey": pa.array([1, 1, 2], pa.int64()),
+        "o_orderdate": pa.array(_us(["2023-01-01"] * 3),
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([1.0] * 3, pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10, 10, 10, 11, 20, 20], pa.int64()),
+        "l_partkey": pa.array([1, 2, 3, 1, 1, 2], pa.int64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    got = _match_oracle("basket_size_by_segment", d,
+                        tables=("lineitem", "orders", "customer"))
+    m = {r["seg"]: r for _, r in got.iterrows()}
+    assert set(m) == {"X", "Y"}
+    assert (m["X"]["n_orders"], m["X"]["n_items"],
+            m["X"]["avg_items_e4"]) == (2, 4, 20000)
+    assert m["Y"]["avg_items_e4"] == 20000
