@@ -709,3 +709,61 @@ def test_basket_size_by_segment(tmp_path_factory):
     assert (m["X"]["n_orders"], m["X"]["n_items"],
             m["X"]["avg_items_e4"]) == (2, 4, 20000)
     assert m["Y"]["avg_items_e4"] == 20000
+
+
+# ---------------------------------------------------------------------------
+# batch 6: rank uniformity, supply census, calendar peaks, token shapes
+# ---------------------------------------------------------------------------
+
+
+def test_within_customer_rank_hist(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12wcr"))
+    # cust 1: 5 orders with VALUE TIES (ranks broken by orderkey);
+    # cust 2: 4 orders (below min, excluded entirely).
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4, 5, 6, 7, 8, 9], pa.int64()),
+        "o_custkey": pa.array([1] * 5 + [2] * 4, pa.int64()),
+        "o_orderdate": pa.array(_us(["2023-01-01"] * 9),
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([10.0, 10.0, 10.0, 20.0, 30.0,
+                                  1.0, 2.0, 3.0, 4.0], pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    got = _match_oracle("within_customer_rank_hist", d)
+    # 5 orders -> deciles (pos*10//5): 0,2,4,6,8 one each
+    assert sorted(got["decile"]) == [0, 2, 4, 6, 8]
+    assert set(got["n"]) == {1}
+
+
+def test_part_supplier_hist_and_endings(basket_dir):
+    got = _match_oracle("part_supplier_count_hist", basket_dir)
+    # suppkeys are all unique per row: parts 1,2,5 have 2 distinct
+    # suppliers, parts 3,4 have 3, part 6 has 1
+    m = dict(zip(got["n_suppliers"], got["n_parts"]))
+    assert m == {2: 3, 3: 2, 1: 1}
+    got2 = _match_oracle("cents_ending_hist", basket_dir)
+    # all prices 10.0 -> ending 0 share 10000
+    assert (int(got2["ending"][0]), int(got2["share_e4"][0])) == \
+        (0, 10000)
+
+
+def test_weekly_peak_day_and_benford(daily12_dir):
+    got = _match_oracle("weekly_peak_day", daily12_dir)
+    assert (got["share_e4"] <= 10000).all()
+    assert ((got["peak_dow"] >= 0) & (got["peak_dow"] <= 6)).all()
+    got2 = _match_oracle("benford_second_digit", daily12_dir)
+    # every total >= 500.00 -> cents string >= 5 chars; shares sum
+    # to <= 10000 with floor
+    assert got2["n"].sum() == 13
+    assert got2["share_e4"].sum() <= 10000
+
+
+def test_token_position_lengths(chardocs_dir):
+    got = _match_oracle("token_position_lengths", chardocs_dir,
+                        tables=("documents",))
+    m = {int(r["pos"]): r for _, r in got.iterrows()}
+    # texts: "ab ab"(2 toks), "cd", "ab", "x", ""(1 empty tok), "a",
+    # "abab" -> pos1: 7 docs, lens 2,2,2,1,0,1,4 = 12
+    assert (m[1]["n_docs"], m[1]["sum_len"]) == (7, 12)
+    # pos2: only "ab ab" -> len 2
+    assert (m[2]["n_docs"], m[2]["sum_len"]) == (1, 2)
+    assert 3 not in m
