@@ -767,3 +767,106 @@ def test_token_position_lengths(chardocs_dir):
     # pos2: only "ab ab" -> len 2
     assert (m[2]["n_docs"], m[2]["sum_len"]) == (1, 2)
     assert 3 not in m
+
+
+# ---------------------------------------------------------------------------
+# batch 7: co-supply graph, tenure, first/last, quartile shapes, JB
+# ---------------------------------------------------------------------------
+
+
+def test_shared_parts_and_span(basket_dir):
+    got = _match_oracle("supplier_shared_parts_top", basket_dir)
+    # all suppkeys unique per row -> each pair shares exactly 1 part
+    assert (got["n_shared"] == 1).all()
+
+
+def test_first_last_type_matrix(trans_dir):
+    got = _match_oracle("first_last_type_matrix", trans_dir)
+    m = {(r["first_type"], r["last_type"]): r["n"]
+         for _, r in got.iterrows()}
+    # u1 view..click, u2 view..view (ts tie at start: event_id 5
+    # first), u3 purchase..purchase
+    assert m == {("view", "click"): 1, ("view", "view"): 1,
+                 ("purchase", "purchase"): 1}
+
+
+def test_quartile_shape_and_span_hist(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12qsh"))
+    # flag R: 1..8 (n=8): positions (n-1)p: q1 at 1.75 -> 4Q1 =
+    # (4-3)*2+3*3 = 11; q2 at 3.5 -> 2*(4+5)=18; q3 at 5.25 ->
+    # (4-1)*6+1*7 = 25. bowley num = 11+25-36 = 0.
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array(["R"] * 8 + ["A"] * 2),
+        "l_quantity": pa.array([1.0, 2, 3, 4, 5, 6, 7, 8, 5, 5],
+                               pa.float64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    got = _match_oracle("quartile_shape_by_flag", d)
+    # A is all-ties (q3 == q1) -> excluded
+    assert list(got["flag"]) == ["R"]
+    r = got.iloc[0]
+    assert (r["q1_x4"], r["q2_x4"], r["q3_x4"]) == (11, 18, 25)
+    assert r["bowley_e6"] == 0
+    assert r["trimean_x16"] == 11 + 36 + 25
+
+    # customer span: cust 1 orders 100 days apart -> bucket 3;
+    # cust 2 single order -> excluded
+    d2 = str(tmp_path_factory.mktemp("s12span"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 2], pa.int64()),
+        "o_orderdate": pa.array(_us(["2023-01-01", "2023-04-11",
+                                     "2023-01-01"]),
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([1.0, 1.0, 1.0], pa.float64()),
+    }), os.path.join(d2, "orders.parquet"))
+    got2 = _match_oracle("customer_order_span_hist", d2)
+    assert list(got2["span_months"]) == [100 // 30]
+    assert list(got2["n_customers"]) == [1]
+
+
+def test_jarque_bera_split_double_parity(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12jb"))
+    # strongly LEFT-skewed k$ series -> s3 NEGATIVE: locks the
+    # sign-split abs-divmod parity (floor vs trunc trap) on both
+    # sides; values large enough that s3/s4 exceed 2^62 would need
+    # bigger data, but the expression path is identical.
+    days = ["2023-01-%02d" % i for i in range(1, 13)]
+    vals = [9000.0] * 9 + [1000.0, 2000.0, 1000.0]
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(_us(days), pa.timestamp("us")),
+        "o_totalprice": pa.array(vals, pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    got = _match_oracle("jarque_bera_daily", d)
+    r = np.array([9] * 9 + [1, 2, 1], dtype=float)
+    n = len(r)
+    e = r - r.mean()
+    m2 = np.mean(e ** 2)
+    sk = np.mean(e ** 3) / m2 ** 1.5
+    ku = np.mean(e ** 4) / m2 ** 2 - 3
+    jb = n / 6 * (sk ** 2 + ku ** 2 / 4)
+    assert abs(got["jb_stat"][0] - jb) < 1e-9
+    assert np.mean(e ** 3) < 0  # the negative-s3 branch really ran
+
+
+def test_ship_delay_median_by_month(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12sdm"))
+    # one month, gaps 1,2,9 (odd n: g_lo == g_hi == 2); another
+    # month gaps 4,6 (even: 4/6)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "l_shipdate": pa.array(_us(["2023-01-02", "2023-01-03",
+                                    "2023-01-10", "2023-02-05",
+                                    "2023-02-07"]),
+                               pa.timestamp("us")),
+    }), os.path.join(d, "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "o_orderdate": pa.array(_us(["2023-01-01", "2023-01-01",
+                                     "2023-01-01", "2023-02-01",
+                                     "2023-02-01"]),
+                                pa.timestamp("us")),
+    }), os.path.join(d, "orders.parquet"))
+    got = _match_oracle("ship_delay_median_by_month", d)
+    m = {int(r["month"]): r for _, r in got.iterrows()}
+    jan = (2023 - 1970) * 12 + 0
+    assert (m[jan]["g_lo"], m[jan]["g_hi"]) == (2, 2)
+    assert (m[jan + 1]["g_lo"], m[jan + 1]["g_hi"]) == (4, 6)
