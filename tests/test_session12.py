@@ -870,3 +870,91 @@ def test_ship_delay_median_by_month(tmp_path_factory):
     jan = (2023 - 1970) * 12 + 0
     assert (m[jan]["g_lo"], m[jan]["g_hi"]) == (2, 2)
     assert (m[jan + 1]["g_lo"], m[jan + 1]["g_hi"]) == (4, 6)
+
+
+# ---------------------------------------------------------------------------
+# batch 8: post-hoc ranks, changepoint, inversions, median CI, CV
+# ---------------------------------------------------------------------------
+
+
+def test_dunn_and_cv_priority(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12dunn"))
+    # three priorities with cross-group dollar TIES; URGENT clearly
+    # above LOW -> z(URGENT, LOW) ordering locked
+    pri = (["1-URGENT"] * 4 + ["3-MEDIUM"] * 4 + ["5-LOW"] * 4)
+    vals = [900.0, 900.0, 800.0, 700.0,
+            500.0, 500.0, 400.0, 300.0,
+            100.0, 100.0, 200.0, 900.0]
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(_us(["2023-01-01"] * 12),
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(pri),
+        "o_totalprice": pa.array(vals, pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    got = _match_oracle("dunn_pairs_priority", d)
+    assert len(got) == 3  # 3 priorities -> 3 pairs
+    m = {(r["p1"], r["p2"]): r["z"] for _, r in got.iterrows()}
+    assert m[("1-URGENT", "5-LOW")] > 0  # URGENT ranks higher
+    got2 = _match_oracle("order_value_cv_by_priority", d)
+    assert len(got2) == 3 and (got2["cv2_e6"] >= 0).all()
+
+
+def test_changepoint_day(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12chg"))
+    # level shift after day 4: 1,1,1,1 -> 9,9,9,9 (k$)
+    days = ["2023-01-%02d" % i for i in range(1, 9)]
+    vals = [1000.0] * 4 + [9000.0] * 4
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(_us(days), pa.timestamp("us")),
+        "o_totalprice": pa.array(vals, pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    got = _match_oracle("changepoint_day", d)
+    d4 = int(np.datetime64("2023-01-04").astype("datetime64[D]")
+             .astype(np.int64))
+    assert int(got["break_day"][0]) == d4
+    # B - S^2/n at the true break: two perfect segments
+    r = np.array([1] * 4 + [9] * 4, dtype=float)
+    b = (4 * 4 / 4 + 36 * 36 / 4) - r.sum() ** 2 / 8
+    assert abs(got["b_stat"][0] - b) < 1e-9
+
+
+def test_price_inversions_and_median_ci(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12inv"))
+    # part 1: prices 300,200,100 on days 1<2<3 -> all 3 pairs
+    # inverted; SAME-day pair (days tie) never counts: part 2 has
+    # two rows same day opposite prices -> 0 inversions
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "l_shipdate": pa.array(_us(["2023-01-01", "2023-01-02",
+                                    "2023-01-03", "2023-02-01",
+                                    "2023-02-01"]),
+                               pa.timestamp("us")),
+        "l_extendedprice": pa.array([3.0, 2.0, 1.0, 5.0, 4.0],
+                                    pa.float64()),
+        "l_returnflag": pa.array(["N"] * 5),
+        "l_quantity": pa.array([1.0, 2, 3, 4, 5], pa.float64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    got = _match_oracle("price_time_inversions", d)
+    assert (int(got["n_inversions"][0]), int(got["n_pairs"][0])) == \
+        (3, 4)
+    got2 = _match_oracle("median_ci_by_flag", d)
+    r = got2.iloc[0]
+    # N flag: q = 1..5, n=5, d=isqrt(5)=2: med 3/3, ci 1..5
+    assert (r["med_lo"], r["med_hi"], r["ci_lo"], r["ci_hi"]) == \
+        (3, 3, 1, 5)
+
+
+def test_never_returned_parts(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12nrp"))
+    # part 1: 10 rows no R (counts, never-returned); part 2: 10 rows
+    # one R; part 3: 9 rows (below cutoff)
+    pk = [1] * 10 + [2] * 10 + [3] * 9
+    rf = ["N"] * 10 + ["N"] * 9 + ["R"] + ["N"] * 9
+    pq.write_table(pa.table({
+        "l_partkey": pa.array(pk, pa.int64()),
+        "l_returnflag": pa.array(rf),
+    }), os.path.join(d, "lineitem.parquet"))
+    got = _match_oracle("never_returned_parts", d)
+    assert (int(got["n_eligible"][0]),
+            int(got["n_never_returned"][0]),
+            int(got["share_e4"][0])) == (2, 1, 5000)
