@@ -958,3 +958,88 @@ def test_never_returned_parts(tmp_path_factory):
     assert (int(got["n_eligible"][0]),
             int(got["n_never_returned"][0]),
             int(got["share_e4"][0])) == (2, 1, 5000)
+
+
+# ---------------------------------------------------------------------------
+# batch 9: embedding axes, activity concentration, regional quartiles
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12emb"))
+    # 4-dim vectors: one with a TIE at the max (first-max rule),
+    # one with a value exactly at float32(0.01) (the f32-vs-f64
+    # comparison boundary), one all-negative.
+    vecs = [
+        [0.5, 0.9, 0.9, 0.1],            # tie: argmax dim 2
+        [np.float32(0.01), 0.2, 0.3, 0.4],  # boundary value
+        [-0.5, -0.001, -0.9, -0.2],      # argmax dim 2 (-0.001)
+        [1.0, 0.0, 0.005, -0.005],
+    ]
+    pq.write_table(pa.table({
+        "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "embedding": pa.array([[float(x) for x in v] for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 1, 0, 1], pa.int32()),
+    }), os.path.join(d, "embeddings.parquet"))
+    return d
+
+
+def test_argmax_and_sparsity(emb_dir):
+    got = _match_oracle("argmax_dim_hist", emb_dir,
+                        tables=("embeddings",))
+    m = dict(zip(got["dim"], got["n"]))
+    assert m == {2: 2, 1: 1, 4: 1}
+    got2 = _match_oracle("dim_sparsity_counts", emb_dir,
+                         tables=("embeddings",))
+    m2 = {int(r["dim"]): int(r["n_small"])
+          for _, r in got2.iterrows()}
+    # dim1: |f32(0.01)| < 0.01 in DOUBLE (f32(0.01) ~ 0.0099999998):
+    # counts as small -> dims: d1 {0.5, ~0.01, 0.5, 1.0} -> 1;
+    # d2 {0.9, .2, .001, 0} -> 2; d3 {.9,.3,.9,.005} -> 1;
+    # d4 {.1,.4,.2,.005} -> 1
+    assert m2 == {1: 1, 2: 2, 3: 1, 4: 1}
+
+
+def test_user_share_and_value_medians(trans_dir):
+    got = _match_oracle("user_event_share_top_decile", trans_dir)
+    # 3 users: (rank-1)*10//3 tops out at 6 -> decile 9 is EMPTY
+    # (the tie-stable decile rule needs >= 10 users to populate it)
+    assert int(got["n_top_users"][0]) == 0
+    assert int(got["share_e4"][0]) == 0
+    got2 = _match_oracle("value_median_by_dow", trans_dir)
+    assert (got2["med_lo"] <= got2["med_hi"]).all()
+    got3 = _match_oracle("value_round_share_by_type", trans_dir)
+    # all fixture values are 1.0 -> whole-dollar share 10000
+    assert (got3["share_e4"] == 10000).all()
+
+
+def test_region_quartiles(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12region"))
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1], pa.int32()),
+        "r_name": pa.array(["EAST", "WEST"]),
+    }), os.path.join(d, "region.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int32()),
+        "n_name": pa.array(["A", "B"]),
+        "n_regionkey": pa.array([0, 1], pa.int32()),
+    }), os.path.join(d, "nation.parquet"))
+    # EAST: balances -5, 1, 2, 100 (negative quartile interp);
+    # WEST: single supplier -> excluded (n < 2)
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "s_name": pa.array(["s"] * 5),
+        "s_nationkey": pa.array([0, 0, 0, 0, 1], pa.int32()),
+        "s_acctbal": pa.array([-5.0, 1.0, 2.0, 100.0, 9.0],
+                              pa.float64()),
+    }), os.path.join(d, "supplier.parquet"))
+    got = _match_oracle("supplier_balance_quartiles_by_region", d,
+                        tables=("supplier", "nation", "region"))
+    assert list(got["region"]) == ["EAST"]
+    r = got.iloc[0]
+    # cents sorted: -500, 100, 200, 10000; n=4: q1 pos .75 ->
+    # 4Q1 = 1*(-500) + 3*100 = -200; q2 pos 1.5 -> 2*(100+200)=600;
+    # q3 pos 2.25 -> 3*200 + 1*10000 = 10600
+    assert (r["q1_x4"], r["q2_x4"], r["q3_x4"]) == (-200, 600, 10600)
