@@ -410,6 +410,15 @@ def run_bench() -> dict:
         "supplier_late_pchart",
         "kmv_jaccard_audit",
         "aroon_25",
+        # round-5 session-12 additions (one per new op family)
+        "brunner_munzel_flags",
+        "gap_memory_coeff",
+        "transition_gap_median",
+        "decile_migration_yoy",
+        "char_bigram_diversity",
+        "dunn_pairs_priority",
+        "price_time_inversions",
+        "dim_sparsity_counts",
     ]:
         timed(name, Q.registry()[name])
 

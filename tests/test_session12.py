@@ -1043,3 +1043,94 @@ def test_region_quartiles(tmp_path_factory):
     # 4Q1 = 1*(-500) + 3*100 = -200; q2 pos 1.5 -> 2*(100+200)=600;
     # q3 pos 2.25 -> 3*200 + 1*10000 = 10600
     assert (r["q1_x4"], r["q2_x4"], r["q3_x4"]) == (-200, 600, 10600)
+
+
+# ---------------------------------------------------------------------------
+# batch 10: stability, activation, dispersion, quadrants, cadence
+# ---------------------------------------------------------------------------
+
+
+def test_onboarding_retention(trans_dir):
+    got = _match_oracle("onboarding_retention_2x2", trans_dir)
+    # u1: first session {view,click} depth 2 (30m gap INCLUSIVE stays)
+    # -> shallow; never returns past 7d. u2: first session 3 events
+    # -> deep, no 7d return. u3: single event -> shallow, no return.
+    assert (int(got["n_deep_ret"][0]), int(got["n_deep_lost"][0]),
+            int(got["n_shallow_ret"][0]),
+            int(got["n_shallow_lost"][0])) == (0, 1, 0, 2)
+
+
+def test_dispersion_and_accel(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12disp"))
+    # daily counts 1,3,1,3: mean 2, var .. dispersion < 1e4 would be
+    # (4*20-64)*1e4 // (4*8) = 16*1e4//32 = 5000
+    days = ["2023-01-01", "2023-01-02", "2023-01-02", "2023-01-02",
+            "2023-01-03", "2023-01-04", "2023-01-04", "2023-01-04"]
+    ck = [1, 1, 2, 3, 1, 1, 2, 3]
+    ok = list(range(1, 9))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(ok, pa.int64()),
+        "o_custkey": pa.array(ck, pa.int64()),
+        "o_orderdate": pa.array(_us(days), pa.timestamp("us")),
+        "o_totalprice": pa.array([100.0] * 8, pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    got = _match_oracle("order_count_dispersion", d)
+    assert int(got["dispersion_e4"][0]) == 5000
+    # cust 1 orders days 1,2,3,4 -> gaps 1,1,1 (k=3, h=1): first 1
+    # vs last 1 -> flat; cust 2/3 have 2 orders -> excluded
+    got2 = _match_oracle("order_gap_accel_counts", d)
+    assert (int(got2["n_accel"][0]), int(got2["n_decel"][0]),
+            int(got2["n_flat"][0])) == (0, 0, 1)
+
+
+def test_quadrants_and_curve(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12quad"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_name": pa.array(["a"] * 4),
+        "c_nationkey": pa.array([0] * 4, pa.int32()),
+        "c_acctbal": pa.array([10.0, 20.0, 30.0, 40.0], pa.float64()),
+        "c_mktsegment": pa.array(["X"] * 4),
+    }), os.path.join(d, "customer.parquet"))
+    # spends: c1 100, c2 0 (no orders), c3 50, c4 200
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([1, 3, 4], pa.int64()),
+        "o_orderdate": pa.array(_us(["2023-01-01"] * 3),
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([100.0, 50.0, 200.0], pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    got = _match_oracle("balance_spend_quadrants", d,
+                        tables=("customer", "orders"))
+    # bal median (lower) = 20 -> high: {3,4}; spend sorted 0,50,100,
+    # 200 -> median 50 -> high: {1,4}. n11={4}, n10={3}, n01={1},
+    # n00={2}
+    assert (int(got["n_hh"][0]), int(got["n_hl"][0]),
+            int(got["n_lh"][0]), int(got["n_ll"][0])) == (1, 1, 1, 1)
+    # perfectly balanced 2x2 -> phi = 0
+    assert abs(got["phi"][0]) < 1e-15
+
+
+def test_top_parts_stability_and_price_curve(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12tps"))
+    # first half (before midpoint day): parts 1,2 lead; second half:
+    # parts 2,3 lead -> intersection {2} among top-100 (all parts
+    # qualify; top-100 > 3 parts so jaccard counts full sets)
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 2, 2, 3], pa.int64()),
+        "l_shipdate": pa.array(_us(["2023-01-01", "2023-01-02",
+                                    "2023-06-01", "2023-06-02"]),
+                               pa.timestamp("us")),
+        "l_extendedprice": pa.array([5.0, 3.0, 4.0, 6.0],
+                                    pa.float64()),
+        "l_quantity": pa.array([1.0, 1.0, 2.0, 2.0], pa.float64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    got = _match_oracle("top_parts_stability", d)
+    # half A = {1, 2}, half B = {2, 3}: common 1, union 3
+    assert (int(got["n_top_a"][0]), int(got["n_top_b"][0]),
+            int(got["n_common"][0])) == (2, 2, 1)
+    assert int(got["jaccard_e4"][0]) == 10_000 // 3
+    got2 = _match_oracle("price_by_qty_curve", d)
+    m = {int(r["q"]): r for _, r in got2.iterrows()}
+    assert int(m[1]["avg_e2"]) == (500 + 300) * 100 // 2
+    assert int(m[2]["avg_e2"]) == (400 + 600) * 100 // 2
