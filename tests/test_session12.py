@@ -1134,3 +1134,63 @@ def test_top_parts_stability_and_price_curve(tmp_path_factory):
     m = {int(r["q"]): r for _, r in got2.iterrows()}
     assert int(m[1]["avg_e2"]) == (500 + 300) * 100 // 2
     assert int(m[2]["avg_e2"]) == (400 + 600) * 100 // 2
+
+
+# ---------------------------------------------------------------------------
+# batch 11: SPC chart, Neyman allocation, Benford-by-source, cohorts
+# ---------------------------------------------------------------------------
+
+
+def test_xmr_and_neyman(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12xmr"))
+    days = ["2023-01-%02d" % i for i in range(1, 9)]
+    vals = [2000.0, 2000.0, 2000.0, 2000.0, 2000.0, 2000.0,
+            2000.0, 20000.0]  # one massive spike
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(_us(days), pa.timestamp("us")),
+        "o_totalprice": pa.array(vals, pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    got = _match_oracle("xmr_chart_daily", d)
+    # r = [2]*7 + [20]; xbar = 4.25, mrbar = 18/7; ucl ~ 11.09:
+    # only the spike violates
+    assert int(got["n_viol"][0]) == 1
+
+    d2 = str(tmp_path_factory.mktemp("s12ney"))
+    # two segments: X high-variance big stratum, Y zero-variance ->
+    # w=0 -> all 1000 to X
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(list(range(1, 7)), pa.int64()),
+        "c_name": pa.array(["c"] * 6),
+        "c_nationkey": pa.array([0] * 6, pa.int32()),
+        "c_acctbal": pa.array([0.0, 100.0, 0.0, 100.0, 5.0, 5.0],
+                              pa.float64()),
+        "c_mktsegment": pa.array(["AUTOMOBILE"] * 4 + ["BUILDING"] * 2),
+    }), os.path.join(d2, "customer.parquet"))
+    got2 = _match_oracle("neyman_allocation_segments", d2,
+                         tables=("customer",))
+    m = dict(zip(got2["seg"], got2["alloc"]))
+    assert m["AUTOMOBILE"] == 1000 and m["BUILDING"] == 0
+
+
+def test_benford_source_and_first_week(chardocs_dir, trans_dir):
+    got = _match_oracle("nchars_benford_by_source", chardocs_dir,
+                        tables=("documents",))
+    # n_chars: 5,2,2,1,0(excluded),1,4 all source 's': digits
+    # {5:1, 2:2, 1:2, 4:1} of 6
+    m = {int(r["digit"]): int(r["n"]) for _, r in got.iterrows()}
+    assert m == {5: 1, 2: 2, 1: 2, 4: 1}
+    got2 = _match_oracle("first_week_activity_curve", trans_dir)
+    # all fixture events are within hours of each user's first ->
+    # offset 0 only
+    assert list(got2["off_day"]) == [0]
+    assert int(got2["n"][0]) == 8
+
+
+def test_return_month_and_basket_dups(basket_dir):
+    got = _match_oracle("return_rate_by_month", basket_dir)
+    assert (got["rate_e4"] == 0).all()  # fixture has no 'R'
+    got2 = _match_oracle("basket_fingerprint_dups", basket_dir)
+    # baskets: {1,2}x2 (orders 10,11), {3,4}x2 (20,21), {3}, {4},
+    # {5,6}, {5} -> 6 distinct sigs, 2 dup groups, 4 orders in dups
+    assert (int(got2["n_baskets"][0]), int(got2["n_dup_groups"][0]),
+            int(got2["n_orders_in_dups"][0])) == (6, 2, 4)
