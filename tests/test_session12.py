@@ -1194,3 +1194,83 @@ def test_return_month_and_basket_dups(basket_dir):
     # {5,6}, {5} -> 6 distinct sigs, 2 dup groups, 4 orders in dups
     assert (int(got2["n_baskets"][0]), int(got2["n_dup_groups"][0]),
             int(got2["n_orders_in_dups"][0])) == (6, 2, 4)
+
+
+# ---------------------------------------------------------------------------
+# batch 12: lifecycle drift, zipf fit, bimodality, size regression
+# ---------------------------------------------------------------------------
+
+
+def test_lifecycle_and_latest_percentile(trans_dir, daily12_dir):
+    got = _match_oracle("type_lifecycle_drift", trans_dir)
+    # all fixture events are on one day -> second half (cut at
+    # midpoint of a 1-day span means day >= cut) gets everything
+    # OR nothing depending on rounding; both halves must sum to n
+    assert ((got["n_first_half"] + got["n_second_half"]) > 0).all()
+    assert (got["first_day"] <= got["last_day"]).all()
+    got2 = _match_oracle("latest_day_percentile", daily12_dir)
+    assert 0 < int(got2["pct_e4"][0]) <= 10000
+
+
+def test_zipf_fit_deviation(chardocs_dir):
+    got = _match_oracle("zipf_fit_deviation", chardocs_dir,
+                        tables=("documents",))
+    # tokens across docs: ab x4 ('ab ab' gives 2, 'ab', 'abab' is
+    # one token), plus cd, x, '', a -> top tokens exist; d_e6 within
+    # [0, 1e6]
+    assert 0 <= int(got["d_e6"][0]) <= 10**6
+    assert int(got["n_top"][0]) >= 5
+
+
+def test_bimodality_daily(daily12_dir):
+    got = _match_oracle("bimodality_daily", daily12_dir)
+    r = np.array([2, 3, 1, 4, 2, 5, 2, 6, 1, 7, 3, 2], dtype=float)
+    e = r - r.mean()
+    m2 = np.mean(e ** 2)
+    sk = np.mean(e ** 3) / m2 ** 1.5
+    ku = np.mean(e ** 4) / m2 ** 2
+    assert abs(got["bc_stat"][0] - (sk * sk + 1) / ku) < 1e-9
+
+
+def test_size_regression_and_reach(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12szr"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_name": pa.array(["a", "b", "c"]),
+        "p_brand": pa.array(["B"] * 3),
+        "p_type": pa.array(["T"] * 3),
+        "p_size": pa.array([10, 20, 30], pa.int32()),
+        "p_retailprice": pa.array([1.0] * 3, pa.float64()),
+    }), os.path.join(d, "part.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+        "l_partkey": pa.array([1, 2, 3], pa.int64()),
+        "l_suppkey": pa.array([7, 7, 8], pa.int64()),
+        "l_quantity": pa.array([30.0, 20.0, 10.0], pa.float64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    got = _match_oracle("size_qty_regression", d,
+                        tables=("lineitem", "part"))
+    # perfect inverse line qty = 40 - size  -> slope -1
+    assert abs(got["slope"][0] + 1.0) < 1e-12
+    assert abs(got["intercept"][0] - 40.0) < 1e-9
+
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([1, 2], pa.int64()),
+        "o_orderdate": pa.array(_us(["2023-01-01"] * 2),
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([1.0, 1.0], pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_name": pa.array(["a", "b"]),
+        "c_nationkey": pa.array([3, 4], pa.int32()),
+        "c_acctbal": pa.array([0.0, 0.0], pa.float64()),
+        "c_mktsegment": pa.array(["X", "Y"]),
+    }), os.path.join(d, "customer.parquet"))
+    got2 = _match_oracle("supplier_reach_top", d,
+                         tables=("lineitem", "orders", "customer"))
+    m = dict(zip(got2["sk"], got2["n_nations"]))
+    # supp 7 ships order 1 (nation 3) twice -> 1 nation;
+    # supp 8 -> nation 4
+    assert m == {7: 1, 8: 1}
