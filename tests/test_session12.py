@@ -1274,3 +1274,72 @@ def test_size_regression_and_reach(tmp_path_factory):
     # supp 7 ships order 1 (nation 3) twice -> 1 nation;
     # supp 8 -> nation 4
     assert m == {7: 1, 8: 1}
+
+
+# ---------------------------------------------------------------------------
+# batch 13: SLA KS, activity density, brand premium, whale share
+# ---------------------------------------------------------------------------
+
+
+def test_ship_delay_ks_and_single_priority(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12ks"))
+    # URGENT gaps all 1 day, LOW gaps all 10 days -> KS = 1e6
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "l_shipdate": pa.array(_us(["2023-01-02", "2023-01-02",
+                                    "2023-01-11", "2023-01-11"]),
+                               pa.timestamp("us")),
+    }), os.path.join(d, "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([1, 1, 2, 2], pa.int64()),
+        "o_orderdate": pa.array(_us(["2023-01-01"] * 4),
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT",
+                                     "5-LOW", "5-LOW"]),
+        "o_totalprice": pa.array([1.0] * 4, pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    got = _match_oracle("ship_delay_ks_priorities", d)
+    assert int(got["d_e6"][0]) == 10**6
+    got2 = _match_oracle("single_priority_customers", d)
+    # cust 1: both URGENT (single), cust 2: both LOW (single)
+    assert (int(got2["n_customers"][0]),
+            int(got2["n_single_priority"][0])) == (2, 2)
+    got3 = _match_oracle("daily_whale_share", d)
+    assert (got3["share_e4"] <= 10000).all()
+
+
+def test_activity_density(gaps_dir):
+    got = _match_oracle("activity_density_hist", gaps_dir)
+    # u1: events within hours -> 1 active day/1 span -> dens 1e4 ->
+    # bucket 10; u2: same-day -> bucket 10; u3: single day -> 10
+    assert list(got["bucket"]) == [10]
+    assert int(got["n_users"][0]) == 3
+
+
+def test_brand_premium_and_family(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12brand"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_name": pa.array(["a", "b"]),
+        "p_brand": pa.array(["B1", "B2"]),
+        "p_type": pa.array(["STANDARD ANODIZED BRASS",
+                            "ECONOMY ANODIZED TIN"]),
+        "p_size": pa.array([1, 2], pa.int32()),
+        "p_retailprice": pa.array([100.0, 300.0], pa.float64()),
+    }), os.path.join(d, "part.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1], pa.int64()),
+        "l_partkey": pa.array([1, 2], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 300.0], pa.float64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    got = _match_oracle("brand_price_premium", d, tables=("part",))
+    m = {r["brand"]: r for _, r in got.iterrows()}
+    # global avg 200: B1 premium = 10000*100/200 = 5000
+    assert int(m["B1"]["premium_e4"]) == 5000
+    assert int(m["B2"]["premium_e4"]) == 15000
+    got2 = _match_oracle("ptype_family_revenue", d,
+                         tables=("part", "lineitem"))
+    m2 = {r["family"]: int(r["share_e4"])
+          for _, r in got2.iterrows()}
+    assert m2 == {"STANDARD": 2500, "ECONOMY": 7500}
