@@ -1343,3 +1343,86 @@ def test_brand_premium_and_family(tmp_path_factory):
     m2 = {r["family"]: int(r["share_e4"])
           for _, r in got2.iterrows()}
     assert m2 == {"STANDARD": 2500, "ECONOMY": 7500}
+
+
+# ---------------------------------------------------------------------------
+# batch 14: RLE, argmax-label chi2, gap quartiles, modal hour, MW
+# ---------------------------------------------------------------------------
+
+
+def test_rle_and_argmax_chi2(chardocs_dir, emb_dir):
+    got = _match_oracle("rle_compressibility_by_lang", chardocs_dir,
+                        tables=("documents",))
+    m = {r["lang"]: r for _, r in got.iterrows()}
+    # fr "abab": runs = 1 + 3 changes = 4, chars 4 -> ratio 1e4
+    assert (int(m["fr"]["n_runs"]), int(m["fr"]["n_chars"])) == (4, 4)
+    # de: "x"(1 run), ""(skipped), "a"(1 run): runs 2, chars 2
+    assert (int(m["de"]["n_runs"]), int(m["de"]["n_chars"])) == (2, 2)
+    got2 = _match_oracle("argmax_label_chi2_cells", emb_dir,
+                         tables=("embeddings",))
+    assert len(got2) <= 10 and (got2["chi2_e6"] >= 0).all()
+
+
+def test_gap_quartiles_and_modal_hour(gaps_dir):
+    got = _match_oracle("gap_quartiles_by_type", gaps_dir)
+    # only 'view' has >= 2 gaps: [0, 7200, 10800] -> 4Q2 = 4*7200
+    m = {r["event_type"]: r for _, r in got.iterrows()}
+    assert set(m) == {"view"}
+    assert int(m["view"]["q2_x4"]) == 4 * 7200
+    got2 = _match_oracle("modal_type_by_hour", gaps_dir)
+    assert (got2["share_e4"] <= 10000).all()
+    assert got2["hour"].is_unique
+
+
+def test_weekend_mw_and_universal(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12wmw"))
+    # 2023-01-07/08 = Sat/Sun; 09/10 weekdays. Weekend revenue
+    # strictly above weekday -> two_u_weekend = n_we * n_wd * 2
+    days = ["2023-01-07", "2023-01-08", "2023-01-09", "2023-01-10"]
+    vals = [900.0, 800.0, 100.0, 200.0]
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(_us(days), pa.timestamp("us")),
+        "o_totalprice": pa.array(vals, pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    got = _match_oracle("weekend_revenue_mw", d)
+    # 2U = 2*R - n(n+1) with weekend holding top ranks: R = 3+4=7
+    # doubled: two_sum = 2*7 = ... two_u = 2*U1 where U1 = 4 (all
+    # pairs won) -> two_u = 8
+    assert (int(got["n_weekend"][0]), int(got["n_weekday"][0]),
+            int(got["two_u_weekend"][0])) == (2, 2, 8)
+
+    d2 = str(tmp_path_factory.mktemp("s12upc"))
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1], pa.int32()),
+        "r_name": pa.array(["E", "W"]),
+    }), os.path.join(d2, "region.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int32()),
+        "n_name": pa.array(["A", "B"]),
+        "n_regionkey": pa.array([0, 1], pa.int32()),
+    }), os.path.join(d2, "nation.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_name": pa.array(["a", "b"]),
+        "c_nationkey": pa.array([0, 1], pa.int32()),
+        "c_acctbal": pa.array([0.0, 0.0], pa.float64()),
+        "c_mktsegment": pa.array(["X", "X"]),
+    }), os.path.join(d2, "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([1, 2], pa.int64()),
+        "o_orderdate": pa.array(_us(["2023-01-01"] * 2),
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([1.0, 1.0], pa.float64()),
+    }), os.path.join(d2, "orders.parquet"))
+    # part 1 ships to BOTH regions (universal), part 2 only region E
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2, 1], pa.int64()),
+        "l_partkey": pa.array([1, 1, 2], pa.int64()),
+    }), os.path.join(d2, "lineitem.parquet"))
+    got2 = _match_oracle("universal_parts_count", d2,
+                         tables=("lineitem", "orders", "customer",
+                                 "nation", "region"))
+    assert (int(got2["n_regions"][0]),
+            int(got2["n_parts_shipped"][0]),
+            int(got2["n_universal"][0])) == (2, 2, 1)
