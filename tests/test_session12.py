@@ -1426,3 +1426,91 @@ def test_weekend_mw_and_universal(tmp_path_factory):
     assert (int(got2["n_regions"][0]),
             int(got2["n_parts_shipped"][0]),
             int(got2["n_universal"][0])) == (2, 2, 1)
+
+
+# ---------------------------------------------------------------------------
+# batch 15: discount calendar, silences, weekly ACF, tails, cov ints
+# ---------------------------------------------------------------------------
+
+
+def test_silence_and_weekly_acf(gaps_dir, daily12_dir):
+    got = _match_oracle("max_silence_by_type", gaps_dir)
+    m = {r["event_type"]: r for _, r in got.iterrows()}
+    # view stream gaps 0, 7200, 10800 -> max 10800 starting at the
+    # 2h event; click gap 7200
+    assert int(m["view"]["max_gap_s"]) == 10800
+    assert int(m["click"]["max_gap_s"]) == 7200
+    got2 = _match_oracle("weekly_count_autocorr", daily12_dir)
+    # 12 observed days -> defined; bounded in [-1e6, 1e6]
+    assert abs(int(got2["rho7_e6"][0])) <= 10**6
+
+
+def test_tail_ratio_by_flag(flags_dir):
+    d, r, a = flags_dir
+    got = _match_oracle("tail_ratio_by_flag", d)
+    assert (got["p99"] >= got["p50"]).all()
+
+
+def test_lineitem_cov_integers(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12cov"))
+    q = [1, 2, 3]
+    p = [10.0, 20.0, 30.0]
+    dc = [0.05, 0.10, 0.02]
+    pq.write_table(pa.table({
+        "l_quantity": pa.array([float(x) for x in q], pa.float64()),
+        "l_extendedprice": pa.array(p, pa.float64()),
+        "l_discount": pa.array(dc, pa.float64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    got = _match_oracle("lineitem_cov_integers", d)
+    qq = np.array(q, dtype=object)
+    pp = np.array([10, 20, 30], dtype=object)
+    dd = np.array([5, 10, 2], dtype=object)
+    n = 3
+    assert int(got["cov_qty_price_num"][0]) == \
+        n * int(sum(qq * pp)) - int(sum(qq)) * int(sum(pp))
+    assert int(got["cov_qty_disc_num"][0]) == \
+        n * int(sum(qq * dd)) - int(sum(qq)) * int(sum(dd))
+    assert int(got["cov_price_disc_num"][0]) == \
+        n * int(sum(pp * dd)) - int(sum(pp)) * int(sum(dd))
+
+
+def test_monthly_discount_and_priority_mix(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12madp"))
+    pq.write_table(pa.table({
+        "l_shipdate": pa.array(_us(["2023-01-05", "2023-01-20",
+                                    "2023-02-05"]),
+                               pa.timestamp("us")),
+        "l_discount": pa.array([0.05, 0.10, 0.02], pa.float64()),
+        "l_quantity": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "l_extendedprice": pa.array([10.0, 20.0, 30.0], pa.float64()),
+        "l_returnflag": pa.array(["N", "R", "N"]),
+    }), os.path.join(d, "lineitem.parquet"))
+    got = _match_oracle("monthly_avg_discount", d)
+    jan = (2023 - 1970) * 12
+    m = {int(r["month"]): int(r["avg_disc_e4"])
+         for _, r in got.iterrows()}
+    # jan: (5 + 10) * 100 // 2 = 750; feb: 200
+    assert m == {jan: 750, jan + 1: 200}
+
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([1, 1, 2], pa.int64()),
+        "o_orderpriority": pa.array(["1-URGENT", "5-LOW",
+                                     "1-URGENT"]),
+        "o_orderdate": pa.array(_us(["2023-01-01"] * 3),
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([1.0] * 3, pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_name": pa.array(["a", "b"]),
+        "c_nationkey": pa.array([0, 0], pa.int32()),
+        "c_acctbal": pa.array([0.0, 0.0], pa.float64()),
+        "c_mktsegment": pa.array(["X", "Y"]),
+    }), os.path.join(d, "customer.parquet"))
+    got2 = _match_oracle("priority_share_by_segment", d,
+                         tables=("orders", "customer"))
+    m2 = {(r["seg"], r["p"]): int(r["share_e4"])
+          for _, r in got2.iterrows()}
+    assert m2 == {("X", "1-URGENT"): 5000, ("X", "5-LOW"): 5000,
+                  ("Y", "1-URGENT"): 10000}
