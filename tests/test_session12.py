@@ -1514,3 +1514,71 @@ def test_monthly_discount_and_priority_mix(tmp_path_factory):
           for _, r in got2.iterrows()}
     assert m2 == {("X", "1-URGENT"): 5000, ("X", "5-LOW"): 5000,
                   ("Y", "1-URGENT"): 10000}
+
+
+# ---------------------------------------------------------------------------
+# batch 16: brand x region, nation medians, eta2, audits, band
+# ---------------------------------------------------------------------------
+
+
+def test_discount_delay_and_eta2(trans_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12ddc"))
+    # discount x, delay y perfectly anticorrelated
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "l_discount": pa.array([0.01, 0.05, 0.10], pa.float64()),
+        "l_shipdate": pa.array(_us(["2023-01-10", "2023-01-06",
+                                    "2023-01-02"]),
+                               pa.timestamp("us")),
+    }), os.path.join(d, "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderdate": pa.array(_us(["2023-01-01"] * 3),
+                                pa.timestamp("us")),
+    }), os.path.join(d, "orders.parquet"))
+    got = _match_oracle("discount_delay_corr", d)
+    assert got["corr"][0] < -0.9
+    got2 = _match_oracle("value_hour_eta2", trans_dir)
+    assert 0.0 <= got2["eta2"][0] <= 1.0 + 1e-12
+
+
+def test_nchars_audit(chardocs_dir):
+    got = _match_oracle("nchars_consistency_audit", chardocs_dir,
+                        tables=("documents",))
+    # fixture n_chars match text lengths exactly
+    assert (int(got["n_mismatch"][0]), int(got["max_abs_gap"][0])) \
+        == (0, 0)
+
+
+def test_median_band_and_nation_medians(daily12_dir,
+                                        tmp_path_factory):
+    got = _match_oracle("median_band_occupancy_daily", daily12_dir)
+    assert 0 < int(got["share_e4"][0]) <= 10000
+
+    d = str(tmp_path_factory.mktemp("s12ovm"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0], pa.int32()),
+        "n_name": pa.array(["ZION"]),
+        "n_regionkey": pa.array([0], pa.int32()),
+    }), os.path.join(d, "nation.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1], pa.int64()),
+        "c_name": pa.array(["a"]),
+        "c_nationkey": pa.array([0], pa.int32()),
+        "c_acctbal": pa.array([0.0], pa.float64()),
+        "c_mktsegment": pa.array(["X"]),
+    }), os.path.join(d, "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([1] * 4, pa.int64()),
+        "o_orderdate": pa.array(_us(["2023-01-01"] * 4),
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([10.0, 20.0, 30.0, 40.0],
+                                 pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    got2 = _match_oracle("order_value_median_by_nation", d,
+                         tables=("orders", "customer", "nation"))
+    r = got2.iloc[0]
+    # even n=4: lo = 2000 cents, hi = 3000 cents
+    assert (r["nation"], r["med_lo"], r["med_hi"]) == \
+        ("ZION", 2000, 3000)
