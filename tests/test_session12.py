@@ -1582,3 +1582,104 @@ def test_median_band_and_nation_medians(daily12_dir,
     # even n=4: lo = 2000 cents, hi = 3000 cents
     assert (r["nation"], r["med_lo"], r["med_hi"]) == \
         ("ZION", 2000, 3000)
+
+
+# ---------------------------------------------------------------------------
+# batch 17: persistence, activity corr, home bias, drift TV, deciles
+# ---------------------------------------------------------------------------
+
+
+def test_priority_persistence(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12pp"))
+    # cust 1: U,U,L (pairs: same, diff); cust 2: single order (no
+    # pairs); same-day orders ordered by orderkey
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([1, 1, 1, 2], pa.int64()),
+        "o_orderdate": pa.array(_us(["2023-01-01", "2023-01-01",
+                                     "2023-01-02", "2023-01-01"]),
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT",
+                                     "5-LOW", "2-HIGH"]),
+        "o_totalprice": pa.array([1.0] * 4, pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    got = _match_oracle("priority_persistence_e4", d)
+    assert (int(got["n_pairs"][0]), int(got["n_same"][0])) == (2, 1)
+
+
+def test_activity_corr_and_home_bias(tmp_path_factory):
+    dce = str(tmp_path_factory.mktemp("s12adc"))
+    # u1: 4 events over 3 days; u2: 2 events 1 day; u3: 1 event
+    rows = [(1, "2023-01-01"), (1, "2023-01-02"), (1, "2023-01-02"),
+            (1, "2023-01-05"), (2, "2023-02-01"), (2, "2023-02-01"),
+            (3, "2023-03-01")]
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(len(rows))), pa.int64()),
+        "ts": pa.array(_us([r[1] for r in rows]), pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array(["view"] * len(rows)),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+    }), os.path.join(dce, "events.parquet"))
+    got = _match_oracle("activity_days_events_corr", dce)
+    # x=(4,2,1), y=(3,1,1): strong positive correlation
+    assert got["corr"][0] > 0.9
+
+    d = str(tmp_path_factory.mktemp("s12shb"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2], pa.int64()),
+        "s_name": pa.array(["s1", "s2"]),
+        "s_nationkey": pa.array([0, 1], pa.int32()),
+        "s_acctbal": pa.array([0.0, 0.0], pa.float64()),
+    }), os.path.join(d, "supplier.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_name": pa.array(["a", "b"]),
+        "c_nationkey": pa.array([0, 1], pa.int32()),
+        "c_acctbal": pa.array([0.0, 0.0], pa.float64()),
+        "c_mktsegment": pa.array(["X", "X"]),
+    }), os.path.join(d, "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([1, 2], pa.int64()),
+        "o_orderdate": pa.array(_us(["2023-01-01"] * 2),
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([1.0, 1.0], pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    # supp 1 (nation 0): ships order1 (cust nation 0: home) and
+    # order2 (nation 1: away); supp 2: order2 only (home)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2, 2], pa.int64()),
+        "l_suppkey": pa.array([1, 1, 2], pa.int64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    got2 = _match_oracle("supplier_home_bias", d,
+                         tables=("lineitem", "supplier", "orders",
+                                 "customer"))
+    m = {int(r["supp_nation"]): r for _, r in got2.iterrows()}
+    assert (m[0]["n_items"], m[0]["n_home"]) == (2, 1)
+    assert (m[1]["n_items"], m[1]["n_home"]) == (1, 1)
+
+
+def test_drift_tv_and_balance_deciles(daily12_dir, tmp_path_factory):
+    got = _match_oracle("dow_profile_drift_tv", daily12_dir)
+    assert 0 <= int(got["tv_e6"][0]) <= 10**6
+    d = str(tmp_path_factory.mktemp("s12bdo"))
+    # 10 customers, balances 1..10; only top-balance cust orders
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(list(range(1, 11)), pa.int64()),
+        "c_name": pa.array(["c"] * 10),
+        "c_nationkey": pa.array([0] * 10, pa.int32()),
+        "c_acctbal": pa.array([float(i) for i in range(1, 11)],
+                              pa.float64()),
+        "c_mktsegment": pa.array(["X"] * 10),
+    }), os.path.join(d, "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([10, 10], pa.int64()),
+        "o_orderdate": pa.array(_us(["2023-01-01"] * 2),
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([1.0, 1.0], pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    got2 = _match_oracle("balance_decile_order_rate", d,
+                         tables=("customer", "orders"))
+    m = dict(zip(got2["decile"], got2["orders_e4"]))
+    assert m[9] == 20000 and all(m[k] == 0 for k in range(9))
