@@ -1683,3 +1683,84 @@ def test_drift_tv_and_balance_deciles(daily12_dir, tmp_path_factory):
                          tables=("customer", "orders"))
     m = dict(zip(got2["decile"], got2["orders_e4"]))
     assert m[9] == 20000 and all(m[k] == 0 for k in range(9))
+
+
+# ---------------------------------------------------------------------------
+# batch 18: Gini by type, LTV corr, cross-metrics, SLA p95
+# ---------------------------------------------------------------------------
+
+
+def test_value_gini_and_p95(trans_dir, tmp_path_factory):
+    got = _match_oracle("value_gini_by_type", trans_dir)
+    # all fixture values 1.0 -> perfect equality -> gini 0 per type
+    assert (got["gini_e6"] == 0).all()
+
+    d = str(tmp_path_factory.mktemp("s12p95"))
+    # 20 URGENT gaps 1..20 -> p50 = sorted[(19)//2]=sorted[9]=10,
+    # p95 = sorted[19*95//100]=sorted[18]=19
+    ok = list(range(1, 21))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(ok, pa.int64()),
+        "l_shipdate": pa.array(
+            _us(["2023-01-%02d" % (i + 1) for i in ok]),
+            pa.timestamp("us")),
+    }), os.path.join(d, "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(ok, pa.int64()),
+        "o_orderdate": pa.array(_us(["2023-01-01"] * 20),
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 20),
+    }), os.path.join(d, "orders.parquet"))
+    got2 = _match_oracle("ship_delay_p95_by_priority", d)
+    r = got2.iloc[0]
+    assert (r["p50"], r["p95"]) == (10, 19)
+
+
+def test_first_value_ltv_and_trend(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12fltv"))
+    # cust 1: first 100 then 1,1 (total 102); cust 2: first 500 then
+    # 600,700 (total 1800); cust 3: single 50 order -> first==total.
+    # Also exercises value_trend: c1 k=3 h=1: first 100 vs last 1 ->
+    # down; c2: 500 vs 700 -> up; c3 excluded.
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "o_custkey": pa.array([1, 1, 1, 2, 2, 2, 3], pa.int64()),
+        "o_orderdate": pa.array(
+            _us(["2023-01-01", "2023-01-02", "2023-01-03",
+                 "2023-01-01", "2023-01-02", "2023-01-03",
+                 "2023-01-01"]), pa.timestamp("us")),
+        "o_totalprice": pa.array([100.0, 1.0, 1.0, 500.0, 600.0,
+                                  700.0, 50.0], pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    got = _match_oracle("first_value_ltv_corr", d)
+    f = np.array([100, 500, 50], dtype=float)
+    s = np.array([102, 1800, 50], dtype=float)
+    ref = np.corrcoef(f, s)[0, 1]
+    assert abs(got["corr"][0] - ref) < 1e-12
+    got2 = _match_oracle("value_trend_sign_counts", d)
+    assert (int(got2["n_up"][0]), int(got2["n_down"][0]),
+            int(got2["n_flat"][0])) == (1, 1, 0)
+
+
+def test_yearly_peak_and_premium_corr(daily12_dir, tmp_path_factory):
+    got = _match_oracle("yearly_peak_day_share", daily12_dir)
+    assert list(got["year"]) == [2023]
+    assert 0 < int(got["peak_share_e4"][0]) <= 10000
+
+    d = str(tmp_path_factory.mktemp("s12bprc"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_name": pa.array(["a", "b"]),
+        "p_brand": pa.array(["B1", "B2"]),
+        "p_type": pa.array(["T X Y", "T X Z"]),
+        "p_size": pa.array([1, 1], pa.int32()),
+        "p_retailprice": pa.array([100.0, 300.0], pa.float64()),
+    }), os.path.join(d, "part.parquet"))
+    # B2 premium AND higher return rate -> positive corr (n=2 -> +-1)
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 2, 2], pa.int64()),
+        "l_returnflag": pa.array(["N", "N", "R", "N"]),
+    }), os.path.join(d, "lineitem.parquet"))
+    got2 = _match_oracle("brand_premium_return_corr", d,
+                         tables=("part", "lineitem"))
+    assert abs(got2["corr"][0] - 1.0) < 1e-12
