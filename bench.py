@@ -419,6 +419,9 @@ def run_bench() -> dict:
         "dunn_pairs_priority",
         "price_time_inversions",
         "dim_sparsity_counts",
+        "supplier_home_bias",
+        "value_gini_by_type",
+        "first_value_ltv_corr",
     ]:
         timed(name, Q.registry()[name])
 

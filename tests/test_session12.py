@@ -1764,3 +1764,57 @@ def test_yearly_peak_and_premium_corr(daily12_dir, tmp_path_factory):
     got2 = _match_oracle("brand_premium_return_corr", d,
                          tables=("part", "lineitem"))
     assert abs(got2["corr"][0] - 1.0) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# batch 19: Siegel repeated median, full-price share, weekend ships
+# ---------------------------------------------------------------------------
+
+
+def test_siegel_repeated_median(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12sieg"))
+    # perfect line slope 2 k$/day with ONE wild outlier day: the
+    # repeated median must ignore it completely
+    days = ["2023-01-%02d" % i for i in range(1, 8)]
+    vals = [2000.0 * i for i in range(1, 8)]
+    vals[3] = 50000.0  # outlier
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(_us(days), pa.timestamp("us")),
+        "o_totalprice": pa.array(vals, pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    got = _match_oracle("siegel_repeated_median", d)
+    assert abs(got["slope"][0] - 2.0) < 1e-12
+
+
+def test_fullprice_and_weekend_ship(basket_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12zd"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_name": pa.array(["a", "b"]),
+        "p_brand": pa.array(["B1", "B2"]),
+        "p_type": pa.array(["T", "T"]),
+        "p_size": pa.array([1, 1], pa.int32()),
+        "p_retailprice": pa.array([1.0, 1.0], pa.float64()),
+    }), os.path.join(d, "part.parquet"))
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 2], pa.int64()),
+        "l_discount": pa.array([0.0, 0.05, 0.0], pa.float64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    got = _match_oracle("zero_discount_share_by_brand", d,
+                        tables=("lineitem", "part"))
+    m = {r["brand"]: int(r["share_e4"]) for _, r in got.iterrows()}
+    assert m == {"B1": 5000, "B2": 10000}
+
+    d2 = str(tmp_path_factory.mktemp("s12ws"))
+    # 2023-01-07 = Saturday (weekend), 01-09 = Monday
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2], pa.int64()),
+        "l_shipdate": pa.array(_us(["2023-01-07", "2023-01-09"]),
+                               pa.timestamp("us")),
+    }), os.path.join(d2, "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT"]),
+    }), os.path.join(d2, "orders.parquet"))
+    got2 = _match_oracle("weekend_ship_share_by_priority", d2)
+    assert int(got2["share_e4"][0]) == 5000
