@@ -1818,3 +1818,77 @@ def test_fullprice_and_weekend_ship(basket_dir, tmp_path_factory):
     }), os.path.join(d2, "orders.parquet"))
     got2 = _match_oracle("weekend_ship_share_by_priority", d2)
     assert int(got2["share_e4"][0]) == 5000
+
+
+# ---------------------------------------------------------------------------
+# batch 20: runs, switches, footrule, drift, tenure, cadence
+# ---------------------------------------------------------------------------
+
+
+def test_increasing_run_and_drift(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12run"))
+    # cust 1 values 1,2,3,1,5: longest increasing run 3;
+    # cust 2: 5,4: run 1
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(list(range(1, 8)), pa.int64()),
+        "o_custkey": pa.array([1] * 5 + [2] * 2, pa.int64()),
+        "o_orderdate": pa.array(
+            _us(["2023-01-0%d" % i for i in range(1, 6)]
+                + ["2023-01-01", "2023-01-02"]),
+            pa.timestamp("us")),
+        "o_totalprice": pa.array([1.0, 2.0, 3.0, 1.0, 5.0,
+                                  5.0, 4.0], pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    got = _match_oracle("max_increasing_value_run", d)
+    m = dict(zip(got["run_len"], got["n_customers"]))
+    assert m == {3: 1, 1: 1}
+    got2 = _match_oracle("tenure_spend_corr", d)
+    assert -1.0 - 1e-12 <= got2["corr"][0] <= 1.0 + 1e-12
+
+    # price drift: part 1 first 300 last 100 (down), part 2 only 1
+    # shipment (excluded), part 3 same-day tie -> first 100 last 200
+    dd = str(tmp_path_factory.mktemp("s12drift"))
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 2, 3, 3], pa.int64()),
+        "l_shipdate": pa.array(_us(["2023-01-01", "2023-02-01",
+                                    "2023-01-01", "2023-03-01",
+                                    "2023-03-01"]),
+                               pa.timestamp("us")),
+        "l_extendedprice": pa.array([3.0, 1.0, 9.0, 1.0, 2.0],
+                                    pa.float64()),
+    }), os.path.join(dd, "lineitem.parquet"))
+    got3 = _match_oracle("price_drift_census", dd)
+    assert (int(got3["n_up"][0]), int(got3["n_down"][0]),
+            int(got3["n_flat"][0])) == (1, 1, 0)
+
+
+def test_switch_footrule_cadence(trans_dir, daily12_dir,
+                                 tmp_path_factory):
+    got = _match_oracle("type_switch_rate", trans_dir)
+    # u1: v->c, c->v, v->c (3 switches of 3 pairs); u2: v->v, v->v
+    # (0 of 2); u3 none. 3/5 pairs switch.
+    assert (int(got["n_pairs"][0]), int(got["n_switch"][0])) == (5, 3)
+    got2 = _match_oracle("dow_rank_footrule", daily12_dir)
+    assert 0 <= int(got2["footrule"][0]) <= 24
+
+    d = str(tmp_path_factory.mktemp("s12gms"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1], pa.int64()),
+        "c_name": pa.array(["a"]),
+        "c_nationkey": pa.array([0], pa.int32()),
+        "c_acctbal": pa.array([0.0], pa.float64()),
+        "c_mktsegment": pa.array(["X"]),
+    }), os.path.join(d, "customer.parquet"))
+    # gaps 1, 9 -> med_lo 1, med_hi 9
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([1, 1, 1], pa.int64()),
+        "o_orderdate": pa.array(_us(["2023-01-01", "2023-01-02",
+                                     "2023-01-11"]),
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([1.0] * 3, pa.float64()),
+    }), os.path.join(d, "orders.parquet"))
+    got3 = _match_oracle("gap_median_by_segment", d,
+                         tables=("orders", "customer"))
+    r = got3.iloc[0]
+    assert (r["n_gaps"], r["med_lo"], r["med_hi"]) == (2, 1, 9)
