@@ -1892,3 +1892,38 @@ def test_switch_footrule_cadence(trans_dir, daily12_dir,
                          tables=("orders", "customer"))
     r = got3.iloc[0]
     assert (r["n_gaps"], r["med_lo"], r["med_hi"]) == (2, 1, 9)
+
+
+# ---------------------------------------------------------------------------
+# batch 21: value CV by type, supplier rank corr, busiest days
+# ---------------------------------------------------------------------------
+
+
+def test_value_cv_and_busiest(trans_dir):
+    got = _match_oracle("value_cv_by_type", trans_dir)
+    # all values 1.0 -> zero variance -> cv2 0 everywhere
+    assert (got["cv2_e6"] == 0).all()
+    got2 = _match_oracle("busiest_days_event_share", trans_dir)
+    # few days -> k=1; the busiest day holds all 8 fixture events?
+    # (all same day) -> share 1e4
+    assert int(got2["k_days"][0]) == 1
+    assert int(got2["share_e4"][0]) == 10000
+
+
+def test_supplier_rank_spearman(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("s12sbs"))
+    # balances and volumes perfectly concordant (with a balance TIE)
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "s_name": pa.array(["s"] * 4),
+        "s_nationkey": pa.array([0] * 4, pa.int32()),
+        "s_acctbal": pa.array([10.0, 10.0, 30.0, 40.0], pa.float64()),
+    }), os.path.join(d, "supplier.parquet"))
+    sk = [1] + [2] * 2 + [3] * 3 + [4] * 4
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array(sk, pa.int64()),
+    }), os.path.join(d, "lineitem.parquet"))
+    got = _match_oracle("supplier_balance_volume_spearman", d,
+                        tables=("lineitem", "supplier"))
+    # monotone up to the tie -> rho close to 1 but < 1
+    assert 0.9 < got["rho"][0] <= 1.0
